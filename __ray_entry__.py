@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init``/``ray.shutdown`` here or in the library code.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` covers the operator inventory of SURVEY.md §2 plus the
+training-data ops (dedup family, similarity search, text analysis);
+``oracle_sql()`` gives DuckDB equivalents for every SQL-expressible
+query with matching column names. Non-SQL-expressible ops (HTML/layout
+extraction, LSH/approximate algorithms) are rows-only checked.
 """
 
 from __future__ import annotations
@@ -18,27 +15,336 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents-derived pages ->
+    dedup -> boilerplate strip / layout parse -> assembled text."""
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.sources.pages import pages_from_documents
+
+    ds = pages_from_documents(SF_SMOKE)
+    return extract_pipeline(ds, dedup=True, explode_giant=False)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_pages(sf_dir: str):
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.sources.pages import pages_from_documents
+
+    ds = pages_from_documents(sf_dir)
+    out = extract_pipeline(ds, dedup=True, explode_giant=False)
+    return out.select_columns(
+        ["url", "doc_kind", "extracted_text", "n_elements", "n_tables"]
+    )
+
+
+def _q_extract_synth(sf_dir: str):
+    """Synthetic mixed HTML+PDF corpus (size scaled off sf dir name)."""
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.sources.pages import synth_pages_dataset
+
+    n = {"0.001": 100, "0.01": 400, "0.1": 2000}.get(
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1], 200
+    )
+    ds = synth_pages_dataset(n, seed=42)
+    out = extract_pipeline(ds, dedup=True, explode_giant=True)
+    return out.select_columns(
+        ["url", "doc_kind", "extracted_text", "n_pages", "n_elements", "n_tables"]
+    )
+
+
+def _q_exact_dedup(sf_dir: str):
+    import pyarrow as pa
+
+    from high_performance_docling_ray.pipelines.dedup import exact_dedup
+
+    rows = exact_dedup(sf_dir).take_all()
+    tbl = pa.Table.from_pylist(rows)
+    return tbl.rename_columns(["text_hash", "min_doc_id"]).sort_by(
+        [("text_hash", "ascending")]
+    )
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from high_performance_docling_ray.pipelines.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(sf_dir, threshold=0.7)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from high_performance_docling_ray.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(sf_dir, max_hamming=3)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from high_performance_docling_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(sf_dir, threshold=0.5)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(sf_dir, threshold=0.95)
+
+
+def _query_vector(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    for batch in tbl.to_batches():
+        ids = batch.column("vec_id").to_pylist()
+        if 0 in ids:
+            return batch.column("embedding").to_pylist()[ids.index(0)]
+    return tbl.column("embedding").to_pylist()[0]
+
+
+def _q_knn_brute(sf_dir: str):
+    from high_performance_docling_ray.pipelines.similarity import knn_brute
+
+    return knn_brute(sf_dir, _query_vector(sf_dir), k=10)
+
+
+def _q_knn_ivf(sf_dir: str):
+    from high_performance_docling_ray.pipelines.similarity import knn_ivf
+
+    return knn_ivf(sf_dir, _query_vector(sf_dir), k=10)
+
+
+def _q_token_counts(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import token_counts
+
+    return token_counts(sf_dir)
+
+
+def _q_fingerprint_md5(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import fingerprints
+
+    return fingerprints(sf_dir).select_columns(["doc_id", "md5"])
+
+
+def _q_fingerprint_rolling(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import fingerprints
+
+    return fingerprints(sf_dir).select_columns(["doc_id", "rolling"])
+
+
+def _q_language_id(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import language_id
+
+    return language_id(sf_dir)
+
+
+def _q_quality(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import quality_scores
+
+    return quality_scores(sf_dir)
+
+
+def _q_doc_stats(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import quality_scores
+
+    return quality_scores(sf_dir).select_columns(["doc_id", "n_chars", "n_tokens"])
+
+
+def _q_lang_stats(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import lang_stats
+
+    return lang_stats(sf_dir)
+
+
+def _q_q1(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import q1_pricing_summary
+
+    return q1_pricing_summary(sf_dir)
+
+
+def _q_q3(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import q3_shipping
+
+    return q3_shipping(sf_dir, segment="BUILDING", k=10)
+
+
+def _q_q5(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import q5_region_revenue
+
+    return q5_region_revenue(sf_dir)
+
+
+def _q_topk_orders(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import topk_orders
+
+    return topk_orders(sf_dir, k=20)
+
+
+def _q_distinct_segments(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import distinct_segments
+
+    return distinct_segments(sf_dir)
+
+
+def _q_filter_lineitem(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        filter_project_lineitem,
+    )
+
+    return filter_project_lineitem(sf_dir, min_qty=45.0)
+
+
+def _q_events_hourly(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import events_hourly
+
+    return events_hourly(sf_dir)
+
+
+def _q_sessionize(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import sessionize
+
+    return sessionize(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (SURVEY.md §3; non-SQL, rows-only check)
+        "extract_pages": _q_extract_pages,
+        "extract_synth_corpus": _q_extract_synth,
+        # corpus dedup family
+        "exact_dedup": _q_exact_dedup,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "embedding_neardup_pairs": _q_embedding_neardup,
+        # similarity search
+        "knn_brute_cosine": _q_knn_brute,
+        "knn_ivf_cosine": _q_knn_ivf,
+        # text analysis
+        "token_counts": _q_token_counts,
+        "fingerprint_md5": _q_fingerprint_md5,
+        "fingerprint_rolling": _q_fingerprint_rolling,
+        "language_id": _q_language_id,
+        "quality_scores": _q_quality,
+        "doc_stats": _q_doc_stats,
+        "lang_stats": _q_lang_stats,
+        # relational operator demos
+        "q1_pricing_summary": _q_q1,
+        "q3_top_orders": _q_q3,
+        "q5_region_revenue": _q_q5,
+        "topk_orders": _q_topk_orders,
+        "distinct_segments": _q_distinct_segments,
+        "filter_lineitem": _q_filter_lineitem,
+        "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS min_doc_id
+            FROM documents GROUP BY md5(text) ORDER BY text_hash
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "fingerprint_md5": """
+            SELECT doc_id, md5(text) AS md5 FROM documents
+        """,
+        "doc_stats": r"""
+            SELECT doc_id, length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "knn_brute_cosine": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 6) AS cosine
+            FROM embeddings e
+            ORDER BY cosine DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
+                   round(sum(l_discount) / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l.l_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey
+            ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC,
+                     l.l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r.r_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "distinct_segments": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        "filter_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity >= 45.0
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   round(sum(value), 6) AS sum_value,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sessionize": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
+            FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+    }

@@ -1,0 +1,149 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the flagship extraction twice in fresh processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency (north_rule evidence; see
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "6000"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+
+def _extract_corpus_run(n_docs: int) -> tuple[float, int]:
+    """Flagship: synth corpus generation + dedup + extraction, consumed
+    by count() (streaming; no driver materialization)."""
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.sources.pages import synth_pages_dataset
+
+    t0 = time.perf_counter()
+    ds = synth_pages_dataset(n_docs, seed=42)
+    out = extract_pipeline(ds, dedup=True, explode_giant=True)
+    n = out.count()
+    return time.perf_counter() - t0, n
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    bench_keys = [
+        "extract_pages",
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "simhash_pairs",
+        "knn_brute_cosine",
+        "token_counts",
+        "quality_scores",
+        "lang_stats",
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "q5_region_revenue",
+        "events_hourly",
+        "sessionize",
+    ]
+    qs = entrymod.queries()
+    for name in bench_keys:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # consume lazily-built datasets without materializing to driver
+        if hasattr(res, "count") and not hasattr(res, "num_rows"):
+            res.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    _init_ray(NUM_CPUS)
+    import ray
+
+    extract_sec, extracted = _extract_corpus_run(BENCH_DOCS)
+    queries = run_queries(SF_DIR)
+    total = round(extract_sec + sum(queries.values()), 3)
+    queries["extract_synth_corpus"] = round(extract_sec, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extracted docs/sec (byte-identical text per url)",
+                "value": round(extracted / extract_sec, 3),
+                "unit": "docs/sec",
+                "total_sec": total,
+                "queries": queries,
+                "extracted_docs": extracted,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Run the flagship at num_cpus=8 and 32 in fresh processes."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_BENCH_DOCS"] = str(BENCH_DOCS)
+        code = (
+            "import bench, json, time, ray;"
+            "bench._init_ray(%d);"
+            "sec, n = bench._extract_corpus_run(bench.BENCH_DOCS);"
+            "print('RESULT ' + json.dumps({'sec': sec, 'docs': n}));"
+            "ray.shutdown()" % cpus
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(out.stdout, file=sys.stderr)
+            print(out.stderr, file=sys.stderr)
+            raise RuntimeError(f"scaling run at {cpus} cpus failed")
+        res = json.loads(line[-1][len("RESULT "):])
+        results[cpus] = res["docs"] / res["sec"]
+    eff = (results[32] / results[8]) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (8 -> 32 cpus)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "throughput_8": round(results[8], 3),
+                "throughput_32": round(results[32], 3),
+                "docs": BENCH_DOCS,
+                "required": 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

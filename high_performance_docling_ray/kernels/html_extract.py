@@ -1,0 +1,283 @@
+"""HTML main-content extraction: DOM heuristics, boilerplate strip.
+
+The reference repo declares HTML as a supported input format
+(`/root/reference/base_models.py:45-124`) and delegates parsing to
+docling's HTML backend; per the north-star (BASELINE.json) our engine
+implements the HTML path natively: block segmentation over the DOM,
+tag/text-density + link-density scoring, boilerplate pruning, and
+emission of typed layout elements that flow into the same
+assembly/reading-order path as PDF-style pages.
+
+Pure stdlib (html.parser) + deterministic — shared by the Ray stage
+and the serial oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from .textnorm import cells_to_text
+
+# Elements whose subtree is never content.
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "svg", "iframe", "head"}
+)
+# Landmark containers that are boilerplate by role.
+_BOILERPLATE_TAGS = frozenset({"nav", "footer", "header", "aside"})
+# Tags that terminate/open a text block.
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "section", "article", "main", "body", "ul", "ol",
+        "li", "h1", "h2", "h3", "h4", "h5", "h6", "table", "tr", "td",
+        "th", "pre", "blockquote", "figure", "figcaption", "br",
+    }
+)
+_HEADING_LEVEL = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+# Link-density pruning: blocks whose characters are mostly anchor text
+# and that are short are navigation-like.
+LINK_DENSITY_THRESHOLD = 0.5
+LINK_DENSITY_MIN_CHARS = 120
+
+
+@dataclass
+class HtmlBlock:
+    """One segmented DOM block (pre-pruning)."""
+
+    label: str                      # text|section_header|list_item|caption|code|table_cell
+    lines: list[str] = field(default_factory=list)
+    link_chars: int = 0
+    total_chars: int = 0
+    boilerplate_depth: int = 0      # >0 when inside nav/footer/header/aside
+    heading_level: int = 0
+    table_id: int = -1              # >=0 when inside a <table>
+    row: int = -1
+    col: int = -1
+    order: int = 0
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.total_chars if self.total_chars else 0.0
+
+
+class _BlockSegmenter(HTMLParser):
+    """Stream the DOM into flat blocks with link/boilerplate accounting."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[HtmlBlock] = []
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._anchor_depth = 0
+        self._pre_depth = 0
+        self._heading: int = 0
+        self._label_stack: list[str] = []
+        self._current: HtmlBlock | None = None
+        self._table_counter = -1
+        self._table_stack: list[int] = []
+        self._row_counters: list[int] = []
+        self._col_counters: list[int] = []
+        self._order = 0
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        blk = self._current
+        self._current = None
+        if blk is None:
+            return
+        lines = [ln for ln in (s.strip() for s in blk.lines) if ln]
+        if not lines:
+            return
+        blk.lines = lines
+        self.blocks.append(blk)
+
+    def _open_block(self, label: str) -> HtmlBlock:
+        self._flush()
+        self._order += 1
+        blk = HtmlBlock(
+            label=label,
+            boilerplate_depth=self._boiler_depth,
+            heading_level=self._heading,
+            order=self._order,
+        )
+        if self._table_stack:
+            blk.table_id = self._table_stack[-1]
+            blk.row = self._row_counters[-1]
+            blk.col = self._col_counters[-1]
+        self._current = blk
+        return blk
+
+    def _current_label(self) -> str:
+        if self._heading:
+            return "section_header"
+        if self._label_stack:
+            return self._label_stack[-1]
+        return "text"
+
+    # -- parser events ---------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag in _BOILERPLATE_TAGS:
+            self._boiler_depth += 1
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in _HEADING_LEVEL:
+            self._heading = _HEADING_LEVEL[tag]
+        if tag == "li":
+            self._label_stack.append("list_item")
+        elif tag == "figcaption":
+            self._label_stack.append("caption")
+        elif tag == "pre":
+            self._pre_depth += 1
+            self._label_stack.append("code")
+        if tag == "table":
+            self._flush()
+            self._table_counter += 1
+            self._table_stack.append(self._table_counter)
+            self._row_counters.append(-1)
+            self._col_counters.append(-1)
+        elif tag == "tr" and self._table_stack:
+            self._flush()
+            self._row_counters[-1] += 1
+            self._col_counters[-1] = -1
+        elif tag in ("td", "th") and self._table_stack:
+            self._col_counters[-1] += 1
+            blk = self._open_block("table_cell")
+            if tag == "th":
+                blk.label = "table_header"
+            return
+        if tag in _BLOCK_TAGS:
+            self._open_block(self._current_label())
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag in _BOILERPLATE_TAGS:
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+        elif tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+        elif tag in _HEADING_LEVEL:
+            self._heading = 0
+        elif tag in ("li", "figcaption") and self._label_stack:
+            self._label_stack.pop()
+        elif tag == "pre":
+            self._pre_depth = max(0, self._pre_depth - 1)
+            if self._label_stack:
+                self._label_stack.pop()
+        elif tag == "table" and self._table_stack:
+            self._flush()
+            self._table_stack.pop()
+            self._row_counters.pop()
+            self._col_counters.pop()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if self._pre_depth:
+            text = data
+        else:
+            text = " ".join(data.split())
+        if not text.strip():
+            return
+        if self._current is None:
+            self._open_block(self._current_label())
+        blk = self._current
+        blk.lines.append(text)
+        n = len(text)
+        blk.total_chars += n
+        if self._anchor_depth:
+            blk.link_chars += n
+
+
+def segment_blocks(html: str) -> list[HtmlBlock]:
+    """Parse HTML into flat, ordered content blocks."""
+    seg = _BlockSegmenter()
+    try:
+        seg.feed(html)
+        seg.close()
+    except Exception:
+        # Malformed markup: keep whatever was segmented so far.
+        pass
+    seg._flush()
+    return seg.blocks
+
+
+def is_boilerplate(blk: HtmlBlock) -> bool:
+    """Boilerplate predicate: landmark containers, or link-dense short blocks."""
+    if blk.boilerplate_depth > 0:
+        return True
+    if blk.label == "section_header":
+        return False
+    return (
+        blk.link_density > LINK_DENSITY_THRESHOLD
+        and blk.total_chars < LINK_DENSITY_MIN_CHARS
+    )
+
+
+def extract_elements(html: str) -> list[dict]:
+    """HTML -> ordered typed elements (main content only).
+
+    Output element dicts: {label, text, heading_level, table_id, row, col}.
+    Table cells stay separate elements (label table_cell/table_header)
+    so the table path can reassemble grids; text is sanitized with the
+    shared kernel (dehyphenation + unicode normalization).
+    """
+    out: list[dict] = []
+    for blk in segment_blocks(html):
+        if is_boilerplate(blk):
+            continue
+        text = cells_to_text(blk.lines)
+        if not text:
+            continue
+        out.append(
+            {
+                "label": blk.label,
+                "text": text,
+                "heading_level": blk.heading_level,
+                "table_id": blk.table_id,
+                "row": blk.row,
+                "col": blk.col,
+            }
+        )
+    return out
+
+
+def elements_to_text(elements: list[dict]) -> str:
+    """Ordered elements -> the final extracted_text (byte-identity target).
+
+    Plain join with newlines; table rows join their cells with a tab.
+    """
+    parts: list[str] = []
+    i = 0
+    n = len(elements)
+    while i < n:
+        el = elements[i]
+        if el["table_id"] >= 0:
+            tid = el["table_id"]
+            rows: dict[int, list[tuple[int, str]]] = {}
+            while i < n and elements[i]["table_id"] == tid:
+                cell = elements[i]
+                rows.setdefault(cell["row"], []).append((cell["col"], cell["text"]))
+                i += 1
+            for r in sorted(rows):
+                cells = [t for _, t in sorted(rows[r], key=lambda p: p[0])]
+                parts.append("\t".join(cells))
+        else:
+            parts.append(el["text"])
+            i += 1
+    return "\n".join(parts)
+
+
+def extract_text(html: str) -> str:
+    """One-shot helper: HTML -> extracted main-content text."""
+    return elements_to_text(extract_elements(html))

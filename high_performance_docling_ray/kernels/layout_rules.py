@@ -1,0 +1,450 @@
+"""Layout post-processing rules: the reference's cluster-cleanup engine.
+
+Re-implements the semantics of
+`/root/reference/fork/layout/layout_postprocessor.py` (LayoutPostprocessor)
+on plain data: cells are a struct-of-arrays batch, clusters are dicts.
+All joins here are *within one page* (reference has no distributed
+joins — SURVEY.md §2.4), so this kernel runs inside ``map_batches``.
+
+Pipeline per page (layout_postprocessor.py:368-406):
+  regular clusters:  confidence filter -> label remap -> cell assignment
+                     (IoS > 0.2 spatial join) -> empty filter -> orphan
+                     promotion -> iterative refine (bbox shrink + union-
+                     find overlap merge, <=3 rounds)
+  special clusters:  confidence filter -> cross-type overlap removal ->
+                     full-page picture filter -> child containment
+                     (IoS > 0.8) -> per-class overlap merge
+  finalize:          drop regulars swallowed by wrappers, stable sort by
+                     (first_cell_index, top, left), cells sorted by index
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import defaultdict
+from typing import Any
+
+import numpy as np
+
+from . import labels as L
+from .bbox import overlap_pair
+
+Cluster = dict[str, Any]  # {id,label,bbox:(l,t,r,b),confidence,cells:[int],children:[Cluster]}
+
+MIN_CELL_OVERLAP = 0.2          # layout_postprocessor.py:900
+CHILD_CONTAINMENT = 0.8         # :508
+FULL_PAGE_PICTURE_AREA = 0.90   # :499
+CROSS_TYPE_OVERLAP = 0.9        # :571
+CROSS_TYPE_CONF_DIFF = 0.1      # :571
+MERGE_OVERLAP_THRESHOLD = 0.8   # :657-659
+MERGE_CONTAINMENT_THRESHOLD = 0.8
+
+
+class CellArrays:
+    """Struct-of-arrays view over a page's text cells."""
+
+    __slots__ = ("index", "text", "l", "t", "r", "b", "confidence",
+                 "from_ocr", "valid", "area", "n")
+
+    def __init__(self, cells: list[dict]) -> None:
+        n = len(cells)
+        self.n = n
+        self.index = np.fromiter((c["index"] for c in cells), np.int64, n)
+        self.text = [c["text"] for c in cells]
+        self.l = np.fromiter((c["l"] for c in cells), np.float64, n)
+        self.t = np.fromiter((c["t"] for c in cells), np.float64, n)
+        self.r = np.fromiter((c["r"] for c in cells), np.float64, n)
+        self.b = np.fromiter((c["b"] for c in cells), np.float64, n)
+        self.confidence = np.fromiter(
+            (c.get("confidence", 1.0) for c in cells), np.float64, n
+        )
+        self.from_ocr = np.fromiter(
+            (bool(c.get("from_ocr", False)) for c in cells), np.bool_, n
+        )
+        self.area = np.maximum(0.0, self.r - self.l) * np.maximum(
+            0.0, self.b - self.t
+        )
+        # A cell participates when it has text and positive area
+        # (layout_postprocessor.py:349-357).
+        has_text = np.fromiter(
+            (bool(tx and tx.strip()) for tx in self.text), np.bool_, n
+        )
+        self.valid = has_text & (self.area > 0.0)
+
+
+def _bbox_area(bb: tuple[float, float, float, float]) -> float:
+    return max(0.0, bb[2] - bb[0]) * max(0.0, bb[3] - bb[1])
+
+
+def _ios(inner: tuple, outer: tuple) -> float:
+    iw = min(inner[2], outer[2]) - max(inner[0], outer[0])
+    ih = min(inner[3], outer[3]) - max(inner[1], outer[1])
+    if iw <= 0.0 or ih <= 0.0:
+        return 0.0
+    a = _bbox_area(inner)
+    return (iw * ih) / a if a > 0.0 else 0.0
+
+
+def _first_cell_index(cluster: Cluster, cells: CellArrays) -> int:
+    ids = cluster["cells"]
+    if not ids:
+        return sys.maxsize
+    return int(min(cells.index[i] for i in ids))
+
+
+def _dedup_cell_rows(rows: list[int], cells: CellArrays) -> list[int]:
+    """Unique by cell.index, first occurrence wins (layout_postprocessor.py:876-897)."""
+    seen: set[int] = set()
+    out: list[int] = []
+    for i in rows:
+        key = int(cells.index[i])
+        if key not in seen:
+            seen.add(key)
+            out.append(i)
+    return out
+
+
+def _sort_cell_rows(rows: list[int], cells: CellArrays) -> list[int]:
+    """Native reading order: by cell.index (layout_postprocessor.py:1049-1051)."""
+    return sorted(rows, key=lambda i: int(cells.index[i]))
+
+
+def assign_cells_to_clusters(
+    clusters: list[Cluster], cells: CellArrays, min_overlap: float = MIN_CELL_OVERLAP
+) -> None:
+    """Spatial join: each valid cell -> best-overlap cluster (IoS > 0.2).
+
+    Vectorized (cells x clusters) intersection-over-cell matrix; argmax
+    with first-cluster-wins tie-break (reference iterates candidates and
+    takes strictly-greater overlap — layout_postprocessor.py:948-987).
+    """
+    for cl in clusters:
+        cl["cells"] = []
+    if not clusters or cells.n == 0:
+        return
+    valid = np.nonzero(cells.valid)[0]
+    if valid.size == 0:
+        return
+
+    cboxes = np.array([cl["bbox"] for cl in clusters], dtype=np.float64)  # (M,4)
+    cl_l, cl_t, cl_r, cl_b = cboxes.T
+    l = cells.l[valid][:, None]
+    t = cells.t[valid][:, None]
+    r = cells.r[valid][:, None]
+    b = cells.b[valid][:, None]
+    iw = np.maximum(0.0, np.minimum(r, cl_r[None, :]) - np.maximum(l, cl_l[None, :]))
+    ih = np.maximum(0.0, np.minimum(b, cl_b[None, :]) - np.maximum(t, cl_t[None, :]))
+    ios = (iw * ih) / cells.area[valid][:, None]
+
+    best = np.argmax(ios, axis=1)
+    best_val = ios[np.arange(valid.size), best]
+    take = best_val > min_overlap
+    for row, cl_ix in zip(valid[take], best[take]):
+        clusters[cl_ix]["cells"].append(int(row))
+
+    for cl in clusters:
+        cl["cells"] = _dedup_cell_rows(cl["cells"], cells)
+
+
+def adjust_cluster_bboxes(clusters: list[Cluster], cells: CellArrays) -> bool:
+    """Shrink cluster bbox to its cells; TABLE unions with original
+    (layout_postprocessor.py:1009-1047). Returns True when any moved."""
+    changed = False
+    for cl in clusters:
+        rows = cl["cells"]
+        if not rows:
+            continue
+        idx = np.asarray(rows, dtype=np.int64)
+        nl = float(cells.l[idx].min())
+        nt = float(cells.t[idx].min())
+        nr = float(cells.r[idx].max())
+        nb = float(cells.b[idx].max())
+        if cl["label"] == L.TABLE:
+            ol, ot, orr, ob = cl["bbox"]
+            nl, nt = min(nl, ol), min(nt, ot)
+            nr, nb = max(nr, orr), max(nb, ob)
+        if (nl, nt, nr, nb) != tuple(cl["bbox"]):
+            cl["bbox"] = (nl, nt, nr, nb)
+            changed = True
+    return changed
+
+
+def _should_prefer(candidate: Cluster, other: Cluster, params: dict) -> bool:
+    """Best-cluster preference rules (layout_postprocessor.py:585-619)."""
+    if candidate["label"] == L.LIST_ITEM and other["label"] == L.TEXT:
+        oa = _bbox_area(other["bbox"])
+        if oa > 0.0 and abs(1 - _bbox_area(candidate["bbox"]) / oa) < 0.2:
+            return True
+    if candidate["label"] == L.CODE:
+        if _ios(other["bbox"], candidate["bbox"]) > 0.8:
+            return True
+    oa = _bbox_area(other["bbox"])
+    area_ratio = _bbox_area(candidate["bbox"]) / oa if oa > 0.0 else float("inf")
+    conf_diff = other["confidence"] - candidate["confidence"]
+    if area_ratio <= params["area_threshold"] and conf_diff > params["conf_threshold"]:
+        return False
+    return True
+
+
+def _select_best(group: list[Cluster], params: dict) -> Cluster:
+    """(layout_postprocessor.py:621-652)."""
+    best: Cluster | None = None
+    for cand in group:
+        if any(
+            other is not cand and not _should_prefer(cand, other, params)
+            for other in group
+        ):
+            continue
+        if best is None:
+            best = cand
+        elif (
+            _bbox_area(cand["bbox"]) > _bbox_area(best["bbox"])
+            and best["confidence"] - cand["confidence"] <= params["conf_threshold"]
+        ):
+            best = cand
+    return best if best is not None else group[0]
+
+
+class _UnionFind:
+    def __init__(self, keys) -> None:
+        self.parent = {k: k for k in keys}
+
+    def find(self, x):
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+    def groups(self) -> dict:
+        out = defaultdict(list)
+        for k in self.parent:
+            out[self.find(k)].append(k)
+        return out
+
+
+def remove_overlapping_clusters(
+    clusters: list[Cluster],
+    cluster_class: str,
+    cells: CellArrays,
+    epsilon: float = 0.0,
+) -> tuple[list[Cluster], bool]:
+    """Union-find merge of overlapping clusters (layout_postprocessor.py:654-844).
+
+    Pairs merge on IoU >= 0.8 or either-way containment >= 0.8; each
+    group keeps the best cluster per the preference rules, absorbing the
+    others' cells (dedup + index sort).
+    """
+    if not clusters:
+        return [], False
+    params = L.OVERLAP_PARAMS[cluster_class]
+    order = {id(c): k for k, c in enumerate(clusters)}
+    uf = _UnionFind([c["id"] for c in clusters])
+    by_id = {c["id"]: c for c in clusters}
+    items = [(c["id"], tuple(c["bbox"])) for c in clusters]
+    for i in range(len(items)):
+        cid, bi = items[i]
+        for j in range(i + 1, len(items)):
+            oid, bj = items[j]
+            if overlap_pair(
+                bi, bj, MERGE_OVERLAP_THRESHOLD, MERGE_CONTAINMENT_THRESHOLD, epsilon
+            ):
+                uf.union(cid, oid)
+
+    result: list[Cluster] = []
+    merged = False
+    for group_ids in uf.groups().values():
+        if len(group_ids) == 1:
+            result.append(by_id[group_ids[0]])
+            continue
+        merged = True
+        group = sorted(
+            (by_id[g] for g in group_ids), key=lambda c: order[id(c)]
+        )
+        best = _select_best(group, params)
+        for cl in group:
+            if cl is not best:
+                best["cells"].extend(cl["cells"])
+        best["cells"] = _sort_cell_rows(
+            _dedup_cell_rows(best["cells"], cells), cells
+        )
+        result.append(best)
+    result.sort(key=lambda c: order[id(c)])
+    return result, merged
+
+
+def postprocess_page(
+    raw_clusters: list[Cluster],
+    cells: CellArrays,
+    page_w: float,
+    page_h: float,
+    keep_empty_clusters: bool = False,
+    create_orphan_clusters: bool = True,
+    epsilon: float = 0.0,
+) -> list[Cluster]:
+    """Full page-level layout postprocess (layout_postprocessor.py:368-475).
+
+    Input clusters need {id,label,bbox,confidence}; returns finalized
+    clusters with assigned cell rows and children.
+    """
+    for cl in raw_clusters:
+        cl.setdefault("cells", [])
+        cl.setdefault("children", [])
+
+    regular = [c for c in raw_clusters if c["label"] not in L.SPECIAL_TYPES]
+    special = [c for c in raw_clusters if c["label"] in L.SPECIAL_TYPES]
+
+    # --- regular path (:408-475) ---
+    clusters = [
+        c for c in regular if c["confidence"] >= L.CONFIDENCE_THRESHOLDS[c["label"]]
+    ]
+    for c in clusters:
+        c["label"] = L.LABEL_REMAPPING.get(c["label"], c["label"])
+
+    assign_cells_to_clusters(clusters, cells)
+
+    if not keep_empty_clusters:
+        clusters = [c for c in clusters if c["cells"] or c["label"] == L.FORMULA]
+
+    if create_orphan_clusters:
+        assigned = {row for c in clusters for row in c["cells"]}
+        unassigned = [
+            i for i in np.nonzero(cells.valid)[0].tolist() if i not in assigned
+        ]
+        if unassigned:
+            next_id = max((c["id"] for c in raw_clusters), default=0) + 1
+            for k, row in enumerate(unassigned):
+                clusters.append(
+                    {
+                        "id": next_id + k,
+                        "label": L.TEXT,
+                        "bbox": (
+                            float(cells.l[row]),
+                            float(cells.t[row]),
+                            float(cells.r[row]),
+                            float(cells.b[row]),
+                        ),
+                        "confidence": float(cells.confidence[row]),
+                        "cells": [row],
+                        "children": [],
+                    }
+                )
+
+    prev_count = len(clusters) + 1
+    for _ in range(3):
+        if prev_count == len(clusters):
+            break
+        prev_count = len(clusters)
+        moved = adjust_cluster_bboxes(clusters, cells)
+        clusters, merged = remove_overlapping_clusters(
+            clusters, "regular", cells, epsilon
+        )
+        if not moved and not merged:
+            break
+    regular_final = clusters
+
+    # --- special path (:477-548) ---
+    # NOTE: the reference runs this AFTER the regular path and reads the
+    # *processed* regular clusters (self.regular_clusters reassigned at
+    # :372-376) — shrunk bboxes, orphans included, merges applied.
+    specials = [
+        c for c in special if c["confidence"] >= L.CONFIDENCE_THRESHOLDS[c["label"]]
+    ]
+
+    # Cross-type: wrapper ~ TABLE duplicate removal (:550-583). Regular
+    # clusters can never carry the TABLE label (TABLE is special), so
+    # this matches the reference's (vacuous) guard exactly.
+    drop: set[int] = set()
+    for wrapper in specials:
+        if wrapper["label"] not in L.WRAPPER_TYPES:
+            continue
+        for reg in regular_final:
+            if reg["label"] == L.TABLE:
+                overlap = _ios(wrapper["bbox"], reg["bbox"])
+                conf_diff = wrapper["confidence"] - reg["confidence"]
+                if overlap > CROSS_TYPE_OVERLAP and conf_diff < CROSS_TYPE_CONF_DIFF:
+                    drop.add(wrapper["id"])
+                    break
+    specials = [c for c in specials if c["id"] not in drop]
+
+    # Full-page pictures (:488-501)
+    page_area = page_w * page_h
+    if page_area > 0:
+        specials = [
+            c
+            for c in specials
+            if not (
+                c["label"] == L.PICTURE
+                and _bbox_area(c["bbox"]) / page_area > FULL_PAGE_PICTURE_AREA
+            )
+        ]
+
+    # Child containment against the processed regular set (:503-530)
+    for sp in specials:
+        contained = [
+            c
+            for c in regular_final
+            if _ios(c["bbox"], sp["bbox"]) > CHILD_CONTAINMENT
+        ]
+        if not contained:
+            continue
+        contained.sort(
+            key=lambda c: (
+                _first_cell_index(c, cells),
+                c["bbox"][1],
+                c["bbox"][0],
+            )
+        )
+        sp["children"] = contained
+        if sp["label"] in (L.FORM, L.KEY_VALUE_REGION):
+            sp["bbox"] = (
+                min(c["bbox"][0] for c in contained),
+                min(c["bbox"][1] for c in contained),
+                max(c["bbox"][2] for c in contained),
+                max(c["bbox"][3] for c in contained),
+            )
+        all_cells: list[int] = []
+        for child in contained:
+            all_cells.extend(child["cells"])
+        sp["cells"] = _sort_cell_rows(_dedup_cell_rows(all_cells, cells), cells)
+
+    pictures = [c for c in specials if c["label"] == L.PICTURE]
+    pictures, _ = remove_overlapping_clusters(pictures, "picture", cells, epsilon)
+    wrappers = [c for c in specials if c["label"] in L.WRAPPER_TYPES]
+    wrappers, _ = remove_overlapping_clusters(wrappers, "wrapper", cells, epsilon)
+    special_final = pictures + wrappers
+
+    # Drop regulars swallowed by wrappers (:379-388)
+    contained_ids = {
+        child["id"] for w in special_final for child in w["children"]
+    }
+    regular_final = [c for c in regular_final if c["id"] not in contained_ids]
+
+    final = sorted(
+        regular_final + special_final,
+        key=lambda c: (_first_cell_index(c, cells), c["bbox"][1], c["bbox"][0]),
+    )
+    for cl in final:
+        cl["cells"] = _sort_cell_rows(cl["cells"], cells)
+        for child in cl["children"]:
+            child["cells"] = _sort_cell_rows(child["cells"], cells)
+    return final
+
+
+def layout_confidence(clusters: list[Cluster], cells: CellArrays) -> dict[str, float]:
+    """Page-level scores (fork/layout/layout_model.py:235-249):
+    layout_score = mean cluster confidence, ocr_score = mean confidence
+    of OCR-sourced cells. NaN when empty."""
+    confs = np.array([c["confidence"] for c in clusters], dtype=np.float64)
+    layout_score = float(np.mean(confs)) if confs.size else float("nan")
+    ocr_rows = np.nonzero(cells.from_ocr & cells.valid)[0]
+    ocr_score = (
+        float(np.mean(cells.confidence[ocr_rows])) if ocr_rows.size else float("nan")
+    )
+    return {"layout_score": layout_score, "ocr_score": ocr_score}

@@ -1,0 +1,509 @@
+"""Deterministic synthetic web-page corpus (BASELINE.json input shape).
+
+Schema: ``url:string, warc_ts:timestamp[us], html:binary,
+text:string, lang:string`` — Common-Crawl-style pages.
+
+Two payload classes, sniffed by magic bytes exactly like the
+reference sniffs formats (`/root/reference/base_models.py:88-124`):
+
+* HTML payloads — nested markup with nav/footer boilerplate, link
+  farms, headings/paragraphs/lists/tables, hyphen-split line breaks and
+  unicode punctuation, exercising the boilerplate-strip + sanitize
+  kernels.
+* ``%SYNTHPDF`` payloads — a deterministic JSON stand-in for parsed PDF
+  pages (docling ``SegmentedPdfPage`` shape: line cells + word cells
+  with rects, FIXTURES.md §2) plus embedded synthetic detector outputs
+  (raw layout clusters / OTSL table predictions, FIXTURES.md §3-4) that
+  the stub layout/table "models" return, so the full postprocess ->
+  table-match -> assemble -> reading-order path runs deterministically
+  without torch weights.
+
+Everything derives from (seed, doc ordinal): generation is
+embarrassingly parallel and reproducible shard-by-shard, so the bench
+corpus is generated *inside Ray tasks* rather than on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import numpy as np
+import pyarrow as pa
+
+PDF_MAGIC = b"%SYNTHPDF"
+
+PAGES_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+_WORDS = (
+    "stream data layout table cell page document cluster batch arrow "
+    "ray shuffle block actor parquet column vector index merge sort "
+    "filter group join window hash scan query plan spill object store "
+    "schema partition replica lineage manifest checkpoint throughput"
+).split()
+
+_LANGS = ("en", "en", "en", "de", "fr", "es", "und")
+
+# epoch micros for 2024-01-01; warc_ts increments deterministically.
+_TS0 = 1_704_067_200_000_000
+
+
+def _sentence(rng: random.Random, lo: int = 5, hi: int = 14) -> str:
+    n = rng.randint(lo, hi)
+    words = [rng.choice(_WORDS) for _ in range(n)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + rng.choice([".", ".", ".", "!", "?"])
+
+
+def _paragraph(rng: random.Random, n_sent: int | None = None) -> str:
+    n = n_sent or rng.randint(2, 5)
+    return " ".join(_sentence(rng) for _ in range(n))
+
+
+def _hyphen_split(rng: random.Random, text: str) -> list[str]:
+    """Split a paragraph into 'lines', sometimes hyphen-breaking a word
+    mid-line to exercise the de-hyphenation kernel."""
+    words = text.split(" ")
+    lines: list[str] = []
+    cur: list[str] = []
+    for w in words:
+        cur.append(w)
+        if len(cur) >= rng.randint(5, 9):
+            line = " ".join(cur)
+            if rng.random() < 0.25 and len(w) > 6 and w[-1].isalnum():
+                cut = len(w) // 2
+                line = " ".join(cur[:-1] + [w[:cut] + "-"])
+                lines.append(line)
+                cur = [w[cut:]]
+            else:
+                lines.append(line)
+                cur = []
+    if cur:
+        lines.append(" ".join(cur))
+    return lines
+
+
+_UNICODE_SPICE = ("’", "‘", "“", "”", "•", "⁄", "\x02")
+
+
+def _spice(rng: random.Random, text: str) -> str:
+    """Sprinkle unicode punctuation the sanitize kernel must normalize."""
+    if rng.random() < 0.4:
+        ch = rng.choice(_UNICODE_SPICE)
+        pos = rng.randint(0, max(0, len(text) - 1))
+        text = text[:pos] + ch + text[pos:]
+    return text
+
+
+# --------------------------------------------------------------------------
+# HTML documents
+# --------------------------------------------------------------------------
+
+def generate_html(rng: random.Random, size_class: str) -> str:
+    """One synthetic page: boilerplate nav/header/footer + main content."""
+    n_sections = {"small": 1, "medium": 4, "giant": 24}[size_class]
+    nav_links = "".join(
+        f'<a href="/{rng.choice(_WORDS)}">{rng.choice(_WORDS)}</a> '
+        for _ in range(rng.randint(4, 10))
+    )
+    parts = [
+        "<html><head><title>t</title><style>.x{color:red}</style>",
+        "<script>var x=1;</script></head><body>",
+        f"<nav><ul><li>{nav_links}</li></ul></nav>",
+        f'<header><div>{_sentence(rng, 3, 6)} <a href="/l">home</a> '
+        f'<a href="/m">about</a></div></header>',
+        "<main>",
+    ]
+    for _ in range(n_sections):
+        parts.append(f"<h2>{_spice(rng, _sentence(rng, 3, 7))}</h2>")
+        for _ in range(rng.randint(1, 3)):
+            lines = _hyphen_split(rng, _paragraph(rng))
+            body = "<br>".join(_spice(rng, ln) for ln in lines)
+            parts.append(f"<p>{body}</p>")
+        if rng.random() < 0.4:
+            items = "".join(
+                f"<li>{_sentence(rng, 3, 7)}</li>" for _ in range(rng.randint(2, 5))
+            )
+            parts.append(f"<ul>{items}</ul>")
+        if rng.random() < 0.25:
+            rows = []
+            ncol = rng.randint(2, 4)
+            rows.append(
+                "<tr>" + "".join(f"<th>{rng.choice(_WORDS)}</th>" for _ in range(ncol)) + "</tr>"
+            )
+            for _ in range(rng.randint(1, 4)):
+                rows.append(
+                    "<tr>"
+                    + "".join(
+                        f"<td>{rng.choice(_WORDS)} {rng.randint(0, 99)}</td>"
+                        for _ in range(ncol)
+                    )
+                    + "</tr>"
+                )
+            parts.append("<table>" + "".join(rows) + "</table>")
+        if rng.random() < 0.2:
+            # link farm inside content: must be pruned by link density
+            farm = " ".join(
+                f'<a href="/{w}">{w}</a>' for w in rng.sample(_WORDS, 8)
+            )
+            parts.append(f"<div>{farm}</div>")
+    parts.append("</main>")
+    parts.append(
+        f"<footer><div>© example {_sentence(rng, 2, 4)} "
+        + " ".join(f'<a href="/f{i}">{rng.choice(_WORDS)}</a>' for i in range(5))
+        + "</div></footer></body></html>"
+    )
+    return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Synthetic "PDF" documents (parsed-page JSON payloads)
+# --------------------------------------------------------------------------
+
+_LAYOUT_LABELS = (
+    "text", "section_header", "list_item", "caption", "footnote",
+    "page_header", "page_footer", "picture", "table", "title", "code",
+    "formula", "key_value_region",
+)
+
+
+def _make_page(rng: random.Random, page_no: int) -> dict:
+    """One synthetic parsed page: a column of text blocks laid out on a
+    612x792 page, detector clusters aligned to blocks (with fixture
+    noise: low-confidence dups, overlapping pairs, orphans, titles)."""
+    width, height = 612.0, 792.0
+    cells: list[dict] = []
+    words: list[dict] = []
+    clusters: list[dict] = []
+    tables: list[dict] = []
+    y = 40.0
+    cell_index = 0
+    word_id = 0
+    cluster_id = 0
+
+    def add_block(block_lines: list[str], label: str, conf: float) -> dict:
+        nonlocal y, cell_index, word_id, cluster_id
+        top = y
+        block_cells = []
+        for ln in block_lines:
+            x = 72.0
+            line_words = ln.split(" ")
+            wboxes = []
+            for w in line_words:
+                ww = 6.0 * max(1, len(w))
+                words.append(
+                    {
+                        "index": word_id,
+                        "text": w,
+                        "l": x, "t": y, "r": x + ww, "b": y + 11.0,
+                        "from_ocr": False, "confidence": 1.0,
+                    }
+                )
+                wboxes.append((x, y, x + ww, y + 11.0))
+                word_id += 1
+                x += ww + 4.0
+            cells.append(
+                {
+                    "index": cell_index,
+                    "text": ln,
+                    "l": 72.0, "t": y, "r": x - 4.0, "b": y + 11.0,
+                    "from_ocr": False, "confidence": 1.0,
+                }
+            )
+            block_cells.append(cells[-1])
+            cell_index += 1
+            y += 14.0
+        bbox = (
+            min(c["l"] for c in block_cells) - 1.0,
+            top - 1.0,
+            max(c["r"] for c in block_cells) + 1.0,
+            y - 3.0 + 1.0,
+        )
+        cl = {
+            "id": cluster_id,
+            "label": label,
+            "l": bbox[0], "t": bbox[1], "r": bbox[2], "b": bbox[3],
+            "confidence": conf,
+        }
+        clusters.append(cl)
+        cluster_id += 1
+        y += 8.0
+        return cl
+
+    # page header (furniture)
+    add_block([f"Synth Report — page {page_no + 1}"], "page_header", 0.9)
+
+    # title on first page: exercises TITLE -> SECTION_HEADER remap
+    if page_no == 0:
+        add_block([_sentence(rng, 3, 6)], "title", 0.85)
+
+    n_blocks = rng.randint(3, 6)
+    for b in range(n_blocks):
+        kind = rng.random()
+        if kind < 0.15:
+            add_block([_sentence(rng, 3, 7)], "section_header", 0.8)
+        elif kind < 0.3:
+            for _ in range(rng.randint(2, 4)):
+                add_block(["- " + _sentence(rng, 3, 6)], "list_item", 0.75)
+        else:
+            para = _paragraph(rng, rng.randint(2, 4))
+            lines = _hyphen_split(rng, para)
+            lines = [_spice(rng, ln) for ln in lines]
+            cl = add_block(lines, "text", round(0.55 + 0.4 * rng.random(), 3))
+            # fixture: duplicate low-confidence cluster (threshold filter)
+            if rng.random() < 0.2:
+                clusters.append(
+                    {
+                        "id": cluster_id,
+                        "label": "text",
+                        "l": cl["l"] + 2, "t": cl["t"] + 2,
+                        "r": cl["r"] - 2, "b": cl["b"] - 2,
+                        "confidence": 0.2,
+                    }
+                )
+                cluster_id += 1
+            # fixture: overlapping near-identical cluster (must merge)
+            if rng.random() < 0.2:
+                clusters.append(
+                    {
+                        "id": cluster_id,
+                        "label": "text",
+                        "l": cl["l"] + 1.0, "t": cl["t"] + 1.0,
+                        "r": cl["r"] + 1.0, "b": cl["b"] + 1.0,
+                        "confidence": 0.6,
+                    }
+                )
+                cluster_id += 1
+
+    # orphan cell: text with no covering cluster (orphan promotion)
+    if rng.random() < 0.5:
+        cells.append(
+            {
+                "index": cell_index,
+                "text": "Orphan note " + str(rng.randint(0, 9)),
+                "l": 380.0, "t": y, "r": 520.0, "b": y + 11.0,
+                "from_ocr": False, "confidence": 1.0,
+            }
+        )
+        cell_index += 1
+        y += 20.0
+
+    # a table block with OTSL structure prediction
+    if rng.random() < 0.6:
+        ncols = rng.randint(2, 4)
+        nrows = rng.randint(2, 4)
+        tab_top = y
+        otsl: list[str] = []
+        bboxes: list[list[float]] = []
+        for r in range(nrows):
+            x = 72.0
+            for c in range(ncols):
+                # occasional horizontal span on a non-header row
+                span_here = r > 0 and c == 1 and ncols >= 3 and rng.random() < 0.3
+                tag = "ched" if r == 0 else ("fcel" if rng.random() > 0.1 else "ecel")
+                cw = 90.0
+                if span_here:
+                    otsl.append("lcel")
+                    x += cw
+                    continue
+                otsl.append(tag)
+                bboxes.append([x, y, x + cw - 6.0, y + 12.0])
+                if tag != "ecel":
+                    word = rng.choice(_WORDS) if r > 0 else f"col{c}"
+                    ww = 6.0 * len(word)
+                    words.append(
+                        {
+                            "index": word_id,
+                            "text": word,
+                            "l": x + 2.0, "t": y + 1.0,
+                            "r": x + 2.0 + ww, "b": y + 11.0,
+                            "from_ocr": False, "confidence": 1.0,
+                        }
+                    )
+                    cells.append(
+                        {
+                            "index": cell_index,
+                            "text": word,
+                            "l": x + 2.0, "t": y + 1.0,
+                            "r": x + 2.0 + ww, "b": y + 11.0,
+                            "from_ocr": False, "confidence": 1.0,
+                        }
+                    )
+                    cell_index += 1
+                    word_id += 1
+                x += cw
+            otsl.append("nl")
+            y += 16.0
+        tab_bbox = (66.0, tab_top - 2.0, 72.0 + ncols * 90.0, y - 4.0 + 2.0)
+        clusters.append(
+            {
+                "id": cluster_id,
+                "label": "table",
+                "l": tab_bbox[0], "t": tab_bbox[1],
+                "r": tab_bbox[2], "b": tab_bbox[3],
+                "confidence": 0.9,
+            }
+        )
+        # fixture: occasional bbox/tag desync (extra bbox)
+        if rng.random() < 0.15:
+            bboxes.append([0.0, 0.0, 1.0, 1.0])
+        tables.append(
+            {"cluster_id": cluster_id, "otsl_seq": otsl, "cell_bboxes": bboxes}
+        )
+        cluster_id += 1
+        y += 10.0
+
+    # page footer
+    add_block([f"{page_no + 1} / synth"], "page_footer", 0.9)
+
+    return {
+        "page_no": page_no,
+        "width": width,
+        "height": height,
+        "cells": cells,
+        "words": words,
+        "raw_clusters": clusters,
+        "raw_tables": tables,
+    }
+
+
+def generate_pdf_payload(rng: random.Random, size_class: str) -> bytes:
+    n_pages = {"small": 1, "medium": rng.randint(2, 4), "giant": rng.randint(12, 24)}[
+        size_class
+    ]
+    pages = [_make_page(rng, p) for p in range(n_pages)]
+    return PDF_MAGIC + json.dumps({"pages": pages}).encode("utf-8")
+
+
+# --------------------------------------------------------------------------
+# Corpus assembly
+# --------------------------------------------------------------------------
+
+def _size_class(rng: random.Random) -> str:
+    r = rng.random()
+    if r < 0.90:
+        return "small"
+    if r < 0.99:
+        return "medium"
+    return "giant"
+
+
+def generate_doc(seed: int, ordinal: int) -> dict:
+    """One corpus row, a pure function of (seed, ordinal)."""
+    rng = random.Random((seed << 20) ^ ordinal)
+    size_class = _size_class(rng)
+    is_pdf = rng.random() < 0.3
+    if is_pdf:
+        payload = generate_pdf_payload(rng, size_class)
+        raw_text = ""
+        url = f"https://synth.example/{seed}/pdf/{ordinal}"
+    else:
+        html = generate_html(rng, size_class)
+        payload = html.encode("utf-8")
+        raw_text = html  # noisy raw dump, NOT the expected output
+        url = f"https://synth.example/{seed}/page/{ordinal}"
+    return {
+        "url": url,
+        "warc_ts": _TS0 + ordinal * 1_000_000,
+        "html": payload,
+        "text": raw_text[:2000],
+        "lang": rng.choice(_LANGS),
+    }
+
+
+def generate_rows(seed: int, start: int, count: int, dup_fraction: float = 0.05) -> list[dict]:
+    """Rows [start, start+count); a controlled fraction are duplicate
+    urls of earlier ordinals with later warc_ts (dedup fixture)."""
+    rows = []
+    for i in range(start, start + count):
+        rng = random.Random((seed << 40) ^ i)
+        if i > 0 and rng.random() < dup_fraction:
+            target = rng.randint(0, i - 1)
+            row = generate_doc(seed, target)
+            row = dict(row)
+            row["warc_ts"] = _TS0 + i * 1_000_000  # later capture of same url
+            rows.append(row)
+        else:
+            rows.append(generate_doc(seed, i))
+    return rows
+
+
+def rows_to_table(rows: list[dict]) -> pa.Table:
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def synth_pages_table(n_docs: int, seed: int = 42, dup_fraction: float = 0.05) -> pa.Table:
+    """Small corpora for tests (driver-side)."""
+    return rows_to_table(generate_rows(seed, 0, n_docs, dup_fraction))
+
+
+def synth_pages_dataset(n_docs: int, seed: int = 42, dup_fraction: float = 0.05,
+                        rows_per_block: int = 512):
+    """Distributed corpus generation: ray.data.range -> map_batches so
+    blocks are generated in parallel on workers (no driver bottleneck)."""
+    import ray.data
+
+    def gen(batch):
+        ordinals = batch["id"].to_pylist() if hasattr(batch["id"], "to_pylist") else list(batch["id"])
+        rows = []
+        for i in ordinals:
+            rng = random.Random((seed << 40) ^ int(i))
+            if i > 0 and rng.random() < dup_fraction:
+                target = rng.randint(0, int(i) - 1)
+                row = dict(generate_doc(seed, target))
+                row["warc_ts"] = _TS0 + int(i) * 1_000_000
+            else:
+                row = generate_doc(seed, int(i))
+            rows.append(row)
+        return rows_to_table(rows)
+
+    n_blocks = max(1, n_docs // rows_per_block)
+    return ray.data.range(n_docs, override_num_blocks=n_blocks).map_batches(
+        gen, batch_format="pyarrow", batch_size=rows_per_block
+    )
+
+
+def pages_from_documents(sf_dir: str):
+    """Derive a pages table from the driver's ``documents`` parquet:
+    each document's text is deterministically wrapped in boilerplated
+    HTML. Lets the extraction pipeline run at any scale factor."""
+    import ray.data
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        rows = []
+        for doc_id, text, lang in zip(doc_ids, texts, langs):
+            rng = random.Random(doc_id)
+            nav = " ".join(f'<a href="/n{i}">nav{i}</a>' for i in range(6))
+            sentences = text.split(". ")
+            body = "".join(f"<p>{s}</p>" for s in sentences if s)
+            html = (
+                f"<html><body><nav>{nav}</nav><main><h1>Doc {doc_id}</h1>"
+                f"{body}</main><footer><a href='/f'>contact</a> © synth"
+                f"</footer></body></html>"
+            )
+            rows.append(
+                {
+                    "url": f"https://docs.example/{doc_id}",
+                    "warc_ts": _TS0 + int(doc_id),
+                    "html": html.encode("utf-8"),
+                    "text": text,
+                    "lang": lang,
+                }
+            )
+        _ = rng
+        return rows_to_table(rows)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(to_pages, batch_format="pyarrow")

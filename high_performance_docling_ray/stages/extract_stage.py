@@ -1,0 +1,218 @@
+"""Extraction stages: Arrow-batch transforms around kernels/document.py.
+
+Two execution shapes, chosen by document size to defuse skew
+(SURVEY.md §4.2):
+
+* ``DocExtractor`` — callable class for ``map_batches``: one worker
+  extracts whole documents of a batch. Right for the 99% of docs that
+  are small/medium; zero shuffles.
+* explode/assemble — ``explode_pdf_pages`` flat-maps giant documents
+  into page rows, ``PageExtractor`` processes pages independently, and
+  ``assemble_doc_group`` re-groups per url (the one keyed shuffle the
+  doc path needs; reading order is per-document, readingorder_model.py:355-381).
+
+Stateful setup (compiled regexes, options) happens in ``__init__`` —
+once per actor, not per batch.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pyarrow as pa
+
+from ..kernels.document import (
+    PDF_MAGIC,
+    extract_document,
+    process_pdf_page,
+    sniff_format,
+)
+from ..kernels.reading_order import assemble_document, export_markdown
+
+RESULT_FIELDS = [
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("lang", pa.string()),
+    ("doc_kind", pa.string()),
+    ("extracted_text", pa.large_string()),
+    ("markdown", pa.large_string()),
+    ("elements_json", pa.large_string()),
+    ("n_pages", pa.int32()),
+    ("n_elements", pa.int32()),
+    ("n_tables", pa.int32()),
+    ("layout_score", pa.float64()),
+    ("extract_ok", pa.bool_()),
+]
+RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
+
+
+def _empty_result() -> dict[str, Any]:
+    return {
+        "extracted_text": "",
+        "markdown": "",
+        "elements_json": "[]",
+        "n_pages": 0,
+        "n_elements": 0,
+        "n_tables": 0,
+        "doc_kind": "error",
+        "layout_score": float("nan"),
+    }
+
+
+class DocExtractor:
+    """map_batches callable: whole-document extraction.
+
+    Failed documents degrade to empty rows with ``extract_ok=False``
+    instead of poisoning the block (the reference skips invalid pages,
+    layout_model.py:167-177).
+    """
+
+    def __init__(self) -> None:
+        self._extract = extract_document
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        ts = batch.column("warc_ts").to_pylist()
+        langs = (
+            batch.column("lang").to_pylist()
+            if "lang" in batch.column_names
+            else [""] * len(urls)
+        )
+        payloads = batch.column("html").to_pylist()
+        out: dict[str, list] = {name: [] for name, _ in RESULT_FIELDS}
+        for url, t, lang, payload in zip(urls, ts, langs, payloads):
+            try:
+                res = self._extract(payload or b"")
+                ok = True
+            except Exception:
+                res = _empty_result()
+                ok = False
+            out["url"].append(url)
+            out["warc_ts"].append(t)
+            out["lang"].append(lang)
+            out["doc_kind"].append(res["doc_kind"])
+            out["extracted_text"].append(res["extracted_text"])
+            out["markdown"].append(res["markdown"])
+            out["elements_json"].append(res["elements_json"])
+            out["n_pages"].append(res["n_pages"])
+            out["n_elements"].append(res["n_elements"])
+            out["n_tables"].append(res["n_tables"])
+            out["layout_score"].append(res["layout_score"])
+            out["extract_ok"].append(ok)
+        return pa.Table.from_pydict(out, schema=RESULT_SCHEMA)
+
+
+# -- giant-document page parallelism ---------------------------------------
+
+def add_cost_class(batch: pa.Table, giant_bytes: int = 196_608) -> pa.Table:
+    """Cheap ingest-time size classification on payload length
+    (SURVEY.md §4.2): 0 = small/medium (doc-at-once), 1 = giant
+    (page-exploded)."""
+    import pyarrow.compute as pc
+
+    sizes = pc.fill_null(pc.binary_length(batch.column("html")), 0)
+    giant = pc.greater_equal(sizes, giant_bytes)
+    return batch.append_column("cost_class", pc.cast(giant, pa.int8()))
+
+
+def explode_pdf_pages(row: dict[str, Any]) -> list[dict[str, Any]]:
+    """flat_map: one giant document row -> one row per page.
+
+    Page payloads stay JSON-encoded so rows are plain Arrow-friendly
+    scalars; HTML docs pass through as a single pseudo-page.
+    """
+    payload = row["html"]
+    base = {"url": row["url"], "warc_ts": row["warc_ts"], "lang": row.get("lang", "")}
+    if sniff_format(payload or b"") != "pdf":
+        return [{**base, "page_no": 0, "page_payload": payload, "page_kind": "html"}]
+    doc = json.loads(payload[len(PDF_MAGIC):])
+    return [
+        {
+            **base,
+            "page_no": page["page_no"],
+            "page_payload": json.dumps(page).encode("utf-8"),
+            "page_kind": "pdf_page",
+        }
+        for page in doc["pages"]
+    ]
+
+
+class PageExtractor:
+    """map_batches callable over exploded page rows: runs layout
+    postprocess + table structure + page assembly for a single page,
+    emitting the page's elements as JSON for the per-url re-group."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "url": [], "warc_ts": [], "lang": [], "page_no": [],
+            "elements_json": [], "page_kind": [], "layout_score": [],
+        }
+        for row in batch.to_pylist():
+            kind = row["page_kind"]
+            if kind == "pdf_page":
+                page = json.loads(row["page_payload"])
+                elements, scores = process_pdf_page(page)
+                score = scores["layout_score"]
+            else:
+                from ..kernels.document import html_to_elements
+
+                elements = html_to_elements(
+                    (row["page_payload"] or b"").decode("utf-8", errors="replace")
+                )
+                score = float("nan")
+            out["url"].append(row["url"])
+            out["warc_ts"].append(row["warc_ts"])
+            out["lang"].append(row["lang"])
+            out["page_no"].append(row["page_no"])
+            out["elements_json"].append(json.dumps(elements, ensure_ascii=False))
+            out["page_kind"].append(kind)
+            out["layout_score"].append(score)
+        return pa.Table.from_pydict(out)
+
+
+def assemble_doc_group(group: pa.Table) -> pa.Table:
+    """map_groups(url): pages of one document -> final result row.
+
+    Pages sort by page_no inside the group (the only cross-page
+    ordering constraint, SURVEY.md §7.4) and run the same document
+    assembly kernel as the doc-at-once path.
+    """
+    rows = sorted(group.to_pylist(), key=lambda r: r["page_no"])
+    elements: list[dict] = []
+    for r in rows:
+        for el in json.loads(r["elements_json"]):
+            el["bbox"] = tuple(el["bbox"])
+            elements.append(el)
+    assembled = assemble_document(elements)
+    items = assembled["items"]
+    canon_items = [
+        {
+            "label": it["label"],
+            "kind": it["kind"],
+            "page_no": it["page_no"],
+            "bbox": [round(v, 2) for v in it["bbox"]],
+            "text": it["text"],
+        }
+        for it in items
+    ]
+    scores = [r["layout_score"] for r in rows if r["layout_score"] == r["layout_score"]]
+    first = rows[0]
+    kind = "pdf" if first["page_kind"] == "pdf_page" else "html"
+    return pa.Table.from_pydict(
+        {
+            "url": [first["url"]],
+            "warc_ts": [first["warc_ts"]],
+            "lang": [first["lang"]],
+            "doc_kind": [kind],
+            "extracted_text": [assembled["extracted_text"]],
+            "markdown": [export_markdown(items)],
+            "elements_json": [json.dumps(canon_items, ensure_ascii=False)],
+            "n_pages": [len(rows)],
+            "n_elements": [len(items)],
+            "n_tables": [sum(1 for it in items if it["kind"] == "table")],
+            "layout_score": [sum(scores) / len(scores) if scores else float("nan")],
+            "extract_ok": [True],
+        },
+        schema=RESULT_SCHEMA,
+    )

@@ -1,0 +1,142 @@
+"""Per-partition checkpointed lineage: shard manifests + resume filter.
+
+North_rule requirement: any shard can resume mid-run. Design
+(SURVEY.md §4.2):
+
+* output is partitioned by a deterministic ``shard_id =
+  int(md5(url)) % num_shards`` — one directory per shard, never one
+  giant file;
+* after a shard's rows are fully written, a ``_manifest_<shard>.json``
+  records shard id, row count and per-shard metrics;
+* on resume, completed shard ids are read back and their input rows
+  are filtered out *before* the DAG runs (an Arrow-vectorized filter at
+  the read, not a driver-side loop).
+
+Ray's own task retries handle intra-run failures; the manifest handles
+cross-run resume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+MANIFEST_PREFIX = "_manifest_"
+
+
+def shard_of_url(url: str, num_shards: int) -> int:
+    digest = hashlib.md5(url.encode("utf-8")).digest()
+    return int.from_bytes(digest[:8], "big") % num_shards
+
+
+def add_shard_column(batch: pa.Table, num_shards: int) -> pa.Table:
+    urls = batch.column("url").to_pylist()
+    shards = pa.array(
+        [shard_of_url(u, num_shards) for u in urls], type=pa.int32()
+    )
+    return batch.append_column("shard_id", shards)
+
+
+def completed_shards(out_dir: str) -> set[int]:
+    if not os.path.isdir(out_dir):
+        return set()
+    done: set[int] = set()
+    for name in os.listdir(out_dir):
+        if name.startswith(MANIFEST_PREFIX) and name.endswith(".json"):
+            try:
+                with open(os.path.join(out_dir, name)) as f:
+                    m = json.load(f)
+                done.add(int(m["shard_id"]))
+            except (ValueError, KeyError, OSError):
+                continue
+    return done
+
+
+def filter_completed(
+    ds: ray.data.Dataset, out_dir: str, num_shards: int
+) -> tuple[ray.data.Dataset, set[int]]:
+    """Drop rows whose shard already has a manifest. Returns the
+    filtered dataset (with ``shard_id`` attached) and the skipped set."""
+    done = completed_shards(out_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        batch = add_shard_column(batch, num_shards)
+        if not done:
+            return batch
+        mask = pc.invert(
+            pc.is_in(
+                batch.column("shard_id"),
+                value_set=pa.array(sorted(done), type=pa.int32()),
+            )
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow"), done
+
+
+def write_manifests(out_dir: str, shard_counts: dict[int, int],
+                    metrics: dict[str, Any] | None = None) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    now = time.time()
+    for shard_id, rows in shard_counts.items():
+        manifest = {
+            "shard_id": int(shard_id),
+            "rows": int(rows),
+            "completed_at": now,
+            "metrics": metrics or {},
+        }
+        path = os.path.join(out_dir, f"{MANIFEST_PREFIX}{shard_id}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)  # atomic: manifest appears only when complete
+
+
+def write_resumable(
+    result_ds: ray.data.Dataset,
+    out_dir: str,
+    num_shards: int = 64,
+) -> dict[int, int]:
+    """Write results partitioned by shard_id and record manifests.
+
+    The per-shard row counts come from a small ``groupby.count()`` on
+    the (already computed) result — no extra pass over the data.
+    """
+    with_shards = result_ds.map_batches(
+        lambda b: add_shard_column(b, num_shards), batch_format="pyarrow"
+    )
+    with_shards.write_parquet(out_dir, partition_cols=["shard_id"])
+    counts_ds = (
+        ray.data.read_parquet(out_dir).groupby("shard_id").count()
+    )
+    counts = {
+        int(r["shard_id"]): int(r["count()"])
+        for r in counts_ds.take_all()
+    }
+    write_manifests(out_dir, counts)
+    return counts
+
+
+def run_resumable(
+    input_ds: ray.data.Dataset,
+    build_pipeline,
+    out_dir: str,
+    num_shards: int = 64,
+) -> dict[int, int]:
+    """Resume-aware run: filter completed shards from the *input*,
+    build the pipeline over the remainder, write + manifest."""
+    remaining, skipped = filter_completed(input_ds, out_dir, num_shards)
+    remaining = remaining.drop_columns(["shard_id"])
+    result = build_pipeline(remaining)
+    counts = write_resumable(result, out_dir, num_shards)
+    for s in skipped:
+        counts.setdefault(s, -1)
+    return counts
