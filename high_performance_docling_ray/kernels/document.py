@@ -17,6 +17,7 @@ Flow per document (mirrors the reference's three phases, main.py:53-93):
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass
 from typing import Any
 
 from . import labels as L
@@ -30,6 +31,19 @@ from .word_index import WordIndex
 PDF_MAGIC = b"%SYNTHPDF"
 
 TABLE_TOKEN_IOS = 0.8  # word-index query threshold (page_word_index.py:80)
+
+
+@dataclass(frozen=True)
+class ExtractOptions:
+    """Pipeline options (reference PdfPipelineOptions / LayoutOptions /
+    TableStructureOptions surface, SURVEY.md §2.9)."""
+
+    do_ocr: bool = False                 # main.py:47 default False
+    do_table_structure: bool = True      # main.py:48
+    keep_empty_clusters: bool = False    # layout_postprocessor.py:429
+    create_orphan_clusters: bool = True  # layout_postprocessor.py:437
+
+DEFAULT_OPTIONS = ExtractOptions()
 
 
 def sniff_format(payload: bytes) -> str:
@@ -124,9 +138,16 @@ def assemble_page(
     cells: CellArrays,
     table_map: dict[int, dict],
     page_no: int,
+    ocr_texts: dict[int, str] | None = None,
 ) -> list[dict]:
-    """Clusters -> typed elements (page_assemble_model.py:69-158)."""
+    """Clusters -> typed elements (page_assemble_model.py:69-158).
+
+    ``ocr_texts`` carries recognized text for clusters that had no
+    cells; the OCR cell is the cluster's only line (J6 apply,
+    gpu_processor.py:279-285).
+    """
     elements: list[dict] = []
+    ocr_texts = ocr_texts or {}
     for cl in clusters:
         label = cl["label"]
         bbox = tuple(cl["bbox"])
@@ -138,7 +159,10 @@ def assemble_page(
             "table": None,
         }
         if label in L.TEXT_ELEM_LABELS:
-            text = cells_to_text([cells.text[i] for i in cl["cells"]])
+            lines = [cells.text[i] for i in cl["cells"]]
+            if not lines and cl["id"] in ocr_texts:
+                lines = [ocr_texts[cl["id"]]]
+            text = cells_to_text(lines)
             elements.append({**base, "kind": "text", "text": text})
         elif label in L.TABLE_LABELS:
             tbl = table_map.get(cl["id"])
@@ -150,7 +174,9 @@ def assemble_page(
     return elements
 
 
-def process_pdf_page(page: dict[str, Any]) -> tuple[list[dict], dict[str, float]]:
+def process_pdf_page(
+    page: dict[str, Any], options: ExtractOptions = DEFAULT_OPTIONS
+) -> tuple[list[dict], dict[str, float]]:
     """One parsed page -> assembled elements + confidence scores."""
     cells = CellArrays(page["cells"])
     raw = [
@@ -163,9 +189,20 @@ def process_pdf_page(page: dict[str, Any]) -> tuple[list[dict], dict[str, float]
         for c in page["raw_clusters"]
     ]
     final_clusters = postprocess_page(
-        raw, cells, float(page["width"]), float(page["height"])
+        raw,
+        cells,
+        float(page["width"]),
+        float(page["height"]),
+        keep_empty_clusters=options.keep_empty_clusters or options.do_ocr,
+        create_orphan_clusters=options.create_orphan_clusters,
     )
     scores = layout_confidence(final_clusters, cells)
+
+    ocr_texts: dict[int, str] = {}
+    if options.do_ocr:
+        from .ocr import run_ocr
+
+        ocr_texts = run_ocr(final_clusters, page["page_no"])
 
     # Table structure: word-index lookup per table cluster with
     # cross-table token dedup (table_structure_model.py:172-224, O7).
@@ -175,6 +212,8 @@ def process_pdf_page(page: dict[str, Any]) -> tuple[list[dict], dict[str, float]
     preds_by_cluster = {t["cluster_id"]: t for t in page.get("raw_tables", [])}
     table_map: dict[int, dict] = {}
     seen_token_ids: set[int] = set()
+    if not options.do_table_structure:
+        preds_by_cluster = {}
     for cl in final_clusters:
         if cl["label"] not in L.TABLE_LABELS:
             continue
@@ -193,7 +232,9 @@ def process_pdf_page(page: dict[str, Any]) -> tuple[list[dict], dict[str, float]
             pred["otsl_seq"], pred.get("cell_bboxes"), tokens
         )
 
-    elements = assemble_page(final_clusters, cells, table_map, page["page_no"])
+    elements = assemble_page(
+        final_clusters, cells, table_map, page["page_no"], ocr_texts
+    )
     return elements, scores
 
 
@@ -201,7 +242,9 @@ def process_pdf_page(page: dict[str, Any]) -> tuple[list[dict], dict[str, float]
 # Entry
 # --------------------------------------------------------------------------
 
-def extract_document(payload: bytes) -> dict[str, Any]:
+def extract_document(
+    payload: bytes, options: ExtractOptions = DEFAULT_OPTIONS
+) -> dict[str, Any]:
     """Document payload -> extraction result row (pure, deterministic).
 
     Returns {extracted_text, markdown, elements_json, n_pages,
@@ -217,7 +260,7 @@ def extract_document(payload: bytes) -> dict[str, Any]:
         elements = []
         page_scores: list[float] = []
         for page in doc["pages"]:
-            els, scores = process_pdf_page(page)
+            els, scores = process_pdf_page(page, options)
             elements.extend(els)
             page_scores.append(scores["layout_score"])
         n_pages = len(doc["pages"])

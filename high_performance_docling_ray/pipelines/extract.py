@@ -101,9 +101,14 @@ def extract_pipeline(
     dedup: bool = True,
     explode_giant: bool = True,
     batch_size: int = 32,
-    concurrency: int | None = None,
+    concurrency=None,
+    options=None,
 ) -> ray.data.Dataset:
     """Build the extraction DAG over a pages dataset."""
+    from ..kernels.document import DEFAULT_OPTIONS
+
+    if options is None:
+        options = DEFAULT_OPTIONS
     if dedup:
         ds = dedup_by_url(ds)
 
@@ -119,6 +124,7 @@ def extract_pipeline(
         "batch_format": "pyarrow",
         "batch_size": batch_size,
         "concurrency": concurrency,
+        "fn_constructor_kwargs": {"options": options},
     }
 
     if not explode_giant:
@@ -138,6 +144,7 @@ def extract_pipeline(
             batch_format="pyarrow",
             batch_size=8,
             concurrency=concurrency,
+            fn_constructor_kwargs={"options": options},
         )
         .groupby("url")
         .map_groups(assemble_doc_group, batch_format="pyarrow")

@@ -283,6 +283,19 @@ def _make_page(rng: random.Random, page_no: int) -> dict:
                 )
                 cluster_id += 1
 
+    # fixture: empty text cluster over a blank region — dropped by the
+    # empty filter in the default config, an OCR task when do_ocr=True
+    if rng.random() < 0.3:
+        clusters.append(
+            {
+                "id": cluster_id,
+                "label": "text",
+                "l": 420.0, "t": 60.0, "r": 560.0, "b": 90.0,
+                "confidence": 0.8,
+            }
+        )
+        cluster_id += 1
+
     # orphan cell: text with no covering cluster (orphan promotion)
     if rng.random() < 0.5:
         cells.append(

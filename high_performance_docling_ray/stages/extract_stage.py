@@ -23,7 +23,9 @@ from typing import Any
 import pyarrow as pa
 
 from ..kernels.document import (
+    DEFAULT_OPTIONS,
     PDF_MAGIC,
+    ExtractOptions,
     extract_document,
     process_pdf_page,
     sniff_format,
@@ -68,7 +70,8 @@ class DocExtractor:
     layout_model.py:167-177).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, options: ExtractOptions = DEFAULT_OPTIONS) -> None:
+        self.options = options
         self._extract = extract_document
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -83,7 +86,7 @@ class DocExtractor:
         out: dict[str, list] = {name: [] for name, _ in RESULT_FIELDS}
         for url, t, lang, payload in zip(urls, ts, langs, payloads):
             try:
-                res = self._extract(payload or b"")
+                res = self._extract(payload or b"", self.options)
                 ok = True
             except Exception:
                 res = _empty_result()
@@ -143,6 +146,9 @@ class PageExtractor:
     postprocess + table structure + page assembly for a single page,
     emitting the page's elements as JSON for the per-url re-group."""
 
+    def __init__(self, options: ExtractOptions = DEFAULT_OPTIONS) -> None:
+        self.options = options
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {
             "url": [], "warc_ts": [], "lang": [], "page_no": [],
@@ -152,7 +158,7 @@ class PageExtractor:
             kind = row["page_kind"]
             if kind == "pdf_page":
                 page = json.loads(row["page_payload"])
-                elements, scores = process_pdf_page(page)
+                elements, scores = process_pdf_page(page, self.options)
                 score = scores["layout_score"]
             else:
                 from ..kernels.document import html_to_elements

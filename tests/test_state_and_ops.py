@@ -1,0 +1,189 @@
+"""Tests: checkpoint/resume, multimodal plumbing, dedup + text kernels."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from high_performance_docling_ray.kernels.dedup import (
+    MinHasher,
+    hamming64,
+    simhash64,
+    simhash_bucket_keys,
+)
+from high_performance_docling_ray.kernels.text_stats import (
+    detect_language,
+    jaccard,
+    ngram_set,
+    quality_score,
+    token_count,
+)
+from high_performance_docling_ray.stages.multimodal import (
+    ImageFeatureStage,
+    decode_fake_image,
+    encode_fake_image,
+    image_features,
+    resize_bilinear,
+)
+from high_performance_docling_ray.state.checkpoint import (
+    completed_shards,
+    filter_completed,
+    run_resumable,
+    shard_of_url,
+    write_manifests,
+)
+
+
+# -- checkpoint / resume ----------------------------------------------------
+
+def _input_table(n=40):
+    return pa.Table.from_pydict(
+        {
+            "url": [f"https://x/{i}" for i in range(n)],
+            "value": list(range(n)),
+        }
+    )
+
+
+def test_shard_stable():
+    assert shard_of_url("https://x/1", 8) == shard_of_url("https://x/1", 8)
+    shards = {shard_of_url(f"u{i}", 8) for i in range(200)}
+    assert shards == set(range(8))  # all shards hit at n=200
+
+
+def test_resume_skips_completed(tmp_path):
+    out_dir = str(tmp_path / "out")
+    write_manifests(out_dir, {0: 5, 3: 7})
+    assert completed_shards(out_dir) == {0, 3}
+
+    ds = ray.data.from_arrow(_input_table())
+    remaining, skipped = filter_completed(ds, out_dir, num_shards=8)
+    assert skipped == {0, 3}
+    rows = remaining.take_all()
+    assert rows  # something left
+    assert all(r["shard_id"] not in (0, 3) for r in rows)
+
+
+def test_run_resumable_end_to_end(tmp_path):
+    out_dir = str(tmp_path / "out")
+
+    def pipeline(ds):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.append_column(
+                "doubled", pc.multiply(batch.column("value"), 2)
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    counts = run_resumable(
+        ray.data.from_arrow(_input_table()), pipeline, out_dir, num_shards=4
+    )
+    assert sum(v for v in counts.values() if v > 0) == 40
+    assert completed_shards(out_dir) == set(range(4))
+    # partitioned layout: one directory per shard
+    dirs = [d for d in os.listdir(out_dir) if d.startswith("shard_id=")]
+    assert len(dirs) == 4
+
+    # second run: everything skipped, nothing recomputed
+    calls = {"n": 0}
+
+    def pipeline2(ds):
+        def f(batch: pa.Table) -> pa.Table:
+            calls["n"] += batch.num_rows
+            return batch
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    counts2 = run_resumable(
+        ray.data.from_arrow(_input_table()), pipeline2, out_dir, num_shards=4
+    )
+    assert set(counts2) == set(range(4))
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+def test_fake_image_roundtrip_deterministic():
+    p = encode_fake_image(32, 48, b"seed")
+    a = decode_fake_image(p)
+    b = decode_fake_image(p)
+    assert a.shape == (32, 48, 3) and a.dtype == np.uint8
+    assert np.array_equal(a, b)
+
+
+def test_resize_bilinear_identity():
+    img = decode_fake_image(encode_fake_image(16, 16, b"x"))
+    out = resize_bilinear(img, 16, 16)
+    assert np.array_equal(out, img)  # identity grid -> exact
+
+
+def test_image_feature_stage_schema_and_errors():
+    batch = pa.Table.from_pydict(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "media": [encode_fake_image(20, 20, b"a"), b"garbage"],
+        }
+    )
+    out = ImageFeatureStage(target=8)(batch)
+    rows = out.to_pylist()
+    assert rows[0]["decode_ok"] and not rows[1]["decode_ok"]
+    assert rows[0]["height"] == 20
+    assert len(rows[0]["rgb_feature"]) == 3
+    assert "media" not in out.column_names  # heavy column dropped
+
+
+def test_image_features_pipeline():
+    rows = image_features(n=40, concurrency=(1, 2), batch_size=8).take_all()
+    assert len(rows) == 40
+    assert all(r["decode_ok"] for r in rows)
+
+
+# -- dedup kernels ----------------------------------------------------------
+
+def test_minhash_similarity_estimates():
+    mh = MinHasher(num_perm=128)
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox jumps over the lazy cat " * 5
+    c = "completely different content about ray data pipelines"
+    sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+    est_ab = MinHasher.estimate_jaccard(sa, sb)
+    true_ab = jaccard(ngram_set(a), ngram_set(b))
+    assert abs(est_ab - true_ab) < 0.15
+    assert MinHasher.estimate_jaccard(sa, sc) < 0.2
+    # identical docs share every band bucket
+    assert mh.band_keys(sa) == mh.band_keys(mh.signature(a))
+
+
+def test_simhash_near_and_far():
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    b = a + "iota"
+    c = "unrelated words entirely distinct from the others corpus"
+    ha, hb, hc = simhash64(a), simhash64(b), simhash64(c)
+    assert hamming64(ha, hb) < hamming64(ha, hc)
+    assert len(simhash_bucket_keys(ha)) == 4
+    # identical -> same buckets
+    assert simhash_bucket_keys(ha) == simhash_bucket_keys(simhash64(a))
+
+
+# -- text stats -------------------------------------------------------------
+
+def test_token_count_edges():
+    assert token_count("") == 0
+    assert token_count("   ") == 0
+    assert token_count(" a  b\tc\nd ") == 4
+
+
+def test_detect_language():
+    assert detect_language("the cat is on the mat and it was good") == "en"
+    assert detect_language("der hund ist nicht mit der katze") == "de"
+    assert detect_language("zzz qqq xxx") == "und"
+
+
+def test_quality_score_bounds():
+    for text in ["", "short", "the " * 100, "!!!???" * 50]:
+        s = quality_score(text)
+        assert 0.0 <= s <= 1.0
