@@ -284,13 +284,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, e.vec_id ASC
             LIMIT 10
         """,
+        # money sums use DECIMAL casts (the data is exact 2-decimal) so
+        # the result is EXACT and order-independent — matches the Ray
+        # side's int64-cents arithmetic bit-for-bit after CAST to DOUBLE.
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 6) AS sum_qty,
-                   round(sum(l_extendedprice), 6) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
-                   round(sum(l_discount) / count(*), 6) AS avg_disc,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_disc_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS avg_qty,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -298,19 +307,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_top_orders": """
             SELECT l.l_orderkey,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
             GROUP BY l.l_orderkey
-            ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC,
+            ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l.l_discount AS DECIMAL(18,2))) DESC,
                      l.l_orderkey ASC
             LIMIT 10
         """,
         "q5_region_revenue": """
             SELECT r.r_name,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
             FROM lineitem l
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -331,7 +345,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   round(sum(value), 6) AS sum_value,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,

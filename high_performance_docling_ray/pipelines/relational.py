@@ -4,18 +4,29 @@ Each query exercises an operator family Ray-Data-first:
 
 * q1  pricing summary  — map_batches partial aggregation (combiner)
                          before a small groupby shuffle; all arithmetic
-                         in pyarrow.compute, zero Python row loops.
+                         in pyarrow.compute/numpy, zero Python row loops.
 * q3  shipping join    — broadcast hash join (ray.put the small build
-                         sides: customer, filtered orders) + streamed
-                         probe over lineitem; top-k via local heads +
-                         driver merge.
-* q5  region revenue   — multi-way broadcast join chain.
-* top-k orders         — sort/limit.
+                         sides as zero-copy numpy arrays: customer,
+                         filtered orders) + streamed probe over
+                         lineitem; top-k via per-block heads + driver
+                         merge (no global sort).
+* q5  region revenue   — multi-way broadcast join chain collapsed into
+                         one numpy lookup table (suppkey -> region).
+* top-k orders         — per-block top-k + driver merge.
 * distinct segments    — unique() on a low-cardinality column.
 * events sessionize    — per-user ordered gap sessionization via
                          groupby(user_id).map_groups (the windowed/
                          stateful shape Ray Data lacks natively).
 * events hourly        — timestamp truncation + partial agg.
+
+Money columns in the test data are exact 2-decimal values, so all sums
+are computed over int64 "cents" (scale 1e2; products of two 2-decimal
+values at scale 1e4). That makes every aggregate EXACT and independent
+of summation order / parallelism — required for bit-stable comparison
+against the DuckDB oracle, which uses DECIMAL casts for the same
+reason. int64 headroom: 1e4-scaled line revenues are ~1e9 each, so
+partial sums stay exact past 1e9 rows per final group; at larger scale
+switch the final combine to Python ints (arbitrary precision).
 
 All column names match the oracle SQL in ``__ray_entry__.oracle_sql``.
 """
@@ -36,24 +47,46 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> np.ndarray:
+    """Exact int64 fixed-point from a float column of 2-decimal values."""
+    arr = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
+    return np.rint(arr * scale).astype(np.int64)
+
+
+def _small_table(ds: ray.data.Dataset) -> pa.Table:
+    """Materialize a SMALL build side on the driver (broadcast pattern)."""
+    return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+
+
 # -- q1: pricing summary (TPC-H Q1 shape) -----------------------------------
 
 _Q1_KEYS = ["l_returnflag", "l_linestatus"]
 
 
 def _q1_partial(batch: pa.Table) -> pa.Table:
-    disc_price = pc.multiply(
-        batch.column("l_extendedprice"),
-        pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+    qty_c = _cents(batch.column("l_quantity"))
+    base_c = _cents(batch.column("l_extendedprice"))
+    disc_c = _cents(batch.column("l_discount"))
+    # p*(1-d) at scale 1e4: (p*100) * ((1-d)*100), both exact ints
+    dp_e4 = base_c * (100 - disc_c)
+    t = pa.Table.from_pydict(
+        {
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_c": pa.array(qty_c, pa.int64()),
+            "base_c": pa.array(base_c, pa.int64()),
+            "dp_e4": pa.array(dp_e4, pa.int64()),
+            "disc_c": pa.array(disc_c, pa.int64()),
+            "n": pa.array(np.ones(len(qty_c), dtype=np.int64)),
+        }
     )
-    batch = batch.append_column("disc_price", disc_price)
-    return batch.group_by(_Q1_KEYS).aggregate(
+    return t.group_by(_Q1_KEYS).aggregate(
         [
-            ("l_quantity", "sum"),
-            ("l_extendedprice", "sum"),
-            ("disc_price", "sum"),
-            ("l_discount", "sum"),
-            ("l_quantity", "count"),
+            ("qty_c", "sum"),
+            ("base_c", "sum"),
+            ("dp_e4", "sum"),
+            ("disc_c", "sum"),
+            ("n", "sum"),
         ]
     )
 
@@ -70,101 +103,108 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
     combined = (
         ds.map_batches(_q1_partial, batch_format="pyarrow")
         .groupby(_Q1_KEYS)
-        .sum(
-            # pyarrow group_by names partials as <col>_<agg>
-            [
-                "l_quantity_sum",
-                "l_extendedprice_sum",
-                "disc_price_sum",
-                "l_discount_sum",
-                "l_quantity_count",
-            ]
-        )
+        .sum(["qty_c_sum", "base_c_sum", "dp_e4_sum", "disc_c_sum", "n_sum"])
     )
     tbl = pa.Table.from_pylist(combined.take_all())
-    n = pc.cast(tbl.column("sum(l_quantity_count)"), pa.float64())
+    qty = tbl.column("sum(qty_c_sum)").to_numpy().astype(np.int64)
+    base = tbl.column("sum(base_c_sum)").to_numpy().astype(np.int64)
+    dp = tbl.column("sum(dp_e4_sum)").to_numpy().astype(np.int64)
+    disc = tbl.column("sum(disc_c_sum)").to_numpy().astype(np.int64)
+    n = tbl.column("sum(n_sum)").to_numpy().astype(np.int64)
     out = pa.Table.from_pydict(
         {
             "l_returnflag": tbl.column("l_returnflag"),
             "l_linestatus": tbl.column("l_linestatus"),
-            "sum_qty": pc.round(tbl.column("sum(l_quantity_sum)"), 6),
-            "sum_base_price": pc.round(tbl.column("sum(l_extendedprice_sum)"), 6),
-            "sum_disc_price": pc.round(tbl.column("sum(disc_price_sum)"), 6),
-            "avg_qty": pc.round(
-                pc.divide(tbl.column("sum(l_quantity_sum)"), n), 6
-            ),
-            "avg_disc": pc.round(
-                pc.divide(tbl.column("sum(l_discount_sum)"), n), 6
-            ),
-            "count_order": pc.cast(
-                tbl.column("sum(l_quantity_count)"), pa.int64()
-            ),
+            "sum_qty": pa.array(qty / 100.0, pa.float64()),
+            "sum_base_price": pa.array(base / 100.0, pa.float64()),
+            "sum_disc_price": pa.array(dp / 10000.0, pa.float64()),
+            "avg_qty": pa.array((qty / 100.0) / n, pa.float64()),
+            "avg_disc": pa.array((disc / 100.0) / n, pa.float64()),
+            "count_order": pa.array(n, pa.int64()),
         }
     )
     return out.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
 
 
-# -- q3: broadcast join + group + top-k --------------------------------------
+# -- q3: broadcast join + group + distributed top-k ---------------------------
+
+def _topk_merge(ds: ray.data.Dataset, key: str, k: int,
+                tiebreak: str) -> list[dict]:
+    """Per-block top-k inside map_batches, then a tiny driver merge.
+
+    Scale note: ships only k rows per block to the driver instead of a
+    global sort shuffle — the standard distributed top-k pattern.
+    """
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        order = [(key, "descending"), (tiebreak, "ascending")]
+        idx = pc.sort_indices(batch, sort_keys=order)[:k]
+        return batch.take(idx)
+
+    heads = ds.map_batches(local_top, batch_format="pyarrow").take_all()
+    heads.sort(key=lambda r: (-r[key], r[tiebreak]))
+    return heads[:k]
+
 
 def q3_shipping(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pa.Table:
     """Revenue of top-k orders for customers in a market segment.
 
-    customer and orders are the small sides: filter + project, then
-    ``ray.put`` a dict; lineitem streams and probes per batch.
+    customer and orders are the small sides: filtered + projected to a
+    sorted numpy key array, ``ray.put`` once (zero-copy plasma reads in
+    every probe task); lineitem streams and probes with searchsorted.
     """
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    cust_keys = {
-        r["c_custkey"]
-        for r in cust.take_all()
-        if r["c_mktsegment"] == segment
-    }
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    order_rows = orders.take_all()
-    order_map = {
-        r["o_orderkey"]: r["o_orderdate"]
-        for r in order_rows
-        if r["o_custkey"] in cust_keys
-    }
-    order_ref = ray.put(order_map)
+    cust = _small_table(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    ckeys = cust.filter(
+        pc.equal(cust.column("c_mktsegment"), segment)
+    ).column("c_custkey").to_numpy()
+    ckeys = np.sort(ckeys.astype(np.int64))
+
+    orders = _small_table(_read(sf_dir, "orders", ["o_orderkey", "o_custkey"]))
+    okey = orders.column("o_orderkey").to_numpy().astype(np.int64)
+    ocust = orders.column("o_custkey").to_numpy().astype(np.int64)
+    pos = np.searchsorted(ckeys, ocust)
+    pos_c = np.minimum(pos, len(ckeys) - 1)
+    hit = (len(ckeys) > 0) & (ckeys[pos_c] == ocust)
+    building_orders = np.sort(okey[hit])
+    orders_ref = ray.put(building_orders)
 
     def probe(batch: pa.Table) -> pa.Table:
-        omap = ray.get(order_ref)
-        keys = batch.column("l_orderkey").to_pylist()
-        mask = pa.array([key in omap for key in keys])
-        hit = batch.filter(mask)
-        if hit.num_rows == 0:
+        keys_sorted = ray.get(orders_ref)  # zero-copy numpy from plasma
+        lkeys = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        p = np.searchsorted(keys_sorted, lkeys)
+        pc_ = np.minimum(p, max(len(keys_sorted) - 1, 0))
+        mask = (len(keys_sorted) > 0) & (keys_sorted[pc_] == lkeys)
+        lkeys = lkeys[mask]
+        if lkeys.size == 0:
             return pa.Table.from_pydict(
-                {
-                    "l_orderkey": pa.array([], pa.int64()),
-                    "revenue": pa.array([], pa.float64()),
-                }
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "rev_e4": pa.array([], pa.int64())}
             )
-        rev = pc.multiply(
-            hit.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), hit.column("l_discount")),
-        )
+        base_c = _cents(batch.column("l_extendedprice"))[mask]
+        disc_c = _cents(batch.column("l_discount"))[mask]
         part = pa.Table.from_pydict(
-            {"l_orderkey": hit.column("l_orderkey"), "revenue": rev}
+            {"l_orderkey": pa.array(lkeys, pa.int64()),
+             "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
         )
-        return part.group_by("l_orderkey").aggregate([("revenue", "sum")]).rename_columns(
-            ["l_orderkey", "revenue"]
-        )
+        return part.group_by("l_orderkey").aggregate(
+            [("rev_e4", "sum")]
+        ).rename_columns(["l_orderkey", "rev_e4"])
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     agg = (
         li.map_batches(probe, batch_format="pyarrow")
         .groupby("l_orderkey")
-        .sum("revenue")
+        .sum("rev_e4")
     )
-    rows = agg.take_all()
-    rows.sort(key=lambda r: (-r["sum(revenue)"], r["l_orderkey"]))
-    top = rows[:k]
+    renamed = agg.map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "rev_e4"]),
+        batch_format="pyarrow",
+    )
+    top = _topk_merge(renamed, "rev_e4", k, "l_orderkey")
     return pa.Table.from_pydict(
         {
             "l_orderkey": pa.array([r["l_orderkey"] for r in top], pa.int64()),
-            "revenue": pa.array(
-                [round(r["sum(revenue)"], 6) for r in top], pa.float64()
-            ),
+            "revenue": pa.array([r["rev_e4"] / 10000.0 for r in top], pa.float64()),
         }
     )
 
@@ -172,45 +212,50 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pa.Table
 # -- q5-style multi-way broadcast join ---------------------------------------
 
 def q5_region_revenue(sf_dir: str) -> pa.Table:
-    """Revenue per region: lineitem ⋈ supplier ⋈ nation ⋈ region with all
-    small sides broadcast; partial agg per batch; tiny final groupby."""
-    region = {r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()}
-    nation = {
-        r["n_nationkey"]: region[r["n_regionkey"]]
-        for r in _read(sf_dir, "nation").take_all()
-    }
-    supp = {
-        r["s_suppkey"]: nation[r["s_nationkey"]]
-        for r in _read(sf_dir, "supplier").take_all()
-    }
-    supp_ref = ray.put(supp)
+    """Revenue per region: lineitem ⋈ supplier ⋈ nation ⋈ region with the
+    three small sides pre-joined on the driver into ONE dense numpy
+    lookup (suppkey -> region id), broadcast via ray.put; partial agg
+    per batch (np.bincount over region ids); tiny final groupby."""
+    region = _small_table(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    nation = _small_table(_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]))
+    supp = _small_table(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+
+    r_names = region.column("r_name").to_pylist()
+    r_keys = region.column("r_regionkey").to_numpy().astype(np.int64)
+    rid_of = {int(k): i for i, k in enumerate(r_keys)}
+    n_key = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    n_reg = nation.column("n_regionkey").to_numpy().astype(np.int64)
+    nation_rid = np.full(int(n_key.max()) + 1, -1, dtype=np.int64)
+    nation_rid[n_key] = [rid_of[int(r)] for r in n_reg]
+    s_key = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    s_nat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    supp_rid = np.full(int(s_key.max()) + 1, -1, dtype=np.int64)
+    supp_rid[s_key] = nation_rid[s_nat]
+    lut_ref = ray.put(supp_rid)
+    n_regions = len(r_names)
 
     def probe(batch: pa.Table) -> pa.Table:
-        smap = ray.get(supp_ref)
-        suppkeys = batch.column("l_suppkey").to_pylist()
-        regions = [smap.get(s) for s in suppkeys]
-        rev = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-        )
-        t = pa.Table.from_pydict(
-            {"r_name": pa.array(regions), "revenue": rev}
-        )
-        return (
-            t.group_by("r_name")
-            .aggregate([("revenue", "sum")])
-            .rename_columns(["r_name", "revenue"])
+        lut = ray.get(lut_ref)  # zero-copy numpy
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        rid = lut[sk]
+        base_c = _cents(batch.column("l_extendedprice"))
+        disc_c = _cents(batch.column("l_discount"))
+        sums = np.zeros(n_regions, dtype=np.int64)
+        np.add.at(sums, rid, base_c * (100 - disc_c))
+        return pa.Table.from_pydict(
+            {"rid": pa.array(np.arange(n_regions), pa.int64()),
+             "rev_e4": pa.array(sums, pa.int64())}
         )
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
-    agg = (
-        li.map_batches(probe, batch_format="pyarrow").groupby("r_name").sum("revenue")
-    )
+    agg = li.map_batches(probe, batch_format="pyarrow").groupby("rid").sum("rev_e4")
     tbl = pa.Table.from_pylist(agg.take_all())
+    rid = tbl.column("rid").to_numpy().astype(np.int64)
+    rev = tbl.column("sum(rev_e4)").to_numpy().astype(np.int64)
     out = pa.Table.from_pydict(
         {
-            "r_name": tbl.column("r_name"),
-            "revenue": pc.round(tbl.column("sum(revenue)"), 6),
+            "r_name": pa.array([r_names[i] for i in rid]),
+            "revenue": pa.array(rev / 10000.0, pa.float64()),
         }
     )
     return out.sort_by([("r_name", "ascending")])
@@ -219,12 +264,17 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
 # -- sort / limit / distinct -------------------------------------------------
 
 def topk_orders(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k by price: per-block top-k + driver merge (no global sort)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    top = ds.sort(
-        ["o_totalprice", "o_orderkey"], descending=[True, False]
-    ).limit(k)
-    tbl = pa.Table.from_pylist(top.take_all())
-    return tbl.select(["o_orderkey", "o_totalprice"])
+    top = _topk_merge(ds, "o_totalprice", k, "o_orderkey")
+    return pa.Table.from_pydict(
+        {
+            "o_orderkey": pa.array([r["o_orderkey"] for r in top], pa.int64()),
+            "o_totalprice": pa.array(
+                [r["o_totalprice"] for r in top], pa.float64()
+            ),
+        }
+    )
 
 
 def distinct_segments(sf_dir: str) -> pa.Table:
@@ -242,14 +292,11 @@ def filter_project_lineitem(sf_dir: str, min_qty: float = 45.0) -> pa.Table:
     def f(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch.column("l_quantity"), min_qty))
 
-    rows = ds.map_batches(f, batch_format="pyarrow").take_all()
-    tbl = pa.Table.from_pylist(rows) if rows else pa.Table.from_pydict(
-        {
-            "l_orderkey": pa.array([], pa.int64()),
-            "l_linenumber": pa.array([], pa.int32()),
-            "l_quantity": pa.array([], pa.float64()),
-        }
-    )
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(f, batch_format="pyarrow").to_arrow_refs()
+    ]
+    tbl = pa.concat_tables([p for p in parts if p.num_rows] or parts)
     return tbl.sort_by(
         [("l_orderkey", "ascending"), ("l_linenumber", "ascending")]
     )
@@ -266,34 +313,40 @@ def events_hourly(sf_dir: str) -> pa.Table:
             {
                 "hour": hour,
                 "event_type": batch.column("event_type"),
-                "value": batch.column("value"),
+                "value_c": pa.array(_cents(batch.column("value")), pa.int64()),
+                "n": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64), pa.int64()
+                ),
             }
         )
         return (
             t.group_by(["hour", "event_type"])
-            .aggregate([("value", "sum"), ("value", "count")])
-            .rename_columns(["hour", "event_type", "sum_value", "n_events"])
+            .aggregate([("value_c", "sum"), ("n", "sum")])
+            .rename_columns(["hour", "event_type", "value_c", "n"])
         )
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["hour", "event_type"])
-        .sum(["sum_value", "n_events"])
+        .sum(["value_c", "n"])
     )
     tbl = pa.Table.from_pylist(agg.take_all())
     out = pa.Table.from_pydict(
         {
             "hour": tbl.column("hour"),
             "event_type": tbl.column("event_type"),
-            "sum_value": pc.round(tbl.column("sum(sum_value)"), 6),
-            "n_events": pc.cast(tbl.column("sum(n_events)"), pa.int64()),
+            "sum_value": pa.array(
+                tbl.column("sum(value_c)").to_numpy().astype(np.int64) / 100.0,
+                pa.float64(),
+            ),
+            "n_events": pc.cast(tbl.column("sum(n)"), pa.int64()),
         }
     )
     return out.sort_by([("hour", "ascending"), ("event_type", "ascending")])
 
 
 def sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pa.Table:
-    """Per-user session count + last-session length, 30-min gap rule.
+    """Per-user session count, 30-min gap rule.
 
     groupby(user_id).map_groups: the canonical stateful-per-key window
     Ray Data lacks as a primitive (SURVEY.md custom-operator note).
@@ -301,11 +354,8 @@ def sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pa.Table:
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def sess(group: pa.Table) -> pa.Table:
-        ts = np.sort(
-            np.asarray(
-                pc.cast(group.column("ts"), pa.int64()).to_pylist(), dtype=np.int64
-            )
-        )
+        ts = np.sort(group.column("ts").to_numpy().astype("datetime64[us]")
+                     .astype(np.int64))
         gaps = np.diff(ts)
         n_sessions = 1 + int(np.sum(gaps > gap_us))
         return pa.Table.from_pydict(
