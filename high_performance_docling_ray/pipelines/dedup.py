@@ -24,6 +24,8 @@ Five strategies, all Ray-Data-first (SURVEY.md §2.6 corpus-level ops):
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -31,8 +33,44 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..kernels.dedup import MinHasher, hamming64, simhash64, simhash_bucket_keys
+from ..kernels.dedup import MinHasher, simhash64, simhash_bucket_keys
 from ..kernels.text_stats import jaccard, md5_fingerprint, ngram_set
+
+
+def _add_partition(batch: pa.Table, key: str, num_parts: int) -> pa.Table:
+    """Coarse shuffle key: crc32(key) % P. Grouping on this instead of
+    the raw (high-cardinality) LSH key turns millions of per-group
+    Python calls into one vectorized call per partition; all rows of a
+    given LSH key still land in the same partition."""
+    vals = batch.column(key).to_pylist()
+    parts = np.fromiter(
+        (zlib.crc32(v.encode("utf-8")) % num_parts for v in vals),
+        dtype=np.int32,
+        count=len(vals),
+    )
+    return batch.append_column("part", pa.array(parts, pa.int32()))
+
+
+def _runs_apply(group: pa.Table, key: str, pair_fn) -> pa.Table:
+    """Sort one partition by the LSH key and apply ``pair_fn`` to each
+    equal-key run (numpy slicing per run, no Ray per-group overhead)."""
+    order = pc.sort_indices(group, sort_keys=[(key, "ascending")])
+    tbl = group.take(order)
+    keys = np.asarray(tbl.column(key).to_pylist(), dtype=object)
+    n = len(keys)
+    if n == 0:
+        return pair_fn(tbl.slice(0, 0))
+    boundaries = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [n]))
+    outs = [
+        pair_fn(tbl.slice(int(s), int(e - s)))
+        for s, e in zip(starts, ends)
+        if e - s >= 2
+    ]
+    if not outs:
+        return pair_fn(tbl.slice(0, 0))
+    return pa.concat_tables(outs)
 
 
 def read_documents(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
@@ -75,7 +113,10 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
 # -- minhash LSH ------------------------------------------------------------
 
 class MinHashStage:
-    """Actor-pool stage: signature + band keys per document."""
+    """Signature + band keys per document. Used as a stateless
+    map_batches function via ``make_minhash_fn`` (setup is two numpy
+    arrays — too cheap to justify actor-pool spin-up); the class shape
+    remains the actor-pool interface for heavier signature models."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3) -> None:
         self.hasher = MinHasher(num_perm=num_perm, ngram=ngram)
@@ -99,31 +140,65 @@ class MinHashStage:
         )
 
 
+_MINHASH_CACHE: dict[tuple, MinHashStage] = {}
+
+
+def make_minhash_fn(num_perm: int, bands: int):
+    def minhash_batch(batch: pa.Table) -> pa.Table:
+        key = (num_perm, bands)
+        stage = _MINHASH_CACHE.get(key)
+        if stage is None:
+            stage = _MINHASH_CACHE[key] = MinHashStage(num_perm, bands)
+        return stage(batch)
+
+    return minhash_batch
+
+
 def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
     """Within one LSH bucket: verify candidate pairs by estimated
-    Jaccard (signature agreement); emit doc_a < doc_b pairs."""
-    doc_ids = group.column("doc_id").to_pylist()
-    sigs = [np.frombuffer(s, dtype=np.uint64) for s in group.column("signature").to_pylist()]
-    rows = sorted(range(len(doc_ids)), key=lambda i: doc_ids[i])
-    out_a, out_b, out_sim = [], [], []
-    for ii in range(len(rows)):
-        for jj in range(ii + 1, len(rows)):
-            i, j = rows[ii], rows[jj]
-            if doc_ids[i] == doc_ids[j]:
-                continue
-            sim = float(np.mean(sigs[i] == sigs[j]))
-            if sim >= threshold:
-                a, b = sorted((doc_ids[i], doc_ids[j]))
-                out_a.append(a)
-                out_b.append(b)
-                out_sim.append(sim)
+    Jaccard (signature agreement); emit doc_a < doc_b pairs.
+
+    Vectorized: the (n, n, P) equality broadcast is fine for LSH
+    buckets (tiny by construction); a degenerate hot bucket is capped
+    so one pathological key cannot allocate quadratic memory."""
+    n = group.num_rows
+    if n < 2:
+        return _EMPTY_PAIRS
+    if n > 4096:  # hot-bucket cap: all-identical spam key etc.
+        group = group.slice(0, 4096)
+        n = 4096
+    doc_ids = np.asarray(group.column("doc_id").to_numpy(), dtype=np.int64)
+    sigs = np.stack(
+        [
+            np.frombuffer(s, dtype=np.uint64)
+            for s in group.column("signature").to_pylist()
+        ]
+    )
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = doc_ids[order]
+    sigs = sigs[order]
+    sim = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+    ii, jj = np.triu_indices(n, k=1)
+    keep = (sim[ii, jj] >= threshold) & (doc_ids[ii] != doc_ids[jj])
+    ii, jj = ii[keep], jj[keep]
+    a = np.minimum(doc_ids[ii], doc_ids[jj])
+    b = np.maximum(doc_ids[ii], doc_ids[jj])
     return pa.Table.from_pydict(
         {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "est_jaccard": pa.array(out_sim, pa.float64()),
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "est_jaccard": pa.array(sim[ii, jj], pa.float64()),
         }
     )
+
+
+_EMPTY_PAIRS = pa.Table.from_pydict(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
+    }
+)
 
 
 def minhash_candidate_pairs(
@@ -135,18 +210,32 @@ def minhash_candidate_pairs(
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs (doc_a, doc_b, est_jaccard),
     deduped across bands."""
-    if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) // 2))
     ds = read_documents(sf_dir)
+    kwargs = {"batch_format": "pyarrow"}
+    if concurrency is not None:  # opt-in actor pool for heavy signers
+        kwargs["concurrency"] = concurrency
+        fn: object = MinHashStage
+        kwargs["fn_constructor_kwargs"] = {
+            "num_perm": num_perm, "bands": bands,
+        }
+    else:
+        fn = make_minhash_fn(num_perm, bands)
+    num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
     pairs = (
-        ds.map_batches(
-            MinHashStage,
-            fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        ds.map_batches(fn, **kwargs)
+        .map_batches(
+            lambda b: _add_partition(b, "band_key", num_parts),
             batch_format="pyarrow",
-            concurrency=concurrency,
         )
-        .groupby("band_key")
-        .map_groups(lambda g: _bucket_pairs(g, threshold), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: _runs_apply(
+                g.drop_columns(["part"]),
+                "band_key",
+                lambda run: _bucket_pairs(run, threshold),
+            ),
+            batch_format="pyarrow",
+        )
     )
     # A pair can surface from several bands: dedup on (doc_a, doc_b).
     return pairs.groupby(["doc_a", "doc_b"]).max("est_jaccard")
@@ -190,37 +279,57 @@ def _simhash_batch(batch: pa.Table) -> pa.Table:
 
 
 def _simhash_bucket_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
-    doc_ids = group.column("doc_id").to_pylist()
-    hashes = group.column("simhash").to_pylist()
-    out_a, out_b, out_d = [], [], []
-    order = sorted(range(len(doc_ids)), key=lambda i: doc_ids[i])
-    for ii in range(len(order)):
-        for jj in range(ii + 1, len(order)):
-            i, j = order[ii], order[jj]
-            if doc_ids[i] == doc_ids[j]:
-                continue
-            d = hamming64(int(hashes[i]), int(hashes[j]))
-            if d <= max_hamming:
-                a, b = sorted((doc_ids[i], doc_ids[j]))
-                out_a.append(a)
-                out_b.append(b)
-                out_d.append(d)
+    """Vectorized pairwise Hamming within one segment bucket: XOR matrix
+    + popcount via uint8 bit-count lookup."""
+    n = group.num_rows
+    if n < 2:
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int32()),
+            }
+        )
+    if n > 4096:  # hot-bucket cap (see _bucket_pairs)
+        group = group.slice(0, 4096)
+        n = 4096
+    doc_ids = np.asarray(group.column("doc_id").to_numpy(), dtype=np.int64)
+    hashes = np.asarray(group.column("simhash").to_numpy(), dtype=np.uint64)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids, hashes = doc_ids[order], hashes[order]
+    ii, jj = np.triu_indices(n, k=1)
+    x = hashes[ii] ^ hashes[jj]
+    d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+    keep = (d <= max_hamming) & (doc_ids[ii] != doc_ids[jj])
+    ii, jj, d = ii[keep], jj[keep], d[keep]
+    a = np.minimum(doc_ids[ii], doc_ids[jj])
+    b = np.maximum(doc_ids[ii], doc_ids[jj])
     return pa.Table.from_pydict(
         {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "hamming": pa.array(out_d, pa.int32()),
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "hamming": pa.array(d.astype(np.int32), pa.int32()),
         }
     )
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     ds = read_documents(sf_dir)
+    num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
     pairs = (
         ds.map_batches(_simhash_batch, batch_format="pyarrow")
-        .groupby("bucket")
+        .map_batches(
+            lambda b: _add_partition(b, "bucket", num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
         .map_groups(
-            lambda g: _simhash_bucket_pairs(g, max_hamming), batch_format="pyarrow"
+            lambda g: _runs_apply(
+                g.drop_columns(["part"]),
+                "bucket",
+                lambda run: _simhash_bucket_pairs(run, max_hamming),
+            ),
+            batch_format="pyarrow",
         )
     )
     return pairs.groupby(["doc_a", "doc_b"]).min("hamming")

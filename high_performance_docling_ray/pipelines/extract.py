@@ -37,7 +37,12 @@ from ..stages.extract_stage import (
     make_page_extract_fn,
 )
 
-GIANT_BYTES = 196_608  # >=192 KiB payload -> page-exploded path
+# Payload size above which a document is page-exploded across the
+# cluster instead of processed in-task. Exploding pays a per-doc
+# groupby regroup, so it is reserved for true monsters (~100+ pages,
+# the docs that would straggle a task); a 20-page doc is ~30 ms of
+# in-task work and takes the doc-at-once path.
+GIANT_BYTES = 1_572_864  # >=1.5 MiB payload -> page-exploded path
 
 PAGE_COLUMNS = ["url", "warc_ts", "html", "lang"]
 
@@ -88,19 +93,20 @@ def _bucket_keep_first(group: pa.Table) -> pa.Table:
     return _local_keep_first(group).drop_columns(["bucket"])
 
 
-def dedup_by_url(
+def dedup_shuffle(
     ds: ray.data.Dataset, num_buckets: int | None = None
 ) -> ray.data.Dataset:
-    """Exact dedup: keep the earliest capture per url (north_rule).
+    """Exact keep-first dedup via ONE full-row hash shuffle.
 
-    Local combiner first, then ONE hash shuffle — keyed on a
-    low-cardinality ``bucket = crc32(url) % P`` column rather than the
-    raw url. ``groupby(url).map_groups`` would pay a Python call + Arrow
-    slice per DISTINCT url (millions/sec of overhead at corpus scale);
-    bucketing keeps the same exchange semantics but runs ONE vectorized
-    sort+mask per bucket. P scales with the cluster (4x CPUs here; at
-    10^12 rows pick P so a bucket ~ a block); hot-url skew cannot
-    concentrate more than 1/P of the corpus in one group.
+    Keyed on a low-cardinality ``bucket = crc32(url) % P`` column
+    rather than the raw url: ``groupby(url).map_groups`` would pay a
+    Python call + Arrow slice per DISTINCT url (millions/sec of
+    overhead at corpus scale); bucketing keeps the same exchange
+    semantics but runs ONE vectorized sort+mask per bucket. P scales
+    with the cluster (4x CPUs here; at 10^12 rows pick P so a bucket ~
+    a block); hot-url skew cannot concentrate more than 1/P of the
+    corpus in one group. This is the scale path: it moves payload
+    bytes, but works at any corpus size.
     """
     if num_buckets is None:
         import ray
@@ -114,6 +120,123 @@ def dedup_by_url(
         .groupby("bucket")
         .map_groups(_bucket_keep_first, batch_format="pyarrow")
     )
+
+
+def _keys_to_us(batch: pa.Table) -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "url": batch.column("url"),
+            "ts_us": pc.cast(batch.column("warc_ts"), pa.int64()),
+        }
+    )
+
+
+def _key_partial_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for the winner computation: (url, ts_us, n)."""
+    keyed = _keys_to_us(batch)
+    return (
+        keyed.group_by(["url", "ts_us"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["url", "ts_us", "n"])
+    )
+
+
+def dedup_by_url(
+    ds: ray.data.Dataset,
+    num_buckets: int | None = None,
+    strategy: str = "auto",
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Exact dedup: keep the earliest capture per url (north_rule).
+
+    strategy="auto": two-phase semi-join. Phase 1 shuffles ONLY the
+    (url, warc_ts) key columns (~3% of corpus bytes) through Ray's
+    built-in vectorized groupby-count, yielding the winner (url,
+    min_ts) set. Phase 2 broadcasts the winners as an Arrow table
+    (``ray.put`` once, zero-copy plasma reads) and filters the full
+    rows with a C++ hash semi-join per batch — payload bytes never
+    shuffle. Urls with TIED minimum timestamps are detected in phase 1
+    and resolved exactly through the shuffle path (usually none).
+
+    When the winner set exceeds ``broadcast_limit`` rows (the 10^12-doc
+    regime — a winner table that cannot broadcast), falls back to
+    ``dedup_shuffle``, the full-row exchange that works at any scale.
+    strategy="shuffle" forces that path.
+    """
+    import ray
+
+    if strategy == "shuffle":
+        return dedup_shuffle(ds, num_buckets)
+
+    # Phase 1 entirely avoids a Ray groupby (whose fixed shuffle cost
+    # dwarfs a key-only aggregation): per-batch vectorized partial
+    # counts, concatenated on the driver (bounded by broadcast_limit —
+    # the same budget the broadcast itself needs), combined with one
+    # C++ group_by.
+    partial_refs = (
+        ds.select_columns(["url", "warc_ts"])
+        .map_batches(_key_partial_counts, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    partials = ray.get(partial_refs)  # one batched get, not N round-trips
+    partials = [t for t in partials if t.num_columns > 0]  # drop schema-less empties
+    if not partials:
+        return ds  # empty input
+    key_tbl = pa.concat_tables(partials)
+    if key_tbl.num_rows > broadcast_limit:
+        return dedup_shuffle(ds, num_buckets)
+    counts = key_tbl.group_by(["url", "ts_us"]).aggregate([("n", "sum")])
+    counts = counts.rename_columns(["url", "ts_us", "n"])
+    counts = counts.take(
+        pc.sort_indices(
+            counts,
+            sort_keys=[("url", "ascending"), ("ts_us", "ascending")],
+        )
+    )
+    urls = counts.column("url").combine_chunks()
+    n_rows = len(urls)
+    if n_rows == 0:
+        return ds
+    first = pa.chunked_array(
+        [pa.array([True]), pc.not_equal(urls.slice(1), urls.slice(0, n_rows - 1))]
+    )
+    winner_rows = counts.filter(first)
+    winners = winner_rows.select(["url", "ts_us"])
+    tie_urls = winner_rows.filter(
+        pc.greater(winner_rows.column("n"), 1)
+    ).column("url").to_pylist()
+    winners_ref = ray.put(winners)
+
+    def semi_join(batch: pa.Table) -> pa.Table:
+        w = ray.get(winners_ref)  # zero-copy Arrow from plasma
+        keyed = batch.append_column(
+            "ts_us", pc.cast(batch.column("warc_ts"), pa.int64())
+        )
+        out = keyed.join(w, keys=["url", "ts_us"], join_type="left semi")
+        return out.drop_columns(["ts_us"])
+
+    filtered = ds.map_batches(semi_join, batch_format="pyarrow")
+    if not tie_urls:
+        return filtered
+
+    # Exact tie resolution: the few urls whose min warc_ts appears on
+    # several rows go through the full shuffle; all others stream.
+    ties = set(tie_urls)
+    ties_ref = ray.put(pa.array(sorted(ties)))
+
+    def drop_tied(batch: pa.Table) -> pa.Table:
+        t = ray.get(ties_ref)
+        return batch.filter(pc.invert(pc.is_in(batch.column("url"), value_set=t)))
+
+    def only_tied(batch: pa.Table) -> pa.Table:
+        t = ray.get(ties_ref)
+        return batch.filter(pc.is_in(batch.column("url"), value_set=t))
+
+    clean = filtered.map_batches(drop_tied, batch_format="pyarrow")
+    tied = dedup_shuffle(
+        ds.map_batches(only_tied, batch_format="pyarrow"), num_buckets=8
+    )
+    return clean.union(tied)
 
 
 def _filter_class(ds: ray.data.Dataset, want_giant: bool) -> ray.data.Dataset:
@@ -135,6 +258,7 @@ def extract_pipeline(
     concurrency=None,
     options=None,
     use_actors: bool = False,
+    giant_bytes: int = GIANT_BYTES,
 ) -> ray.data.Dataset:
     """Build the extraction DAG over a pages dataset.
 
@@ -179,26 +303,28 @@ def extract_pipeline(
             ds = dedup_by_url(ds)
         return ds.map_batches(doc_fn, **kwargs)
 
-    # Branch point. A lazy Dataset with two consumers re-executes its
-    # whole upstream once per consumer, and a mid-pipeline
-    # materialize() pins the full corpus in the object store. So the
-    # size-class split happens at the SOURCE — a cheap vectorized
-    # length predicate — and each branch dedups independently. That is
-    # exact whenever duplicate captures of a url keep their size class
-    # (identical or near-identical payloads — the Common-Crawl shape;
-    # asserted by the byte-identity tests). The giant branch's
-    # re-scan drops ~99% of rows at the first filter. Deployments that
-    # need a single-scan branch point instead write the deduped stream
-    # to partitioned parquet (state/checkpoint.py) and read both
-    # branches from that checkpoint.
+    # Dedup ONCE, before the size split. The semi-join dedup's output
+    # is a lazy shuffle-free map (winners computed eagerly, broadcast
+    # once), so when the branch point below re-executes the upstream
+    # per consumer it only re-reads + re-joins — cheap, parallel, and
+    # the expensive winner phase never repeats. (If dedup fell back to
+    # the full-row shuffle — the 10^12-doc regime — a deployment would
+    # instead write the deduped stream to partitioned parquet
+    # (state/checkpoint.py) and read both branches from that
+    # checkpoint rather than re-shuffling per branch.)
+    if dedup:
+        ds = dedup_by_url(ds)
+
+    # Branch point: a lazy Dataset with two consumers re-executes its
+    # (now cheap) upstream once per consumer; a mid-pipeline
+    # materialize() would instead pin the full corpus in the object
+    # store. The size-class split is a vectorized length predicate;
+    # the giant branch's re-scan drops ~99% of rows at its filter.
     classified = ds.map_batches(
-        lambda b: add_cost_class(b, GIANT_BYTES), batch_format="pyarrow"
+        lambda b: add_cost_class(b, giant_bytes), batch_format="pyarrow"
     )
     small = _filter_class(classified, want_giant=False)
     giant = _filter_class(classified, want_giant=True)
-    if dedup:
-        small = dedup_by_url(small)
-        giant = dedup_by_url(giant, num_buckets=16)
 
     small_out = small.map_batches(doc_fn, **kwargs)
     giant_out = (

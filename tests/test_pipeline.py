@@ -43,16 +43,20 @@ def test_byte_identical_doc_at_once(corpus, expected):
 
 
 def test_byte_identical_with_giant_explosion(corpus, expected):
-    got = _run(corpus, explode_giant=True)
+    # force the medium/giant docs through the page-exploded path by
+    # lowering the monster threshold (default reserves it for 100+
+    # page docs, which the 120-doc fixture corpus does not contain)
+    got = _run(corpus, explode_giant=True, giant_bytes=50_000)
     assert set(got) == set(expected)
     for url, exp in expected.items():
         assert got[url]["extracted_text"] == exp["extracted_text"], url
         assert got[url]["n_elements"] == exp["n_elements"], url
 
 
-def test_dedup_keeps_earliest(corpus):
+@pytest.mark.parametrize("strategy", ["auto", "shuffle"])
+def test_dedup_keeps_earliest(corpus, strategy):
     ds = ray.data.from_arrow(corpus.select(["url", "warc_ts", "html", "lang"]))
-    deduped = dedup_by_url(ds).take_all()
+    deduped = dedup_by_url(ds, strategy=strategy).take_all()
     urls = [r["url"] for r in deduped]
     assert len(urls) == len(set(urls))
     # earliest ts per url
@@ -63,6 +67,18 @@ def test_dedup_keeps_earliest(corpus):
         first_ts[r["url"]].append(r["warc_ts"])
     for r in deduped:
         assert r["warc_ts"] == min(first_ts[r["url"]])
+
+
+def test_dedup_broadcast_matches_shuffle(corpus):
+    ds = ray.data.from_arrow(corpus.select(["url", "warc_ts", "html", "lang"]))
+    a = sorted(
+        (r["url"], r["warc_ts"]) for r in dedup_by_url(ds, strategy="auto").take_all()
+    )
+    b = sorted(
+        (r["url"], r["warc_ts"])
+        for r in dedup_by_url(ds, strategy="shuffle").take_all()
+    )
+    assert a == b
 
 
 def test_parallelism_invariance(corpus, expected):
