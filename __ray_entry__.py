@@ -118,6 +118,25 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(sf_dir, _query_vector(sf_dir), k=10)
 
 
+def _q_extract_enriched(sf_dir: str):
+    """Extraction with OCR + code/formula enrichment enabled (reference
+    phase 2 OCR + phase 4 enrichment; stubbed models, real plumbing)."""
+    from high_performance_docling_ray.kernels.document import ExtractOptions
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.sources.pages import synth_pages_dataset
+
+    opts = ExtractOptions(do_ocr=True, do_code_enrichment=True)
+    ds = synth_pages_dataset(200, seed=42)
+    out = extract_pipeline(ds, dedup=True, explode_giant=False, options=opts)
+    return out.select_columns(["url", "doc_kind", "extracted_text", "n_elements"])
+
+
+def _q_image_features(sf_dir: str):
+    from high_performance_docling_ray.stages.multimodal import image_features
+
+    return image_features(n=256)
+
+
 def _q_token_counts(sf_dir: str):
     from high_performance_docling_ray.pipelines.text_analysis import token_counts
 
@@ -215,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (SURVEY.md §3; non-SQL, rows-only check)
         "extract_pages": _q_extract_pages,
         "extract_synth_corpus": _q_extract_synth,
+        "extract_ocr_enriched": _q_extract_enriched,
+        # multimodal: binary media column -> actor-pool decode/feature
+        "image_features": _q_image_features,
         # corpus dedup family
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_pairs": _q_minhash_pairs,

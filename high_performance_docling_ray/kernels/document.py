@@ -42,6 +42,7 @@ class ExtractOptions:
     do_table_structure: bool = True      # main.py:48
     keep_empty_clusters: bool = False    # layout_postprocessor.py:429
     create_orphan_clusters: bool = True  # layout_postprocessor.py:437
+    do_code_enrichment: bool = False     # phase 4, gpu_processor.py:184-202
 
 DEFAULT_OPTIONS = ExtractOptions()
 
@@ -269,6 +270,13 @@ def extract_document(
 
     assembled = assemble_document(elements)
     items = assembled["items"]
+    extracted_text = assembled["extracted_text"]
+    if options.do_code_enrichment:
+        from .formula import enrich_elements
+        from .reading_order import export_text
+
+        items = enrich_elements(items)
+        extracted_text = export_text(items)
     canon_items = [
         {
             "label": it["label"],
@@ -280,7 +288,7 @@ def extract_document(
         for it in items
     ]
     return {
-        "extracted_text": assembled["extracted_text"],
+        "extracted_text": extracted_text,
         "markdown": export_markdown(items),
         "elements_json": json.dumps(canon_items, ensure_ascii=False),
         "n_pages": n_pages,

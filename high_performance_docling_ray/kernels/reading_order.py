@@ -184,6 +184,14 @@ def assemble_document(elements: list[Element]) -> dict[str, Any]:
         }
         items.append(item)
 
+    return {"items": items, "extracted_text": export_text(items)}
+
+
+def export_text(items: list[dict]) -> str:
+    """Body-text projection of assembled items. Split out so phase-4
+    enrichment (kernels/formula.py) can rewrite item texts and
+    re-export, matching the reference order: assemble -> enrich ->
+    export (gpu_processor.py:184-202 runs before main.py:93)."""
     body_parts: list[str] = []
     for item in items:
         if item["furniture"]:
@@ -198,9 +206,7 @@ def assemble_document(elements: list[Element]) -> dict[str, Any]:
             body_parts.append(cap)
         for fn in item["footnotes"]:
             body_parts.append(fn)
-    extracted_text = "\n".join(body_parts)
-
-    return {"items": items, "extracted_text": extracted_text}
+    return "\n".join(body_parts)
 
 
 def export_markdown(items: list[dict]) -> str:

@@ -18,6 +18,7 @@ is embarrassingly parallel map_batches over Arrow blocks.
 
 from __future__ import annotations
 
+import functools
 import zlib
 from typing import Any
 
@@ -331,7 +332,10 @@ def extract_pipeline(
         giant.flat_map(explode_pdf_pages)
         .map_batches(page_fn, **page_kwargs)
         .groupby("url")
-        .map_groups(assemble_doc_group, batch_format="pyarrow")
+        .map_groups(
+            functools.partial(assemble_doc_group, options=options),
+            batch_format="pyarrow",
+        )
     )
     return small_out.union(giant_out)
 

@@ -211,7 +211,9 @@ class PageExtractor:
         return pa.Table.from_pydict(out)
 
 
-def assemble_doc_group(group: pa.Table) -> pa.Table:
+def assemble_doc_group(
+    group: pa.Table, options: ExtractOptions = DEFAULT_OPTIONS
+) -> pa.Table:
     """map_groups(url): pages of one document -> final result row.
 
     Pages sort by page_no inside the group (the only cross-page
@@ -226,6 +228,13 @@ def assemble_doc_group(group: pa.Table) -> pa.Table:
             elements.append(el)
     assembled = assemble_document(elements)
     items = assembled["items"]
+    extracted_text = assembled["extracted_text"]
+    if options.do_code_enrichment:
+        from ..kernels.formula import enrich_elements
+        from ..kernels.reading_order import export_text
+
+        items = enrich_elements(items)
+        extracted_text = export_text(items)
     canon_items = [
         {
             "label": it["label"],
@@ -245,7 +254,7 @@ def assemble_doc_group(group: pa.Table) -> pa.Table:
             "warc_ts": [first["warc_ts"]],
             "lang": [first["lang"]],
             "doc_kind": [kind],
-            "extracted_text": [assembled["extracted_text"]],
+            "extracted_text": [extracted_text],
             "markdown": [export_markdown(items)],
             "elements_json": [json.dumps(canon_items, ensure_ascii=False)],
             "n_pages": [len(rows)],

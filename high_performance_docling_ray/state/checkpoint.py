@@ -83,15 +83,17 @@ def filter_completed(
 
 
 def write_manifests(out_dir: str, shard_counts: dict[int, int],
-                    metrics: dict[str, Any] | None = None) -> None:
+                    metrics: dict[str, Any] | None = None,
+                    per_shard_metrics: dict[int, dict] | None = None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     now = time.time()
+    per_shard_metrics = per_shard_metrics or {}
     for shard_id, rows in shard_counts.items():
         manifest = {
             "shard_id": int(shard_id),
             "rows": int(rows),
             "completed_at": now,
-            "metrics": metrics or {},
+            "metrics": per_shard_metrics.get(int(shard_id), metrics or {}),
         }
         path = os.path.join(out_dir, f"{MANIFEST_PREFIX}{shard_id}.json")
         tmp = path + ".tmp"
@@ -100,28 +102,49 @@ def write_manifests(out_dir: str, shard_counts: dict[int, int],
         os.replace(tmp, path)  # atomic: manifest appears only when complete
 
 
+@ray.remote(num_cpus=0)
+class MetricsCollector:
+    """Side-channel for per-shard metric partials.
+
+    Ray Data cannot tee one streaming pass into both a sink and an
+    aggregate, so the write stage fire-and-forgets its (tiny) partial
+    tables to this actor; the driver combines them after the sink
+    finishes. This is the one deliberate drop to a raw actor in the
+    repo (SURVEY.md custom-operator rule c)."""
+
+    def __init__(self) -> None:
+        self._partials: list = []
+
+    def add(self, tbl) -> None:
+        self._partials.append(tbl)
+
+    def collect(self) -> list:
+        return self._partials
+
+
 def write_resumable(
     result_ds: ray.data.Dataset,
     out_dir: str,
     num_shards: int = 64,
 ) -> dict[int, int]:
-    """Write results partitioned by shard_id and record manifests.
+    """Write results partitioned by shard_id, record manifests with
+    per-shard metrics — all in the SAME streaming pass as the sink
+    (metric partials are aggregated per batch and shipped to a
+    zero-cpu collector actor; no second pass over the output)."""
+    from .metrics import combine_metric_partials, shard_metrics_partial
 
-    The per-shard row counts come from a small ``groupby.count()`` on
-    the (already computed) result — no extra pass over the data.
-    """
-    with_shards = result_ds.map_batches(
-        lambda b: add_shard_column(b, num_shards), batch_format="pyarrow"
-    )
+    collector = MetricsCollector.remote()
+
+    def tap(batch: pa.Table) -> pa.Table:
+        batch = add_shard_column(batch, num_shards)
+        collector.add.remote(shard_metrics_partial(batch))
+        return batch
+
+    with_shards = result_ds.map_batches(tap, batch_format="pyarrow")
     with_shards.write_parquet(out_dir, partition_cols=["shard_id"])
-    counts_ds = (
-        ray.data.read_parquet(out_dir).groupby("shard_id").count()
-    )
-    counts = {
-        int(r["shard_id"]): int(r["count()"])
-        for r in counts_ds.take_all()
-    }
-    write_manifests(out_dir, counts)
+    metrics = combine_metric_partials(ray.get(collector.collect.remote()))
+    counts = {sid: int(m["docs"]) for sid, m in metrics.items()}
+    write_manifests(out_dir, counts, per_shard_metrics=metrics)
     return counts
 
 
