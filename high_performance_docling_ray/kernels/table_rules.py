@@ -211,6 +211,7 @@ def build_table(
     cell_bboxes: list | None,
     tokens: list[dict],
     compact: bool = True,
+    matcher: str = "postprocess",
 ) -> dict[str, Any]:
     """Full table build: OTSL parse + bbox sync + token match + text.
 
@@ -219,11 +220,18 @@ def build_table(
     Matched tokens are attached to cells sorted by token id; each
     cell's text is the space-join of its token texts (response
     generation, tf_predictor.py:981-1076 / 379-435).
+
+    matcher="postprocess" (default, the reference's actual path) runs
+    the 9-step matching post-processor (kernels/matching_post.py);
+    "argmax" is the plain one-shot IOPDF argmax join (J3 only).
     """
     cells = parse_otsl(otsl_seq)
     bboxes: list = [None] * len(cells)
     if cell_bboxes is not None:
         _, bboxes = sync_bboxes(otsl_seq, cell_bboxes)
+
+    if matcher == "postprocess":
+        return _build_with_postprocess(otsl_seq, cells, bboxes, tokens, compact)
 
     cell_boxes = np.array(
         [bb if bb is not None else (0.0, 0.0, 0.0, 0.0) for bb in bboxes],
@@ -254,19 +262,110 @@ def build_table(
         bb = bboxes[ix]
         cell["bbox"] = tuple(float(v) for v in bb) if bb is not None else None
 
+    return _finish_table(otsl_seq, cells, compact)
+
+
+def _finish_table(
+    otsl_seq: list[str], cells: list[TableCell], compact: bool
+) -> dict[str, Any]:
     if compact:
         num_rows, num_cols = compact_indexes(cells)
     else:
         rows = _otsl_rows(otsl_seq)
         num_rows = len(rows)
         num_cols = len(rows[0]) if rows else 0
-
     return {
         "num_rows": num_rows,
         "num_cols": num_cols,
         "otsl_seq": list(otsl_seq),
         "cells": cells,
     }
+
+
+def _build_with_postprocess(
+    otsl_seq: list[str],
+    cells: list[TableCell],
+    bboxes: list,
+    tokens: list[dict],
+    compact: bool,
+) -> dict[str, Any]:
+    """Reference path: CellMatcher + 9-step MatchingPostProcessor
+    (tf_predictor.py:467-630 drive loop)."""
+    from .matching_post import process_matches
+
+    # reference wire format (matching_details): structural table cells
+    # carry (cell_id, row_id, column_id, bbox, cell_class, span vals)
+    table_cells = []
+    for cell, bb in zip(cells, bboxes):
+        if bb is None:
+            continue
+        tc = {
+            "cell_id": cell["cell_id"],
+            "row_id": cell["start_row"],
+            "column_id": cell["start_col"],
+            "bbox": [float(v) for v in bb],
+            "label": "body",
+            "cell_class": 1 if cell["empty"] else 2,
+        }
+        if cell["row_span"] > 1:
+            tc["rowspan_val"] = cell["row_span"]
+        if cell["col_span"] > 1:
+            tc["colspan_val"] = cell["col_span"]
+        table_cells.append(tc)
+
+    pdf_cells = [
+        {
+            "id": tk["id"],
+            "text": tk["text"],
+            "bbox": [
+                float(tk["bbox"]["l"]),
+                float(tk["bbox"]["t"]),
+                float(tk["bbox"]["r"]),
+                float(tk["bbox"]["b"]),
+            ],
+        }
+        for tk in tokens
+    ]
+
+    out_cells, matches = process_matches(table_cells, pdf_cells)
+
+    # tokens per final table cell, joined in token-id order
+    tok_by_id = {tk["id"]: tk for tk in tokens}
+    per_cell: dict[int, list[dict]] = {}
+    for pdf_key, lst in matches.items():
+        tk = tok_by_id.get(int(pdf_key))
+        if tk is None:
+            continue
+        for m in lst:
+            per_cell.setdefault(int(m["table_cell_id"]), []).append(tk)
+
+    by_parse_id = {c["cell_id"]: c for c in cells}
+    final_cells: list[TableCell] = []
+    for tc in sorted(out_cells, key=lambda c: c["cell_id"]):  # O4 order
+        base = by_parse_id.get(tc["cell_id"])
+        if base is None:
+            # orphan-created structural cell (step 9c)
+            base = {
+                "cell_id": tc["cell_id"],
+                "start_row": tc["row_id"],
+                "end_row": tc["row_id"] + 1,
+                "start_col": tc["column_id"],
+                "end_col": tc["column_id"] + 1,
+                "row_span": 1,
+                "col_span": 1,
+                "col_header": False,
+                "row_header": False,
+                "row_section": False,
+                "empty": False,
+            }
+        toks = sorted(
+            per_cell.get(tc["cell_id"], []), key=lambda t: t["id"]
+        )
+        base["text"] = " ".join(t["text"] for t in toks)
+        base["bbox"] = tuple(float(v) for v in tc["bbox"])
+        final_cells.append(base)
+
+    return _finish_table(otsl_seq, final_cells, compact)
 
 
 def table_to_text(table: dict[str, Any]) -> str:
