@@ -123,6 +123,9 @@ class _BlockSegmenter(HTMLParser):
         if self._skip_depth:
             return
         if tag in _BOILERPLATE_TAGS:
+            # landmark containers are block boundaries: text before the
+            # landmark must not share a block with the landmark's text
+            self._flush()
             self._boiler_depth += 1
         if tag == "a":
             self._anchor_depth += 1
@@ -163,6 +166,7 @@ class _BlockSegmenter(HTMLParser):
         if tag in _BLOCK_TAGS:
             self._flush()
         if tag in _BOILERPLATE_TAGS:
+            self._flush()  # close the landmark's block before leaving it
             self._boiler_depth = max(0, self._boiler_depth - 1)
         elif tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
