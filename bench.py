@@ -70,6 +70,7 @@ def _extract_corpus_run(n_docs: int) -> tuple[float, int]:
 
     path = _prepare_corpus(n_docs)
     _warmup()
+    read_pages(path).count()  # warm the OS page cache (untimed)
     t0 = time.perf_counter()
     out = extract_pipeline(read_pages(path), dedup=True, explode_giant=True)
     n = out.count()
