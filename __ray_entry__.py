@@ -118,6 +118,19 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(sf_dir, _query_vector(sf_dir), k=10)
 
 
+def _q_extract_docs_text(sf_dir: str):
+    """Flagship extraction over the documents-derived pages, projected
+    to (url, extracted_text) — SQL-verifiable because the deterministic
+    HTML wrap makes the extracted text a closed form of the source
+    text (sentence split + whitespace normalize + heading)."""
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.sources.pages import pages_from_documents
+
+    ds = pages_from_documents(sf_dir)
+    out = extract_pipeline(ds, dedup=True, explode_giant=False)
+    return out.select_columns(["url", "extracted_text"])
+
+
 def _q_extract_enriched(sf_dir: str):
     """Extraction with OCR + code/formula enrichment enabled (reference
     phase 2 OCR + phase 4 enrichment; stubbed models, real plumbing)."""
@@ -233,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship extraction (SURVEY.md §3; non-SQL, rows-only check)
         "extract_pages": _q_extract_pages,
+        "extract_docs_text": _q_extract_docs_text,
         "extract_synth_corpus": _q_extract_synth,
         "extract_ocr_enriched": _q_extract_enriched,
         # multimodal: binary media column -> actor-pool decode/feature
@@ -268,6 +282,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # byte-level oracle for the flagship HTML extraction: the
+        # deterministic page wrap makes extracted_text a closed form
+        # of the document text (see sources/pages.py:pages_from_documents)
+        "extract_docs_text": r"""
+            SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                   COALESCE(
+                       list_aggregate(
+                           list_filter(
+                               list_transform(
+                                   str_split(text, '. '),
+                                   s -> trim(regexp_replace(s, '\s+', ' ', 'g'))
+                               ),
+                               s -> s <> ''
+                           ),
+                           'string_agg', chr(10)
+                       ), ''
+                   ) AS extracted_text
+            FROM documents
+        """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS min_doc_id
             FROM documents GROUP BY md5(text) ORDER BY text_hash
