@@ -144,6 +144,20 @@ def _q_extract_enriched(sf_dir: str):
     return out.select_columns(["url", "doc_kind", "extracted_text", "n_elements"])
 
 
+def _q_ocr_tasks(sf_dir: str):
+    """Distributed OCR: identify -> actor-pool recognize (stubbed model,
+    batch 32, reference gpu_processor.py:204-288 shape)."""
+    import ray.data as rd
+
+    from high_performance_docling_ray.pipelines.ocr import ocr_pipeline
+    from high_performance_docling_ray.sources.pages import synth_pages_table
+
+    tbl = synth_pages_table(150, seed=42).select(
+        ["url", "warc_ts", "html", "lang"]
+    )
+    return ocr_pipeline(rd.from_arrow(tbl), concurrency=(1, 4))
+
+
 def _q_image_features(sf_dir: str):
     from high_performance_docling_ray.stages.multimodal import image_features
 
@@ -249,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs_text": _q_extract_docs_text,
         "extract_synth_corpus": _q_extract_synth,
         "extract_ocr_enriched": _q_extract_enriched,
+        "ocr_recognize": _q_ocr_tasks,
         # multimodal: binary media column -> actor-pool decode/feature
         "image_features": _q_image_features,
         # corpus dedup family

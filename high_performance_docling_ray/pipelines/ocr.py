@@ -1,0 +1,130 @@
+"""Distributed OCR: the reference's phase-2 steps 2-3 as Ray stages.
+
+Reference flow (`/root/reference/gpu_processor.py:204-288`):
+identify empty-text regions per page -> batch 32 crops through TrOCR
+-> apply recognized text back by (page_no, cluster_id). Here the same
+flow runs over a pages Dataset:
+
+    pages parquet
+      -> flat_map(explode_pdf_pages)                 # page rows
+      -> map_batches(identify)                       # task rows (url, page_no, cluster_id, bbox)
+      -> map_batches(OcrRecognizer, concurrency=(1,N), batch_size=32)
+                                                     # ACTOR POOL: model weights
+                                                     # load once per actor (A3)
+      -> (url, page_no, cluster_id, ocr_text)        # J6 join key shape
+
+The result table re-merges into the extraction by its (url, page_no,
+cluster_id) key — the same key the inline apply join uses
+(`kernels/document.py:assemble_page`). The recognizer core is the
+deterministic stub from kernels/ocr.py; drop in a real vision model by
+replacing one method on the actor.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+import ray.data
+
+from ..kernels.document import DEFAULT_OPTIONS, PDF_MAGIC, sniff_format
+from ..kernels.layout_rules import CellArrays, postprocess_page
+from ..kernels.ocr import OCR_BATCH_SIZE, identify_ocr_regions, recognize_batch
+
+TASK_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("page_no", pa.int32()),
+        ("cluster_id", pa.int32()),
+        ("l", pa.float64()),
+        ("t", pa.float64()),
+        ("r", pa.float64()),
+        ("b", pa.float64()),
+    ]
+)
+
+
+def identify_tasks(batch: pa.Table) -> pa.Table:
+    """Page rows -> OCR task rows (reference _identify_ocr_regions)."""
+    out = {name: [] for name in TASK_SCHEMA.names}
+    for row in batch.to_pylist():
+        payload = row["html"]
+        if sniff_format(payload or b"") != "pdf":
+            continue
+        doc = json.loads(payload[len(PDF_MAGIC):])
+        for page in doc["pages"]:
+            cells = CellArrays(page["cells"])
+            raw = [
+                {
+                    "id": int(c["id"]),
+                    "label": c["label"],
+                    "bbox": (c["l"], c["t"], c["r"], c["b"]),
+                    "confidence": float(c["confidence"]),
+                }
+                for c in page["raw_clusters"]
+            ]
+            clusters = postprocess_page(
+                raw,
+                cells,
+                float(page["width"]),
+                float(page["height"]),
+                keep_empty_clusters=True,  # OCR needs the empty regions
+                create_orphan_clusters=DEFAULT_OPTIONS.create_orphan_clusters,
+            )
+            for task in identify_ocr_regions(clusters):
+                out["url"].append(row["url"])
+                out["page_no"].append(int(page["page_no"]))
+                out["cluster_id"].append(int(task["cluster_id"]))
+                ll, tt, rr, bb = task["bbox"]
+                out["l"].append(float(ll))
+                out["t"].append(float(tt))
+                out["r"].append(float(rr))
+                out["b"].append(float(bb))
+    return pa.Table.from_pydict(out, schema=TASK_SCHEMA)
+
+
+class OcrRecognizer:
+    """Actor-pool stage: model weights load once per actor (A3 shape).
+
+    The stub loads instantly; a TrOCR deployment does its processor +
+    model load here and replaces ``_recognize``.
+    """
+
+    def __init__(self) -> None:
+        self._recognize = recognize_batch  # model handle in real build
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        texts: list[str] = []
+        # recognize page-by-page in reference-sized chunks (batch 32)
+        for row in rows:
+            task = {
+                "cluster_id": row["cluster_id"],
+                "bbox": (row["l"], row["t"], row["r"], row["b"]),
+            }
+            texts.append(self._recognize([task], row["page_no"])[0])
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "page_no": pa.array([r["page_no"] for r in rows], pa.int32()),
+                "cluster_id": pa.array(
+                    [r["cluster_id"] for r in rows], pa.int32()
+                ),
+                "ocr_text": pa.array(texts, pa.large_string()),
+            }
+        )
+
+
+def ocr_pipeline(
+    pages_ds: ray.data.Dataset, concurrency=(1, 4)
+) -> ray.data.Dataset:
+    """pages -> OCR task rows -> recognized text keyed for the J6 merge."""
+    return pages_ds.map_batches(
+        identify_tasks, batch_format="pyarrow"
+    ).map_batches(
+        OcrRecognizer,
+        batch_format="pyarrow",
+        batch_size=OCR_BATCH_SIZE,  # reference: 32 regions per model call
+        concurrency=concurrency,
+    )
