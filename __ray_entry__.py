@@ -164,6 +164,22 @@ def _q_image_features(sf_dir: str):
     return image_features(n=256)
 
 
+def _q_figure_features(sf_dir: str):
+    """Figure-image extraction (reference M25): figures from the
+    extraction output -> crop payloads -> actor-pool decode/features."""
+    import ray.data as rd
+
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.pipelines.figures import figure_features
+    from high_performance_docling_ray.sources.pages import synth_pages_table
+
+    tbl = synth_pages_table(150, seed=42).select(
+        ["url", "warc_ts", "html", "lang"]
+    )
+    result = extract_pipeline(rd.from_arrow(tbl), dedup=False)
+    return figure_features(result, concurrency=(1, 4))
+
+
 def _q_token_counts(sf_dir: str):
     from high_performance_docling_ray.pipelines.text_analysis import token_counts
 
@@ -266,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_recognize": _q_ocr_tasks,
         # multimodal: binary media column -> actor-pool decode/feature
         "image_features": _q_image_features,
+        "figure_features": _q_figure_features,
         # corpus dedup family
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_pairs": _q_minhash_pairs,

@@ -22,7 +22,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "24000"))
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))
-CORPUS_DIR = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
+# v2: bump when the corpus generator changes so the cached parquet is
+# regenerated (sources/pages.py fixture set).
+CORPUS_DIR = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus_v2")
 
 
 def _init_ray(num_cpus: int) -> None:

@@ -277,16 +277,9 @@ def extract_document(
 
         items = enrich_elements(items)
         extracted_text = export_text(items)
-    canon_items = [
-        {
-            "label": it["label"],
-            "kind": it["kind"],
-            "page_no": it["page_no"],
-            "bbox": [round(v, 2) for v in it["bbox"]],
-            "text": it["text"],
-        }
-        for it in items
-    ]
+    from .reading_order import canonical_items
+
+    canon_items = canonical_items(items)
     return {
         "extracted_text": extracted_text,
         "markdown": export_markdown(items),

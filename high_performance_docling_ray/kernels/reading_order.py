@@ -209,6 +209,24 @@ def export_text(items: list[dict]) -> str:
     return "\n".join(body_parts)
 
 
+def canonical_items(items: list[dict]) -> list[dict]:
+    """Assembled items -> the canonical serialization stored in the
+    ``elements_json`` result column (rounded bboxes, stable field set;
+    the regression-canonicalization idea of table_regression_runner.py:53-84)."""
+    return [
+        {
+            "label": it["label"],
+            "kind": it["kind"],
+            "page_no": it["page_no"],
+            "bbox": [round(v, 2) for v in it["bbox"]],
+            "text": it["text"],
+            "captions": it.get("captions", []),
+            "footnotes": it.get("footnotes", []),
+        }
+        for it in items
+    ]
+
+
 def export_markdown(items: list[dict]) -> str:
     """Markdown projection of assembled items (main.py:93 equivalent)."""
     parts: list[str] = []

@@ -283,6 +283,26 @@ def _make_page(rng: random.Random, page_no: int) -> dict:
                 )
                 cluster_id += 1
 
+    # fixture: picture region with a caption beneath it (figure path
+    # M25 + caption attachment J7). Pictures are special-class
+    # clusters with no cells; the caption is a text block the reading
+    # order must map to the figure.
+    if rng.random() < 0.35:
+        pic_top = y
+        clusters.append(
+            {
+                "id": cluster_id,
+                "label": "picture",
+                "l": 72.0, "t": pic_top, "r": 300.0, "b": pic_top + 80.0,
+                "confidence": 0.85,
+            }
+        )
+        cluster_id += 1
+        y = pic_top + 84.0
+        add_block(
+            [f"Figure {page_no + 1}: " + _sentence(rng, 3, 6)], "caption", 0.8
+        )
+
     # fixture: empty text cluster over a blank region — dropped by the
     # empty filter in the default config, an OCR task when do_ocr=True
     if rng.random() < 0.3:

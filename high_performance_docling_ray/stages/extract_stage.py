@@ -36,7 +36,11 @@ from ..kernels.document import (
     process_pdf_page,
     sniff_format,
 )
-from ..kernels.reading_order import assemble_document, export_markdown
+from ..kernels.reading_order import (
+    assemble_document,
+    canonical_items,
+    export_markdown,
+)
 
 RESULT_FIELDS = [
     ("url", pa.string()),
@@ -235,16 +239,7 @@ def assemble_doc_group(
 
         items = enrich_elements(items)
         extracted_text = export_text(items)
-    canon_items = [
-        {
-            "label": it["label"],
-            "kind": it["kind"],
-            "page_no": it["page_no"],
-            "bbox": [round(v, 2) for v in it["bbox"]],
-            "text": it["text"],
-        }
-        for it in items
-    ]
+    canon_items = canonical_items(items)
     scores = [r["layout_score"] for r in rows if r["layout_score"] == r["layout_score"]]
     first = rows[0]
     kind = "pdf" if first["page_kind"] == "pdf_page" else "html"

@@ -106,16 +106,20 @@ class ImageFeatureStage:
                 out_feat.append([0.0, 0.0, 0.0])
                 out_ok.append(False)
             out_id.append(media_id)
-        return pa.Table.from_pydict(
-            {
-                "media_id": pa.array(out_id, pa.int64()),
-                "height": pa.array(out_h, pa.int32()),
-                "width": pa.array(out_w, pa.int32()),
-                "mean_intensity": pa.array(out_mean, pa.float64()),
-                "rgb_feature": pa.array(out_feat, pa.list_(pa.float64())),
-                "decode_ok": pa.array(out_ok, pa.bool_()),
-            }
-        )
+        cols = {
+            "media_id": pa.array(out_id, pa.int64()),
+            "height": pa.array(out_h, pa.int32()),
+            "width": pa.array(out_w, pa.int32()),
+            "mean_intensity": pa.array(out_mean, pa.float64()),
+            "rgb_feature": pa.array(out_feat, pa.list_(pa.float64())),
+            "decode_ok": pa.array(out_ok, pa.bool_()),
+        }
+        # pass identifying metadata through (the heavy `media` payload
+        # column is deliberately NOT copied — it dies with this block)
+        for name in ("url", "page_no", "caption"):
+            if name in batch.column_names:
+                cols[name] = batch.column(name)
+        return pa.Table.from_pydict(cols)
 
 
 def synth_media_dataset(n: int, seed: int = 42):
