@@ -27,10 +27,22 @@ def read_embeddings(sf_dir: str) -> ray.data.Dataset:
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-    # zero-copy-ish: list<float> -> (N, D) float64 for duckdb-parity math
-    arr = batch.column("embedding")
-    mat = np.array(arr.to_pylist(), dtype=np.float64)
+    """list<float> column -> (N, D) float64 without a Python round-trip.
+
+    The Arrow list values buffer is contiguous when every row has the
+    same dimension (our embeddings do), so flatten() + reshape is a
+    single buffer view + one dtype cast; falls back to to_pylist for
+    ragged input."""
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch.column("embedding").combine_chunks()
+    n = len(col)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if n and (widths == widths[0]).all():
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        mat = np.asarray(flat, dtype=np.float64).reshape(n, int(widths[0]))
+    else:
+        mat = np.array(col.to_pylist(), dtype=np.float64).reshape(n, -1)
     return ids, mat
 
 
