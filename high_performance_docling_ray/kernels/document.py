@@ -175,10 +175,16 @@ def assemble_page(
     return elements
 
 
-def process_pdf_page(
+def page_clusters(
     page: dict[str, Any], options: ExtractOptions = DEFAULT_OPTIONS
-) -> tuple[list[dict], dict[str, float]]:
-    """One parsed page -> assembled elements + confidence scores."""
+) -> tuple[list[dict], CellArrays]:
+    """One parsed page -> finalized layout clusters + cell arrays.
+
+    The single shared entry for cluster derivation (inline extraction,
+    the distributed OCR identify stage, and tests all call this, so
+    their cluster sets cannot diverge). Empty clusters are kept when
+    OCR is on — they are the OCR task regions (gpu_processor.py:204-234).
+    """
     cells = CellArrays(page["cells"])
     raw = [
         {
@@ -197,6 +203,14 @@ def process_pdf_page(
         keep_empty_clusters=options.keep_empty_clusters or options.do_ocr,
         create_orphan_clusters=options.create_orphan_clusters,
     )
+    return final_clusters, cells
+
+
+def process_pdf_page(
+    page: dict[str, Any], options: ExtractOptions = DEFAULT_OPTIONS
+) -> tuple[list[dict], dict[str, float]]:
+    """One parsed page -> assembled elements + confidence scores."""
+    final_clusters, cells = page_clusters(page, options)
     scores = layout_confidence(final_clusters, cells)
 
     ocr_texts: dict[int, str] = {}

@@ -513,16 +513,21 @@ def process_matches(
     pdf_cells: list[dict],
     matches: Matches | None = None,
     correct_overlapping_cells: bool = False,
+    min_free_cell_id: int = 0,
 ) -> tuple[list[TableCell], Matches]:
     """Full 9-step post-process (process(), :1128-1404).
 
     Returns (table_cells, matches) with final per-pdf-cell assignment.
+    ``min_free_cell_id``: ids below this are reserved by the caller
+    (e.g. structural cells excluded from matching for having no bbox),
+    so orphan-created cells never collide with them.
     """
     pdf_cells = clear_pdf_cells(pdf_cells)
     if not matches:
         matches = intersection_over_pdf_match(table_cells, pdf_cells)
 
     tab_cols, tab_rows, max_cell_id = table_dimension(table_cells)
+    max_cell_id = max(max_cell_id, min_free_cell_id - 1)
 
     fixed: list[TableCell] = []
     for col in range(tab_cols):

@@ -327,7 +327,12 @@ def _build_with_postprocess(
         for tk in tokens
     ]
 
-    out_cells, matches = process_matches(table_cells, pdf_cells)
+    # orphan-created ids must not collide with ANY parsed cell id —
+    # including cells excluded from matching for having no bbox
+    next_free = max((c["cell_id"] for c in cells), default=-1) + 1
+    out_cells, matches = process_matches(
+        table_cells, pdf_cells, min_free_cell_id=next_free
+    )
 
     # tokens per final table cell, joined in token-id order
     tok_by_id = {tk["id"]: tk for tk in tokens}

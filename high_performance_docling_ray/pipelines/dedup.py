@@ -164,9 +164,6 @@ def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
     n = group.num_rows
     if n < 2:
         return _EMPTY_PAIRS
-    if n > 4096:  # hot-bucket cap: all-identical spam key etc.
-        group = group.slice(0, 4096)
-        n = 4096
     doc_ids = np.asarray(group.column("doc_id").to_numpy(), dtype=np.int64)
     sigs = np.stack(
         [
@@ -177,6 +174,17 @@ def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = doc_ids[order]
     sigs = sigs[order]
+    if n > 4096:
+        # hot-bucket cap (all-identical spam key etc.): keep the 4096
+        # LOWEST doc_ids — deterministic regardless of block arrival
+        # order — and say so rather than truncating silently
+        print(
+            f"[dedup] hot LSH bucket capped: {n} -> 4096 rows "
+            f"(doc_ids >= {int(doc_ids[4096])} dropped for this key)"
+        )
+        doc_ids = doc_ids[:4096]
+        sigs = sigs[:4096]
+        n = 4096
     sim = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
     ii, jj = np.triu_indices(n, k=1)
     keep = (sim[ii, jj] >= threshold) & (doc_ids[ii] != doc_ids[jj])
@@ -290,13 +298,14 @@ def _simhash_bucket_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
                 "hamming": pa.array([], pa.int32()),
             }
         )
-    if n > 4096:  # hot-bucket cap (see _bucket_pairs)
-        group = group.slice(0, 4096)
-        n = 4096
     doc_ids = np.asarray(group.column("doc_id").to_numpy(), dtype=np.int64)
     hashes = np.asarray(group.column("simhash").to_numpy(), dtype=np.uint64)
     order = np.argsort(doc_ids, kind="stable")
     doc_ids, hashes = doc_ids[order], hashes[order]
+    if n > 4096:  # deterministic hot-bucket cap (see _bucket_pairs)
+        print(f"[dedup] hot simhash bucket capped: {n} -> 4096 rows")
+        doc_ids, hashes = doc_ids[:4096], hashes[:4096]
+        n = 4096
     ii, jj = np.triu_indices(n, k=1)
     x = hashes[ii] ^ hashes[jj]
     d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)

@@ -29,6 +29,9 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..stages.extract_stage import (
+    GIANT_BYTES as _STAGE_GIANT_BYTES,
+)
+from ..stages.extract_stage import (
     DocExtractor,
     PageExtractor,
     add_cost_class,
@@ -38,12 +41,9 @@ from ..stages.extract_stage import (
     make_page_extract_fn,
 )
 
-# Payload size above which a document is page-exploded across the
-# cluster instead of processed in-task. Exploding pays a per-doc
-# groupby regroup, so it is reserved for true monsters (~100+ pages,
-# the docs that would straggle a task); a 20-page doc is ~30 ms of
-# in-task work and takes the doc-at-once path.
-GIANT_BYTES = 1_572_864  # >=1.5 MiB payload -> page-exploded path
+# Re-exported from the stage module (single source of truth for the
+# monster-explosion threshold; see stages/extract_stage.py).
+GIANT_BYTES = _STAGE_GIANT_BYTES
 
 PAGE_COLUMNS = ["url", "warc_ts", "html", "lang"]
 
@@ -66,8 +66,10 @@ def _local_keep_first(batch: pa.Table) -> pa.Table:
     n = len(urls)
     if n == 0:
         return sorted_tbl
-    # vectorized first-occurrence mask: row i survives iff url[i] != url[i-1]
-    neq = pc.not_equal(urls.slice(1), urls.slice(0, n - 1))
+    # vectorized first-occurrence mask: row i survives iff url[i] != url[i-1].
+    # not_equal propagates null, and Table.filter DROPS null mask rows —
+    # fill with True so null-url rows (no dedup key) are all kept.
+    neq = pc.fill_null(pc.not_equal(urls.slice(1), urls.slice(0, n - 1)), True)
     keep = pa.chunked_array([pa.array([True]), neq])
     return sorted_tbl.filter(keep)
 
@@ -80,7 +82,10 @@ def _group_keep_first(group: pa.Table) -> pa.Table:
 def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     urls = batch.column("url").to_pylist()
     buckets = np.fromiter(
-        (zlib.crc32(u.encode("utf-8")) % num_buckets for u in urls),
+        (
+            zlib.crc32(u.encode("utf-8")) % num_buckets if u is not None else 0
+            for u in urls
+        ),
         dtype=np.int32,
         count=len(urls),
     )
@@ -188,6 +193,15 @@ def dedup_by_url(
         return dedup_shuffle(ds, num_buckets)
     counts = key_tbl.group_by(["url", "ts_us"]).aggregate([("n", "sum")])
     counts = counts.rename_columns(["url", "ts_us", "n"])
+    # rows with a null url or null warc_ts have no usable dedup key;
+    # they are excluded from the winner table and handled by the
+    # passthrough rules in semi_join below
+    counts = counts.filter(
+        pc.and_(
+            pc.is_valid(counts.column("url")),
+            pc.is_valid(counts.column("ts_us")),
+        )
+    )
     counts = counts.take(
         pc.sort_indices(
             counts,
@@ -210,10 +224,25 @@ def dedup_by_url(
 
     def semi_join(batch: pa.Table) -> pa.Table:
         w = ray.get(winners_ref)  # zero-copy Arrow from plasma
-        keyed = batch.append_column(
-            "ts_us", pc.cast(batch.column("warc_ts"), pa.int64())
+        url = batch.column("url")
+        ts = pc.cast(batch.column("warc_ts"), pa.int64())
+        keyed = batch.append_column("ts_us", ts)
+        matched = keyed.join(w, keys=["url", "ts_us"], join_type="left semi")
+        # null keys never match an Arrow join. Keep: null-url rows (no
+        # dedup key exists), and null-ts rows of urls that have no
+        # non-null-ts winner (otherwise the non-null capture wins).
+        null_url = pc.is_null(url)
+        null_ts_only = pc.and_(
+            pc.and_(pc.is_null(ts), pc.invert(null_url)),
+            pc.invert(
+                pc.is_in(url, value_set=w.column("url").combine_chunks())
+            ),
         )
-        out = keyed.join(w, keys=["url", "ts_us"], join_type="left semi")
+        extra_mask = pc.fill_null(pc.or_(null_url, null_ts_only), False)
+        extra = keyed.filter(extra_mask)
+        out = matched if extra.num_rows == 0 else pa.concat_tables(
+            [matched, extra]
+        )
         return out.drop_columns(["ts_us"])
 
     filtered = ds.map_batches(semi_join, batch_format="pyarrow")

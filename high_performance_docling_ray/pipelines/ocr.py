@@ -28,9 +28,15 @@ import pyarrow as pa
 
 import ray.data
 
-from ..kernels.document import DEFAULT_OPTIONS, PDF_MAGIC, sniff_format
-from ..kernels.layout_rules import CellArrays, postprocess_page
+from ..kernels.document import (
+    PDF_MAGIC,
+    ExtractOptions,
+    page_clusters,
+    sniff_format,
+)
 from ..kernels.ocr import OCR_BATCH_SIZE, identify_ocr_regions, recognize_batch
+
+_OCR_OPTIONS = ExtractOptions(do_ocr=True)  # keeps the empty OCR regions
 
 TASK_SCHEMA = pa.schema(
     [
@@ -46,32 +52,22 @@ TASK_SCHEMA = pa.schema(
 
 
 def identify_tasks(batch: pa.Table) -> pa.Table:
-    """Page rows -> OCR task rows (reference _identify_ocr_regions)."""
+    """Page rows -> OCR task rows (reference _identify_ocr_regions).
+
+    Malformed documents are skipped (the extraction path degrades the
+    same way) rather than failing the task."""
     out = {name: [] for name in TASK_SCHEMA.names}
     for row in batch.to_pylist():
         payload = row["html"]
         if sniff_format(payload or b"") != "pdf":
             continue
-        doc = json.loads(payload[len(PDF_MAGIC):])
-        for page in doc["pages"]:
-            cells = CellArrays(page["cells"])
-            raw = [
-                {
-                    "id": int(c["id"]),
-                    "label": c["label"],
-                    "bbox": (c["l"], c["t"], c["r"], c["b"]),
-                    "confidence": float(c["confidence"]),
-                }
-                for c in page["raw_clusters"]
-            ]
-            clusters = postprocess_page(
-                raw,
-                cells,
-                float(page["width"]),
-                float(page["height"]),
-                keep_empty_clusters=True,  # OCR needs the empty regions
-                create_orphan_clusters=DEFAULT_OPTIONS.create_orphan_clusters,
-            )
+        try:
+            doc = json.loads(payload[len(PDF_MAGIC):])
+            pages = doc["pages"]
+        except Exception:
+            continue  # unparseable document: no OCR tasks from it
+        for page in pages:
+            clusters, _cells = page_clusters(page, _OCR_OPTIONS)
             for task in identify_ocr_regions(clusters):
                 out["url"].append(row["url"])
                 out["page_no"].append(int(page["page_no"]))
@@ -96,14 +92,25 @@ class OcrRecognizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
+        # one model call per (page_no) run — real batched inference, not
+        # a per-row invocation; rows of one page are contiguous because
+        # identify_tasks emits them together
         texts: list[str] = []
-        # recognize page-by-page in reference-sized chunks (batch 32)
-        for row in rows:
-            task = {
-                "cluster_id": row["cluster_id"],
-                "bbox": (row["l"], row["t"], row["r"], row["b"]),
-            }
-            texts.append(self._recognize([task], row["page_no"])[0])
+        i = 0
+        while i < len(rows):
+            j = i
+            page_no = rows[i]["page_no"]
+            while j < len(rows) and rows[j]["page_no"] == page_no:
+                j += 1
+            tasks = [
+                {
+                    "cluster_id": r["cluster_id"],
+                    "bbox": (r["l"], r["t"], r["r"], r["b"]),
+                }
+                for r in rows[i:j]
+            ]
+            texts.extend(self._recognize(tasks, page_no))
+            i = j
         return pa.Table.from_pydict(
             {
                 "url": pa.array([r["url"] for r in rows], pa.string()),

@@ -58,6 +58,15 @@ def _small_table(ds: ray.data.Dataset) -> pa.Table:
     return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
 
 
+def _sorted_member_mask(sorted_keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Membership of ``probe`` values in a SORTED key array; safe for an
+    empty build side (returns all-False instead of indexing out of range)."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(probe), dtype=bool)
+    pos = np.minimum(np.searchsorted(sorted_keys, probe), len(sorted_keys) - 1)
+    return sorted_keys[pos] == probe
+
+
 # -- q1: pricing summary (TPC-H Q1 shape) -----------------------------------
 
 _Q1_KEYS = ["l_returnflag", "l_linestatus"]
@@ -162,18 +171,13 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pa.Table
     orders = _small_table(_read(sf_dir, "orders", ["o_orderkey", "o_custkey"]))
     okey = orders.column("o_orderkey").to_numpy().astype(np.int64)
     ocust = orders.column("o_custkey").to_numpy().astype(np.int64)
-    pos = np.searchsorted(ckeys, ocust)
-    pos_c = np.minimum(pos, len(ckeys) - 1)
-    hit = (len(ckeys) > 0) & (ckeys[pos_c] == ocust)
-    building_orders = np.sort(okey[hit])
+    building_orders = np.sort(okey[_sorted_member_mask(ckeys, ocust)])
     orders_ref = ray.put(building_orders)
 
     def probe(batch: pa.Table) -> pa.Table:
         keys_sorted = ray.get(orders_ref)  # zero-copy numpy from plasma
         lkeys = batch.column("l_orderkey").to_numpy().astype(np.int64)
-        p = np.searchsorted(keys_sorted, lkeys)
-        pc_ = np.minimum(p, max(len(keys_sorted) - 1, 0))
-        mask = (len(keys_sorted) > 0) & (keys_sorted[pc_] == lkeys)
+        mask = _sorted_member_mask(keys_sorted, lkeys)
         lkeys = lkeys[mask]
         if lkeys.size == 0:
             return pa.Table.from_pydict(
@@ -234,22 +238,41 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
     lut_ref = ray.put(supp_rid)
     n_regions = len(r_names)
 
+    _EMPTY_Q5 = pa.Table.from_pydict(
+        {"rid": pa.array([], pa.int64()), "rev_e4": pa.array([], pa.int64())}
+    )
+
     def probe(batch: pa.Table) -> pa.Table:
         lut = ray.get(lut_ref)  # zero-copy numpy
+        if len(lut) == 0 or batch.num_rows == 0:
+            return _EMPTY_Q5
         sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
-        rid = lut[sk]
-        base_c = _cents(batch.column("l_extendedprice"))
-        disc_c = _cents(batch.column("l_discount"))
+        # inner-join semantics: suppkeys outside the LUT or mapped to no
+        # region (-1) contribute nothing (and never wrap into sums[-1])
+        valid = (sk >= 0) & (sk < len(lut))
+        rid = np.where(valid, lut[np.clip(sk, 0, max(len(lut) - 1, 0))], -1)
+        ok = rid >= 0
+        base_c = _cents(batch.column("l_extendedprice"))[ok]
+        disc_c = _cents(batch.column("l_discount"))[ok]
+        rid = rid[ok]
         sums = np.zeros(n_regions, dtype=np.int64)
         np.add.at(sums, rid, base_c * (100 - disc_c))
+        hit = np.zeros(n_regions, dtype=bool)
+        hit[rid] = True  # emit only regions with activity (inner join)
         return pa.Table.from_pydict(
-            {"rid": pa.array(np.arange(n_regions), pa.int64()),
-             "rev_e4": pa.array(sums, pa.int64())}
+            {"rid": pa.array(np.nonzero(hit)[0], pa.int64()),
+             "rev_e4": pa.array(sums[hit], pa.int64())}
         )
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
     agg = li.map_batches(probe, batch_format="pyarrow").groupby("rid").sum("rev_e4")
-    tbl = pa.Table.from_pylist(agg.take_all())
+    rows = agg.take_all()
+    if not rows:
+        return pa.Table.from_pydict(
+            {"r_name": pa.array([], pa.string()),
+             "revenue": pa.array([], pa.float64())}
+        )
+    tbl = pa.Table.from_pylist(rows)
     rid = tbl.column("rid").to_numpy().astype(np.int64)
     rev = tbl.column("sum(rev_e4)").to_numpy().astype(np.int64)
     out = pa.Table.from_pydict(

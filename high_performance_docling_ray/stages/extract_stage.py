@@ -146,7 +146,15 @@ def make_page_extract_fn(options: ExtractOptions = DEFAULT_OPTIONS):
 
 # -- giant-document page parallelism ---------------------------------------
 
-def add_cost_class(batch: pa.Table, giant_bytes: int = 196_608) -> pa.Table:
+# Payload size above which a document is page-exploded across the
+# cluster instead of processed in-task. Exploding pays a per-doc
+# groupby regroup, so it is reserved for true monsters (~100+ pages,
+# the docs that would straggle a task); a 20-page doc is ~30 ms of
+# in-task work and takes the doc-at-once path.
+GIANT_BYTES = 1_572_864  # >=1.5 MiB payload -> page-exploded path
+
+
+def add_cost_class(batch: pa.Table, giant_bytes: int = GIANT_BYTES) -> pa.Table:
     """Cheap ingest-time size classification on payload length
     (SURVEY.md §4.2): 0 = small/medium (doc-at-once), 1 = giant
     (page-exploded)."""

@@ -107,19 +107,39 @@ class MetricsCollector:
     """Side-channel for per-shard metric partials.
 
     Ray Data cannot tee one streaming pass into both a sink and an
-    aggregate, so the write stage fire-and-forgets its (tiny) partial
-    tables to this actor; the driver combines them after the sink
-    finishes. This is the one deliberate drop to a raw actor in the
-    repo (SURVEY.md custom-operator rule c)."""
+    aggregate, so the write stage ships its (tiny) partial tables to
+    this actor; the driver combines them after the sink finishes. This
+    is the one deliberate drop to a raw actor in the repo (SURVEY.md
+    custom-operator rule c).
+
+    Correctness under failure: partials are keyed by a content hash of
+    the batch, so a Ray task RETRY that re-sends the same batch
+    overwrites rather than double-counts; the sender ``ray.get``s the
+    add call, so every partial is delivered before ``write_parquet``
+    returns and ``collect`` runs."""
 
     def __init__(self) -> None:
-        self._partials: list = []
+        self._partials: dict[str, object] = {}
 
-    def add(self, tbl) -> None:
-        self._partials.append(tbl)
+    def add(self, key: str, tbl) -> None:
+        self._partials[key] = tbl
 
     def collect(self) -> list:
-        return self._partials
+        return list(self._partials.values())
+
+
+def _batch_fingerprint(batch: pa.Table) -> str:
+    """Deterministic identity of one batch (retry-idempotency key)."""
+    h = hashlib.md5()
+    h.update(str(batch.num_rows).encode())
+    if "url" in batch.column_names:
+        for chunk in batch.column("url").chunks:
+            for buf in chunk.buffers():
+                if buf is not None:
+                    h.update(buf)
+    elif batch.num_rows:
+        h.update(str(batch.slice(0, 1).to_pylist()).encode())
+    return h.hexdigest()
 
 
 def write_resumable(
@@ -129,15 +149,20 @@ def write_resumable(
 ) -> dict[int, int]:
     """Write results partitioned by shard_id, record manifests with
     per-shard metrics — all in the SAME streaming pass as the sink
-    (metric partials are aggregated per batch and shipped to a
-    zero-cpu collector actor; no second pass over the output)."""
+    (metric partials are aggregated per batch and shipped to the
+    collector actor; no second pass over the output)."""
     from .metrics import combine_metric_partials, shard_metrics_partial
 
     collector = MetricsCollector.remote()
 
     def tap(batch: pa.Table) -> pa.Table:
         batch = add_shard_column(batch, num_shards)
-        collector.add.remote(shard_metrics_partial(batch))
+        # synchronous: acts as the delivery barrier (see MetricsCollector)
+        ray.get(
+            collector.add.remote(
+                _batch_fingerprint(batch), shard_metrics_partial(batch)
+            )
+        )
         return batch
 
     with_shards = result_ds.map_batches(tap, batch_format="pyarrow")

@@ -84,3 +84,54 @@ def test_html_with_only_boilerplate():
     )
     res = extract_document(html)
     assert res["extracted_text"] == ""
+
+
+def test_dedup_keeps_null_url_rows():
+    rows = [
+        _row(None, b"<html><body><p>anon one</p></body></html>", _TS),
+        _row(None, b"<html><body><p>anon two</p></body></html>", _TS + 1),
+        _row("https://e.x/k", b"<html><body><p>keyed</p></body></html>", _TS),
+        _row("https://e.x/k", b"<html><body><p>keyed</p></body></html>", _TS + 5),
+    ]
+    ds = ray.data.from_arrow(_tbl(rows).select(PAGE_COLUMNS))
+    out = dedup_by_url(ds).take_all()
+    # both null-url rows survive (no dedup key); keyed url deduped to one
+    assert len(out) == 3
+    assert sum(1 for r in out if r["url"] is None) == 2
+
+
+def test_dedup_null_warc_ts_loses_to_real_capture():
+    rows = [
+        _row("https://e.x/n", b"<html><body><p>a</p></body></html>", None),
+        _row("https://e.x/n", b"<html><body><p>a</p></body></html>", _TS),
+        _row("https://e.x/onlynull", b"<html><body><p>b</p></body></html>", None),
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+    ds = ray.data.from_arrow(tbl.select(PAGE_COLUMNS))
+    out = dedup_by_url(ds).take_all()
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append(r)
+    # the null-ts capture loses to the real one
+    assert len(by_url["https://e.x/n"]) == 1
+    assert by_url["https://e.x/n"][0]["warc_ts"] is not None
+    # a url with ONLY null ts still survives
+    assert "https://e.x/onlynull" in by_url
+
+
+def test_ocr_pipeline_skips_malformed_payload():
+    from high_performance_docling_ray.pipelines.ocr import ocr_pipeline
+
+    rows = [
+        _row("https://e.x/badpdf", b"%SYNTHPDF{not json"),
+        _row("https://e.x/null2", None),
+    ]
+    ds = ray.data.from_arrow(_tbl(rows).select(PAGE_COLUMNS))
+    assert ocr_pipeline(ds, concurrency=(1, 1)).take_all() == []
+
+
+def test_q3_empty_segment_returns_empty():
+    from high_performance_docling_ray.pipelines.relational import q3_shipping
+
+    out = q3_shipping("/root/testdata/sf0.001", segment="NO_SUCH_SEGMENT")
+    assert out.num_rows == 0

@@ -5,13 +5,10 @@ import json
 import ray.data
 
 from high_performance_docling_ray.kernels.document import (
-    DEFAULT_OPTIONS,
     PDF_MAGIC,
+    ExtractOptions,
+    page_clusters,
     sniff_format,
-)
-from high_performance_docling_ray.kernels.layout_rules import (
-    CellArrays,
-    postprocess_page,
 )
 from high_performance_docling_ray.kernels.ocr import run_ocr
 from high_performance_docling_ray.pipelines.ocr import ocr_pipeline
@@ -19,6 +16,7 @@ from high_performance_docling_ray.sources.pages import synth_pages_table
 
 
 def _inline_expected(corpus):
+    opts = ExtractOptions(do_ocr=True)
     expected = {}
     for row in corpus.to_pylist():
         payload = row["html"]
@@ -26,21 +24,7 @@ def _inline_expected(corpus):
             continue
         doc = json.loads(payload[len(PDF_MAGIC):])
         for page in doc["pages"]:
-            cells = CellArrays(page["cells"])
-            raw = [
-                {
-                    "id": int(c["id"]),
-                    "label": c["label"],
-                    "bbox": (c["l"], c["t"], c["r"], c["b"]),
-                    "confidence": float(c["confidence"]),
-                }
-                for c in page["raw_clusters"]
-            ]
-            clusters = postprocess_page(
-                raw, cells, float(page["width"]), float(page["height"]),
-                keep_empty_clusters=True,
-                create_orphan_clusters=DEFAULT_OPTIONS.create_orphan_clusters,
-            )
+            clusters, _ = page_clusters(page, opts)
             for cid, text in run_ocr(clusters, page["page_no"]).items():
                 expected[(row["url"], page["page_no"], cid)] = text
     return expected
