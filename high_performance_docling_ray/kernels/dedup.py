@@ -33,24 +33,32 @@ class MinHasher:
     stage's ``__init__``.
     """
 
+    # Permutation family: x -> a*x + b (mod 2^64) with a ODD is a
+    # BIJECTION of the 64-bit universe (Dietzfelbinger multiply-shift
+    # hashing), which is exactly what min-wise hashing needs. The
+    # wraparound is the point: a modulus the products never reach
+    # (e.g. a*h+b < p) would make every "permutation" order-preserving
+    # — identical min for all perms — and a modulus the products
+    # overflow PAST 64 bits would corrupt the family. uint64 arithmetic
+    # in numpy wraps mod 2^64 by construction.
+
     def __init__(self, num_perm: int = 64, ngram: int = 3, seed: int = 7) -> None:
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
         self.ngram = ngram
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        half = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+        self.a = half * np.uint64(2) + np.uint64(1)  # odd multipliers
+        self.b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
         shingles = ngram_set(text, self.ngram)
         if not shingles:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
         hv = np.fromiter(
             (_hash64(s) for s in sorted(shingles)), np.uint64, len(shingles)
         )
-        # (P, S) permuted hashes -> per-permutation min
-        ph = (
-            self.a[:, None] * hv[None, :] + self.b[:, None]
-        ) % np.uint64(_MERSENNE)
+        # (P, S) permuted hashes -> per-permutation min; uint64 wraps
+        ph = self.a[:, None] * hv[None, :] + self.b[:, None]
         return ph.min(axis=1)
 
     def signatures(self, texts: list[str]) -> np.ndarray:

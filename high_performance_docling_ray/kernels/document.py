@@ -91,7 +91,7 @@ def html_to_elements(html: str) -> list[dict]:
         open_table = None
 
     for blk in blocks:
-        if blk["table_id"] >= 0:
+        if blk["table_id"] >= 0 and blk["row"] >= 0:
             if open_table is None or open_table["table_id"] != blk["table_id"]:
                 flush_table()
                 open_table = {"table_id": blk["table_id"], "cells": []}

@@ -86,7 +86,17 @@ class _BlockSegmenter(HTMLParser):
         self._current = None
         if blk is None:
             return
-        lines = [ln for ln in (s.strip() for s in blk.lines) if ln]
+        if blk.label == "code":
+            # code keeps its line structure and indentation: raw chunks
+            # split on newlines, only fully-blank edges trimmed
+            raw = "".join(blk.lines)
+            lines = [ln.rstrip() for ln in raw.split("\n")]
+            while lines and not lines[0].strip():
+                lines.pop(0)
+            while lines and not lines[-1].strip():
+                lines.pop()
+        else:
+            lines = [ln for ln in (s.strip() for s in blk.lines) if ln]
         if not lines:
             return
         blk.lines = lines
@@ -240,7 +250,12 @@ def extract_elements(html: str) -> list[dict]:
     for blk in segment_blocks(html):
         if is_boilerplate(blk):
             continue
-        text = cells_to_text(blk.lines)
+        if blk.label == "code":
+            # verbatim join — sanitize would collapse indentation and
+            # treat trailing hyphens as line-break hyphenation
+            text = "\n".join(blk.lines)
+        else:
+            text = cells_to_text(blk.lines)
         if not text:
             continue
         out.append(
@@ -266,10 +281,16 @@ def elements_to_text(elements: list[dict]) -> str:
     n = len(elements)
     while i < n:
         el = elements[i]
-        if el["table_id"] >= 0:
+        # a block inside <table> but outside any td/th (row < 0) is
+        # plain text, not a grid cell — same rule as html_to_elements
+        if el["table_id"] >= 0 and el["row"] >= 0:
             tid = el["table_id"]
             rows: dict[int, list[tuple[int, str]]] = {}
-            while i < n and elements[i]["table_id"] == tid:
+            while (
+                i < n
+                and elements[i]["table_id"] == tid
+                and elements[i]["row"] >= 0
+            ):
                 cell = elements[i]
                 rows.setdefault(cell["row"], []).append((cell["col"], cell["text"]))
                 i += 1

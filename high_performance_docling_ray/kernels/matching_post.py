@@ -447,9 +447,13 @@ def pick_orphan_cells(
         confidence = col_depths[new_col][depth_ix]
         pdf_bbox = col_bb[new_col][depth_ix]
 
+        # search the EVOLVING list (the reference's new_table_cells is an
+        # alias of table_cells, so cells created for earlier orphans are
+        # visible to later ones — two orphans in one empty (row, col)
+        # slot must share a cell, :1063-1100)
         existing = [
             c
-            for c in table_cells
+            for c in new_cells
             if c["row_id"] == new_row and c["column_id"] == new_col
         ]
         if existing:

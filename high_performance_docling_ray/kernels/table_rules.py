@@ -346,6 +346,16 @@ def _build_with_postprocess(
 
     by_parse_id = {c["cell_id"]: c for c in cells}
     final_cells: list[TableCell] = []
+    # structural cells without a bbox (sync deficit) never entered the
+    # matcher but stay in the grid with empty text — same contract as
+    # the argmax path; without this the surviving columns shift left
+    matched_ids = {c["cell_id"] for c in out_cells}
+    for cell, bb in zip(cells, bboxes):
+        if bb is None and cell["cell_id"] not in matched_ids:
+            kept = dict(cell)
+            kept["text"] = ""
+            kept["bbox"] = None
+            final_cells.append(kept)
     for tc in sorted(out_cells, key=lambda c: c["cell_id"]):  # O4 order
         base = by_parse_id.get(tc["cell_id"])
         if base is None:
@@ -370,6 +380,7 @@ def _build_with_postprocess(
         base["bbox"] = tuple(float(v) for v in tc["bbox"])
         final_cells.append(base)
 
+    final_cells.sort(key=lambda c: c["cell_id"])  # O4 order overall
     return _finish_table(otsl_seq, final_cells, compact)
 
 

@@ -92,15 +92,20 @@ class OcrRecognizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
-        # one model call per (page_no) run — real batched inference, not
-        # a per-row invocation; rows of one page are contiguous because
-        # identify_tasks emits them together
+        # one model call per (url, page_no) run — real batched inference
+        # over ONE page's crops, never mixing documents (a real model
+        # crops from that page's image); rows of one page are contiguous
+        # because identify_tasks emits them together
         texts: list[str] = []
         i = 0
         while i < len(rows):
             j = i
+            key = (rows[i]["url"], rows[i]["page_no"])
             page_no = rows[i]["page_no"]
-            while j < len(rows) and rows[j]["page_no"] == page_no:
+            while (
+                j < len(rows)
+                and (rows[j]["url"], rows[j]["page_no"]) == key
+            ):
                 j += 1
             tasks = [
                 {

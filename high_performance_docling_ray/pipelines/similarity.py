@@ -177,16 +177,11 @@ def embedding_neardup_pairs(
     exact cosine verifies. Multi-probe (all 1-bit flips) keeps recall
     high at this threshold.
     """
-    rng = np.random.RandomState(seed)
-    planes: np.ndarray | None = None
-
     def sig_batch(batch: pa.Table) -> pa.Table:
-        nonlocal planes
         ids, mat = _batch_matrix(batch)
-        if planes is None:
-            planes_local = np.random.RandomState(seed).randn(mat.shape[1], n_planes)
-        else:
-            planes_local = planes
+        # deterministic planes derived from the seed; cheap enough to
+        # build per batch (D x n_planes gaussians)
+        planes_local = np.random.RandomState(seed).randn(mat.shape[1], n_planes)
         nm = _normalize(mat)
         bits = (nm @ planes_local) > 0
         keys = [
@@ -208,7 +203,6 @@ def embedding_neardup_pairs(
             }
         )
 
-    _ = rng
 
     def bucket_verify(group: pa.Table) -> pa.Table:
         ids = group.column("vec_id").to_pylist()

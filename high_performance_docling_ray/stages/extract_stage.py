@@ -175,7 +175,14 @@ def explode_pdf_pages(row: dict[str, Any]) -> list[dict[str, Any]]:
     base = {"url": row["url"], "warc_ts": row["warc_ts"], "lang": row.get("lang", "")}
     if sniff_format(payload or b"") != "pdf":
         return [{**base, "page_no": 0, "page_payload": payload, "page_kind": "html"}]
-    doc = json.loads(payload[len(PDF_MAGIC):])
+    try:
+        doc = json.loads(payload[len(PDF_MAGIC):])
+        pages = doc["pages"]
+    except Exception:
+        # malformed giant payload: degrade to one error page so the
+        # doc becomes an extract_ok=False row (DocExtractor parity)
+        # instead of failing the flat_map task
+        return [{**base, "page_no": 0, "page_payload": b"", "page_kind": "error"}]
     return [
         {
             **base,
@@ -183,7 +190,7 @@ def explode_pdf_pages(row: dict[str, Any]) -> list[dict[str, Any]]:
             "page_payload": json.dumps(page).encode("utf-8"),
             "page_kind": "pdf_page",
         }
-        for page in doc["pages"]
+        for page in pages
     ]
 
 
@@ -202,17 +209,26 @@ class PageExtractor:
         }
         for row in batch.to_pylist():
             kind = row["page_kind"]
-            if kind == "pdf_page":
-                page = json.loads(row["page_payload"])
-                elements, scores = process_pdf_page(page, self.options)
-                score = scores["layout_score"]
-            else:
-                from ..kernels.document import html_to_elements
+            try:
+                if kind == "pdf_page":
+                    page = json.loads(row["page_payload"])
+                    elements, scores = process_pdf_page(page, self.options)
+                    score = scores["layout_score"]
+                elif kind == "error":
+                    elements, score = [], float("nan")
+                else:
+                    from ..kernels.document import html_to_elements
 
-                elements = html_to_elements(
-                    (row["page_payload"] or b"").decode("utf-8", errors="replace")
-                )
-                score = float("nan")
+                    elements = html_to_elements(
+                        (row["page_payload"] or b"").decode(
+                            "utf-8", errors="replace"
+                        )
+                    )
+                    score = float("nan")
+            except Exception:
+                # one corrupt page degrades, it must not fail the task
+                kind = "error"
+                elements, score = [], float("nan")
             out["url"].append(row["url"])
             out["warc_ts"].append(row["warc_ts"])
             out["lang"].append(row["lang"])
@@ -250,7 +266,11 @@ def assemble_doc_group(
     canon_items = canonical_items(items)
     scores = [r["layout_score"] for r in rows if r["layout_score"] == r["layout_score"]]
     first = rows[0]
-    kind = "pdf" if first["page_kind"] == "pdf_page" else "html"
+    kinds = {r["page_kind"] for r in rows}
+    had_error = "error" in kinds
+    kind = "error" if kinds == {"error"} else (
+        "pdf" if "pdf_page" in kinds else "html"
+    )
     return pa.Table.from_pydict(
         {
             "url": [first["url"]],
@@ -264,7 +284,7 @@ def assemble_doc_group(
             "n_elements": [len(items)],
             "n_tables": [sum(1 for it in items if it["kind"] == "table")],
             "layout_score": [sum(scores) / len(scores) if scores else float("nan")],
-            "extract_ok": [True],
+            "extract_ok": [not had_error],
         },
         schema=RESULT_SCHEMA,
     )

@@ -129,16 +129,20 @@ class MetricsCollector:
 
 
 def _batch_fingerprint(batch: pa.Table) -> str:
-    """Deterministic identity of one batch (retry-idempotency key)."""
+    """Deterministic identity of one batch (retry-idempotency key).
+
+    Hashes VALUES, not Arrow buffers: zero-copy slices of one block
+    alias the same parent buffers, so buffer-hashing would collide for
+    distinct slices and drop their partials."""
     h = hashlib.md5()
     h.update(str(batch.num_rows).encode())
     if "url" in batch.column_names:
-        for chunk in batch.column("url").chunks:
-            for buf in chunk.buffers():
-                if buf is not None:
-                    h.update(buf)
+        for u in batch.column("url").to_pylist():
+            h.update(b"\x00" if u is None else u.encode("utf-8"))
+            h.update(b"\x01")
     elif batch.num_rows:
         h.update(str(batch.slice(0, 1).to_pylist()).encode())
+        h.update(str(batch.slice(batch.num_rows - 1, 1).to_pylist()).encode())
     return h.hexdigest()
 
 

@@ -135,3 +135,40 @@ def test_q3_empty_segment_returns_empty():
 
     out = q3_shipping("/root/testdata/sf0.001", segment="NO_SUCH_SEGMENT")
     assert out.num_rows == 0
+
+
+def test_malformed_giant_payload_degrades_not_crashes():
+    bad = b"%SYNTHPDF{not json" + b"x" * 2_000_000  # over GIANT_BYTES
+    rows = [
+        _row("https://e.x/badgiant", bad),
+        _row("https://e.x/ok2", b"<html><body><p>fine text</p></body></html>"),
+    ]
+    ds = ray.data.from_arrow(_tbl(rows).select(PAGE_COLUMNS))
+    out = {r["url"]: r for r in extract_pipeline(ds, dedup=False, explode_giant=True).take_all()}
+    assert len(out) == 2
+    assert not out["https://e.x/badgiant"]["extract_ok"]
+    assert out["https://e.x/ok2"]["extract_ok"]
+
+
+def test_pre_block_preserves_code_formatting():
+    html = (
+        b"<html><body><main><p>intro</p>"
+        b"<pre>def f():\n    return x -\ny</pre>"
+        b"</main></body></html>"
+    )
+    res = extract_document(html)
+    assert "def f():\n    return x -\ny" in res["extracted_text"]
+
+
+def test_text_inside_table_outside_cells_is_kept():
+    html = (
+        b"<html><body><table>Disclaimer note"
+        b"<tr><td>a1</td><td>b1</td></tr></table></body></html>"
+    )
+    res = extract_document(html)
+    assert "Disclaimer note" in res["extracted_text"]
+    assert "a1\tb1" in res["extracted_text"]
+    # standalone html oracle agrees
+    from high_performance_docling_ray.kernels.html_extract import extract_text
+
+    assert "Disclaimer note" in extract_text(html.decode())
