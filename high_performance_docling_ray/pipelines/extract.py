@@ -54,6 +54,21 @@ def read_pages(path: str) -> ray.data.Dataset:
     return ray.data.read_parquet(path, columns=PAGE_COLUMNS)
 
 
+def normalize_urls(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Canonicalize the url column (kernels/urlnorm.py) so url dedup
+    collapses scheme/host-case, fragment, port and tracking-param
+    variants of the same page. Optional pre-dedup stage."""
+    from ..kernels.urlnorm import normalize_url_column
+
+    def f(batch: pa.Table) -> pa.Table:
+        urls = normalize_url_column(batch.column("url").to_pylist())
+        return batch.set_column(
+            batch.column_names.index("url"), "url", pa.array(urls, pa.string())
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _local_keep_first(batch: pa.Table) -> pa.Table:
     """Pre-shuffle combiner: within a batch keep the earliest warc_ts
     per url. Safe because global keep-first = argmin(warc_ts) and min
