@@ -167,6 +167,7 @@ def dedup_by_url(
     num_buckets: int | None = None,
     strategy: str = "auto",
     broadcast_limit: int = 2_000_000,
+    keys_ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Exact dedup: keep the earliest capture per url (north_rule).
 
@@ -183,6 +184,12 @@ def dedup_by_url(
     regime — a winner table that cannot broadcast), falls back to
     ``dedup_shuffle``, the full-row exchange that works at any scale.
     strategy="shuffle" forces that path.
+
+    ``keys_ds``: optional dataset carrying ONLY (url, warc_ts) for
+    phase 1. Ray does not push a Project into read_parquet, so without
+    it the key pass decodes every payload byte; callers that know the
+    parquet path pass ``read_parquet(path, columns=["url","warc_ts"])``
+    and the key pass reads ~3% of the corpus bytes.
     """
     import ray
 
@@ -194,8 +201,11 @@ def dedup_by_url(
     # counts, concatenated on the driver (bounded by broadcast_limit —
     # the same budget the broadcast itself needs), combined with one
     # C++ group_by.
+    keys_src = keys_ds if keys_ds is not None else ds.select_columns(
+        ["url", "warc_ts"]
+    )
     partial_refs = (
-        ds.select_columns(["url", "warc_ts"])
+        keys_src
         .map_batches(_key_partial_counts, batch_format="pyarrow")
         .to_arrow_refs()
     )
@@ -304,6 +314,7 @@ def extract_pipeline(
     options=None,
     use_actors: bool = False,
     giant_bytes: int = GIANT_BYTES,
+    source_path: str | None = None,
 ) -> ray.data.Dataset:
     """Build the extraction DAG over a pages dataset.
 
@@ -312,6 +323,9 @@ def extract_pipeline(
     the stage reuses Ray's warm worker pool. ``use_actors=True`` runs
     the same callables as an autoscaling actor pool — the shape a
     heavy-state variant (real detector/OCR weights) requires.
+
+    ``source_path``: when the input is a parquet path, pass it so the
+    dedup winner phase reads only the key columns (see dedup_by_url).
     """
     from ..kernels.document import DEFAULT_OPTIONS
 
@@ -327,9 +341,9 @@ def extract_pipeline(
             # Autoscaling actor pool (1..CPUs): a fixed-size pool can
             # deadlock the streaming executor when several pools
             # compete for the same CPUs; (min,max) lets Ray scale each
-            # pool to the stage's actual load.
-            import ray
-
+            # pool to the stage's actual load. (module-level import of
+            # ray.data already binds `ray` — a local import here would
+            # shadow it for the whole function)
             concurrency = (
                 1, max(2, int(ray.cluster_resources().get("CPU", 4)))
             )
@@ -343,9 +357,14 @@ def extract_pipeline(
         page_fn = make_page_extract_fn(options)
         page_kwargs = dict(kwargs, batch_size=16)
 
+    keys_ds = (
+        ray.data.read_parquet(source_path, columns=["url", "warc_ts"])
+        if source_path
+        else None
+    )
     if not explode_giant:
         if dedup:
-            ds = dedup_by_url(ds)
+            ds = dedup_by_url(ds, keys_ds=keys_ds)
         return ds.map_batches(doc_fn, **kwargs)
 
     # Dedup ONCE, before the size split. The semi-join dedup's output
@@ -358,7 +377,7 @@ def extract_pipeline(
     # (state/checkpoint.py) and read both branches from that
     # checkpoint rather than re-shuffling per branch.)
     if dedup:
-        ds = dedup_by_url(ds)
+        ds = dedup_by_url(ds, keys_ds=keys_ds)
 
     # Branch point: a lazy Dataset with two consumers re-executes its
     # (now cheap) upstream once per consumer; a mid-pipeline

@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
         dedup=not args.no_dedup,
         explode_giant=True,
         giant_bytes=args.giant_bytes or GIANT_BYTES,
+        # key-column read for the dedup winner phase (no payload decode).
+        # Safe under --resume: a url hashes to exactly one shard, so a
+        # filtered shard's winner entries simply never match a row.
+        source_path=args.input,
     )
     counts = write_resumable(result, args.output, num_shards=args.num_shards)
 
