@@ -1,0 +1,60 @@
+"""Differential test: the fast regex tokenizer must produce IDENTICAL
+blocks to the stdlib html.parser path over the fixture corpora and a
+battery of edge markup."""
+
+import pytest
+
+from high_performance_docling_ray.kernels.html_extract import segment_blocks
+from high_performance_docling_ray.sources.pages import generate_rows
+
+
+def _blocks_equal(html: str) -> None:
+    fast = segment_blocks(html, parser="fast")
+    std = segment_blocks(html, parser="stdlib")
+    assert len(fast) == len(std), (len(fast), len(std), html[:200])
+    for f, s in zip(fast, std):
+        assert f.label == s.label
+        assert f.lines == s.lines
+        assert f.link_chars == s.link_chars
+        assert f.total_chars == s.total_chars
+        assert f.boilerplate_depth == s.boilerplate_depth
+        assert f.heading_level == s.heading_level
+        assert (f.table_id, f.row, f.col) == (s.table_id, s.row, s.col)
+
+
+def test_parsers_agree_on_fixture_corpus():
+    n_checked = 0
+    for row in generate_rows(42, 0, 400):
+        payload = row["html"]
+        if payload.startswith(b"%SYNTHPDF"):
+            continue
+        _blocks_equal(payload.decode("utf-8"))
+        n_checked += 1
+    assert n_checked > 200
+
+
+@pytest.mark.parametrize(
+    "html",
+    [
+        "",
+        "plain text only",
+        "<p>a &amp; b &lt;c&gt;</p>",
+        "<P>UPPER tags</P><DIV>x</DIV>",
+        "<p>self closing<br/>line two</p>",
+        "<!-- comment --><p>after comment</p>",
+        "<!DOCTYPE html><p>doc</p>",
+        "<script>var x = '<p>not content</p>';</script><p>real</p>",
+        "<style>p { color: red }</style><p>styled</p>",
+        '<a href="/x?a=1&amp;b=2">link &quot;q&quot;</a>',
+        "<table><tr><td>a</td><td>b</td></tr>stray</table>",
+        "<pre>  indented\n    code -\nnext</pre>",
+        "<p>unclosed paragraph",
+        "<p>entity at end &amp;",
+        "<nav>bare nav text</nav><p>content</p>",
+        "<ul><li>one</li><li>two</li></ul>",
+        "<h2>head</h2><p>body <b>bold</b> tail</p>",
+        "<div a='>' b=\">\">attr with gt</div>",
+    ],
+)
+def test_parsers_agree_on_edge_markup(html):
+    _blocks_equal(html)
