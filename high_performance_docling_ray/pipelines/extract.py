@@ -162,6 +162,104 @@ def _key_partial_counts(batch: pa.Table) -> pa.Table:
     )
 
 
+
+
+def winner_filter_factory(
+    keys_src: ray.data.Dataset, broadcast_limit: int = 2_000_000
+):
+    """Compute the keep-first winner set and return a per-batch
+    semi-join FILTER plus the tied urls.
+
+    The filter is a pure per-row predicate (winners broadcast once via
+    ``ray.put``), so it commutes with any other per-row stage — e.g.
+    the size-class split can run first and each branch applies the
+    filter to the few rows it actually keeps.
+
+    Returns None when the winner set exceeds the broadcast budget
+    (callers fall back to the full-row shuffle), or (None, []) for an
+    empty input.
+
+    Phase 1 entirely avoids a Ray groupby (whose fixed shuffle cost
+    dwarfs a key-only aggregation): per-batch vectorized partial
+    counts, concatenated on the driver (bounded by broadcast_limit —
+    the same budget the broadcast itself needs), combined with one
+    C++ group_by.
+    """
+    import ray
+
+    partial_refs = (
+        keys_src
+        # whole-block batches: the partials are key-only, so bigger
+        # batches just mean fewer tasks (the phase is overhead-bound)
+        .map_batches(
+            _key_partial_counts, batch_format="pyarrow", batch_size=None
+        )
+        .to_arrow_refs()
+    )
+    partials = ray.get(partial_refs)  # one batched get, not N round-trips
+    partials = [t for t in partials if t.num_columns > 0]  # drop schema-less empties
+    if not partials:
+        return None, []  # empty input
+    key_tbl = pa.concat_tables(partials)
+    if key_tbl.num_rows > broadcast_limit:
+        return None
+    counts = key_tbl.group_by(["url", "ts_us"]).aggregate([("n", "sum")])
+    counts = counts.rename_columns(["url", "ts_us", "n"])
+    # rows with a null url or null warc_ts have no usable dedup key;
+    # they are excluded from the winner table and handled by the
+    # passthrough rules in semi_join below
+    counts = counts.filter(
+        pc.and_(
+            pc.is_valid(counts.column("url")),
+            pc.is_valid(counts.column("ts_us")),
+        )
+    )
+    counts = counts.take(
+        pc.sort_indices(
+            counts,
+            sort_keys=[("url", "ascending"), ("ts_us", "ascending")],
+        )
+    )
+    urls = counts.column("url").combine_chunks()
+    n_rows = len(urls)
+    if n_rows == 0:
+        return None, []
+    first = pa.chunked_array(
+        [pa.array([True]), pc.not_equal(urls.slice(1), urls.slice(0, n_rows - 1))]
+    )
+    winner_rows = counts.filter(first)
+    winners = winner_rows.select(["url", "ts_us"])
+    tie_urls = winner_rows.filter(
+        pc.greater(winner_rows.column("n"), 1)
+    ).column("url").to_pylist()
+    winners_ref = ray.put(winners)
+
+    def semi_join(batch: pa.Table) -> pa.Table:
+        w = ray.get(winners_ref)  # zero-copy Arrow from plasma
+        url = batch.column("url")
+        ts = pc.cast(batch.column("warc_ts"), pa.int64())
+        keyed = batch.append_column("ts_us", ts)
+        matched = keyed.join(w, keys=["url", "ts_us"], join_type="left semi")
+        # null keys never match an Arrow join. Keep: null-url rows (no
+        # dedup key exists), and null-ts rows of urls that have no
+        # non-null-ts winner (otherwise the non-null capture wins).
+        null_url = pc.is_null(url)
+        null_ts_only = pc.and_(
+            pc.and_(pc.is_null(ts), pc.invert(null_url)),
+            pc.invert(
+                pc.is_in(url, value_set=w.column("url").combine_chunks())
+            ),
+        )
+        extra_mask = pc.fill_null(pc.or_(null_url, null_ts_only), False)
+        extra = keyed.filter(extra_mask)
+        out = matched if extra.num_rows == 0 else pa.concat_tables(
+            [matched, extra]
+        )
+        return out.drop_columns(["ts_us"])
+
+    return semi_join, tie_urls
+
+
 def dedup_by_url(
     ds: ray.data.Dataset,
     num_buckets: int | None = None,
@@ -196,80 +294,17 @@ def dedup_by_url(
     if strategy == "shuffle":
         return dedup_shuffle(ds, num_buckets)
 
-    # Phase 1 entirely avoids a Ray groupby (whose fixed shuffle cost
-    # dwarfs a key-only aggregation): per-batch vectorized partial
-    # counts, concatenated on the driver (bounded by broadcast_limit —
-    # the same budget the broadcast itself needs), combined with one
-    # C++ group_by.
-    keys_src = keys_ds if keys_ds is not None else ds.select_columns(
-        ["url", "warc_ts"]
+    plan = winner_filter_factory(
+        keys_ds if keys_ds is not None else ds.select_columns(
+            ["url", "warc_ts"]
+        ),
+        broadcast_limit,
     )
-    partial_refs = (
-        keys_src
-        .map_batches(_key_partial_counts, batch_format="pyarrow")
-        .to_arrow_refs()
-    )
-    partials = ray.get(partial_refs)  # one batched get, not N round-trips
-    partials = [t for t in partials if t.num_columns > 0]  # drop schema-less empties
-    if not partials:
-        return ds  # empty input
-    key_tbl = pa.concat_tables(partials)
-    if key_tbl.num_rows > broadcast_limit:
+    if plan is None:
         return dedup_shuffle(ds, num_buckets)
-    counts = key_tbl.group_by(["url", "ts_us"]).aggregate([("n", "sum")])
-    counts = counts.rename_columns(["url", "ts_us", "n"])
-    # rows with a null url or null warc_ts have no usable dedup key;
-    # they are excluded from the winner table and handled by the
-    # passthrough rules in semi_join below
-    counts = counts.filter(
-        pc.and_(
-            pc.is_valid(counts.column("url")),
-            pc.is_valid(counts.column("ts_us")),
-        )
-    )
-    counts = counts.take(
-        pc.sort_indices(
-            counts,
-            sort_keys=[("url", "ascending"), ("ts_us", "ascending")],
-        )
-    )
-    urls = counts.column("url").combine_chunks()
-    n_rows = len(urls)
-    if n_rows == 0:
-        return ds
-    first = pa.chunked_array(
-        [pa.array([True]), pc.not_equal(urls.slice(1), urls.slice(0, n_rows - 1))]
-    )
-    winner_rows = counts.filter(first)
-    winners = winner_rows.select(["url", "ts_us"])
-    tie_urls = winner_rows.filter(
-        pc.greater(winner_rows.column("n"), 1)
-    ).column("url").to_pylist()
-    winners_ref = ray.put(winners)
-
-    def semi_join(batch: pa.Table) -> pa.Table:
-        w = ray.get(winners_ref)  # zero-copy Arrow from plasma
-        url = batch.column("url")
-        ts = pc.cast(batch.column("warc_ts"), pa.int64())
-        keyed = batch.append_column("ts_us", ts)
-        matched = keyed.join(w, keys=["url", "ts_us"], join_type="left semi")
-        # null keys never match an Arrow join. Keep: null-url rows (no
-        # dedup key exists), and null-ts rows of urls that have no
-        # non-null-ts winner (otherwise the non-null capture wins).
-        null_url = pc.is_null(url)
-        null_ts_only = pc.and_(
-            pc.and_(pc.is_null(ts), pc.invert(null_url)),
-            pc.invert(
-                pc.is_in(url, value_set=w.column("url").combine_chunks())
-            ),
-        )
-        extra_mask = pc.fill_null(pc.or_(null_url, null_ts_only), False)
-        extra = keyed.filter(extra_mask)
-        out = matched if extra.num_rows == 0 else pa.concat_tables(
-            [matched, extra]
-        )
-        return out.drop_columns(["ts_us"])
-
+    semi_join, tie_urls = plan
+    if semi_join is None:
+        return ds  # empty input
     filtered = ds.map_batches(semi_join, batch_format="pyarrow")
     if not tie_urls:
         return filtered
@@ -357,38 +392,56 @@ def extract_pipeline(
         page_fn = make_page_extract_fn(options)
         page_kwargs = dict(kwargs, batch_size=16)
 
-    keys_ds = (
-        ray.data.read_parquet(source_path, columns=["url", "warc_ts"])
-        if source_path
-        else None
-    )
+    keys_ds = None
+    if source_path:
+        # coalesced key-column read: per-file tasks would dominate the
+        # (tiny) winner phase with scheduling overhead
+        nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        keys_ds = ray.data.read_parquet(
+            source_path, columns=["url", "warc_ts"], override_num_blocks=nb
+        )
     if not explode_giant:
         if dedup:
             ds = dedup_by_url(ds, keys_ds=keys_ds)
         return ds.map_batches(doc_fn, **kwargs)
 
-    # Dedup ONCE, before the size split. The semi-join dedup's output
-    # is a lazy shuffle-free map (winners computed eagerly, broadcast
-    # once), so when the branch point below re-executes the upstream
-    # per consumer it only re-reads + re-joins — cheap, parallel, and
-    # the expensive winner phase never repeats. (If dedup fell back to
-    # the full-row shuffle — the 10^12-doc regime — a deployment would
-    # instead write the deduped stream to partitioned parquet
-    # (state/checkpoint.py) and read both branches from that
-    # checkpoint rather than re-shuffling per branch.)
+    # Dedup + split. The winner phase runs ONCE (eager, broadcast);
+    # its per-row semi-join filter commutes with the per-row size-class
+    # predicate, so each branch applies the filter AFTER its split —
+    # the giant branch (usually ~0 rows survive the length predicate)
+    # then pays near-nothing for dedup. The branch point re-executes
+    # the upstream read per consumer — cheap and parallel; a
+    # mid-pipeline materialize() would instead pin the corpus in the
+    # object store. When the winner set cannot broadcast or ties need
+    # the shuffle (the 10^12-doc regime), dedup runs before the split
+    # and a deployment would checkpoint the deduped stream to
+    # partitioned parquet (state/checkpoint.py) instead of
+    # re-shuffling per branch.
+    dedup_fn = None
     if dedup:
-        ds = dedup_by_url(ds, keys_ds=keys_ds)
+        plan = winner_filter_factory(
+            keys_ds
+            if keys_ds is not None
+            else ds.select_columns(["url", "warc_ts"])
+        )
+        if plan is not None and plan[0] is not None and not plan[1]:
+            dedup_fn = plan[0]  # per-row filter, no ties
+        elif plan is not None and plan[0] is None:
+            dedup = False  # empty input: nothing to dedup
+        else:
+            # fallback (winner set too big, or tied timestamps):
+            # dedup the whole stream before the split
+            ds = dedup_by_url(ds, keys_ds=keys_ds)
+            dedup = False
 
-    # Branch point: a lazy Dataset with two consumers re-executes its
-    # (now cheap) upstream once per consumer; a mid-pipeline
-    # materialize() would instead pin the full corpus in the object
-    # store. The size-class split is a vectorized length predicate;
-    # the giant branch's re-scan drops ~99% of rows at its filter.
     classified = ds.map_batches(
         lambda b: add_cost_class(b, giant_bytes), batch_format="pyarrow"
     )
     small = _filter_class(classified, want_giant=False)
     giant = _filter_class(classified, want_giant=True)
+    if dedup_fn is not None:
+        small = small.map_batches(dedup_fn, batch_format="pyarrow")
+        giant = giant.map_batches(dedup_fn, batch_format="pyarrow")
 
     small_out = small.map_batches(doc_fn, **kwargs)
     giant_out = (
