@@ -226,15 +226,35 @@ _TOKEN_RE = re.compile(
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"  # cdata
     r"|<![^>]*>"                   # doctype / declarations
     r"|<\?[^>]*>"                  # processing instruction
-    r"|</\s*([a-zA-Z][a-zA-Z0-9]*)[^>]*>"   # end tag   (group 1)
-    r"|<([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^'\">])*)(/?)>",
-    re.DOTALL,                     # start tag (groups 2-4)
+    # end tag (group 1): name = chars until whitespace/'/'/'>' — same
+    # tolerant grammar as html.parser, so '<nav-bar>' is tag 'nav-bar',
+    # not a misparsed 'nav'
+    r"|</\s*([a-zA-Z][^\s/>]*)[^>]*>"
+    # start tag (groups 2-4): attrs are LAZY so a trailing '/' is left
+    # for the self-close group instead of being swallowed as attr text
+    r"|<([a-zA-Z][^\s/>]*)((?:\"[^\"]*\"|'[^']*'|[^'\">])*?)(/?)>",
+    re.DOTALL,
 )
+
+_ATTR_BOUNDARY = " \t\n\r\f\"'"
+
+
+def _selfclose_real(attrs: str) -> bool:
+    """Mirror html.parser: a trailing '/' self-closes UNLESS it merges
+    into an unquoted attribute VALUE ('<a href=x/>' is value 'x/',
+    start-only; '<header checked/>' is a boolean attr + self-close)."""
+    if not attrs or attrs[-1] in _ATTR_BOUNDARY:
+        return True
+    cut = max(attrs.rfind(c) for c in _ATTR_BOUNDARY)
+    return "=" not in attrs[cut + 1 :]
 # stdlib html.parser treats exactly script/style as raw-text
-# (CDATA_CONTENT_ELEMENTS); mirror that set
+# (CDATA_CONTENT_ELEMENTS); mirror that set. The end pattern requires
+# a name BOUNDARY after the tag so '</scripty>' does not terminate a
+# '<script>' element (stdlib stays in CDATA until the exact name).
 _RAW_TEXT_TAGS = ("script", "style")
 _RAW_END = {
-    t: re.compile(f"</\\s*{t}[^>]*>", re.IGNORECASE) for t in _RAW_TEXT_TAGS
+    t: re.compile(f"</\\s*{t}(?=[\\s/>])[^>]*>", re.IGNORECASE)
+    for t in _RAW_TEXT_TAGS
 }
 
 
@@ -261,13 +281,13 @@ def _fast_feed(seg: _BlockSegmenter, html: str) -> None:
             text = html[pos : m.start()]
             seg.handle_data(_html_mod.unescape(text) if "&" in text else text)
         pos = m.end()
-        end_name, start_name, _attrs, selfclose = m.group(1, 2, 3, 4)
+        end_name, start_name, attrs, selfclose = m.group(1, 2, 3, 4)
         if end_name:
             seg.handle_endtag(end_name.lower())
         elif start_name:
             tag = start_name.lower()
             seg.handle_starttag(tag, [])
-            if selfclose:
+            if selfclose and _selfclose_real(attrs):
                 seg.handle_endtag(tag)
             elif tag in _RAW_END:
                 # swallow raw-text content up to the closing tag

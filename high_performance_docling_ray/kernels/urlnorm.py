@@ -37,14 +37,17 @@ def normalize_url(url: str | None, *, strip_tracking: bool = True) -> str | None
         return None
     try:
         parts = urlsplit(url.strip())
+        if not parts.scheme or not parts.netloc:
+            return url
+        host = parts.hostname.lower() if parts.hostname else ""
+        port = parts.port  # property: raises on malformed/out-of-range
     except ValueError:
-        return url
-    if not parts.scheme or not parts.netloc:
+        # malformed authority (bad port etc.): pass through untouched
         return url
 
     scheme = parts.scheme.lower()
-    host = parts.hostname.lower() if parts.hostname else ""
-    port = parts.port
+    if ":" in host:  # IPv6 literal: brackets are part of the syntax
+        host = f"[{host}]"
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import functools
 import zlib
-from typing import Any
+from typing import Any, NamedTuple
 
 import numpy as np
 import pyarrow as pa
@@ -57,7 +57,13 @@ def read_pages(path: str) -> ray.data.Dataset:
 def normalize_urls(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Canonicalize the url column (kernels/urlnorm.py) so url dedup
     collapses scheme/host-case, fragment, port and tracking-param
-    variants of the same page. Optional pre-dedup stage."""
+    variants of the same page. Optional pre-dedup stage.
+
+    INCOMPATIBLE with ``extract_pipeline(source_path=...)``: that fast
+    path computes dedup winners from the RAW parquet url column, and a
+    rewritten url would never match its winner (silent row loss).
+    When normalizing, leave source_path unset so the winner phase
+    derives keys from the normalized stream."""
     from ..kernels.urlnorm import normalize_url_column
 
     def f(batch: pa.Table) -> pa.Table:
@@ -164,20 +170,28 @@ def _key_partial_counts(batch: pa.Table) -> pa.Table:
 
 
 
+class WinnerPlan(NamedTuple):
+    """Result of the dedup winner phase (one shape for every outcome)."""
+
+    filter_fn: Any        # per-batch semi-join filter; None when empty input
+    tie_urls: list        # urls whose min warc_ts is tied (need the shuffle)
+    over_limit: bool      # winner set exceeded the broadcast budget
+
+
 def winner_filter_factory(
     keys_src: ray.data.Dataset, broadcast_limit: int = 2_000_000
-):
+) -> WinnerPlan:
     """Compute the keep-first winner set and return a per-batch
-    semi-join FILTER plus the tied urls.
+    semi-join FILTER plus the tied urls, as a WinnerPlan.
 
     The filter is a pure per-row predicate (winners broadcast once via
     ``ray.put``), so it commutes with any other per-row stage — e.g.
     the size-class split can run first and each branch applies the
     filter to the few rows it actually keeps.
 
-    Returns None when the winner set exceeds the broadcast budget
-    (callers fall back to the full-row shuffle), or (None, []) for an
-    empty input.
+    over_limit=True means the winner set exceeds the broadcast budget
+    and callers must fall back to the full-row shuffle; filter_fn=None
+    with over_limit=False means the input was empty.
 
     Phase 1 entirely avoids a Ray groupby (whose fixed shuffle cost
     dwarfs a key-only aggregation): per-batch vectorized partial
@@ -199,10 +213,10 @@ def winner_filter_factory(
     partials = ray.get(partial_refs)  # one batched get, not N round-trips
     partials = [t for t in partials if t.num_columns > 0]  # drop schema-less empties
     if not partials:
-        return None, []  # empty input
+        return WinnerPlan(None, [], False)  # empty input
     key_tbl = pa.concat_tables(partials)
     if key_tbl.num_rows > broadcast_limit:
-        return None
+        return WinnerPlan(None, [], True)
     counts = key_tbl.group_by(["url", "ts_us"]).aggregate([("n", "sum")])
     counts = counts.rename_columns(["url", "ts_us", "n"])
     # rows with a null url or null warc_ts have no usable dedup key;
@@ -223,7 +237,7 @@ def winner_filter_factory(
     urls = counts.column("url").combine_chunks()
     n_rows = len(urls)
     if n_rows == 0:
-        return None, []
+        return WinnerPlan(None, [], False)
     first = pa.chunked_array(
         [pa.array([True]), pc.not_equal(urls.slice(1), urls.slice(0, n_rows - 1))]
     )
@@ -257,7 +271,7 @@ def winner_filter_factory(
         )
         return out.drop_columns(["ts_us"])
 
-    return semi_join, tie_urls
+    return WinnerPlan(semi_join, tie_urls, False)
 
 
 def dedup_by_url(
@@ -266,6 +280,7 @@ def dedup_by_url(
     strategy: str = "auto",
     broadcast_limit: int = 2_000_000,
     keys_ds: ray.data.Dataset | None = None,
+    plan: "WinnerPlan | None" = None,
 ) -> ray.data.Dataset:
     """Exact dedup: keep the earliest capture per url (north_rule).
 
@@ -294,17 +309,18 @@ def dedup_by_url(
     if strategy == "shuffle":
         return dedup_shuffle(ds, num_buckets)
 
-    plan = winner_filter_factory(
-        keys_ds if keys_ds is not None else ds.select_columns(
-            ["url", "warc_ts"]
-        ),
-        broadcast_limit,
-    )
     if plan is None:
+        plan = winner_filter_factory(
+            keys_ds if keys_ds is not None else ds.select_columns(
+                ["url", "warc_ts"]
+            ),
+            broadcast_limit,
+        )
+    if plan.over_limit:
         return dedup_shuffle(ds, num_buckets)
-    semi_join, tie_urls = plan
-    if semi_join is None:
+    if plan.filter_fn is None:
         return ds  # empty input
+    semi_join, tie_urls = plan.filter_fn, plan.tie_urls
     filtered = ds.map_batches(semi_join, batch_format="pyarrow")
     if not tie_urls:
         return filtered
@@ -361,6 +377,9 @@ def extract_pipeline(
 
     ``source_path``: when the input is a parquet path, pass it so the
     dedup winner phase reads only the key columns (see dedup_by_url).
+    Only valid when ``ds`` carries the parquet's url/warc_ts columns
+    UNCHANGED — in particular do NOT combine with ``normalize_urls``
+    (winners from raw urls would never match rewritten urls).
     """
     from ..kernels.document import DEFAULT_OPTIONS
 
@@ -424,15 +443,16 @@ def extract_pipeline(
             if keys_ds is not None
             else ds.select_columns(["url", "warc_ts"])
         )
-        if plan is not None and plan[0] is not None and not plan[1]:
-            dedup_fn = plan[0]  # per-row filter, no ties
-        elif plan is not None and plan[0] is None:
+        if plan.over_limit or plan.tie_urls:
+            # fallback (winner set too big, or tied timestamps): dedup
+            # the whole stream before the split, REUSING the computed
+            # plan so the winner phase never runs twice
+            ds = dedup_by_url(ds, keys_ds=keys_ds, plan=plan)
+            dedup = False
+        elif plan.filter_fn is None:
             dedup = False  # empty input: nothing to dedup
         else:
-            # fallback (winner set too big, or tied timestamps):
-            # dedup the whole stream before the split
-            ds = dedup_by_url(ds, keys_ds=keys_ds)
-            dedup = False
+            dedup_fn = plan.filter_fn  # per-row filter, no ties
 
     classified = ds.map_batches(
         lambda b: add_cost_class(b, giant_bytes), batch_format="pyarrow"

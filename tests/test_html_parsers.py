@@ -58,3 +58,22 @@ def test_parsers_agree_on_fixture_corpus():
 )
 def test_parsers_agree_on_edge_markup(html):
     _blocks_equal(html)
+
+
+@pytest.mark.parametrize(
+    "html",
+    [
+        "<header/><p>real content here</p>",
+        "<a href=x/>unquoted slash value</a><p>after</p>",
+        "<a href='x'/>quoted then selfclose</a>",
+        "<header checked/>boolean attr selfclose",
+        "<div a=b/c>slash inside value</div>",
+        "<nav-bar>custom element text</nav-bar><p>more</p>",
+        "<table-of-contents>toc text</table-of-contents>",
+        "<script>var x=1</scripty>leak</script><p>visible</p>",
+        "<input type=checkbox checked/>tail",
+        "<br />spaced self close",
+    ],
+)
+def test_parsers_agree_on_selfclose_and_custom_tags(html):
+    _blocks_equal(html)

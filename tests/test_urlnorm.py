@@ -66,3 +66,25 @@ def test_normalized_dedup_collapses_variants():
     # keep-first still holds: the earliest capture of the variants won
     page = [r for r in out if r["url"].endswith("/page")][0]
     assert int(page["warc_ts"].timestamp() * 1e6) == _TS
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        "http://example.com:99999999/x",      # out-of-range port
+        "http://example.com:8o8/x",           # non-numeric port
+    ],
+)
+def test_malformed_port_passes_through(raw):
+    assert normalize_url(raw) == raw
+
+
+def test_ipv6_host_keeps_brackets():
+    assert (
+        normalize_url("http://[2001:db8::1]:8080/path")
+        == "http://[2001:db8::1]:8080/path"
+    )
+    assert (
+        normalize_url("HTTP://[2001:DB8::1]/x")
+        == "http://[2001:db8::1]/x"
+    )
