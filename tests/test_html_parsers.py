@@ -77,3 +77,42 @@ def test_parsers_agree_on_edge_markup(html):
 )
 def test_parsers_agree_on_selfclose_and_custom_tags(html):
     _blocks_equal(html)
+
+
+def _soup(rng, depth=0):
+    tags = ["p", "div", "span", "li", "ul", "table", "tr", "td", "th", "nav",
+            "footer", "header", "h1", "h2", "pre", "a", "b", "script",
+            "style", "br", "custom-el", "x-widget", "figcaption", "main"]
+    words = ["alpha", "beta", "a &amp; b", "&lt;tag&gt;", "word-", "y",
+             "&quot;q&quot;", "©", "multi  space", "trail "]
+    parts = []
+    for _ in range(rng.randint(1, 6)):
+        r = rng.random()
+        if r < 0.35 or depth > 4:
+            parts.append(rng.choice(words))
+        elif r < 0.45:
+            t = rng.choice(tags)
+            parts.append(f"<{t}/>" if rng.random() < 0.5 else f"<{t} checked/>")
+        elif r < 0.5:
+            parts.append("<!-- comment -->")
+        elif r < 0.55:
+            t = rng.choice(["script", "style"])
+            parts.append(f"<{t}>raw </not{t}> text</{t}>")
+        elif r < 0.6:
+            parts.append(f"<a href={rng.choice(['x/', '/y', 'z'])}>ln</a>")
+        else:
+            t = rng.choice(tags)
+            attrs = rng.choice(["", " class=c", ' id="i"', " a='v'", " k=v/w"])
+            inner = _soup(rng, depth + 1)
+            close = f"</{t}>" if rng.random() < 0.9 else ""
+            parts.append(f"<{t}{attrs}>{inner}{close}")
+    return "".join(parts)
+
+
+def test_parsers_agree_on_random_soup():
+    import random
+
+    for seed in range(300):
+        rng = random.Random(seed)
+        html = "<html><body>" + _soup(rng) + "</body></html>"
+        _blocks_equal(html)
