@@ -266,6 +266,12 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def _q_asof_join(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import asof_join_events
+
+    return asof_join_events(sf_dir)
+
+
 def _q_sessionize(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import sessionize
 
@@ -309,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_lineitem": _q_filter_lineitem,
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
+        "asof_join_events": _q_asof_join,
     }
 
 
@@ -437,6 +444,14 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "asof_join_events": """
+            SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
         """,
         "sessionize": """
             WITH gaps AS (

@@ -394,3 +394,90 @@ def sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pa.Table:
     out = ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")
     tbl = pa.Table.from_pylist(out.take_all())
     return tbl.sort_by([("user_id", "ascending")])
+
+
+# -- as-of join: the canonical "operator Ray Data lacks" -----------------------
+
+def asof_join_events(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "click") -> pa.Table:
+    """For each ``left_type`` event, the latest ``right_type`` event of
+    the same user at or before it (ASOF LEFT JOIN semantics).
+
+    Ray Data has no asof/range join primitive; this composes one from
+    the repo's standard parts (SURVEY.md custom-operator rule a):
+    filter both sides in ONE scan, co-partition by a coarse
+    crc32(user_id) bucket (each user entirely in one group), and run a
+    vectorized sorted-merge inside the group: sort each side by
+    (user, ts), then one searchsorted per user run finds the
+    predecessor click for all of that user's purchases at once.
+    Output column names match the DuckDB ASOF JOIN oracle.
+    """
+    num_parts = 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array([left_type, right_type]),
+        )
+        t = batch.filter(mask)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            num_parts
+        )
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    def asof_group(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        is_left = np.array([e == left_type for e in et], dtype=bool)
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        ev = group.column("event_id").to_numpy(zero_copy_only=False)
+
+        lu, lt_, le = users[is_left], ts[is_left], ev[is_left]
+        ru, rt = users[~is_left], ts[~is_left]
+        # sort both sides by (user, ts) — the merge invariant
+        lo = np.lexsort((lt_, lu))
+        ro = np.lexsort((rt, ru))
+        lu, lt_, le = lu[lo], lt_[lo], le[lo]
+        ru, rt = ru[ro], rt[ro]
+
+        match_ts = np.full(len(lu), np.iinfo(np.int64).min, dtype=np.int64)
+        if len(ru):
+            # user-run boundaries on the right side
+            r_starts = np.concatenate(([0], np.nonzero(ru[1:] != ru[:-1])[0] + 1))
+            r_users = ru[r_starts]
+            r_ends = np.concatenate((r_starts[1:], [len(ru)]))
+            run_of = {int(u): k for k, u in enumerate(r_users)}
+            for i in range(len(lu)):
+                k = run_of.get(int(lu[i]))
+                if k is None:
+                    continue
+                s, e = int(r_starts[k]), int(r_ends[k])
+                # rightmost right-ts <= left-ts within the user's run
+                j = np.searchsorted(rt[s:e], lt_[i], side="right")
+                if j > 0:
+                    match_ts[i] = rt[s + j - 1]
+        has = match_ts != np.iinfo(np.int64).min
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(le, pa.int64()),
+                "user_id": pa.array(lu, pa.int64()),
+                "ts": pa.array(lt_.astype("datetime64[us]")),
+                "click_ts": pa.array(
+                    np.where(has, match_ts, 0).astype("datetime64[us]"),
+                    mask=~has,
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: asof_group(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    tbl = pa.Table.from_pylist(out.take_all())
+    return tbl.sort_by([("event_id", "ascending")])

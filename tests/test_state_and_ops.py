@@ -187,3 +187,37 @@ def test_quality_score_bounds():
     for text in ["", "short", "the " * 100, "!!!???" * 50]:
         s = quality_score(text)
         assert 0.0 <= s <= 1.0
+
+
+def test_asof_join_events_semantics():
+    """As-of join: each purchase matches the latest click at or before
+    it for the same user; no prior click -> null (left join)."""
+    from high_performance_docling_ray.pipelines.relational import (
+        asof_join_events,
+    )
+
+    out = asof_join_events("/root/testdata/sf0.001").to_pylist()
+    assert out
+    import duckdb
+
+    con = duckdb.connect()
+    exp = con.execute(
+        """
+        SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+        FROM (SELECT * FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT * FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+              WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+        """
+    ).fetchall()
+    got = [
+        (r["event_id"], r["user_id"], r["ts"], r["click_ts"]) for r in out
+    ]
+    assert got == [tuple(r) for r in exp]
+    # invariants: click_ts <= ts whenever present
+    for r in out:
+        if r["click_ts"] is not None:
+            assert r["click_ts"] <= r["ts"]
