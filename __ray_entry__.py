@@ -216,6 +216,16 @@ def _q_doc_stats(sf_dir: str):
     return quality_scores(sf_dir).select_columns(["doc_id", "n_chars", "n_tokens"])
 
 
+def _q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct users per event_type (mergeable sketch;
+    ~1.6% std error — rows-only check, accuracy asserted in tests)."""
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        distinct_users_hll,
+    )
+
+    return distinct_users_hll(sf_dir)
+
+
 def _q_lang_stats(sf_dir: str):
     from high_performance_docling_ray.pipelines.text_analysis import lang_stats
 
@@ -306,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "doc_stats": _q_doc_stats,
         "lang_stats": _q_lang_stats,
+        "hll_distinct_users": _q_hll_distinct,
         # relational operator demos
         "q1_pricing_summary": _q_q1,
         "q3_top_orders": _q_q3,

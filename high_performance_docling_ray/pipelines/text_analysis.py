@@ -159,3 +159,60 @@ def lang_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return combined.map_batches(finalize, batch_format="pyarrow")
+
+
+def distinct_users_hll(sf_dir: str, p: int = 12):
+    """Approximate distinct users per event_type via HyperLogLog.
+
+    The mergeable-sketch pattern for corpus-scale distinct counts: each
+    batch emits one 2^p-byte register array per key (vectorized build,
+    kernels/sketch.py), partials merge with elementwise max on the
+    driver — associative/commutative, so block order cannot change the
+    answer, and the shuffle a groupby-distinct would need never
+    happens. Returns (event_type, approx_distinct_users); ~1.6%
+    standard error at p=12.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..kernels import sketch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        users = batch.column("user_id").to_pylist()
+        by_type: dict[str, list] = {}
+        for t, u in zip(types, users):
+            by_type.setdefault(t, []).append(u)
+        out_t, out_r = [], []
+        for t, vals in by_type.items():
+            regs = sketch.add_hashed(
+                sketch.empty_registers(p), sketch.hash64(vals)
+            )
+            out_t.append(t)
+            out_r.append(regs.tobytes())
+        return pa.Table.from_pydict(
+            {"event_type": pa.array(out_t, pa.string()),
+             "registers": pa.array(out_r, pa.binary())}
+        )
+
+    merged: dict[str, "np.ndarray"] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        regs = np.frombuffer(row["registers"], dtype=np.uint8)
+        key = row["event_type"]
+        merged[key] = (
+            sketch.merge(merged[key], regs) if key in merged else regs.copy()
+        )
+    out_t = sorted(merged)
+    return pa.Table.from_pydict(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "approx_distinct_users": pa.array(
+                [int(round(sketch.estimate(merged[t]))) for t in out_t],
+                pa.int64(),
+            ),
+        }
+    )

@@ -221,3 +221,42 @@ def test_asof_join_events_semantics():
     for r in out:
         if r["click_ts"] is not None:
             assert r["click_ts"] <= r["ts"]
+
+
+def test_hll_distinct_users_accuracy():
+    import duckdb
+
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        distinct_users_hll,
+    )
+
+    got = {
+        r["event_type"]: r["approx_distinct_users"]
+        for r in distinct_users_hll("/root/testdata/sf0.01").to_pylist()
+    }
+    exact = dict(
+        duckdb.connect().execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM "
+            "read_parquet('/root/testdata/sf0.01/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for t, est in got.items():
+        assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
+
+
+def test_hll_merge_order_invariant():
+    import numpy as np
+
+    from high_performance_docling_ray.kernels import sketch
+
+    parts = [
+        sketch.add_hashed(
+            sketch.empty_registers(),
+            sketch.hash64([f"v{i}" for i in range(s, s + 500)]),
+        )
+        for s in (0, 250, 400)
+    ]
+    a = sketch.merge(sketch.merge(parts[0], parts[1]), parts[2])
+    b = sketch.merge(parts[2], sketch.merge(parts[1], parts[0]))
+    assert np.array_equal(a, b)
