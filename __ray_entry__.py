@@ -276,6 +276,14 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def _q_sliding_window(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        events_sliding_window,
+    )
+
+    return events_sliding_window(sf_dir)
+
+
 def _q_asof_join(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import asof_join_events
 
@@ -327,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
         "asof_join_events": _q_asof_join,
+        "events_sliding_window": _q_sliding_window,
     }
 
 
@@ -455,6 +464,16 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_sliding_window": """
+            SELECT time_bucket(INTERVAL '15 minutes', e.ts)
+                       - k.range * INTERVAL '15 minutes' AS window_start,
+                   e.event_type,
+                   CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value,
+                   count(*) AS n_events
+            FROM events e CROSS JOIN range(4) k
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "asof_join_events": """
             SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts

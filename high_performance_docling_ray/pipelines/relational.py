@@ -481,3 +481,71 @@ def asof_join_events(sf_dir: str, left_type: str = "purchase",
     )
     tbl = pa.Table.from_pylist(out.take_all())
     return tbl.sort_by([("event_id", "ascending")])
+
+
+# -- sliding-window aggregate -------------------------------------------------
+
+def events_sliding_window(
+    sf_dir: str, window_min: int = 60, slide_min: int = 15
+) -> pa.Table:
+    """Sliding-window aggregate: per (window_start, event_type), the
+    event count and exact value sum over [window_start, window_start +
+    window) for windows aligned to the slide interval.
+
+    Ray Data has no window primitive; the standard composition is
+    window-assignment expansion (each event belongs to window/slide
+    windows — vectorized np.repeat, no Python row loop) followed by
+    the same partial-aggregate + small-groupby shape as every other
+    aggregate here. Value sums use int64 cents so the result is
+    bit-stable against the DuckDB oracle.
+    """
+    assert window_min % slide_min == 0
+    k = window_min // slide_min
+    slide_us = slide_min * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        vc = _cents(batch.column("value"))
+        types = batch.column("event_type")
+        bucket0 = (ts // slide_us) * slide_us
+        n = len(ts)
+        # windows bucket0 - j*slide for j in 0..k-1 (vectorized repeat)
+        starts = np.repeat(bucket0, k) - np.tile(
+            np.arange(k, dtype=np.int64) * slide_us, n
+        )
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        t = pa.Table.from_pydict(
+            {
+                "window_start": pa.array(starts.astype("datetime64[us]")),
+                "event_type": types.take(pa.array(idx)),
+                "value_c": pa.array(vc[idx], pa.int64()),
+                "n": pa.array(np.ones(n * k, dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["window_start", "event_type"])
+            .aggregate([("value_c", "sum"), ("n", "sum")])
+            .rename_columns(["window_start", "event_type", "value_c", "n"])
+        )
+
+    agg = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .sum(["value_c", "n"])
+    )
+    tbl = pa.Table.from_pylist(agg.take_all())
+    out = pa.Table.from_pydict(
+        {
+            "window_start": tbl.column("window_start"),
+            "event_type": tbl.column("event_type"),
+            "sum_value": pa.array(
+                tbl.column("sum(value_c)").to_numpy().astype(np.int64) / 100.0,
+                pa.float64(),
+            ),
+            "n_events": pc.cast(tbl.column("sum(n)"), pa.int64()),
+        }
+    )
+    return out.sort_by(
+        [("window_start", "ascending"), ("event_type", "ascending")]
+    )
