@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="skip shards that already have a manifest")
+    p.add_argument("--explode-giant", action="store_true",
+                   help="enable the page-exploded plan for 100+-page monster "
+                        "documents (two-branch union; only worth it when the "
+                        "corpus actually contains such documents)")
     p.add_argument("--giant-bytes", type=int, default=None,
                    help="payload size that routes a doc to the page-exploded path")
     args = p.parse_args(argv)
@@ -69,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
     result = extract_pipeline(
         ds,
         dedup=not args.no_dedup,
-        explode_giant=True,
+        explode_giant=args.explode_giant,
         giant_bytes=args.giant_bytes or GIANT_BYTES,
         # key-column read for the dedup winner phase (no payload decode).
         # Safe under --resume: a url hashes to exactly one shard, so a
