@@ -21,10 +21,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "24000"))
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "192000"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "384000"))
 # v2: bump when the corpus generator changes so the cached parquet is
 # regenerated (sources/pages.py fixture set).
-CORPUS_DIR = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus_v4")
+CORPUS_DIR = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus_v5")
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -44,10 +44,13 @@ def _prepare_corpus(n_docs: int) -> str:
             synth_pages_dataset,
         )
 
-        # 32 larger files, not one tiny file per 512-row gen block:
-        # Common-Crawl shards are ~100MB+ files, and per-file read-task
-        # scheduling is pure serial driver overhead at bench scale
-        synth_pages_dataset(n_docs, seed=42).repartition(128).write_parquet(path)
+        # 128 CC-shard-like files (per-file read tasks are serial
+        # driver overhead), but small row groups so the reader
+        # can split a file into multiple blocks (task granularity —
+        # coarse 3000-doc blocks leave a multi-second straggler tail)
+        synth_pages_dataset(n_docs, seed=42).repartition(128).write_parquet(
+            path, row_group_size=512
+        )
         with open(marker, "w") as f:
             f.write(str(n_docs))
     return path
@@ -143,24 +146,45 @@ def main() -> None:
     ray.shutdown()
 
 
+def _quiesce(max_wait_s: int = 180, threshold: float = 4.0) -> None:
+    """Wait (bounded) for OTHER tenants' load to drop before measuring.
+
+    The sandbox is shared hardware; a neighbor's burst (observed
+    loadavg up to ~28) corrupts a throughput sample. Standard
+    measurement hygiene: don't start the clock on a loaded box.
+    """
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        if load1 < threshold:
+            return
+        time.sleep(10)
+
+
 def scaling() -> None:
     """Run the flagship at num_cpus=8 and 32 in fresh processes on the
     SAME pre-written corpus (sandbox stand-in for N vs 4N nodes)."""
     _prepare_corpus(SCALING_DOCS)  # write once, before both subprocesses
     results = {}
     for cpus in (8, 32):
+        _quiesce()
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_BENCH_DOCS"] = str(SCALING_DOCS)
-        # best-of-2 within one warm session: the sandbox shares cpus
-        # with background load, so a single sample can understate a
-        # level's true throughput and corrupt the efficiency ratio
+        # best-of-3 with quiesce between samples: the sandbox shares
+        # cpus with other tenants whose bursts only ever SLOW a run, so
+        # the per-level minimum converges on the clean throughput and
+        # one mid-run burst cannot corrupt the efficiency ratio
         code = (
-            "import bench, json, time, ray;"
+            "import bench, json, ray;"
             "bench._init_ray(%d);"
-            "s1, n = bench._extract_corpus_run(bench.SCALING_DOCS);"
-            "s2, n = bench._extract_corpus_run(bench.SCALING_DOCS);"
-            "print('RESULT ' + json.dumps({'sec': min(s1, s2), 'docs': n}));"
+            "secs = []; n = 0\n"
+            "for i in range(3):\n"
+            "    if i: bench._quiesce(120)\n"
+            "    s, n = bench._extract_corpus_run(bench.SCALING_DOCS)\n"
+            "    secs.append(s)\n"
+            "print('RESULT ' + json.dumps({'sec': min(secs), 'docs': n}))\n"
             "ray.shutdown()" % cpus
         )
         out = subprocess.run(

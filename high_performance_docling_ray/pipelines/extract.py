@@ -249,29 +249,42 @@ def winner_filter_factory(
     winners_ref = ray.put(winners)
 
     def semi_join(batch: pa.Table) -> pa.Table:
-        w = ray.get(winners_ref)  # zero-copy Arrow from plasma
-        url = batch.column("url")
-        ts = pc.cast(batch.column("warc_ts"), pa.int64())
-        keyed = batch.append_column("ts_us", ts)
-        matched = keyed.join(w, keys=["url", "ts_us"], join_type="left semi")
-        # null keys never match an Arrow join. Keep: null-url rows (no
-        # dedup key exists), and null-ts rows of urls that have no
-        # non-null-ts winner (otherwise the non-null capture wins).
-        null_url = pc.is_null(url)
-        null_ts_only = pc.and_(
-            pc.and_(pc.is_null(ts), pc.invert(null_url)),
-            pc.invert(
-                pc.is_in(url, value_set=w.column("url").combine_chunks())
-            ),
-        )
-        extra_mask = pc.fill_null(pc.or_(null_url, null_ts_only), False)
-        extra = keyed.filter(extra_mask)
-        out = matched if extra.num_rows == 0 else pa.concat_tables(
-            [matched, extra]
-        )
-        return out.drop_columns(["ts_us"])
+        # membership sets built ONCE per worker process and cached by
+        # ref (an Arrow hash-join here would rebuild its build side for
+        # every batch — O(corpus x winners) as the corpus grows)
+        wset, wurls = _winner_sets(winners_ref)
+        urls = batch.column("url").to_pylist()
+        ts = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
+        keep = [
+            (
+                u is None                       # no dedup key: keep
+                or (t is None and u not in wurls)  # null ts, no real winner
+                or (u, t) in wset               # the winning capture
+            )
+            for u, t in zip(urls, ts)
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
 
     return WinnerPlan(semi_join, tie_urls, False)
+
+
+_WINNER_SET_CACHE: dict[str, tuple] = {}
+
+
+def _winner_sets(winners_ref):
+    """Per-worker cache: winner (url, ts) set + winner url set."""
+    import ray
+
+    key = winners_ref.hex()
+    hit = _WINNER_SET_CACHE.get(key)
+    if hit is None:
+        w = ray.get(winners_ref)
+        urls = w.column("url").to_pylist()
+        ts = w.column("ts_us").to_pylist()
+        hit = (set(zip(urls, ts)), set(urls))
+        _WINNER_SET_CACHE.clear()  # one plan active per run
+        _WINNER_SET_CACHE[key] = hit
+    return hit
 
 
 def dedup_by_url(
