@@ -21,7 +21,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "24000"))
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "384000"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "96000"))
 # v2: bump when the corpus generator changes so the cached parquet is
 # regenerated (sources/pages.py fixture set).
 CORPUS_DIR = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus_v5")
@@ -67,10 +67,18 @@ def _warmup() -> None:
     ).count()
 
 
-def _extract_corpus_run(n_docs: int) -> tuple[float, int]:
-    """Flagship: pages parquet -> dedup -> extract (small docs at-once,
-    giant docs page-exploded), consumed by count() (streaming; nothing
-    materializes on the driver)."""
+def _extract_corpus_run(
+    n_docs: int, explode_giant: bool = False
+) -> tuple[float, int]:
+    """Flagship: pages parquet -> dedup -> extract, consumed by count()
+    (streaming; nothing materializes on the driver).
+
+    explode_giant=False (headline): the corpus has no 100+-page
+    monsters, and the two-branch union plan costs ~2x wall for zero
+    benefit there (branch topologies execute serially).
+    explode_giant=True (the --scaling DAG): the north-rule pipeline
+    with explicit size-class repartitioning + per-doc regroup.
+    """
     from high_performance_docling_ray.pipelines.extract import (
         extract_pipeline,
         read_pages,
@@ -80,12 +88,11 @@ def _extract_corpus_run(n_docs: int) -> tuple[float, int]:
     _warmup()
     read_pages(path).count()  # warm the OS page cache (untimed)
     t0 = time.perf_counter()
-    # explode_giant=False: the corpus has no 100+-page monsters, and
-    # the two-branch union plan costs ~2x wall for zero benefit there
-    # (branch topologies execute serially); the explode plan remains
-    # covered by tests and the extract_synth_corpus driver query.
     out = extract_pipeline(
-        read_pages(path), dedup=True, explode_giant=False, source_path=path
+        read_pages(path),
+        dedup=True,
+        explode_giant=explode_giant,
+        source_path=path,
     )
     n = out.count()
     return time.perf_counter() - t0, n
@@ -163,8 +170,11 @@ def _quiesce(max_wait_s: int = 180, threshold: float = 4.0) -> None:
 
 
 def scaling() -> None:
-    """Run the flagship at num_cpus=8 and 32 in fresh processes on the
-    SAME pre-written corpus (sandbox stand-in for N vs 4N nodes)."""
+    """Run the NORTH-RULE DAG (size-class split + explode + per-doc
+    regroup, explode_giant=True) at num_cpus=8 and 32 in fresh
+    processes on the SAME pre-written corpus — the sandbox stand-in
+    for ray job submit at N and 4N nodes. The headline bench measures
+    the doc-at-once plan a monster-free corpus would actually use."""
     _prepare_corpus(SCALING_DOCS)  # write once, before both subprocesses
     results = {}
     for cpus in (8, 32):
@@ -182,7 +192,7 @@ def scaling() -> None:
             "secs = []; n = 0\n"
             "for i in range(3):\n"
             "    if i: bench._quiesce(120)\n"
-            "    s, n = bench._extract_corpus_run(bench.SCALING_DOCS)\n"
+            "    s, n = bench._extract_corpus_run(bench.SCALING_DOCS, explode_giant=True)\n"
             "    secs.append(s)\n"
             "print('RESULT ' + json.dumps({'sec': min(secs), 'docs': n}))\n"
             "ray.shutdown()" % cpus
