@@ -90,6 +90,37 @@ def overlap_pair(
     return denom > 0.0 and inter / denom >= (overlap_threshold - epsilon)
 
 
+def overlap_merge_matrix(
+    boxes: np.ndarray,
+    overlap_threshold: float,
+    containment_threshold: float,
+    epsilon: float = 0.0,
+) -> np.ndarray:
+    """(N,N) boolean matrix of ``overlap_pair`` over all box pairs.
+
+    Performs exactly the scalar predicate's IEEE-double operations
+    (same max/min/products/divisions), so ``out[i, j] ==
+    overlap_pair(boxes[i], boxes[j], ...)`` bit-for-bit — it only
+    replaces the O(N^2) Python loop with numpy broadcasting.
+    """
+    b = np.asarray(boxes, dtype=np.float64)
+    ar = np.maximum(0.0, b[:, 2] - b[:, 0]) * np.maximum(0.0, b[:, 3] - b[:, 1])
+    iw = np.minimum(b[:, None, 2], b[None, :, 2]) - np.maximum(
+        b[:, None, 0], b[None, :, 0]
+    )
+    ih = np.minimum(b[:, None, 3], b[None, :, 3]) - np.maximum(
+        b[:, None, 1], b[None, :, 1]
+    )
+    valid = (ar[:, None] > 0.0) & (ar[None, :] > 0.0) & (iw > 0.0) & (ih > 0.0)
+    inter = iw * ih
+    cont_thr = containment_threshold - epsilon
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cont = (inter / ar[:, None] >= cont_thr) | (inter / ar[None, :] >= cont_thr)
+        denom = ar[:, None] + ar[None, :] - inter
+        iou_ok = (denom > 0.0) & (inter / denom >= (overlap_threshold - epsilon))
+    return valid & (cont | iou_ok)
+
+
 def to_bottom_left(boxes: np.ndarray, page_height: float) -> np.ndarray:
     """TOPLEFT (l,t,r,b) -> BOTTOMLEFT (l,b',r,t') flip (readingorder_model.py:56).
 

@@ -27,7 +27,7 @@ from typing import Any
 import numpy as np
 
 from . import labels as L
-from .bbox import overlap_pair
+from .bbox import overlap_merge_matrix, overlap_pair
 
 Cluster = dict[str, Any]  # {id,label,bbox:(l,t,r,b),confidence,cells:[int],children:[Cluster]}
 
@@ -247,15 +247,27 @@ def remove_overlapping_clusters(
     order = {id(c): k for k, c in enumerate(clusters)}
     uf = _UnionFind([c["id"] for c in clusters])
     by_id = {c["id"]: c for c in clusters}
-    items = [(c["id"], tuple(c["bbox"])) for c in clusters]
-    for i in range(len(items)):
-        cid, bi = items[i]
-        for j in range(i + 1, len(items)):
-            oid, bj = items[j]
-            if overlap_pair(
-                bi, bj, MERGE_OVERLAP_THRESHOLD, MERGE_CONTAINMENT_THRESHOLD, epsilon
-            ):
-                uf.union(cid, oid)
+    n = len(clusters)
+    if n > 6:
+        # Vectorized pairwise predicate — bit-identical to overlap_pair
+        # (see bbox.overlap_merge_matrix); wins from ~a handful of boxes.
+        boxes = np.array([c["bbox"] for c in clusters], dtype=np.float64)
+        mat = overlap_merge_matrix(
+            boxes, MERGE_OVERLAP_THRESHOLD, MERGE_CONTAINMENT_THRESHOLD, epsilon
+        )
+        ids = [c["id"] for c in clusters]
+        for i, j in zip(*np.nonzero(np.triu(mat, 1))):
+            uf.union(ids[i], ids[j])
+    else:
+        items = [(c["id"], tuple(c["bbox"])) for c in clusters]
+        for i in range(n):
+            cid, bi = items[i]
+            for j in range(i + 1, n):
+                oid, bj = items[j]
+                if overlap_pair(
+                    bi, bj, MERGE_OVERLAP_THRESHOLD, MERGE_CONTAINMENT_THRESHOLD, epsilon
+                ):
+                    uf.union(cid, oid)
 
     result: list[Cluster] = []
     merged = False

@@ -158,11 +158,24 @@ def median_pos_size(
         ws.append(hi - lo)
         hs.append(bot - top)
     return (
-        float(np.median(xs)) if xs else 0.0,
-        float(np.median(ys)) if ys else 0.0,
-        float(np.median(ws)) if ws else 1.0,
-        float(np.median(hs)) if hs else 1.0,
+        _median(xs) if xs else 0.0,
+        _median(ys) if ys else 0.0,
+        _median(ws) if ws else 1.0,
+        _median(hs) if hs else 1.0,
     )
+
+
+def _median(vals: list[float]) -> float:
+    """np.median for a small list of finite floats, without numpy's
+    per-call array-construction overhead. Identical IEEE result: odd n
+    takes the middle element; even n averages the two middles ((a+b)/2
+    and (a+b)*0.5 are the same double)."""
+    s = sorted(vals)
+    n = len(s)
+    m = n >> 1
+    if n & 1:
+        return float(s[m])
+    return (s[m - 1] + s[m]) * 0.5
 
 
 def move_cells_to_median(
