@@ -37,6 +37,22 @@ _BLOCK_TAGS = frozenset(
 )
 _HEADING_LEVEL = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 
+# Fast-path filters: the ONLY tags the start/end handlers react to
+# (besides _SKIP_TAGS, probed first). Everything else — span, b, em,
+# img, inline/unknown tags — is a single frozenset miss.
+_START_RELEVANT = frozenset(
+    _BOILERPLATE_TAGS
+    | set(_HEADING_LEVEL)
+    | {"a", "li", "figcaption", "pre", "table", "tr", "td", "th"}
+    | _BLOCK_TAGS
+)
+_END_RELEVANT = frozenset(
+    _BLOCK_TAGS
+    | _BOILERPLATE_TAGS
+    | set(_HEADING_LEVEL)
+    | {"a", "li", "figcaption", "pre", "table"}
+)
+
 # Link-density pruning: blocks whose characters are mostly anchor text
 # and that are short are navigation-like.
 LINK_DENSITY_THRESHOLD = 0.5
@@ -134,6 +150,10 @@ class _BlockSegmenter(HTMLParser):
             return
         if self._skip_depth:
             return
+        if tag not in _START_RELEVANT:
+            # inline/unknown tags (span, b, em, img, ...) never change
+            # segmenter state — one set probe instead of the full chain
+            return
         if tag in _BOILERPLATE_TAGS:
             # landmark containers are block boundaries: text before the
             # landmark must not share a block with the landmark's text
@@ -175,6 +195,8 @@ class _BlockSegmenter(HTMLParser):
             return
         if self._skip_depth:
             return
+        if tag not in _END_RELEVANT:
+            return
         if tag in _BLOCK_TAGS:
             self._flush()
         if tag in _BOILERPLATE_TAGS:
@@ -199,12 +221,15 @@ class _BlockSegmenter(HTMLParser):
     def handle_data(self, data: str) -> None:
         if self._skip_depth:
             return
+        # whitespace-only runs (the majority of inter-tag text) are
+        # dropped by the strip() check below in BOTH modes — bail before
+        # paying for split/join
+        if not data or data.isspace():
+            return
         if self._pre_depth:
             text = data
         else:
             text = " ".join(data.split())
-        if not text.strip():
-            return
         if self._current is None:
             self._open_block(self._current_label())
         blk = self._current
