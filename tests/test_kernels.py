@@ -241,3 +241,42 @@ def test_word_index_query():
     toks = idx.query_tokens(5, 5, 30, 30)
     assert [t["text"] for t in toks] == ["in"]
     assert toks[0]["id"] == 0
+
+
+# -- vectorized merge predicate / fast median (bit-identity pins) ----------
+
+def test_overlap_merge_matrix_matches_scalar():
+    from high_performance_docling_ray.kernels.bbox import (
+        overlap_merge_matrix,
+        overlap_pair,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 24))
+        boxes = rng.uniform(0, 100, size=(n, 4))
+        # mix in degenerate/empty boxes (r<l, b<t, zero-area)
+        flip = rng.random(n) < 0.3
+        boxes[flip, 2] = boxes[flip, 0] - rng.uniform(0, 5, flip.sum())
+        if n > 1:
+            boxes[0, 2] = boxes[0, 0]  # zero width
+        for eps in (0.0, 1e-3):
+            mat = overlap_merge_matrix(boxes, 0.8, 0.8, eps)
+            for i in range(n):
+                for j in range(n):
+                    expected = overlap_pair(
+                        tuple(boxes[i]), tuple(boxes[j]), 0.8, 0.8, eps
+                    )
+                    assert mat[i, j] == expected, (trial, i, j, eps)
+
+
+def test_fast_median_matches_numpy():
+    from high_performance_docling_ray.kernels.matching_post import _median
+
+    rng = np.random.default_rng(11)
+    for n in range(1, 12):
+        for _ in range(20):
+            vals = list(rng.uniform(-1e4, 1e4, n))
+            assert _median(vals) == float(np.median(vals)), (n, vals)
+    assert _median([3.0]) == 3.0
+    assert _median([1.0, 2.0]) == 1.5
