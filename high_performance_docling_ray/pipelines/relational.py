@@ -67,6 +67,35 @@ def _sorted_member_mask(sorted_keys: np.ndarray, probe: np.ndarray) -> np.ndarra
     return sorted_keys[pos] == probe
 
 
+def _combine_partials(
+    partials: ray.data.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    combine_limit: int = 2_000_000,
+) -> pa.Table | None:
+    """Merge per-batch partial-aggregate tables with ONE driver-side C++
+    group_by instead of a Ray groupby shuffle (whose multi-second fixed
+    cost dwarfs these key-only partials; same pattern as the dedup
+    winner phase). Output columns are named ``sum(col)`` to match Ray's
+    groupby naming so both paths share one downstream shape.
+
+    Returns None when the concatenated partials exceed
+    ``combine_limit`` rows — the caller must fall back to the Ray
+    groupby shuffle, the exchange that works at any key cardinality.
+    """
+    parts = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows > 0]
+    if not parts:
+        return pa.Table.from_pydict(
+            {**{k: [] for k in keys}, **{f"sum({c})": [] for c in sum_cols}}
+        )
+    tbl = pa.concat_tables(parts)
+    if tbl.num_rows > combine_limit:
+        return None
+    out = tbl.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+    # pyarrow names aggregates "<col>_sum" with keys first
+    return out.rename_columns(keys + [f"sum({c})" for c in sum_cols])
+
+
 # -- q1: pricing summary (TPC-H Q1 shape) -----------------------------------
 
 _Q1_KEYS = ["l_returnflag", "l_linestatus"]
@@ -109,12 +138,12 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
             "l_extendedprice", "l_discount",
         ],
     )
-    combined = (
-        ds.map_batches(_q1_partial, batch_format="pyarrow")
-        .groupby(_Q1_KEYS)
-        .sum(["qty_c_sum", "base_c_sum", "dp_e4_sum", "disc_c_sum", "n_sum"])
-    )
-    tbl = pa.Table.from_pylist(combined.take_all())
+    sums = ["qty_c_sum", "base_c_sum", "dp_e4_sum", "disc_c_sum", "n_sum"]
+    partials = ds.map_batches(_q1_partial, batch_format="pyarrow")
+    tbl = _combine_partials(partials, _Q1_KEYS, sums)
+    if tbl is None:  # partials over the combine budget: shuffle path
+        combined = partials.groupby(_Q1_KEYS).sum(sums)
+        tbl = pa.Table.from_pylist(combined.take_all())
     qty = tbl.column("sum(qty_c_sum)").to_numpy().astype(np.int64)
     base = tbl.column("sum(base_c_sum)").to_numpy().astype(np.int64)
     dp = tbl.column("sum(dp_e4_sum)").to_numpy().astype(np.int64)
@@ -195,16 +224,28 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pa.Table
         ).rename_columns(["l_orderkey", "rev_e4"])
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    agg = (
-        li.map_batches(probe, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .sum("rev_e4")
-    )
-    renamed = agg.map_batches(
-        lambda b: b.rename_columns(["l_orderkey", "rev_e4"]),
-        batch_format="pyarrow",
-    )
-    top = _topk_merge(renamed, "rev_e4", k, "l_orderkey")
+    partials = li.map_batches(probe, batch_format="pyarrow")
+    merged = _combine_partials(partials, ["l_orderkey"], ["rev_e4"])
+    if merged is not None:
+        # driver-side top-k over the combined (small) per-order table
+        idx = pc.sort_indices(
+            merged,
+            sort_keys=[("sum(rev_e4)", "descending"), ("l_orderkey", "ascending")],
+        )[:k]
+        head = merged.take(idx)
+        okeys = head.column("l_orderkey").to_numpy().astype(np.int64)
+        revs = head.column("sum(rev_e4)").to_numpy().astype(np.int64)
+        top = [
+            {"l_orderkey": int(o), "rev_e4": int(r)}
+            for o, r in zip(okeys, revs)
+        ]
+    else:  # over the combine budget: Ray groupby shuffle + block top-k
+        agg = partials.groupby("l_orderkey").sum("rev_e4")
+        renamed = agg.map_batches(
+            lambda b: b.rename_columns(["l_orderkey", "rev_e4"]),
+            batch_format="pyarrow",
+        )
+        top = _topk_merge(renamed, "rev_e4", k, "l_orderkey")
     return pa.Table.from_pydict(
         {
             "l_orderkey": pa.array([r["l_orderkey"] for r in top], pa.int64()),
@@ -265,14 +306,17 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
         )
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
-    agg = li.map_batches(probe, batch_format="pyarrow").groupby("rid").sum("rev_e4")
-    rows = agg.take_all()
-    if not rows:
+    partials = li.map_batches(probe, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["rid"], ["rev_e4"])
+    if tbl is None:  # over the combine budget: Ray groupby shuffle
+        tbl = pa.Table.from_pylist(
+            partials.groupby("rid").sum("rev_e4").take_all()
+        )
+    if tbl.num_rows == 0:
         return pa.Table.from_pydict(
             {"r_name": pa.array([], pa.string()),
              "revenue": pa.array([], pa.float64())}
         )
-    tbl = pa.Table.from_pylist(rows)
     rid = tbl.column("rid").to_numpy().astype(np.int64)
     rev = tbl.column("sum(rev_e4)").to_numpy().astype(np.int64)
     out = pa.Table.from_pydict(
@@ -348,12 +392,11 @@ def events_hourly(sf_dir: str) -> pa.Table:
             .rename_columns(["hour", "event_type", "value_c", "n"])
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
-        .sum(["value_c", "n"])
-    )
-    tbl = pa.Table.from_pylist(agg.take_all())
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["hour", "event_type"], ["value_c", "n"])
+    if tbl is None:  # over the combine budget: Ray groupby shuffle
+        agg = partials.groupby(["hour", "event_type"]).sum(["value_c", "n"])
+        tbl = pa.Table.from_pylist(agg.take_all())
     out = pa.Table.from_pydict(
         {
             "hour": tbl.column("hour"),
@@ -529,12 +572,15 @@ def events_sliding_window(
             .rename_columns(["window_start", "event_type", "value_c", "n"])
         )
 
-    agg = (
-        ds.map_batches(expand, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .sum(["value_c", "n"])
+    partials = ds.map_batches(expand, batch_format="pyarrow")
+    tbl = _combine_partials(
+        partials, ["window_start", "event_type"], ["value_c", "n"]
     )
-    tbl = pa.Table.from_pylist(agg.take_all())
+    if tbl is None:  # over the combine budget: Ray groupby shuffle
+        agg = partials.groupby(["window_start", "event_type"]).sum(
+            ["value_c", "n"]
+        )
+        tbl = pa.Table.from_pylist(agg.take_all())
     out = pa.Table.from_pydict(
         {
             "window_start": tbl.column("window_start"),

@@ -120,9 +120,11 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def lang_stats(sf_dir: str) -> ray.data.Dataset:
-    """Per-language doc count + mean n_chars, with per-batch partial
-    aggregation before the (tiny) groupby shuffle."""
+def lang_stats(sf_dir: str):
+    """Per-language doc count + mean n_chars: per-batch partial
+    aggregation merged with one driver-side group_by (Ray groupby
+    shuffle only as the over-budget fallback). Returns a pa.Table on
+    the combine path, a Dataset on the shuffle path."""
 
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -138,11 +140,7 @@ def lang_stats(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
     )
-    combined = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .sum(["sum_chars", "n_docs"])
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def finalize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -158,7 +156,13 @@ def lang_stats(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return combined.map_batches(finalize, batch_format="pyarrow")
+    from .relational import _combine_partials
+
+    tbl = _combine_partials(partials, ["lang"], ["sum_chars", "n_docs"])
+    if tbl is None:  # over the combine budget: Ray groupby shuffle
+        combined = partials.groupby("lang").sum(["sum_chars", "n_docs"])
+        return combined.map_batches(finalize, batch_format="pyarrow")
+    return finalize(tbl)
 
 
 def distinct_users_hll(sf_dir: str, p: int = 12):
