@@ -245,8 +245,17 @@ def minhash_candidate_pairs(
             batch_format="pyarrow",
         )
     )
-    # A pair can surface from several bands: dedup on (doc_a, doc_b).
-    return pairs.groupby(["doc_a", "doc_b"]).max("est_jaccard")
+    # A pair can surface from several bands: dedup on (doc_a, doc_b) —
+    # driver-side combine (the pair list is tiny next to the corpus);
+    # Ray groupby shuffle only as the over-budget fallback.
+    from .relational import _combine_partials
+
+    merged = _combine_partials(
+        pairs, ["doc_a", "doc_b"], ["est_jaccard"], agg="max"
+    )
+    if merged is None:
+        return pairs.groupby(["doc_a", "doc_b"]).max("est_jaccard")
+    return ray.data.from_arrow(merged)
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
@@ -341,7 +350,12 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
-    return pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+    from .relational import _combine_partials
+
+    merged = _combine_partials(pairs, ["doc_a", "doc_b"], ["hamming"], agg="min")
+    if merged is None:
+        return pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+    return ray.data.from_arrow(merged)
 
 
 # -- exact n-gram jaccard verification --------------------------------------

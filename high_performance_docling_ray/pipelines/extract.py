@@ -208,6 +208,10 @@ def winner_filter_factory(
         .map_batches(
             _key_partial_counts, batch_format="pyarrow", batch_size=None
         )
+        # materialize() first: a lazy Dataset's to_arrow_refs runs the
+        # plan fully AND re-executes a limit-1 pass for the schema; a
+        # materialized one knows its schema and runs once
+        .materialize()
         .to_arrow_refs()
     )
     partials = ray.get(partial_refs)  # one batched get, not N round-trips

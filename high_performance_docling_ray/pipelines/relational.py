@@ -55,7 +55,11 @@ def _cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> np.ndarray:
 
 def _small_table(ds: ray.data.Dataset) -> pa.Table:
     """Materialize a SMALL build side on the driver (broadcast pattern)."""
-    return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    # materialize() first: lazy to_arrow_refs re-executes a limit-1
+    # pass for the schema fetch (full plan runs twice)
+    return pa.concat_tables(
+        [ray.get(r) for r in ds.materialize().to_arrow_refs()]
+    )
 
 
 def _sorted_member_mask(sorted_keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
@@ -72,6 +76,7 @@ def _combine_partials(
     keys: list[str],
     sum_cols: list[str],
     combine_limit: int = 2_000_000,
+    agg: str = "sum",
 ) -> pa.Table | None:
     """Merge per-batch partial-aggregate tables with ONE driver-side C++
     group_by instead of a Ray groupby shuffle (whose multi-second fixed
@@ -83,17 +88,22 @@ def _combine_partials(
     ``combine_limit`` rows — the caller must fall back to the Ray
     groupby shuffle, the exchange that works at any key cardinality.
     """
-    parts = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows > 0]
+    # materialize() first: lazy to_arrow_refs re-executes a limit-1
+    # pass for the schema fetch (the full plan — including any sort —
+    # would run twice)
+    refs = partials.materialize().to_arrow_refs()
+    parts = [t for t in ray.get(refs) if t.num_rows > 0]
     if not parts:
         return pa.Table.from_pydict(
-            {**{k: [] for k in keys}, **{f"sum({c})": [] for c in sum_cols}}
+            {**{k: [] for k in keys}, **{f"{agg}({c})": [] for c in sum_cols}}
         )
     tbl = pa.concat_tables(parts)
     if tbl.num_rows > combine_limit:
         return None
-    out = tbl.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
-    # pyarrow names aggregates "<col>_sum" with keys first
-    return out.rename_columns(keys + [f"sum({c})" for c in sum_cols])
+    out = tbl.group_by(keys).aggregate([(c, agg) for c in sum_cols])
+    # pyarrow names aggregates "<col>_<agg>" with keys first; rename to
+    # Ray's "<agg>(col)" so both paths share one downstream shape
+    return out.rename_columns(keys + [f"{agg}({c})" for c in sum_cols])
 
 
 # -- q1: pricing summary (TPC-H Q1 shape) -----------------------------------
@@ -361,7 +371,9 @@ def filter_project_lineitem(sf_dir: str, min_qty: float = 45.0) -> pa.Table:
 
     parts = [
         ray.get(r)
-        for r in ds.map_batches(f, batch_format="pyarrow").to_arrow_refs()
+        for r in ds.map_batches(f, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
     ]
     tbl = pa.concat_tables([p for p in parts if p.num_rows] or parts)
     return tbl.sort_by(

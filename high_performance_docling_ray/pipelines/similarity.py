@@ -236,4 +236,11 @@ def embedding_neardup_pairs(
         .groupby("bucket")
         .map_groups(bucket_verify, batch_format="pyarrow")
     )
-    return pairs.groupby(["vec_id_a", "vec_id_b"]).max("cosine")
+    from .relational import _combine_partials
+
+    merged = _combine_partials(
+        pairs, ["vec_id_a", "vec_id_b"], ["cosine"], agg="max"
+    )
+    if merged is None:
+        return pairs.groupby(["vec_id_a", "vec_id_b"]).max("cosine")
+    return ray.data.from_arrow(merged)
