@@ -248,8 +248,18 @@ class _BlockSegmenter(HTMLParser):
 # up to their closing tag, like the stdlib parser does.
 _TOKEN_RE = re.compile(
     r"<!--.*?(?:-->|$)"            # comment
-    r"|<!\[CDATA\[.*?(?:\]\]>|$)"  # cdata
-    r"|<![^>]*>"                   # doctype / declarations
+    # marked sections, mirroring markupbase.parse_marked_section: the
+    # cdata family closes at ']]>' (whitespace allowed between the
+    # tokens), the MS-Office if/else/endif family at ']>'
+    r"|(?i:<!\[(?:temp|cdata|ignore|include|rcdata)(?![-_.a-zA-Z0-9])"
+    r".*?(?:\]\s*\]\s*>|$))"
+    r"|(?i:<!\[(?:if|else|endif)(?![-_.a-zA-Z0-9]).*?(?:\]\s*>|$))"
+    # doctype & bogus comments stop at the FIRST '>' —
+    # html.parser.parse_html_declaration does rawdata.find('>'), so a
+    # DOCTYPE internal subset's remainder (']>') is emitted as text
+    # and the fast path must do the same (pinned by the differential
+    # test in tests/test_html_parsers.py)
+    r"|<![^>]*>"
     r"|<\?[^>]*>"                  # processing instruction
     # end tag (group 1): name = chars until whitespace/'/'/'>' — same
     # tolerant grammar as html.parser, so '<nav-bar>' is tag 'nav-bar',

@@ -108,15 +108,26 @@ def _matched_ids(matches: Matches) -> set[int]:
 def good_bad_in_column(
     table_cells: list[TableCell], column: int, matches: Matches
 ) -> tuple[list[TableCell], list[TableCell]]:
-    """Step 1 (:62-114): good = matched and cell_class > 1."""
-    matched = _matched_ids(matches)
+    """Step 1 (:62-114): good = matched and cell_class > 1.
+
+    Mirrors the reference's per-match-occurrence append
+    (matching_post_processor.py:94-110): a cell with k match entries
+    across all pdf cells appears k times in the good list (same dict
+    object each time), so the step-3 medians see the reference's
+    weighted multiset and downstream lists carry the same duplicates.
+    """
+    counts: dict[int, int] = {}
+    for lst in matches.values():
+        for m in lst:
+            tid = m["table_cell_id"]
+            counts[tid] = counts.get(tid, 0) + 1
     good, bad = [], []
     for cell in table_cells:
         if cell["column_id"] != column:
             continue
-        allow = cell.get("cell_class", 2) > 1 if "cell_class" in cell else True
-        if allow and cell["cell_id"] in matched:
-            good.append(cell)
+        k = counts.get(cell["cell_id"], 0) if cell.get("cell_class", 2) > 1 else 0
+        if k:
+            good.extend([cell] * k)
         else:
             bad.append(cell)
     return good, bad
@@ -496,9 +507,13 @@ def resolve_overlaps(table_cells: list[TableCell]) -> list[TableCell]:
     along the smaller-overlap axis."""
     for i in range(len(table_cells)):
         for j in range(i + 1, len(table_cells)):
-            b1, b2 = table_cells[i]["bbox"], table_cells[j]["bbox"]
-            if b1 == b2:
+            # the reference compares whole cell dicts (:463), not bboxes:
+            # two distinct cells sharing one bbox (common after step-8a
+            # alignment to the same pdf cell) are still pushed apart;
+            # only true duplicates (same dict contents) are skipped
+            if table_cells[i] == table_cells[j]:
                 continue
+            b1, b2 = table_cells[i]["bbox"], table_cells[j]["bbox"]
             ox = min(b1[2], b2[2]) - max(b1[0], b2[0])
             oy = min(b1[3], b2[3]) - max(b1[1], b2[1])
             if ox <= 0 or oy <= 0:

@@ -141,8 +141,17 @@ def _batch_fingerprint(batch: pa.Table) -> str:
             h.update(b"\x00" if u is None else u.encode("utf-8"))
             h.update(b"\x01")
     elif batch.num_rows:
-        h.update(str(batch.slice(0, 1).to_pylist()).encode())
-        h.update(str(batch.slice(batch.num_rows - 1, 1).to_pylist()).encode())
+        # no url column: digest EVERY value via Arrow IPC bytes, so two
+        # distinct batches with identical first/last rows can't collide
+        # and silently overwrite each other's metric partials. `take`
+        # rebuilds compact arrays first: zero-copy slices carry
+        # non-rebased offset buffers that would make equal values hash
+        # unequal across retries
+        compact = batch.take(pa.array(range(batch.num_rows), type=pa.int64()))
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, compact.schema) as writer:
+            writer.write_table(compact)
+        h.update(sink.getvalue())
     return h.hexdigest()
 
 

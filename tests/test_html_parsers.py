@@ -54,6 +54,13 @@ def test_parsers_agree_on_fixture_corpus():
         "<ul><li>one</li><li>two</li></ul>",
         "<h2>head</h2><p>body <b>bold</b> tail</p>",
         "<div a='>' b=\">\">attr with gt</div>",
+        # doctype with internal subset: stdlib stops at the FIRST '>'
+        # and the ']>' remainder becomes text — fast path must match
+        '<body><!DOCTYPE html [ <!ENTITY x "y"> ]><p>hello world</p></body>',
+        "<body><![if gte mso 9]><p>in mso > section</p><![endif]><p>real</p></body>",
+        "<body><![CDATA[ raw > stuff ]]><p>after cdata</p></body>",
+        "<body><![cdata junk ] ]><p>weird</p>]]><p>tail text</p></body>",
+        '<body><!ENTITY foo "bar"><p>plain decl</p></body>',
     ],
 )
 def test_parsers_agree_on_edge_markup(html):

@@ -189,3 +189,40 @@ def test_process_end_to_end_deterministic():
     # every pdf cell assigned to exactly one table cell
     assert {int(k) for k in m1} == {0, 1, 2, 3}
     assert all(len(v) == 1 for v in m1.values())
+
+
+def test_good_cells_weighted_per_match_occurrence():
+    # reference (_get_good_bad_cells_in_column :94-110) appends a good
+    # cell once PER match entry, so a 3-match cell weights the step-3
+    # medians 3x (ADVICE r1 scenario: ref medians (0,0,10,10))
+    cells = [
+        _cell(1, 0, 0, (0.0, 0.0, 10.0, 10.0)),
+        _cell(2, 1, 0, (4.0, 18.0, 28.0, 26.0)),
+    ]
+    matches = {
+        "10": [{"table_cell_id": 1, "iopdf": 0.9}],
+        "11": [{"table_cell_id": 1, "iopdf": 0.8}],
+        "12": [{"table_cell_id": 1, "iopdf": 0.7}],
+        "13": [{"table_cell_id": 2, "iopdf": 0.9}],
+    }
+    good, bad = good_bad_in_column(cells, 0, matches)
+    assert [c["cell_id"] for c in good] == [1, 1, 1, 2]
+    assert bad == []
+    assert good[0] is good[1] is good[2]  # same dict object, like the ref
+    al = find_alignment(good)
+    assert median_pos_size(good, al) == (0.0, 0.0, 10.0, 10.0)
+
+
+def test_resolve_overlaps_distinct_cells_sharing_bbox():
+    # two DISTINCT cells that share one bbox (after step-8a alignment
+    # to the same pdf cell) must still be pushed apart — the reference
+    # compares whole cell dicts (:463), not bboxes
+    a = _cell(0, 0, 0, (0, 0, 10, 10))
+    b = _cell(1, 0, 1, (0, 0, 10, 10))
+    out = resolve_overlaps([a, b])
+    assert out[0]["bbox"] != out[1]["bbox"]
+    # true duplicates (equal dicts) are skipped untouched
+    c = _cell(2, 0, 0, (0, 0, 10, 10))
+    d = _cell(2, 0, 0, (0, 0, 10, 10))
+    out2 = resolve_overlaps([c, d])
+    assert out2[0]["bbox"] == [0, 0, 10, 10] == out2[1]["bbox"]

@@ -260,3 +260,19 @@ def test_hll_merge_order_invariant():
     a = sketch.merge(sketch.merge(parts[0], parts[1]), parts[2])
     b = sketch.merge(parts[2], sketch.merge(parts[1], parts[0]))
     assert np.array_equal(a, b)
+
+
+def test_batch_fingerprint_fallback_hashes_all_values():
+    # no-url fallback must distinguish batches that share row count and
+    # first/last rows (duplicate-heavy data) so metric partials from
+    # distinct batches are never silently merged
+    from high_performance_docling_ray.state.checkpoint import _batch_fingerprint
+
+    t1 = pa.table({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    t2 = pa.table({"x": [1, 9, 3], "y": ["a", "b", "c"]})
+    assert _batch_fingerprint(t1) != _batch_fingerprint(t2)
+    # deterministic for equal values, including zero-copy slices
+    big = pa.table({"x": [0, 1, 2, 3, 4], "y": list("vwxyz")})
+    assert _batch_fingerprint(big.slice(1, 3)) == _batch_fingerprint(
+        pa.table({"x": [1, 2, 3], "y": ["w", "x", "y"]})
+    )
