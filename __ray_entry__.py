@@ -339,6 +339,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _minhash_perm_values() -> str:
+    """The MinHasher(seed=7) permutation constants as SQL literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    half = rng.randint(0, 1 << 62, size=64).astype(np.uint64)
+    a = [int(x) for x in half * np.uint64(2) + np.uint64(1)]
+    b = [int(x) for x in rng.randint(0, 1 << 62, size=64).astype(np.uint64)]
+    return ", ".join(
+        f"({p}, {a[p]}::HUGEINT, {b[p]}::HUGEINT)" for p in range(64)
+    )
+
+
+# Shared CTE: word-3-gram shingle sets + 64-bit shingle hashes.
+# md5_number_upper == first 8 md5 bytes little-endian == kernels'
+# _hash64, so SQL rebuilds the exact MinHash/SimHash signatures.
+_SHINGLE_CTE = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    END AS sh
+  FROM toks
+),
+hv AS (
+  SELECT doc_id, md5_number_upper(s) AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+)
+"""
+
+_STOP_EN = "'the','a','of','and','to','in','is','it','you','that','he','was','for','on','are'"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # byte-level oracle for the flagship HTML extraction: the
@@ -376,6 +417,217 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": """
             SELECT doc_id, md5(text) AS md5 FROM documents
+        """,
+        # rolling polynomial fingerprint (kernels/text_stats.py:104):
+        # base-257 hash mod 2^61, min over 16-byte windows. The corpus
+        # is pure ASCII (checked in tests), so ord(char) == utf-8 byte.
+        "fingerprint_rolling": f"""
+            WITH RECURSIVE r AS (
+              SELECT doc_id, text, length(text) AS n, 0 AS i,
+                     CAST(0 AS HUGEINT) AS h, CAST(NULL AS HUGEINT) AS best
+              FROM documents
+              UNION ALL
+              SELECT doc_id, text, n, i + 1,
+                CASE WHEN i < 16
+                     THEN (h * 257 + ord(substr(text, i + 1, 1))) % {1 << 61}
+                     ELSE ((((h - ord(substr(text, i - 15, 1))
+                              * {pow(257, 15, 1 << 61)}::HUGEINT) % {1 << 61})
+                            + {1 << 61}) % {1 << 61}
+                           * 257 + ord(substr(text, i + 1, 1))) % {1 << 61}
+                END AS h2,
+                CASE WHEN i + 1 = 16 THEN
+                       CASE WHEN i < 16
+                            THEN (h * 257 + ord(substr(text, i + 1, 1))) % {1 << 61}
+                            ELSE NULL END
+                     WHEN i + 1 > 16 THEN least(best,
+                       ((((h - ord(substr(text, i - 15, 1))
+                           * {pow(257, 15, 1 << 61)}::HUGEINT) % {1 << 61})
+                         + {1 << 61}) % {1 << 61}
+                        * 257 + ord(substr(text, i + 1, 1))) % {1 << 61})
+                     ELSE NULL END AS best2
+              FROM r WHERE i < n
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN n < 16 THEN h ELSE best END AS UBIGINT)
+                       AS rolling
+            FROM r WHERE i = n
+        """,
+        # stopword-overlap language ID (kernels/text_stats.py:84):
+        # distinct lowercased words, argmax stopword hits with
+        # first-in-sorted-lang-order tiebreak, 'und' on zero hits
+        "language_id": f"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     list_distinct(list_filter(
+                         regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> ''
+                     )) AS words
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, lang, len(words) AS nw,
+                len(list_filter(words, x -> x IN ('der','die','das','und','ist','ich','nicht','sie','mit','ein','zu','den','von'))) AS hde,
+                len(list_filter(words, x -> x IN ({_STOP_EN}))) AS hen,
+                len(list_filter(words, x -> x IN ('el','la','los','las','de','y','un','una','es','en','no','que','por','para'))) AS hes,
+                len(list_filter(words, x -> x IN ('le','la','les','de','et','un','une','est','je','pas','pour','que','dans'))) AS hfr,
+                len(list_filter(words, x -> x IN ('il','lo','la','gli','le','di','e','un','una','è','che','non','per','con'))) AS hit
+              FROM w
+            )
+            SELECT doc_id, lang,
+              CASE WHEN nw = 0 OR greatest(hde,hen,hes,hfr,hit) = 0 THEN 'und'
+                   WHEN hde >= hen AND hde >= hes AND hde >= hfr AND hde >= hit THEN 'de'
+                   WHEN hen >= hes AND hen >= hfr AND hen >= hit THEN 'en'
+                   WHEN hes >= hfr AND hes >= hit THEN 'es'
+                   WHEN hfr >= hit THEN 'fr'
+                   ELSE 'it' END AS detected_lang,
+              (detected_lang = lang) AS agrees
+            FROM h
+        """,
+        # quality features mirror kernels/text_stats.py:48-81 term by
+        # term (same regexes, same float op order)
+        "quality_scores": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS ltoks,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                               AS DOUBLE) / len(toks)
+                END AS mwl,
+                CASE WHEN n_chars = 0 THEN 0.0
+                     ELSE CAST(n_punct AS DOUBLE) / n_chars END AS pr,
+                CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE CAST(len(list_filter(ltoks, x -> x IN ({_STOP_EN})))
+                               AS DOUBLE) / len(toks)
+                END AS sr
+              FROM t
+            )
+            SELECT doc_id, n_chars, n_tokens,
+              round(mwl, 6) AS mean_word_len,
+              round(pr, 6) AS punct_ratio,
+              round(sr, 6) AS stopword_ratio,
+              round(0.4 * least(1.0, n_tokens / 50.0)
+                    + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+                                  THEN 1.0 ELSE 0.5 END)
+                    + 0.2 * least(1.0, sr * 5.0)
+                    + 0.2 * (1.0 - least(1.0, greatest(0.0, pr - 0.2) * 2.0)),
+                    6) AS quality
+            FROM f
+        """,
+        # MinHash LSH pairs: SQL rebuilds the exact 64-perm signatures
+        # (kernels/dedup.py MinHasher, seed 7) and the 16-band
+        # candidate rule (band equality == the 4 signature slots equal)
+        "minhash_lsh_pairs": f"""
+            WITH perms(p, a, b) AS (VALUES {_minhash_perm_values()}),
+            {_SHINGLE_CTE},
+            sig AS (
+              SELECT hv.doc_id, perms.p,
+                     CAST(min((perms.a * hv.h::HUGEINT + perms.b)
+                          % 18446744073709551616::HUGEINT) AS UBIGINT) AS v
+              FROM hv CROSS JOIN perms GROUP BY hv.doc_id, perms.p
+            ),
+            sigg AS (SELECT doc_id, list(v ORDER BY p) AS sig FROM sig GROUP BY doc_id),
+            sigl AS (
+              SELECT s.doc_id,
+                     coalesce(g.sig, list_transform(range(1, 65),
+                         x -> 18446744073709551615::UBIGINT)) AS sig
+              FROM sh s LEFT JOIN sigg g ON s.doc_id = g.doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i]))
+                   AS DOUBLE) / 64 AS est_jaccard
+            FROM sigl a JOIN sigl b ON a.doc_id < b.doc_id
+            WHERE len(list_filter(range(0, 16),
+                  bnd -> a.sig[4*bnd+1] = b.sig[4*bnd+1]
+                     AND a.sig[4*bnd+2] = b.sig[4*bnd+2]
+                     AND a.sig[4*bnd+3] = b.sig[4*bnd+3]
+                     AND a.sig[4*bnd+4] = b.sig[4*bnd+4])) > 0
+              AND len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i]))
+                  >= 0.7 * 64
+        """,
+        # SimHash pairs: 64-bit majority-vote hash per doc, candidates
+        # share one of four 16-bit segments, Hamming <= 3
+        "simhash_pairs": f"""
+            WITH {_SHINGLE_CTE},
+            bits AS (
+              SELECT doc_id, t.b,
+                     sum(CASE WHEN (h >> CAST(t.b AS UBIGINT)) & 1 = 1
+                              THEN 1 ELSE 0 END) AS cnt,
+                     count(*) AS ns
+              FROM hv CROSS JOIN range(64) t(b) GROUP BY doc_id, t.b
+            ),
+            h64g AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN 2 * cnt > ns
+                                   THEN (1::HUGEINT << CAST(b AS INTEGER))
+                                   ELSE 0::HUGEINT END) AS UBIGINT) AS h
+              FROM bits GROUP BY doc_id
+            ),
+            h64 AS (
+              SELECT s.doc_id, coalesce(g.h, 0::UBIGINT) AS h
+              FROM sh s LEFT JOIN h64g g ON s.doc_id = g.doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+            FROM h64 a JOIN h64 b ON a.doc_id < b.doc_id
+            WHERE ((xor(a.h, b.h) & 65535) = 0
+                OR ((xor(a.h, b.h) >> 16) & 65535) = 0
+                OR ((xor(a.h, b.h) >> 32) & 65535) = 0
+                OR ((xor(a.h, b.h) >> 48) & 65535) = 0)
+              AND bit_count(xor(a.h, b.h)) <= 3
+        """,
+        # HyperLogLog p=12 replicated exactly: same md5-derived 64-bit
+        # hash, register index = top 12 bits, rank via hex bit-length,
+        # exact HUGEINT numerator for the 2^-reg sum (kernels/sketch.py)
+        "hll_distinct_users": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+              FROM events
+            ),
+            rk AS (
+              SELECT event_type, CAST(hv >> 52 AS INTEGER) AS idx,
+                     to_hex(CAST((hv % 4503599627370496::HUGEINT) * 4096 + 4095
+                                 AS UBIGINT)) AS hx
+              FROM h
+            ),
+            rk2 AS (
+              SELECT event_type, idx,
+                     65 - (4 * (length(hx) - 1) +
+                           CASE substr(hx, 1, 1)
+                                WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 2
+                                WHEN '4' THEN 3 WHEN '5' THEN 3 WHEN '6' THEN 3
+                                WHEN '7' THEN 3 ELSE 4 END) AS rank
+              FROM rk
+            ),
+            regs AS (SELECT event_type, idx, max(rank) AS reg FROM rk2 GROUP BY 1, 2),
+            agg AS (
+              SELECT event_type, count(*) AS npresent,
+                     sum(1::HUGEINT << (53 - reg)) AS present_num
+              FROM regs GROUP BY 1
+            ),
+            est AS (
+              SELECT event_type,
+                     4096 - npresent AS zeros,
+                     (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096 /
+                         (CAST(present_num + (4096 - npresent) * (1::HUGEINT << 53)
+                               AS DOUBLE) / 9007199254740992.0) AS raw
+              FROM agg
+            )
+            SELECT event_type,
+                   CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                                   THEN 4096 * ln(4096.0 / zeros)
+                                   ELSE raw END) AS BIGINT)
+                       AS approx_distinct_users
+            FROM est ORDER BY event_type
         """,
         "doc_stats": r"""
             SELECT doc_id, length(text) AS n_chars,

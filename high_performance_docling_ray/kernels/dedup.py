@@ -20,9 +20,10 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _hash64(token: str) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big"
-    )
+    """64-bit token hash: first 8 md5 bytes, little-endian — exactly
+    DuckDB's ``md5_number_upper``, so the MinHash/SimHash oracles in
+    ``__ray_entry__.oracle_sql`` can reproduce signatures in SQL."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "little")
 
 
 class MinHasher:

@@ -31,13 +31,13 @@ def _alpha(m: int) -> float:
 
 
 def hash64(values) -> np.ndarray:
-    """Deterministic 64-bit hashes of arbitrary values (stringified)."""
+    """Deterministic 64-bit hashes of arbitrary values (stringified):
+    first 8 md5 bytes little-endian == DuckDB ``md5_number_upper``, so
+    the HLL oracle SQL can rebuild identical registers."""
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
-        digest = hashlib.blake2b(
-            str(v).encode("utf-8"), digest_size=8
-        ).digest()
-        out[i] = int.from_bytes(digest, "big")
+        digest = hashlib.md5(str(v).encode("utf-8")).digest()
+        out[i] = int.from_bytes(digest[:8], "little")
     return out
 
 
@@ -73,10 +73,17 @@ def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def estimate(registers: np.ndarray) -> float:
-    """Cardinality estimate with small/large-range corrections."""
+    """Cardinality estimate with small/large-range corrections.
+
+    The 2^-reg sum is computed as an EXACT integer numerator over 2^53
+    (register values never exceed 53 here), then converted to float in
+    one rounding step — bit-identical regardless of summation order,
+    and reproducible by the DuckDB oracle SQL's HUGEINT sum."""
     m = len(registers)
-    inv = np.ldexp(1.0, -registers.astype(np.int64))
-    raw = _alpha(m) * m * m / inv.sum()
+    counts = np.bincount(registers.astype(np.int64), minlength=54)
+    num = sum(int(c) << (53 - k) for k, c in enumerate(counts[:54]) if c)
+    inv_sum = float(num) / 9007199254740992.0  # / 2^53
+    raw = _alpha(m) * m * m / inv_sum
     if raw <= 2.5 * m:
         zeros = int((registers == 0).sum())
         if zeros:

@@ -254,8 +254,13 @@ def minhash_candidate_pairs(
         pairs, ["doc_a", "doc_b"], ["est_jaccard"], agg="max"
     )
     if merged is None:
-        return pairs.groupby(["doc_a", "doc_b"]).max("est_jaccard")
-    return ray.data.from_arrow(merged)
+        deduped = pairs.groupby(["doc_a", "doc_b"]).max("est_jaccard")
+    else:
+        deduped = ray.data.from_arrow(merged)
+    return deduped.map_batches(
+        lambda b: b.rename_columns(["doc_a", "doc_b", "est_jaccard"]),
+        batch_format="pyarrow",
+    )
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
@@ -354,8 +359,13 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
 
     merged = _combine_partials(pairs, ["doc_a", "doc_b"], ["hamming"], agg="min")
     if merged is None:
-        return pairs.groupby(["doc_a", "doc_b"]).min("hamming")
-    return ray.data.from_arrow(merged)
+        deduped = pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+    else:
+        deduped = ray.data.from_arrow(merged)
+    return deduped.map_batches(
+        lambda b: b.rename_columns(["doc_a", "doc_b", "hamming"]),
+        batch_format="pyarrow",
+    )
 
 
 # -- exact n-gram jaccard verification --------------------------------------
