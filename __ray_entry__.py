@@ -88,11 +88,25 @@ def _q_ngram_jaccard(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
+    """EXACT cosine>=0.4 pairs via broadcast blocked matmul (the
+    testdata embeddings are near-random, so 0.4 is the band where real
+    pairs exist — threshold 0.95 would be vacuously empty)."""
     from high_performance_docling_ray.pipelines.similarity import (
         embedding_neardup_pairs,
     )
 
-    return embedding_neardup_pairs(sf_dir, threshold=0.95)
+    return embedding_neardup_pairs(sf_dir, threshold=0.4)
+
+
+def _q_embedding_neardup_lsh(sf_dir: str):
+    """Approximate sign-LSH variant of the same contract (recall < 1 by
+    design — rows-only check; recall asserted vs the exact pipeline in
+    tests)."""
+    from high_performance_docling_ray.pipelines.similarity import (
+        embedding_neardup_lsh,
+    )
+
+    return embedding_neardup_lsh(sf_dir, threshold=0.4)
 
 
 def _query_vector(sf_dir: str):
@@ -313,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_neardup_pairs": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         # similarity search
         "knn_brute_cosine": _q_knn_brute,
         "knn_ivf_cosine": _q_knn_ivf,
@@ -522,6 +537,35 @@ def oracle_sql() -> dict[str, str]:
                     6) AS quality
             FROM f
         """,
+        # exact word-3-gram Jaccard pairs over non-empty shingle sets;
+        # the length prefilter (min >= t*max) is implied by J >= t so
+        # it only speeds up the cross join
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                END AS sh
+              FROM toks
+            ),
+            ne AS (SELECT doc_id, sh, len(sh) AS L FROM sh WHERE len(sh) > 0)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (a.L + b.L - len(list_intersect(a.sh, b.sh)))
+                       AS jaccard
+            FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+            WHERE CAST(least(a.L, b.L) AS DOUBLE) >= 0.5 * greatest(a.L, b.L)
+              AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (a.L + b.L - len(list_intersect(a.sh, b.sh))) >= 0.5
+        """,
         # MinHash LSH pairs: SQL rebuilds the exact 64-perm signatures
         # (kernels/dedup.py MinHasher, seed 7) and the 16-band
         # candidate rule (band equality == the 4 signature slots equal)
@@ -640,6 +684,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # exact near-dup pairs: plain cross join with the same float64
+        # cosine; the pipeline's blocked matmul must reproduce it
+        "embedding_neardup_pairs": """
+            WITH n AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            )
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   list_cosine_similarity(a.e, b.e) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.4
         """,
         "knn_brute_cosine": """
             SELECT e.vec_id,

