@@ -417,6 +417,35 @@ def oracle_sql() -> dict[str, str]:
                    ) AS extracted_text
             FROM documents
         """,
+        # extract_pages = extract_docs_text plus closed-form structure
+        # columns: the deterministic wrap yields one h1 element + one
+        # text element per non-empty normalized sentence, no tables
+        "extract_pages": r"""
+            SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+                   'html' AS doc_kind,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                   COALESCE(
+                       list_aggregate(
+                           list_filter(
+                               list_transform(
+                                   str_split(text, '. '),
+                                   s -> trim(regexp_replace(s, '\s+', ' ', 'g'))
+                               ),
+                               s -> s <> ''
+                           ),
+                           'string_agg', chr(10)
+                       ), ''
+                   ) AS extracted_text,
+                   1 + len(list_filter(
+                           list_transform(
+                               str_split(text, '. '),
+                               s -> trim(regexp_replace(s, '\s+', ' ', 'g'))
+                           ),
+                           s -> s <> ''
+                       )) AS n_elements,
+                   0 AS n_tables
+            FROM documents
+        """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS min_doc_id
             FROM documents GROUP BY md5(text) ORDER BY text_hash
