@@ -74,7 +74,9 @@ def _runs_apply(group: pa.Table, key: str, pair_fn) -> pa.Table:
 
 
 def read_documents(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    from .io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 # -- exact ------------------------------------------------------------------

@@ -51,7 +51,9 @@ PAGE_COLUMNS = ["url", "warc_ts", "html", "lang"]
 def read_pages(path: str) -> ray.data.Dataset:
     """Column-pruned read of a pages parquet (never load ``text`` — the
     raw dump is not used by extraction)."""
-    return ray.data.read_parquet(path, columns=PAGE_COLUMNS)
+    from .io import read_parquet_clean
+
+    return read_parquet_clean(path, columns=PAGE_COLUMNS)
 
 
 def normalize_urls(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -433,7 +435,9 @@ def extract_pipeline(
         # coalesced key-column read: per-file tasks would dominate the
         # (tiny) winner phase with scheduling overhead
         nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
-        keys_ds = ray.data.read_parquet(
+        from .io import read_parquet_clean
+
+        keys_ds = read_parquet_clean(
             source_path, columns=["url", "warc_ts"], override_num_blocks=nb
         )
     if not explode_giant:

@@ -44,7 +44,9 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from .io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> np.ndarray:
@@ -56,10 +58,12 @@ def _cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> np.ndarray:
 def _small_table(ds: ray.data.Dataset) -> pa.Table:
     """Materialize a SMALL build side on the driver (broadcast pattern)."""
     # materialize() first: lazy to_arrow_refs re-executes a limit-1
-    # pass for the schema fetch (full plan runs twice)
-    return pa.concat_tables(
-        [ray.get(r) for r in ds.materialize().to_arrow_refs()]
-    )
+    # pass for the schema fetch (full plan runs twice). Zero-row blocks
+    # are dropped: a map stage can emit them with an EMPTY (0-column)
+    # schema, which breaks concat_tables.
+    parts = [ray.get(r) for r in ds.materialize().to_arrow_refs()]
+    nonempty = [t for t in parts if t.num_rows > 0]
+    return pa.concat_tables(nonempty) if nonempty else parts[0]
 
 
 def _sorted_member_mask(sorted_keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
@@ -426,27 +430,64 @@ def events_hourly(sf_dir: str) -> pa.Table:
 def sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pa.Table:
     """Per-user session count, 30-min gap rule.
 
-    groupby(user_id).map_groups: the canonical stateful-per-key window
-    Ray Data lacks as a primitive (SURVEY.md custom-operator note).
+    The stateful-per-key window Ray Data lacks as a primitive
+    (SURVEY.md custom-operator note), on the repo's coarse-partition +
+    key-runs pattern (see pipelines/dedup.py): group on
+    ``hash(user_id) % P`` — every user lands wholly in one partition —
+    then one vectorized pass over the sorted partition handles ALL its
+    users (run boundaries + a prefix-sum of gap flags), instead of
+    paying Ray's per-distinct-key Python call that a raw
+    ``groupby(user_id).map_groups`` costs at corpus-scale key counts.
     """
+    num_parts = 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sess(group: pa.Table) -> pa.Table:
-        ts = np.sort(group.column("ts").to_numpy().astype("datetime64[us]")
-                     .astype(np.int64))
-        gaps = np.diff(ts)
-        n_sessions = 1 + int(np.sum(gaps > gap_us))
+    def prep(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        part = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            num_parts
+        )
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
+
+    def sess_part(group: pa.Table) -> pa.Table:
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        if not len(users):
+            return pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ts, users))
+        users, ts = users[order], ts[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(users[1:] != users[:-1])[0] + 1)
+        )
+        ends = np.concatenate((starts[1:], [len(users)]))
+        # prefix sum of gap flags; run-interior gaps are cs[e-1]-cs[s]
+        new_sess = np.concatenate(
+            ([0], (np.diff(ts) > gap_us).astype(np.int64))
+        )
+        cs = np.cumsum(new_sess)
+        n_sessions = 1 + (cs[ends - 1] - cs[starts])
         return pa.Table.from_pydict(
             {
-                "user_id": pa.array(
-                    [group.column("user_id")[0].as_py()], pa.int64()
-                ),
-                "n_events": pa.array([len(ts)], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "user_id": pa.array(users[starts], pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: sess_part(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
     tbl = pa.Table.from_pylist(out.take_all())
     return tbl.sort_by([("user_id", "ascending")])
 
@@ -498,21 +539,24 @@ def asof_join_events(sf_dir: str, left_type: str = "purchase",
         ru, rt = ru[ro], rt[ro]
 
         match_ts = np.full(len(lu), np.iinfo(np.int64).min, dtype=np.int64)
-        if len(ru):
-            # user-run boundaries on the right side
+        if len(ru) and len(lu):
+            # user-run boundaries on both sides; ONE searchsorted per
+            # left user run, vectorized over that user's purchases
             r_starts = np.concatenate(([0], np.nonzero(ru[1:] != ru[:-1])[0] + 1))
             r_users = ru[r_starts]
             r_ends = np.concatenate((r_starts[1:], [len(ru)]))
             run_of = {int(u): k for k, u in enumerate(r_users)}
-            for i in range(len(lu)):
-                k = run_of.get(int(lu[i]))
+            l_starts = np.concatenate(([0], np.nonzero(lu[1:] != lu[:-1])[0] + 1))
+            l_ends = np.concatenate((l_starts[1:], [len(lu)]))
+            for s, e in zip(l_starts, l_ends):
+                k = run_of.get(int(lu[s]))
                 if k is None:
                     continue
-                s, e = int(r_starts[k]), int(r_ends[k])
-                # rightmost right-ts <= left-ts within the user's run
-                j = np.searchsorted(rt[s:e], lt_[i], side="right")
-                if j > 0:
-                    match_ts[i] = rt[s + j - 1]
+                rs, re_ = int(r_starts[k]), int(r_ends[k])
+                # rightmost right-ts <= left-ts, for the whole run at once
+                j = np.searchsorted(rt[rs:re_], lt_[s:e], side="right")
+                hit = j > 0
+                match_ts[s:e][hit] = rt[rs + j[hit] - 1]
         has = match_ts != np.iinfo(np.int64).min
         return pa.Table.from_pydict(
             {

@@ -23,7 +23,9 @@ import ray.data
 
 
 def read_embeddings(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from .io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:

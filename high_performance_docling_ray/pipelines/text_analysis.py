@@ -22,7 +22,9 @@ from ..kernels.text_stats import (
 
 
 def read_documents(sf_dir: str, columns=("doc_id", "text", "lang")) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    from .io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 def token_counts(sf_dir: str) -> ray.data.Dataset:
@@ -137,7 +139,9 @@ def lang_stats(sf_dir: str):
         _ = pc
         return out
 
-    ds = ray.data.read_parquet(
+    from .io import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
     )
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -181,7 +185,9 @@ def distinct_users_hll(sf_dir: str, p: int = 12):
 
     from ..kernels import sketch
 
-    ds = ray.data.read_parquet(
+    from .io import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
 
