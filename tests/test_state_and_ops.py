@@ -410,3 +410,53 @@ def test_knn_ivf_persisted_index_full_probe_equals_brute(tmp_path):
     brute = knn_brute(sf, q, k=5).to_pandas()
     ivf = knn_ivf(sf, q, k=5, n_lists=8, nprobe=8).to_pandas()
     assert brute.equals(ivf)
+
+
+def test_midrun_crash_leaves_per_shard_manifests_and_resumes(tmp_path):
+    """A crash partway through the sink must leave manifests for every
+    COMPLETED shard (they are written on shard close, not after the
+    whole sink), and a resumed run must skip those shards untouched."""
+    import time as _time
+
+    from high_performance_docling_ray.state.checkpoint import write_resumable
+
+    out_dir = str(tmp_path / "out")
+    ds = ray.data.from_arrow(_input_table())
+
+    # first run: shard 1's writer raises -> the job dies mid-sink
+    with pytest.raises(Exception):
+        write_resumable(ds, out_dir, num_shards=8, _fail_shards={1})
+    done_after_crash = completed_shards(out_dir)
+    assert 1 not in done_after_crash
+    assert done_after_crash, "no shard completed before the crash"
+    mtimes = {
+        s: os.path.getmtime(os.path.join(out_dir, f"_manifest_{s}.json"))
+        for s in done_after_crash
+    }
+    _time.sleep(0.05)
+
+    # resume: completed shards are filtered from the INPUT and their
+    # manifests (and data) are not rewritten
+    counts = run_resumable(
+        ray.data.from_arrow(_input_table()),
+        lambda d: d,
+        out_dir,
+        num_shards=8,
+    )
+    assert completed_shards(out_dir) == set(range(8)) & {
+        s for s, v in counts.items()
+    } | done_after_crash
+    for s in done_after_crash:
+        assert (
+            os.path.getmtime(os.path.join(out_dir, f"_manifest_{s}.json"))
+            == mtimes[s]
+        ), f"shard {s} was reprocessed on resume"
+    # every row of the input is on disk exactly once
+    import pyarrow.parquet as pq
+
+    total = sum(
+        pq.read_table(os.path.join(out_dir, d)).num_rows
+        for d in os.listdir(out_dir)
+        if d.startswith("shard_id=")
+    )
+    assert total == _input_table().num_rows
