@@ -207,7 +207,9 @@ def page_clusters(
 
 
 def process_pdf_page(
-    page: dict[str, Any], options: ExtractOptions = DEFAULT_OPTIONS
+    page: dict[str, Any],
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    ocr_texts_override: dict[int, str] | None = None,
 ) -> tuple[list[dict], dict[str, float]]:
     """One parsed page -> assembled elements + confidence scores."""
     final_clusters, cells = page_clusters(page, options)
@@ -215,9 +217,16 @@ def process_pdf_page(
 
     ocr_texts: dict[int, str] = {}
     if options.do_ocr:
-        from .ocr import run_ocr
+        if ocr_texts_override is not None:
+            # distributed OCR join-back (J6): recognized text arrives
+            # keyed by cluster_id from the separate OCR stage
+            # (pipelines/ocr.py) instead of an inline model call —
+            # reference apply-back gpu_processor.py:260-288
+            ocr_texts = ocr_texts_override
+        else:
+            from .ocr import run_ocr
 
-        ocr_texts = run_ocr(final_clusters, page["page_no"])
+            ocr_texts = run_ocr(final_clusters, page["page_no"])
 
     # Table structure: word-index lookup per table cluster with
     # cross-table token dedup (table_structure_model.py:172-224, O7).
@@ -258,12 +267,18 @@ def process_pdf_page(
 # --------------------------------------------------------------------------
 
 def extract_document(
-    payload: bytes, options: ExtractOptions = DEFAULT_OPTIONS
+    payload: bytes,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    ocr_lookup: dict[int, dict[int, str]] | None = None,
 ) -> dict[str, Any]:
     """Document payload -> extraction result row (pure, deterministic).
 
     Returns {extracted_text, markdown, elements_json, n_pages,
     n_elements, n_tables, doc_kind, layout_score}.
+
+    ``ocr_lookup``: distributed-OCR results for THIS document, keyed
+    ``{page_no: {cluster_id: text}}``; when given (and do_ocr), pages
+    consume it instead of running the inline recognizer.
     """
     kind = sniff_format(payload)
     if kind == "html":
@@ -275,7 +290,12 @@ def extract_document(
         elements = []
         page_scores: list[float] = []
         for page in doc["pages"]:
-            els, scores = process_pdf_page(page, options)
+            override = (
+                ocr_lookup.get(int(page["page_no"]), {})
+                if ocr_lookup is not None
+                else None
+            )
+            els, scores = process_pdf_page(page, options, override)
             elements.extend(els)
             page_scores.append(scores["layout_score"])
         n_pages = len(doc["pages"])

@@ -385,6 +385,7 @@ def extract_pipeline(
     use_actors: bool = False,
     giant_bytes: int = GIANT_BYTES,
     source_path: str | None = None,
+    ocr_ref=None,
 ) -> ray.data.Dataset:
     """Build the extraction DAG over a pages dataset.
 
@@ -424,9 +425,12 @@ def extract_pipeline(
         page_fn: Any = PageExtractor
         kwargs["concurrency"] = concurrency
         kwargs["fn_constructor_kwargs"] = {"options": options}
+        if ocr_ref is not None:
+            kwargs["fn_constructor_kwargs"]["ocr_ref"] = ocr_ref
         page_kwargs = dict(kwargs, batch_size=16)
+        page_kwargs["fn_constructor_kwargs"] = {"options": options}
     else:
-        doc_fn = make_doc_extract_fn(options)
+        doc_fn = make_doc_extract_fn(options, ocr_ref=ocr_ref)
         page_fn = make_page_extract_fn(options)
         page_kwargs = dict(kwargs, batch_size=16)
 

@@ -140,3 +140,52 @@ def ocr_pipeline(
         batch_size=OCR_BATCH_SIZE,  # reference: 32 regions per model call
         concurrency=concurrency,
     )
+
+
+def collect_ocr_results(ocr_ds: ray.data.Dataset):
+    """OCR result rows -> broadcast ObjectRef to
+    ``{url: {page_no: {cluster_id: text}}}`` for the extraction
+    join-back (J6; reference apply gpu_processor.py:260-288).
+
+    The nested dict is bounded by the number of EMPTY-text regions —
+    a small fraction of the corpus — so it broadcasts like the dedup
+    winner set; past a broadcast budget the join-back becomes a
+    groupby(url) merge of OCR rows with page-exploded extraction
+    (the bucketed-shuffle fallback shape used elsewhere in this repo).
+    """
+    import ray
+
+    lookup: dict[str, dict[int, dict[int, str]]] = {}
+    for t in ray.get(ocr_ds.materialize().to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        for row in t.to_pylist():
+            lookup.setdefault(row["url"], {}).setdefault(
+                int(row["page_no"]), {}
+            )[int(row["cluster_id"])] = row["ocr_text"]
+    return ray.put(lookup)
+
+
+def extract_with_distributed_ocr(
+    pages_ds_factory,
+    options: ExtractOptions,
+    concurrency=(1, 4),
+    **extract_kwargs,
+) -> ray.data.Dataset:
+    """Reference phase-2 OCR as a SEPARATE Ray stage, joined back into
+    extraction by (url, page_no, cluster_id) — byte-identical to the
+    inline ``do_ocr=True`` path (asserted in tests/test_ocr_pipeline.py).
+
+    ``pages_ds_factory``: zero-arg callable returning the pages
+    Dataset. Called twice — a lazy Dataset re-executes its upstream per
+    consumer (NOTES_r1), so the OCR pass and the extraction pass each
+    build their own plan rather than sharing one branch point.
+    """
+    from .extract import extract_pipeline
+
+    ocr_ds = ocr_pipeline(pages_ds_factory(), concurrency=concurrency)
+    ocr_ref = collect_ocr_results(ocr_ds)
+    return extract_pipeline(
+        pages_ds_factory(), options=options, ocr_ref=ocr_ref,
+        **extract_kwargs,
+    )

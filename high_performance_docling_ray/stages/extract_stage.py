@@ -80,11 +80,22 @@ class DocExtractor:
     layout_model.py:167-177).
     """
 
-    def __init__(self, options: ExtractOptions = DEFAULT_OPTIONS) -> None:
+    def __init__(
+        self,
+        options: ExtractOptions = DEFAULT_OPTIONS,
+        ocr_ref=None,
+    ) -> None:
         self.options = options
         self._extract = extract_document
+        # broadcast ObjectRef to {url: {page_no: {cluster_id: text}}}
+        # from the distributed OCR stage (pipelines/ocr.py), resolved
+        # lazily once per worker
+        self.ocr_ref = ocr_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ocr_by_url = _ray.get(self.ocr_ref) if self.ocr_ref is not None else None
         urls = batch.column("url").to_pylist()
         ts = batch.column("warc_ts").to_pylist()
         langs = (
@@ -96,7 +107,10 @@ class DocExtractor:
         out: dict[str, list] = {name: [] for name, _ in RESULT_FIELDS}
         for url, t, lang, payload in zip(urls, ts, langs, payloads):
             try:
-                res = self._extract(payload or b"", self.options)
+                lookup = (
+                    ocr_by_url.get(url) if ocr_by_url is not None else None
+                )
+                res = self._extract(payload or b"", self.options, lookup)
                 ok = True
             except Exception:
                 res = _empty_result()
@@ -122,17 +136,17 @@ class DocExtractor:
 _EXTRACTOR_CACHE: dict[tuple, Any] = {}
 
 
-def _cached(cls, options: ExtractOptions):
-    key = (cls.__name__, options)
+def _cached(cls, options: ExtractOptions, **kwargs):
+    key = (cls.__name__, options, tuple(sorted(kwargs.items(), key=str)))
     inst = _EXTRACTOR_CACHE.get(key)
     if inst is None:
-        inst = _EXTRACTOR_CACHE[key] = cls(options)
+        inst = _EXTRACTOR_CACHE[key] = cls(options, **kwargs)
     return inst
 
 
-def make_doc_extract_fn(options: ExtractOptions = DEFAULT_OPTIONS):
+def make_doc_extract_fn(options: ExtractOptions = DEFAULT_OPTIONS, ocr_ref=None):
     def extract_docs(batch: pa.Table) -> pa.Table:
-        return _cached(DocExtractor, options)(batch)
+        return _cached(DocExtractor, options, ocr_ref=ocr_ref)(batch)
 
     return extract_docs
 

@@ -41,3 +41,40 @@ def test_distributed_ocr_matches_inline_kernel():
         for r in ocr_pipeline(ds, concurrency=(1, 2)).take_all()
     }
     assert got == expected
+
+
+def test_distributed_ocr_byte_identical_to_inline():
+    """extract_with_distributed_ocr must equal the inline do_ocr path
+    byte-for-byte on every output column (J6 join-back, VERDICT r1)."""
+    import ray.data as rd
+
+    from high_performance_docling_ray.kernels.document import ExtractOptions
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.pipelines.ocr import (
+        extract_with_distributed_ocr,
+    )
+    from high_performance_docling_ray.sources.pages import synth_pages_table
+
+    opts = ExtractOptions(do_ocr=True, do_code_enrichment=True)
+    tbl = synth_pages_table(120, seed=42)
+
+    inline = (
+        extract_pipeline(
+            rd.from_arrow(tbl), options=opts, dedup=True, explode_giant=False
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    dist = (
+        extract_with_distributed_ocr(
+            lambda: rd.from_arrow(tbl), opts, dedup=True, explode_giant=False
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    # at least one doc must actually carry recognized OCR text (the
+    # stub emits "[ocr <hash>]"), or the identity check is vacuous
+    assert any("[ocr " in t for t in inline.extracted_text)
+    assert inline.equals(dist)
