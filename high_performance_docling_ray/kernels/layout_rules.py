@@ -86,10 +86,14 @@ def _ios(inner: tuple, outer: tuple) -> float:
 
 
 def _first_cell_index(cluster: Cluster, cells: CellArrays) -> int:
-    ids = cluster["cells"]
-    if not ids:
-        return sys.maxsize
-    return int(min(cells.index[i] for i in ids))
+    """STICKY first-cell index, like the reference's Cluster private
+    attr (base_models.py:153, layout_postprocessor.py:905-985): set
+    once at initial cell ASSIGNMENT and never updated — orphan and
+    special clusters keep sys.maxsize even though they carry cells, so
+    they sort after assigned clusters in every mode="id" sort
+    (pinned by tests/test_differential_reference.py)."""
+    _ = cells
+    return cluster.get("_fci", sys.maxsize)
 
 
 def _dedup_cell_rows(rows: list[int], cells: CellArrays) -> list[int]:
@@ -109,41 +113,111 @@ def _sort_cell_rows(rows: list[int], cells: CellArrays) -> list[int]:
     return sorted(rows, key=lambda i: int(cells.index[i]))
 
 
+def _grid_ranges(lo: float, hi: float, bin_sz: float, n: int) -> range:
+    """GridIndex._ix_range/_iy_range (layout_postprocessor.py:186-198)."""
+    i0 = int(lo / bin_sz)
+    i1 = int(max(hi - 1e-9, lo) / bin_sz)
+    i0 = max(0, min(i0, n - 1))
+    i1 = max(0, min(i1, n - 1))
+    return range(i0, i1 + 1)
+
+
 def assign_cells_to_clusters(
-    clusters: list[Cluster], cells: CellArrays, min_overlap: float = MIN_CELL_OVERLAP
+    clusters: list[Cluster],
+    cells: CellArrays,
+    min_overlap: float = MIN_CELL_OVERLAP,
+    page_w: float | None = None,
+    page_h: float | None = None,
 ) -> None:
     """Spatial join: each valid cell -> best-overlap cluster (IoS > 0.2).
 
-    Vectorized (cells x clusters) intersection-over-cell matrix; argmax
-    with first-cluster-wins tie-break (reference iterates candidates and
-    takes strictly-greater overlap — layout_postprocessor.py:948-987).
+    Faithful port of the reference scan (layout_postprocessor.py:899-993)
+    INCLUDING its two behavior-relevant quirks, pinned by
+    tests/test_differential_reference.py:
+
+    * candidates accumulate into a python SET from the GridIndex bins,
+      and the scan takes the FIRST candidate in set-iteration order
+      that reaches overlap >= 0.95 (early break) — when two clusters
+      both cover a cell, which one wins depends on that order, so the
+      grid build (median bin sizing, insert order) mirrors the
+      reference exactly;
+    * otherwise strictly-greater overlap wins, ties keep the earlier
+      candidate.
     """
     for cl in clusters:
         cl["cells"] = []
+        cl.pop("_fci", None)  # reference resets to maxsize (:906)
     if not clusters or cells.n == 0:
         return
     valid = np.nonzero(cells.valid)[0]
     if valid.size == 0:
         return
 
-    cboxes = np.array([cl["bbox"] for cl in clusters], dtype=np.float64)  # (M,4)
-    cl_l, cl_t, cl_r, cl_b = cboxes.T
-    l = cells.l[valid][:, None]
-    t = cells.t[valid][:, None]
-    r = cells.r[valid][:, None]
-    b = cells.b[valid][:, None]
-    iw = np.maximum(0.0, np.minimum(r, cl_r[None, :]) - np.maximum(l, cl_l[None, :]))
-    ih = np.maximum(0.0, np.minimum(b, cl_b[None, :]) - np.maximum(t, cl_t[None, :]))
-    ios = (iw * ih) / cells.area[valid][:, None]
+    boxes = {cl["id"]: tuple(map(float, cl["bbox"])) for cl in clusters}
+    by_id = {cl["id"]: cl for cl in clusters}
 
-    best = np.argmax(ios, axis=1)
-    best_val = ios[np.arange(valid.size), best]
-    take = best_val > min_overlap
-    for row, cl_ix in zip(valid[take], best[take]):
-        clusters[cl_ix]["cells"].append(int(row))
+    if page_w is None or page_h is None:  # fallback to cluster extents (:925-932)
+        page_w = max(r for (_, _, r, _) in boxes.values()) - min(
+            l for (l, _, _, _) in boxes.values()
+        )
+        page_h = max(b for (_, _, _, b) in boxes.values()) - min(
+            t for (_, t, _, _) in boxes.values()
+        )
+
+    ws = sorted((r - l) for (l, t, r, b) in boxes.values() if r > l)
+    hs = sorted((b - t) for (l, t, r, b) in boxes.values() if b > t)
+    med_w = ws[len(ws) // 2] if ws else max(1.0, page_w / 12.0)
+    med_h = hs[len(hs) // 2] if hs else max(1.0, page_h / 24.0)
+    bin_w = max(max(page_w / 60.0, 1.5 * med_w), 1e-6)
+    bin_h = max(max(page_h / 60.0, 1.5 * med_h), 1e-6)
+    nx = max(1, int(page_w / bin_w))
+    ny = max(1, int(page_h / bin_h))
+
+    grid: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for cl in clusters:  # insert order = cluster list order (:944-946)
+        l, t, r, b = boxes[cl["id"]]
+        if r <= l or b <= t:
+            continue
+        for ix in _grid_ranges(l, r, bin_w, nx):
+            for iy in _grid_ranges(t, b, bin_h, ny):
+                if cl["id"] not in grid[(ix, iy)]:
+                    grid[(ix, iy)].append(cl["id"])
+
+    for row in valid:
+        lx, ty, rx, by = (
+            float(cells.l[row]), float(cells.t[row]),
+            float(cells.r[row]), float(cells.b[row]),
+        )
+        cands: set[int] = set()
+        for ix in _grid_ranges(lx, rx, bin_w, nx):
+            for iy in _grid_ranges(ty, by, bin_h, ny):
+                cands.update(grid.get((ix, iy), ()))
+        if not cands:
+            continue
+        cell_area = float(cells.area[row])
+        best_overlap = min_overlap
+        best_id = None
+        for cid in cands:  # SET iteration order, like the reference
+            l2, t2, r2, b2 = boxes[cid]
+            if l2 >= rx or r2 <= lx or t2 >= by or b2 <= ty:
+                continue
+            iw = min(rx, r2) - max(lx, l2)
+            ih = min(by, b2) - max(ty, t2)
+            inter = (iw * ih) if (iw > 0.0 and ih > 0.0) else 0.0
+            overlap = inter / max(cell_area, 1e-6)  # kernels/bbox.py EPS
+            if overlap > best_overlap:
+                best_overlap = overlap
+                best_id = cid
+                if best_overlap >= 0.95:  # reference fast break (:979-981)
+                    break
+        if best_id is not None:
+            by_id[best_id]["cells"].append(int(row))
 
     for cl in clusters:
         cl["cells"] = _dedup_cell_rows(cl["cells"], cells)
+        # assignment-time first cell index (sticky; see _first_cell_index)
+        if cl["cells"]:
+            cl["_fci"] = int(min(cells.index[i] for i in cl["cells"]))
 
 
 def adjust_cluster_bboxes(clusters: list[Cluster], cells: CellArrays) -> bool:
@@ -319,7 +393,7 @@ def postprocess_page(
     for c in clusters:
         c["label"] = L.LABEL_REMAPPING.get(c["label"], c["label"])
 
-    assign_cells_to_clusters(clusters, cells)
+    assign_cells_to_clusters(clusters, cells, page_w=page_w, page_h=page_h)
 
     if not keep_empty_clusters:
         clusters = [c for c in clusters if c["cells"] or c["label"] == L.FORMULA]

@@ -59,21 +59,24 @@ def intersection_over_pdf_match(
     threshold 0.01 (tf_cell_matcher.py:444-497). String keys."""
     if not table_cells or not pdf_cells:
         return {}
-    tb = np.asarray([t["bbox"] for t in table_cells], dtype=np.float64)
-    pb = np.asarray([p["bbox"] for p in pdf_cells], dtype=np.float64)
+    # float32 throughout, like the reference matcher — scores must be
+    # bit-identical to tf_cell_matcher's (verified by the differential
+    # test in tests/test_differential_reference.py)
+    tb = np.asarray([t["bbox"] for t in table_cells], dtype=np.float32)
+    pb = np.asarray([p["bbox"] for p in pdf_cells], dtype=np.float32)
     iw = np.clip(
         np.minimum(tb[:, None, 2], pb[None, :, 2])
         - np.maximum(tb[:, None, 0], pb[None, :, 0]),
-        0.0, None,
+        0, None,
     )
     ih = np.clip(
         np.minimum(tb[:, None, 3], pb[None, :, 3])
         - np.maximum(tb[:, None, 1], pb[None, :, 1]),
-        0.0, None,
+        0, None,
     )
     inter = iw * ih
     areas = (pb[:, 2] - pb[:, 0]) * (pb[:, 3] - pb[:, 1])
-    areas = np.where(areas == 0.0, 1e-6, areas)
+    areas = np.where(areas == 0, np.float32(1e-6), areas)
     iopdf = inter / areas[None, :]
     best = np.argmax(iopdf, axis=0)
     scores = iopdf[best, np.arange(len(pdf_cells))]
