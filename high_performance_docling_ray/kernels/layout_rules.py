@@ -183,35 +183,59 @@ def assign_cells_to_clusters(
                 if cl["id"] not in grid[(ix, iy)]:
                     grid[(ix, iy)].append(cl["id"])
 
-    for row in valid:
-        lx, ty, rx, by = (
-            float(cells.l[row]), float(cells.t[row]),
-            float(cells.r[row]), float(cells.b[row]),
-        )
-        cands: set[int] = set()
-        for ix in _grid_ranges(lx, rx, bin_w, nx):
-            for iy in _grid_ranges(ty, by, bin_h, ny):
-                cands.update(grid.get((ix, iy), ()))
+    # vectorized bin ranges per cell (int() truncation == astype for
+    # the nonnegative coords here), python-float views for the scan
+    vl, vt = cells.l[valid], cells.t[valid]
+    vr, vb = cells.r[valid], cells.b[valid]
+    ix0s = np.clip((vl / bin_w).astype(np.int64), 0, nx - 1).tolist()
+    ix1s = np.clip(
+        (np.maximum(vr - 1e-9, vl) / bin_w).astype(np.int64), 0, nx - 1
+    ).tolist()
+    iy0s = np.clip((vt / bin_h).astype(np.int64), 0, ny - 1).tolist()
+    iy1s = np.clip(
+        (np.maximum(vb - 1e-9, vt) / bin_h).astype(np.int64), 0, ny - 1
+    ).tolist()
+    lxs, tys = vl.tolist(), vt.tolist()
+    rxs, bys = vr.tolist(), vb.tolist()
+    areas = cells.area[valid].tolist()
+    grid_get = grid.get
+
+    for k, row in enumerate(valid.tolist()):
+        lx, ty, rx, by = lxs[k], tys[k], rxs[k], bys[k]
+        ix0, ix1, iy0, iy1 = ix0s[k], ix1s[k], iy0s[k], iy1s[k]
+        if ix0 == ix1 and iy0 == iy1:
+            bin_ids = grid_get((ix0, iy0), ())
+            # membership must stay set-exact (iteration order is
+            # behavior-relevant), but a single bin needs no union
+            cands = set(bin_ids)
+        else:
+            cands = set()
+            for ix in range(ix0, ix1 + 1):
+                for iy in range(iy0, iy1 + 1):
+                    ids = grid_get((ix, iy))
+                    if ids:
+                        cands.update(ids)
         if not cands:
             continue
-        cell_area = float(cells.area[row])
+        cell_area = areas[k]
+        if cell_area < 1e-6:
+            cell_area = 1e-6  # kernels/bbox.py EPS
         best_overlap = min_overlap
         best_id = None
         for cid in cands:  # SET iteration order, like the reference
             l2, t2, r2, b2 = boxes[cid]
             if l2 >= rx or r2 <= lx or t2 >= by or b2 <= ty:
                 continue
-            iw = min(rx, r2) - max(lx, l2)
-            ih = min(by, b2) - max(ty, t2)
-            inter = (iw * ih) if (iw > 0.0 and ih > 0.0) else 0.0
-            overlap = inter / max(cell_area, 1e-6)  # kernels/bbox.py EPS
+            iw = (rx if rx < r2 else r2) - (lx if lx > l2 else l2)
+            ih = (by if by < b2 else b2) - (ty if ty > t2 else t2)
+            overlap = (iw * ih) / cell_area if (iw > 0.0 and ih > 0.0) else 0.0
             if overlap > best_overlap:
                 best_overlap = overlap
                 best_id = cid
                 if best_overlap >= 0.95:  # reference fast break (:979-981)
                     break
         if best_id is not None:
-            by_id[best_id]["cells"].append(int(row))
+            by_id[best_id]["cells"].append(row)
 
     for cl in clusters:
         cl["cells"] = _dedup_cell_rows(cl["cells"], cells)
