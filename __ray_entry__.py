@@ -145,6 +145,23 @@ def _q_extract_docs_text(sf_dir: str):
     return out.select_columns(["url", "extracted_text"])
 
 
+def _q_extract_pdf_docs(sf_dir: str):
+    """Extraction through the PDF/LAYOUT path (detector clusters ->
+    assignment -> postprocess -> reading order) over a closed-form
+    %SYNTHPDF wrap of the documents table — hash-verified against a
+    DuckDB oracle, unlike the RNG-based synth corpus."""
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.sources.pages import (
+        pdf_pages_from_documents,
+    )
+
+    ds = pdf_pages_from_documents(sf_dir)
+    out = extract_pipeline(ds, dedup=True, explode_giant=False)
+    return out.select_columns(
+        ["url", "doc_kind", "extracted_text", "n_pages", "n_tables"]
+    )
+
+
 def _q_extract_enriched(sf_dir: str):
     """Extraction with OCR + code/formula enrichment enabled (reference
     phase 2 OCR + phase 4 enrichment; stubbed models, real plumbing)."""
@@ -337,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": _q_extract_pages,
         "extract_docs_text": _q_extract_docs_text,
         "extract_synth_corpus": _q_extract_synth,
+        "extract_pdf_docs": _q_extract_pdf_docs,
         "extract_ocr_enriched": _q_extract_enriched,
         "extract_ocr_distributed": _q_extract_ocr_distributed,
         "ocr_recognize": _q_ocr_tasks,
@@ -438,6 +456,54 @@ def oracle_sql() -> dict[str, str]:
                        ), ''
                    ) AS extracted_text
             FROM documents
+        """,
+        # PDF/layout path oracle: the closed-form %SYNTHPDF wrap
+        # (sources/pages.py:pdf_pages_from_documents) chunks the text
+        # into 12-word lines, one text block per line, 2 blocks per
+        # page; the reading-order cross-page continuation merge
+        # (kernels/reading_order.py:map_merges) joins each page's last
+        # line with the next page's first when the break is
+        # mid-sentence, reproduced here pair by pair
+        "extract_pdf_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS INT)),
+                         i -> array_to_string(toks[i*12+1 : (i+1)*12], ' ')) AS lines,
+                     CAST(ceil(len(toks) / 12.0) AS INT) AS nl
+              FROM t
+            ),
+            m AS (
+              SELECT doc_id, lines, nl,
+                CASE WHEN nl <= 1 THEN lines
+                ELSE [lines[1]]
+                     || flatten(list_transform(range(1, 1 + (nl - 1) // 2), k ->
+                          CASE WHEN NOT (substr(lines[2*k], length(lines[2*k]), 1)
+                                         IN ('.', '!', '?', ':', ';', '”', '"', ''''))
+                                    AND (substr(lines[2*k+1], 1, 1) BETWEEN 'a' AND 'z'
+                                         OR substr(lines[2*k], length(lines[2*k]), 1) = ',')
+                               THEN [lines[2*k] || ' ' || lines[2*k+1]]
+                               ELSE [lines[2*k], lines[2*k+1]] END))
+                     || CASE WHEN nl >= 2 AND nl % 2 = 0 THEN [lines[nl]]
+                             ELSE CAST([] AS VARCHAR[]) END
+                END AS parts
+              FROM l
+            )
+            SELECT 'https://docs.example/pdf/' || CAST(doc_id AS VARCHAR) AS url,
+                   'pdf' AS doc_kind,
+                   'Doc ' || CAST(doc_id AS VARCHAR) ||
+                   CASE WHEN nl = 0 THEN ''
+                        ELSE chr(10) || array_to_string(parts, chr(10))
+                   END AS extracted_text,
+                   CAST(greatest(1, CAST(ceil(nl / 2.0) AS INT)) AS INT)
+                       AS n_pages,
+                   0 AS n_tables
+            FROM m
         """,
         # extract_pages = extract_docs_text plus closed-form structure
         # columns: the deterministic wrap yields one h1 element + one

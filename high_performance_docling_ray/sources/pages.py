@@ -504,6 +504,107 @@ def synth_pages_dataset(n_docs: int, seed: int = 42, dup_fraction: float = 0.05,
     )
 
 
+def pdf_pages_from_documents(
+    sf_dir: str,
+    words_per_line: int = 12,
+    blocks_per_page: int = 2,
+):
+    """Derive a %SYNTHPDF pages table from the driver's ``documents``
+    parquet with a CLOSED-FORM structure (no RNG): the document's
+    whitespace tokens chunk into lines of ``words_per_line``, one line
+    per text block, ``blocks_per_page`` blocks per page, plus a TITLE
+    block ("Doc <id>", exercising the TITLE->SECTION_HEADER remap) and
+    page header/footer furniture. The full layout path (detector
+    clusters -> assignment -> postprocess -> reading order) then
+    reproduces ``'Doc <id>\\n' + '\\n'.join(line chunks)`` exactly, so
+    the extract_pdf_docs query gets a DuckDB oracle over the SAME
+    tables that verify the HTML path."""
+    import ray.data
+
+    def to_pdf_pages(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text, lang in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("lang").to_pylist(),
+        ):
+            words = text.split()
+            lines = [
+                " ".join(words[i : i + words_per_line])
+                for i in range(0, len(words), words_per_line)
+            ]
+            blocks = [("title", f"Doc {doc_id}")]
+            blocks += [("text", ln) for ln in lines]
+            pages = []
+            per_page = blocks_per_page
+            # title rides on page 0 in addition to its content blocks
+            content = blocks[1:]
+            n_pages = max(1, -(-len(content) // per_page))
+            for p in range(n_pages):
+                page_blocks = content[p * per_page : (p + 1) * per_page]
+                if p == 0:
+                    page_blocks = [blocks[0]] + page_blocks
+                cells, clusters = [], []
+                y = 40.0
+                cell_index = 0
+                cluster_id = 0
+
+                def add(label, line, conf):
+                    nonlocal y, cell_index, cluster_id
+                    w = 6.0 * max(1, len(line))
+                    cells.append(
+                        {
+                            "index": cell_index,
+                            "text": line,
+                            "l": 72.0, "t": y, "r": 72.0 + w, "b": y + 11.0,
+                            "from_ocr": False, "confidence": 1.0,
+                        }
+                    )
+                    clusters.append(
+                        {
+                            "id": cluster_id,
+                            "label": label,
+                            "l": 71.0, "t": y - 1.0,
+                            "r": 73.0 + w, "b": y + 12.0,
+                            "confidence": conf,
+                        }
+                    )
+                    cell_index += 1
+                    cluster_id += 1
+                    y += 22.0
+
+                add("page_header", f"Doc {doc_id} — page {p + 1}", 0.9)
+                for label, line in page_blocks:
+                    add(label, line, 0.9)
+                add("page_footer", f"{p + 1} / pdfdoc", 0.9)
+                pages.append(
+                    {
+                        "page_no": p,
+                        "width": 612.0,
+                        "height": 792.0,
+                        "cells": cells,
+                        "words": [],
+                        "raw_clusters": clusters,
+                        "raw_tables": [],
+                    }
+                )
+            payload = PDF_MAGIC + json.dumps({"pages": pages}).encode("utf-8")
+            rows.append(
+                {
+                    "url": f"https://docs.example/pdf/{doc_id}",
+                    "warc_ts": _TS0 + int(doc_id),
+                    "html": payload,
+                    "text": text,
+                    "lang": lang,
+                }
+            )
+        return rows_to_table(rows)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(to_pdf_pages, batch_format="pyarrow")
+
+
 def pages_from_documents(sf_dir: str):
     """Derive a pages table from the driver's ``documents`` parquet:
     each document's text is deterministically wrapped in boilerplated
