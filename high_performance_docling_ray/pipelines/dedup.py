@@ -1,25 +1,25 @@
 """Corpus deduplication pipelines over the ``documents`` table.
 
-Five strategies, all Ray-Data-first (SURVEY.md §2.6 corpus-level ops):
+Strategies, all Ray-Data-first (SURVEY.md §2.6 corpus-level ops):
 
 * exact         — md5(text) hash keys; local per-batch combiner, then one
                   hash-shuffle groupby keeping the min doc_id per hash.
-* minhash LSH   — per-batch MinHash signatures (stateful actor pool:
-                  permutation params built once in ``__init__``), band
-                  keys flat-mapped to (band_key, doc) rows, groupby on
-                  band buckets, candidate verification by signature
-                  similarity inside the group. Only candidate pairs —
-                  never the full cross product — cross the wire.
+* minhash LSH   — per-batch MinHash signatures; ONLY (band_key, doc_id)
+                  rows cross the shuffle, candidate pairs come out of
+                  vectorized per-bucket-run pairing, and the
+                  est_jaccard verification re-derives signatures for
+                  candidate docs alone (broadcast-ids semi-join on a
+                  pruned second read). Oracle-verified: the DuckDB SQL
+                  in __ray_entry__ rebuilds the exact signatures.
 * simhash       — 64-bit simhash, segment-bucket grouping, Hamming
-                  verification within buckets.
-* n-gram jaccard— exact Jaccard verification of LSH candidates.
-* embedding     — cosine near-dup over the ``embeddings`` table via
-                  LSH-free block-broadcast: per-batch normalized matmul
-                  against a broadcast (ray.put) normalized matrix.
-                  Quadratic in corpus size, so the batch side streams
-                  while the broadcast side is the smaller index; at
-                  100 TB you'd shard the index (IVF) — documented in
-                  pipelines/similarity.py.
+                  verification within buckets. Oracle-verified.
+* n-gram jaccard— EXACT set-similarity join: PPJoin prefix-filter
+                  candidates (recall 1), verification against a
+                  broadcast of candidate-only shingle sets.
+                  Oracle-verified against a DuckDB cross join.
+* embedding     — cosine near-dup lives in pipelines/similarity.py
+                  (exact broadcast blocked matmul + a sign-LSH
+                  approximate variant).
 """
 
 from __future__ import annotations

@@ -5,12 +5,18 @@
   float64 matmul (vectorized numpy), emits its local top-k, and a
   final small sort picks the global top-k. Streaming: the corpus side
   never materializes.
-* ``knn_ivf`` — the scale path: k-means-lite coarse quantizer (trained
-  on a sample), per-batch assignment to nearest centroids, probe only
-  ``nprobe`` inverted lists. Same output contract as brute force on
-  well-separated data; documented approximation otherwise.
-* ``embedding_neardup_pairs`` — cosine >= threshold near-duplicate
-  pairs via bucketed sign-LSH with exact verification.
+* ``knn_ivf`` — the scale path over a PERSISTED index
+  (``build_ivf_index``): one-time coarse-quantizer train + full-corpus
+  assignment written as parquet partitioned by list id; each query
+  loads the centroids and reads ONLY its ``nprobe`` list partitions.
+  Approximate by design (recall depends on nprobe) — rows-only at the
+  driver gate; nprobe == n_lists equals brute force (test-pinned).
+* ``embedding_neardup_pairs`` — EXACT cosine >= threshold pairs via
+  broadcast blocked matmul (no shuffle; oracle-verified).
+* ``embedding_neardup_lsh`` — the approximate variant: sign-LSH with
+  multi-probe, (vec_id, bucket)-only shuffle, vectorized verify
+  against the broadcast normalized matrix; recall asserted vs the
+  exact pipeline on planted near-duplicates.
 """
 
 from __future__ import annotations
