@@ -314,3 +314,222 @@ def test_matching_post_processor_differential(refmods):
             f" ours cells: {_canon_cells(oc)}\n  ref cells: {_canon_cells(rc)}\n"
             f" ours matches: {_canon_matches(om)}\n  ref matches: {_canon_matches(rm)}"
         )
+
+
+def _make_wrapper_page(rng: random.Random) -> dict:
+    """Synthetic page exercising the SPECIAL-cluster paths the corpus
+    fixtures rarely hit: FORM / KEY_VALUE_REGION wrappers with
+    contained regulars (children + bbox refit), cross-type
+    wrapper~TABLE overlap removal, pictures with children, overlapping
+    picture pairs, and a DOCUMENT_INDEX wrapper."""
+    width, height = 612.0, 792.0
+    cells, clusters = [], []
+    y = 40.0
+    cell_index = 0
+    cluster_id = 0
+
+    def add_text(line, label="text", conf=0.8):
+        nonlocal y, cell_index, cluster_id
+        w = 6.0 * max(1, len(line))
+        cells.append(
+            {"index": cell_index, "text": line, "l": 72.0, "t": y,
+             "r": 72.0 + w, "b": y + 11.0, "from_ocr": False,
+             "confidence": 1.0}
+        )
+        cl = {"id": cluster_id, "label": label, "l": 71.0, "t": y - 1.0,
+              "r": 73.0 + w, "b": y + 12.0, "confidence": conf}
+        clusters.append(cl)
+        cell_index += 1
+        cluster_id += 1
+        y += 18.0
+        return cl
+
+    def add_special(label, bbox, conf):
+        nonlocal cluster_id
+        clusters.append(
+            {"id": cluster_id, "label": label, "l": bbox[0], "t": bbox[1],
+             "r": bbox[2], "b": bbox[3], "confidence": conf}
+        )
+        cluster_id += 1
+
+    # FORM wrapper containing two text blocks (children + bbox refit)
+    top = y
+    a = add_text("form field " + str(rng.randint(0, 9)))
+    b = add_text("form value " + str(rng.randint(0, 9)))
+    add_special("form", (60.0, top - 4.0, 420.0, y + 2.0), 0.7)
+
+    y += 12.0
+    # KEY_VALUE_REGION nearly coincident with a TABLE special
+    # (cross-type overlap removal: overlap > 0.9, conf_diff < 0.1)
+    kt = y
+    add_text("kv alpha")
+    add_text("kv beta")
+    if rng.random() < 0.7:
+        add_special("key_value_region", (60.0, kt - 4.0, 400.0, y + 2.0), 0.62)
+        add_special("table", (61.0, kt - 3.0, 399.0, y + 1.0), 0.6)
+    y += 12.0
+
+    # picture with a contained text block
+    pt = y
+    add_special("picture", (60.0, pt, 360.0, pt + 90.0), 0.85)
+    y = pt + 20.0
+    add_text("inside picture text", conf=0.75)
+    y = pt + 96.0
+    # overlapping picture pair (picture merge path)
+    if rng.random() < 0.6:
+        add_special("picture", (400.0, pt, 560.0, pt + 80.0), 0.8)
+        add_special("picture", (402.0 + rng.random(), pt + 1.0, 561.0, pt + 81.0), 0.55)
+
+    # DOCUMENT_INDEX wrapper over two list items
+    dt = y
+    add_text("idx one", label="list_item", conf=0.8)
+    add_text("idx two", label="list_item", conf=0.8)
+    add_special("document_index", (60.0, dt - 4.0, 420.0, y + 2.0), 0.75)
+    y += 12.0
+
+    for _ in range(rng.randint(1, 3)):
+        add_text("tail text " + str(rng.randint(0, 99)))
+
+    _ = (a, b)
+    return {"page_no": 0, "width": width, "height": height,
+            "cells": cells, "words": [], "raw_clusters": clusters,
+            "raw_tables": []}
+
+
+def test_layout_differential_wrapper_paths(refmods):
+    """Wrapper/children/cross-type paths behavior-identical to the
+    reference on 400 seeded wrapper-heavy pages."""
+    LP, _ = refmods
+    mismatches = []
+    for seed in range(400):
+        rng = random.Random(55_000 + seed)
+        page = _make_wrapper_page(rng)
+        ours = _run_our_layout(page)
+        ref = _run_reference_layout(LP, page)
+        if ours != ref:
+            mismatches.append((seed, ours, ref))
+            if len(mismatches) >= 3:
+                break
+    if mismatches:
+        seed, ours, ref = mismatches[0]
+        detail = "\n".join(
+            f"  ours: {o}\n   ref: {r}" for o, r in zip(ours, ref) if o != r
+        )
+        raise AssertionError(
+            f"{len(mismatches)}+ wrapper-path mismatches; first at seed "
+            f"{seed} (n_ours={len(ours)} n_ref={len(ref)}):\n{detail}"
+        )
+
+
+def test_matching_differential_with_initial_matches(refmods):
+    """The reference accepts non-empty initial (IOU) matches and skips
+    its own IOPDF regeneration; our kernel must track that path too."""
+    import copy
+
+    _, MPP = refmods
+    from high_performance_docling_ray.kernels.matching_post import (
+        intersection_over_pdf_match,
+        process_matches,
+    )
+
+    ref_pp = MPP.MatchingPostProcessor(
+        {"predict": {"pdf_cell_iou_thres": 0.05}}
+    )
+    mismatches = 0
+    first = None
+    for seed in range(200):
+        rng = random.Random(31_000 + seed)
+        table_cells, pdf_cells = _synth_table(rng)
+        live_pdf = [p for p in pdf_cells if p["text"] != ""]
+        init = intersection_over_pdf_match(table_cells, live_pdf)
+        if not init:
+            continue
+        ours_cells, ours_matches = process_matches(
+            copy.deepcopy(table_cells), copy.deepcopy(pdf_cells),
+            matches=copy.deepcopy(init),
+        )
+        details = {
+            "table_cells": copy.deepcopy(table_cells),
+            "pdf_cells": copy.deepcopy(pdf_cells),
+            "matches": copy.deepcopy(init),
+        }
+        out = ref_pp.process(details, correct_overlapping_cells=False)
+        if _canon_cells(ours_cells) != _canon_cells(out["table_cells"]) or (
+            _canon_matches(ours_matches) != _canon_matches(out["matches"])
+        ):
+            mismatches += 1
+            if first is None:
+                first = (seed, ours_cells, out["table_cells"],
+                         ours_matches, out["matches"])
+            if mismatches >= 3:
+                break
+    if mismatches:
+        seed, oc, rc, om, rm = first
+        raise AssertionError(
+            f"{mismatches}+ mismatches with initial matches; first at seed "
+            f"{seed}:\n ours cells: {_canon_cells(oc)}\n  ref cells: "
+            f"{_canon_cells(rc)}\n ours matches: {_canon_matches(om)}\n"
+            f"  ref matches: {_canon_matches(rm)}"
+        )
+
+
+@pytest.mark.parametrize(
+    "keep_empty,orphans", [(True, True), (False, False), (True, False)]
+)
+def test_layout_differential_option_combinations(refmods, keep_empty, orphans):
+    """keep_empty_clusters / create_orphan_clusters combinations stay
+    behavior-identical (the default pair is covered by the main test)."""
+    from types import SimpleNamespace as NS
+
+    LP, _ = refmods
+    from base_models import Cluster
+    from docling.datamodel.base_models import BoundingBox, Page
+    from docling.datamodel.pipeline_options import LayoutOptions
+    from docling_core.types.doc import DocItemLabel
+    from docling_core.types.doc.page import SegmentedPdfPage, TextCell
+
+    from high_performance_docling_ray.kernels.layout_rules import (
+        CellArrays, postprocess_page,
+    )
+    from high_performance_docling_ray.sources.pages import _make_page
+
+    for seed in range(150):
+        rng = random.Random(42_000 + seed)
+        page = _make_page(rng, page_no=seed % 2)
+        cells = CellArrays(page["cells"])
+        raw = [
+            {"id": int(c["id"]), "label": c["label"],
+             "bbox": (float(c["l"]), float(c["t"]), float(c["r"]), float(c["b"])),
+             "confidence": float(c["confidence"])}
+            for c in page["raw_clusters"]
+        ]
+        ours = [
+            _canon_our_cluster(c, cells)
+            for c in postprocess_page(
+                raw, cells, page["width"], page["height"],
+                keep_empty_clusters=keep_empty,
+                create_orphan_clusters=orphans,
+            )
+        ]
+        ref_cells = [
+            TextCell(c["index"], c["text"], c["l"], c["t"], c["r"], c["b"],
+                     confidence=c.get("confidence", 1.0))
+            for c in page["cells"]
+        ]
+        ref_clusters = [
+            Cluster(id=c["id"], label=DocItemLabel(c["label"]),
+                    bbox=BoundingBox(l=c["l"], t=c["t"], r=c["r"], b=c["b"]),
+                    confidence=c["confidence"])
+            for c in page["raw_clusters"]
+        ]
+        pg = Page(cells=ref_cells,
+                  size=NS(width=page["width"], height=page["height"]),
+                  parsed_page=SegmentedPdfPage())
+        pp = LP.LayoutPostprocessor(
+            pg, ref_clusters,
+            LayoutOptions(keep_empty_clusters=keep_empty,
+                          create_orphan_clusters=orphans),
+        )
+        final, _ = pp.postprocess()
+        ref = [_canon_ref_cluster(c) for c in final]
+        assert ours == ref, f"seed {seed} options ({keep_empty},{orphans})"
