@@ -210,6 +210,28 @@ def _q_ocr_tasks(sf_dir: str):
     return ocr_pipeline(rd.from_arrow(tbl), concurrency=(1, 4))
 
 
+def _q_debug_overlays(sf_dir: str):
+    """S7 debug sink: SVG cluster/cell overlays, one file per PDF page
+    (reference layout_model.py:113-155 as side-by-side SVG panes);
+    returns the written index."""
+    import hashlib
+    import ray.data as rd
+
+    from high_performance_docling_ray.pipelines.debug import (
+        write_debug_overlays,
+    )
+    from high_performance_docling_ray.sources.pages import synth_pages_table
+
+    tbl = synth_pages_table(150, seed=42).select(
+        ["url", "warc_ts", "html", "lang"]
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = write_debug_overlays(
+        rd.from_arrow(tbl), f"/tmp/graft_debug_overlays/{tag}"
+    )
+    return out.select_columns(["url", "page_no", "n_clusters", "svg_bytes"])
+
+
 def _q_image_features(sf_dir: str):
     from high_performance_docling_ray.stages.multimodal import image_features
 
@@ -358,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_ocr_enriched": _q_extract_enriched,
         "extract_ocr_distributed": _q_extract_ocr_distributed,
         "ocr_recognize": _q_ocr_tasks,
+        "debug_overlays": _q_debug_overlays,
         # multimodal: binary media column -> actor-pool decode/feature
         "image_features": _q_image_features,
         "figure_features": _q_figure_features,

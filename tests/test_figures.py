@@ -39,3 +39,38 @@ def test_figure_ids_globally_unique_and_deterministic():
     ids_b = sorted(r["media_id"] for r in b)
     assert ids_a == ids_b
     assert len(ids_a) == len(set(ids_a))
+
+
+def test_debug_overlay_sink(tmp_path):
+    """S7 debug sink: one deterministic SVG per PDF page, with cluster
+    boxes split into left (regular) / right (form/kv/picture) panes."""
+    import os
+
+    import ray.data as rd
+
+    from high_performance_docling_ray.pipelines.debug import (
+        page_overlay_svg, write_debug_overlays,
+    )
+    from high_performance_docling_ray.sources.pages import synth_pages_table
+
+    tbl = synth_pages_table(60, seed=42).select(["url", "warc_ts", "html", "lang"])
+    out = str(tmp_path / "overlays")
+    idx = write_debug_overlays(rd.from_arrow(tbl), out).take_all()
+    assert idx, "no PDF pages rendered"
+    for row in idx:
+        assert os.path.exists(row["path"]) and row["svg_bytes"] > 0
+        svg = open(row["path"]).read()
+        assert svg.startswith("<svg") and svg.endswith("</svg>")
+        assert row["n_clusters"] == svg.count('<text ')
+    # deterministic: re-render one page equals the file byte-for-byte
+    import json as _json
+
+    from high_performance_docling_ray.kernels.document import PDF_MAGIC, sniff_format
+
+    row0 = idx[0]
+    payload = next(
+        r["html"] for r in tbl.to_pylist()
+        if r["url"] == row0["url"] and sniff_format(r["html"] or b"") == "pdf"
+    )
+    page = _json.loads(payload[len(PDF_MAGIC):])["pages"][row0["page_no"]]
+    assert page_overlay_svg(page) == open(row0["path"]).read()
