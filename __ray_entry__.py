@@ -162,6 +162,27 @@ def _q_extract_pdf_docs(sf_dir: str):
     )
 
 
+def _q_extract_pdf_ocr(sf_dir: str):
+    """OCR APPLY path hash-verified: single-page closed-form PDF wrap
+    with a planted empty-text region; the md5-stub recognizer's output
+    is reproducible in SQL, so the oracle covers identify -> recognize
+    -> apply -> reading order end to end."""
+    from high_performance_docling_ray.kernels.document import ExtractOptions
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.sources.pages import (
+        pdf_pages_from_documents,
+    )
+
+    ds = pdf_pages_from_documents(
+        sf_dir, blocks_per_page=1_000_000, ocr_region=True
+    )
+    out = extract_pipeline(
+        ds, dedup=True, explode_giant=False,
+        options=ExtractOptions(do_ocr=True),
+    )
+    return out.select_columns(["url", "extracted_text"])
+
+
 def _q_extract_enriched(sf_dir: str):
     """Extraction with OCR + code/formula enrichment enabled (reference
     phase 2 OCR + phase 4 enrichment; stubbed models, real plumbing)."""
@@ -377,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs_text": _q_extract_docs_text,
         "extract_synth_corpus": _q_extract_synth,
         "extract_pdf_docs": _q_extract_pdf_docs,
+        "extract_pdf_ocr": _q_extract_pdf_ocr,
         "extract_ocr_enriched": _q_extract_enriched,
         "extract_ocr_distributed": _q_extract_ocr_distributed,
         "ocr_recognize": _q_ocr_tasks,
@@ -527,6 +549,33 @@ def oracle_sql() -> dict[str, str]:
                        AS n_pages,
                    0 AS n_tables
             FROM m
+        """,
+        # OCR apply path: single-page wrap (blocks_per_page huge -> no
+        # cross-page merges) + planted empty region at a fixed bbox;
+        # the stub recognizer is md5 of "page:cluster_id:bbox" with
+        # cluster_id = nl + 2 (header 0, title 1, lines 2..nl+1)
+        "extract_pdf_ocr": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS INT)),
+                         i -> array_to_string(toks[i*12+1 : (i+1)*12], ' ')) AS lines,
+                     CAST(ceil(len(toks) / 12.0) AS INT) AS nl
+              FROM t
+            )
+            SELECT 'https://docs.example/pdf/' || CAST(doc_id AS VARCHAR) AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) ||
+                   CASE WHEN nl = 0 THEN ''
+                        ELSE chr(10) || array_to_string(lines, chr(10)) END
+                   || chr(10) || '[ocr ' ||
+                   substr(md5(printf('0:%d:420.0,60.0,560.0,90.0', nl + 2)), 1, 8)
+                   || ']' AS extracted_text
+            FROM l
         """,
         # extract_pages = extract_docs_text plus closed-form structure
         # columns: the deterministic wrap yields one h1 element + one

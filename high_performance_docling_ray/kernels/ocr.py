@@ -48,7 +48,9 @@ def recognize_batch(tasks: list[dict], page_no: int) -> list[str]:
         payload = f"{page_no}:{t['cluster_id']}:" + ",".join(
             f"{v:.1f}" for v in t["bbox"]
         )
-        h = hashlib.blake2b(payload.encode(), digest_size=4).hexdigest()
+        # md5 so the DuckDB oracle can reproduce the stub exactly:
+        # substr(md5(printf('%d:%d:%.1f,...')), 1, 8)
+        h = hashlib.md5(payload.encode()).hexdigest()[:8]
         out.append(f"[ocr {h}]")
     return out
 

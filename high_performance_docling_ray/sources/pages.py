@@ -508,6 +508,7 @@ def pdf_pages_from_documents(
     sf_dir: str,
     words_per_line: int = 12,
     blocks_per_page: int = 2,
+    ocr_region: bool = False,
 ):
     """Derive a %SYNTHPDF pages table from the driver's ``documents``
     parquet with a CLOSED-FORM structure (no RNG): the document's
@@ -576,6 +577,18 @@ def pdf_pages_from_documents(
                 add("page_header", f"Doc {doc_id} — page {p + 1}", 0.9)
                 for label, line in page_blocks:
                     add(label, line, 0.9)
+                if ocr_region:
+                    # deterministic empty-text region: an OCR task when
+                    # do_ocr=True (fixed bbox, cluster id = next)
+                    clusters.append(
+                        {
+                            "id": cluster_id,
+                            "label": "text",
+                            "l": 420.0, "t": 60.0, "r": 560.0, "b": 90.0,
+                            "confidence": 0.8,
+                        }
+                    )
+                    cluster_id += 1
                 add("page_footer", f"{p + 1} / pdfdoc", 0.9)
                 pages.append(
                     {
