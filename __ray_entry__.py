@@ -183,6 +183,23 @@ def _q_extract_pdf_ocr(sf_dir: str):
     return out.select_columns(["url", "extracted_text"])
 
 
+def _q_extract_pdf_tables(sf_dir: str):
+    """TABLE-STRUCTURE path hash-verified: the closed-form PDF wrap
+    plants a 2x2 table (OTSL + word-index tokens) per doc, driving
+    OTSL parse -> 9-step matching post-process -> response -> grid
+    render with a DuckDB oracle."""
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.sources.pages import (
+        pdf_pages_from_documents,
+    )
+
+    ds = pdf_pages_from_documents(
+        sf_dir, blocks_per_page=1_000_000, table_block=True
+    )
+    out = extract_pipeline(ds, dedup=True, explode_giant=False)
+    return out.select_columns(["url", "extracted_text", "n_tables"])
+
+
 def _q_extract_enriched(sf_dir: str):
     """Extraction with OCR + code/formula enrichment enabled (reference
     phase 2 OCR + phase 4 enrichment; stubbed models, real plumbing)."""
@@ -399,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_synth_corpus": _q_extract_synth,
         "extract_pdf_docs": _q_extract_pdf_docs,
         "extract_pdf_ocr": _q_extract_pdf_ocr,
+        "extract_pdf_tables": _q_extract_pdf_tables,
         "extract_ocr_enriched": _q_extract_enriched,
         "extract_ocr_distributed": _q_extract_ocr_distributed,
         "ocr_recognize": _q_ocr_tasks,
@@ -575,6 +593,34 @@ def oracle_sql() -> dict[str, str]:
                    || chr(10) || '[ocr ' ||
                    substr(md5(printf('0:%d:420.0,60.0,560.0,90.0', nl + 2)), 1, 8)
                    || ']' AS extracted_text
+            FROM l
+        """,
+        # table-structure path: the planted 2x2 table's cells match its
+        # four word tokens one-to-one, so the grid renders as
+        # w1 TAB w2 NL w3 TAB w4 appended after the body lines
+        "extract_pdf_tables": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, toks,
+                     list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS INT)),
+                         i -> array_to_string(toks[i*12+1 : (i+1)*12], ' ')) AS lines,
+                     CAST(ceil(len(toks) / 12.0) AS INT) AS nl
+              FROM t
+            )
+            SELECT 'https://docs.example/pdf/' || CAST(doc_id AS VARCHAR) AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) ||
+                   CASE WHEN nl = 0 THEN ''
+                        ELSE chr(10) || array_to_string(lines, chr(10)) END ||
+                   CASE WHEN len(toks) >= 4
+                        THEN chr(10) || toks[1] || chr(9) || toks[2]
+                             || chr(10) || toks[3] || chr(9) || toks[4]
+                        ELSE '' END AS extracted_text,
+                   CASE WHEN len(toks) >= 4 THEN 1 ELSE 0 END AS n_tables
             FROM l
         """,
         # extract_pages = extract_docs_text plus closed-form structure

@@ -509,6 +509,7 @@ def pdf_pages_from_documents(
     words_per_line: int = 12,
     blocks_per_page: int = 2,
     ocr_region: bool = False,
+    table_block: bool = False,
 ):
     """Derive a %SYNTHPDF pages table from the driver's ``documents``
     parquet with a CLOSED-FORM structure (no RNG): the document's
@@ -589,6 +590,65 @@ def pdf_pages_from_documents(
                         }
                     )
                     cluster_id += 1
+                raw_tables = []
+                words_list: list[dict] = []
+                if table_block and p == 0 and len(words) >= 4:
+                    # deterministic 2x2 table from the doc's first four
+                    # tokens: OTSL structure + word index tokens feed the
+                    # full build_table -> 9-step matching chain, with a
+                    # closed-form grid render (w1 TAB w2 NL w3 TAB w4)
+                    ty = y + 8.0
+                    otsl: list[str] = []
+                    bboxes: list[list[float]] = []
+                    wid = 0
+                    for r2 in range(2):
+                        x = 72.0
+                        for c2 in range(2):
+                            otsl.append("ched" if r2 == 0 else "fcel")
+                            bboxes.append([x, ty, x + 84.0, ty + 12.0])
+                            word = words[r2 * 2 + c2]
+                            ww = 6.0 * len(word)
+                            words_list.append(
+                                {
+                                    "index": wid,
+                                    "text": word,
+                                    "l": x + 2.0, "t": ty + 1.0,
+                                    "r": x + 2.0 + ww, "b": ty + 11.0,
+                                    "from_ocr": False, "confidence": 1.0,
+                                }
+                            )
+                            cells.append(
+                                {
+                                    "index": cell_index,
+                                    "text": word,
+                                    "l": x + 2.0, "t": ty + 1.0,
+                                    "r": x + 2.0 + ww, "b": ty + 11.0,
+                                    "from_ocr": False, "confidence": 1.0,
+                                }
+                            )
+                            cell_index += 1
+                            wid += 1
+                            x += 90.0
+                        otsl.append("nl")
+                        ty += 16.0
+                    clusters.append(
+                        {
+                            "id": cluster_id,
+                            "label": "table",
+                            "l": 66.0, "t": y + 6.0,
+                            "r": 72.0 + 180.0, "b": ty - 4.0 + 2.0,
+                            "confidence": 0.9,
+                        }
+                    )
+                    raw_tables.append(
+                        {
+                            "cluster_id": cluster_id,
+                            "otsl_seq": otsl,
+                            "cell_bboxes": bboxes,
+                        }
+                    )
+                    cluster_id += 1
+                    y = ty + 10.0
                 add("page_footer", f"{p + 1} / pdfdoc", 0.9)
                 pages.append(
                     {
@@ -596,9 +656,9 @@ def pdf_pages_from_documents(
                         "width": 612.0,
                         "height": 792.0,
                         "cells": cells,
-                        "words": [],
+                        "words": words_list,
                         "raw_clusters": clusters,
-                        "raw_tables": [],
+                        "raw_tables": raw_tables,
                     }
                 )
             payload = PDF_MAGIC + json.dumps({"pages": pages}).encode("utf-8")
