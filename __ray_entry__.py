@@ -200,6 +200,27 @@ def _q_extract_pdf_tables(sf_dir: str):
     return out.select_columns(["url", "extracted_text", "n_tables"])
 
 
+def _q_extract_pdf_enriched(sf_dir: str):
+    """CODE/FORMULA enrichment path hash-verified: planted code +
+    formula blocks; the md5-stub predictor's visible effects (language
+    tag split off for code, \\mathrm head for formula) are closed-form
+    from the block texts."""
+    from high_performance_docling_ray.kernels.document import ExtractOptions
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.sources.pages import (
+        pdf_pages_from_documents,
+    )
+
+    ds = pdf_pages_from_documents(
+        sf_dir, blocks_per_page=1_000_000, enrich_blocks=True
+    )
+    out = extract_pipeline(
+        ds, dedup=True, explode_giant=False,
+        options=ExtractOptions(do_code_enrichment=True),
+    )
+    return out.select_columns(["url", "extracted_text"])
+
+
 def _q_extract_enriched(sf_dir: str):
     """Extraction with OCR + code/formula enrichment enabled (reference
     phase 2 OCR + phase 4 enrichment; stubbed models, real plumbing)."""
@@ -417,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf_docs": _q_extract_pdf_docs,
         "extract_pdf_ocr": _q_extract_pdf_ocr,
         "extract_pdf_tables": _q_extract_pdf_tables,
+        "extract_pdf_enriched": _q_extract_pdf_enriched,
         "extract_ocr_enriched": _q_extract_enriched,
         "extract_ocr_distributed": _q_extract_ocr_distributed,
         "ocr_recognize": _q_ocr_tasks,
@@ -621,6 +643,33 @@ def oracle_sql() -> dict[str, str]:
                              || chr(10) || toks[3] || chr(9) || toks[4]
                         ELSE '' END AS extracted_text,
                    CASE WHEN len(toks) >= 4 THEN 1 ELSE 0 END AS n_tables
+            FROM l
+        """,
+        # enrichment path: code text passes through with its language
+        # tag split off; formula text gains the stub's \mathrm head
+        "extract_pdf_enriched": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS INT)),
+                         i -> array_to_string(toks[i*12+1 : (i+1)*12], ' ')) AS lines,
+                     CAST(ceil(len(toks) / 12.0) AS INT) AS nl
+              FROM t
+            )
+            SELECT 'https://docs.example/pdf/' || CAST(doc_id AS VARCHAR) AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) ||
+                   CASE WHEN nl = 0 THEN ''
+                        ELSE chr(10) || array_to_string(lines, chr(10)) END ||
+                   chr(10) || 'def f' || doc_id || '(): return ' || doc_id ||
+                   chr(10) || '\mathrm{' ||
+                   substr(md5('x' || doc_id || ' = y + ' || doc_id), 1, 8)
+                   || '} x' || doc_id || ' = y + ' || doc_id
+                   AS extracted_text
             FROM l
         """,
         # extract_pages = extract_docs_text plus closed-form structure

@@ -84,9 +84,9 @@ class CodeFormulaPredictorStub:
         out = []
         for el in elements:
             text = el.get("text", "")
-            digest = hashlib.blake2b(
-                text.encode("utf-8"), digest_size=4
-            ).digest()
+            # md5 so the DuckDB oracle reproduces the stub:
+            # hex head = substr(md5(text), 1, 8), lang pick = first byte
+            digest = hashlib.md5(text.encode("utf-8")).digest()[:4]
             if el.get("label") == L.CODE:
                 lang = self._STUB_LANGS[digest[0] % len(self._STUB_LANGS)]
                 out.append(f"<_{lang}_> {text}")

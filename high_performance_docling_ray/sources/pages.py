@@ -510,6 +510,7 @@ def pdf_pages_from_documents(
     blocks_per_page: int = 2,
     ocr_region: bool = False,
     table_block: bool = False,
+    enrich_blocks: bool = False,
 ):
     """Derive a %SYNTHPDF pages table from the driver's ``documents``
     parquet with a CLOSED-FORM structure (no RNG): the document's
@@ -590,6 +591,13 @@ def pdf_pages_from_documents(
                         }
                     )
                     cluster_id += 1
+                if enrich_blocks and p == 0:
+                    # deterministic code + formula blocks: with
+                    # do_code_enrichment the stub predictor's visible
+                    # effects (tag split for code, \mathrm head for
+                    # formula) are closed-form from these texts
+                    add("code", f"def f{doc_id}(): return {doc_id}", 0.8)
+                    add("formula", f"x{doc_id} = y + {doc_id}", 0.8)
                 raw_tables = []
                 words_list: list[dict] = []
                 if table_block and p == 0 and len(words) >= 4:

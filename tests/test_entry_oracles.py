@@ -22,6 +22,7 @@ QUERIES = [
     "extract_pdf_docs",
     "extract_pdf_ocr",
     "extract_pdf_tables",
+    "extract_pdf_enriched",
     "language_id",
     "fingerprint_rolling",
     "ngram_jaccard_pairs",
