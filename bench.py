@@ -107,6 +107,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     bench_keys = [
         "extract_pages",
+        "extract_pdf_docs",
+        "extract_pdf_tables",
+        "ngram_jaccard_pairs",
+        "embedding_neardup_pairs",
         "exact_dedup",
         "minhash_lsh_pairs",
         "simhash_pairs",
