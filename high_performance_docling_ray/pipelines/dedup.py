@@ -56,7 +56,11 @@ def _runs_apply(group: pa.Table, key: str, pair_fn) -> pa.Table:
     equal-key run (numpy slicing per run, no Ray per-group overhead)."""
     order = pc.sort_indices(group, sort_keys=[(key, "ascending")])
     tbl = group.take(order)
-    keys = np.asarray(tbl.column(key).to_pylist(), dtype=object)
+    col = tbl.column(key)
+    if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+        keys = col.to_numpy(zero_copy_only=False)  # vectorized run diffs
+    else:
+        keys = np.asarray(col.to_pylist(), dtype=object)
     n = len(keys)
     if n == 0:
         return pair_fn(tbl.slice(0, 0))
@@ -77,6 +81,27 @@ def read_documents(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
     from .io import read_parquet_clean
 
     return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _pairs_from_key_rows(
+    key_rows: ray.data.Dataset,
+    key_col: str,
+    pair_fn,
+    budget: int = 2_000_000,
+) -> pa.Table | None:
+    """Posting-list pairing without the Ray groupby: when the key-only
+    rows fit the combine budget, land them on the driver and run ONE
+    vectorized sort+runs pass (`_runs_apply`) — the same
+    small-partials-combine idiom as `_combine_partials`, because Ray's
+    groupby fixed cost (multiple seconds) dwarfs these tiny exchanges.
+    Returns None over budget; the caller falls back to the bucketed
+    groupby, the exchange that works at any cardinality.
+    """
+    refs = key_rows.materialize().to_arrow_refs()
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    if not parts or sum(t.num_rows for t in parts) > budget:
+        return None
+    return _runs_apply(pa.concat_tables(parts), key_col, pair_fn)
 
 
 # -- exact ------------------------------------------------------------------
@@ -221,33 +246,39 @@ def minhash_candidate_pairs(
         }
     else:
         fn = make_minhash_fn(num_perm, bands)
-    num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
-    cand = (
-        ds.map_batches(fn, **kwargs)
-        .map_batches(
-            lambda b: _add_partition(b, "band_key", num_parts),
-            batch_format="pyarrow",
-        )
-        .groupby("part")
-        .map_groups(
-            lambda g: _runs_apply(
-                g.drop_columns(["part"]), "band_key", _bucket_candidates
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    # A pair can surface from several bands: dedup on (doc_a, doc_b) —
-    # driver-side combine (the pair list is tiny next to the corpus);
-    # Ray groupby shuffle only as the over-budget fallback.
-    from .relational import _combine_partials
-
-    merged = _combine_partials(cand, ["doc_a", "doc_b"], [], agg="max")
-    if merged is None:
-        pair_tbl = pa.Table.from_pylist(
-            cand.groupby(["doc_a", "doc_b"]).count().take_all()
-        ).select(["doc_a", "doc_b"])
+    key_rows = ds.map_batches(fn, **kwargs)
+    # Budgeted driver path first: the (band_key, doc_id) rows are tiny
+    # next to the corpus, so one in-process sort+runs pass replaces a
+    # whole Ray groupby exchange. Bucketed groupby is the over-budget
+    # fallback (the 10^12-doc regime).
+    direct = _pairs_from_key_rows(key_rows, "band_key", _bucket_candidates)
+    if direct is not None:
+        pair_tbl = direct.group_by(["doc_a", "doc_b"]).aggregate([])
     else:
-        pair_tbl = merged.select(["doc_a", "doc_b"])
+        num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+        cand = (
+            key_rows.map_batches(
+                lambda b: _add_partition(b, "band_key", num_parts),
+                batch_format="pyarrow",
+            )
+            .groupby("part")
+            .map_groups(
+                lambda g: _runs_apply(
+                    g.drop_columns(["part"]), "band_key", _bucket_candidates
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        # A pair can surface from several bands: dedup on (doc_a, doc_b)
+        from .relational import _combine_partials
+
+        merged = _combine_partials(cand, ["doc_a", "doc_b"], [], agg="max")
+        if merged is None:
+            pair_tbl = pa.Table.from_pylist(
+                cand.groupby(["doc_a", "doc_b"]).count().take_all()
+            ).select(["doc_a", "doc_b"])
+        else:
+            pair_tbl = merged.select(["doc_a", "doc_b"])
 
     cand_ids = frozenset(
         pair_tbl.column("doc_a").to_pylist()
@@ -384,10 +415,23 @@ def _simhash_bucket_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     ds = read_documents(sf_dir)
+    key_rows = ds.map_batches(_simhash_batch, batch_format="pyarrow")
+    # budgeted driver path (see _pairs_from_key_rows); bucketed Ray
+    # groupby as the over-budget fallback
+    direct = _pairs_from_key_rows(
+        key_rows, "bucket", lambda run: _simhash_bucket_pairs(run, max_hamming)
+    )
+    if direct is not None:
+        out = (
+            direct.group_by(["doc_a", "doc_b"])
+            .aggregate([("hamming", "min")])
+            .rename_columns(["doc_a", "doc_b", "hamming"])
+        )
+        return ray.data.from_arrow(out)
+
     num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
     pairs = (
-        ds.map_batches(_simhash_batch, batch_format="pyarrow")
-        .map_batches(
+        key_rows.map_batches(
             lambda b: _add_partition(b, "bucket", num_parts),
             batch_format="pyarrow",
         )
@@ -504,37 +548,45 @@ def ngram_jaccard_pairs(
        broadcast path is used below its budget, like dedup_by_url.
     """
     ds = read_documents(sf_dir)
-    num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        sh = batch.column("shingle").to_numpy(zero_copy_only=False)
-        part = (sh % np.uint64(num_parts)).astype(np.int32)
-        return batch.append_column("part", pa.array(part, pa.int32()))
-
-    cand = (
-        ds.map_batches(
-            lambda b: _prefix_rows(b, threshold, ngram), batch_format="pyarrow"
-        )
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: _runs_apply(
-                g.drop_columns(["part"]),
-                "shingle",
-                lambda run: _prefix_run_pairs(run, threshold),
-            ),
-            batch_format="pyarrow",
-        )
+    prefix_rows = ds.map_batches(
+        lambda b: _prefix_rows(b, threshold, ngram), batch_format="pyarrow"
     )
-    from .relational import _combine_partials
-
-    merged = _combine_partials(cand, ["doc_a", "doc_b"], [], agg="max")
-    if merged is None:
-        pair_tbl = pa.Table.from_pylist(
-            cand.groupby(["doc_a", "doc_b"]).count().take_all()
-        ).select(["doc_a", "doc_b"])
+    # budgeted driver path (see _pairs_from_key_rows); bucketed Ray
+    # groupby as the over-budget fallback
+    direct = _pairs_from_key_rows(
+        prefix_rows, "shingle", lambda run: _prefix_run_pairs(run, threshold)
+    )
+    if direct is not None:
+        pair_tbl = direct.group_by(["doc_a", "doc_b"]).aggregate([])
     else:
-        pair_tbl = merged.select(["doc_a", "doc_b"])
+        num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+            part = (sh % np.uint64(num_parts)).astype(np.int32)
+            return batch.append_column("part", pa.array(part, pa.int32()))
+
+        cand = (
+            prefix_rows.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda g: _runs_apply(
+                    g.drop_columns(["part"]),
+                    "shingle",
+                    lambda run: _prefix_run_pairs(run, threshold),
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        from .relational import _combine_partials
+
+        merged = _combine_partials(cand, ["doc_a", "doc_b"], [], agg="max")
+        if merged is None:
+            pair_tbl = pa.Table.from_pylist(
+                cand.groupby(["doc_a", "doc_b"]).count().take_all()
+            ).select(["doc_a", "doc_b"])
+        else:
+            pair_tbl = merged.select(["doc_a", "doc_b"])
 
     # broadcast ONLY the candidate docs' shingle sets (bounded by the
     # candidate count, not the corpus)

@@ -375,27 +375,36 @@ def embedding_neardup_lsh(
             }
         )
 
-    cand = (
-        read_embeddings(sf_dir)
-        .map_batches(sig_batch, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: _runs_apply(
-                g.drop_columns(["part"]), "bucket", run_pairs
-            ),
-            batch_format="pyarrow",
-        )
+    key_rows = read_embeddings(sf_dir).map_batches(
+        sig_batch, batch_format="pyarrow"
     )
-    from .relational import _combine_partials
+    from .dedup import _pairs_from_key_rows
 
-    merged = _combine_partials(cand, ["vec_id_a", "vec_id_b"], [], agg="max")
-    if merged is None:
-        pair_tbl = pa.Table.from_pylist(
-            cand.groupby(["vec_id_a", "vec_id_b"]).count().take_all()
-        ).select(["vec_id_a", "vec_id_b"])
+    # budgeted driver path (see dedup._pairs_from_key_rows); bucketed
+    # Ray groupby as the over-budget fallback
+    direct = _pairs_from_key_rows(key_rows, "bucket", run_pairs)
+    if direct is not None:
+        pair_tbl = direct.group_by(["vec_id_a", "vec_id_b"]).aggregate([])
     else:
-        pair_tbl = merged.select(["vec_id_a", "vec_id_b"])
+        cand = (
+            key_rows.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda g: _runs_apply(
+                    g.drop_columns(["part"]), "bucket", run_pairs
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        from .relational import _combine_partials
+
+        merged = _combine_partials(cand, ["vec_id_a", "vec_id_b"], [], agg="max")
+        if merged is None:
+            pair_tbl = pa.Table.from_pylist(
+                cand.groupby(["vec_id_a", "vec_id_b"]).count().take_all()
+            ).select(["vec_id_a", "vec_id_b"])
+        else:
+            pair_tbl = merged.select(["vec_id_a", "vec_id_b"])
 
     ids, nm = _normalized_index(sf_dir)
     pos = {int(v): i for i, v in enumerate(ids)}
