@@ -90,3 +90,27 @@ def test_parallelism_invariance(corpus, expected):
     assert {u: g["extracted_text"] for u, g in got.items()} == {
         u: e["extracted_text"] for u, e in expected.items()
     }
+
+
+def test_actor_pool_path_equals_task_path():
+    """use_actors=True (the heavy-state A1/A2 shape: callable classes
+    in an autoscaling actor pool) must produce byte-identical output to
+    the default stateless-task path."""
+    import ray.data as rd
+
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.sources.pages import synth_pages_table
+
+    tbl = synth_pages_table(80, seed=42)
+    task_out = (
+        extract_pipeline(rd.from_arrow(tbl), dedup=True, explode_giant=False)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    actor_out = (
+        extract_pipeline(
+            rd.from_arrow(tbl), dedup=True, explode_giant=False,
+            use_actors=True, concurrency=(1, 2),
+        )
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert task_out.equals(actor_out)
