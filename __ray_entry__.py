@@ -297,6 +297,25 @@ def _q_image_features(sf_dir: str):
     return image_features(n=256)
 
 
+def _q_audio_features(sf_dir: str):
+    """Audio as an opaque binary column: actor-pool decode (stubbed) ->
+    duration/RMS/zero-crossing features (rows-only: stub model)."""
+    from high_performance_docling_ray.stages.multimodal import audio_features
+
+    return audio_features(n=256)
+
+
+def _q_video_frames(sf_dir: str):
+    """Video frame-sampling: every k-th frame decoded via random access
+    (never the whole clip), one feature row per sampled frame
+    (rows-only: stub model)."""
+    from high_performance_docling_ray.stages.multimodal import (
+        video_frame_features,
+    )
+
+    return video_frame_features(n=64, stride=10)
+
+
 def _q_figure_features(sf_dir: str):
     """Figure-image extraction (reference M25): figures from the
     extraction output -> crop payloads -> actor-pool decode/features."""
@@ -445,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debug_overlays": _q_debug_overlays,
         # multimodal: binary media column -> actor-pool decode/feature
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
+        "video_frame_features": _q_video_frames,
         "figure_features": _q_figure_features,
         # corpus dedup family
         "exact_dedup": _q_exact_dedup,

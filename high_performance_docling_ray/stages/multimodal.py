@@ -154,3 +154,207 @@ def image_features(n: int = 256, concurrency=(1, 4), batch_size: int = 16):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# -- audio ------------------------------------------------------------------
+
+AUD_MAGIC = b"AUD1"
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: bytes) -> bytes:
+    """Deterministic stand-in for an encoded audio payload."""
+    return AUD_MAGIC + struct.pack("<II", sample_rate, n_samples) + seed
+
+
+def decode_fake_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """payload -> (sample_rate, float32 waveform in [-1, 1]).
+
+    A real build replaces this one function with soundfile/ffmpeg
+    decode; the stage plumbing is unchanged."""
+    if not payload or not payload.startswith(AUD_MAGIC):
+        raise ImageDecodeError("not a fake audio payload")
+    rate, n = struct.unpack_from("<II", payload, 4)
+    seed = payload[12:]
+    digest = hashlib.blake2b(seed, digest_size=8).digest()
+    rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
+    wave = (rng.rand(n).astype(np.float32) * 2.0) - 1.0
+    return rate, wave
+
+
+class AudioFeatureStage:
+    """Actor-pool map_batches stage over opaque ``media:binary`` audio:
+    decode -> duration / RMS / zero-crossing-rate features. Same
+    wide-row rules as images: small batches, the payload column is not
+    copied into the output."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("media").to_pylist()
+        out = {"media_id": [], "sample_rate": [], "duration_s": [],
+               "rms": [], "zcr": [], "decode_ok": []}
+        for media_id, payload in zip(ids, payloads):
+            try:
+                rate, wave = decode_fake_audio(payload or b"")
+                zc = np.count_nonzero(np.signbit(wave[1:]) != np.signbit(wave[:-1]))
+                out["sample_rate"].append(rate)
+                out["duration_s"].append(round(len(wave) / rate, 6))
+                out["rms"].append(round(float(np.sqrt(np.mean(wave ** 2))), 6))
+                out["zcr"].append(round(zc / max(1, len(wave) - 1), 6))
+                out["decode_ok"].append(True)
+            except ImageDecodeError:
+                out["sample_rate"].append(0)
+                out["duration_s"].append(0.0)
+                out["rms"].append(0.0)
+                out["zcr"].append(0.0)
+                out["decode_ok"].append(False)
+            out["media_id"].append(media_id)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "sample_rate": pa.array(out["sample_rate"], pa.int32()),
+                "duration_s": pa.array(out["duration_s"], pa.float64()),
+                "rms": pa.array(out["rms"], pa.float64()),
+                "zcr": pa.array(out["zcr"], pa.float64()),
+                "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            }
+        )
+
+
+# -- video ------------------------------------------------------------------
+
+VID_MAGIC = b"VID1"
+
+
+def encode_fake_video(n_frames: int, fps: int, height: int, width: int,
+                      seed: bytes) -> bytes:
+    """Deterministic stand-in for an encoded video payload."""
+    return VID_MAGIC + struct.pack("<IHHH", n_frames, fps, height, width) + seed
+
+
+def decode_fake_video_frame(payload: bytes, frame_no: int) -> np.ndarray:
+    """Random-access decode of ONE frame (H, W, 3) — the shape a real
+    ffmpeg/pyav frame seek has, so frame SAMPLING never decodes the
+    whole clip."""
+    if not payload or not payload.startswith(VID_MAGIC):
+        raise ImageDecodeError("not a fake video payload")
+    n, _fps, h, w = struct.unpack_from("<IHHH", payload, 4)
+    if not 0 <= frame_no < n:
+        raise ImageDecodeError(f"frame {frame_no} out of range {n}")
+    seed = payload[14:] + struct.pack("<I", frame_no)
+    digest = hashlib.blake2b(seed, digest_size=8).digest()
+    rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def video_meta(payload: bytes) -> tuple[int, int, int, int]:
+    if not payload or not payload.startswith(VID_MAGIC):
+        raise ImageDecodeError("not a fake video payload")
+    n, fps, h, w = struct.unpack_from("<IHHH", payload, 4)
+    return n, fps, h, w
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: frame-sample every ``stride``-th frame of each
+    clip and emit ONE ROW PER SAMPLED FRAME with its features — the
+    explode shape for video (a clip fans out across the pool without
+    its payload being decoded whole)."""
+
+    def __init__(self, stride: int = 10, target: int = 32) -> None:
+        self.stride = stride
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_no": [], "ts_s": [],
+               "mean_intensity": [], "decode_ok": []}
+        for media_id, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media").to_pylist(),
+        ):
+            try:
+                n, fps, _h, _w = video_meta(payload or b"")
+            except ImageDecodeError:
+                out["media_id"].append(media_id)
+                out["frame_no"].append(-1)
+                out["ts_s"].append(0.0)
+                out["mean_intensity"].append(0.0)
+                out["decode_ok"].append(False)
+                continue
+            for f in range(0, n, self.stride):
+                frame = decode_fake_video_frame(payload, f)
+                small = resize_bilinear(frame, self.target, self.target)
+                out["media_id"].append(media_id)
+                out["frame_no"].append(f)
+                out["ts_s"].append(round(f / max(1, fps), 6))
+                out["mean_intensity"].append(round(float(small.mean()), 6))
+                out["decode_ok"].append(True)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "frame_no": pa.array(out["frame_no"], pa.int32()),
+                "ts_s": pa.array(out["ts_s"], pa.float64()),
+                "mean_intensity": pa.array(out["mean_intensity"], pa.float64()),
+                "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            }
+        )
+
+
+def synth_audio_dataset(n: int, seed: int = 42):
+    import random
+
+    import ray.data
+
+    def gen(batch):
+        rows = {"media_id": [], "media": [], "media_type": []}
+        for i in batch["id"].to_pylist():
+            rng = random.Random((seed << 17) ^ int(i))
+            rows["media_id"].append(int(i))
+            rows["media"].append(
+                encode_fake_audio(
+                    rng.choice([8000, 16000, 44100]),
+                    rng.randint(1000, 40000),
+                    str(i).encode(),
+                )
+            )
+            rows["media_type"].append("audio/fake")
+        return pa.Table.from_pydict(rows)
+
+    return ray.data.range(n).map_batches(gen, batch_format="pyarrow")
+
+
+def synth_video_dataset(n: int, seed: int = 42):
+    import random
+
+    import ray.data
+
+    def gen(batch):
+        rows = {"media_id": [], "media": [], "media_type": []}
+        for i in batch["id"].to_pylist():
+            rng = random.Random((seed << 18) ^ int(i))
+            rows["media_id"].append(int(i))
+            rows["media"].append(
+                encode_fake_video(
+                    rng.randint(5, 120), rng.choice([10, 24, 30]),
+                    rng.randint(16, 64), rng.randint(16, 64),
+                    str(i).encode(),
+                )
+            )
+            rows["media_type"].append("video/fake")
+        return pa.Table.from_pydict(rows)
+
+    return ray.data.range(n).map_batches(gen, batch_format="pyarrow")
+
+
+def audio_features(n: int = 256, concurrency=(1, 4), batch_size: int = 32):
+    return synth_audio_dataset(n).map_batches(
+        AudioFeatureStage, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def video_frame_features(n: int = 64, stride: int = 10,
+                         concurrency=(1, 4), batch_size: int = 8):
+    return synth_video_dataset(n).map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+        fn_constructor_kwargs={"stride": stride},
+    )

@@ -460,3 +460,38 @@ def test_midrun_crash_leaves_per_shard_manifests_and_resumes(tmp_path):
         if d.startswith("shard_id=")
     )
     assert total == _input_table().num_rows
+
+
+def test_audio_feature_stage():
+    from high_performance_docling_ray.stages.multimodal import (
+        audio_features, decode_fake_audio, encode_fake_audio,
+    )
+
+    rate, wave = decode_fake_audio(encode_fake_audio(16000, 3200, b"x"))
+    assert rate == 16000 and len(wave) == 3200 and abs(wave).max() <= 1.0
+    rows = audio_features(n=40).take_all()
+    assert len(rows) == 40 and all(r["decode_ok"] for r in rows)
+    r0 = next(r for r in rows if r["media_id"] == 0)
+    assert r0["duration_s"] > 0 and 0.0 < r0["rms"] < 1.0 and 0 < r0["zcr"] <= 1.0
+
+
+def test_video_frame_sampling_stage():
+    from high_performance_docling_ray.stages.multimodal import (
+        decode_fake_video_frame, encode_fake_video, video_frame_features,
+        video_meta,
+    )
+
+    payload = encode_fake_video(25, 10, 20, 30, b"v")
+    assert video_meta(payload) == (25, 10, 20, 30)
+    f0 = decode_fake_video_frame(payload, 0)
+    f10 = decode_fake_video_frame(payload, 10)
+    assert f0.shape == (20, 30, 3) and not (f0 == f10).all()
+
+    rows = video_frame_features(n=20, stride=10).take_all()
+    assert rows and all(r["decode_ok"] for r in rows)
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r["media_id"], []).append(r["frame_no"])
+    # one row per sampled frame, stride respected, ts monotone
+    for frames in by_clip.values():
+        assert sorted(frames) == list(range(0, max(frames) + 1, 10))
