@@ -318,20 +318,30 @@ def minhash_candidate_pairs(
 
     def verify(batch: pa.Table) -> pa.Table:
         lookup = ray.get(sigs_ref)
-        a = batch.column("doc_a").to_pylist()
-        b = batch.column("doc_b").to_pylist()
-        out_a, out_b, out_e = [], [], []
-        for da, db in zip(a, b):
-            est = float((lookup[da] == lookup[db]).mean())
-            if est >= threshold:
-                out_a.append(da)
-                out_b.append(db)
-                out_e.append(est)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(a):
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        # one stacked signature matrix per batch, then a single
+        # vectorized equality-mean over all pairs
+        ids = sorted({int(x) for x in a} | {int(x) for x in b})
+        pos = {d: i for i, d in enumerate(ids)}
+        sigs = np.stack([lookup[d] for d in ids])
+        ia = np.fromiter((pos[int(x)] for x in a), np.int64, len(a))
+        ib = np.fromiter((pos[int(x)] for x in b), np.int64, len(b))
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = est >= threshold
         return pa.Table.from_pydict(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "est_jaccard": pa.array(out_e, pa.float64()),
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
             }
         )
 
