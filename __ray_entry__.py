@@ -436,6 +436,14 @@ def _q_sliding_window(sf_dir: str):
     return events_sliding_window(sf_dir)
 
 
+def _q_range_join(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        range_join_events,
+    )
+
+    return range_join_events(sf_dir)
+
+
 def _q_asof_join(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import asof_join_events
 
@@ -496,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
         "asof_join_events": _q_asof_join,
+        "range_join_events": _q_range_join,
         "events_sliding_window": _q_sliding_window,
     }
 
@@ -1094,6 +1103,16 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
             ORDER BY p.event_id
+        """,
+        "range_join_events": """
+            SELECT p.event_id, c.event_id AS click_event_id,
+                   p.user_id, p.ts, c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts >= p.ts - INTERVAL 60 MINUTE
+             AND c.ts <= p.ts
+            ORDER BY p.event_id, click_event_id
         """,
         "sessionize": """
             WITH gaps AS (

@@ -509,6 +509,124 @@ def sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pa.Table:
     return tbl.sort_by([("user_id", "ascending")])
 
 
+def range_join_events(
+    sf_dir: str,
+    window_min: int = 60,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> pa.Table:
+    """RANGE (interval) join: every ``right_type`` event of the same
+    user within ``[ts - window, ts]`` of each ``left_type`` event.
+
+    Ray Data has no range-join primitive; same composition as the
+    as-of join (custom-operator rule a): one scan filters both sides,
+    a coarse ``hash(user_id) % P`` partition co-locates each user, and
+    inside the group a sorted-merge finds each purchase's click window
+    with TWO searchsorted calls per user run — pairs then materialize
+    with the vectorized repeat/arange block trick (no per-row loop).
+    Output column names match the DuckDB range-join oracle.
+    """
+    window_us = window_min * 60 * 1_000_000
+    num_parts = 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array([left_type, right_type]),
+        )
+        t = batch.filter(mask)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            num_parts
+        )
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    def range_group(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        is_left = np.array([e == left_type for e in et], dtype=bool)
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        ev = group.column("event_id").to_numpy(zero_copy_only=False)
+
+        lu, lt_, le = users[is_left], ts[is_left], ev[is_left]
+        ru, rt, re_ = users[~is_left], ts[~is_left], ev[~is_left]
+        lo_ix = np.lexsort((lt_, lu))
+        ro_ix = np.lexsort((rt, ru))
+        lu, lt_, le = lu[lo_ix], lt_[lo_ix], le[lo_ix]
+        ru, rt, re_ = ru[ro_ix], rt[ro_ix], re_[ro_ix]
+
+        lo = np.zeros(len(lu), dtype=np.int64)
+        hi = np.zeros(len(lu), dtype=np.int64)
+        if len(ru) and len(lu):
+            r_starts = np.concatenate(([0], np.nonzero(ru[1:] != ru[:-1])[0] + 1))
+            r_users = ru[r_starts]
+            r_ends = np.concatenate((r_starts[1:], [len(ru)]))
+            run_of = {int(u): k for k, u in enumerate(r_users)}
+            l_starts = np.concatenate(([0], np.nonzero(lu[1:] != lu[:-1])[0] + 1))
+            l_ends = np.concatenate((l_starts[1:], [len(lu)]))
+            for s, e in zip(l_starts, l_ends):
+                k = run_of.get(int(lu[s]))
+                if k is None:
+                    continue
+                rs, rend = int(r_starts[k]), int(r_ends[k])
+                seg = rt[rs:rend]
+                lo[s:e] = rs + np.searchsorted(seg, lt_[s:e] - window_us, "left")
+                hi[s:e] = rs + np.searchsorted(seg, lt_[s:e], "right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.Table.from_pydict(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "click_event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "click_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        li = np.repeat(np.arange(len(lu), dtype=np.int64), counts)
+        block_off = np.cumsum(counts) - counts
+        ri = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(block_off, counts)
+            + np.repeat(lo, counts)
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(le[li], pa.int64()),
+                "click_event_id": pa.array(re_[ri], pa.int64()),
+                "user_id": pa.array(lu[li], pa.int64()),
+                "ts": pa.array(lt_[li].astype("datetime64[us]")),
+                "click_ts": pa.array(rt[ri].astype("datetime64[us]")),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: range_group(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    tbl = pa.Table.from_pylist(out.take_all())
+    if tbl.num_rows == 0:
+        return range_group(
+            pa.Table.from_pydict(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "event_type": pa.array([], pa.string()),
+                }
+            )
+        )
+    return tbl.sort_by(
+        [("event_id", "ascending"), ("click_event_id", "ascending")]
+    )
+
+
 # -- as-of join: the canonical "operator Ray Data lacks" -----------------------
 
 def asof_join_events(sf_dir: str, left_type: str = "purchase",

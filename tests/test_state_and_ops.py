@@ -495,3 +495,31 @@ def test_video_frame_sampling_stage():
     # one row per sampled frame, stride respected, ts monotone
     for frames in by_clip.values():
         assert sorted(frames) == list(range(0, max(frames) + 1, 10))
+
+
+def test_range_join_events_semantics():
+    """Range join == DuckDB interval join on the same events table."""
+    import duckdb
+
+    from high_performance_docling_ray.pipelines.relational import (
+        range_join_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = range_join_events(sf, window_min=60).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(
+        """
+        SELECT p.event_id, c.event_id AS click_event_id,
+               p.user_id, p.ts, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
+        ORDER BY p.event_id, click_event_id
+        """
+    ).fetchdf()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
