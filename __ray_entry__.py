@@ -408,6 +408,14 @@ def _q_topk_orders(sf_dir: str):
     return topk_orders(sf_dir, k=20)
 
 
+def _q_topk_events_per_type(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        topk_events_per_type,
+    )
+
+    return topk_events_per_type(sf_dir, k=5)
+
+
 def _q_distinct_segments(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import distinct_segments
 
@@ -499,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": _q_q3,
         "q5_region_revenue": _q_q5,
         "topk_orders": _q_topk_orders,
+        "topk_events_per_type": _q_topk_events_per_type,
         "distinct_segments": _q_distinct_segments,
         "filter_lineitem": _q_filter_lineitem,
         "events_hourly": _q_events_hourly,
@@ -1070,6 +1079,16 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "topk_events_per_type": """
+            SELECT event_type, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (
+                         PARTITION BY event_type
+                         ORDER BY value DESC, event_id) AS rn
+              FROM events) t
+            WHERE rn <= 5
+            ORDER BY event_type, value DESC, event_id
         """,
         "distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment

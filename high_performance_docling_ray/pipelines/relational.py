@@ -358,6 +358,59 @@ def topk_orders(sf_dir: str, k: int = 20) -> pa.Table:
     )
 
 
+def topk_events_per_type(sf_dir: str, k: int = 5) -> pa.Table:
+    """GROUPED top-k: per event_type, the k highest-value events (ties
+    by event_id ascending) — the "top documents per domain" shape of
+    training-data curation.
+
+    Composition: each batch emits its own per-key top-k (vectorized
+    lexsort + run heads — a combiner, so at most k*keys rows per block
+    cross the wire), then one driver-side merge takes the global per-key
+    top-k. No shuffle at any size: partials are bounded by k * #keys *
+    #blocks, and #keys is small by construction for a grouped-top-k to
+    make sense (salt the key otherwise).
+    """
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        types = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -vals, types))
+        types_s, keep_rows = types[order], []
+        new_run = np.concatenate(([True], types_s[1:] != types_s[:-1]))
+        run_id = np.cumsum(new_run) - 1
+        starts = np.nonzero(new_run)[0][run_id]
+        pos = np.arange(len(types_s)) - starts
+        keep_rows = order[pos < k]
+        return batch.take(pa.array(np.sort(keep_rows)))
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(local_topk, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array([], pa.string()),
+                "event_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    final = local_topk(merged)
+    out = final.select(["event_type", "event_id", "value"])
+    return out.sort_by(
+        [("event_type", "ascending"), ("value", "descending"),
+         ("event_id", "ascending")]
+    )
+
+
 def distinct_segments(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "customer", ["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
