@@ -378,6 +378,14 @@ def _q_hll_distinct(sf_dir: str):
     return distinct_users_hll(sf_dir)
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 10% hash sample (md5(doc_id) % 1000 < 100) —
+    reproducible across runs and cluster sizes, no RNG state."""
+    from high_performance_docling_ray.pipelines.text_analysis import hash_sample
+
+    return hash_sample(sf_dir, rate_permille=100)
+
+
 def _q_lang_stats(sf_dir: str):
     from high_performance_docling_ray.pipelines.text_analysis import lang_stats
 
@@ -501,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "doc_stats": _q_doc_stats,
         "lang_stats": _q_lang_stats,
+        "hash_sample": _q_hash_sample,
         "hll_distinct_users": _q_hll_distinct,
         # relational operator demos
         "q1_pricing_summary": _q_q1,
@@ -1002,6 +1011,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 1000 < 100
         """,
         "lang_stats": """
             SELECT lang, count(*) AS n_docs,

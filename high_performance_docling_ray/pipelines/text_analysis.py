@@ -6,6 +6,7 @@ aggregations, which pre-aggregate per batch before the small groupby.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -119,6 +120,31 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
 
     return read_documents(sf_dir, ("doc_id", "text")).map_batches(
         f, batch_format="pyarrow"
+    )
+
+
+def hash_sample(
+    sf_dir: str, rate_permille: int = 100, columns=("doc_id", "lang")
+) -> ray.data.Dataset:
+    """DETERMINISTIC corpus sampling: keep a doc iff
+    ``md5(doc_id) % 1000 < rate_permille``.
+
+    The curation-grade sample — no RNG state, no coordination, stable
+    across runs, block layouts and cluster sizes, and composable
+    (a 10% sample of a 50% sample is the 5% sample). Pure map filter:
+    streams at any scale. Hash = first 8 md5 bytes little-endian
+    (== DuckDB ``md5_number_upper``) so the oracle reproduces it.
+    """
+    from ..kernels.sketch import hash64
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hv = hash64(ids)
+        mask = (hv % np.uint64(1000)) < np.uint64(rate_permille)
+        return batch.filter(pa.array(mask))
+
+    return read_documents(sf_dir, columns).map_batches(
+        keep, batch_format="pyarrow"
     )
 
 
