@@ -533,3 +533,73 @@ def test_layout_differential_option_combinations(refmods, keep_empty, orphans):
         final, _ = pp.postprocess()
         ref = [_canon_ref_cluster(c) for c in final]
         assert ours == ref, f"seed {seed} options ({keep_empty},{orphans})"
+
+
+def _make_dense_page(rng: random.Random) -> dict:
+    """25-45 clusters per page: drives the reference's >=20-cluster
+    grid-bucketed merge path (the <20 scalar path is covered by the
+    other layout tests) with plenty of duplicate/overlap pairs."""
+    width, height = 612.0, 792.0
+    cells, clusters = [], []
+    cell_index = 0
+    cluster_id = 0
+    for col in range(2):
+        y = 40.0
+        x0 = 72.0 + col * 260.0
+        for _ in range(rng.randint(10, 16)):
+            line = " ".join(
+                rng.choice(["alpha", "beta", "gamma", "delta", "eps"])
+                for _ in range(rng.randint(2, 6))
+            )
+            w = 6.0 * max(1, len(line))
+            cells.append(
+                {"index": cell_index, "text": line, "l": x0, "t": y,
+                 "r": x0 + w, "b": y + 11.0, "from_ocr": False,
+                 "confidence": 1.0}
+            )
+            clusters.append(
+                {"id": cluster_id, "label": "text", "l": x0 - 1.0,
+                 "t": y - 1.0, "r": x0 + w + 1.0, "b": y + 12.0,
+                 "confidence": round(0.55 + 0.4 * rng.random(), 3)}
+            )
+            cluster_id += 1
+            # frequent near-duplicate / overlapping companions
+            if rng.random() < 0.4:
+                clusters.append(
+                    {"id": cluster_id, "label": "text",
+                     "l": x0 - 1.0 + rng.uniform(0, 2),
+                     "t": y - 1.0 + rng.uniform(0, 2),
+                     "r": x0 + w + 1.0 + rng.uniform(0, 2),
+                     "b": y + 12.0 + rng.uniform(0, 2),
+                     "confidence": round(0.5 + 0.45 * rng.random(), 3)}
+                )
+                cluster_id += 1
+            cell_index += 1
+            y += 15.0
+    return {"page_no": 0, "width": width, "height": height,
+            "cells": cells, "words": [], "raw_clusters": clusters,
+            "raw_tables": []}
+
+
+def test_layout_differential_dense_pages(refmods):
+    LP, _ = refmods
+    mismatches = []
+    for seed in range(200):
+        rng = random.Random(66_000 + seed)
+        page = _make_dense_page(rng)
+        assert len(page["raw_clusters"]) >= 20  # grid merge path
+        ours = _run_our_layout(page)
+        ref = _run_reference_layout(LP, page)
+        if ours != ref:
+            mismatches.append((seed, ours, ref))
+            if len(mismatches) >= 3:
+                break
+    if mismatches:
+        seed, ours, ref = mismatches[0]
+        detail = "\n".join(
+            f"  ours: {o}\n   ref: {r}" for o, r in zip(ours, ref) if o != r
+        )
+        raise AssertionError(
+            f"{len(mismatches)}+ dense-page mismatches; first at seed "
+            f"{seed} (n_ours={len(ours)} n_ref={len(ref)}):\n{detail}"
+        )
