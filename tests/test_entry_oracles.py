@@ -27,6 +27,9 @@ QUERIES = [
     "fingerprint_rolling",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "range_join_events",
+    "topk_events_per_type",
+    "hash_sample",
 ]
 
 
