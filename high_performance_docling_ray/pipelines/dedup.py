@@ -611,18 +611,43 @@ def _pair_count_jaccard(
     verify, no text broadcast. Exact up to 64-bit shingle-hash
     collisions (~2^-64 per pair, far below the oracle's radar)."""
 
-    # vectorized ACROSS all runs (the per-run-call version measured 4s
-    # on 27k runs): sort by (shingle, doc), then emit every within-run
-    # (earlier, later) pair with the repeat/arange block trick — one
-    # numpy pipeline regardless of run count.
+    emitted = _emit_pairs_with_sizes(tbl, threshold)
+    if emitted is None:
+        return None  # hot-shingle blowup: caller takes another path
+    if emitted.num_rows == 0:
+        return _EMPTY_JACCARD
+    counted = (
+        emitted.group_by(["doc_a", "doc_b", "sa", "sb"])
+        .aggregate([("doc_a", "count")])
+        .rename_columns(["doc_a", "doc_b", "sa", "sb", "inter"])
+    )
+    return _finalize_jaccard(counted, threshold)
+
+
+def _emit_pairs_with_sizes(
+    tbl: pa.Table, threshold: float, emit_cap: int = 50_000_000
+) -> pa.Table | None:
+    """Vectorized ACROSS all runs (the per-run-call version measured 4s
+    on 27k runs): sort by (shingle, doc), then emit every within-run
+    (earlier, later) pair with the repeat/arange block trick — one
+    numpy pipeline regardless of run count. Returns None past
+    ``emit_cap`` pair emissions (hot-shingle blowup)."""
     sh = tbl.column("shingle").to_numpy(zero_copy_only=False)
     ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     sizes = tbl.column("set_size").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((ids, sh))
     sh, ids, sizes = sh[order], ids[order], sizes[order]
     n = len(sh)
+    empty = pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "sa": pa.array([], pa.int64()),
+            "sb": pa.array([], pa.int64()),
+        }
+    )
     if n < 2:
-        return _EMPTY_JACCARD
+        return empty
     new_run = np.concatenate(([True], sh[1:] != sh[:-1]))
     run_start_idx = np.nonzero(new_run)[0]
     run_id = np.cumsum(new_run) - 1
@@ -630,9 +655,9 @@ def _pair_count_jaccard(
     p = np.arange(n, dtype=np.int64) - starts  # within-run position
     total = int(p.sum())
     if total == 0:
-        return _EMPTY_JACCARD
-    if total > 50_000_000:
-        return None  # hot-shingle blowup: caller takes the prefix path
+        return empty
+    if total > emit_cap:
+        return None
     jj = np.repeat(np.arange(n, dtype=np.int64), p)
     block_off = np.cumsum(p) - p
     ii = (
@@ -645,7 +670,7 @@ def _pair_count_jaccard(
     lo = np.minimum(sa, sb).astype(np.float64)
     hi = np.maximum(sa, sb).astype(np.float64)
     keep = lo >= threshold * hi  # implied by J >= t, consistent per pair
-    emitted = pa.Table.from_pydict(
+    return pa.Table.from_pydict(
         {
             "doc_a": pa.array(a[keep], pa.int64()),
             "doc_b": pa.array(b[keep], pa.int64()),
@@ -653,13 +678,12 @@ def _pair_count_jaccard(
             "sb": pa.array(sb[keep], pa.int64()),
         }
     )
-    if emitted.num_rows == 0:
+
+
+def _finalize_jaccard(counted: pa.Table, threshold: float) -> pa.Table:
+    """(doc_a, doc_b, sa, sb, inter) -> filtered (doc_a, doc_b, jaccard)."""
+    if counted.num_rows == 0:
         return _EMPTY_JACCARD
-    counted = (
-        emitted.group_by(["doc_a", "doc_b", "sa", "sb"])
-        .aggregate([("doc_a", "count")])
-        .rename_columns(["doc_a", "doc_b", "sa", "sb", "inter"])
-    )
     inter = counted.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
     sa = counted.column("sa").to_numpy(zero_copy_only=False).astype(np.float64)
     sb = counted.column("sb").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -675,41 +699,84 @@ def _pair_count_jaccard(
 
 
 def ngram_jaccard_pairs(
-    sf_dir: str, threshold: float = 0.5, ngram: int = 3
+    sf_dir: str,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    strategy: str = "auto",
+    driver_budget: int = 2_000_000,
 ) -> ray.data.Dataset:
     """EXACT word-n-gram Jaccard >= threshold pairs over non-empty
     shingle sets (doc_a, doc_b, jaccard).
 
-    Two exact strategies behind one budget switch:
+    Three exact strategies (all produce identical output — pinned in
+    tests/test_state_and_ops.py):
 
-    * in-budget (posting rows fit the driver combine budget): PAIR
-      COUNTING — full posting lists, one vectorized group_by-count
-      gives |A ∩ B| for every co-occurring pair, Jaccard closes in
-      numpy. No per-pair Python work, no text broadcast at all.
-    * over budget (the 10^12-doc regime, or hot-shingle blowup):
-      PPJoin prefix-filter candidates under a document-frequency-
-      ascending global order (recall 1), bucketed groupby pairing,
-      then verification against a broadcast of candidate-only shingle
-      sets (a co-partitioned join on doc_id once even the candidate
-      set outgrows the broadcast budget).
+    * driver pair-count (``auto``, posting rows within
+      ``driver_budget``): full posting lists land once, one vectorized
+      group_by-count gives |A ∩ B| for every co-occurring pair.
+    * DISTRIBUTED pair-count (``auto`` over budget — the 10^12-doc
+      regime): posting rows shuffle ONCE on a coarse shingle
+      partition, pairs emit vectorized per partition, and a Ray
+      groupby on (doc_a, doc_b, sa, sb) counts intersections — no
+      broadcast, no driver materialization anywhere.
+    * ``strategy="prefix"``: PPJoin prefix-filter candidates under a
+      document-frequency-ascending global order (recall 1) +
+      verification against a broadcast of candidate-only shingle sets
+      — the HOT-SHINGLE mitigation: a shingle shared by df docs costs
+      the count strategies df^2/2 pair emissions, while the df-ordered
+      prefix keeps hot shingles out of every prefix.
     """
     ds = read_documents(sf_dir)
 
-    def full_rows(batch: pa.Table) -> pa.Table:
-        return _prefix_rows(batch, 0.0, ngram)  # t=0: whole set, hash order
+    if strategy != "prefix":
+        def full_rows(batch: pa.Table) -> pa.Table:
+            return _prefix_rows(batch, 0.0, ngram)  # t=0: whole set
 
-    refs = (
-        ds.map_batches(full_rows, batch_format="pyarrow")
-        .materialize()
-        .to_arrow_refs()
-    )
-    parts = [t for t in ray.get(refs) if t.num_rows]
-    if parts and sum(t.num_rows for t in parts) <= 2_000_000:
-        counted = _pair_count_jaccard(pa.concat_tables(parts), threshold)
-        if counted is not None:
-            return ray.data.from_arrow(counted)
+        posting = ds.map_batches(full_rows, batch_format="pyarrow")
+        mat = posting.materialize()
+        parts = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+        if parts and sum(t.num_rows for t in parts) <= driver_budget:
+            counted = _pair_count_jaccard(pa.concat_tables(parts), threshold)
+            if counted is not None:
+                return ray.data.from_arrow(counted)
 
-    # over-budget: prefix-filtered candidates + broadcast verify
+        # distributed pair-count: one coarse shuffle + one keyed count
+        num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+            part = (sh % np.uint64(num_parts)).astype(np.int32)
+            return batch.append_column("part", pa.array(part, pa.int32()))
+
+        def emit_part(group: pa.Table) -> pa.Table:
+            out = _emit_pairs_with_sizes(
+                group.drop_columns(["part"]), threshold
+            )
+            if out is None:
+                raise ValueError(
+                    "hot-shingle pair blowup: rerun with strategy='prefix'"
+                )
+            return out
+
+        counted_ds = (
+            mat.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(emit_part, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b", "sa", "sb"])
+            .count()
+        )
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            return _finalize_jaccard(
+                batch.rename_columns(
+                    ["doc_a", "doc_b", "sa", "sb", "inter"]
+                ),
+                threshold,
+            )
+
+        return counted_ds.map_batches(finalize, batch_format="pyarrow")
+
+    # strategy="prefix": df-ordered candidates + broadcast verify
     df_hashes, df_counts = _shingle_df(ds, ngram)
     df_ref = ray.put((df_hashes, df_counts))
 

@@ -523,3 +523,26 @@ def test_range_join_events_semantics():
         """
     ).fetchdf()
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_ngram_jaccard_strategies_agree():
+    """Driver pair-count, DISTRIBUTED pair-count (forced via
+    driver_budget=0), and the PPJoin prefix+verify strategy must
+    produce identical exact results."""
+    from high_performance_docling_ray.pipelines.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(ds):
+        return sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in ds.take_all()
+        )
+
+    base = canon(ngram_jaccard_pairs(sf, threshold=0.5))
+    assert base  # non-vacuous
+    dist = canon(ngram_jaccard_pairs(sf, threshold=0.5, driver_budget=0))
+    pref = canon(ngram_jaccard_pairs(sf, threshold=0.5, strategy="prefix"))
+    assert base == dist == pref
