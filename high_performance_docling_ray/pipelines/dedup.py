@@ -228,6 +228,7 @@ def minhash_candidate_pairs(
     num_perm: int = 64,
     bands: int = 16,
     concurrency: int | None = None,
+    verify_broadcast_budget: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (doc_a, doc_b, est_jaccard >= threshold).
 
@@ -284,6 +285,14 @@ def minhash_candidate_pairs(
         pair_tbl.column("doc_a").to_pylist()
         + pair_tbl.column("doc_b").to_pylist()
     )
+    if len(cand_ids) > verify_broadcast_budget:
+        # candidate set too big to broadcast: verify via the
+        # union-cogroup distributed join (pipelines/joins.py) — the
+        # signature stream attaches to pairs in two keyed rounds, no
+        # driver materialization of signatures
+        return _minhash_cogroup_verify(
+            sf_dir, pair_tbl, threshold, num_perm, bands
+        )
     ids_ref = ray.put(cand_ids)
 
     def sigs_of_candidates(batch: pa.Table) -> pa.Table:
@@ -348,6 +357,92 @@ def minhash_candidate_pairs(
     return ray.data.from_arrow(pair_tbl).map_batches(
         verify, batch_format="pyarrow"
     )
+
+
+def _minhash_cogroup_verify(
+    sf_dir: str,
+    pair_tbl: pa.Table,
+    threshold: float,
+    num_perm: int,
+    bands: int,
+) -> ray.data.Dataset:
+    """Distributed est_jaccard verification: the full signature stream
+    LEFT-JOINs onto the candidate pairs in two union-cogroup rounds
+    (doc_a then doc_b), then one vectorized equality-mean per batch.
+    No broadcast of ids or signatures anywhere."""
+    from .joins import cogroup_attach
+
+    def sig_rows(key_name: str):
+        def f(batch: pa.Table) -> pa.Table:
+            hasher = _MINHASH_CACHE.setdefault(
+                (num_perm, bands), MinHashStage(num_perm, bands)
+            ).hasher
+            return pa.Table.from_pydict(
+                {
+                    key_name: batch.column("doc_id"),
+                    f"sig_{key_name[-1]}": pa.array(
+                        [
+                            hasher.signature(t).tobytes()
+                            for t in batch.column("text").to_pylist()
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        return f
+
+    pairs_ds = ray.data.from_arrow(pair_tbl)
+    sigs_a = read_documents(sf_dir).map_batches(
+        sig_rows("doc_a"), batch_format="pyarrow"
+    )
+    j1 = cogroup_attach(
+        pairs_ds,
+        sigs_a,
+        "doc_a",
+        left_fields=[pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())],
+        payload_fields=[pa.field("sig_a", pa.binary())],
+    )
+    sigs_b = read_documents(sf_dir).map_batches(
+        sig_rows("doc_b"), batch_format="pyarrow"
+    )
+    j2 = cogroup_attach(
+        j1,
+        sigs_b,
+        "doc_b",
+        left_fields=[
+            pa.field("doc_a", pa.int64()),
+            pa.field("doc_b", pa.int64()),
+            pa.field("sig_a", pa.binary()),
+        ],
+        payload_fields=[pa.field("sig_b", pa.binary())],
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = batch.column("sig_a").to_pylist()
+        sb = batch.column("sig_b").to_pylist()
+        out_a, out_b, out_e = [], [], []
+        if len(a):
+            mats_a = np.stack(
+                [np.frombuffer(s, dtype=np.uint64) for s in sa]
+            )
+            mats_b = np.stack(
+                [np.frombuffer(s, dtype=np.uint64) for s in sb]
+            )
+            est = (mats_a == mats_b).mean(axis=1)
+            keep = est >= threshold
+            out_a, out_b, out_e = a[keep], b[keep], est[keep]
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "est_jaccard": pa.array(out_e, pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:

@@ -1,0 +1,96 @@
+"""Distributed keyed join, composed for an engine without a native one.
+
+Ray Data has no two-sided join/cogroup primitive (SURVEY.md §2.4: the
+reference needs none, but corpus-scale verify phases do once their
+build side outgrows a broadcast). The composition is the standard
+UNION-COGROUP idiom:
+
+    project both sides to one wide schema (null-padded) and tag them
+    -> union -> coarse hash(key) % P partition -> groupby(part) ->
+    inside each group, split by tag, sort the right side's keys, and
+    attach payloads to left rows with one vectorized searchsorted
+
+One all-to-all exchange, vectorized per partition, works at any key
+cardinality — the over-budget fallback for every broadcast join in
+this repo.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def cogroup_attach(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    left_fields: list[pa.Field],
+    payload_fields: list[pa.Field],
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """LEFT JOIN ``right`` onto ``left`` by the int64 column ``key``.
+
+    ``left_fields``: left's columns (including ``key``);
+    ``payload_fields``: right's non-key columns to attach (right must
+    be unique per key). Unmatched left rows get null payloads. Fields
+    are passed explicitly so the wide union schema needs no plan
+    execution to discover.
+    """
+    if num_parts is None:
+        num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    left_names = [f.name for f in left_fields]
+    payload_names = [f.name for f in payload_fields]
+    wide = {f.name: f.type for f in list(left_fields) + list(payload_fields)}
+
+    def widen(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols: dict[str, pa.Array] = {}
+            for name, typ in wide.items():
+                if name in batch.column_names:
+                    cols[name] = batch.column(name)
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            keys = batch.column(key).to_numpy(zero_copy_only=False)
+            part = (
+                keys.astype(np.uint64) * np.uint64(2654435761)
+            ) % np.uint64(num_parts)
+            cols["__part"] = pa.array(part.astype(np.int32), pa.int32())
+            cols["__side"] = pa.array(np.full(n, side, np.int8))
+            return pa.Table.from_pydict(cols)
+
+        return f
+
+    tagged = left.map_batches(widen(0), batch_format="pyarrow").union(
+        right.map_batches(widen(1), batch_format="pyarrow")
+    )
+
+    def join_part(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        l_tbl = group.filter(pa.array(side == 0))
+        r_tbl = group.filter(pa.array(side == 1))
+        out: dict[str, pa.Array] = {c: l_tbl.column(c) for c in left_names}
+        if l_tbl.num_rows == 0 or r_tbl.num_rows == 0:
+            for c in payload_names:
+                out[c] = pa.nulls(l_tbl.num_rows, wide[c])
+            return pa.Table.from_pydict(out)
+        r_keys = r_tbl.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(r_keys, kind="stable")
+        r_sorted = r_keys[order]
+        l_keys = l_tbl.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(r_sorted, l_keys), len(r_sorted) - 1)
+        matched = r_sorted[pos] == l_keys
+        take = np.where(matched, order[pos], 0)
+        idx = pa.array(take.astype(np.int64), type=pa.int64(), mask=~matched)
+        for c in payload_names:
+            out[c] = r_tbl.column(c).take(idx)
+        return pa.Table.from_pydict(out)
+
+    return tagged.groupby("__part").map_groups(
+        lambda g: join_part(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )

@@ -546,3 +546,26 @@ def test_ngram_jaccard_strategies_agree():
     dist = canon(ngram_jaccard_pairs(sf, threshold=0.5, driver_budget=0))
     pref = canon(ngram_jaccard_pairs(sf, threshold=0.5, strategy="prefix"))
     assert base == dist == pref
+
+
+def test_minhash_cogroup_verify_equals_broadcast():
+    """The union-cogroup distributed verify (forced via
+    verify_broadcast_budget=0) must equal the broadcast verify."""
+    from high_performance_docling_ray.pipelines.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(ds):
+        return sorted(
+            (r["doc_a"], r["doc_b"], round(r["est_jaccard"], 9))
+            for r in ds.take_all()
+        )
+
+    base = canon(minhash_candidate_pairs(sf, threshold=0.7))
+    assert base
+    cg = canon(
+        minhash_candidate_pairs(sf, threshold=0.7, verify_broadcast_budget=0)
+    )
+    assert base == cg
