@@ -97,9 +97,15 @@ def _pairs_from_key_rows(
     Returns None over budget; the caller falls back to the bucketed
     groupby, the exchange that works at any cardinality.
     """
+    # budget check via a STREAMING count first — materializing before
+    # the check would pin the (possibly enormous) key rows in the
+    # object store exactly in the regime where we must not
+    total = key_rows.count()
+    if total == 0 or total > budget:
+        return None
     refs = key_rows.materialize().to_arrow_refs()
     parts = [t for t in ray.get(refs) if t.num_rows]
-    if not parts or sum(t.num_rows for t in parts) > budget:
+    if not parts:
         return None
     return _runs_apply(pa.concat_tables(parts), key_col, pair_fn)
 
@@ -828,9 +834,15 @@ def ngram_jaccard_pairs(
             return _prefix_rows(batch, 0.0, ngram)  # t=0: whole set
 
         posting = ds.map_batches(full_rows, batch_format="pyarrow")
-        mat = posting.materialize()
-        parts = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
-        if parts and sum(t.num_rows for t in parts) <= driver_budget:
+        # streaming count first: only an in-budget posting set gets
+        # pinned; the over-budget plan streams through the shuffle
+        total = posting.count()
+        if 0 < total <= driver_budget:
+            parts = [
+                t
+                for t in ray.get(posting.materialize().to_arrow_refs())
+                if t.num_rows
+            ]
             counted = _pair_count_jaccard(pa.concat_tables(parts), threshold)
             if counted is not None:
                 return ray.data.from_arrow(counted)
@@ -854,7 +866,7 @@ def ngram_jaccard_pairs(
             return out
 
         counted_ds = (
-            mat.map_batches(add_part, batch_format="pyarrow")
+            posting.map_batches(add_part, batch_format="pyarrow")
             .groupby("part")
             .map_groups(emit_part, batch_format="pyarrow")
             .groupby(["doc_a", "doc_b", "sa", "sb"])
