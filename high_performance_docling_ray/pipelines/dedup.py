@@ -281,11 +281,21 @@ def minhash_candidate_pairs(
 
         merged = _combine_partials(cand, ["doc_a", "doc_b"], [], agg="max")
         if merged is None:
-            pair_tbl = pa.Table.from_pylist(
-                cand.groupby(["doc_a", "doc_b"]).count().take_all()
-            ).select(["doc_a", "doc_b"])
-        else:
-            pair_tbl = merged.select(["doc_a", "doc_b"])
+            # pairs exceed even the driver combine budget: stay
+            # distributed the whole way — keyed dedup, then the
+            # union-cogroup verify, nothing ever lands on the driver
+            pairs_ds = (
+                cand.groupby(["doc_a", "doc_b"])
+                .count()
+                .map_batches(
+                    lambda b: b.select(["doc_a", "doc_b"]),
+                    batch_format="pyarrow",
+                )
+            )
+            return _minhash_cogroup_verify(
+                sf_dir, pairs_ds, threshold, num_perm, bands
+            )
+        pair_tbl = merged.select(["doc_a", "doc_b"])
 
     cand_ids = frozenset(
         pair_tbl.column("doc_a").to_pylist()
@@ -297,7 +307,7 @@ def minhash_candidate_pairs(
         # signature stream attaches to pairs in two keyed rounds, no
         # driver materialization of signatures
         return _minhash_cogroup_verify(
-            sf_dir, pair_tbl, threshold, num_perm, bands
+            sf_dir, ray.data.from_arrow(pair_tbl), threshold, num_perm, bands
         )
     ids_ref = ray.put(cand_ids)
 
@@ -367,7 +377,7 @@ def minhash_candidate_pairs(
 
 def _minhash_cogroup_verify(
     sf_dir: str,
-    pair_tbl: pa.Table,
+    pairs_ds: ray.data.Dataset,
     threshold: float,
     num_perm: int,
     bands: int,
@@ -398,7 +408,6 @@ def _minhash_cogroup_verify(
 
         return f
 
-    pairs_ds = ray.data.from_arrow(pair_tbl)
     sigs_a = read_documents(sf_dir).map_batches(
         sig_rows("doc_a"), batch_format="pyarrow"
     )
