@@ -80,9 +80,13 @@ def estimate(registers: np.ndarray) -> float:
     one rounding step — bit-identical regardless of summation order,
     and reproducible by the DuckDB oracle SQL's HUGEINT sum."""
     m = len(registers)
-    counts = np.bincount(registers.astype(np.int64), minlength=54)
-    num = sum(int(c) << (53 - k) for k, c in enumerate(counts[:54]) if c)
-    inv_sum = float(num) / 9007199254740992.0  # / 2^53
+    counts = np.bincount(registers.astype(np.int64))
+    # kmax >= every rank so no register's 2^-reg term is dropped (a
+    # p<12 sketch has ranks up to 65-p); kmax=53 whenever possible so
+    # the numerator and the p=12 oracle SQL stay bit-identical
+    kmax = max(53, len(counts) - 1)
+    num = sum(int(c) << (kmax - k) for k, c in enumerate(counts) if c)
+    inv_sum = float(num) / float(1 << kmax)  # exact power-of-two scale
     raw = _alpha(m) * m * m / inv_sum
     if raw <= 2.5 * m:
         zeros = int((registers == 0).sum())

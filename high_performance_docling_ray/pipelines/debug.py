@@ -80,6 +80,11 @@ def _svg_boxes(clusters, cells, x_off: float) -> list[str]:
 
 def page_overlay_svg(page: dict, options=DEFAULT_OPTIONS) -> str:
     """One parsed page -> side-by-side SVG overlay (deterministic)."""
+    return _page_overlay(page, options)[0]
+
+
+def _page_overlay(page: dict, options=DEFAULT_OPTIONS) -> tuple[str, int]:
+    """(svg, n_clusters) — one layout-postprocess pass serves both."""
     clusters, cells = page_clusters(page, options)
     w, h = float(page["width"]), float(page["height"])
     left = [c for c in clusters if c["label"] not in _RIGHT_PANE]
@@ -95,7 +100,7 @@ def page_overlay_svg(page: dict, options=DEFAULT_OPTIONS) -> str:
     parts += _svg_boxes(left, cells, 0.0)
     parts += _svg_boxes(right, cells, w)
     parts.append("</svg>")
-    return "\n".join(parts)
+    return "\n".join(parts), len(clusters)
 
 
 def write_debug_overlays(
@@ -120,8 +125,7 @@ def write_debug_overlays(
             if len(stem) > 80:  # keep filenames bounded like the ref's stems
                 stem = stem[:64] + hashlib.md5(stem.encode()).hexdigest()[:8]
             for page in pages:
-                svg = page_overlay_svg(page, options)
-                clusters, _cells = page_clusters(page, options)
+                svg, n_clusters = _page_overlay(page, options)
                 path = os.path.join(
                     out_dir, f"{stem}_layout_page_{int(page['page_no']):05}.svg"
                 )
@@ -132,7 +136,7 @@ def write_debug_overlays(
                 out["url"].append(row["url"])
                 out["page_no"].append(int(page["page_no"]))
                 out["path"].append(path)
-                out["n_clusters"].append(len(clusters))
+                out["n_clusters"].append(n_clusters)
                 out["svg_bytes"].append(len(svg))
         return pa.Table.from_pydict(
             {

@@ -97,17 +97,32 @@ def _pairs_from_key_rows(
     Returns None over budget; the caller falls back to the bucketed
     groupby, the exchange that works at any cardinality.
     """
-    # budget check via a STREAMING count first — materializing before
-    # the check would pin the (possibly enormous) key rows in the
-    # object store exactly in the regime where we must not
-    total = key_rows.count()
-    if total == 0 or total > budget:
+    tbl = _collect_within_budget(key_rows, budget)
+    if tbl is None or tbl.num_rows == 0:
         return None
-    refs = key_rows.materialize().to_arrow_refs()
-    parts = [t for t in ray.get(refs) if t.num_rows]
+    return _runs_apply(tbl, key_col, pair_fn)
+
+
+def _collect_within_budget(
+    ds: ray.data.Dataset, budget: int
+) -> pa.Table | None:
+    """ONE streaming pass: accumulate batches on the driver until the
+    budget is exceeded, then bail with None. The in-budget path
+    executes the plan exactly once (a count()-then-materialize probe
+    would run it twice), and the over-budget path stops pulling as
+    soon as the budget breaks instead of pinning everything."""
+    parts: list[pa.Table] = []
+    total = 0
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        if batch.num_rows == 0:
+            continue
+        total += batch.num_rows
+        if total > budget:
+            return None
+        parts.append(batch)
     if not parts:
-        return None
-    return _runs_apply(pa.concat_tables(parts), key_col, pair_fn)
+        return pa.Table.from_pydict({})
+    return pa.concat_tables(parts)
 
 
 # -- exact ------------------------------------------------------------------
@@ -385,32 +400,48 @@ def _minhash_cogroup_verify(
     """Distributed est_jaccard verification: the full signature stream
     LEFT-JOINs onto the candidate pairs in two union-cogroup rounds
     (doc_a then doc_b), then one vectorized equality-mean per batch.
-    No broadcast of ids or signatures anywhere."""
+    No broadcast of ids or signatures anywhere.
+
+    Signatures are the expensive part, so they are computed ONCE and
+    checkpointed to disk-backed parquet (the same spill-not-pin rule as
+    the IVF index — object-store pinning of a corpus-wide column is
+    exactly what this regime forbids), then read lazily by both join
+    rounds."""
+    import tempfile
+
     from .joins import cogroup_attach
 
-    def sig_rows(key_name: str):
-        def f(batch: pa.Table) -> pa.Table:
-            hasher = _MINHASH_CACHE.setdefault(
-                (num_perm, bands), MinHashStage(num_perm, bands)
-            ).hasher
-            return pa.Table.from_pydict(
-                {
-                    key_name: batch.column("doc_id"),
-                    f"sig_{key_name[-1]}": pa.array(
-                        [
-                            hasher.signature(t).tobytes()
-                            for t in batch.column("text").to_pylist()
-                        ],
-                        pa.binary(),
-                    ),
-                }
-            )
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        hasher = _MINHASH_CACHE.setdefault(
+            (num_perm, bands), MinHashStage(num_perm, bands)
+        ).hasher
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "signature": pa.array(
+                    [
+                        hasher.signature(t).tobytes()
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
 
-        return f
+    sig_dir = tempfile.mkdtemp(prefix="graft_minhash_sigs_")
+    read_documents(sf_dir).map_batches(
+        sig_rows, batch_format="pyarrow"
+    ).write_parquet(sig_dir)
 
-    sigs_a = read_documents(sf_dir).map_batches(
-        sig_rows("doc_a"), batch_format="pyarrow"
-    )
+    def sig_reader(key_name: str) -> ray.data.Dataset:
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([key_name, f"sig_{key_name[-1]}"])
+
+        return ray.data.read_parquet(sig_dir).map_batches(
+            rename, batch_format="pyarrow"
+        )
+
+    sigs_a = sig_reader("doc_a")
     j1 = cogroup_attach(
         pairs_ds,
         sigs_a,
@@ -418,9 +449,7 @@ def _minhash_cogroup_verify(
         left_fields=[pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())],
         payload_fields=[pa.field("sig_a", pa.binary())],
     )
-    sigs_b = read_documents(sf_dir).map_batches(
-        sig_rows("doc_b"), batch_format="pyarrow"
-    )
+    sigs_b = sig_reader("doc_b")
     j2 = cogroup_attach(
         j1,
         sigs_b,
@@ -843,16 +872,11 @@ def ngram_jaccard_pairs(
             return _prefix_rows(batch, 0.0, ngram)  # t=0: whole set
 
         posting = ds.map_batches(full_rows, batch_format="pyarrow")
-        # streaming count first: only an in-budget posting set gets
-        # pinned; the over-budget plan streams through the shuffle
-        total = posting.count()
-        if 0 < total <= driver_budget:
-            parts = [
-                t
-                for t in ray.get(posting.materialize().to_arrow_refs())
-                if t.num_rows
-            ]
-            counted = _pair_count_jaccard(pa.concat_tables(parts), threshold)
+        # single-pass budgeted landing (see _collect_within_budget);
+        # the over-budget plan streams through the shuffle instead
+        landed = _collect_within_budget(posting, driver_budget)
+        if landed is not None and landed.num_rows:
+            counted = _pair_count_jaccard(landed, threshold)
             if counted is not None:
                 return ray.data.from_arrow(counted)
 

@@ -444,6 +444,15 @@ def extract_pipeline(
         keys_ds = read_parquet_clean(
             source_path, columns=["url", "warc_ts"], override_num_blocks=nb
         )
+    if ocr_ref is not None and explode_giant:
+        # the page-exploded branch assembles via PageExtractor /
+        # assemble_doc_group, which have no OCR join-back seam yet;
+        # silently falling back to inline OCR would re-run the model
+        # and could diverge from the joined results
+        raise ValueError(
+            "ocr_ref requires explode_giant=False (the page-exploded "
+            "branch has no distributed-OCR join-back)"
+        )
     if not explode_giant:
         if dedup:
             ds = dedup_by_url(ds, keys_ds=keys_ds)

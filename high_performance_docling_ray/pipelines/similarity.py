@@ -147,13 +147,28 @@ def build_ivf_index(
     """
     import hashlib
     import os
+    import shutil
 
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        content_tag = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content_tag = "unknown"
     if out_dir is None:
-        tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_lists}".encode()).hexdigest()[:12]
+        # idempotence key includes a CONTENT fingerprint: regenerating
+        # the parquet at the same path invalidates the cached index
+        tag = hashlib.md5(
+            f"{src}:{n_lists}:{content_tag}".encode()
+        ).hexdigest()[:12]
         out_dir = f"/tmp/graft_ivf/{tag}"
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
+    # a crashed build leaves partial list files with no marker — wipe
+    # so the rebuild cannot leave duplicated vectors behind
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     sample = np.array(

@@ -130,8 +130,11 @@ def hash_sample(
     ``md5(doc_id) % 1000 < rate_permille``.
 
     The curation-grade sample — no RNG state, no coordination, stable
-    across runs, block layouts and cluster sizes, and composable
-    (a 10% sample of a 50% sample is the 5% sample). Pure map filter:
+    across runs, block layouts and cluster sizes, and NESTED: a lower
+    rate always selects a subset of a higher rate (same hash, so
+    nested applications give min(rate), e.g. growing a 10% ablation to
+    20% keeps every previously sampled doc). For an INDEPENDENT
+    second sample, salt the hashed key instead. Pure map filter:
     streams at any scale. Hash = first 8 md5 bytes little-endian
     (== DuckDB ``md5_number_upper``) so the oracle reproduces it.
     """

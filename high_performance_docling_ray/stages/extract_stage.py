@@ -89,13 +89,16 @@ class DocExtractor:
         self._extract = extract_document
         # broadcast ObjectRef to {url: {page_no: {cluster_id: text}}}
         # from the distributed OCR stage (pipelines/ocr.py), resolved
-        # lazily once per worker
+        # ONCE per instance on first use (not per batch)
         self.ocr_ref = ocr_ref
+        self._ocr_by_url = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray as _ray
+        if self.ocr_ref is not None and self._ocr_by_url is None:
+            import ray as _ray
 
-        ocr_by_url = _ray.get(self.ocr_ref) if self.ocr_ref is not None else None
+            self._ocr_by_url = _ray.get(self.ocr_ref)
+        ocr_by_url = self._ocr_by_url
         urls = batch.column("url").to_pylist()
         ts = batch.column("warc_ts").to_pylist()
         langs = (
@@ -140,6 +143,19 @@ def _cached(cls, options: ExtractOptions, **kwargs):
     key = (cls.__name__, options, tuple(sorted(kwargs.items(), key=str)))
     inst = _EXTRACTOR_CACHE.get(key)
     if inst is None:
+        if kwargs.get("ocr_ref") is not None:
+            # each distributed-OCR run carries a fresh ObjectRef; evict
+            # the previous run's entry for these options so workers do
+            # not pin every historical OCR lookup in the object store
+            stale = [
+                k
+                for k, v in _EXTRACTOR_CACHE.items()
+                if k[0] == cls.__name__
+                and k[1] == options
+                and getattr(v, "ocr_ref", None) is not None
+            ]
+            for k in stale:
+                del _EXTRACTOR_CACHE[k]
         inst = _EXTRACTOR_CACHE[key] = cls(options, **kwargs)
     return inst
 
