@@ -386,6 +386,20 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(sf_dir, rate_permille=100)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: downsample the dominant
+    language, keep the rest whole (corpus rebalancing)."""
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        stratified_hash_sample,
+    )
+
+    return stratified_hash_sample(
+        sf_dir,
+        {"en": 200, "de": 1000, "fr": 1000, "es": 1000, "it": 1000},
+        default_permille=500,
+    )
+
+
 def _q_lang_stats(sf_dir: str):
     from high_performance_docling_ray.pipelines.text_analysis import lang_stats
 
@@ -510,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "lang_stats": _q_lang_stats,
         "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
         "hll_distinct_users": _q_hll_distinct,
         # relational operator demos
         "q1_pricing_summary": _q_q1,
@@ -1015,6 +1030,14 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, lang FROM documents
             WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 1000 < 100
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 1000 <
+                  CASE lang WHEN 'en' THEN 200
+                            WHEN 'de' THEN 1000 WHEN 'fr' THEN 1000
+                            WHEN 'es' THEN 1000 WHEN 'it' THEN 1000
+                            ELSE 500 END
         """,
         "lang_stats": """
             SELECT lang, count(*) AS n_docs,

@@ -151,6 +151,34 @@ def hash_sample(
     )
 
 
+def stratified_hash_sample(
+    sf_dir: str,
+    rates_permille: dict[str, int],
+    default_permille: int = 0,
+    columns=("doc_id", "lang"),
+) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling: each language keeps its own
+    hash-threshold rate (e.g. downsample English, keep all low-resource
+    languages) — the standard curation rebalance, with hash_sample's
+    reproducibility and nesting per stratum."""
+    from ..kernels.sketch import hash64
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        hv = hash64(ids) % np.uint64(1000)
+        thresholds = np.fromiter(
+            (rates_permille.get(l, default_permille) for l in langs),
+            np.uint64,
+            len(langs),
+        )
+        return batch.filter(pa.array(hv < thresholds))
+
+    return read_documents(sf_dir, columns).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 def lang_stats(sf_dir: str):
     """Per-language doc count + mean n_chars: per-batch partial
     aggregation merged with one driver-side group_by (Ray groupby
