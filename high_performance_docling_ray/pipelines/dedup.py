@@ -24,7 +24,6 @@ Strategies, all Ray-Data-first (SURVEY.md §2.6 corpus-level ops):
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -38,16 +37,14 @@ from ..kernels.text_stats import jaccard, md5_fingerprint, ngram_set
 
 
 def _add_partition(batch: pa.Table, key: str, num_parts: int) -> pa.Table:
-    """Coarse shuffle key: crc32(key) % P. Grouping on this instead of
-    the raw (high-cardinality) LSH key turns millions of per-group
-    Python calls into one vectorized call per partition; all rows of a
-    given LSH key still land in the same partition."""
-    vals = batch.column(key).to_pylist()
-    parts = np.fromiter(
-        (zlib.crc32(v.encode("utf-8")) % num_parts for v in vals),
-        dtype=np.int32,
-        count=len(vals),
-    )
+    """Coarse shuffle key: hash(key) % P (vectorized, joins.py).
+    Grouping on this instead of the raw (high-cardinality) LSH key
+    turns millions of per-group Python calls into one vectorized call
+    per partition; all rows of a given LSH key still land in the same
+    partition."""
+    from .joins import string_key_buckets
+
+    parts = string_key_buckets(batch.column(key), num_parts)
     return batch.append_column("part", pa.array(parts, pa.int32()))
 
 
@@ -324,14 +321,11 @@ def minhash_candidate_pairs(
         return _minhash_cogroup_verify(
             sf_dir, ray.data.from_arrow(pair_tbl), threshold, num_perm, bands
         )
-    ids_ref = ray.put(cand_ids)
+    ids_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
 
     def sigs_of_candidates(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        mask = pa.array(
-            [d in wanted for d in batch.column("doc_id").to_pylist()]
-        )
-        sub = batch.filter(mask)
+        wanted = ray.get(ids_ref)  # vectorized C++ hash semi-join
+        sub = batch.filter(pc.is_in(batch.column("doc_id"), value_set=wanted))
         hasher = _MINHASH_CACHE.setdefault(
             (num_perm, bands), MinHashStage(num_perm, bands)
         ).hasher
@@ -489,19 +483,69 @@ def _minhash_cogroup_verify(
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
-    """Survivors after dropping the higher doc_id of each near-dup pair."""
+def minhash_dedup(
+    sf_dir: str,
+    threshold: float = 0.7,
+    drop_broadcast_budget: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Survivors after dropping the higher doc_id of each near-dup pair.
+
+    The drop set (distinct doc_b over all pairs) is collected under a
+    driver budget and broadcast for a vectorized ``pc.is_in``
+    anti-join. Past the budget — the 10^12-doc regime where near-dup
+    pairs alone are too many to land on the driver — it stays
+    distributed: distinct doc_b via a keyed groupby, a marker attached
+    to matching docs through the union-cogroup join
+    (pipelines/joins.py), and the filter keeps unmatched rows. Both
+    tiers are exact and test-pinned equal.
+    """
     pairs = minhash_candidate_pairs(sf_dir, threshold)
-    drop = set(r["doc_b"] for r in pairs.select_columns(["doc_b"]).take_all())
-    drop_ref = ray.put(drop)
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    drop_tbl = _collect_within_budget(
+        pairs.select_columns(["doc_b"]), drop_broadcast_budget
+    )
+    if drop_tbl is not None:
+        if drop_tbl.num_columns == 0 or drop_tbl.num_rows == 0:
+            return docs  # no near-dup pairs: everything survives
+        drop_ref = ray.put(pc.unique(drop_tbl.column("doc_b")))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        mask = [i not in d for i in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask))
+        def keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column("doc_id"), value_set=d))
+            )
 
-    return read_documents(sf_dir, columns=("doc_id",)).map_batches(
-        keep, batch_format="pyarrow"
+        return docs.map_batches(keep, batch_format="pyarrow")
+
+    # over-budget tier: fully distributed anti-join
+    from .joins import cogroup_attach
+
+    def as_marker(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_b"),
+                "__drop": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+
+    dropped = (
+        pairs.select_columns(["doc_b"])
+        .groupby("doc_b")
+        .count()
+        .map_batches(as_marker, batch_format="pyarrow")
+    )
+    joined = cogroup_attach(
+        docs,
+        dropped,
+        "doc_id",
+        left_fields=[pa.field("doc_id", pa.int64())],
+        payload_fields=[pa.field("__drop", pa.int8())],
+    )
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("__drop"))).drop_columns(
+            ["__drop"]
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -968,14 +1012,11 @@ def ngram_jaccard_pairs(
         pair_tbl.column("doc_a").to_pylist()
         + pair_tbl.column("doc_b").to_pylist()
     )
-    ids_ref = ray.put(cand_ids)
+    ids_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
 
     def shingles_of_candidates(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        mask = pa.array(
-            [d in wanted for d in batch.column("doc_id").to_pylist()]
-        )
-        sub = batch.filter(mask)
+        wanted = ray.get(ids_ref)  # vectorized C++ hash semi-join
+        sub = batch.filter(pc.is_in(batch.column("doc_id"), value_set=wanted))
         return pa.Table.from_pydict(
             {
                 "doc_id": sub.column("doc_id"),

@@ -19,7 +19,6 @@ is embarrassingly parallel map_batches over Arrow blocks.
 from __future__ import annotations
 
 import functools
-import zlib
 from typing import Any, NamedTuple
 
 import numpy as np
@@ -103,15 +102,9 @@ def _group_keep_first(group: pa.Table) -> pa.Table:
 
 
 def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    urls = batch.column("url").to_pylist()
-    buckets = np.fromiter(
-        (
-            zlib.crc32(u.encode("utf-8")) % num_buckets if u is not None else 0
-            for u in urls
-        ),
-        dtype=np.int32,
-        count=len(urls),
-    )
+    from .joins import string_key_buckets
+
+    buckets = string_key_buckets(batch.column("url"), num_buckets)
     return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
@@ -255,21 +248,29 @@ def winner_filter_factory(
     winners_ref = ray.put(winners)
 
     def semi_join(batch: pa.Table) -> pa.Table:
-        # membership sets built ONCE per worker process and cached by
-        # ref (an Arrow hash-join here would rebuild its build side for
-        # every batch — O(corpus x winners) as the corpus grows)
-        wset, wurls = _winner_sets(winners_ref)
-        urls = batch.column("url").to_pylist()
-        ts = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
-        keep = [
-            (
-                u is None                       # no dedup key: keep
-                or (t is None and u not in wurls)  # null ts, no real winner
-                or (u, t) in wset               # the winning capture
-            )
-            for u, t in zip(urls, ts)
-        ]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        # fully vectorized semi-join: one pc.is_in over a composite
+        # (url \x1f ts) key plus two vectorized null-rule masks. The
+        # composite is injective — the ts component (int64 digits) can
+        # never contain the separator, so key equality <=> pair
+        # equality. Winner key arrays are built ONCE per worker process
+        # and cached by ref.
+        wkeys, wurls = _winner_arrays(winners_ref)
+        urls = batch.column("url")
+        ts = pc.cast(batch.column("warc_ts"), pa.int64())
+        key = pc.binary_join_element_wise(
+            urls, pc.cast(ts, pa.string()), "\x1f"
+        )  # null when either side is null (emit_null default)
+        keep = pc.or_(
+            pc.or_(
+                pc.is_in(key, value_set=wkeys),   # the winning capture
+                pc.is_null(urls),                 # no dedup key: keep
+            ),
+            pc.and_(                              # null ts, no real winner
+                pc.is_null(ts),
+                pc.invert(pc.is_in(urls, value_set=wurls)),
+            ),
+        )
+        return batch.filter(pc.fill_null(keep, False))
 
     return WinnerPlan(semi_join, tie_urls, False)
 
@@ -277,17 +278,20 @@ def winner_filter_factory(
 _WINNER_SET_CACHE: dict[str, tuple] = {}
 
 
-def _winner_sets(winners_ref):
-    """Per-worker cache: winner (url, ts) set + winner url set."""
+def _winner_arrays(winners_ref):
+    """Per-worker cache: winner composite-key array + winner url array
+    (both pa.Array, ready as ``pc.is_in`` value sets)."""
     import ray
 
     key = winners_ref.hex()
     hit = _WINNER_SET_CACHE.get(key)
     if hit is None:
         w = ray.get(winners_ref)
-        urls = w.column("url").to_pylist()
-        ts = w.column("ts_us").to_pylist()
-        hit = (set(zip(urls, ts)), set(urls))
+        wurls = w.column("url").combine_chunks()
+        wkeys = pc.binary_join_element_wise(
+            wurls, pc.cast(w.column("ts_us"), pa.string()), "\x1f"
+        )
+        hit = (wkeys, wurls)
         _WINNER_SET_CACHE.clear()  # one plan active per run
         _WINNER_SET_CACHE[key] = hit
     return hit

@@ -24,6 +24,22 @@ import ray
 import ray.data
 
 
+def string_key_buckets(col: pa.ChunkedArray | pa.Array, num_parts: int) -> np.ndarray:
+    """Vectorized coarse shuffle key for a STRING column:
+    ``hash(key) % P`` as int32, computed by pandas' Cython
+    ``hash_array`` (deterministic across processes; nulls hash to a
+    fixed value). ``categorize=True`` hashes each distinct string once
+    — LSH band keys and urls repeat heavily. The bucket value only
+    routes rows (all rows of a key share a bucket); it never reaches
+    output, so the hash function choice is free.
+    """
+    import pandas as pd
+
+    vals = col.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(np.asarray(vals, dtype=object), categorize=True)
+    return (h % np.uint64(num_parts)).astype(np.int32)
+
+
 def cogroup_attach(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -569,3 +569,19 @@ def test_minhash_cogroup_verify_equals_broadcast():
         minhash_candidate_pairs(sf, threshold=0.7, verify_broadcast_budget=0)
     )
     assert base == cg
+
+
+def test_minhash_dedup_antijoin_tiers_equal():
+    """minhash_dedup's over-budget cogroup anti-join tier (forced via
+    drop_broadcast_budget=0) must equal the broadcast pc.is_in tier."""
+    from high_performance_docling_ray.pipelines.dedup import minhash_dedup
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(ds):
+        return sorted(r["doc_id"] for r in ds.take_all())
+
+    base = canon(minhash_dedup(sf, threshold=0.7))
+    assert base  # non-vacuous: some docs survive
+    dist = canon(minhash_dedup(sf, threshold=0.7, drop_broadcast_budget=0))
+    assert base == dist
