@@ -433,9 +433,11 @@ def extract_pipeline(
             kwargs["fn_constructor_kwargs"]["ocr_ref"] = ocr_ref
         page_kwargs = dict(kwargs, batch_size=16)
         page_kwargs["fn_constructor_kwargs"] = {"options": options}
+        if ocr_ref is not None:
+            page_kwargs["fn_constructor_kwargs"]["ocr_ref"] = ocr_ref
     else:
         doc_fn = make_doc_extract_fn(options, ocr_ref=ocr_ref)
-        page_fn = make_page_extract_fn(options)
+        page_fn = make_page_extract_fn(options, ocr_ref=ocr_ref)
         page_kwargs = dict(kwargs, batch_size=16)
 
     keys_ds = None
@@ -447,15 +449,6 @@ def extract_pipeline(
 
         keys_ds = read_parquet_clean(
             source_path, columns=["url", "warc_ts"], override_num_blocks=nb
-        )
-    if ocr_ref is not None and explode_giant:
-        # the page-exploded branch assembles via PageExtractor /
-        # assemble_doc_group, which have no OCR join-back seam yet;
-        # silently falling back to inline OCR would re-run the model
-        # and could diverge from the joined results
-        raise ValueError(
-            "ocr_ref requires explode_giant=False (the page-exploded "
-            "branch has no distributed-OCR join-back)"
         )
     if not explode_giant:
         if dedup:

@@ -48,19 +48,23 @@ def cogroup_attach(
     payload_fields: list[pa.Field],
     num_parts: int | None = None,
 ) -> ray.data.Dataset:
-    """LEFT JOIN ``right`` onto ``left`` by the int64 column ``key``.
+    """LEFT JOIN ``right`` onto ``left`` by the int64 OR string column
+    ``key``.
 
     ``left_fields``: left's columns (including ``key``);
     ``payload_fields``: right's non-key columns to attach (right must
-    be unique per key). Unmatched left rows get null payloads. Fields
-    are passed explicitly so the wide union schema needs no plan
-    execution to discover.
+    be unique per key). Unmatched left rows — including null-key rows —
+    get null payloads. Fields are passed explicitly so the wide union
+    schema needs no plan execution to discover.
     """
     if num_parts is None:
         num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
     left_names = [f.name for f in left_fields]
     payload_names = [f.name for f in payload_fields]
     wide = {f.name: f.type for f in list(left_fields) + list(payload_fields)}
+    str_key = pa.types.is_string(wide[key]) or pa.types.is_large_string(
+        wide[key]
+    )
 
     def widen(side: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -71,11 +75,15 @@ def cogroup_attach(
                     cols[name] = batch.column(name)
                 else:
                     cols[name] = pa.nulls(n, typ)
-            keys = batch.column(key).to_numpy(zero_copy_only=False)
-            part = (
-                keys.astype(np.uint64) * np.uint64(2654435761)
-            ) % np.uint64(num_parts)
-            cols["__part"] = pa.array(part.astype(np.int32), pa.int32())
+            if str_key:
+                part = string_key_buckets(batch.column(key), num_parts)
+            else:
+                keys = batch.column(key).to_numpy(zero_copy_only=False)
+                part = (
+                    (keys.astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(num_parts)
+                ).astype(np.int32)
+            cols["__part"] = pa.array(part, pa.int32())
             cols["__side"] = pa.array(np.full(n, side, np.int8))
             return pa.Table.from_pydict(cols)
 
@@ -94,13 +102,32 @@ def cogroup_attach(
             for c in payload_names:
                 out[c] = pa.nulls(l_tbl.num_rows, wide[c])
             return pa.Table.from_pydict(out)
-        r_keys = r_tbl.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(r_keys, kind="stable")
-        r_sorted = r_keys[order]
-        l_keys = l_tbl.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.minimum(np.searchsorted(r_sorted, l_keys), len(r_sorted) - 1)
-        matched = r_sorted[pos] == l_keys
-        take = np.where(matched, order[pos], 0)
+        if str_key:
+            # vectorized hash join via pandas reindex (handles null
+            # keys: None maps to no match -> null payload)
+            import pandas as pd
+
+            r_keys = r_tbl.column(key).to_numpy(zero_copy_only=False)
+            l_keys = l_tbl.column(key).to_numpy(zero_copy_only=False)
+            mapping = pd.Series(
+                np.arange(len(r_keys), dtype=np.int64),
+                index=pd.Index(r_keys, dtype=object),
+            )
+            got = pd.Series(l_keys, dtype=object).map(mapping).to_numpy()
+            matched = ~pd.isna(got)
+            take = np.where(matched, got, 0).astype(np.int64)
+        else:
+            r_keys = (
+                r_tbl.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            order = np.argsort(r_keys, kind="stable")
+            r_sorted = r_keys[order]
+            l_keys = (
+                l_tbl.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            pos = np.minimum(np.searchsorted(r_sorted, l_keys), len(r_sorted) - 1)
+            matched = r_sorted[pos] == l_keys
+            take = np.where(matched, order[pos], 0)
         idx = pa.array(take.astype(np.int64), type=pa.int64(), mask=~matched)
         for c in payload_names:
             out[c] = r_tbl.column(c).take(idx)

@@ -142,23 +142,30 @@ def ocr_pipeline(
     )
 
 
-def collect_ocr_results(ocr_ds: ray.data.Dataset):
+def collect_ocr_results(
+    ocr_ds: ray.data.Dataset, broadcast_budget: int = 2_000_000
+):
     """OCR result rows -> broadcast ObjectRef to
     ``{url: {page_no: {cluster_id: text}}}`` for the extraction
-    join-back (J6; reference apply gpu_processor.py:260-288).
+    join-back (J6; reference apply gpu_processor.py:260-288), or
+    ``None`` when the result exceeds ``broadcast_budget`` rows.
 
     The nested dict is bounded by the number of EMPTY-text regions —
-    a small fraction of the corpus — so it broadcasts like the dedup
-    winner set; past a broadcast budget the join-back becomes a
-    groupby(url) merge of OCR rows with page-exploded extraction
-    (the bucketed-shuffle fallback shape used elsewhere in this repo).
-    """
+    a small fraction of the corpus — so it usually broadcasts like the
+    dedup winner set. ONE streaming pass (the winner-phase idiom): the
+    over-budget path stops pulling as soon as the budget breaks, and
+    callers fall back to the distributed column attach
+    (``attach_ocr_json``)."""
     import ray
 
     lookup: dict[str, dict[int, dict[int, str]]] = {}
-    for t in ray.get(ocr_ds.materialize().to_arrow_refs()):
+    total = 0
+    for t in ocr_ds.iter_batches(batch_format="pyarrow"):
         if t.num_rows == 0:
             continue
+        total += t.num_rows
+        if total > broadcast_budget:
+            return None
         for row in t.to_pylist():
             lookup.setdefault(row["url"], {}).setdefault(
                 int(row["page_no"]), {}
@@ -166,15 +173,108 @@ def collect_ocr_results(ocr_ds: ray.data.Dataset):
     return ray.put(lookup)
 
 
+def _url_ocr_json(group: pa.Table) -> pa.Table:
+    """One hash-bucket of OCR rows -> per-url JSON lookup rows
+    (url, ocr_json). Vectorized run detection over the sorted bucket;
+    JSON bodies are tiny (one url's empty-text regions)."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        group,
+        sort_keys=[
+            ("url", "ascending"),
+            ("page_no", "ascending"),
+            ("cluster_id", "ascending"),
+        ],
+    )
+    tbl = group.take(order)
+    urls = tbl.column("url").to_pylist()
+    pages = tbl.column("page_no").to_pylist()
+    cids = tbl.column("cluster_id").to_pylist()
+    texts = tbl.column("ocr_text").to_pylist()
+    out_url: list[str] = []
+    out_json: list[str] = []
+    i, n = 0, len(urls)
+    while i < n:
+        j = i
+        lookup: dict[int, dict[int, str]] = {}
+        while j < n and urls[j] == urls[i]:
+            lookup.setdefault(int(pages[j]), {})[int(cids[j])] = texts[j]
+            j += 1
+        out_url.append(urls[i])
+        out_json.append(json.dumps(lookup, ensure_ascii=False))
+        i = j
+    return pa.Table.from_pydict(
+        {
+            "url": pa.array(out_url, pa.string()),
+            "ocr_json": pa.array(out_json, pa.large_string()),
+        }
+    )
+
+
+def attach_ocr_json(
+    pages_ds: ray.data.Dataset, ocr_ds: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Distributed join-back tier: aggregate OCR rows to one
+    ``ocr_json`` lookup per url (bucketed groupby, vectorized runs)
+    and LEFT-JOIN it onto the pages stream with the union-cogroup
+    string-key join (pipelines/joins.py). Urls with no OCR rows get a
+    null ocr_json — the extractors fall back to the inline recognizer
+    there, which is output-identical because identify found no regions.
+
+    This tier moves page payloads through one keyed exchange, so it is
+    reserved for the regime where the OCR result set cannot broadcast
+    (collect_ocr_results -> None)."""
+    from .joins import cogroup_attach, string_key_buckets
+
+    def add_part(batch: pa.Table, num_parts: int) -> pa.Table:
+        parts = string_key_buckets(batch.column("url"), num_parts)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    per_url = (
+        ocr_ds.map_batches(
+            lambda b: add_part(b, num_parts), batch_format="pyarrow"
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: _url_ocr_json(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    left_fields = [
+        pa.field(name, typ) for name, typ in zip(
+            pages_ds.schema().names, pages_ds.schema().types
+        )
+    ]
+    return cogroup_attach(
+        pages_ds,
+        per_url,
+        "url",
+        left_fields=left_fields,
+        payload_fields=[pa.field("ocr_json", pa.large_string())],
+    )
+
+
 def extract_with_distributed_ocr(
     pages_ds_factory,
     options: ExtractOptions,
     concurrency=(1, 4),
+    ocr_broadcast_budget: int = 2_000_000,
     **extract_kwargs,
 ) -> ray.data.Dataset:
     """Reference phase-2 OCR as a SEPARATE Ray stage, joined back into
     extraction by (url, page_no, cluster_id) — byte-identical to the
-    inline ``do_ocr=True`` path (asserted in tests/test_ocr_pipeline.py).
+    inline ``do_ocr=True`` path (asserted in tests/test_ocr_pipeline.py)
+    through BOTH tiers:
+
+    * in-budget: results broadcast once (``ray.put``) and every
+      extractor branch (doc-at-once AND page-exploded) reads the
+      lookup zero-copy;
+    * over-budget: results aggregate to a per-url ``ocr_json`` column
+      attached via the distributed union-cogroup join, and the column
+      rides the pages stream through dedup / size-class split /
+      page explosion into the extractors.
 
     ``pages_ds_factory``: zero-arg callable returning the pages
     Dataset. Called twice — a lazy Dataset re-executes its upstream per
@@ -184,8 +284,11 @@ def extract_with_distributed_ocr(
     from .extract import extract_pipeline
 
     ocr_ds = ocr_pipeline(pages_ds_factory(), concurrency=concurrency)
-    ocr_ref = collect_ocr_results(ocr_ds)
-    return extract_pipeline(
-        pages_ds_factory(), options=options, ocr_ref=ocr_ref,
-        **extract_kwargs,
-    )
+    ocr_ref = collect_ocr_results(ocr_ds, ocr_broadcast_budget)
+    if ocr_ref is not None:
+        return extract_pipeline(
+            pages_ds_factory(), options=options, ocr_ref=ocr_ref,
+            **extract_kwargs,
+        )
+    pages_with = attach_ocr_json(pages_ds_factory(), ocr_ds)
+    return extract_pipeline(pages_with, options=options, **extract_kwargs)

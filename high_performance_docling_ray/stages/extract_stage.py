@@ -59,6 +59,16 @@ RESULT_FIELDS = [
 RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
 
 
+def parse_ocr_json(ocr_json: str) -> dict[int, dict[int, str]]:
+    """Per-url OCR lookup column -> the ``extract_document`` lookup
+    shape ``{page_no: {cluster_id: text}}`` (JSON keys arrive as
+    strings)."""
+    return {
+        int(p): {int(c): t for c, t in by_cluster.items()}
+        for p, by_cluster in json.loads(ocr_json).items()
+    }
+
+
 def _empty_result() -> dict[str, Any]:
     return {
         "extracted_text": "",
@@ -107,12 +117,25 @@ class DocExtractor:
             else [""] * len(urls)
         )
         payloads = batch.column("html").to_pylist()
+        # distributed-OCR join-back, over-budget tier: recognized text
+        # arrives as a per-url JSON column (pipelines/ocr.py attach)
+        # instead of the broadcast ref
+        ocr_jsons = (
+            batch.column("ocr_json").to_pylist()
+            if "ocr_json" in batch.column_names
+            else [None] * len(urls)
+        )
         out: dict[str, list] = {name: [] for name, _ in RESULT_FIELDS}
-        for url, t, lang, payload in zip(urls, ts, langs, payloads):
+        for url, t, lang, payload, ocr_json in zip(
+            urls, ts, langs, payloads, ocr_jsons
+        ):
             try:
-                lookup = (
-                    ocr_by_url.get(url) if ocr_by_url is not None else None
-                )
+                if ocr_json is not None:
+                    lookup = parse_ocr_json(ocr_json)
+                else:
+                    lookup = (
+                        ocr_by_url.get(url) if ocr_by_url is not None else None
+                    )
                 res = self._extract(payload or b"", self.options, lookup)
                 ok = True
             except Exception:
@@ -167,9 +190,9 @@ def make_doc_extract_fn(options: ExtractOptions = DEFAULT_OPTIONS, ocr_ref=None)
     return extract_docs
 
 
-def make_page_extract_fn(options: ExtractOptions = DEFAULT_OPTIONS):
+def make_page_extract_fn(options: ExtractOptions = DEFAULT_OPTIONS, ocr_ref=None):
     def extract_pages(batch: pa.Table) -> pa.Table:
-        return _cached(PageExtractor, options)(batch)
+        return _cached(PageExtractor, options, ocr_ref=ocr_ref)(batch)
 
     return extract_pages
 
@@ -203,6 +226,9 @@ def explode_pdf_pages(row: dict[str, Any]) -> list[dict[str, Any]]:
     """
     payload = row["html"]
     base = {"url": row["url"], "warc_ts": row["warc_ts"], "lang": row.get("lang", "")}
+    if "ocr_json" in row:
+        # distributed-OCR join-back column rides along to every page row
+        base["ocr_json"] = row["ocr_json"]
     if sniff_format(payload or b"") != "pdf":
         return [{**base, "page_no": 0, "page_payload": payload, "page_kind": "html"}]
     try:
@@ -227,12 +253,41 @@ def explode_pdf_pages(row: dict[str, Any]) -> list[dict[str, Any]]:
 class PageExtractor:
     """map_batches callable over exploded page rows: runs layout
     postprocess + table structure + page assembly for a single page,
-    emitting the page's elements as JSON for the per-url re-group."""
+    emitting the page's elements as JSON for the per-url re-group.
 
-    def __init__(self, options: ExtractOptions = DEFAULT_OPTIONS) -> None:
+    Distributed-OCR join-back (J6) mirrors DocExtractor: a broadcast
+    ``ocr_ref`` ({url: {page_no: {cluster_id: text}}}) or a per-url
+    ``ocr_json`` column carried through ``explode_pdf_pages``; either
+    supplies the page's override so the inline recognizer never runs.
+    """
+
+    def __init__(
+        self, options: ExtractOptions = DEFAULT_OPTIONS, ocr_ref=None
+    ) -> None:
         self.options = options
+        self.ocr_ref = ocr_ref
+        self._ocr_by_url = None
+
+    def _page_override(self, row: dict[str, Any]):
+        """None -> run the inline recognizer; a dict -> use as the
+        recognized texts (same missing-url semantics as DocExtractor:
+        a url absent from the lookup falls back to inline, which is
+        output-identical because identify found no regions there)."""
+        if self._ocr_by_url is not None:
+            lookup = self._ocr_by_url.get(row["url"])
+            if lookup is None:
+                return None
+            return lookup.get(int(row["page_no"]), {})
+        ocr_json = row.get("ocr_json")
+        if ocr_json is not None:
+            return parse_ocr_json(ocr_json).get(int(row["page_no"]), {})
+        return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.ocr_ref is not None and self._ocr_by_url is None:
+            import ray as _ray
+
+            self._ocr_by_url = _ray.get(self.ocr_ref)
         out = {
             "url": [], "warc_ts": [], "lang": [], "page_no": [],
             "elements_json": [], "page_kind": [], "layout_score": [],
@@ -242,7 +297,9 @@ class PageExtractor:
             try:
                 if kind == "pdf_page":
                     page = json.loads(row["page_payload"])
-                    elements, scores = process_pdf_page(page, self.options)
+                    elements, scores = process_pdf_page(
+                        page, self.options, self._page_override(row)
+                    )
                     score = scores["layout_score"]
                 elif kind == "error":
                     elements, score = [], float("nan")

@@ -78,3 +78,49 @@ def test_distributed_ocr_byte_identical_to_inline():
     # stub emits "[ocr <hash>]"), or the identity check is vacuous
     assert any("[ocr " in t for t in inline.extracted_text)
     assert inline.equals(dist)
+
+
+def test_distributed_ocr_tiers_and_exploded_branch_byte_identical():
+    """All four distributed-OCR join-back shapes must equal the inline
+    do_ocr path byte-for-byte: broadcast ref x (doc-at-once,
+    page-exploded) and the over-budget ocr_json column attach x both —
+    exercised by forcing giant_bytes=0 (every doc explodes) and
+    ocr_broadcast_budget=0 (broadcast impossible)."""
+    import ray.data as rd
+
+    from high_performance_docling_ray.kernels.document import ExtractOptions
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.pipelines.ocr import (
+        extract_with_distributed_ocr,
+    )
+    from high_performance_docling_ray.sources.pages import synth_pages_table
+
+    opts = ExtractOptions(do_ocr=True)
+    tbl = synth_pages_table(60, seed=42)
+
+    def canon(ds):
+        return ds.to_pandas().sort_values("url").reset_index(drop=True)
+
+    inline = canon(
+        extract_pipeline(
+            rd.from_arrow(tbl), options=opts, dedup=True, explode_giant=False
+        )
+    )
+    assert any("[ocr " in t for t in inline.extracted_text)
+    for giant_bytes in (None, 0):  # doc-at-once vs every-doc-exploded
+        for budget in (2_000_000, 0):  # broadcast tier vs column attach
+            kwargs = dict(dedup=True)
+            if giant_bytes is None:
+                kwargs["explode_giant"] = False
+            else:
+                kwargs["explode_giant"] = True
+                kwargs["giant_bytes"] = giant_bytes
+            got = canon(
+                extract_with_distributed_ocr(
+                    lambda: rd.from_arrow(tbl),
+                    opts,
+                    ocr_broadcast_budget=budget,
+                    **kwargs,
+                )
+            )
+            assert inline.equals(got), (giant_bytes, budget)
