@@ -171,10 +171,33 @@ def build_ivf_index(
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
+    # Deterministic hash-sample for the quantizer train set: a
+    # multiplicative hash on vec_id keeps ~target rows drawn uniformly
+    # from the WHOLE corpus (the old limit() prefix sampled only the
+    # first file's rows — biased, and fixed-size regardless of
+    # n_lists). Scales with list count; exact at small corpora.
+    target = max(sample_rows, 32 * n_lists)
+    n_total = read_embeddings(sf_dir).count()
+    sample_src = read_embeddings(sf_dir)
+    if n_total > 2 * target:
+        frac = min(1.0, 2.0 * target / n_total)
+        cut = np.uint64(min(2**64 - 1, int(frac * 2.0**64)))
+
+        def hash_keep(b: pa.Table) -> pa.Table:
+            ids = (
+                b.column("vec_id").to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            h = ids * np.uint64(0x9E3779B97F4A7C15)  # wraps mod 2^64
+            return b.filter(pa.array(h < cut))
+
+        sample_src = sample_src.map_batches(
+            hash_keep, batch_format="pyarrow"
+        )
     sample = np.array(
         [
             r["embedding"]
-            for r in read_embeddings(sf_dir).limit(sample_rows).take_all()
+            for r in sample_src.limit(4 * target).take_all()
         ],
         dtype=np.float64,
     )
@@ -260,6 +283,105 @@ def knn_ivf(
     )
 
 
+def _embedding_dim(sf_dir: str) -> int:
+    rows = read_embeddings(sf_dir).limit(1).take_all()
+    return len(rows[0]["embedding"]) if rows else 0
+
+
+def _embedding_cogroup_verify(
+    sf_dir: str, pairs_ds: ray.data.Dataset, threshold: float
+) -> ray.data.Dataset:
+    """Distributed verify tier: normalized vectors attach to candidate
+    pairs through the union-cogroup join by vec_id (the
+    ``_minhash_cogroup_verify`` pattern, dedup.py) — the corpus matrix
+    never lands on the driver and never broadcasts. Two keyed rounds
+    (one per pair side); vectors travel as fixed-size binary rows and
+    the cosine is one zero-copy buffer view + einsum per batch."""
+    from .joins import cogroup_attach
+
+    d = _embedding_dim(sf_dir)
+    width = d * 8
+    nv_type = pa.binary(width)
+
+    def side_reader(col: str) -> ray.data.Dataset:
+        def rename(b: pa.Table) -> pa.Table:
+            ids, mat = _batch_matrix(b)
+            nm = np.ascontiguousarray(_normalize(mat))
+            arr = pa.FixedSizeBinaryArray.from_buffers(
+                nv_type, len(ids), [None, pa.py_buffer(nm.tobytes())]
+            )
+            return pa.Table.from_pydict(
+                {col: pa.array(ids, pa.int64()), f"nv_{col}": arr}
+            )
+
+        return read_embeddings(sf_dir).map_batches(
+            rename, batch_format="pyarrow"
+        )
+
+    j1 = cogroup_attach(
+        pairs_ds,
+        side_reader("vec_id_a"),
+        "vec_id_a",
+        left_fields=[
+            pa.field("vec_id_a", pa.int64()),
+            pa.field("vec_id_b", pa.int64()),
+        ],
+        payload_fields=[pa.field("nv_vec_id_a", nv_type)],
+    )
+    j2 = cogroup_attach(
+        j1,
+        side_reader("vec_id_b"),
+        "vec_id_b",
+        left_fields=[
+            pa.field("vec_id_a", pa.int64()),
+            pa.field("vec_id_b", pa.int64()),
+            pa.field("nv_vec_id_a", nv_type),
+        ],
+        payload_fields=[pa.field("nv_vec_id_b", nv_type)],
+    )
+
+    def _mat(col: pa.ChunkedArray) -> np.ndarray:
+        a = col.combine_chunks()
+        flat = np.frombuffer(a.buffers()[1], dtype=np.float64)
+        return flat[a.offset * d : (a.offset + len(a)) * d].reshape(-1, d)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column("nv_vec_id_a")),
+                pc.is_valid(batch.column("nv_vec_id_b")),
+            )
+        )
+        empty = pa.Table.from_pydict(
+            {
+                "vec_id_a": pa.array([], pa.int64()),
+                "vec_id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        a = np.asarray(batch.column("vec_id_a").to_numpy(), dtype=np.int64)
+        b = np.asarray(batch.column("vec_id_b").to_numpy(), dtype=np.int64)
+        cos = np.einsum(
+            "ij,ij->i",
+            _mat(batch.column("nv_vec_id_a")),
+            _mat(batch.column("nv_vec_id_b")),
+        )
+        keep = cos >= threshold
+        return pa.Table.from_pydict(
+            {
+                "vec_id_a": pa.array(a[keep], pa.int64()),
+                "vec_id_b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
 def _normalized_index(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """(ids, normalized matrix) of the whole embeddings table, built
     with a streaming per-batch normalize and one driver concat. This is
@@ -325,7 +447,11 @@ def embedding_neardup_pairs(
 
 
 def embedding_neardup_lsh(
-    sf_dir: str, threshold: float = 0.95, n_planes: int = 8, seed: int = 3
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 3,
+    verify_broadcast_budget: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Approximate cosine near-dup pairs via sign-LSH + exact verify.
 
@@ -334,9 +460,13 @@ def embedding_neardup_lsh(
     (exact key + all 1-bit multi-probe flips) group on a coarse
     partition of the bucket key; candidate pairs come out of vectorized
     per-run pairing; verification is one fancy-indexed row-product
-    against the broadcast normalized matrix. Recall is high but not 1
-    (sign-LSH misses are possible) — asserted against the exact pipeline
-    in tests/test_state_and_ops.py with planted near-duplicates.
+    against the broadcast normalized matrix — or, when the corpus
+    exceeds ``verify_broadcast_budget`` vectors (the regime where the
+    matrix cannot broadcast), the distributed union-cogroup attach
+    (``_embedding_cogroup_verify``; both tiers test-pinned equal).
+    Recall is high but not 1 (sign-LSH misses are possible) — asserted
+    against the exact pipeline in tests/test_state_and_ops.py with
+    planted near-duplicates.
     """
     from .dedup import _runs_apply
 
@@ -420,6 +550,12 @@ def embedding_neardup_lsh(
             ).select(["vec_id_a", "vec_id_b"])
         else:
             pair_tbl = merged.select(["vec_id_a", "vec_id_b"])
+
+    n_vectors = read_embeddings(sf_dir).count()
+    if n_vectors > verify_broadcast_budget:
+        return _embedding_cogroup_verify(
+            sf_dir, ray.data.from_arrow(pair_tbl), threshold
+        )
 
     ids, nm = _normalized_index(sf_dir)
     pos = {int(v): i for i, v in enumerate(ids)}

@@ -336,6 +336,30 @@ def test_embedding_neardup_lsh_recall_on_planted(tmp_path):
     assert recall >= 0.75, f"recall {recall:.2f} over {len(exact)} pairs"
 
 
+def test_embedding_lsh_cogroup_verify_equals_broadcast(tmp_path):
+    """The distributed cogroup verify tier (forced via
+    verify_broadcast_budget=0) must equal the broadcast-matrix verify,
+    pair for pair, cosine for cosine."""
+    from high_performance_docling_ray.pipelines.similarity import (
+        embedding_neardup_lsh,
+    )
+
+    sf, _n, _d = _planted_embeddings(tmp_path)
+
+    def canon(ds):
+        return sorted(
+            (r["vec_id_a"], r["vec_id_b"], round(r["cosine"], 12))
+            for r in ds.take_all()
+        )
+
+    base = canon(embedding_neardup_lsh(sf, threshold=0.95))
+    assert base
+    cg = canon(
+        embedding_neardup_lsh(sf, threshold=0.95, verify_broadcast_budget=0)
+    )
+    assert base == cg
+
+
 def test_ngram_jaccard_exact_vs_bruteforce(tmp_path):
     """Prefix-filter + verify must equal the all-pairs brute force."""
     import pyarrow.parquet as pq
