@@ -183,6 +183,19 @@ def _q_extract_pdf_ocr(sf_dir: str):
     return out.select_columns(["url", "extracted_text"])
 
 
+def _q_extract_confidence(sf_dir: str):
+    """Doc-level ConfidenceReport (reference base_models.py:397-459):
+    per-page layout/ocr scores -> nanmean + 5 % nanquantile -> doc
+    mean/low scores + grade buckets, over the SYNTHPDF wrap with
+    closed-form from_ocr cell metadata (ocr_cells=True) so every score
+    is SQL-reproducible."""
+    from high_performance_docling_ray.pipelines.confidence import (
+        extract_confidence,
+    )
+
+    return extract_confidence(sf_dir)
+
+
 def _q_extract_pdf_tables(sf_dir: str):
     """TABLE-STRUCTURE path hash-verified: the closed-form PDF wrap
     plants a 2x2 table (OTSL + word-index tokens) per doc, driving
@@ -496,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf_ocr": _q_extract_pdf_ocr,
         "extract_pdf_tables": _q_extract_pdf_tables,
         "extract_pdf_enriched": _q_extract_pdf_enriched,
+        "extract_confidence": _q_extract_confidence,
         "extract_ocr_enriched": _q_extract_enriched,
         "extract_ocr_distributed": _q_extract_ocr_distributed,
         "ocr_recognize": _q_ocr_tasks,
@@ -612,6 +626,71 @@ def oracle_sql() -> dict[str, str]:
         # (kernels/reading_order.py:map_merges) joins each page's last
         # line with the next page's first when the break is
         # mid-sentence, reproduced here pair by pair
+        # ConfidenceReport: per page, cells are header + title(p0) +
+        # up to 2 content lines + footer (indices restart per page);
+        # from_ocr marks (doc_id+i)%3==0 with conf 0.55+((doc_id+i)%45)/100.
+        # layout = 0.9 (every final cluster), ocr = avg marked conf;
+        # page mean = nanmean([ocr, layout]), page low = 5% linear
+        # quantile = lo + 0.05*(hi-lo); doc scores = mean over pages
+        # (base_models.py:441-459), grades bucketed on the 6dp-rounded
+        # score exactly like the Ray side.
+        "extract_confidence": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(ceil(len(list_filter(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '')) / 12.0) AS INT) AS nl
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, nl,
+                     greatest(1, CAST(ceil(nl / 2.0) AS INT)) AS n_pages
+              FROM t
+            ),
+            s AS (
+              SELECT doc_id, n_pages,
+                list_transform(range(0, CAST(n_pages AS BIGINT)), pg ->
+                  list_aggregate(
+                    list_transform(
+                      list_filter(
+                        range(0, 2 + CASE WHEN pg = 0 THEN 1 ELSE 0 END
+                                 + CASE WHEN nl = 0 THEN 0
+                                        ELSE least(2, nl - 2 * pg) END),
+                        i -> (doc_id + i) % 3 = 0),
+                      i -> 0.55 + ((doc_id + i) % 45) / 100.0),
+                    'avg')
+                ) AS ocr_l
+              FROM p
+            ),
+            g AS (
+              SELECT doc_id, n_pages,
+                round(list_aggregate(
+                    list_transform(ocr_l, o -> (o + 0.9) / 2.0), 'avg'), 6)
+                    AS mean_score,
+                round(list_aggregate(
+                    list_transform(ocr_l, o ->
+                      least(o, 0.9)
+                      + (greatest(o, 0.9) - least(o, 0.9)) * 0.05),
+                    'avg'), 6) AS low_score
+              FROM s
+            )
+            SELECT 'https://docs.example/pdf/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   n_pages,
+                   mean_score,
+                   low_score,
+                   CASE WHEN mean_score IS NULL THEN 'unspecified'
+                        WHEN mean_score < 0.5 THEN 'poor'
+                        WHEN mean_score < 0.8 THEN 'fair'
+                        WHEN mean_score < 0.9 THEN 'good'
+                        ELSE 'excellent' END AS mean_grade,
+                   CASE WHEN low_score IS NULL THEN 'unspecified'
+                        WHEN low_score < 0.5 THEN 'poor'
+                        WHEN low_score < 0.8 THEN 'fair'
+                        WHEN low_score < 0.9 THEN 'good'
+                        ELSE 'excellent' END AS low_grade
+            FROM g
+        """,
         "extract_pdf_docs": r"""
             WITH t AS (
               SELECT doc_id,

@@ -109,6 +109,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "extract_pages",
         "extract_pdf_docs",
         "extract_pdf_tables",
+        "extract_confidence",
         "ngram_jaccard_pairs",
         "embedding_neardup_pairs",
         "exact_dedup",

@@ -547,6 +547,59 @@ def postprocess_page(
     return final
 
 
+def grade_score(score: float) -> str:
+    """Score -> quality grade bucket (base_models.py:384-395): <0.5
+    poor, <0.8 fair, <0.9 good, >=0.9 excellent; NaN falls through
+    every comparison -> unspecified."""
+    if score < 0.5:
+        return "poor"
+    elif score < 0.8:
+        return "fair"
+    elif score < 0.9:
+        return "good"
+    elif score >= 0.9:
+        return "excellent"
+    return "unspecified"
+
+
+def doc_confidence(page_scores: list[dict[str, float]]) -> dict[str, float]:
+    """Doc-level ConfidenceReport (base_models.py:397-459).
+
+    Per page the four scores are [ocr, table, layout, parse] (table and
+    parse stay NaN in this engine, exactly as the reference never sets
+    them — layout_model.py:243-248 assigns only layout/ocr); page
+    mean_score = nanmean, page low_score = 5 % nanquantile. Doc level:
+    mean_score = nanmean of page means, low_score = nanMEAN of page
+    lows (the reference's ConfidenceReport overrides low_score with a
+    mean over pages, base_models.py:450-459).
+    """
+    import warnings
+
+    means: list[float] = []
+    lows: list[float] = []
+    for s in page_scores:
+        vals = [
+            s.get("ocr_score", float("nan")),
+            s.get("table_score", float("nan")),
+            s.get("layout_score", float("nan")),
+            s.get("parse_score", float("nan")),
+        ]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            means.append(float(np.nanmean(vals)))
+            lows.append(float(np.nanquantile(vals, q=0.05)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        mean_score = float(np.nanmean(means)) if means else float("nan")
+        low_score = float(np.nanmean(lows)) if lows else float("nan")
+    return {
+        "mean_score": mean_score,
+        "low_score": low_score,
+        "mean_grade": grade_score(mean_score),
+        "low_grade": grade_score(low_score),
+    }
+
+
 def layout_confidence(clusters: list[Cluster], cells: CellArrays) -> dict[str, float]:
     """Page-level scores (fork/layout/layout_model.py:235-249):
     layout_score = mean cluster confidence, ocr_score = mean confidence

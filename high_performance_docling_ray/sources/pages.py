@@ -511,6 +511,7 @@ def pdf_pages_from_documents(
     ocr_region: bool = False,
     table_block: bool = False,
     enrich_blocks: bool = False,
+    ocr_cells: bool = False,
 ):
     """Derive a %SYNTHPDF pages table from the driver's ``documents``
     parquet with a CLOSED-FORM structure (no RNG): the document's
@@ -555,12 +556,22 @@ def pdf_pages_from_documents(
                 def add(label, line, conf):
                     nonlocal y, cell_index, cluster_id
                     w = 6.0 * max(1, len(line))
+                    # ocr_cells: closed-form from_ocr metadata so the
+                    # page ocr_score (mean from_ocr cell confidence) is
+                    # SQL-reproducible — geometry/text untouched, so
+                    # every other pipeline output is unchanged
+                    mark = ocr_cells and (int(doc_id) + cell_index) % 3 == 0
+                    cconf = (
+                        0.55 + ((int(doc_id) + cell_index) % 45) / 100.0
+                        if mark
+                        else 1.0
+                    )
                     cells.append(
                         {
                             "index": cell_index,
                             "text": line,
                             "l": 72.0, "t": y, "r": 72.0 + w, "b": y + 11.0,
-                            "from_ocr": False, "confidence": 1.0,
+                            "from_ocr": mark, "confidence": cconf,
                         }
                     )
                     clusters.append(

@@ -280,3 +280,69 @@ def test_fast_median_matches_numpy():
             assert _median(vals) == float(np.median(vals)), (n, vals)
     assert _median([3.0]) == 3.0
     assert _median([1.0, 2.0]) == 1.5
+
+
+def test_doc_confidence_matches_reference_math():
+    """doc_confidence must reproduce the reference ConfidenceReport
+    (base_models.py:397-459): page mean = nanmean of the 4 scores, page
+    low = 5% nanquantile, doc mean/low = nanmean over pages, grade
+    buckets <0.5/<0.8/<0.9/>=0.9 with NaN -> unspecified."""
+    import warnings
+
+    from high_performance_docling_ray.kernels.layout_rules import (
+        doc_confidence,
+        grade_score,
+    )
+
+    nan = float("nan")
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        pages = []
+        for _p in range(int(rng.integers(1, 5))):
+            s = {}
+            if rng.random() < 0.9:
+                s["layout_score"] = float(rng.uniform(0.3, 1.0))
+            if rng.random() < 0.7:
+                s["ocr_score"] = float(rng.uniform(0.3, 1.0))
+            pages.append(s)
+        rep = doc_confidence(pages)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            means = [
+                np.nanmean(
+                    [
+                        p.get("ocr_score", nan), nan,
+                        p.get("layout_score", nan), nan,
+                    ]
+                )
+                for p in pages
+            ]
+            lows = [
+                np.nanquantile(
+                    [
+                        p.get("ocr_score", nan), nan,
+                        p.get("layout_score", nan), nan,
+                    ],
+                    q=0.05,
+                )
+                for p in pages
+            ]
+            exp_mean = float(np.nanmean(means))
+            exp_low = float(np.nanmean(lows))
+        assert (rep["mean_score"] == exp_mean) or (
+            np.isnan(rep["mean_score"]) and np.isnan(exp_mean)
+        )
+        assert (rep["low_score"] == exp_low) or (
+            np.isnan(rep["low_score"]) and np.isnan(exp_low)
+        )
+    # grade buckets, incl. the NaN -> unspecified fall-through
+    assert grade_score(0.49) == "poor"
+    assert grade_score(0.5) == "fair"
+    assert grade_score(0.79) == "fair"
+    assert grade_score(0.8) == "good"
+    assert grade_score(0.89) == "good"
+    assert grade_score(0.9) == "excellent"
+    assert grade_score(float("nan")) == "unspecified"
+    # all-NaN pages and the empty doc produce unspecified grades
+    assert doc_confidence([{}])["mean_grade"] == "unspecified"
+    assert doc_confidence([])["low_grade"] == "unspecified"
