@@ -183,6 +183,24 @@ def _q_extract_pdf_ocr(sf_dir: str):
     return out.select_columns(["url", "extracted_text"])
 
 
+def _q_extract_list_markers(sf_dir: str):
+    """ListItemMarkerProcessor parity (M24, readingorder_model.py:100,
+    309): a closed-form SYNTHPDF wrap plants one bullet, one numbered
+    and one paren-letter list item per doc; the doc-tree build strips
+    the marker out of the text (extracted_text) and the markdown export
+    renders the normalized marker — both hash-verified."""
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.sources.pages import (
+        pdf_pages_from_documents,
+    )
+
+    ds = pdf_pages_from_documents(
+        sf_dir, blocks_per_page=1_000_000, list_blocks=True
+    )
+    out = extract_pipeline(ds, dedup=True, explode_giant=False)
+    return out.select_columns(["url", "extracted_text", "markdown"])
+
+
 def _q_extract_confidence(sf_dir: str):
     """Doc-level ConfidenceReport (reference base_models.py:397-459):
     per-page layout/ocr scores -> nanmean + 5 % nanquantile -> doc
@@ -510,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf_tables": _q_extract_pdf_tables,
         "extract_pdf_enriched": _q_extract_pdf_enriched,
         "extract_confidence": _q_extract_confidence,
+        "extract_list_markers": _q_extract_list_markers,
         "extract_ocr_enriched": _q_extract_enriched,
         "extract_ocr_distributed": _q_extract_ocr_distributed,
         "ocr_recognize": _q_ocr_tasks,
@@ -626,6 +645,47 @@ def oracle_sql() -> dict[str, str]:
         # (kernels/reading_order.py:map_merges) joins each page's last
         # line with the next page's first when the break is
         # mid-sentence, reproduced here pair by pair
+        # list-marker normalization (M24): single-page wrap; the three
+        # planted list items lose their markers in extracted_text and
+        # render normalized in markdown ("- " bullet, detected marker
+        # for enumerated items)
+        "extract_list_markers": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS INT)),
+                         i -> array_to_string(toks[i*12+1 : (i+1)*12], ' ')) AS lines,
+                     CAST(ceil(len(toks) / 12.0) AS INT) AS nl
+              FROM t
+            )
+            SELECT 'https://docs.example/pdf/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) ||
+                   CASE WHEN nl = 0 THEN ''
+                        ELSE chr(10) || array_to_string(lines, chr(10)) END
+                   || chr(10) || 'alpha point ' || CAST(doc_id AS VARCHAR)
+                   || chr(10) || 'beta point ' || CAST(doc_id AS VARCHAR)
+                   || chr(10) || 'gamma point ' || CAST(doc_id AS VARCHAR)
+                       AS extracted_text,
+                   '## Doc ' || CAST(doc_id AS VARCHAR) ||
+                   CASE WHEN nl = 0 THEN ''
+                        ELSE repeat(chr(10), 2)
+                             || array_to_string(lines, repeat(chr(10), 2)) END
+                   || repeat(chr(10), 2) || '- alpha point '
+                   || CAST(doc_id AS VARCHAR)
+                   || repeat(chr(10), 2) || CAST(doc_id % 9 + 1 AS VARCHAR)
+                   || '. beta point ' || CAST(doc_id AS VARCHAR)
+                   || repeat(chr(10), 2) || '('
+                   || chr(CAST(97 + doc_id % 26 AS INTEGER))
+                   || ') gamma point ' || CAST(doc_id AS VARCHAR)
+                       AS markdown
+            FROM l
+        """,
         # ConfidenceReport: per page, cells are header + title(p0) +
         # up to 2 content lines + footer (indices restart per page);
         # from_ocr marks (doc_id+i)%3==0 with conf 0.55+((doc_id+i)%45)/100.

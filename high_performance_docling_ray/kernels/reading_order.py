@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any
 
 from . import labels as L
+from .listmarker import process_list_item
 from .table_rules import table_to_text
 
 Element = dict[str, Any]
@@ -171,6 +172,13 @@ def assemble_document(elements: list[Element]) -> dict[str, Any]:
         if i in merges:
             for mcid in merges[i]:
                 text += " " + (ordered[mcid].get("text") or "")
+        marker, enumerated = "", False
+        if label == L.LIST_ITEM:
+            # ListItemMarkerProcessor semantics (M24): the reference
+            # normalizes every created list item
+            # (readingorder_model.py:100,309) — marker out of the text,
+            # enumeration flagged
+            marker, text, enumerated = process_list_item(text)
         item = {
             "kind": kind,
             "label": label,
@@ -179,6 +187,8 @@ def assemble_document(elements: list[Element]) -> dict[str, Any]:
             "bbox": tuple(el["bbox"]),
             "text": text,
             "furniture": furniture,
+            "marker": marker,
+            "enumerated": enumerated,
             "captions": [ordered[c]["text"] for c in captions.get(i, [])],
             "footnotes": [ordered[c]["text"] for c in footnotes.get(i, [])],
         }
@@ -222,6 +232,16 @@ def canonical_items(items: list[dict]) -> list[dict]:
             "text": it["text"],
             "captions": it.get("captions", []),
             "footnotes": it.get("footnotes", []),
+            # marker fields only where they exist (list items), so the
+            # serialization of marker-free documents is unchanged
+            **(
+                {
+                    "marker": it["marker"],
+                    "enumerated": it["enumerated"],
+                }
+                if it.get("marker")
+                else {}
+            ),
         }
         for it in items
     ]
@@ -238,7 +258,13 @@ def export_markdown(items: list[dict]) -> str:
         if label == L.SECTION_HEADER:
             parts.append(f"## {text}")
         elif label == L.LIST_ITEM:
-            parts.append(f"- {text}")
+            # normalized marker: enumerated items keep their detected
+            # marker, bullets render canonically as "- " (the doubled
+            # "- - item" of unnormalized text can no longer happen)
+            if item.get("enumerated") and item.get("marker"):
+                parts.append(f"{item['marker']} {text}")
+            else:
+                parts.append(f"- {text}")
         elif item["kind"] == "table":
             rows = text.split("\n") if text else []
             md_rows = ["| " + " | ".join(r.split("\t")) + " |" for r in rows]

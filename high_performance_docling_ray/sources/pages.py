@@ -512,6 +512,7 @@ def pdf_pages_from_documents(
     table_block: bool = False,
     enrich_blocks: bool = False,
     ocr_cells: bool = False,
+    list_blocks: bool = False,
 ):
     """Derive a %SYNTHPDF pages table from the driver's ``documents``
     parquet with a CLOSED-FORM structure (no RNG): the document's
@@ -602,6 +603,19 @@ def pdf_pages_from_documents(
                         }
                     )
                     cluster_id += 1
+                if list_blocks and p == 0:
+                    # closed-form marker-bearing list items: one bullet,
+                    # one numbered, one paren-letter — the
+                    # ListItemMarkerProcessor pass (M24) must strip the
+                    # markers and flag enumeration, SQL-reproducibly
+                    did = int(doc_id)
+                    add("list_item", f"- alpha point {did}", 0.9)
+                    add("list_item", f"{did % 9 + 1}. beta point {did}", 0.9)
+                    add(
+                        "list_item",
+                        f"({chr(97 + did % 26)}) gamma point {did}",
+                        0.9,
+                    )
                 if enrich_blocks and p == 0:
                     # deterministic code + formula blocks: with
                     # do_code_enrichment the stub predictor's visible

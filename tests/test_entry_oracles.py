@@ -20,6 +20,7 @@ TABLES = (
 # cheap, structurally diverse subset (full sweep is the driver's job)
 QUERIES = [
     "extract_confidence",
+    "extract_list_markers",
     "extract_pdf_docs",
     "extract_pdf_ocr",
     "extract_pdf_tables",

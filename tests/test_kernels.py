@@ -346,3 +346,31 @@ def test_doc_confidence_matches_reference_math():
     # all-NaN pages and the empty doc produce unspecified grades
     assert doc_confidence([{}])["mean_grade"] == "unspecified"
     assert doc_confidence([])["low_grade"] == "unspecified"
+
+
+def test_list_marker_normalization():
+    """ListItemMarkerProcessor semantics (M24): bullets and enumerations
+    strip into the marker field; non-markers and bare markers pass
+    through untouched."""
+    from high_performance_docling_ray.kernels.listmarker import (
+        process_list_item,
+    )
+
+    assert process_list_item("- item one") == ("-", "item one", False)
+    assert process_list_item("• bullet") == ("•", "bullet", False)
+    assert process_list_item("*  spaced") == ("*", "spaced", False)
+    assert process_list_item("1. first") == ("1.", "first", True)
+    assert process_list_item("12) twelfth") == ("12)", "twelfth", True)
+    assert process_list_item("(3) third") == ("(3)", "third", True)
+    assert process_list_item("a. letter") == ("a.", "letter", True)
+    assert process_list_item("(b) letter") == ("(b)", "letter", True)
+    assert process_list_item("iv. roman") == ("iv.", "roman", True)
+    assert process_list_item("(xii) roman") == ("(xii)", "roman", True)
+    # no marker / degenerate cases stay untouched
+    assert process_list_item("plain text") == ("", "plain text", False)
+    assert process_list_item("-no space") == ("", "-no space", False)
+    assert process_list_item("- ") == ("", "- ", False)
+    assert process_list_item("1776 was a year") == (
+        "", "1776 was a year", False,
+    )
+    assert process_list_item("") == ("", "", False)
