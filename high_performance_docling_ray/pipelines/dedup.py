@@ -887,6 +887,7 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     strategy: str = "auto",
     driver_budget: int = 2_000_000,
+    hot_emit_cap: int = 50_000_000,
 ) -> ray.data.Dataset:
     """EXACT word-n-gram Jaccard >= threshold pairs over non-empty
     shingle sets (doc_a, doc_b, jaccard).
@@ -901,7 +902,9 @@ def ngram_jaccard_pairs(
       regime): posting rows shuffle ONCE on a coarse shingle
       partition, pairs emit vectorized per partition, and a Ray
       groupby on (doc_a, doc_b, sa, sb) counts intersections — no
-      broadcast, no driver materialization anywhere.
+      broadcast, no driver materialization anywhere. A df probe first
+      bounds the emission volume; hot-shingle corpora auto-route to
+      the prefix strategy instead of aborting (``hot_emit_cap``).
     * ``strategy="prefix"``: PPJoin prefix-filter candidates under a
       document-frequency-ascending global order (recall 1) +
       verification against a broadcast of candidate-only shingle sets
@@ -911,6 +914,7 @@ def ngram_jaccard_pairs(
     """
     ds = read_documents(sf_dir)
 
+    df_precomputed: tuple | None = None
     if strategy != "prefix":
         def full_rows(batch: pa.Table) -> pa.Table:
             return _prefix_rows(batch, 0.0, ngram)  # t=0: whole set
@@ -924,44 +928,69 @@ def ngram_jaccard_pairs(
             if counted is not None:
                 return ray.data.from_arrow(counted)
 
-        # distributed pair-count: one coarse shuffle + one keyed count
         num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
 
-        def add_part(batch: pa.Table) -> pa.Table:
-            sh = batch.column("shingle").to_numpy(zero_copy_only=False)
-            part = (sh % np.uint64(num_parts)).astype(np.int32)
-            return batch.append_column("part", pa.array(part, pa.int32()))
-
-        def emit_part(group: pa.Table) -> pa.Table:
-            out = _emit_pairs_with_sizes(
-                group.drop_columns(["part"]), threshold
-            )
-            if out is None:
-                raise ValueError(
-                    "hot-shingle pair blowup: rerun with strategy='prefix'"
+        # the distributed pair-count still pays df^2/2 emissions on a
+        # hot shingle — probe the per-shingle document frequencies (the
+        # SAME aggregate the prefix order needs, so a switch wastes
+        # nothing) and auto-route to the df-ordered prefix strategy
+        # instead of aborting mid-shuffle (VERDICT r2 #8): switch when
+        # one shingle alone, or the per-partition emission total,
+        # would blow the cap
+        df_probe = _shingle_df(ds, ngram)
+        dfc = df_probe[1]
+        max_df = int(dfc.max()) if dfc.size else 0
+        total_emit = float((dfc.astype(np.float64) ** 2).sum()) / 2.0
+        if (
+            max_df * (max_df - 1) // 2 > hot_emit_cap
+            or total_emit > float(num_parts) * hot_emit_cap
+        ):
+            df_precomputed = df_probe
+        else:
+            # distributed pair-count: one coarse shuffle + keyed count
+            def add_part(batch: pa.Table) -> pa.Table:
+                sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+                part = (sh % np.uint64(num_parts)).astype(np.int32)
+                return batch.append_column(
+                    "part", pa.array(part, pa.int32())
                 )
-            return out
 
-        counted_ds = (
-            posting.map_batches(add_part, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(emit_part, batch_format="pyarrow")
-            .groupby(["doc_a", "doc_b", "sa", "sb"])
-            .count()
-        )
+            def emit_part(group: pa.Table) -> pa.Table:
+                out = _emit_pairs_with_sizes(
+                    group.drop_columns(["part"]), threshold
+                )
+                if out is None:  # backstop: the df probe bounds this
+                    raise ValueError(
+                        "hot-shingle pair blowup past the df probe: "
+                        "rerun with strategy='prefix'"
+                    )
+                return out
 
-        def finalize(batch: pa.Table) -> pa.Table:
-            return _finalize_jaccard(
-                batch.rename_columns(
-                    ["doc_a", "doc_b", "sa", "sb", "inter"]
-                ),
-                threshold,
+            counted_ds = (
+                posting.map_batches(add_part, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(emit_part, batch_format="pyarrow")
+                .groupby(["doc_a", "doc_b", "sa", "sb"])
+                .count()
             )
 
-        return counted_ds.map_batches(finalize, batch_format="pyarrow")
+            def finalize(batch: pa.Table) -> pa.Table:
+                return _finalize_jaccard(
+                    batch.rename_columns(
+                        ["doc_a", "doc_b", "sa", "sb", "inter"]
+                    ),
+                    threshold,
+                )
 
-    # strategy="prefix": df-ordered candidates + broadcast verify
-    df_hashes, df_counts = _shingle_df(ds, ngram)
+            return counted_ds.map_batches(finalize, batch_format="pyarrow")
+
+    # strategy="prefix" (or the auto-switch): df-ordered candidates +
+    # broadcast verify
+    df_hashes, df_counts = (
+        df_precomputed
+        if df_precomputed is not None
+        else _shingle_df(ds, ngram)
+    )
     df_ref = ray.put((df_hashes, df_counts))
 
     def prefix_fn(batch: pa.Table) -> pa.Table:

@@ -66,6 +66,25 @@ def _small_table(ds: ray.data.Dataset) -> pa.Table:
     return pa.concat_tables(nonempty) if nonempty else parts[0]
 
 
+def _broadcast_parquet(sf_dir: str, table: str, columns: list[str]) -> pa.Table:
+    """Driver-direct projected read of a BROADCAST build side.
+
+    A broadcast side must land whole on the driver anyway (it is
+    ``ray.put`` once), so routing it through a Ray execution pays two
+    operator spin-ups per table for nothing — q3/q5 run 2-3 build
+    sides each, and those fixed costs dominated both queries at bench
+    scale (the r2 q3/q5 regression). One pyarrow projected read is the
+    same storage traffic with zero scheduling overhead; at deployment
+    scale the probe side still streams through Ray untouched."""
+    import pyarrow.parquet as pq
+
+    from .io import strip_pandas_metadata
+
+    return strip_pandas_metadata(
+        pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+    )
+
+
 def _sorted_member_mask(sorted_keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
     """Membership of ``probe`` values in a SORTED key array; safe for an
     empty build side (returns all-False instead of indexing out of range)."""
@@ -205,13 +224,13 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pa.Table
     sorted numpy key array, ``ray.put`` once (zero-copy plasma reads in
     every probe task); lineitem streams and probes with searchsorted.
     """
-    cust = _small_table(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    cust = _broadcast_parquet(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     ckeys = cust.filter(
         pc.equal(cust.column("c_mktsegment"), segment)
     ).column("c_custkey").to_numpy()
     ckeys = np.sort(ckeys.astype(np.int64))
 
-    orders = _small_table(_read(sf_dir, "orders", ["o_orderkey", "o_custkey"]))
+    orders = _broadcast_parquet(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     okey = orders.column("o_orderkey").to_numpy().astype(np.int64)
     ocust = orders.column("o_custkey").to_numpy().astype(np.int64)
     building_orders = np.sort(okey[_sorted_member_mask(ckeys, ocust)])
@@ -275,9 +294,9 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
     three small sides pre-joined on the driver into ONE dense numpy
     lookup (suppkey -> region id), broadcast via ray.put; partial agg
     per batch (np.bincount over region ids); tiny final groupby."""
-    region = _small_table(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
-    nation = _small_table(_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]))
-    supp = _small_table(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    region = _broadcast_parquet(sf_dir, "region", ["r_regionkey", "r_name"])
+    nation = _broadcast_parquet(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
 
     r_names = region.column("r_name").to_pylist()
     r_keys = region.column("r_regionkey").to_numpy().astype(np.int64)

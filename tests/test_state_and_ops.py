@@ -569,7 +569,15 @@ def test_ngram_jaccard_strategies_agree():
     assert base  # non-vacuous
     dist = canon(ngram_jaccard_pairs(sf, threshold=0.5, driver_budget=0))
     pref = canon(ngram_jaccard_pairs(sf, threshold=0.5, strategy="prefix"))
-    assert base == dist == pref
+    # hot-shingle auto-switch (VERDICT r2 #8): a zero emission cap makes
+    # EVERY shingle "hot", so auto must route itself to the prefix
+    # strategy through the df probe — same exact output, no abort
+    hot = canon(
+        ngram_jaccard_pairs(
+            sf, threshold=0.5, driver_budget=0, hot_emit_cap=0
+        )
+    )
+    assert base == dist == pref == hot
 
 
 def test_minhash_cogroup_verify_equals_broadcast():
