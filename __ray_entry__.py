@@ -98,6 +98,18 @@ def _q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(sf_dir, threshold=0.4)
 
 
+def _q_embedding_neardup_ivf(sf_dir: str):
+    """IVF-sharded EXACT tier of the same contract: persisted list
+    partitions + lossless spherical-cap list-pair pruning, no corpus
+    broadcast anywhere — hash-verified against the same cross-join
+    oracle as the broadcast path."""
+    from high_performance_docling_ray.pipelines.similarity import (
+        embedding_neardup_ivf,
+    )
+
+    return embedding_neardup_ivf(sf_dir, threshold=0.4)
+
+
 def _q_embedding_neardup_lsh(sf_dir: str):
     """Approximate sign-LSH variant of the same contract (recall < 1 by
     design — rows-only check; recall asserted vs the exact pipeline in
@@ -544,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_neardup_pairs": _q_embedding_neardup,
+        "embedding_neardup_ivf": _q_embedding_neardup_ivf,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         # similarity search
         "knn_brute_cosine": _q_knn_brute,
@@ -1186,6 +1199,17 @@ def oracle_sql() -> dict[str, str]:
         # exact near-dup pairs: plain cross join with the same float64
         # cosine; the pipeline's blocked matmul must reproduce it
         "embedding_neardup_pairs": """
+            WITH n AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            )
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   list_cosine_similarity(a.e, b.e) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+        """,
+        # the IVF-sharded tier is EXACT (lossless list-pair pruning),
+        # so it answers to the identical cross-join oracle
+        "embedding_neardup_ivf": """
             WITH n AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
             )

@@ -55,17 +55,6 @@ def _cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> np.ndarray:
     return np.rint(arr * scale).astype(np.int64)
 
 
-def _small_table(ds: ray.data.Dataset) -> pa.Table:
-    """Materialize a SMALL build side on the driver (broadcast pattern)."""
-    # materialize() first: lazy to_arrow_refs re-executes a limit-1
-    # pass for the schema fetch (full plan runs twice). Zero-row blocks
-    # are dropped: a map stage can emit them with an EMPTY (0-column)
-    # schema, which breaks concat_tables.
-    parts = [ray.get(r) for r in ds.materialize().to_arrow_refs()]
-    nonempty = [t for t in parts if t.num_rows > 0]
-    return pa.concat_tables(nonempty) if nonempty else parts[0]
-
-
 def _broadcast_parquet(sf_dir: str, table: str, columns: list[str]) -> pa.Table:
     """Driver-direct projected read of a BROADCAST build side.
 

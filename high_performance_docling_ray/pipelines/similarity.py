@@ -12,7 +12,12 @@
   Approximate by design (recall depends on nprobe) — rows-only at the
   driver gate; nprobe == n_lists equals brute force (test-pinned).
 * ``embedding_neardup_pairs`` — EXACT cosine >= threshold pairs via
-  broadcast blocked matmul (no shuffle; oracle-verified).
+  broadcast blocked matmul (no shuffle; oracle-verified); past the
+  broadcast budget it routes to the IVF-sharded tier.
+* ``embedding_neardup_ivf`` — the same EXACT contract with NO corpus
+  broadcast: persisted IVF lists + per-list angular radii prune list
+  pairs with a provably lossless spherical-cap bound; each surviving
+  list pair is one independent exact block matmul task.
 * ``embedding_neardup_lsh`` — the approximate variant: sign-LSH with
   multi-probe, (vec_id, bucket)-only shuffle, vectorized verify
   against the broadcast normalized matrix; recall asserted vs the
@@ -283,6 +288,197 @@ def knn_ivf(
     )
 
 
+def _ivf_list_radii(index_dir: str) -> np.ndarray:
+    """Per-list angular radius ``r_l = max angle(member, centroid_l)``
+    of a persisted IVF index, computed in ONE streaming pass over the
+    list partitions and cached as ``radii.npy`` beside the centroids.
+
+    The radii power the EXACT list-pair pruning bound in
+    ``embedding_neardup_ivf``: on the unit sphere the angular triangle
+    inequality gives ``theta(x, y) >= theta(c1, c2) - r1 - r2`` for any
+    ``x`` in list 1 and ``y`` in list 2, so
+    ``cos(x, y) <= cos(max(0, theta_c - r1 - r2))`` — a list pair whose
+    bound falls below the threshold provably contains no qualifying
+    pair and is never read."""
+    import os
+
+    cache = os.path.join(index_dir, "radii.npy")
+    if os.path.exists(cache):
+        return np.load(cache)
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    cent_ref = ray.put(centroids)
+    n_lists = len(centroids)
+
+    def partial_max(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        lists = (
+            batch.column("list_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        _ids, mat = _batch_matrix(batch)
+        # angle to the OWN centroid only: one gather + row-dot, not a
+        # full matmul against every centroid
+        dots = np.einsum("ij,ij->i", _normalize(mat), cent[lists])
+        ang = np.arccos(np.clip(dots, -1.0, 1.0))
+        out = np.zeros(len(cent), dtype=np.float64)
+        np.maximum.at(out, lists, ang)
+        present = np.zeros(len(cent), dtype=bool)
+        present[lists] = True
+        return pa.Table.from_pydict(
+            {
+                "list_id": pa.array(
+                    np.nonzero(present)[0].astype(np.int64), pa.int64()
+                ),
+                "radius": pa.array(out[present], pa.float64()),
+            }
+        )
+
+    partials = (
+        ray.data.read_parquet(os.path.join(index_dir, "lists"))
+        .map_batches(partial_max, batch_format="pyarrow")
+        .take_all()
+    )  # tiny: <= n_lists rows per input block
+    radii = np.zeros(n_lists, dtype=np.float64)
+    for r in partials:
+        li = int(r["list_id"])
+        radii[li] = max(radii[li], float(r["radius"]))
+    np.save(cache, radii)
+    return radii
+
+
+def _ivf_candidate_list_pairs(
+    index_dir: str, threshold: float
+) -> list[dict]:
+    """List pairs (l1 <= l2) surviving the lossless spherical-cap
+    bound; on clustered corpora this prunes most of the k*(k+1)/2
+    pairs, on isotropic-random ones (radii near pi/2) it keeps all."""
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    radii = _ivf_list_radii(index_dir)
+    theta_c = np.arccos(np.clip(centroids @ centroids.T, -1.0, 1.0))
+    slack = np.maximum(0.0, theta_c - radii[:, None] - radii[None, :])
+    keep = np.triu(np.cos(slack) >= threshold - 1e-9)
+    ii, jj = np.nonzero(keep)
+    return [{"l1": int(a), "l2": int(b)} for a, b in zip(ii, jj)]
+
+
+def embedding_neardup_ivf(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_lists: int = 16,
+) -> ray.data.Dataset:
+    """EXACT cosine >= threshold pairs, IVF-sharded — the 10^12-vector
+    shape of ``embedding_neardup_pairs`` (same output contract, no
+    corpus broadcast anywhere).
+
+    Shape: the persisted IVF index (``build_ivf_index``) partitions the
+    corpus by list id once; per-list angular radii (``_ivf_list_radii``)
+    prune list pairs with the spherical-cap bound
+    ``cos(x, y) <= cos(max(0, theta(c1, c2) - r1 - r2))`` — pruning is
+    PROVABLY lossless, so the output is exactly the brute-force pair
+    set (test-pinned, and hash-verified against the same cross-join
+    oracle as the broadcast path). Each surviving list pair becomes one
+    independent task that reads ONLY its two partitions: the smaller
+    side loads whole, the larger streams row-group-wise, so task memory
+    is one list + one row group (at larger corpora, raise ``n_lists``
+    to shrink lists). Every pair surfaces exactly once because list
+    assignment is unique — no shuffle, no pair dedup."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    index_dir = build_ivf_index(sf_dir, n_lists=n_lists)
+    cand = _ivf_candidate_list_pairs(index_dir, threshold)
+
+    def _list_paths(l: int) -> list[str]:
+        return sorted(
+            glob.glob(
+                os.path.join(index_dir, "lists", f"list_id={l}", "*.parquet")
+            )
+        )
+
+    empty = pa.Table.from_pydict(
+        {
+            "vec_id_a": pa.array([], pa.int64()),
+            "vec_id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def _load_list(paths: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        t = pq.read_table(paths, columns=["vec_id", "embedding"])
+        return _batch_matrix(t)
+
+    def _emit(
+        aid: np.ndarray, amat: np.ndarray, bid: np.ndarray, bmat: np.ndarray
+    ) -> pa.Table | None:
+        sims = amat @ bmat.T
+        ri, ci = np.nonzero(sims >= threshold)
+        if not len(ri):
+            return None
+        a, b = aid[ri], bid[ci]
+        keep = a != b
+        a, b, cos = a[keep], b[keep], sims[ri[keep], ci[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.Table.from_pydict(
+            {
+                "vec_id_a": pa.array(lo, pa.int64()),
+                "vec_id_b": pa.array(hi, pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    def pair_task(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():  # batch_size=1: one list pair
+            l1, l2 = row["l1"], row["l2"]
+            p1, p2 = _list_paths(l1), _list_paths(l2)
+            if not p1 or not p2:
+                continue
+            if l1 == l2:
+                ids, mat = _load_list(p1)
+                nm = np.ascontiguousarray(_normalize(mat))
+                sims = nm @ nm.T
+                ri, ci = np.triu_indices(len(ids), k=1)
+                ok = sims[ri, ci] >= threshold
+                if ok.any():
+                    a, b = ids[ri[ok]], ids[ci[ok]]
+                    lo, hi = np.minimum(a, b), np.maximum(a, b)
+                    outs.append(
+                        pa.Table.from_pydict(
+                            {
+                                "vec_id_a": pa.array(lo, pa.int64()),
+                                "vec_id_b": pa.array(hi, pa.int64()),
+                                "cosine": pa.array(
+                                    sims[ri[ok], ci[ok]], pa.float64()
+                                ),
+                            }
+                        )
+                    )
+                continue
+            # cross pair: smaller side whole, larger side streamed
+            if sum(os.path.getsize(p) for p in p1) > sum(
+                os.path.getsize(p) for p in p2
+            ):
+                p1, p2 = p2, p1
+            aid, amat = _load_list(p1)
+            anm = np.ascontiguousarray(_normalize(amat))
+            for path in p2:
+                pf = pq.ParquetFile(path)
+                for rb in pf.iter_batches(columns=["vec_id", "embedding"]):
+                    bid, bmat = _batch_matrix(pa.Table.from_batches([rb]))
+                    got = _emit(aid, anm, bid, _normalize(bmat))
+                    if got is not None:
+                        outs.append(got)
+        return pa.concat_tables(outs) if outs else empty
+
+    src = ray.data.from_items(cand, override_num_blocks=max(1, len(cand)))
+    return src.map_batches(pair_task, batch_size=1, batch_format="pyarrow")
+
+
 def _embedding_dim(sf_dir: str) -> int:
     rows = read_embeddings(sf_dir).limit(1).take_all()
     return len(rows[0]["embedding"]) if rows else 0
@@ -385,8 +581,9 @@ def _embedding_cogroup_verify(
 def _normalized_index(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """(ids, normalized matrix) of the whole embeddings table, built
     with a streaming per-batch normalize and one driver concat. This is
-    the broadcast side; at 10^12 vectors it shards by IVF list
-    (build_ivf_index) and each batch probes only its lists."""
+    the broadcast side of the IN-BUDGET tiers only; past the budget the
+    exact path is ``embedding_neardup_ivf`` and LSH verify is
+    ``_embedding_cogroup_verify`` — neither touches this."""
     def norm_batch(b: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(b)
         return pa.Table.from_pydict(
@@ -411,18 +608,24 @@ def _normalized_index(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def embedding_neardup_pairs(
-    sf_dir: str, threshold: float = 0.4
+    sf_dir: str,
+    threshold: float = 0.4,
+    broadcast_budget: int = 2_000_000,
 ) -> ray.data.Dataset:
     """EXACT cosine >= threshold pairs (vec_id_a < vec_id_b, cosine).
 
-    Broadcast blocked matmul: the normalized index matrix is
-    ``ray.put`` ONCE; each streaming batch computes one float64
-    batch @ index.T (vectorized) and emits its qualifying pairs with
-    id_a < id_b — each pair surfaces in exactly one batch, so there is
-    NO shuffle and no pair dedup. The only driver state is the
-    broadcast index; at 10^12 vectors the index shards by IVF list and
-    batches probe neighbor lists only (``embedding_neardup_lsh`` is the
-    approximate path with the same output contract)."""
+    In-budget tier — broadcast blocked matmul: the normalized index
+    matrix is ``ray.put`` ONCE; each streaming batch computes one
+    float64 batch @ index.T (vectorized) and emits its qualifying pairs
+    with id_a < id_b — each pair surfaces in exactly one batch, so
+    there is NO shuffle and no pair dedup. Past ``broadcast_budget``
+    vectors (the regime where the corpus matrix cannot land on one
+    node) it routes to ``embedding_neardup_ivf`` — the IVF-sharded
+    tier with lossless list-pair pruning, same exact output
+    (tier-equality test-pinned). ``embedding_neardup_lsh`` is the
+    approximate path with the same output contract."""
+    if read_embeddings(sf_dir).count() > broadcast_budget:
+        return embedding_neardup_ivf(sf_dir, threshold=threshold)
     ids, nm = _normalized_index(sf_dir)
     idx_ref = ray.put((ids, nm))
 

@@ -360,6 +360,80 @@ def test_embedding_lsh_cogroup_verify_equals_broadcast(tmp_path):
     assert base == cg
 
 
+def test_embedding_neardup_ivf_equals_broadcast(tmp_path):
+    """The IVF-sharded exact tier (and the budget routing into it) must
+    reproduce the broadcast blocked-matmul pair set exactly — the
+    spherical-cap list-pair pruning is provably lossless."""
+    from high_performance_docling_ray.pipelines.similarity import (
+        embedding_neardup_ivf,
+        embedding_neardup_pairs,
+    )
+
+    sf, _n, _d = _planted_embeddings(tmp_path)
+
+    def canon(ds):
+        return sorted(
+            (r["vec_id_a"], r["vec_id_b"], round(r["cosine"], 9))
+            for r in ds.take_all()
+        )
+
+    base = canon(embedding_neardup_pairs(sf, threshold=0.95))
+    assert base  # planted dups make this non-vacuous
+    ivf = canon(embedding_neardup_ivf(sf, threshold=0.95))
+    routed = canon(
+        embedding_neardup_pairs(sf, threshold=0.95, broadcast_budget=0)
+    )
+    assert base == ivf == routed
+
+
+def test_embedding_neardup_ivf_prunes_clustered(tmp_path):
+    """On a clustered corpus the radius bound must actually PRUNE list
+    pairs (on isotropic-random data radii ~ pi/2 keep everything), and
+    the pruned run must still equal brute force."""
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.similarity import (
+        _ivf_candidate_list_pairs,
+        build_ivf_index,
+        embedding_neardup_ivf,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(4)
+    # 6 tight clusters on well-separated directions
+    dirs = rng.randn(6, 16)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    for c in range(6):
+        rows.append(dirs[c] + 0.03 * rng.randn(30, 16))
+    mat = np.concatenate(rows)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    d = tmp_path / "sfclust"
+    d.mkdir()
+    pq.write_table(tbl, d / "embeddings.parquet")
+
+    index_dir = build_ivf_index(str(d), n_lists=8)
+    cand = _ivf_candidate_list_pairs(index_dir, 0.95)
+    assert len(cand) < 8 * 9 // 2, "bound pruned nothing on clusters"
+
+    def canon(ds):
+        return sorted(
+            (r["vec_id_a"], r["vec_id_b"], round(r["cosine"], 9))
+            for r in ds.take_all()
+        )
+
+    base = canon(embedding_neardup_pairs(str(d), threshold=0.95))
+    assert base
+    assert canon(embedding_neardup_ivf(str(d), threshold=0.95)) == base
+
+
 def test_ngram_jaccard_exact_vs_bruteforce(tmp_path):
     """Prefix-filter + verify must equal the all-pairs brute force."""
     import pyarrow.parquet as pq
