@@ -298,6 +298,72 @@ def _q_extract_ocr_distributed(sf_dir: str):
     return out.select_columns(["url", "doc_kind", "extracted_text", "n_elements"])
 
 
+def _q_extract_pdf_ocr_distributed(sf_dir: str):
+    """The distributed OCR join-back (broadcast tier), hash-verified:
+    same closed-form OCR-planted input as extract_pdf_ocr, so the
+    byte-identity contract with the inline path gets DRIVER-GATE
+    evidence on top of the pytest pin (VERDICT r2 item 2)."""
+    from high_performance_docling_ray.kernels.document import ExtractOptions
+    from high_performance_docling_ray.pipelines.ocr import (
+        extract_with_distributed_ocr,
+    )
+    from high_performance_docling_ray.sources.pages import (
+        pdf_pages_from_documents,
+    )
+
+    out = extract_with_distributed_ocr(
+        lambda: pdf_pages_from_documents(
+            sf_dir, blocks_per_page=1_000_000, ocr_region=True
+        ),
+        ExtractOptions(do_ocr=True),
+        dedup=True,
+        explode_giant=False,
+    )
+    return out.select_columns(["url", "extracted_text"])
+
+
+def _q_extract_pdf_ocr_cogroup(sf_dir: str):
+    """The OVER-BUDGET tier of the distributed OCR join-back
+    (ocr_broadcast_budget=0 forces the union-cogroup ocr_json attach),
+    hash-verified against the same oracle as the inline path."""
+    from high_performance_docling_ray.kernels.document import ExtractOptions
+    from high_performance_docling_ray.pipelines.ocr import (
+        extract_with_distributed_ocr,
+    )
+    from high_performance_docling_ray.sources.pages import (
+        pdf_pages_from_documents,
+    )
+
+    out = extract_with_distributed_ocr(
+        lambda: pdf_pages_from_documents(
+            sf_dir, blocks_per_page=1_000_000, ocr_region=True
+        ),
+        ExtractOptions(do_ocr=True),
+        ocr_broadcast_budget=0,
+        dedup=True,
+        explode_giant=False,
+    )
+    return out.select_columns(["url", "extracted_text"])
+
+
+def _q_ocr_recognize_pdf(sf_dir: str):
+    """The standalone OCR stage (identify -> actor-pool recognize)
+    hash-verified: over the closed-form OCR-planted wrap each doc
+    yields exactly one task row, and the md5-stub recognizer's text is
+    reproducible in SQL."""
+    from high_performance_docling_ray.pipelines.ocr import ocr_pipeline
+    from high_performance_docling_ray.sources.pages import (
+        pdf_pages_from_documents,
+    )
+
+    return ocr_pipeline(
+        pdf_pages_from_documents(
+            sf_dir, blocks_per_page=1_000_000, ocr_region=True
+        ),
+        concurrency=(1, 4),
+    )
+
+
 def _q_ocr_tasks(sf_dir: str):
     """Distributed OCR: identify -> actor-pool recognize (stubbed model,
     batch 32, reference gpu_processor.py:204-288 shape)."""
@@ -373,6 +439,27 @@ def _q_figure_features(sf_dir: str):
     )
     result = extract_pipeline(rd.from_arrow(tbl), dedup=False)
     return figure_features(result, concurrency=(1, 4))
+
+
+def _q_figure_crops(sf_dir: str):
+    """Figure-crop rows (M25 geometry + J7 caption attach),
+    hash-verified: the figure_block fixture plants a fixed-bbox picture
+    cluster with a caption block beneath it on page 0 of every doc, so
+    the crop row (url, page_no, bbox, attached caption) is a closed
+    form of doc_id — giving the figure-extraction path (flat_map of
+    elements_json -> per-figure rows, caption mapping included)
+    DRIVER-GATE evidence beyond the rows-only figure_features stub."""
+    from high_performance_docling_ray.pipelines.extract import extract_pipeline
+    from high_performance_docling_ray.pipelines.figures import figure_rows
+    from high_performance_docling_ray.sources.pages import (
+        pdf_pages_from_documents,
+    )
+
+    ds = pdf_pages_from_documents(sf_dir, figure_block=True)
+    out = extract_pipeline(ds, dedup=True, explode_giant=False)
+    return out.map_batches(figure_rows, batch_format="pyarrow").select_columns(
+        ["url", "page_no", "l", "t", "r", "b", "caption"]
+    )
 
 
 def _q_token_counts(sf_dir: str):
@@ -537,6 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_synth_corpus": _q_extract_synth,
         "extract_pdf_docs": _q_extract_pdf_docs,
         "extract_pdf_ocr": _q_extract_pdf_ocr,
+        "extract_pdf_ocr_distributed": _q_extract_pdf_ocr_distributed,
+        "extract_pdf_ocr_cogroup": _q_extract_pdf_ocr_cogroup,
         "extract_pdf_tables": _q_extract_pdf_tables,
         "extract_pdf_enriched": _q_extract_pdf_enriched,
         "extract_confidence": _q_extract_confidence,
@@ -544,6 +633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_ocr_enriched": _q_extract_enriched,
         "extract_ocr_distributed": _q_extract_ocr_distributed,
         "ocr_recognize": _q_ocr_tasks,
+        "ocr_recognize_pdf": _q_ocr_recognize_pdf,
+        "figure_crops": _q_figure_crops,
         "debug_overlays": _q_debug_overlays,
         # multimodal: binary media column -> actor-pool decode/feature
         "image_features": _q_image_features,
@@ -630,7 +721,7 @@ _STOP_EN = "'the','a','of','and','to','in','is','it','you','that','he','was','fo
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         # byte-level oracle for the flagship HTML extraction: the
         # deterministic page wrap makes extracted_text a closed form
         # of the document text (see sources/pages.py:pages_from_documents)
@@ -1345,3 +1436,37 @@ def oracle_sql() -> dict[str, str]:
             FROM gaps GROUP BY user_id ORDER BY user_id
         """,
     }
+    # both tiers of the distributed OCR join-back are byte-identical to
+    # the inline path by contract, so they answer to ITS oracle
+    oracles["extract_pdf_ocr_distributed"] = oracles["extract_pdf_ocr"]
+    oracles["extract_pdf_ocr_cogroup"] = oracles["extract_pdf_ocr"]
+    # the standalone recognize stage over the same planted wrap: one
+    # task row per doc (page 0, cluster nl+2, fixed bbox), md5-stub text
+    oracles["ocr_recognize_pdf"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id, CAST(ceil(len(toks) / 12.0) AS INT) AS nl FROM t
+        )
+        SELECT 'https://docs.example/pdf/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(0 AS INT) AS page_no,
+               CAST(nl + 2 AS INT) AS cluster_id,
+               '[ocr ' ||
+               substr(md5(printf('0:%d:420.0,60.0,560.0,90.0', nl + 2)), 1, 8)
+               || ']' AS ocr_text
+        FROM l
+    """
+    # figure_block fixture: one picture cluster at the fixed top-right
+    # bbox per doc (page 0), caption block directly beneath it
+    oracles["figure_crops"] = """
+        SELECT 'https://docs.example/pdf/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(0 AS INT) AS page_no,
+               420.0 AS l, 8.0 AS t, 560.0 AS r, 28.0 AS b,
+               'Figure: doc ' || CAST(doc_id AS VARCHAR) AS caption
+        FROM documents
+    """
+    return oracles

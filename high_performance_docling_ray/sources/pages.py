@@ -513,6 +513,7 @@ def pdf_pages_from_documents(
     enrich_blocks: bool = False,
     ocr_cells: bool = False,
     list_blocks: bool = False,
+    figure_block: bool = False,
 ):
     """Derive a %SYNTHPDF pages table from the driver's ``documents``
     parquet with a CLOSED-FORM structure (no RNG): the document's
@@ -602,6 +603,43 @@ def pdf_pages_from_documents(
                             "confidence": 0.8,
                         }
                     )
+                    cluster_id += 1
+                if figure_block and p == 0:
+                    # closed-form figure fixture (M25 + J7): a picture
+                    # cluster in the fixed empty top-right corner with
+                    # a caption block directly beneath it — the figure
+                    # crop row (geometry + attached caption) is then a
+                    # closed form of doc_id alone
+                    clusters.append(
+                        {
+                            "id": cluster_id,
+                            "label": "picture",
+                            "l": 420.0, "t": 8.0, "r": 560.0, "b": 28.0,
+                            "confidence": 0.9,
+                        }
+                    )
+                    cluster_id += 1
+                    cap = f"Figure: doc {doc_id}"
+                    capw = 6.0 * len(cap)
+                    cells.append(
+                        {
+                            "index": cell_index,
+                            "text": cap,
+                            "l": 420.0, "t": 30.0,
+                            "r": 420.0 + capw, "b": 41.0,
+                            "from_ocr": False, "confidence": 1.0,
+                        }
+                    )
+                    clusters.append(
+                        {
+                            "id": cluster_id,
+                            "label": "caption",
+                            "l": 419.0, "t": 29.0,
+                            "r": 421.0 + capw, "b": 42.0,
+                            "confidence": 0.9,
+                        }
+                    )
+                    cell_index += 1
                     cluster_id += 1
                 if list_blocks and p == 0:
                     # closed-form marker-bearing list items: one bullet,
