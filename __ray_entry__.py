@@ -144,6 +144,17 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(sf_dir, _query_vector(sf_dir), k=10)
 
 
+def _q_knn_ivf_fullprobe(sf_dir: str):
+    """IVF ANN with nprobe == n_lists: the partition-pruned scan reads
+    every list, so the result is EXACTLY the brute-force top-k — this
+    hash-verifies the whole IVF query path (persisted index, centroid
+    probe, per-partition top-k, driver merge) against the brute oracle;
+    the nprobe<n_lists entry stays rows-only as approximate-by-design."""
+    from high_performance_docling_ray.pipelines.similarity import knn_ivf
+
+    return knn_ivf(sf_dir, _query_vector(sf_dir), k=10, n_lists=16, nprobe=16)
+
+
 def _q_extract_docs_text(sf_dir: str):
     """Flagship extraction over the documents-derived pages, projected
     to (url, extracted_text) — SQL-verifiable because the deterministic
@@ -462,6 +473,45 @@ def _q_figure_crops(sf_dir: str):
     )
 
 
+def _q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality signals (dup-token / top-bigram
+    / dup-trigram fractions) — pure vectorized map, exact oracle."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        repetition_signals,
+    )
+
+    return repetition_signals(sf_dir)
+
+
+def _q_redact_pii(sf_dir: str):
+    """PII redaction (RE2 email/phone patterns, vectorized
+    replace_substring_regex) over text with a deterministic planted
+    suffix — the same planting is mirrored in the SQL oracle."""
+    from high_performance_docling_ray.pipelines.corpus_clean import redact_pii
+
+    return redact_pii(sf_dir)
+
+
+def _q_segment_dedup(sf_dir: str):
+    """C4-style global segment-level exact dedup: keep the corpus-wide
+    first occurrence of every 13-token segment, reassemble docs from
+    survivors. Two key-grouped exchanges, no broadcast."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        segment_dedup,
+    )
+
+    return segment_dedup(sf_dir)
+
+
+def _q_tfidf_topk(sf_dir: str):
+    """Per-doc top-5 TF-IDF terms: distributed df pass (per-batch
+    combiner -> token groupby), broadcast idf under budget with a
+    cogroup-by-token fallback (test-pinned equal)."""
+    from high_performance_docling_ray.pipelines.corpus_clean import tfidf_topk
+
+    return tfidf_topk(sf_dir)
+
+
 def _q_token_counts(sf_dir: str):
     from high_performance_docling_ray.pipelines.text_analysis import token_counts
 
@@ -635,6 +685,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_recognize": _q_ocr_tasks,
         "ocr_recognize_pdf": _q_ocr_recognize_pdf,
         "figure_crops": _q_figure_crops,
+        "repetition_signals": _q_repetition_signals,
+        "redact_pii": _q_redact_pii,
+        "segment_dedup": _q_segment_dedup,
+        "tfidf_topk": _q_tfidf_topk,
         "debug_overlays": _q_debug_overlays,
         # multimodal: binary media column -> actor-pool decode/feature
         "image_features": _q_image_features,
@@ -652,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute_cosine": _q_knn_brute,
         "knn_ivf_cosine": _q_knn_ivf,
+        "knn_ivf_fullprobe": _q_knn_ivf_fullprobe,
         # text analysis
         "token_counts": _q_token_counts,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -1460,6 +1515,128 @@ def oracle_sql() -> dict[str, str]:
                || ']' AS ocr_text
         FROM l
     """
+    # corpus-cleaning ops (pipelines/corpus_clean.py): exact oracles
+    oracles["repetition_signals"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        base AS (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+                 COUNT(DISTINCT token) AS n_distinct
+          FROM tok GROUP BY doc_id
+        ),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS gram
+          FROM t WHERE len(toks) >= 2
+        ),
+        bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        bga AS (SELECT doc_id, MAX(c) AS mx FROM bgc GROUP BY doc_id),
+        tg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS gram
+          FROM t WHERE len(toks) >= 3
+        ),
+        tgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+        tga AS (
+          SELECT doc_id, SUM(c) AS total,
+                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+          FROM tgc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(b.n_tokens, 0) AS BIGINT) AS n_tokens,
+               round(COALESCE((b.n_tokens - b.n_distinct) * 1.0 / b.n_tokens,
+                              0), 6) AS dup_token_frac,
+               round(COALESCE(2.0 * g.mx / b.n_tokens, 0), 6)
+                 AS top_bigram_frac,
+               round(COALESCE(a.dup * 1.0 / a.total, 0), 6)
+                 AS dup_trigram_frac
+        FROM documents d
+        LEFT JOIN base b USING (doc_id)
+        LEFT JOIN bga g USING (doc_id)
+        LEFT JOIN tga a USING (doc_id)
+    """
+    oracles["redact_pii"] = r"""
+        WITH p AS (
+          SELECT doc_id,
+                 text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@mail.example.com or +1-555-01' ||
+                 lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '.' AS planted
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(planted,
+                   '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                 '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')
+                 AS redacted,
+               CAST(len(regexp_extract_all(planted,
+                 '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(
+                 regexp_replace(planted,
+                   '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                 '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+        FROM p
+    """
+    # keep-first-by-(doc_id, ord) winner == groupby MIN of the packed
+    # key; docs losing every segment emit no row on both sides
+    oracles["segment_dedup"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        s2 AS (
+          SELECT doc_id, CAST(u.ord AS BIGINT) AS ord,
+                 array_to_string(toks[u.ord*13+1 : u.ord*13+13], ' ')
+                   AS segment
+          FROM t,
+               unnest(range(0, CAST(ceil(len(toks) / 13.0) AS INT))) AS u(ord)
+        ),
+        w AS (
+          SELECT segment, MIN(doc_id * 1048576 + ord) AS packed
+          FROM s2 GROUP BY segment
+        )
+        SELECT CAST(packed // 1048576 AS BIGINT) AS doc_id,
+               string_agg(segment, ' ' ORDER BY packed % 1048576)
+                 AS dedup_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM w GROUP BY 1
+    """
+    oracles["tfidf_topk"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        sc AS (
+          SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+                 CAST(df AS BIGINT) AS df,
+                 round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS score
+          FROM tf JOIN df USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, tf, df, score FROM sc
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) <= 5
+    """
+    # full-probe IVF == brute force (lossless at nprobe == n_lists)
+    oracles["knn_ivf_fullprobe"] = oracles["knn_brute_cosine"]
     # figure_block fixture: one picture cluster at the fixed top-right
     # bbox per doc (page 0), caption block directly beneath it
     oracles["figure_crops"] = """

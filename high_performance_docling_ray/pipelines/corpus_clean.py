@@ -1,0 +1,441 @@
+"""Corpus-cleaning operators a web-scale training-data pipeline needs
+beyond the reference's document scope: Gopher-style repetition quality
+signals, PII redaction, C4-style segment-level global dedup, and
+TF-IDF term scoring. (The reference processes one document at a time —
+rule parity lives in kernels/; these are the corpus-level siblings,
+same family as pipelines/dedup.py.)
+
+Shuffle discipline:
+
+- ``repetition_signals`` / ``redact_pii`` are pure per-row maps — a
+  document's signals depend only on its own text — so they stream with
+  zero exchanges at any corpus size.
+- ``segment_dedup`` is exactly two key-grouped exchanges and NO
+  broadcast/join: the winner of each distinct segment is the groupby
+  MIN itself (keep-first by packed (doc_id, ord)), so kept occurrences
+  fall straight out of the aggregate and only kept segments ride the
+  second (reassembly) exchange.
+- ``tfidf_topk`` is the classic two-pass: a token-keyed partial-count
+  exchange for document frequencies (combiner inside ``map_batches``,
+  then a small groupby sum), then either a broadcast df lookup (under
+  ``df_broadcast_budget``) or a fully distributed
+  ``cogroup_attach``-by-token fallback — the same tiering as every
+  other broadcast in this repo.
+
+All token math is vectorized: Arrow ``utf8_split_whitespace`` +
+``dictionary_encode`` produce integer token codes, and group counts
+come from one ``np.lexsort`` pass per batch — no Python loop touches a
+token.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .text_analysis import read_documents
+
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def _tokenize(col: pa.ChunkedArray | pa.Array):
+    """Vectorized whitespace tokenization of a string column.
+
+    Returns ``(flat_tokens, doc_idx, n_tokens)``: the corpus-ordered
+    flat token array (empties filtered), each token's row index, and
+    per-row token counts. Null / empty texts yield zero tokens.
+    """
+    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(col))
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False
+    )
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    # split_whitespace emits '' for empty input and at string edges
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    keep &= flat.is_valid().to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+    n_tokens = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
+    return flat, doc_idx, n_tokens
+
+
+def _group_counts(keys: list[np.ndarray]):
+    """Group rows by the composite key (lexsort + adjacent-diff run
+    detection — overflow-safe at any cardinality, unlike key packing).
+
+    Returns ``(first_row_index, counts)`` per group, where
+    ``first_row_index`` indexes the ORIGINAL row order's sorted
+    permutation start — callers use it to read any per-group key column.
+    """
+    n = len(keys[0])
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.lexsort(keys[::-1])
+    sorted_keys = [k[order] for k in keys]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    change = np.zeros(n - 1, dtype=bool)
+    for k in sorted_keys:
+        change |= k[1:] != k[:-1]
+    new[1:] = change
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, n)).astype(np.int64)
+    return order[starts], counts
+
+
+def repetition_signals(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style per-document repetition quality signals
+    (Rae et al. 2021 §A1.1, token-count variant):
+
+    - ``dup_token_frac``   — ``(n_tokens - n_distinct) / n_tokens``
+    - ``top_bigram_frac``  — tokens covered by the most frequent
+      2-gram: ``2 * max_bigram_count / n_tokens``
+    - ``dup_trigram_frac`` — fraction of 3-gram instances whose 3-gram
+      occurs more than once
+
+    Pure map: one batch in, one stats row per document out.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, doc_idx, n_tok = _tokenize(batch.column("text"))
+        codes_arr = pc.dictionary_encode(flat)
+        codes = np.asarray(codes_arr.indices.to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+
+        n_distinct = np.zeros(n, np.int64)
+        if len(codes):
+            firsts, _ = _group_counts([doc_idx, codes])
+            np.add.at(n_distinct, doc_idx[firsts], 1)
+
+        max_bg = np.zeros(n, np.int64)
+        if len(codes) >= 2:
+            m = doc_idx[:-1] == doc_idx[1:]
+            if m.any():
+                d = doc_idx[:-1][m]
+                firsts, counts = _group_counts(
+                    [d, codes[:-1][m], codes[1:][m]]
+                )
+                np.maximum.at(max_bg, d[firsts], counts)
+
+        dup3 = np.zeros(n, np.int64)
+        tot3 = np.zeros(n, np.int64)
+        if len(codes) >= 3:
+            m = doc_idx[:-2] == doc_idx[2:]
+            if m.any():
+                d = doc_idx[:-2][m]
+                tot3 = np.bincount(d, minlength=n).astype(np.int64)
+                firsts, counts = _group_counts(
+                    [d, codes[:-2][m], codes[1:-1][m], codes[2:][m]]
+                )
+                dup = counts > 1
+                np.add.at(dup3, d[firsts[dup]], counts[dup])
+
+        nt = n_tok.astype(np.float64)
+        safe = np.where(n_tok > 0, nt, 1.0)
+        safe3 = np.where(tot3 > 0, tot3.astype(np.float64), 1.0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "dup_token_frac": pa.array(
+                    np.round((n_tok - n_distinct) / safe, 6), pa.float64()
+                ),
+                "top_bigram_frac": pa.array(
+                    np.round(2.0 * max_bg / safe, 6), pa.float64()
+                ),
+                "dup_trigram_frac": pa.array(
+                    np.round(dup3 / safe3, 6), pa.float64()
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, ("doc_id", "text")).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def redact_pii(
+    sf_dir: str, plant: bool = True
+) -> ray.data.Dataset:
+    """Redact emails / phone numbers from document text (RE2 patterns,
+    vectorized ``replace_substring_regex``), reporting per-doc match
+    counts. ``plant=True`` first appends a deterministic PII suffix
+    derived from doc_id — the synthetic corpus contains no organic PII,
+    so planting (mirrored exactly in the SQL oracle) is what makes the
+    redaction path observable end to end.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if plant:
+            did = pc.cast(batch.column("doc_id"), pa.string())
+            mod = (
+                batch.column("doc_id").to_numpy(zero_copy_only=False) % 100
+            )
+            two = pc.utf8_lpad(
+                pc.cast(pa.array(mod, pa.int64()), pa.string()),
+                width=2,
+                padding="0",
+            )
+            text = pc.binary_join_element_wise(
+                text, " Contact user", did, "@mail.example.com or +1-555-01",
+                two, ".", "",
+            )
+        n_email = pc.count_substring_regex(text, EMAIL_RE)
+        red = pc.replace_substring_regex(text, EMAIL_RE, "[EMAIL]")
+        n_phone = pc.count_substring_regex(red, PHONE_RE)
+        red = pc.replace_substring_regex(red, PHONE_RE, "[PHONE]")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "redacted": red,
+                "n_emails": pc.cast(n_email, pa.int64()),
+                "n_phones": pc.cast(n_phone, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, ("doc_id", "text")).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+_ORD_BITS = 20  # segments per doc < 2^20; packed = doc_id << 20 | ord
+
+
+def _segment_rows(batch: pa.Table, seg_tokens: int) -> pa.Table:
+    """(doc_id, text) -> one row per ``seg_tokens``-token segment:
+    (segment, packed) with packed = doc_id * 2^20 + ord. Segment
+    strings are built with ListArray offsets over the flat token
+    array + one vectorized ``binary_join`` — no per-row loop."""
+    flat, _, n_tok = _tokenize(batch.column("text"))
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    nseg = -(-n_tok // seg_tokens)  # ceil; 0 for empty docs
+    if int(nseg.max(initial=0)) >= (1 << _ORD_BITS):
+        raise ValueError(
+            f"doc with >= 2^{_ORD_BITS} segments; raise _ORD_BITS"
+        )
+    starts = np.concatenate([[0], np.cumsum(n_tok)])
+    seg_doc_row = np.repeat(np.arange(len(n_tok), dtype=np.int64), nseg)
+    seg_ord = (
+        np.arange(int(nseg.sum()), dtype=np.int64)
+        - np.repeat(np.concatenate([[0], np.cumsum(nseg)])[:-1], nseg)
+    )
+    bounds = starts[seg_doc_row] + seg_ord * seg_tokens
+    offsets = np.append(bounds, starts[-1]).astype(np.int32)
+    segs = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    seg_str = pc.binary_join(segs, " ")
+    packed = (doc_ids[seg_doc_row].astype(np.int64) << _ORD_BITS) | seg_ord
+    return pa.Table.from_pydict(
+        {
+            "segment": seg_str,
+            "packed": pa.array(packed, pa.int64()),
+        }
+    )
+
+
+def segment_dedup(sf_dir: str, seg_tokens: int = 13) -> ray.data.Dataset:
+    """C4-style global segment-level exact dedup (Raffel et al. 2020
+    §2.2 use three-sentence spans; here a span is ``seg_tokens``
+    whitespace tokens, since the synthetic corpus has no sentence
+    marks): every distinct segment is kept ONCE corpus-wide, at its
+    first occurrence by (doc_id, ord), and each document is
+    reassembled from its surviving segments in original order.
+
+    Scale shape — two exchanges, no broadcast, no join:
+
+      (segment, packed) rows -> groupby(segment).min(packed)
+
+    The MIN row IS the kept occurrence, so winner determination and
+    the semi-join collapse into one aggregate; docs whose every
+    segment lost elsewhere simply emit no row (mirrored in the
+    oracle). Reassembly is a second, kept-rows-only groupby(doc_id).
+    """
+    rows = read_documents(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: _segment_rows(b, seg_tokens), batch_format="pyarrow"
+    )
+    winners = rows.groupby("segment").min("packed")
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        packed = batch.column("min(packed)").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(packed >> _ORD_BITS, pa.int64()),
+                "ord": pa.array(packed & ((1 << _ORD_BITS) - 1), pa.int64()),
+                "segment": batch.column("segment"),
+            }
+        )
+
+    kept = winners.map_batches(unpack, batch_format="pyarrow")
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        order = np.argsort(
+            group.column("ord").to_numpy(zero_copy_only=False), kind="stable"
+        )
+        segs = group.column("segment").take(pa.array(order))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array([0, len(segs)], pa.int32()),
+                segs.combine_chunks() if isinstance(segs, pa.ChunkedArray) else segs,
+            ),
+            " ",
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": group.column("doc_id").slice(0, 1),
+                "dedup_text": joined,
+                "n_kept": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    return kept.groupby("doc_id").map_groups(
+        reassemble, batch_format="pyarrow"
+    )
+
+
+def tfidf_topk(
+    sf_dir: str,
+    k: int = 5,
+    df_broadcast_budget: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Per-document top-``k`` TF-IDF terms:
+    ``score = round(tf * ln(N / df), 6)``, ranked by (score desc,
+    token asc).
+
+    Pass 1 computes document frequencies with a per-batch combiner
+    (distinct (doc, token) -> token partial counts) before the small
+    token-keyed groupby. Pass 2 scores per document — a pure map when
+    the df table fits ``df_broadcast_budget`` (vocabulary grows
+    sublinearly in corpus size, so this is the common case), else a
+    fully distributed ``cogroup_attach`` of df onto (doc_id, token,
+    tf) rows by token followed by a per-doc top-k ``map_groups``.
+    """
+    from .dedup import _collect_within_budget
+    from .joins import cogroup_attach
+
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+    n_docs = docs.count()
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _tokenize(batch.column("text"))
+        codes_arr = pc.dictionary_encode(flat)
+        codes = np.asarray(
+            codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+        if not len(codes):
+            return pa.Table.from_pydict(
+                {"token": pa.array([], pa.string()),
+                 "pdf": pa.array([], pa.int64())}
+            )
+        firsts, _ = _group_counts([codes, doc_idx])
+        cnt = np.bincount(codes[firsts]).astype(np.int64)
+        present = np.flatnonzero(cnt)
+        return pa.Table.from_pydict(
+            {
+                "token": codes_arr.dictionary.take(pa.array(present)),
+                "pdf": pa.array(cnt[present], pa.int64()),
+            }
+        )
+
+    df_ds = (
+        docs.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .sum("pdf")
+    )
+
+    def doc_tf(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _tokenize(batch.column("text"))
+        codes_arr = pc.dictionary_encode(flat)
+        codes = np.asarray(
+            codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if not len(codes):
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "token": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        firsts, counts = _group_counts([doc_idx, codes])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids[doc_idx[firsts]], pa.int64()),
+                "token": codes_arr.dictionary.take(pa.array(codes[firsts])),
+                "tf": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def topk_table(tbl: pa.Table) -> pa.Table:
+        """(doc_id, token, tf, df) rows -> per-doc top-k by score."""
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = tbl.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.round(tf * np.log(n_docs / df), 6)
+        tbl = tbl.append_column("score", pa.array(score, pa.float64()))
+        import pandas as pd
+
+        pdf = tbl.to_pandas()
+        pdf = pdf.sort_values(
+            ["doc_id", "score", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        pdf = pdf.groupby("doc_id", sort=False).head(k)
+        return pa.Table.from_pandas(
+            pdf, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    df_tbl = _collect_within_budget(df_ds, df_broadcast_budget)
+    if df_tbl is not None and df_tbl.num_rows:
+        import ray
+
+        df_ref = ray.put(
+            dict(
+                zip(
+                    df_tbl.column("token").to_pylist(),
+                    df_tbl.column("sum(pdf)").to_pylist(),
+                )
+            )
+        )
+
+        def score_broadcast(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            import ray as _ray
+
+            tfs = doc_tf(batch)
+            lookup = _ray.get(df_ref)
+            tok = tfs.column("token").to_numpy(zero_copy_only=False)
+            dfv = (
+                pd.Series(tok, dtype=object).map(lookup).to_numpy(np.int64)
+            )
+            tfs = tfs.append_column("df", pa.array(dfv, pa.int64()))
+            return topk_table(tfs)
+
+        return docs.map_batches(score_broadcast, batch_format="pyarrow")
+
+    # over-budget tier: distribute df attach by token, then per-doc top-k
+    def rename_df(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["token", "df"])
+
+    tf_rows = docs.map_batches(doc_tf, batch_format="pyarrow")
+    joined = cogroup_attach(
+        tf_rows,
+        df_ds.map_batches(rename_df, batch_format="pyarrow"),
+        key="token",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("token", pa.string()),
+            pa.field("tf", pa.int64()),
+        ],
+        payload_fields=[pa.field("df", pa.int64())],
+    )
+    return joined.groupby("doc_id").map_groups(
+        topk_table, batch_format="pyarrow"
+    )

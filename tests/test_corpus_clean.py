@@ -1,0 +1,161 @@
+"""Corpus-cleaning operators (pipelines/corpus_clean.py): closed-form
+unit checks on crafted corpora plus the broadcast/cogroup tier pin for
+TF-IDF."""
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from high_performance_docling_ray.pipelines.corpus_clean import (  # noqa: E402
+    _group_counts,
+    _tokenize,
+    redact_pii,
+    repetition_signals,
+    segment_dedup,
+    tfidf_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts):
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_tokenize_edges():
+    flat, doc_idx, n_tok = _tokenize(
+        pa.chunked_array([["  a  b ", "", "x", None]])
+    )
+    assert flat.to_pylist() == ["a", "b", "x"]
+    assert doc_idx.tolist() == [0, 0, 2]
+    assert n_tok.tolist() == [2, 0, 1, 0]
+
+
+def test_group_counts():
+    doc = np.array([0, 0, 0, 1, 1], np.int64)
+    code = np.array([7, 7, 3, 7, 7], np.int64)
+    firsts, counts = _group_counts([doc, code])
+    got = sorted(zip(doc[firsts].tolist(), code[firsts].tolist(), counts.tolist()))
+    assert got == [(0, 3, 1), (0, 7, 2), (1, 7, 2)]
+
+
+def test_repetition_signals_closed_form(tmp_path):
+    # doc0: 'a b a b a b' -> 6 tokens, 2 distinct, top bigram 'a b' x3,
+    # trigrams: aba x2, bab x2 -> all 4 duplicated
+    # doc1: all distinct -> all fracs 0
+    sf = _write_docs(tmp_path, ["a b a b a b", "p q r s"])
+    out = (
+        repetition_signals(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.loc[0, "n_tokens"] == 6
+    assert out.loc[0, "dup_token_frac"] == pytest.approx(4 / 6, abs=1e-6)
+    assert out.loc[0, "top_bigram_frac"] == pytest.approx(1.0, abs=1e-6)
+    assert out.loc[0, "dup_trigram_frac"] == pytest.approx(1.0, abs=1e-6)
+    assert out.loc[1, "dup_token_frac"] == 0.0
+    assert out.loc[1, "top_bigram_frac"] == pytest.approx(2 / 4, abs=1e-6)
+    assert out.loc[1, "dup_trigram_frac"] == 0.0
+
+
+def test_redact_pii_planted(tmp_path):
+    sf = _write_docs(tmp_path, ["hello world", "reach me at a.b-c@x.co now"])
+    out = redact_pii(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # every doc gets exactly one planted email + phone; doc1 has one organic email
+    assert out["n_phones"].tolist() == [1, 1]
+    assert out["n_emails"].tolist() == [1, 2]
+    assert "[EMAIL]" in out.loc[1, "redacted"]
+    assert "a.b-c@x.co" not in out.loc[1, "redacted"]
+    assert out.loc[0, "redacted"].endswith("or [PHONE].")
+
+
+def test_segment_dedup_keep_first(tmp_path):
+    # seg_tokens=2: doc0 = [a b][c d]; doc1 = [c d][e f]; doc2 = [a b]
+    # winners: 'a b'->(0,0), 'c d'->(0,1), 'e f'->(1,1)
+    # doc2 loses its only segment -> no row
+    sf = _write_docs(tmp_path, ["a b c d", "c d e f", "a b"])
+    out = (
+        segment_dedup(sf, seg_tokens=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["dedup_text"].tolist() == ["a b c d", "e f"]
+    assert out["n_kept"].tolist() == [2, 1]
+
+
+def test_segment_dedup_partial_tail(tmp_path):
+    # 3-token doc with seg_tokens=2 -> segments [a b], [c]
+    sf = _write_docs(tmp_path, ["a b c"])
+    out = segment_dedup(sf, seg_tokens=2).to_pandas()
+    assert out["dedup_text"].tolist() == ["a b c"]
+    assert out["n_kept"].tolist() == [2]
+
+
+def test_tfidf_closed_form(tmp_path):
+    # 'x' appears in both docs (df=2, idf=ln(1)=0); 'y' only in doc0
+    sf = _write_docs(tmp_path, ["x y y", "x z"])
+    out = tfidf_topk(sf, k=2).to_pandas()
+    d0 = out[out.doc_id == 0].set_index("token")
+    assert d0.loc["y", "tf"] == 2 and d0.loc["y", "df"] == 1
+    assert d0.loc["y", "score"] == pytest.approx(2 * np.log(2), abs=1e-6)
+    assert d0.loc["x", "score"] == 0.0
+    # rank: y (score>0) before x (0)
+    assert out[out.doc_id == 0]["token"].tolist() == ["y", "x"]
+
+
+def test_tfidf_tiers_equal():
+    """Broadcast df tier == forced cogroup tier, byte for byte."""
+    a = (
+        tfidf_topk(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    b = (
+        tfidf_topk(SF, df_broadcast_budget=0)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)[list(a.columns)]
+    )
+    assert a.equals(b)
+
+
+def test_segment_dedup_sf_conservation():
+    """Every distinct segment in the corpus survives exactly once:
+    total kept == corpus-wide distinct segment count."""
+    out = segment_dedup(SF).to_pandas()
+    kept_total = int(out["n_kept"].sum())
+
+    import duckdb
+
+    con = duckdb.connect()
+    distinct = con.execute(
+        rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM read_parquet('{SF}/documents.parquet')
+        ),
+        s2 AS (
+          SELECT array_to_string(toks[u.ord*13+1 : u.ord*13+13], ' ') AS seg
+          FROM t,
+               unnest(range(0, CAST(ceil(len(toks) / 13.0) AS INT))) AS u(ord)
+        )
+        SELECT COUNT(DISTINCT seg) FROM s2
+        """
+    ).fetchone()[0]
+    assert kept_total == distinct
