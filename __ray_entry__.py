@@ -452,6 +452,37 @@ def _q_figure_features(sf_dir: str):
     return figure_features(result, concurrency=(1, 4))
 
 
+def _q_sample_per_group(sf_dir: str):
+    """Deterministic k-per-stratum sample: per language, the k=3 docs
+    with the smallest md5-derived hash64(doc_id) — per-batch combiner
+    + driver merge, no shuffle."""
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        sample_per_group,
+    )
+
+    return sample_per_group(sf_dir, k=3)
+
+
+def _q_exact_quantiles(sf_dir: str):
+    """Exact discrete quantiles as a value-count aggregate (no global
+    sort); index rule matches DuckDB quantile_disc."""
+    from high_performance_docling_ray.pipelines.relational import (
+        exact_quantiles,
+    )
+
+    return exact_quantiles(sf_dir)
+
+
+def _q_anti_join(sf_dir: str):
+    """Distributed anti-join (broadcast tier): customers with no order
+    above 300k; the forced-cogroup tier is test-pinned equal."""
+    from high_performance_docling_ray.pipelines.relational import (
+        anti_join_customers,
+    )
+
+    return anti_join_customers(sf_dir)
+
+
 def _q_figure_crops(sf_dir: str):
     """Figure-crop rows (M25 geometry + J7 caption attach),
     hash-verified: the figure_block fixture plants a fixed-bbox picture
@@ -685,6 +716,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_recognize": _q_ocr_tasks,
         "ocr_recognize_pdf": _q_ocr_recognize_pdf,
         "figure_crops": _q_figure_crops,
+        "sample_per_group": _q_sample_per_group,
+        "exact_quantiles": _q_exact_quantiles,
+        "anti_join_customers": _q_anti_join,
         "repetition_signals": _q_repetition_signals,
         "redact_pii": _q_redact_pii,
         "segment_dedup": _q_segment_dedup,
@@ -1514,6 +1548,28 @@ def oracle_sql() -> dict[str, str]:
                substr(md5(printf('0:%d:420.0,60.0,560.0,90.0', nl + 2)), 1, 8)
                || ']' AS ocr_text
         FROM l
+    """
+    oracles["sample_per_group"] = """
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id
+        ) <= 3
+    """
+    oracles["exact_quantiles"] = """
+        SELECT CAST(q AS DOUBLE) AS q, CAST(value AS DOUBLE) AS value
+        FROM (
+          SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+                 unnest((SELECT quantile_disc(l_quantity,
+                                              [0.25, 0.5, 0.75, 0.95])
+                         FROM lineitem)) AS value
+        )
+    """
+    oracles["anti_join_customers"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        )
     """
     # corpus-cleaning ops (pipelines/corpus_clean.py): exact oracles
     oracles["repetition_signals"] = r"""

@@ -425,6 +425,160 @@ def distinct_segments(sf_dir: str) -> pa.Table:
     return pa.Table.from_pydict({"c_mktsegment": pa.array(vals)})
 
 
+def exact_quantiles(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    table: str = "lineitem",
+    column: str = "l_quantity",
+) -> pa.Table:
+    """EXACT discrete quantiles of a numeric column, computed as a
+    value-count aggregate instead of a global sort: each batch emits
+    its (value, cnt) histogram (np.unique combiner), one groupby
+    merges them, and the driver takes the quantile from the sorted
+    cumulative counts — ``index = max(0, ceil(q*n) - 1)``, matching
+    DuckDB ``quantile_disc``.
+
+    Scale shape: the exchange carries one row per DISTINCT value per
+    block — for bounded-cardinality columns (quantities, sizes,
+    scores at fixed precision) that is O(distinct), never O(rows), and
+    no sort of the data ever happens. For genuinely continuous
+    columns, bucket first (fixed-width bins) and refine the one
+    boundary bin with a second pass — same primitive, two rounds.
+    """
+    ds = _read(sf_dir, table, [column])
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "value": pa.array(uniq.astype(np.float64), pa.float64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(local_counts, batch_format="pyarrow")
+    merged = _combine_partials(partials, keys=["value"], sum_cols=["cnt"])
+    if merged is None:
+        # over-limit distinct set: Ray groupby shuffle, then the final
+        # (now per-distinct-value) result lands for the cum-scan
+        shuffled = partials.groupby("value").sum("cnt")
+        merged = pa.concat_tables(
+            [t for t in ray.get(shuffled.materialize().to_arrow_refs())
+             if t.num_rows]
+        )
+    vals = merged.column("value").to_numpy(zero_copy_only=False)
+    cnts = merged.column("sum(cnt)").to_numpy(zero_copy_only=False)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(0, int(np.ceil(q * n)) - 1)
+        pos = int(np.searchsorted(cum, idx + 1))
+        out_q.append(round(float(q), 6))
+        out_v.append(float(vals[pos]))
+    return pa.Table.from_pydict(
+        {
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )
+
+
+def anti_join_customers(
+    sf_dir: str,
+    min_price: float = 300_000.0,
+    build_broadcast_budget: int = 2_000_000,
+) -> pa.Table | ray.data.Dataset:
+    """Customers with NO order above ``min_price`` — the distributed
+    ANTI-JOIN primitive (the complement of the semi-join used by
+    dedup's winner filter).
+
+    Tiers, same discipline as every join in this repo: the build side
+    is first reduced to DISTINCT keys (a key-only groupby count — the
+    only thing that ever shuffles); under
+    ``build_broadcast_budget`` those keys broadcast and the probe side
+    streams through a vectorized sorted-membership mask; past the
+    budget, ``cogroup_attach`` marks matches and a null-filter keeps
+    the anti rows — fully distributed at any key cardinality.
+    """
+    from .joins import cogroup_attach
+
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def high_value(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch.column("o_totalprice"), min_price)
+        return batch.filter(pc.fill_null(mask, False)).select(["o_custkey"])
+
+    okeys = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(high_value, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+    )
+
+    from .dedup import _collect_within_budget
+
+    keys_tbl = _collect_within_budget(
+        okeys.select_columns(["o_custkey"]), build_broadcast_budget
+    )
+    if keys_tbl is not None:
+        have = np.sort(
+            keys_tbl.column("o_custkey").to_numpy(zero_copy_only=False)
+        ) if keys_tbl.num_rows else np.empty(0, np.int64)
+        have_ref = ray.put(have)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            keys = ray.get(have_ref)
+            probe = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+            mask = _sorted_member_mask(keys, probe)
+            return batch.filter(pa.array(~mask))
+
+        out = customers.map_batches(anti, batch_format="pyarrow")
+        parts = [
+            t for t in ray.get(out.materialize().to_arrow_refs())
+            if t.num_rows
+        ]
+        if not parts:
+            return pa.Table.from_pydict(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "c_name": pa.array([], pa.string())}
+            )
+        return pa.concat_tables(parts).sort_by(
+            [("c_custkey", "ascending")]
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": batch.column("o_custkey"),
+                "hit": pa.array(
+                    np.ones(batch.num_rows, np.int8), pa.int8()
+                ),
+            }
+        )
+
+    joined = cogroup_attach(
+        customers,
+        okeys.map_batches(rename, batch_format="pyarrow"),
+        key="c_custkey",
+        left_fields=[
+            pa.field("c_custkey", pa.int64()),
+            pa.field("c_name", pa.string()),
+        ],
+        payload_fields=[pa.field("hit", pa.int8())],
+    )
+
+    def keep_anti(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            batch.column("hit").is_null()
+        ).drop_columns(["hit"])
+
+    return joined.map_batches(keep_anti, batch_format="pyarrow")
+
+
 def filter_project_lineitem(
     sf_dir: str, min_qty: float = 45.0, driver_sort_budget: int = 2_000_000
 ) -> pa.Table:

@@ -179,6 +179,58 @@ def stratified_hash_sample(
     )
 
 
+def sample_per_group(
+    sf_dir: str, k: int = 3, columns=("doc_id", "lang")
+) -> pa.Table:
+    """DETERMINISTIC k-per-stratum sample: for each language, the k
+    docs with the smallest ``hash64(doc_id)`` (ties by doc_id) — the
+    fixed-size sibling of ``stratified_hash_sample``'s fixed-rate
+    sample, with the same reproducibility and nesting (k'<k always
+    selects a subset of k).
+
+    Scale shape: each batch emits its own per-lang k-smallest rows (a
+    combiner — at most k x #langs rows leave any block), one driver
+    merge takes the global winners. No shuffle; partials are bounded
+    by k x #langs x #blocks and #langs is small by construction (salt
+    the stratum key otherwise).
+    """
+    from ..kernels.sketch import hash64
+
+    def local_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        hv = hash64(ids)
+        ids64 = np.asarray(ids, dtype=np.int64)
+        order = np.lexsort((ids64, hv, langs))
+        langs_s = langs[order]
+        new_run = np.concatenate(([True], langs_s[1:] != langs_s[:-1]))
+        run_id = np.cumsum(new_run) - 1
+        starts = np.nonzero(new_run)[0][run_id]
+        pos = np.arange(len(langs_s)) - starts
+        keep = order[pos < k]
+        return batch.take(pa.array(np.sort(keep)))
+
+    parts = [
+        t
+        for t in ray.get(
+            read_documents(sf_dir, columns)
+            .map_batches(local_k, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array([], pa.int64()),
+             "lang": pa.array([], pa.string())}
+        )
+    merged = pa.concat_tables(parts)
+    return local_k(merged).sort_by(
+        [("lang", "ascending"), ("doc_id", "ascending")]
+    )
+
+
 def lang_stats(sf_dir: str):
     """Per-language doc count + mean n_chars: per-batch partial
     aggregation merged with one driver-side group_by (Ray groupby
