@@ -452,6 +452,17 @@ def _q_figure_features(sf_dir: str):
     return figure_features(result, concurrency=(1, 4))
 
 
+def _q_neardup_components(sf_dir: str):
+    """Duplicate-cluster labeling: connected components over the exact
+    n-gram-Jaccard pair set (driver union-find under budget; the
+    distributed min-label-propagation tier is test-pinned equal)."""
+    from high_performance_docling_ray.pipelines.components import (
+        neardup_components,
+    )
+
+    return neardup_components(sf_dir)
+
+
 def _q_sample_per_group(sf_dir: str):
     """Deterministic k-per-stratum sample: per language, the k=3 docs
     with the smallest md5-derived hash64(doc_id) — per-batch combiner
@@ -716,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_recognize": _q_ocr_tasks,
         "ocr_recognize_pdf": _q_ocr_recognize_pdf,
         "figure_crops": _q_figure_crops,
+        "neardup_components": _q_neardup_components,
         "sample_per_group": _q_sample_per_group,
         "exact_quantiles": _q_exact_quantiles,
         "anti_join_customers": _q_anti_join,
@@ -1548,6 +1560,44 @@ def oracle_sql() -> dict[str, str]:
                substr(md5(printf('0:%d:420.0,60.0,560.0,90.0', nl + 2)), 1, 8)
                || ']' AS ocr_text
         FROM l
+    """
+    # connected components over the exact n-gram pair set: recursive
+    # reachability closure, min label per node == min doc_id reachable
+    oracles["neardup_components"] = r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            END AS sh
+          FROM toks
+        ),
+        ne AS (SELECT doc_id, sh, len(sh) AS L FROM sh WHERE len(sh) > 0),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+          WHERE CAST(least(a.L, b.L) AS DOUBLE) >= 0.5 * greatest(a.L, b.L)
+            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (a.L + b.L - len(list_intersect(a.sh, b.sh))) >= 0.5
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+        FROM reach GROUP BY node
     """
     oracles["sample_per_group"] = """
         SELECT doc_id, lang FROM documents

@@ -1,0 +1,160 @@
+"""Connected components over a near-duplicate pair set — the step that
+turns pairwise dedup output into duplicate CLUSTERS (each doc labeled
+with the min doc_id of its component; canonical-representative
+selection, transitive "A~B~C means A,C are dups" semantics).
+
+Tiers, the repo's standard discipline:
+
+* pairs within ``pairs_broadcast_budget``: one driver union-find over
+  the edge list (path-halving, vectorized row feed), then the label
+  map broadcasts and ALL docs stream through a pure map — singletons
+  label themselves, no shuffle of the corpus.
+* past the budget: DISTRIBUTED MIN-LABEL PROPAGATION — labels start as
+  (node, node); each round attaches current labels to the symmetric
+  edge list by src (``cogroup_attach``), emits (dst, src_label)
+  candidates, and folds them into the labels with a key-only
+  ``groupby(node).min``. Labels decrease monotonically, so the global
+  label SUM is a convergence certificate: a round that leaves the sum
+  unchanged is the fixpoint. Rounds needed = graph diameter (near-dup
+  clusters are shallow; a handful of rounds in practice) and every
+  round is a key-only exchange — nothing about the corpus payload
+  moves.
+
+Both tiers are pinned equal in tests; the driver-gate oracle rebuilds
+the same labels with a recursive-CTE reachability min in DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .dedup import _collect_within_budget, ngram_jaccard_pairs
+from .joins import cogroup_attach
+from .text_analysis import read_documents
+
+
+def _union_find_labels(a: np.ndarray, b: np.ndarray) -> dict[int, int]:
+    """Driver union-find (path halving + union by min), returning a
+    node -> min-node-in-component map for nodes that appear in edges."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    return {x: find(x) for x in set(a.tolist()) | set(b.tolist())}
+
+
+def neardup_components(
+    sf_dir: str,
+    threshold: float = 0.5,
+    pairs_broadcast_budget: int = 2_000_000,
+    max_rounds: int = 64,
+) -> ray.data.Dataset | pa.Table:
+    """(doc_id, component) for EVERY document, where component is the
+    min doc_id reachable through exact n-gram-Jaccard >= ``threshold``
+    edges (``ngram_jaccard_pairs``); docs with no near-dup are their
+    own component."""
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold).select_columns(
+        ["doc_a", "doc_b"]
+    )
+    docs = read_documents(sf_dir, ("doc_id",))
+
+    pair_tbl = _collect_within_budget(pairs, pairs_broadcast_budget)
+    if pair_tbl is not None:
+        if pair_tbl.num_rows:
+            labels = _union_find_labels(
+                pair_tbl.column("doc_a").to_numpy(zero_copy_only=False),
+                pair_tbl.column("doc_b").to_numpy(zero_copy_only=False),
+            )
+        else:
+            labels = {}
+        labels_ref = ray.put(labels)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            lookup = ray.get(labels_ref)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            comp = (
+                pd.Series(ids).map(lookup).fillna(pd.Series(ids)).to_numpy()
+            )
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "component": pa.array(comp.astype(np.int64), pa.int64()),
+                }
+            )
+
+        return docs.map_batches(attach, batch_format="pyarrow")
+
+    # distributed tier: min-label propagation to fixpoint
+    def symm(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(symm, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.Table.from_pydict({"node": ids, "label": ids})
+
+    labels_ds = docs.map_batches(init_labels, batch_format="pyarrow")
+    prev_sum: int | None = None
+    for _ in range(max_rounds):
+        labels_ds = labels_ds.materialize()
+        cur_sum = labels_ds.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        cand = cogroup_attach(
+            edges,
+            labels_ds.map_batches(
+                lambda b: b.rename_columns(["src", "src_label"]),
+                batch_format="pyarrow",
+            ),
+            key="src",
+            left_fields=[
+                pa.field("src", pa.int64()),
+                pa.field("dst", pa.int64()),
+            ],
+            payload_fields=[pa.field("src_label", pa.int64())],
+        ).map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"node": b.column("dst"), "label": b.column("src_label")}
+            ),
+            batch_format="pyarrow",
+        )
+        labels_ds = (
+            labels_ds.union(cand)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda b: b.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+        )
+
+    return labels_ds.map_batches(
+        lambda b: b.rename_columns(["doc_id", "component"]),
+        batch_format="pyarrow",
+    )

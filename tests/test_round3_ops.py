@@ -78,3 +78,53 @@ def test_sample_per_group_nested_and_deterministic():
     again = sample_per_group(SF, k=3).to_pandas()
     assert s3.equals(again)
     assert (s3.groupby("lang").size() <= 3).all()
+
+
+def test_neardup_components_tiers_equal():
+    """Driver union-find tier == distributed min-label propagation."""
+    from high_performance_docling_ray.pipelines.components import (
+        neardup_components,
+    )
+
+    a = (
+        neardup_components(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        neardup_components(SF, pairs_broadcast_budget=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "component"]]
+    )
+    assert a.equals(b)
+    assert len(a) == 500  # every doc labeled, singletons included
+
+
+def test_neardup_components_transitive_chain(tmp_path):
+    """A~B and B~C (but A!~C directly) must share one component."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_ab = base + " lambda"          # high overlap with base
+    near_bc = base + " lambda mu"       # overlaps near_ab strongly
+    other = "one two three four five six seven eight nine ten"
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([base, near_ab, near_bc, other]),
+            "lang": pa.array(["en"] * 4),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from high_performance_docling_ray.pipelines.components import (
+        neardup_components,
+    )
+
+    out = (
+        neardup_components(str(tmp_path), threshold=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["component"].tolist()[:3] == [0, 0, 0]
+    assert out.loc[3, "component"] == 3
