@@ -452,6 +452,17 @@ def _q_figure_features(sf_dir: str):
     return figure_features(result, concurrency=(1, 4))
 
 
+def _q_postings_lookup(sf_dir: str):
+    """Inverted-index round trip: build the bucket-partitioned posting
+    store once (content-keyed cache), then read ONLY the query tokens'
+    bucket partitions — partition pruning as candidate filter."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        postings_lookup,
+    )
+
+    return postings_lookup(sf_dir, ["spark", "window", "merge"])
+
+
 def _q_neardup_components(sf_dir: str):
     """Duplicate-cluster labeling: connected components over the exact
     n-gram-Jaccard pair set (driver union-find under budget; the
@@ -728,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_recognize_pdf": _q_ocr_recognize_pdf,
         "figure_crops": _q_figure_crops,
         "neardup_components": _q_neardup_components,
+        "postings_lookup": _q_postings_lookup,
         "sample_per_group": _q_sample_per_group,
         "exact_quantiles": _q_exact_quantiles,
         "anti_join_customers": _q_anti_join,
@@ -1560,6 +1572,18 @@ def oracle_sql() -> dict[str, str]:
                substr(md5(printf('0:%d:420.0,60.0,560.0,90.0', nl + 2)), 1, 8)
                || ']' AS ocr_text
         FROM l
+    """
+    oracles["postings_lookup"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM t)
+        SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE token IN ('spark', 'window', 'merge')
+        GROUP BY 1, 2
     """
     # connected components over the exact n-gram pair set: recursive
     # reachability closure, min label per node == min doc_id reachable

@@ -301,6 +301,143 @@ def segment_dedup(sf_dir: str, seg_tokens: int = 13) -> ray.data.Dataset:
     )
 
 
+def build_inverted_index(
+    sf_dir: str,
+    num_buckets: int = 16,
+    out_dir: str | None = None,
+) -> str:
+    """One-time PERSISTED inverted index: (token, doc_id, tf) posting
+    rows written as parquet partitioned by ``bucket = hash(token) %
+    num_buckets`` — the search-index sibling of the IVF store
+    (``similarity.py:build_ivf_index``: same content-keyed cache dir,
+    ``_SUCCESS`` marker, crash-wipe rebuild). A lookup reads ONLY its
+    query tokens' bucket partitions; at corpus scale, raise
+    ``num_buckets`` so a bucket is one worker's read.
+
+    The build is a single streaming pass: the per-batch (doc, token)
+    tf combiner from ``tfidf_topk``'s pass 2, plus one vectorized
+    bucket hash; no shuffle — parquet partitioning on write is the
+    only data movement.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from .joins import string_key_buckets
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        content_tag = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content_tag = "unknown"
+    if out_dir is None:
+        tag = hashlib.md5(
+            f"{src}:{num_buckets}:{content_tag}".encode()
+        ).hexdigest()[:12]
+        out_dir = f"/tmp/graft_invidx/{tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _tokenize(batch.column("text"))
+        codes_arr = pc.dictionary_encode(flat)
+        codes = np.asarray(
+            codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if not len(codes):
+            return pa.Table.from_pydict(
+                {"token": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int32())}
+            )
+        firsts, counts = _group_counts([doc_idx, codes])
+        tokens = codes_arr.dictionary.take(pa.array(codes[firsts]))
+        return pa.Table.from_pydict(
+            {
+                "token": tokens,
+                "doc_id": pa.array(doc_ids[doc_idx[firsts]], pa.int64()),
+                "tf": pa.array(counts, pa.int64()),
+                "bucket": pa.array(
+                    string_key_buckets(tokens, num_buckets), pa.int32()
+                ),
+            }
+        )
+
+    docs.map_batches(posting_rows, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def postings_lookup(
+    sf_dir: str, tokens: list[str], num_buckets: int = 16
+) -> pa.Table:
+    """(token, doc_id, tf) postings for ``tokens``, reading ONLY the
+    bucket partitions the query tokens hash into — partition pruning
+    does the candidate filtering, exactly like the IVF nprobe read."""
+    import glob
+    import os
+
+    from .joins import string_key_buckets
+
+    index_dir = build_inverted_index(sf_dir, num_buckets=num_buckets)
+    want = pa.array(sorted(set(tokens)), pa.string())
+    buckets = sorted(set(string_key_buckets(want, num_buckets).tolist()))
+    paths = [
+        f
+        for b in buckets
+        for f in sorted(
+            glob.glob(os.path.join(out_glob(index_dir, b), "*.parquet"))
+        )
+    ]
+    if not paths:
+        return pa.Table.from_pydict(
+            {"token": pa.array([], pa.string()),
+             "doc_id": pa.array([], pa.int64()),
+             "tf": pa.array([], pa.int64())}
+        )
+
+    def hit(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("token"), value_set=want)
+        return batch.filter(mask).select(["token", "doc_id", "tf"])
+
+    out = (
+        ray.data.read_parquet(paths, columns=["token", "doc_id", "tf"])
+        .map_batches(hit, batch_format="pyarrow")
+    )
+    parts = [
+        t
+        for t in ray.get(out.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.Table.from_pydict(
+            {"token": pa.array([], pa.string()),
+             "doc_id": pa.array([], pa.int64()),
+             "tf": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(parts).sort_by(
+        [("token", "ascending"), ("doc_id", "ascending")]
+    )
+
+
+def out_glob(index_dir: str, bucket: int) -> str:
+    import os
+
+    return os.path.join(index_dir, f"bucket={bucket}")
+
+
 def tfidf_topk(
     sf_dir: str,
     k: int = 5,

@@ -159,3 +159,53 @@ def test_segment_dedup_sf_conservation():
         """
     ).fetchone()[0]
     assert kept_total == distinct
+
+
+def test_inverted_index_roundtrip_and_pruning():
+    """Partition-pruned lookup equals a direct tf count, and the read
+    touches only the query tokens' buckets."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        build_inverted_index,
+        out_glob,
+        postings_lookup,
+    )
+    from high_performance_docling_ray.pipelines.joins import (
+        string_key_buckets,
+    )
+
+    got = postings_lookup(SF, ["spark", "key"]).to_pandas()
+
+    import duckdb
+
+    want = duckdb.connect().execute(
+        rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM read_parquet('{SF}/documents.parquet')
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM t)
+        SELECT token, doc_id, COUNT(*) AS tf FROM tok
+        WHERE token IN ('spark', 'key')
+        GROUP BY 1, 2 ORDER BY token, doc_id
+        """
+    ).fetchdf().astype({"tf": "int64"})
+    assert got.reset_index(drop=True).equals(want)
+
+    # pruning: the lookup's buckets are a strict subset of all buckets
+    import os
+
+    index_dir = build_inverted_index(SF)
+    all_buckets = {
+        int(d.split("=")[1])
+        for d in os.listdir(index_dir)
+        if d.startswith("bucket=")
+    }
+    query_buckets = set(
+        string_key_buckets(
+            pa.array(["spark", "key"], pa.string()), 16
+        ).tolist()
+    )
+    assert query_buckets <= all_buckets
+    assert len(query_buckets) < len(all_buckets)
