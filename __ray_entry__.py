@@ -452,6 +452,24 @@ def _q_figure_features(sf_dir: str):
     return figure_features(result, concurrency=(1, 4))
 
 
+def _q_top_tokens(sf_dir: str):
+    """Exact global heavy hitters: per-batch count partials -> token
+    groupby -> per-block top-k -> driver merge of k x blocks rows."""
+    from high_performance_docling_ray.pipelines.corpus_clean import top_tokens
+
+    return top_tokens(sf_dir, k=20)
+
+
+def _q_quantize_embeddings(sf_dir: str):
+    """Per-vector int8 scalar-quantization stats (scale, MSE, max abs
+    error) — pure vectorized map over the embedding matrix."""
+    from high_performance_docling_ray.pipelines.similarity import (
+        quantize_embeddings,
+    )
+
+    return quantize_embeddings(sf_dir)
+
+
 def _q_postings_lookup(sf_dir: str):
     """Inverted-index round trip: build the bucket-partitioned posting
     store once (content-keyed cache), then read ONLY the query tokens'
@@ -740,6 +758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "figure_crops": _q_figure_crops,
         "neardup_components": _q_neardup_components,
         "postings_lookup": _q_postings_lookup,
+        "top_tokens": _q_top_tokens,
+        "quantize_embeddings": _q_quantize_embeddings,
         "sample_per_group": _q_sample_per_group,
         "exact_quantiles": _q_exact_quantiles,
         "anti_join_customers": _q_anti_join,
@@ -1572,6 +1592,47 @@ def oracle_sql() -> dict[str, str]:
                substr(md5(printf('0:%d:420.0,60.0,560.0,90.0', nl + 2)), 1, 8)
                || ']' AS ocr_text
         FROM l
+    """
+    oracles["top_tokens"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT unnest(toks) AS token FROM t)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY token
+        ORDER BY cnt DESC, token LIMIT 20
+    """
+    oracles["quantize_embeddings"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        m AS (
+          SELECT vec_id, emb,
+                 list_max(list_transform(emb, x -> abs(x))) AS mx
+          FROM e
+        ),
+        s AS (
+          SELECT vec_id, emb,
+                 CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END AS scale
+          FROM m
+        ),
+        err AS (
+          SELECT vec_id, scale,
+                 list_transform(emb, x -> x - round(x / scale) * scale)
+                   AS ev,
+                 len(emb) AS d
+          FROM s
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               round(list_aggregate(list_transform(ev, x -> x*x), 'sum')
+                     / d, 6) AS mse,
+               round(list_max(list_transform(ev, x -> abs(x))), 6)
+                 AS max_abs_err
+        FROM err
     """
     oracles["postings_lookup"] = r"""
         WITH t AS (

@@ -301,6 +301,75 @@ def segment_dedup(sf_dir: str, seg_tokens: int = 13) -> ray.data.Dataset:
     )
 
 
+def top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
+    """Global top-``k`` tokens by total occurrence count (ties by token
+    ascending) — the exact heavy-hitters pass a corpus profile needs.
+
+    Scale shape: per-batch token-count partials (dictionary-encode +
+    bincount — one row per DISTINCT token per block crosses the wire),
+    a token-keyed groupby sum, then only the per-block TOP-k of the
+    aggregated result rides to the driver for the final merge, so the
+    driver sees k x #blocks rows, never the vocabulary. For
+    heavy-tailed vocabularies where even the distinct-per-block
+    partials are too wide, put a count-min sketch in front; the exact
+    pass stays the verifier.
+    """
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenize(batch.column("text"))
+        codes_arr = pc.dictionary_encode(flat)
+        codes = np.asarray(
+            codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+        if not len(codes):
+            return pa.Table.from_pydict(
+                {"token": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        cnt = np.bincount(codes).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "token": codes_arr.dictionary,
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    totals = (
+        read_documents(sf_dir, ("doc_id", "text"))
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        cnts = batch.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        toks = np.asarray(
+            batch.column("token").to_numpy(zero_copy_only=False),
+            dtype=object,
+        )
+        order = np.lexsort((toks, -cnts))[:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    parts = [
+        t
+        for t in ray.get(
+            totals.map_batches(local_topk, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.Table.from_pydict(
+            {"token": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
+        )
+    merged = local_topk(pa.concat_tables(parts))
+    return merged.rename_columns(["token", "cnt"]).sort_by(
+        [("cnt", "descending"), ("token", "ascending")]
+    )
+
+
 def build_inverted_index(
     sf_dir: str,
     num_buckets: int = 16,

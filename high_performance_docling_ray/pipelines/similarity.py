@@ -791,3 +791,39 @@ def embedding_neardup_lsh(
     return ray.data.from_arrow(pair_tbl).map_batches(
         verify, batch_format="pyarrow"
     )
+
+
+def quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Per-vector int8 scalar quantization stats: ``scale =
+    max(|v|) / 127``, ``q_i = round(v_i / scale)``, reporting the
+    reconstruction MSE and max abs error — the storage-shrink pass an
+    embedding corpus runs before ANN indexing (4x smaller vectors;
+    the stats column tells you whether recall will survive).
+
+    Pure vectorized map (one matmul-free numpy pass per batch), no
+    exchange at any scale. Emits stats rather than the int8 payload so
+    the driver-gate oracle can reproduce it in SQL; the quantized
+    bytes themselves would be written next to the IVF lists in a real
+    deployment (same partitioned-store discipline).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        absmax = np.abs(mat).max(axis=1)
+        scale = np.where(absmax > 0, absmax / 127.0, 1.0)
+        q = np.round(mat / scale[:, None])
+        err = mat - q * scale[:, None]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "scale": pa.array(np.round(scale, 6), pa.float64()),
+                "mse": pa.array(
+                    np.round((err * err).mean(axis=1), 6), pa.float64()
+                ),
+                "max_abs_err": pa.array(
+                    np.round(np.abs(err).max(axis=1), 6), pa.float64()
+                ),
+            }
+        )
+
+    return read_embeddings(sf_dir).map_batches(f, batch_format="pyarrow")

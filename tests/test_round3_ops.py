@@ -128,3 +128,38 @@ def test_neardup_components_transitive_chain(tmp_path):
     )
     assert out["component"].tolist()[:3] == [0, 0, 0]
     assert out.loc[3, "component"] == 3
+
+
+def test_top_tokens_matches_duckdb():
+    from high_performance_docling_ray.pipelines.corpus_clean import top_tokens
+
+    got = top_tokens(SF, k=10).to_pandas()
+
+    import duckdb
+
+    want = duckdb.connect().execute(
+        rf"""
+        WITH t AS (
+          SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM read_parquet('{SF}/documents.parquet')
+        ),
+        tok AS (SELECT unnest(toks) AS token FROM t)
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+        ORDER BY cnt DESC, token LIMIT 10
+        """
+    ).fetchdf().astype({"cnt": "int64"})
+    assert got.reset_index(drop=True).equals(want)
+
+
+def test_quantize_embeddings_bounds():
+    from high_performance_docling_ray.pipelines.similarity import (
+        quantize_embeddings,
+    )
+
+    out = quantize_embeddings(SF).to_pandas()
+    assert len(out) == 500
+    # int8 scalar quantization: per-coordinate error <= scale/2
+    # 1e-6 slack: both sides are rounded to 6dp before the compare
+    assert (out["max_abs_err"] <= out["scale"] / 2 + 1e-6).all()
+    assert (out["mse"] >= 0).all()
