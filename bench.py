@@ -124,6 +124,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q5_region_revenue",
         "events_hourly",
         "sessionize",
+        # round-3 corpus-cleaning family
+        "repetition_signals",
+        "segment_dedup",
+        "tfidf_topk",
+        "top_tokens",
     ]
     qs = entrymod.queries()
     for name in bench_keys:
