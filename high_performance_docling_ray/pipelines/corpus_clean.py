@@ -449,6 +449,13 @@ def build_inverted_index(
     return out_dir
 
 
+def out_glob(index_dir: str, bucket: int) -> str:
+    """Directory of one bucket partition of a persisted inverted index."""
+    import os
+
+    return os.path.join(index_dir, f"bucket={bucket}")
+
+
 def postings_lookup(
     sf_dir: str, tokens: list[str], num_buckets: int = 16
 ) -> pa.Table:
@@ -499,12 +506,6 @@ def postings_lookup(
     return pa.concat_tables(parts).sort_by(
         [("token", "ascending"), ("doc_id", "ascending")]
     )
-
-
-def out_glob(index_dir: str, bucket: int) -> str:
-    import os
-
-    return os.path.join(index_dir, f"bucket={bucket}")
 
 
 def tfidf_topk(
