@@ -460,6 +460,18 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(sf_dir, k=20)
 
 
+def _q_cms_estimates(sf_dir: str):
+    """Count-min-sketch point estimates (md5-salted buckets, bit-exact
+    reproducible in SQL) for a fixed probe set incl. an absent token."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        cms_token_estimates,
+    )
+
+    return cms_token_estimates(
+        sf_dir, ["spark", "window", "merge", "the", "zzzabsent"]
+    )
+
+
 def _q_quantize_embeddings(sf_dir: str):
     """Per-vector int8 scalar-quantization stats (scale, MSE, max abs
     error) — pure vectorized map over the embedding matrix."""
@@ -759,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_components": _q_neardup_components,
         "postings_lookup": _q_postings_lookup,
         "top_tokens": _q_top_tokens,
+        "cms_token_estimates": _q_cms_estimates,
         "quantize_embeddings": _q_quantize_embeddings,
         "sample_per_group": _q_sample_per_group,
         "exact_quantiles": _q_exact_quantiles,
@@ -1604,6 +1617,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM tok GROUP BY token
         ORDER BY cnt DESC, token LIMIT 20
+    """
+    # count-min sketch rebuilt from exact counts: salted md5 buckets,
+    # per-(row, bucket) sums, min over rows; absent tokens hit empty
+    # buckets -> COALESCE 0
+    oracles["cms_token_estimates"] = r"""
+        WITH t AS (
+          SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        counts AS (
+          SELECT token, COUNT(*) AS cnt
+          FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token
+        ),
+        rows_j AS (SELECT unnest(range(0, 4)) AS j),
+        bucketed AS (
+          SELECT j,
+                 md5_number_upper(CAST(j AS VARCHAR) || ':' || token)
+                   % 1024 AS b,
+                 cnt
+          FROM counts CROSS JOIN rows_j
+        ),
+        sums AS (SELECT j, b, SUM(cnt) AS s FROM bucketed GROUP BY 1, 2),
+        probe AS (
+          SELECT p.token, r.j,
+                 md5_number_upper(CAST(r.j AS VARCHAR) || ':' || p.token)
+                   % 1024 AS b
+          FROM (SELECT unnest(['spark', 'window', 'merge', 'the',
+                               'zzzabsent']) AS token) p
+          CROSS JOIN rows_j r
+        )
+        SELECT probe.token, CAST(MIN(COALESCE(sums.s, 0)) AS BIGINT) AS est
+        FROM probe LEFT JOIN sums ON sums.j = probe.j AND sums.b = probe.b
+        GROUP BY probe.token
     """
     oracles["quantize_embeddings"] = """
         WITH e AS (

@@ -95,3 +95,46 @@ def estimate(registers: np.ndarray) -> float:
     if raw > (1 << 32) / 30.0:
         return -(1 << 32) * np.log(1.0 - raw / (1 << 32))
     return float(raw)
+
+
+# -- count-min sketch -------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_buckets(tokens, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """(depth, n) bucket indices for ``tokens``: row j uses the salted
+    key ``"{j}:{token}"`` through the same md5 first-8-little hash as
+    HLL, so DuckDB rebuilds every index with
+    ``md5_number_upper(j || ':' || token) % width`` — the sketch is
+    bit-exact reproducible in SQL."""
+    out = np.empty((depth, len(tokens)), dtype=np.int64)
+    for j in range(depth):
+        out[j] = (
+            hash64([f"{j}:{t}" for t in tokens]) % np.uint64(width)
+        ).astype(np.int64)
+    return out
+
+
+def cms_add(cms: np.ndarray, tokens, counts: np.ndarray) -> np.ndarray:
+    """Fold weighted token counts into a (depth, width) CMS, vectorized
+    per row with ``np.add.at``."""
+    if len(tokens) == 0:
+        return cms
+    buckets = cms_buckets(tokens, cms.shape[0], cms.shape[1])
+    for j in range(cms.shape[0]):
+        np.add.at(cms[j], buckets[j], counts)
+    return cms
+
+
+def cms_query(cms: np.ndarray, tokens) -> np.ndarray:
+    """Point estimates: min over rows of the bucket counters (the CMS
+    guarantee: est >= true, overshoot bounded by collisions)."""
+    if len(tokens) == 0:
+        return np.empty(0, dtype=np.int64)
+    buckets = cms_buckets(tokens, cms.shape[0], cms.shape[1])
+    ests = np.stack(
+        [cms[j][buckets[j]] for j in range(cms.shape[0])], axis=0
+    )
+    return ests.min(axis=0).astype(np.int64)

@@ -370,6 +370,74 @@ def top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
     )
 
 
+def cms_token_estimates(
+    sf_dir: str, probe_tokens: list[str], depth: int = 4, width: int = 1024
+) -> pa.Table:
+    """Count-min-sketch point estimates for ``probe_tokens`` — the
+    approximate heavy-hitter counter for vocabularies too wide for the
+    exact ``top_tokens`` partials, with the classic CMS guarantee
+    (est >= true count, overshoot bounded by bucket collisions).
+
+    DETERMINISTIC and bit-exact reproducible in SQL: bucket indices are
+    the salted md5 hash (``kernels/sketch.py:cms_buckets`` ==
+    ``md5_number_upper(j || ':' || token) % width``), so the driver-gate
+    oracle rebuilds the identical sketch from exact token counts.
+
+    Scale shape: each batch folds its token counts into a fixed
+    (depth x width) counter matrix (``np.add.at``) and emits the
+    NONZERO cells — partial size is min(vocab, depth*width) rows per
+    block regardless of corpus size; the merge is one elementwise sum
+    on the driver (sketch registers, like HLL)."""
+    from ..kernels.sketch import cms_add, cms_query
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenize(batch.column("text"))
+        codes_arr = pc.dictionary_encode(flat)
+        codes = np.asarray(
+            codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+        cms = np.zeros((depth, width), dtype=np.int64)
+        if len(codes):
+            cnt = np.bincount(codes).astype(np.int64)
+            cms_add(cms, codes_arr.dictionary.to_pylist(), cnt)
+        j, b = np.nonzero(cms)
+        return pa.Table.from_pydict(
+            {
+                "j": pa.array(j.astype(np.int64), pa.int64()),
+                "b": pa.array(b.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cms[j, b], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            read_documents(sf_dir, ("doc_id", "text"))
+            .map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    cms = np.zeros((depth, width), dtype=np.int64)
+    for t in parts:
+        np.add.at(
+            cms,
+            (
+                t.column("j").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+            ),
+            t.column("cnt").to_numpy(zero_copy_only=False),
+        )
+    ests = cms_query(cms, probe_tokens)
+    return pa.Table.from_pydict(
+        {
+            "token": pa.array(probe_tokens, pa.string()),
+            "est": pa.array(ests, pa.int64()),
+        }
+    )
+
+
 def build_inverted_index(
     sf_dir: str,
     num_buckets: int = 16,

@@ -209,3 +209,35 @@ def test_inverted_index_roundtrip_and_pruning():
     )
     assert query_buckets <= all_buckets
     assert len(query_buckets) < len(all_buckets)
+
+
+def test_cms_guarantee_vs_exact():
+    """CMS estimates dominate true counts; absent tokens estimate 0
+    only when their buckets are collision-free (just assert >=)."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        cms_token_estimates,
+    )
+
+    import duckdb
+
+    probes = ["spark", "key", "zzzabsent"]
+    est = (
+        cms_token_estimates(SF, probes)
+        .to_pandas()
+        .set_index("token")["est"]
+    )
+    true = duckdb.connect().execute(
+        rf"""
+        WITH t AS (
+          SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM read_parquet('{SF}/documents.parquet')
+        )
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(toks) AS token FROM t)
+        WHERE token IN ('spark', 'key') GROUP BY token
+        """
+    ).fetchdf().set_index("token")["cnt"]
+    for tok in ["spark", "key"]:
+        assert est[tok] >= true[tok]
+    assert est["zzzabsent"] >= 0
