@@ -1631,19 +1631,25 @@ def oracle_sql() -> dict[str, str]:
           SELECT token, COUNT(*) AS cnt
           FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token
         ),
-        rows_j AS (SELECT unnest(range(0, 4)) AS j),
+        rows_j AS (
+          SELECT * FROM (VALUES
+            (0, CAST(1609587929392839161 AS HUGEINT)),
+            (1, CAST(2870177450012600261 AS HUGEINT)),
+            (2, CAST(2685821657736338717 AS HUGEINT)),
+            (3, CAST(1983613069789375825 AS HUGEINT))) AS t(j, m)
+        ),
         bucketed AS (
           SELECT j,
-                 md5_number_upper(CAST(j AS VARCHAR) || ':' || token)
-                   % 1024 AS b,
+                 ((CAST(md5_number_upper(token) AS HUGEINT) * m)
+                  % 18446744073709551616) // 18014398509481984 AS b,
                  cnt
           FROM counts CROSS JOIN rows_j
         ),
         sums AS (SELECT j, b, SUM(cnt) AS s FROM bucketed GROUP BY 1, 2),
         probe AS (
           SELECT p.token, r.j,
-                 md5_number_upper(CAST(r.j AS VARCHAR) || ':' || p.token)
-                   % 1024 AS b
+                 ((CAST(md5_number_upper(p.token) AS HUGEINT) * r.m)
+                  % 18446744073709551616) // 18014398509481984 AS b
           FROM (SELECT unnest(['spark', 'window', 'merge', 'the',
                                'zzzabsent']) AS token) p
           CROSS JOIN rows_j r

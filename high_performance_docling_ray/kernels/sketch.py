@@ -101,19 +101,34 @@ def estimate(registers: np.ndarray) -> float:
 
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
+# odd constants < 2^62 so the SQL rebuild's HUGEINT product
+# (< 2^64 * 2^62 = 2^126) stays inside the 128-bit signed range
+CMS_MULTS = (
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+    0x2545F4914F6CDD1D,
+    0x1B873593CC9E2D51,
+)
 
 
 def cms_buckets(tokens, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
-    """(depth, n) bucket indices for ``tokens``: row j uses the salted
-    key ``"{j}:{token}"`` through the same md5 first-8-little hash as
-    HLL, so DuckDB rebuilds every index with
-    ``md5_number_upper(j || ':' || token) % width`` — the sketch is
-    bit-exact reproducible in SQL."""
+    """(depth, n) bucket indices for ``tokens``: ONE md5 per token (the
+    HLL ``hash64``), then per-row multiplicative mixing taking the
+    HIGH bits — ``((h * M_j) mod 2^64) >> (64 - log2(width))`` — so
+    rows stay pairwise-decorrelated (low-bit modulo would make every
+    row the same function of ``h mod width``) and everything after the
+    digest is vectorized. Bit-exact reproducible in DuckDB:
+    ``((CAST(md5_number_upper(t) AS HUGEINT) * M_j)
+    % 2^64) // 2^(64 - log2(width))``."""
+    if width & (width - 1):
+        raise ValueError("CMS width must be a power of two")
+    if depth > len(CMS_MULTS):
+        raise ValueError(f"depth > {len(CMS_MULTS)} needs more CMS_MULTS")
+    shift = np.uint64(64 - int(width).bit_length() + 1)
+    h = hash64(tokens)
     out = np.empty((depth, len(tokens)), dtype=np.int64)
     for j in range(depth):
-        out[j] = (
-            hash64([f"{j}:{t}" for t in tokens]) % np.uint64(width)
-        ).astype(np.int64)
+        out[j] = ((h * np.uint64(CMS_MULTS[j])) >> shift).astype(np.int64)
     return out
 
 

@@ -88,14 +88,28 @@ def neardup_components(
             import pandas as pd
 
             lookup = ray.get(labels_ref)
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            comp = (
-                pd.Series(ids).map(lookup).fillna(pd.Series(ids)).to_numpy()
+            ids = (
+                batch.column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
+            # int-safe mapping: a Series.map would round-trip through
+            # float64 (NaN for singletons) and corrupt ids >= 2^53;
+            # instead only the rows actually IN the label map (bounded
+            # by component membership, not batch size) take the slow
+            # path, everyone else keeps their own id
+            comp = ids.copy()
+            hit = pd.Series(ids).isin(lookup.keys()).to_numpy()
+            if hit.any():
+                comp[hit] = np.fromiter(
+                    (lookup[int(i)] for i in ids[hit]),
+                    np.int64,
+                    int(hit.sum()),
+                )
             return pa.Table.from_pydict(
                 {
                     "doc_id": pa.array(ids, pa.int64()),
-                    "component": pa.array(comp.astype(np.int64), pa.int64()),
+                    "component": pa.array(comp, pa.int64()),
                 }
             )
 
@@ -120,10 +134,12 @@ def neardup_components(
 
     labels_ds = docs.map_batches(init_labels, batch_format="pyarrow")
     prev_sum: int | None = None
+    converged = False
     for _ in range(max_rounds):
         labels_ds = labels_ds.materialize()
         cur_sum = labels_ds.sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
         cand = cogroup_attach(
@@ -154,6 +170,14 @@ def neardup_components(
             )
         )
 
+    if not converged:
+        # labels would be silently wrong (far chain ends unresolved);
+        # refuse rather than diverge from the union-find tier
+        raise RuntimeError(
+            f"min-label propagation did not reach a fixpoint in "
+            f"{max_rounds} rounds (pair-graph diameter exceeds it); "
+            f"raise max_rounds"
+        )
     return labels_ds.map_batches(
         lambda b: b.rename_columns(["doc_id", "component"]),
         batch_format="pyarrow",

@@ -223,6 +223,22 @@ def _segment_rows(batch: pa.Table, seg_tokens: int) -> pa.Table:
         raise ValueError(
             f"doc with >= 2^{_ORD_BITS} segments; raise _ORD_BITS"
         )
+    if len(doc_ids) and (
+        int(doc_ids.min()) < 0
+        or int(doc_ids.max()) >= (1 << (63 - _ORD_BITS))
+    ):
+        # the packed key doc_id << 20 | ord must stay in int64; 64-bit
+        # hash ids need a remap (dense ids or a split key), not silent
+        # wraparound
+        raise ValueError(
+            f"doc_id outside [0, 2^{63 - _ORD_BITS}) would corrupt the "
+            f"packed (doc_id, ord) key; remap ids before segment_dedup"
+        )
+    if int(n_tok.sum()) > np.iinfo(np.int32).max:
+        raise ValueError(
+            "batch exceeds 2^31 tokens; lower the batch size so "
+            "segment offsets fit int32"
+        )
     starts = np.concatenate([[0], np.cumsum(n_tok)])
     seg_doc_row = np.repeat(np.arange(len(n_tok), dtype=np.int64), nseg)
     seg_ord = (
@@ -370,6 +386,34 @@ def top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
     )
 
 
+def doc_tf_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) batch -> one (doc_id, token, tf) row per distinct
+    token per doc — the shared per-batch term-frequency combiner used
+    by both TF-IDF scoring and the inverted-index build (one
+    definition so the persisted index can never drift from the
+    scorer's token semantics)."""
+    flat, doc_idx, _ = _tokenize(batch.column("text"))
+    codes_arr = pc.dictionary_encode(flat)
+    codes = np.asarray(
+        codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
+    )
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    if not len(codes):
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array([], pa.int64()),
+             "token": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64())}
+        )
+    firsts, counts = _group_counts([doc_idx, codes])
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(doc_ids[doc_idx[firsts]], pa.int64()),
+            "token": codes_arr.dictionary.take(pa.array(codes[firsts])),
+            "tf": pa.array(counts, pa.int64()),
+        }
+    )
+
+
 def cms_token_estimates(
     sf_dir: str, probe_tokens: list[str], depth: int = 4, width: int = 1024
 ) -> pa.Table:
@@ -483,30 +527,15 @@ def build_inverted_index(
     docs = read_documents(sf_dir, ("doc_id", "text"))
 
     def posting_rows(batch: pa.Table) -> pa.Table:
-        flat, doc_idx, _ = _tokenize(batch.column("text"))
-        codes_arr = pc.dictionary_encode(flat)
-        codes = np.asarray(
-            codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
-        )
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        if not len(codes):
-            return pa.Table.from_pydict(
-                {"token": pa.array([], pa.string()),
-                 "doc_id": pa.array([], pa.int64()),
-                 "tf": pa.array([], pa.int64()),
-                 "bucket": pa.array([], pa.int32())}
-            )
-        firsts, counts = _group_counts([doc_idx, codes])
-        tokens = codes_arr.dictionary.take(pa.array(codes[firsts]))
-        return pa.Table.from_pydict(
-            {
-                "token": tokens,
-                "doc_id": pa.array(doc_ids[doc_idx[firsts]], pa.int64()),
-                "tf": pa.array(counts, pa.int64()),
-                "bucket": pa.array(
-                    string_key_buckets(tokens, num_buckets), pa.int32()
-                ),
-            }
+        # the shared tf combiner keeps the persisted index and TF-IDF
+        # scoring on identical token semantics
+        tfs = doc_tf_rows(batch)
+        return tfs.append_column(
+            "bucket",
+            pa.array(
+                string_key_buckets(tfs.column("token"), num_buckets),
+                pa.int32(),
+            ),
         )
 
     docs.map_batches(posting_rows, batch_format="pyarrow").write_parquet(
@@ -626,27 +655,7 @@ def tfidf_topk(
         .sum("pdf")
     )
 
-    def doc_tf(batch: pa.Table) -> pa.Table:
-        flat, doc_idx, _ = _tokenize(batch.column("text"))
-        codes_arr = pc.dictionary_encode(flat)
-        codes = np.asarray(
-            codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
-        )
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        if not len(codes):
-            return pa.Table.from_pydict(
-                {"doc_id": pa.array([], pa.int64()),
-                 "token": pa.array([], pa.string()),
-                 "tf": pa.array([], pa.int64())}
-            )
-        firsts, counts = _group_counts([doc_idx, codes])
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(doc_ids[doc_idx[firsts]], pa.int64()),
-                "token": codes_arr.dictionary.take(pa.array(codes[firsts])),
-                "tf": pa.array(counts, pa.int64()),
-            }
-        )
+    doc_tf = doc_tf_rows
 
     def topk_table(tbl: pa.Table) -> pa.Table:
         """(doc_id, token, tf, df) rows -> per-doc top-k by score."""

@@ -473,6 +473,11 @@ def exact_quantiles(
     vals, cnts = vals[order], cnts[order]
     cum = np.cumsum(cnts)
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pa.Table.from_pydict(
+            {"q": pa.array([], pa.float64()),
+             "value": pa.array([], pa.float64())}
+        )
     out_q, out_v = [], []
     for q in qs:
         idx = max(0, int(np.ceil(q * n)) - 1)

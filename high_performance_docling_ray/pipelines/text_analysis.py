@@ -198,12 +198,23 @@ def sample_per_group(
 
     def local_k(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        raw = batch.column("lang").to_pylist()
+        # null langs form their own stratum (matches SQL PARTITION BY);
+        # a (isnull, filled) key pair keeps lexsort comparable
+        isnull = np.array([l is None for l in raw], dtype=bool)
+        langs = np.asarray(
+            ["" if l is None else l for l in raw], dtype=object
+        )
         hv = hash64(ids)
         ids64 = np.asarray(ids, dtype=np.int64)
-        order = np.lexsort((ids64, hv, langs))
-        langs_s = langs[order]
-        new_run = np.concatenate(([True], langs_s[1:] != langs_s[:-1]))
+        order = np.lexsort((ids64, hv, langs, isnull))
+        langs_s, null_s = langs[order], isnull[order]
+        new_run = np.concatenate(
+            (
+                [True],
+                (langs_s[1:] != langs_s[:-1]) | (null_s[1:] != null_s[:-1]),
+            )
+        )
         run_id = np.cumsum(new_run) - 1
         starts = np.nonzero(new_run)[0][run_id]
         pos = np.arange(len(langs_s)) - starts
