@@ -103,63 +103,65 @@ def repetition_signals(sf_dir: str) -> ray.data.Dataset:
 
     Pure map: one batch in, one stats row per document out.
     """
-
-    def f(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        flat, doc_idx, n_tok = _tokenize(batch.column("text"))
-        codes_arr = pc.dictionary_encode(flat)
-        codes = np.asarray(codes_arr.indices.to_numpy(zero_copy_only=False),
-                           dtype=np.int64)
-
-        n_distinct = np.zeros(n, np.int64)
-        if len(codes):
-            firsts, _ = _group_counts([doc_idx, codes])
-            np.add.at(n_distinct, doc_idx[firsts], 1)
-
-        max_bg = np.zeros(n, np.int64)
-        if len(codes) >= 2:
-            m = doc_idx[:-1] == doc_idx[1:]
-            if m.any():
-                d = doc_idx[:-1][m]
-                firsts, counts = _group_counts(
-                    [d, codes[:-1][m], codes[1:][m]]
-                )
-                np.maximum.at(max_bg, d[firsts], counts)
-
-        dup3 = np.zeros(n, np.int64)
-        tot3 = np.zeros(n, np.int64)
-        if len(codes) >= 3:
-            m = doc_idx[:-2] == doc_idx[2:]
-            if m.any():
-                d = doc_idx[:-2][m]
-                tot3 = np.bincount(d, minlength=n).astype(np.int64)
-                firsts, counts = _group_counts(
-                    [d, codes[:-2][m], codes[1:-1][m], codes[2:][m]]
-                )
-                dup = counts > 1
-                np.add.at(dup3, d[firsts[dup]], counts[dup])
-
-        nt = n_tok.astype(np.float64)
-        safe = np.where(n_tok > 0, nt, 1.0)
-        safe3 = np.where(tot3 > 0, tot3.astype(np.float64), 1.0)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "dup_token_frac": pa.array(
-                    np.round((n_tok - n_distinct) / safe, 6), pa.float64()
-                ),
-                "top_bigram_frac": pa.array(
-                    np.round(2.0 * max_bg / safe, 6), pa.float64()
-                ),
-                "dup_trigram_frac": pa.array(
-                    np.round(dup3 / safe3, 6), pa.float64()
-                ),
-            }
-        )
-
     return read_documents(sf_dir, ("doc_id", "text")).map_batches(
-        f, batch_format="pyarrow"
+        repetition_stats_rows, batch_format="pyarrow"
+    )
+
+
+def repetition_stats_rows(batch: pa.Table) -> pa.Table:
+    """The per-batch kernel of ``repetition_signals`` (module-level so
+    property tests can drive it without a Ray DAG)."""
+    n = batch.num_rows
+    flat, doc_idx, n_tok = _tokenize(batch.column("text"))
+    codes_arr = pc.dictionary_encode(flat)
+    codes = np.asarray(codes_arr.indices.to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+
+    n_distinct = np.zeros(n, np.int64)
+    if len(codes):
+        firsts, _ = _group_counts([doc_idx, codes])
+        np.add.at(n_distinct, doc_idx[firsts], 1)
+
+    max_bg = np.zeros(n, np.int64)
+    if len(codes) >= 2:
+        m = doc_idx[:-1] == doc_idx[1:]
+        if m.any():
+            d = doc_idx[:-1][m]
+            firsts, counts = _group_counts(
+                [d, codes[:-1][m], codes[1:][m]]
+            )
+            np.maximum.at(max_bg, d[firsts], counts)
+
+    dup3 = np.zeros(n, np.int64)
+    tot3 = np.zeros(n, np.int64)
+    if len(codes) >= 3:
+        m = doc_idx[:-2] == doc_idx[2:]
+        if m.any():
+            d = doc_idx[:-2][m]
+            tot3 = np.bincount(d, minlength=n).astype(np.int64)
+            firsts, counts = _group_counts(
+                [d, codes[:-2][m], codes[1:-1][m], codes[2:][m]]
+            )
+            dup = counts > 1
+            np.add.at(dup3, d[firsts[dup]], counts[dup])
+
+    nt = n_tok.astype(np.float64)
+    safe = np.where(n_tok > 0, nt, 1.0)
+    safe3 = np.where(tot3 > 0, tot3.astype(np.float64), 1.0)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "dup_token_frac": pa.array(
+                np.round((n_tok - n_distinct) / safe, 6), pa.float64()
+            ),
+            "top_bigram_frac": pa.array(
+                np.round(2.0 * max_bg / safe, 6), pa.float64()
+            ),
+            "dup_trigram_frac": pa.array(
+                np.round(dup3 / safe3, 6), pa.float64()
+            ),
+        }
     )
 
 
