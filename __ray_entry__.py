@@ -595,6 +595,27 @@ def _q_tfidf_topk(sf_dir: str):
     return tfidf_topk(sf_dir)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag training docs sharing any
+    lowercased word 8-gram with the held-out slice (doc_id % 50 == 0).
+    Eval shingle-hash set broadcast under budget (sorted-array
+    searchsorted probe per batch); key-only cogroup tier past it."""
+    from high_performance_docling_ray.pipelines.lm_filters import decontaminate
+
+    return decontaminate(sf_dir)
+
+
+def _q_unigram_logprob(sf_dir: str):
+    """CCNet-style per-doc mean unigram log-probability: token-count
+    model pass (combiner + small groupby), then a pure-map scoring
+    pass (broadcast counts) with a cogroup-by-token fallback."""
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        unigram_logprob,
+    )
+
+    return unigram_logprob(sf_dir)
+
+
 def _q_token_counts(sf_dir: str):
     from high_performance_docling_ray.pipelines.text_analysis import token_counts
 
@@ -780,6 +801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "segment_dedup": _q_segment_dedup,
         "tfidf_topk": _q_tfidf_topk,
+        "decontaminate": _q_decontaminate,
+        "unigram_logprob": _q_unigram_logprob,
         "debug_overlays": _q_debug_overlays,
         # multimodal: binary media column -> actor-pool decode/feature
         "image_features": _q_image_features,
@@ -1857,6 +1880,66 @@ def oracle_sql() -> dict[str, str]:
                  AS dedup_text,
                CAST(COUNT(*) AS BIGINT) AS n_kept
         FROM w GROUP BY 1
+    """
+    # 8-gram shingles under the ngram_set rules (lowercased tokens,
+    # whole-doc shingle below 8 tokens); hashes == kernels hash64, so
+    # distinct-hash counts match bit-exactly even under collisions
+    oracles["decontaminate"] = r"""
+        WITH p AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 50 = 0 THEN
+                     ' leak sequence ' ||
+                     CAST((doc_id // 50) % 3 AS VARCHAR) ||
+                     ' alpha beta gamma delta epsilon zeta eta'
+                   WHEN doc_id % 7 = 3 THEN
+                     ' leak sequence ' || CAST(doc_id % 3 AS VARCHAR) ||
+                     ' alpha beta gamma delta epsilon zeta eta'
+                   ELSE '' END AS text
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM p
+        ),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+                        i -> array_to_string(toks[i : i + 7], ' ')))
+            END AS sh
+          FROM t
+        ),
+        hv AS (
+          SELECT doc_id, md5_number_upper(s) AS h
+          FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+        ),
+        ev AS (SELECT DISTINCT h FROM hv WHERE doc_id % 50 = 0),
+        tr AS (SELECT DISTINCT doc_id, h FROM hv WHERE doc_id % 50 <> 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM tr JOIN ev USING (h) GROUP BY 1
+    """
+    # unigram LM scoring shares tfidf's tokenization (trim + \s+ split,
+    # not lowercased); zero-token docs emit no row on either side
+    oracles["unigram_logprob"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        total AS (SELECT COUNT(*) AS total FROM tok)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               round(SUM(tf * ln(cnt / CAST(total.total AS DOUBLE)))
+                     / SUM(tf), 6) AS logprob
+        FROM tf JOIN cnt USING (token) CROSS JOIN total
+        GROUP BY doc_id
     """
     oracles["tfidf_topk"] = r"""
         WITH t AS (

@@ -1,0 +1,386 @@
+"""LM-training data filters the reference's single-document scope
+never needed, but a 100-TB pretraining pipeline always runs:
+benchmark decontamination (drop/flag training docs that share n-gram
+shingles with a held-out eval set — GPT-3 appendix C / The Pile's
+13-gram rule) and CCNet-style unigram language-model scoring (per-doc
+mean token log-probability under the corpus unigram distribution, the
+cheap stand-in for the KenLM perplexity filter).
+
+Shuffle discipline (same tiering as pipelines/dedup.py):
+
+- ``decontaminate``'s eval shingle-hash set is tiny relative to the
+  training corpus (eval benchmarks are MBs, training data is TBs), so
+  the common tier broadcasts one sorted uint64 hash array via
+  ``ray.put`` and every training batch probes it with a vectorized
+  ``searchsorted`` — zero exchanges over the big side. Past
+  ``eval_broadcast_budget`` it degrades to one key-only exchange:
+  distinct (hash, doc_id) rows cogrouped with the distinct eval hash
+  set (``cogroup_attach``), then a doc-keyed count. Payload text never
+  shuffles in either tier.
+- ``unigram_logprob`` is the classic two-pass: token partial counts
+  (per-batch combiner -> small token groupby) for the model, then a
+  pure-map scoring pass under ``cnt_broadcast_budget``, else a fully
+  distributed ``cogroup_attach`` of counts onto (doc_id, token, tf)
+  rows by token followed by a per-doc aggregate.
+
+Token/shingle semantics are shared with the rest of the repo so the
+driver-gate oracles stay bit-exact: shingles are
+``kernels.text_stats.ngram_set`` (lowercased word n-grams, whole-doc
+shingle below n tokens) hashed with the md5 ``hash64`` that DuckDB
+reproduces as ``md5_number_upper``; unigram tokens are the
+``corpus_clean._tokenize`` whitespace tokens (not lowercased),
+matching ``tfidf_topk``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..kernels.sketch import hash64
+from ..kernels.text_stats import ngram_set
+from .corpus_clean import _tokenize, doc_tf_rows
+from .dedup import _collect_within_budget
+from .joins import cogroup_attach
+from .text_analysis import read_documents
+
+
+def _shingle_hash_rows(batch: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT shingle hashes for a (doc_id, text) batch.
+
+    Returns ``(hashes_uint64, doc_ids_int64)`` flat row arrays.
+    ``ngram_set`` already dedups within a doc; empty/null texts emit
+    no rows.
+    """
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    hv: list[np.ndarray] = []
+    dv: list[np.ndarray] = []
+    for did, text in zip(doc_ids, texts):
+        shingles = ngram_set(text or "", n)
+        if not shingles:
+            continue
+        hv.append(hash64(sorted(shingles)))
+        dv.append(np.full(len(shingles), did, np.int64))
+    if not hv:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    return np.concatenate(hv), np.concatenate(dv)
+
+
+_LEAK_SUFFIXES = np.array(
+    [
+        f" leak sequence {v} alpha beta gamma delta epsilon zeta eta"
+        for v in range(3)
+    ],
+    dtype=object,
+)
+
+
+def _plant_leaks(batch: pa.Table, holdout_mod: int) -> pa.Table:
+    """Append a deterministic leak phrase to eval docs (variant
+    ``(doc_id // holdout_mod) % 3``) and to training docs with
+    ``doc_id % 7 == 3`` (variant ``doc_id % 3``) — the synthetic corpus
+    shares almost no organic 8-grams, so planting (mirrored exactly in
+    the SQL oracle) is what makes the contamination path observable
+    end to end, same idiom as ``redact_pii``."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    is_eval = ids % holdout_mod == 0
+    variant = np.where(is_eval, (ids // holdout_mod) % 3, ids % 3)
+    mask = is_eval | (ids % 7 == 3)
+    suffix = np.where(mask, _LEAK_SUFFIXES[variant], "")
+    text = pc.binary_join_element_wise(
+        batch.column("text"), pa.array(suffix.tolist(), pa.string()), ""
+    )
+    return batch.set_column(
+        batch.schema.get_field_index("text"), "text", text
+    )
+
+
+def decontaminate(
+    sf_dir: str,
+    n: int = 8,
+    holdout_mod: int = 50,
+    eval_broadcast_budget: int = 4_000_000,
+    plant: bool = True,
+) -> ray.data.Dataset:
+    """Flag training documents contaminated by a held-out eval set.
+
+    The eval set is the deterministic slice ``doc_id % holdout_mod ==
+    0`` (standing in for a benchmark suite); a training doc is
+    contaminated if it shares ANY lowercased word ``n``-gram with any
+    eval doc. Output: one ``(doc_id, n_hits)`` row per contaminated
+    training doc, ``n_hits`` = number of DISTINCT shared shingles.
+
+    Tier 1 (common): the eval set's distinct shingle-hash array is
+    collected under ``eval_broadcast_budget`` rows, ``ray.put`` once,
+    and probed per training batch with ``np.searchsorted`` — the
+    training corpus streams with zero exchanges. Tier 2: distinct
+    (hash, doc_id) training rows LEFT-cogrouped with the distinct
+    eval-hash set by hash (one key-only exchange), then
+    ``groupby(doc_id).count()``. Hashes are md5 ``hash64`` ==
+    ``md5_number_upper``, so the SQL oracle rebuilds them exactly
+    (collisions, if any, collide identically on both sides).
+    """
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+    if plant:
+        docs = docs.map_batches(
+            lambda b: _plant_leaks(b, holdout_mod), batch_format="pyarrow"
+        )
+    is_eval_expr = lambda ids: ids % holdout_mod == 0  # noqa: E731
+
+    def eval_hash_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(is_eval_expr(ids)))
+        hv, _ = _shingle_hash_rows(sub, n)
+        # int64 bit-view: cogroup/groupby keys are int64; the bit
+        # pattern is what must match, not the sign
+        return pa.Table.from_pydict(
+            {"h": pa.array(np.unique(hv).view(np.int64), pa.int64())}
+        )
+
+    eval_hash_ds = docs.map_batches(eval_hash_partial, batch_format="pyarrow")
+
+    def train_hits_factory(eval_sorted_ref):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            sub = batch.filter(pa.array(~is_eval_expr(ids)))
+            hv, dv = _shingle_hash_rows(sub, n)
+            out_ids = np.empty(0, np.int64)
+            out_hits = np.empty(0, np.int64)
+            if len(hv):
+                ev = ray.get(eval_sorted_ref)
+                pos = np.searchsorted(ev, hv)
+                hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == hv)
+                if hit.any():
+                    # per-doc hit counts; hv is distinct within doc
+                    hit_docs = dv[hit]
+                    uniq, cnt = np.unique(hit_docs, return_counts=True)
+                    out_ids, out_hits = uniq, cnt.astype(np.int64)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(out_ids, pa.int64()),
+                    "n_hits": pa.array(out_hits, pa.int64()),
+                }
+            )
+
+        return f
+
+    eval_tbl = _collect_within_budget(eval_hash_ds, eval_broadcast_budget)
+    if eval_tbl is not None:
+        if eval_tbl.num_columns == 0 or eval_tbl.num_rows == 0:
+            # no eval shingles: nothing can be contaminated
+            return docs.map_batches(
+                lambda b: pa.Table.from_pydict(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_hits": pa.array([], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        ev = np.unique(
+            eval_tbl.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+        ref = ray.put(ev)
+        return docs.map_batches(
+            train_hits_factory(ref), batch_format="pyarrow"
+        )
+
+    # over-budget tier: key-only exchange, text never moves
+    def train_hash_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(~is_eval_expr(ids)))
+        hv, dv = _shingle_hash_rows(sub, n)
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(hv.view(np.int64), pa.int64()),
+                "doc_id": pa.array(dv, pa.int64()),
+            }
+        )
+
+    eval_distinct = (
+        eval_hash_ds.groupby("h")
+        .count()
+        .map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "h": b.column("h"),
+                    "hit": pa.array(
+                        np.ones(b.num_rows, np.int8), pa.int8()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = cogroup_attach(
+        docs.map_batches(train_hash_partial, batch_format="pyarrow"),
+        eval_distinct,
+        key="h",
+        left_fields=[
+            pa.field("h", pa.int64()),
+            pa.field("doc_id", pa.int64()),
+        ],
+        payload_fields=[pa.field("hit", pa.int8())],
+    )
+    def keep_hits(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.equal(batch.column("hit"), 1), False)
+        return batch.filter(mask).select(["doc_id"])
+
+    hits = joined.map_batches(keep_hits, batch_format="pyarrow")
+    counted = hits.groupby("doc_id").count()
+    return counted.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_hits": pc.cast(b.column("count()"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def unigram_logprob(
+    sf_dir: str,
+    cnt_broadcast_budget: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Per-document mean unigram log-probability — the CCNet-style
+    quality score (docs far from the corpus distribution score low).
+
+    ``logprob = round(sum_t tf_t * ln(cnt_t / total) / n_tokens, 6)``
+    over the doc's whitespace tokens (``corpus_clean._tokenize``
+    semantics == ``tfidf_topk``); docs with zero tokens emit no row.
+
+    Pass 1 builds the model: per-batch token-count combiner -> one
+    small token-keyed groupby (vocabulary-sized, sublinear in corpus).
+    Pass 2 scores: pure map under ``cnt_broadcast_budget`` (count
+    table ``ray.put`` once), else a distributed ``cogroup_attach`` of
+    counts onto (doc_id, token, tf) rows by token and a per-doc
+    ``map_groups`` — no tier ever ships document text through an
+    exchange.
+    """
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenize(batch.column("text"))
+        codes_arr = pc.dictionary_encode(flat)
+        codes = np.asarray(
+            codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+        if not len(codes):
+            return pa.Table.from_pydict(
+                {"token": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        cnt = np.bincount(codes).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "token": codes_arr.dictionary,
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    cnt_ds = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+    )
+
+    def doc_rows(doc_ids, tfs, lps):
+        """(sorted-by-doc groups) -> per-doc mean logprob table."""
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, tfs, lps = doc_ids[order], tfs[order], lps[order]
+        boundary = np.flatnonzero(
+            np.r_[True, doc_ids[1:] != doc_ids[:-1]]
+        )
+        sums = np.add.reduceat(tfs * lps, boundary)
+        n_tok = np.add.reduceat(tfs, boundary)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids[boundary], pa.int64()),
+                "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+                "logprob": pa.array(
+                    np.round(sums / n_tok, 6), pa.float64()
+                ),
+            }
+        )
+
+    cnt_tbl = _collect_within_budget(cnt_ds, cnt_broadcast_budget)
+    if cnt_tbl is not None and cnt_tbl.num_rows:
+        counts = cnt_tbl.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        total = float(counts.sum())
+        lookup_ref = ray.put(
+            dict(
+                zip(
+                    cnt_tbl.column("token").to_pylist(),
+                    (counts / total).tolist(),
+                )
+            )
+        )
+
+        def score(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            tf_tbl = doc_tf_rows(batch)
+            if tf_tbl.num_rows == 0:
+                return pa.Table.from_pydict(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "n_tokens": pa.array([], pa.int64()),
+                     "logprob": pa.array([], pa.float64())}
+                )
+            lookup = ray.get(lookup_ref)
+            tok = tf_tbl.column("token").to_numpy(zero_copy_only=False)
+            p = pd.Series(tok, dtype=object).map(lookup).to_numpy(np.float64)
+            return doc_rows(
+                tf_tbl.column("doc_id").to_numpy(zero_copy_only=False),
+                tf_tbl.column("tf")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+                np.log(p),
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # over-budget tier: distribute the count attach by token
+    total = float(
+        cnt_ds.sum("sum(cnt)")  # small vocabulary-sized aggregate
+    )
+
+    def rename_cnt(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["token", "cnt"])
+
+    tf_rows = docs.map_batches(doc_tf_rows, batch_format="pyarrow")
+    joined = cogroup_attach(
+        tf_rows,
+        cnt_ds.map_batches(rename_cnt, batch_format="pyarrow"),
+        key="token",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("token", pa.string()),
+            pa.field("tf", pa.int64()),
+        ],
+        payload_fields=[pa.field("cnt", pa.int64())],
+    )
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        tfs = (
+            group.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        cnts = (
+            group.column("cnt")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return doc_rows(
+            group.column("doc_id").to_numpy(zero_copy_only=False),
+            tfs,
+            np.log(cnts / total),
+        )
+
+    return joined.groupby("doc_id").map_groups(
+        per_doc, batch_format="pyarrow"
+    )

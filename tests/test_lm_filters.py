@@ -1,0 +1,121 @@
+"""LM-training filters (pipelines/lm_filters.py): closed-form checks
+on crafted corpora plus the broadcast/cogroup tier pins for both
+operators."""
+
+import math
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+from high_performance_docling_ray.pipelines.lm_filters import (  # noqa: E402
+    decontaminate,
+    unigram_logprob,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, rows):
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_decontaminate_closed_form(tmp_path):
+    # doc 0 is eval (0 % 50 == 0); with n=3 its shingles are the
+    # 3-grams of "one two three four". doc 1 repeats "two three four"
+    # (1 shared shingle); doc 2 shares nothing; doc 7 copies the whole
+    # eval text (2 shared shingles).
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "one two three four"),
+            (1, "x y two three four"),
+            (2, "p q r s t"),
+            (7, "one two three four"),
+        ],
+    )
+    out = (
+        decontaminate(sf, n=3, plant=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 7]
+    assert out["n_hits"].tolist() == [1, 2]
+
+
+def test_decontaminate_short_doc_whole_shingle(tmp_path):
+    # below-n docs shingle as the whole token string (ngram_set rule):
+    # eval doc 0 "tiny doc" (2 tokens < 3) == train doc 3's text
+    sf = _write_docs(tmp_path, [(0, "tiny doc"), (3, "tiny doc")])
+    out = decontaminate(sf, n=3, plant=False).to_pandas()
+    assert out["doc_id"].tolist() == [3]
+    assert out["n_hits"].tolist() == [1]
+
+
+def test_decontaminate_tiers_equal():
+    """Broadcast eval-set tier == forced cogroup tier, byte for byte."""
+    a = (
+        decontaminate(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0  # planted leaks make contamination observable
+    b = (
+        decontaminate(SF, eval_broadcast_budget=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[list(a.columns)]
+    )
+    assert a.equals(b)
+
+
+def test_unigram_logprob_closed_form(tmp_path):
+    # corpus tokens: a a a b  -> p(a)=3/4, p(b)=1/4
+    # doc0 "a a a" -> mean lp = ln(3/4); doc1 "b" -> ln(1/4)
+    sf = _write_docs(tmp_path, [(0, "a a a"), (1, "b")])
+    out = (
+        unigram_logprob(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_tokens"].tolist() == [3, 1]
+    assert out.loc[0, "logprob"] == round(math.log(3 / 4), 6)
+    assert out.loc[1, "logprob"] == round(math.log(1 / 4), 6)
+
+
+def test_unigram_logprob_empty_doc_emits_no_row(tmp_path):
+    sf = _write_docs(tmp_path, [(0, "a b"), (1, "   "), (2, "")])
+    out = unigram_logprob(sf).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+
+
+def test_unigram_logprob_tiers_equal():
+    """Broadcast count tier == forced cogroup tier, byte for byte."""
+    a = (
+        unigram_logprob(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        unigram_logprob(SF, cnt_broadcast_budget=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[list(a.columns)]
+    )
+    assert len(a) == 500
+    assert a.equals(b)
