@@ -616,6 +616,42 @@ def _q_unigram_logprob(sf_dir: str):
     return unigram_logprob(sf_dir)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing (concat tokens in doc_id order, cut
+    512-token chunks): distributed two-level prefix sum — per-bucket
+    token subtotals -> driver cumsum over bucket totals (tiny) ->
+    per-bucket local offsets -> chunk-keyed stats groupby."""
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        pack_sequences,
+    )
+
+    return pack_sequences(sf_dir)
+
+
+def _q_bloom_tokens(sf_dir: str):
+    """Bloom-filter vocabulary membership (register-merge sketch like
+    HLL/CMS; md5 + multiplicative high-bit mixing, bit-exact in SQL)
+    for a fixed probe set incl. absent tokens."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        bloom_token_membership,
+    )
+
+    return bloom_token_membership(
+        sf_dir, ["spark", "window", "merge", "the", "zzzabsent", "qqmissing"]
+    )
+
+
+def _q_top_tokens_per_lang(sf_dir: str):
+    """Exact per-language heavy hitters (grouped sibling of
+    top_tokens): per-batch (lang, token) combiner -> composite-key
+    groupby -> per-lang top-10 by (count desc, token asc)."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        top_tokens_per_lang,
+    )
+
+    return top_tokens_per_lang(sf_dir)
+
+
 def _q_token_counts(sf_dir: str):
     from high_performance_docling_ray.pipelines.text_analysis import token_counts
 
@@ -803,6 +839,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "decontaminate": _q_decontaminate,
         "unigram_logprob": _q_unigram_logprob,
+        "pack_sequences": _q_pack_sequences,
+        "bloom_tokens": _q_bloom_tokens,
+        "top_tokens_per_lang": _q_top_tokens_per_lang,
         "debug_overlays": _q_debug_overlays,
         # multimodal: binary media column -> actor-pool decode/feature
         "image_features": _q_image_features,
@@ -1940,6 +1979,81 @@ def oracle_sql() -> dict[str, str]:
                      / SUM(tf), 6) AS logprob
         FROM tf JOIN cnt USING (token) CROSS JOIN total
         GROUP BY doc_id
+    """
+    # two-level prefix sum == one SQL window cumsum over doc_id order;
+    # a doc spans chunks floor(start/512)..floor((end-1)/512)
+    oracles["pack_sequences"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '')) AS n
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id, n,
+                 CAST(SUM(n) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n
+                      AS BIGINT) AS s
+          FROM t WHERE n > 0
+        ),
+        x AS (
+          SELECT doc_id, CAST(u.c AS BIGINT) AS chunk_id,
+                 least(s + n, (u.c + 1) * 512)
+                   - greatest(s, u.c * 512) AS ov
+          FROM o, unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS u(c)
+        )
+        SELECT chunk_id, CAST(SUM(ov) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM x GROUP BY 1
+    """
+    # Bloom positions = the CMS bucket scheme at width 8192 (shift 51)
+    oracles["bloom_tokens"] = r"""
+        WITH t AS (
+          SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        vocab AS (SELECT DISTINCT unnest(toks) AS token FROM t),
+        rows_j AS (
+          SELECT * FROM (VALUES
+            (0, CAST(1609587929392839161 AS HUGEINT)),
+            (1, CAST(2870177450012600261 AS HUGEINT)),
+            (2, CAST(2685821657736338717 AS HUGEINT)),
+            (3, CAST(1983613069789375825 AS HUGEINT))) AS t(j, m)
+        ),
+        bits AS (
+          SELECT DISTINCT
+                 ((CAST(md5_number_upper(token) AS HUGEINT) * m)
+                  % 18446744073709551616) // 2251799813685248 AS b
+          FROM vocab CROSS JOIN rows_j
+        ),
+        probe AS (
+          SELECT p.token, r.j,
+                 ((CAST(md5_number_upper(p.token) AS HUGEINT) * r.m)
+                  % 18446744073709551616) // 2251799813685248 AS b
+          FROM (SELECT unnest(['spark', 'window', 'merge', 'the',
+                               'zzzabsent', 'qqmissing']) AS token) p
+          CROSS JOIN rows_j r
+        )
+        SELECT probe.token,
+               CAST(CASE WHEN COUNT(bits.b) = 4 THEN 1 ELSE 0 END
+                    AS BIGINT) AS hit
+        FROM probe LEFT JOIN bits ON bits.b = probe.b
+        GROUP BY probe.token
+    """
+    oracles["top_tokens_per_lang"] = r"""
+        WITH t AS (
+          SELECT lang,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT lang, unnest(toks) AS token FROM t),
+        c AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+        SELECT lang, token, CAST(cnt AS BIGINT) AS cnt FROM c
+        QUALIFY row_number() OVER (PARTITION BY lang
+                                   ORDER BY cnt DESC, token) <= 10
     """
     oracles["tfidf_topk"] = r"""
         WITH t AS (

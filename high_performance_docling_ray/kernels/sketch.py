@@ -153,3 +153,37 @@ def cms_query(cms: np.ndarray, tokens) -> np.ndarray:
         [cms[j][buckets[j]] for j in range(cms.shape[0])], axis=0
     )
     return ests.min(axis=0).astype(np.int64)
+
+
+# -- Bloom filter -----------------------------------------------------------
+
+BLOOM_K = 4
+BLOOM_M = 8192
+
+
+def bloom_positions(
+    tokens, k: int = BLOOM_K, m: int = BLOOM_M
+) -> np.ndarray:
+    """(k, n) bit positions for ``tokens`` — exactly the CMS bucket
+    scheme (one md5 per token, per-row multiplicative high-bit mixing),
+    so the same DuckDB expression reproduces it bit-exactly. ``k`` is
+    bounded by ``len(CMS_MULTS)``."""
+    return cms_buckets(tokens, k, m)
+
+
+def bloom_add(bits: np.ndarray, tokens) -> np.ndarray:
+    """Set the ``k`` positions of every token in a boolean bit array
+    of length ``m``. Register-style mergeable: union of partials ==
+    partial of the union."""
+    if len(tokens):
+        bits[bloom_positions(tokens, k=BLOOM_K, m=len(bits)).ravel()] = True
+    return bits
+
+
+def bloom_query(bits: np.ndarray, tokens) -> np.ndarray:
+    """Membership probe: True iff ALL k positions are set (no false
+    negatives; false-positive rate ~= fill_fraction**k)."""
+    if len(tokens) == 0:
+        return np.empty(0, dtype=bool)
+    pos = bloom_positions(tokens, k=BLOOM_K, m=len(bits))
+    return bits[pos].all(axis=0)

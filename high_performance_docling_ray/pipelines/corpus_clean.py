@@ -725,3 +725,129 @@ def tfidf_topk(
     return joined.groupby("doc_id").map_groups(
         topk_table, batch_format="pyarrow"
     )
+
+
+def bloom_token_membership(
+    sf_dir: str, probe_tokens: list[str], m: int = 8192
+) -> pa.Table:
+    """Bloom-filter membership probe over the corpus vocabulary — the
+    third mergeable sketch next to HLL (distinct counts) and CMS
+    (frequency estimates): no false negatives, false positives bounded
+    by fill**k. At 100-TB scale this is the cheap "have we seen this
+    token/url/shingle?" pre-filter that avoids a distinct-key shuffle.
+
+    DETERMINISTIC and bit-exact reproducible in SQL: positions are the
+    CMS bucket scheme (``kernels/sketch.py:bloom_positions``), so the
+    driver-gate oracle rebuilds the identical bit set from the corpus
+    vocabulary.
+
+    Scale shape: each batch emits its distinct SET BIT positions
+    (<= min(4 * batch_vocab, m) rows regardless of corpus size); the
+    merge is a position union on the driver (register merge, like HLL).
+    """
+    from ..kernels.sketch import bloom_add, bloom_query
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenize(batch.column("text"))
+        vocab = pc.unique(flat)
+        bits = bloom_add(np.zeros(m, dtype=bool), vocab.to_pylist())
+        return pa.Table.from_pydict(
+            {"pos": pa.array(np.flatnonzero(bits), pa.int64())}
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            read_documents(sf_dir, ("doc_id", "text"))
+            .map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    bits = np.zeros(m, dtype=bool)
+    for t in parts:
+        bits[t.column("pos").to_numpy(zero_copy_only=False)] = True
+    hits = bloom_query(bits, probe_tokens)
+    return pa.Table.from_pydict(
+        {
+            "token": pa.array(probe_tokens, pa.string()),
+            "hit": pa.array(hits.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+_LANG_NULL = "\x00"  # sentinel: tokens are whitespace-split, never \x00
+_LANG_SEP = "\x1f"
+
+
+def top_tokens_per_lang(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Exact per-language heavy hitters: the grouped sibling of
+    ``top_tokens``. Per-batch (lang, token) partial counts (one lexsort
+    per batch) -> one composite-keyed groupby sum (vocabulary x lang
+    rows, sublinear in corpus) -> per-lang top-``k`` by (count desc,
+    token asc). Null langs form their own stratum via a sentinel that
+    whitespace tokens cannot contain."""
+    docs = read_documents(sf_dir, ("text", "lang"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _tokenize(batch.column("text"))
+        codes_arr = pc.dictionary_encode(flat)
+        codes = np.asarray(
+            codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+        if not len(codes):
+            return pa.Table.from_pydict(
+                {"key": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        langs = pc.fill_null(batch.column("lang"), _LANG_NULL)
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        lang_codes_arr = pc.dictionary_encode(langs)
+        lang_per_tok = np.asarray(
+            lang_codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
+        )[doc_idx]
+        firsts, counts = _group_counts([lang_per_tok, codes])
+        key = pc.binary_join_element_wise(
+            lang_codes_arr.dictionary.take(pa.array(lang_per_tok[firsts])),
+            codes_arr.dictionary.take(pa.array(codes[firsts])),
+            _LANG_SEP,
+        )
+        return pa.Table.from_pydict(
+            {"key": key, "cnt": pa.array(counts, pa.int64())}
+        )
+
+    summed = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .sum("cnt")
+    )
+
+    def split_key(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("key"), _LANG_SEP)
+        lang = pc.list_element(parts, 0)
+        return pa.Table.from_pydict(
+            {
+                "lang": lang,
+                "token": pc.list_element(parts, 1),
+                "cnt": pc.cast(batch.column("sum(cnt)"), pa.int64()),
+            }
+        )
+
+    def topk_group(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pdf = group.to_pandas().sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        pdf["lang"] = pdf["lang"].where(pdf["lang"] != _LANG_NULL, None)
+        return pa.Table.from_pandas(
+            pdf, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        summed.map_batches(split_key, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(topk_group, batch_format="pyarrow")
+    )

@@ -384,3 +384,137 @@ def unigram_logprob(
     return joined.groupby("doc_id").map_groups(
         per_doc, batch_format="pyarrow"
     )
+
+
+def pack_sequences(
+    sf_dir: str,
+    capacity: int = 512,
+    bucket_docs: int = 64,
+) -> ray.data.Dataset:
+    """GPT-style sequence packing: concatenate every document's tokens
+    in doc_id order and cut fixed-``capacity`` training sequences,
+    reporting per-chunk stats ``(chunk_id, n_tokens, n_docs,
+    first_doc, last_doc)``. Zero-token docs are skipped (they occupy
+    no positions).
+
+    The global token offset of each doc is a distributed TWO-LEVEL
+    PREFIX SUM — the scale pattern for any "global position" need:
+
+    1. per-batch combiner: (bucket = doc_id // bucket_docs) token
+       subtotals -> tiny groupby (corpus/bucket_docs rows);
+    2. the bucket totals come to the driver (at 10^12 docs and 2^20
+       docs/bucket that is ~10^6 rows), one exclusive cumsum, broadcast
+       via ``ray.put``;
+    3. per-bucket ``map_groups``: docs sort locally by doc_id, a local
+       cumsum plus the bucket's offset gives every doc its global
+       [start, end) token span with no further exchange;
+    4. each doc emits one row per chunk it overlaps (<= n_tok/capacity
+       + 1), and a chunk-keyed groupby folds spans into per-chunk
+       stats.
+
+    Exchanges: one tiny bucket groupby, one bucket-keyed regroup, one
+    chunk-keyed groupby — document TEXT never shuffles, only
+    (doc_id, n_tok) and (chunk_id, overlap) key rows.
+    """
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        _, _, n_tok = _tokenize(batch.column("text"))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = n_tok > 0
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tok": pa.array(n_tok[keep], pa.int64()),
+                "bucket": pa.array(ids[keep] // bucket_docs, pa.int64()),
+            }
+        )
+
+    # materialized: (doc_id, n_tok, bucket) key rows are ~24 B/doc —
+    # far smaller than re-tokenizing the text for the second pass
+    counts = docs.map_batches(tok_counts, batch_format="pyarrow").materialize()
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        n = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(b, return_inverse=True)
+        sums = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "tok": pa.array(sums, pa.int64()),
+            }
+        )
+
+    bucket_tbl = (
+        counts.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("tok")
+        .sort("bucket")
+        .to_arrow_refs()
+    )
+    parts = [t for t in ray.get(bucket_tbl) if t.num_rows]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "chunk_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "first_doc": pa.array([], pa.int64()),
+                    "last_doc": pa.array([], pa.int64()),
+                }
+            )
+        )
+    merged = pa.concat_tables(parts)
+    buckets = merged.column("bucket").to_numpy(zero_copy_only=False)
+    totals = merged.column("sum(tok)").to_numpy(zero_copy_only=False)
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    offset_ref = ray.put(dict(zip(buckets.tolist(), offsets.tolist())))
+
+    def chunk_rows(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        n = group.column("n_tok").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        base = ray.get(offset_ref)[int(ids[0] // bucket_docs)]
+        ends = base + np.cumsum(n)
+        starts = ends - n
+        first_chunk = starts // capacity
+        last_chunk = (ends - 1) // capacity
+        reps = (last_chunk - first_chunk + 1).astype(np.int64)
+        doc_rep = np.repeat(np.arange(len(ids)), reps)
+        chunk = np.concatenate(
+            [np.arange(f, l + 1) for f, l in zip(first_chunk, last_chunk)]
+        ) if len(ids) else np.empty(0, np.int64)
+        ov = np.minimum(ends[doc_rep], (chunk + 1) * capacity) - np.maximum(
+            starts[doc_rep], chunk * capacity
+        )
+        return pa.Table.from_pydict(
+            {
+                "chunk_id": pa.array(chunk, pa.int64()),
+                "doc_id": pa.array(ids[doc_rep], pa.int64()),
+                "ov": pa.array(ov.astype(np.int64), pa.int64()),
+            }
+        )
+
+    spans = counts.groupby("bucket").map_groups(
+        chunk_rows, batch_format="pyarrow"
+    )
+
+    def chunk_stats(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        ov = group.column("ov").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "chunk_id": group.column("chunk_id").slice(0, 1),
+                "n_tokens": pa.array([int(ov.sum())], pa.int64()),
+                "n_docs": pa.array([len(ids)], pa.int64()),
+                "first_doc": pa.array([int(ids.min())], pa.int64()),
+                "last_doc": pa.array([int(ids.max())], pa.int64()),
+            }
+        )
+
+    return spans.groupby("chunk_id").map_groups(
+        chunk_stats, batch_format="pyarrow"
+    )

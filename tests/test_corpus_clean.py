@@ -241,3 +241,63 @@ def test_cms_guarantee_vs_exact():
     for tok in ["spark", "key"]:
         assert est[tok] >= true[tok]
     assert est["zzzabsent"] >= 0
+
+
+def test_bloom_membership_no_false_negatives(tmp_path):
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        bloom_token_membership,
+    )
+
+    sf = _write_docs(tmp_path, ["alpha beta gamma", "delta alpha"])
+    out = bloom_token_membership(
+        sf, ["alpha", "beta", "gamma", "delta", "nope1", "nope2"]
+    ).to_pandas()
+    got = dict(zip(out["token"], out["hit"]))
+    # present tokens MUST hit (no false negatives)
+    assert all(got[t] == 1 for t in ["alpha", "beta", "gamma", "delta"])
+    # 5 distinct tokens * 4 bits in 8192 -> absent probes miss w.h.p.
+    assert got["nope1"] == 0 and got["nope2"] == 0
+
+
+def test_bloom_kernel_merge_is_union():
+    import numpy as np
+
+    from high_performance_docling_ray.kernels.sketch import (
+        bloom_add,
+        bloom_query,
+    )
+
+    a = bloom_add(np.zeros(8192, bool), ["x", "y"])
+    b = bloom_add(np.zeros(8192, bool), ["z"])
+    merged = a | b
+    whole = bloom_add(np.zeros(8192, bool), ["x", "y", "z"])
+    assert (merged == whole).all()
+    assert bloom_query(merged, ["x", "y", "z"]).all()
+
+
+def test_top_tokens_per_lang_closed_form(tmp_path):
+    import pyarrow.parquet as _pq
+
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["b a a", "c c c b", "z z q"], pa.string()),
+            "lang": pa.array(["en", "en", None], pa.string()),
+        }
+    )
+    _pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        top_tokens_per_lang,
+    )
+
+    out = (
+        top_tokens_per_lang(str(tmp_path), k=2)
+        .to_pandas()
+        .sort_values(["lang", "cnt", "token"], na_position="first")
+        .reset_index(drop=True)
+    )
+    # en: c x3, a x2 (b x2 loses the tie to a); null lang: z x2, q x1
+    en = out[out["lang"] == "en"]
+    assert sorted(zip(en["token"], en["cnt"])) == [("a", 2), ("c", 3)]
+    nul = out[out["lang"].isna()]
+    assert sorted(zip(nul["token"], nul["cnt"])) == [("q", 1), ("z", 2)]

@@ -119,3 +119,54 @@ def test_unigram_logprob_tiers_equal():
     )
     assert len(a) == 500
     assert a.equals(b)
+
+
+def test_pack_sequences_closed_form(tmp_path):
+    # token counts: doc0=3, doc1 skipped (0 tokens), doc2=4, doc3=2
+    # concat order 0,2,3 -> spans [0,3) [3,7) [7,9); capacity 4:
+    # chunk0 = doc0(3) + doc2(1); chunk1 = doc2(3) + doc3(1); chunk2 = doc3(1)
+    sf = _write_docs(
+        tmp_path,
+        [(0, "a b c"), (1, "   "), (2, "d e f g"), (3, "h i")],
+    )
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        pack_sequences,
+    )
+
+    out = (
+        pack_sequences(sf, capacity=4, bucket_docs=2)
+        .to_pandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    assert out["chunk_id"].tolist() == [0, 1, 2]
+    assert out["n_tokens"].tolist() == [4, 4, 1]
+    assert out["n_docs"].tolist() == [2, 2, 1]
+    assert out["first_doc"].tolist() == [0, 2, 3]
+    assert out["last_doc"].tolist() == [2, 3, 3]
+
+
+def test_pack_sequences_conservation():
+    """Total packed tokens == total corpus tokens; every chunk except
+    the last is exactly full."""
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        pack_sequences,
+    )
+
+    out = (
+        pack_sequences(SF, capacity=512)
+        .to_pandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    assert (out["n_tokens"].iloc[:-1] == 512).all()
+    import duckdb
+
+    total = duckdb.connect().execute(
+        r"""SELECT SUM(len(list_filter(
+              regexp_split_to_array(trim(text), '\s+'), x -> x <> '')))
+            FROM read_parquet(?)""",
+        [SF + "/documents.parquet"],
+    ).fetchone()[0]
+    assert int(out["n_tokens"].sum()) == int(total)
+    assert out["chunk_id"].tolist() == list(range(len(out)))
