@@ -652,6 +652,16 @@ def _q_top_tokens_per_lang(sf_dir: str):
     return top_tokens_per_lang(sf_dir)
 
 
+def _q_clean_corpus(sf_dir: str):
+    """Composite C4/Gopher-style cleaner: per-doc keep/drop verdict
+    with the first failing rule as reason (holdout, too_short,
+    exact_dup, repetitious, low_quality, contaminated). One streaming
+    signal pass + a hash-keyed winner groupby + one cogroup attach."""
+    from high_performance_docling_ray.pipelines.lm_filters import clean_corpus
+
+    return clean_corpus(sf_dir)
+
+
 def _q_token_counts(sf_dir: str):
     from high_performance_docling_ray.pipelines.text_analysis import token_counts
 
@@ -840,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "unigram_logprob": _q_unigram_logprob,
         "pack_sequences": _q_pack_sequences,
+        "clean_corpus": _q_clean_corpus,
         "bloom_tokens": _q_bloom_tokens,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
         "debug_overlays": _q_debug_overlays,
@@ -2006,6 +2017,134 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM x GROUP BY 1
+    """
+    # the composite cleaner: plantings (eval leak / dup pairs / spam /
+    # train leak, mutually exclusive by precedence), then every rule's
+    # existing SQL piece over the SAME planted text; comparisons use
+    # round(...,6) on both sides so thresholds can't straddle a ulp
+    oracles["clean_corpus"] = rf"""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 50 = 0 THEN
+                     text || ' leak sequence ' ||
+                     CAST((doc_id // 50) % 3 AS VARCHAR) ||
+                     ' alpha beta gamma delta epsilon zeta eta'
+                   WHEN doc_id % 41 IN (7, 8) THEN
+                     'dup block content ' || CAST(doc_id // 41 AS VARCHAR) ||
+                     ' lorem ipsum dolor sit amet consectetur adipiscing' ||
+                     ' elit sed do eiusmod tempor'
+                   WHEN doc_id % 37 = 11 THEN
+                     trim(repeat('click here buy now ' ||
+                                 CAST(doc_id AS VARCHAR) || ' ', 10))
+                   WHEN doc_id % 7 = 3 THEN
+                     text || ' leak sequence ' ||
+                     CAST(doc_id % 3 AS VARCHAR) ||
+                     ' alpha beta gamma delta epsilon zeta eta'
+                   ELSE text END AS text
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') AS ltoks,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+          FROM p
+        ),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS gram
+          FROM t WHERE len(toks) >= 2
+        ),
+        bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        bga AS (SELECT doc_id, MAX(c) AS mx FROM bgc GROUP BY doc_id),
+        tg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS gram
+          FROM t WHERE len(toks) >= 3
+        ),
+        tgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+        tga AS (
+          SELECT doc_id, SUM(c) AS total,
+                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+          FROM tgc GROUP BY doc_id
+        ),
+        q AS (
+          SELECT doc_id,
+            round(0.4 * least(1.0, len(toks) / 50.0)
+              + 0.2 * (CASE WHEN len(toks) = 0 THEN 0.5
+                            WHEN CAST(list_sum(list_transform(toks,
+                                     x -> length(x))) AS DOUBLE) / len(toks)
+                                 BETWEEN 3.0 AND 10.0
+                            THEN 1.0 ELSE 0.5 END)
+              + 0.2 * least(1.0,
+                  (CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(ltoks,
+                                 x -> x IN ({_STOP_EN}))) AS DOUBLE)
+                             / len(toks) END) * 5.0)
+              + 0.2 * (1.0 - least(1.0, greatest(0.0,
+                  (CASE WHEN n_chars = 0 THEN 0.0
+                        ELSE CAST(n_punct AS DOUBLE) / n_chars END)
+                  - 0.2) * 2.0)), 6) AS quality
+          FROM t
+        ),
+        w AS (
+          SELECT md5(text) AS h, MIN(doc_id) AS win FROM p GROUP BY 1
+        ),
+        lt AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM p
+        ),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+                        i -> array_to_string(toks[i : i + 7], ' ')))
+            END AS sh
+          FROM lt
+        ),
+        hv AS (
+          SELECT doc_id, md5_number_upper(s) AS h
+          FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+        ),
+        evh AS (SELECT DISTINCT h FROM hv WHERE doc_id % 50 = 0),
+        cont AS (
+          SELECT DISTINCT doc_id FROM hv
+          WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM evh)
+        ),
+        v AS (
+          SELECT t.doc_id,
+            CASE
+              WHEN t.doc_id % 50 = 0 THEN 'holdout'
+              WHEN len(t.toks) < 15 THEN 'too_short'
+              WHEN t.doc_id <> w.win THEN 'exact_dup'
+              WHEN round(COALESCE(tga.dup * 1.0 / tga.total, 0), 6) > 0.25
+                OR round(COALESCE(2.0 * bga.mx / len(t.toks), 0), 6) > 0.5
+                THEN 'repetitious'
+              WHEN q.quality < 0.55 THEN 'low_quality'
+              WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+            END AS reason
+          FROM t
+          JOIN w ON w.h = md5(t.text)
+          JOIN q ON q.doc_id = t.doc_id
+          LEFT JOIN bga ON bga.doc_id = t.doc_id
+          LEFT JOIN tga ON tga.doc_id = t.doc_id
+          LEFT JOIN cont ON cont.doc_id = t.doc_id
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN reason IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS keep,
+               reason
+        FROM v
     """
     # Bloom positions = the CMS bucket scheme at width 8192 (shift 51)
     oracles["bloom_tokens"] = r"""

@@ -129,6 +129,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "segment_dedup",
         "tfidf_topk",
         "top_tokens",
+        # round-3 LM-training filters
+        "decontaminate",
+        "unigram_logprob",
+        "pack_sequences",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

@@ -518,3 +518,221 @@ def pack_sequences(
     return spans.groupby("chunk_id").map_groups(
         chunk_stats, batch_format="pyarrow"
     )
+
+
+# doc_id inside the repeated phrase keeps spam docs distinct from each
+# other (identical spam would fail exact_dup before repetitious)
+def _spam_text(doc_id: int) -> str:
+    return " ".join([f"click here buy now {doc_id}"] * 10)
+_DUP_FILLER = (
+    "lorem ipsum dolor sit amet consectetur adipiscing"
+    " elit sed do eiusmod tempor"
+)
+
+
+def _plant_clean(batch: pa.Table, holdout_mod: int) -> pa.Table:
+    """Deterministic plantings for the composite cleaner — the
+    synthetic corpus contains no organic exact dups, spam repetition or
+    eval leaks, so each rule gets a planted population (mirrored
+    exactly in the SQL oracle). Precedence: eval docs keep their leak
+    suffix (they ARE the benchmark), then dup pairs (doc_id % 41 in
+    {7, 8} share text per 41-block), then spam docs (% 37 == 11), then
+    leaked train docs (% 7 == 3)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text")
+    is_eval = ids % holdout_mod == 0
+    is_dup = ~is_eval & np.isin(ids % 41, (7, 8))
+    is_spam = ~is_eval & ~is_dup & (ids % 37 == 11)
+    is_leak = ~is_eval & ~is_dup & ~is_spam & (ids % 7 == 3)
+    variant = np.where(is_eval, (ids // holdout_mod) % 3, ids % 3)
+    suffix = np.where(is_eval | is_leak, _LEAK_SUFFIXES[variant], "")
+    base = pc.binary_join_element_wise(
+        texts, pa.array(suffix.tolist(), pa.string()), ""
+    ).to_numpy(zero_copy_only=False).astype(object)
+    if is_dup.any():
+        base[is_dup] = np.array(
+            [
+                f"dup block content {k} {_DUP_FILLER}"
+                for k in ids[is_dup] // 41
+            ],
+            dtype=object,
+        )
+    if is_spam.any():
+        base[is_spam] = np.array(
+            [_spam_text(k) for k in ids[is_spam]], dtype=object
+        )
+    return batch.set_column(
+        batch.schema.get_field_index("text"),
+        "text",
+        pa.array(base.tolist(), pa.string()),
+    )
+
+
+def clean_corpus(
+    sf_dir: str,
+    min_tokens: int = 15,
+    max_dup_trigram: float = 0.25,
+    max_top_bigram: float = 0.5,
+    min_quality: float = 0.55,
+    n_shingle: int = 8,
+    holdout_mod: int = 50,
+    eval_broadcast_budget: int = 4_000_000,
+    plant: bool = True,
+) -> ray.data.Dataset:
+    """The composite C4/Gopher-style cleaning pipeline: every doc gets
+    a keep/drop verdict with the FIRST failing rule as its reason —
+
+        holdout      doc_id % holdout_mod == 0 (the eval slice itself)
+        too_short    n_tokens < min_tokens
+        exact_dup    not the min-doc_id owner of its md5(text) group
+        repetitious  dup_trigram_frac > max_dup_trigram
+                     or top_bigram_frac > max_top_bigram (Gopher)
+        low_quality  quality score < min_quality
+        contaminated shares an n_shingle-gram with any eval doc
+
+    Output: ``(doc_id, keep, reason)`` for EVERY doc (reason null when
+    kept) — the audit table a data curator reads before training.
+
+    One streaming pass computes every per-doc signal (token stats via
+    the shared ``repetition_stats_rows`` kernel, md5 content hash,
+    quality score, eval-shingle probe against a budgeted broadcast —
+    same machinery as ``decontaminate``); exact-dup winners are the
+    ``groupby(text_hash).min(doc_id)`` attached back by one
+    ``cogroup_attach`` — so the only exchanges are hash-keyed rows of
+    a few dozen bytes, never document text.
+    """
+    from ..kernels.text_stats import md5_fingerprint, quality_score
+    from .corpus_clean import repetition_stats_rows
+
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+    if plant:
+        docs = docs.map_batches(
+            lambda b: _plant_clean(b, holdout_mod), batch_format="pyarrow"
+        )
+
+    def eval_hash_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % holdout_mod == 0))
+        hv, _ = _shingle_hash_rows(sub, n_shingle)
+        return pa.Table.from_pydict(
+            {"h": pa.array(np.unique(hv).view(np.int64), pa.int64())}
+        )
+
+    eval_tbl = _collect_within_budget(
+        docs.map_batches(eval_hash_partial, batch_format="pyarrow"),
+        eval_broadcast_budget,
+    )
+    if eval_tbl is None:
+        raise ValueError(
+            "eval shingle set exceeds the broadcast budget; raise "
+            "eval_broadcast_budget or flag contamination separately "
+            "with decontaminate()'s distributed tier"
+        )
+    ev = (
+        np.unique(
+            eval_tbl.column("h").to_numpy(zero_copy_only=False).view(
+                np.uint64
+            )
+        )
+        if eval_tbl.num_columns and eval_tbl.num_rows
+        else np.empty(0, np.uint64)
+    )
+    ev_ref = ray.put(ev)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        rep = repetition_stats_rows(batch)
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        evh = ray.get(ev_ref)
+        contaminated = np.zeros(len(ids), bool)
+        train_mask = ids % holdout_mod != 0
+        if len(evh) and train_mask.any():
+            hv, dv = _shingle_hash_rows(
+                batch.filter(pa.array(train_mask)), n_shingle
+            )
+            if len(hv):
+                pos = np.searchsorted(evh, hv)
+                hit = (pos < len(evh)) & (
+                    evh[np.minimum(pos, len(evh) - 1)] == hv
+                )
+                hit_ids = np.unique(dv[hit])
+                contaminated = np.isin(ids, hit_ids)
+        return rep.append_column(
+            "text_hash", pa.array([md5_fingerprint(t) for t in texts])
+        ).append_column(
+            "quality",
+            pa.array([quality_score(t) for t in texts], pa.float64()),
+        ).append_column(
+            "contaminated", pa.array(contaminated, pa.bool_())
+        )
+
+    flag_ds = docs.map_batches(flags, batch_format="pyarrow")
+
+    def winner_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pdf = batch.select(["text_hash", "doc_id"]).to_pandas()
+        pdf = pdf.groupby("text_hash", sort=False, as_index=False).min()
+        return pa.Table.from_pandas(
+            pdf, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    winners = (
+        flag_ds.map_batches(winner_partial, batch_format="pyarrow")
+        .groupby("text_hash")
+        .min("doc_id")
+        .map_batches(
+            lambda b: b.rename_columns(["text_hash", "win"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = cogroup_attach(
+        flag_ds,
+        winners,
+        key="text_hash",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("dup_token_frac", pa.float64()),
+            pa.field("top_bigram_frac", pa.float64()),
+            pa.field("dup_trigram_frac", pa.float64()),
+            pa.field("text_hash", pa.string()),
+            pa.field("quality", pa.float64()),
+            pa.field("contaminated", pa.bool_()),
+        ],
+        payload_fields=[pa.field("win", pa.int64())],
+    )
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tok = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        tg3 = batch.column("dup_trigram_frac").to_numpy(zero_copy_only=False)
+        bg2 = batch.column("top_bigram_frac").to_numpy(zero_copy_only=False)
+        q = batch.column("quality").to_numpy(zero_copy_only=False)
+        cont = batch.column("contaminated").to_numpy(zero_copy_only=False)
+        # fill_null first: a nullable int64 with nulls converts to
+        # float64 and breaks the exact id comparison
+        win = pc.fill_null(batch.column("win"), -1).to_numpy(
+            zero_copy_only=False
+        )
+        reason = np.full(len(ids), None, dtype=object)
+        # precedence: LAST write wins -> assign in reverse order
+        reason[cont] = "contaminated"
+        reason[q < min_quality] = "low_quality"
+        reason[(tg3 > max_dup_trigram) | (bg2 > max_top_bigram)] = (
+            "repetitious"
+        )
+        reason[ids != win] = "exact_dup"
+        reason[n_tok < min_tokens] = "too_short"
+        reason[ids % holdout_mod == 0] = "holdout"
+        keep = np.array([r is None for r in reason], bool)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "keep": pa.array(keep.astype(np.int64), pa.int64()),
+                "reason": pa.array(reason.tolist(), pa.string()),
+            }
+        )
+
+    return joined.map_batches(verdict, batch_format="pyarrow")

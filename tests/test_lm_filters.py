@@ -170,3 +170,51 @@ def test_pack_sequences_conservation():
     ).fetchone()[0]
     assert int(out["n_tokens"].sum()) == int(total)
     assert out["chunk_id"].tolist() == list(range(len(out)))
+
+
+def test_clean_corpus_closed_form(tmp_path):
+    from high_performance_docling_ray.pipelines.lm_filters import clean_corpus
+
+    long15 = " ".join(f"w{i}" for i in range(20))
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "too few words"),           # too_short
+            (2, long15),                    # kept twin winner
+            (4, long15),                    # exact_dup of 2
+            (5, " ".join(["ping pong"] * 20)),  # repetitious
+            (6, "the a of and to in is it you that " +
+                " ".join(f"u{i}" for i in range(10))),
+        ],
+    )
+    out = (
+        clean_corpus(sf, plant=False, min_quality=0.0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["doc_id"], out["reason"]))
+    assert got[1] == "too_short"
+    assert got[2] is None and got[4] == "exact_dup"
+    assert got[5] == "repetitious"
+    assert got[6] is None
+    assert out["keep"].tolist() == [0, 1, 0, 0, 1]
+
+
+def test_clean_corpus_precedence_and_totals():
+    """Planted sf0.001 corpus: every rule fires, verdict covers every
+    doc exactly once, and holdout beats every other reason."""
+    from high_performance_docling_ray.pipelines.lm_filters import clean_corpus
+
+    out = clean_corpus(SF).to_pandas()
+    assert len(out) == 500
+    assert set(out.loc[out["keep"] == 0, "reason"]) == {
+        "holdout",
+        "too_short",
+        "exact_dup",
+        "repetitious",
+        "low_quality",
+        "contaminated",
+    }
+    assert out.loc[out["keep"] == 1, "reason"].isna().all()
+    assert (out.loc[out["doc_id"] % 50 == 0, "reason"] == "holdout").all()
