@@ -502,22 +502,49 @@ def pack_sequences(
         chunk_rows, batch_format="pyarrow"
     )
 
-    def chunk_stats(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        ov = group.column("ov").to_numpy(zero_copy_only=False)
+    # per-batch pyarrow combiner + one vectorized multi-aggregate
+    # groupby (partials merge as sum/sum/min/max) — no per-group Python
+    from ray.data.aggregate import Max, Min, Sum
+
+    def span_partials(batch: pa.Table) -> pa.Table:
+        return batch.group_by("chunk_id").aggregate(
+            [
+                ("ov", "sum"),
+                ("doc_id", "count"),
+                ("doc_id", "min"),
+                ("doc_id", "max"),
+            ]
+        )
+
+    stats = (
+        spans.map_batches(span_partials, batch_format="pyarrow")
+        .groupby("chunk_id")
+        .aggregate(
+            Sum("ov_sum"),
+            Sum("doc_id_count"),
+            Min("doc_id_min"),
+            Max("doc_id_max"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
-                "chunk_id": group.column("chunk_id").slice(0, 1),
-                "n_tokens": pa.array([int(ov.sum())], pa.int64()),
-                "n_docs": pa.array([len(ids)], pa.int64()),
-                "first_doc": pa.array([int(ids.min())], pa.int64()),
-                "last_doc": pa.array([int(ids.max())], pa.int64()),
+                "chunk_id": batch.column("chunk_id"),
+                "n_tokens": pc.cast(batch.column("sum(ov_sum)"), pa.int64()),
+                "n_docs": pc.cast(
+                    batch.column("sum(doc_id_count)"), pa.int64()
+                ),
+                "first_doc": pc.cast(
+                    batch.column("min(doc_id_min)"), pa.int64()
+                ),
+                "last_doc": pc.cast(
+                    batch.column("max(doc_id_max)"), pa.int64()
+                ),
             }
         )
 
-    return spans.groupby("chunk_id").map_groups(
-        chunk_stats, batch_format="pyarrow"
-    )
+    return stats.map_batches(finalize, batch_format="pyarrow")
 
 
 # doc_id inside the repeated phrase keeps spam docs distinct from each

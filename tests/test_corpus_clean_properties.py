@@ -133,3 +133,78 @@ def test_union_find_matches_bfs(edges):
                     seen.add(nxt)
                     stack.append(nxt)
         assert labels[node] == min(seen)
+
+
+# -- round-3 LM-filter kernels ------------------------------------------------
+
+from high_performance_docling_ray.kernels.sketch import (  # noqa: E402
+    bloom_add,
+    bloom_positions,
+    bloom_query,
+)
+from high_performance_docling_ray.kernels.text_stats import (  # noqa: E402
+    ngram_set,
+)
+from high_performance_docling_ray.pipelines.lm_filters import (  # noqa: E402
+    _shingle_hash_rows,
+)
+
+
+@given(_corpus, st.integers(min_value=1, max_value=4))
+@settings(max_examples=150, deadline=None)
+def test_shingle_hash_rows_matches_ngram_set(texts, n):
+    """Flat (hash, doc) rows == per-doc ngram_set sizes, and every
+    doc's hash multiset is distinct within the doc."""
+    hv, dv = _shingle_hash_rows(_batch(texts), n)
+    for d, text in enumerate(texts):
+        want = len(ngram_set(text, n))
+        got = int((dv == d).sum())
+        assert got == want
+        # distinct within doc (ngram_set is a set; md5 collisions on
+        # <=12-token docs of a 3-letter alphabet are impossible)
+        doc_h = hv[dv == d]
+        assert len(np.unique(doc_h)) == len(doc_h)
+
+
+@given(st.lists(_word, min_size=0, max_size=20, unique=True),
+       st.lists(_word, min_size=0, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_bloom_no_false_negatives_property(added, probes):
+    bits = bloom_add(np.zeros(8192, bool), added)
+    hits = bloom_query(bits, probes)
+    for tok, hit in zip(probes, hits):
+        if tok in added:
+            assert hit  # Bloom guarantee: no false negatives
+        if not hit:
+            assert tok not in added
+
+
+@given(st.lists(st.integers(min_value=0, max_value=200), min_size=1,
+                max_size=30),
+       st.integers(min_value=1, max_value=9))
+@settings(max_examples=200, deadline=None)
+def test_pack_chunk_math_matches_naive(tok_counts, capacity):
+    """The vectorized chunk-overlap emission inside pack_sequences ==
+    a naive token-at-a-time packer (doc spans laid end to end)."""
+    n = np.array([c for c in tok_counts if c > 0], np.int64)
+    if not len(n):
+        return
+    ends = np.cumsum(n)
+    starts = ends - n
+    first_chunk = starts // capacity
+    last_chunk = (ends - 1) // capacity
+    got: dict[int, int] = {}
+    for i in range(len(n)):
+        for c in range(int(first_chunk[i]), int(last_chunk[i]) + 1):
+            ov = min(int(ends[i]), (c + 1) * capacity) - max(
+                int(starts[i]), c * capacity
+            )
+            got[c] = got.get(c, 0) + ov
+    # naive: lay every token down one by one
+    want: dict[int, int] = {}
+    pos = 0
+    for c_ in n:
+        for _ in range(int(c_)):
+            want[pos // capacity] = want.get(pos // capacity, 0) + 1
+            pos += 1
+    assert got == want
