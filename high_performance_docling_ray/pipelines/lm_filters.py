@@ -551,6 +551,8 @@ def pack_sequences(
 # other (identical spam would fail exact_dup before repetitious)
 def _spam_text(doc_id: int) -> str:
     return " ".join([f"click here buy now {doc_id}"] * 10)
+
+
 _DUP_FILLER = (
     "lorem ipsum dolor sit amet consectetur adipiscing"
     " elit sed do eiusmod tempor"
