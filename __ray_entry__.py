@@ -652,6 +652,18 @@ def _q_top_tokens_per_lang(sf_dir: str):
     return top_tokens_per_lang(sf_dir)
 
 
+def _q_shuffle_ranks(sf_dir: str):
+    """Deterministic epoch shuffle: global rank in md5-keyed order
+    WITHOUT a global sort — top hash bits are the range partition, so
+    it's a two-level prefix sum (per-bucket counts -> driver cumsum ->
+    local argsort + offset)."""
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        shuffle_ranks,
+    )
+
+    return shuffle_ranks(sf_dir)
+
+
 def _q_clean_corpus(sf_dir: str):
     """Composite C4/Gopher-style cleaner: per-doc keep/drop verdict
     with the first failing rule as reason (holdout, too_short,
@@ -851,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "pack_sequences": _q_pack_sequences,
         "clean_corpus": _q_clean_corpus,
+        "shuffle_ranks": _q_shuffle_ranks,
         "bloom_tokens": _q_bloom_tokens,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
         "debug_overlays": _q_debug_overlays,
@@ -2145,6 +2158,14 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS keep,
                reason
         FROM v
+    """
+    # rank in md5 order; hash64 == md5_number_upper, doc_id tiebreak
+    oracles["shuffle_ranks"] = r"""
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY md5_number_upper('0:' || CAST(doc_id AS VARCHAR)),
+                          doc_id) - 1 AS BIGINT) AS shuffle_rank
+        FROM documents
     """
     # Bloom positions = the CMS bucket scheme at width 8192 (shift 51)
     oracles["bloom_tokens"] = r"""

@@ -765,3 +765,95 @@ def clean_corpus(
         )
 
     return joined.map_batches(verdict, batch_format="pyarrow")
+
+
+def shuffle_ranks(
+    sf_dir: str, salt: int = 0, n_buckets: int = 256
+) -> ray.data.Dataset:
+    """Deterministic epoch shuffle: every doc's GLOBAL position in the
+    md5-keyed pseudo-random order — reshuffle an epoch by changing
+    ``salt``, reproduce it exactly by reusing one. Output
+    ``(doc_id, shuffle_rank)``, rank 0-based.
+
+    A global rank normally means a global sort + enumeration; here the
+    hash key's TOP BITS make range partitioning free (uniform over
+    buckets, bucket id == key order), so it's the same two-level
+    prefix-sum shape as ``pack_sequences``: per-bucket counts ->
+    driver cumsum over n_buckets rows -> per-bucket local argsort +
+    offset. One bucket-keyed exchange of (doc_id, h) rows, no
+    all-to-all sort.
+    """
+    docs = read_documents(sf_dir, ("doc_id",))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = hash64([f"{salt}:{i}" for i in ids])
+        shift = np.uint64(64 - (int(n_buckets) - 1).bit_length())
+        bucket = (h >> shift).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(
+            batch.column("bucket").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            keyed_ds.map_batches(bucket_counts, batch_format="pyarrow")
+            .groupby("bucket")
+            .sum("n")
+            .sort("bucket")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "shuffle_rank": pa.array([], pa.int64())}
+            )
+        )
+    cnt_tbl = pa.concat_tables(parts)
+    buckets = cnt_tbl.column("bucket").to_numpy(zero_copy_only=False)
+    counts = cnt_tbl.column("sum(n)").to_numpy(zero_copy_only=False)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    offset_ref = ray.put(dict(zip(buckets.tolist(), offsets.tolist())))
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        b = int(group.column("bucket")[0].as_py())
+        order = np.lexsort((ids, h))  # (h, doc_id) ascending
+        ranks = np.empty(len(ids), np.int64)
+        ranks[order] = ray.get(offset_ref)[b] + np.arange(
+            len(ids), dtype=np.int64
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shuffle_rank": pa.array(ranks, pa.int64()),
+            }
+        )
+
+    return keyed_ds.groupby("bucket").map_groups(
+        rank_bucket, batch_format="pyarrow"
+    )

@@ -218,3 +218,38 @@ def test_clean_corpus_precedence_and_totals():
     }
     assert out.loc[out["keep"] == 1, "reason"].isna().all()
     assert (out.loc[out["doc_id"] % 50 == 0, "reason"] == "holdout").all()
+
+
+def test_shuffle_ranks_is_permutation_and_salted():
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        shuffle_ranks,
+    )
+
+    a = shuffle_ranks(SF).to_pandas()
+    assert sorted(a["shuffle_rank"]) == list(range(500))  # a permutation
+    b = shuffle_ranks(SF).to_pandas()  # deterministic rerun
+    assert a.sort_values("doc_id").equals(b.sort_values("doc_id"))
+    c = shuffle_ranks(SF, salt=1).to_pandas()  # new epoch, new order
+    merged = a.merge(c, on="doc_id", suffixes=("_0", "_1"))
+    assert (merged["shuffle_rank_0"] != merged["shuffle_rank_1"]).any()
+
+
+def test_shuffle_ranks_matches_serial_order(tmp_path):
+    import hashlib
+
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        shuffle_ranks,
+    )
+
+    sf = _write_docs(tmp_path, [(i, f"doc {i}") for i in range(40)])
+    out = (
+        shuffle_ranks(sf, n_buckets=8)
+        .to_pandas()
+        .sort_values("shuffle_rank")
+    )
+    def h(i):
+        return int.from_bytes(
+            hashlib.md5(f"0:{i}".encode()).digest()[:8], "little"
+        )
+    want = sorted(range(40), key=lambda i: (h(i), i))
+    assert out["doc_id"].tolist() == want
