@@ -191,9 +191,29 @@ def decontaminate(
         )
 
     # over-budget tier: key-only exchange, text never moves
+    return _cogroup_contamination(docs, n, holdout_mod)
+
+
+def _cogroup_contamination(
+    docs: ray.data.Dataset, n: int, holdout_mod: int
+) -> ray.data.Dataset:
+    """Distributed contamination counts ``(doc_id, n_hits)`` — the
+    over-budget tier shared by ``decontaminate`` and ``clean_corpus``:
+    distinct (hash, doc_id) training rows LEFT-cogrouped with the
+    distinct eval-hash set by hash, filtered to hits, doc-keyed count.
+    ``docs`` must already carry any planting."""
+
+    def eval_hash_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % holdout_mod == 0))
+        hv, _ = _shingle_hash_rows(sub, n)
+        return pa.Table.from_pydict(
+            {"h": pa.array(np.unique(hv).view(np.int64), pa.int64())}
+        )
+
     def train_hash_partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        sub = batch.filter(pa.array(~is_eval_expr(ids)))
+        sub = batch.filter(pa.array(ids % holdout_mod != 0))
         hv, dv = _shingle_hash_rows(sub, n)
         return pa.Table.from_pydict(
             {
@@ -203,7 +223,8 @@ def decontaminate(
         )
 
     eval_distinct = (
-        eval_hash_ds.groupby("h")
+        docs.map_batches(eval_hash_partial, batch_format="pyarrow")
+        .groupby("h")
         .count()
         .map_batches(
             lambda b: pa.Table.from_pydict(
@@ -227,6 +248,7 @@ def decontaminate(
         ],
         payload_fields=[pa.field("hit", pa.int8())],
     )
+
     def keep_hits(batch: pa.Table) -> pa.Table:
         mask = pc.fill_null(pc.equal(batch.column("hit"), 1), False)
         return batch.filter(mask).select(["doc_id"])
@@ -651,19 +673,17 @@ def clean_corpus(
         docs.map_batches(eval_hash_partial, batch_format="pyarrow"),
         eval_broadcast_budget,
     )
-    if eval_tbl is None:
-        raise ValueError(
-            "eval shingle set exceeds the broadcast budget; raise "
-            "eval_broadcast_budget or flag contamination separately "
-            "with decontaminate()'s distributed tier"
-        )
+    # broadcast tier: contamination is probed inline in the signal
+    # pass; over budget, flags carry False and the distributed
+    # _cogroup_contamination ids are attached by doc_id at the end
+    broadcast_cont = eval_tbl is not None
     ev = (
         np.unique(
             eval_tbl.column("h").to_numpy(zero_copy_only=False).view(
                 np.uint64
             )
         )
-        if eval_tbl.num_columns and eval_tbl.num_rows
+        if broadcast_cont and eval_tbl.num_columns and eval_tbl.num_rows
         else np.empty(0, np.uint64)
     )
     ev_ref = ray.put(ev)
@@ -732,6 +752,35 @@ def clean_corpus(
         ],
         payload_fields=[pa.field("win", pa.int64())],
     )
+
+    if not broadcast_cont:
+        cont_ids = _cogroup_contamination(docs, n_shingle, holdout_mod)
+        joined = cogroup_attach(
+            joined,
+            cont_ids,
+            key="doc_id",
+            left_fields=[
+                pa.field("doc_id", pa.int64()),
+                pa.field("n_tokens", pa.int64()),
+                pa.field("dup_token_frac", pa.float64()),
+                pa.field("top_bigram_frac", pa.float64()),
+                pa.field("dup_trigram_frac", pa.float64()),
+                pa.field("text_hash", pa.string()),
+                pa.field("quality", pa.float64()),
+                pa.field("contaminated", pa.bool_()),
+                pa.field("win", pa.int64()),
+            ],
+            payload_fields=[pa.field("n_hits", pa.int64())],
+        ).map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("contaminated"),
+                "contaminated",
+                pc.fill_null(
+                    pc.greater(b.column("n_hits"), 0), False
+                ),
+            ).drop_columns(["n_hits"]),
+            batch_format="pyarrow",
+        )
 
     def verdict(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)

@@ -253,3 +253,22 @@ def test_shuffle_ranks_matches_serial_order(tmp_path):
         )
     want = sorted(range(40), key=lambda i: (h(i), i))
     assert out["doc_id"].tolist() == want
+
+
+def test_clean_corpus_tiers_equal():
+    """Broadcast contamination tier == forced distributed tier."""
+    from high_performance_docling_ray.pipelines.lm_filters import clean_corpus
+
+    a = (
+        clean_corpus(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        clean_corpus(SF, eval_broadcast_budget=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[list(a.columns)]
+    )
+    assert a.equals(b)
