@@ -652,6 +652,17 @@ def _q_top_tokens_per_lang(sf_dir: str):
     return top_tokens_per_lang(sf_dir)
 
 
+def _q_hll_hourly(sf_dir: str):
+    """Per-hour HLL distinct users: register blobs keyed by hour,
+    merged by groupby().map_groups where the group lives (no driver
+    dict) — the unbounded-group-domain sketch shape."""
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        distinct_users_hll_hourly,
+    )
+
+    return distinct_users_hll_hourly(sf_dir)
+
+
 def _q_shuffle_ranks(sf_dir: str):
     """Deterministic epoch shuffle: global rank in md5-keyed order
     WITHOUT a global sort — top hash bits are the range partition, so
@@ -895,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
         "hll_distinct_users": _q_hll_distinct,
+        "hll_distinct_hourly": _q_hll_hourly,
         # relational operator demos
         "q1_pricing_summary": _q_q1,
         "q3_top_orders": _q_q3,
@@ -2158,6 +2170,52 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS keep,
                reason
         FROM v
+    """
+    # hourly HLL: same bit-exact register rebuild as the global oracle,
+    # grouped by epoch hour instead of event_type
+    oracles["hll_distinct_hourly"] = """
+        WITH h AS (
+          SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                   AS hour_bucket,
+                 md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+          FROM events
+        ),
+        rk AS (
+          SELECT hour_bucket, CAST(hv >> 52 AS INTEGER) AS idx,
+                 to_hex(CAST((hv % 4503599627370496::HUGEINT) * 4096 + 4095
+                             AS UBIGINT)) AS hx
+          FROM h
+        ),
+        rk2 AS (
+          SELECT hour_bucket, idx,
+                 65 - (4 * (length(hx) - 1) +
+                       CASE substr(hx, 1, 1)
+                            WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 2
+                            WHEN '4' THEN 3 WHEN '5' THEN 3 WHEN '6' THEN 3
+                            WHEN '7' THEN 3 ELSE 4 END) AS rank
+          FROM rk
+        ),
+        regs AS (SELECT hour_bucket, idx, max(rank) AS reg
+                 FROM rk2 GROUP BY 1, 2),
+        agg AS (
+          SELECT hour_bucket, count(*) AS npresent,
+                 sum(1::HUGEINT << (53 - reg)) AS present_num
+          FROM regs GROUP BY 1
+        ),
+        est AS (
+          SELECT hour_bucket,
+                 4096 - npresent AS zeros,
+                 (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096 /
+                     (CAST(present_num + (4096 - npresent) * (1::HUGEINT << 53)
+                           AS DOUBLE) / 9007199254740992.0) AS raw
+          FROM agg
+        )
+        SELECT hour_bucket,
+               CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                               THEN 4096 * ln(4096.0 / zeros)
+                               ELSE raw END) AS BIGINT)
+                   AS approx_distinct_users
+        FROM est ORDER BY hour_bucket
     """
     # rank in md5 order; hash64 == md5_number_upper, doc_id tiebreak
     oracles["shuffle_ranks"] = r"""

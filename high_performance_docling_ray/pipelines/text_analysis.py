@@ -346,3 +346,75 @@ def distinct_users_hll(sf_dir: str, p: int = 12):
             ),
         }
     )
+
+
+def distinct_users_hll_hourly(sf_dir: str, p: int = 12) -> ray.data.Dataset:
+    """Approximate distinct users PER HOUR — the fully distributed
+    sibling of ``distinct_users_hll``: instead of a driver-side merge
+    dict (fine for a handful of event types, wrong for an unbounded
+    group domain), each batch emits one 2^p-byte register blob per
+    hour and a ``groupby(hour).map_groups`` merges them with one
+    elementwise-max reduce WHERE THE GROUP LIVES. The exchange carries
+    #blocks x #hours x 4 KiB register rows — never a user_id — and
+    group count can grow without the driver seeing any of it.
+
+    Returns ``(hour_bucket, approx_distinct_users)`` with hour_bucket
+    = epoch hours (BIGINT both here and in the SQL oracle).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..kernels import sketch
+    from .io import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    us_per_hour = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = (
+            pc.cast(batch.column("ts"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // us_per_hour
+        )
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        out_h, out_r = [], []
+        order = np.argsort(hours, kind="stable")
+        hours, users = hours[order], users[order]
+        bounds = np.flatnonzero(np.r_[True, hours[1:] != hours[:-1]])
+        for i, start in enumerate(bounds):
+            end = bounds[i + 1] if i + 1 < len(bounds) else len(hours)
+            regs = sketch.add_hashed(
+                sketch.empty_registers(p),
+                sketch.hash64(users[start:end].tolist()),
+            )
+            out_h.append(int(hours[start]))
+            out_r.append(regs.tobytes())
+        return pa.Table.from_pydict(
+            {
+                "hour_bucket": pa.array(out_h, pa.int64()),
+                "registers": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    def merge_estimate(group: pa.Table) -> pa.Table:
+        blobs = group.column("registers").to_pylist()
+        regs = np.frombuffer(blobs[0], dtype=np.uint8).copy()
+        for b in blobs[1:]:
+            regs = sketch.merge(regs, np.frombuffer(b, dtype=np.uint8))
+        return pa.Table.from_pydict(
+            {
+                "hour_bucket": group.column("hour_bucket").slice(0, 1),
+                "approx_distinct_users": pa.array(
+                    [int(round(sketch.estimate(regs)))], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour_bucket")
+        .map_groups(merge_estimate, batch_format="pyarrow")
+    )
