@@ -675,6 +675,17 @@ def _q_shuffle_ranks(sf_dir: str):
     return shuffle_ranks(sf_dir)
 
 
+def _q_pack_assignments(sf_dir: str):
+    """Per-doc chunk assignments from the sequence packer (which
+    chunk(s) each doc's tokens land in + the overlap size) — the
+    artifact a training loader actually consumes."""
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        pack_sequences,
+    )
+
+    return pack_sequences(sf_dir, return_assignments=True)
+
+
 def _q_clean_corpus(sf_dir: str):
     """Composite C4/Gopher-style cleaner: per-doc keep/drop verdict
     with the first failing rule as reason (holdout, too_short,
@@ -873,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "unigram_logprob": _q_unigram_logprob,
         "pack_sequences": _q_pack_sequences,
+        "pack_assignments": _q_pack_assignments,
         "clean_corpus": _q_clean_corpus,
         "shuffle_ranks": _q_shuffle_ranks,
         "bloom_tokens": _q_bloom_tokens,
@@ -2224,6 +2236,26 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY md5_number_upper('0:' || CAST(doc_id AS VARCHAR)),
                           doc_id) - 1 AS BIGINT) AS shuffle_rank
         FROM documents
+    """
+    # the x CTE of pack_sequences IS the assignment table
+    oracles["pack_assignments"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '')) AS n
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id, n,
+                 CAST(SUM(n) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n
+                      AS BIGINT) AS s
+          FROM t WHERE n > 0
+        )
+        SELECT doc_id, CAST(u.c AS BIGINT) AS chunk_id,
+               CAST(least(s + n, (u.c + 1) * 512)
+                 - greatest(s, u.c * 512) AS BIGINT) AS n_tokens
+        FROM o, unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS u(c)
     """
     # Bloom positions = the CMS bucket scheme at width 8192 (shift 51)
     oracles["bloom_tokens"] = r"""

@@ -133,6 +133,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "decontaminate",
         "unigram_logprob",
         "pack_sequences",
+        "clean_corpus",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

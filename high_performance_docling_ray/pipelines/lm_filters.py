@@ -412,6 +412,7 @@ def pack_sequences(
     sf_dir: str,
     capacity: int = 512,
     bucket_docs: int = 64,
+    return_assignments: bool = False,
 ) -> ray.data.Dataset:
     """GPT-style sequence packing: concatenate every document's tokens
     in doc_id order and cut fixed-``capacity`` training sequences,
@@ -523,6 +524,14 @@ def pack_sequences(
     spans = counts.groupby("bucket").map_groups(
         chunk_rows, batch_format="pyarrow"
     )
+    if return_assignments:
+        # the per-doc training artifact: which chunk(s) each doc's
+        # tokens land in and how many (a doc spans >1 chunk when it
+        # crosses a capacity boundary)
+        return spans.map_batches(
+            lambda b: b.rename_columns(["chunk_id", "doc_id", "n_tokens"]),
+            batch_format="pyarrow",
+        )
 
     # per-batch pyarrow combiner + one vectorized multi-aggregate
     # groupby (partials merge as sum/sum/min/max) — no per-group Python
