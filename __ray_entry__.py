@@ -652,6 +652,17 @@ def _q_top_tokens_per_lang(sf_dir: str):
     return top_tokens_per_lang(sf_dir)
 
 
+def _q_source_composition(sf_dir: str):
+    """Per-source corpus composition (doc counts, char mass, language
+    entropy) — reads only metadata columns, text never leaves storage;
+    one composite-keyed groupby bounded by source x lang."""
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        source_composition,
+    )
+
+    return source_composition(sf_dir)
+
+
 def _q_hll_hourly(sf_dir: str):
     """Per-hour HLL distinct users: register blobs keyed by hour,
     merged by groupby().map_groups where the group lives (no driver
@@ -919,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "hll_distinct_users": _q_hll_distinct,
         "hll_distinct_hourly": _q_hll_hourly,
+        "source_composition": _q_source_composition,
         # relational operator demos
         "q1_pricing_summary": _q_q1,
         "q3_top_orders": _q_q3,
@@ -2228,6 +2240,24 @@ def oracle_sql() -> dict[str, str]:
                                ELSE raw END) AS BIGINT)
                    AS approx_distinct_users
         FROM est ORDER BY hour_bucket
+    """
+    # entropy folds <= |langs| terms per source, round-6 on both sides
+    oracles["source_composition"] = """
+        WITH c AS (
+          SELECT source, lang, COUNT(*) AS n, SUM(n_chars) AS ch
+          FROM documents GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT source, SUM(n) AS n_docs, SUM(ch) AS total_chars
+          FROM c GROUP BY 1
+        )
+        SELECT c.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+               CAST(s.total_chars AS BIGINT) AS total_chars,
+               round(s.total_chars * 1.0 / s.n_docs, 6) AS mean_chars,
+               round(-SUM((c.n * 1.0 / s.n_docs)
+                          * ln(c.n * 1.0 / s.n_docs)), 6) AS lang_entropy
+        FROM c JOIN s USING (source)
+        GROUP BY 1, s.n_docs, s.total_chars
     """
     # rank in md5 order; hash64 == md5_number_upper, doc_id tiebreak
     oracles["shuffle_ranks"] = r"""

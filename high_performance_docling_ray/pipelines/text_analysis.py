@@ -418,3 +418,87 @@ def distinct_users_hll_hourly(sf_dir: str, p: int = 12) -> ray.data.Dataset:
         .groupby("hour_bucket")
         .map_groups(merge_estimate, batch_format="pyarrow")
     )
+
+
+def source_composition(sf_dir: str) -> ray.data.Dataset:
+    """Per-source corpus composition — the mixing report a curator
+    reads before setting domain weights: ``(source, n_docs,
+    total_chars, mean_chars, lang_entropy)`` with Shannon entropy (in
+    nats) over the source's language distribution.
+
+    Reads ONLY (source, lang, n_chars) — document text never leaves
+    storage. Per-batch (source, lang) combiner -> one composite-keyed
+    groupby over source x lang rows (bounded by the domain product,
+    not the corpus) -> per-source entropy fold. Null source/lang form
+    their own strata via a sentinel tokens cannot contain.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .io import read_parquet_clean
+
+    sep, nul = "\x1f", "\x00"
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.fill_null(batch.column("source"), nul),
+            pc.fill_null(batch.column("lang"), nul),
+            sep,
+        )
+        t = pa.Table.from_pydict(
+            {"key": key, "n_chars": batch.column("n_chars")}
+        )
+        agg = t.group_by("key").aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+        return agg.rename_columns(["key", "ch", "n"])
+
+    from ray.data.aggregate import Sum
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("ch"), Sum("n"))
+    )
+
+    def split_source(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("key"), sep)
+        return pa.Table.from_pydict(
+            {
+                "source": pc.list_element(parts, 0),
+                "ch": pc.cast(batch.column("sum(ch)"), pa.int64()),
+                "n": pc.cast(batch.column("sum(n)"), pa.int64()),
+            }
+        )
+
+    def entropy_fold(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        ch = group.column("ch").to_numpy(zero_copy_only=False)
+        tot = n.sum()
+        p = n / tot
+        src = group.column("source")[0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(
+                    [None if src == nul else src], pa.string()
+                ),
+                "n_docs": pa.array([int(tot)], pa.int64()),
+                "total_chars": pa.array([int(ch.sum())], pa.int64()),
+                "mean_chars": pa.array(
+                    [round(float(ch.sum()) / tot, 6)], pa.float64()
+                ),
+                "lang_entropy": pa.array(
+                    [round(float(-(p * np.log(p)).sum()), 6)], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        summed.map_batches(split_source, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(entropy_fold, batch_format="pyarrow")
+    )

@@ -719,3 +719,40 @@ def test_hll_hourly_accuracy_and_merge_independence():
     assert set(out.index) == set(truth)
     for h, true in truth.items():
         assert abs(out[h] - true) <= max(3, 0.1 * true)
+
+
+def test_source_composition_closed_form(tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        source_composition,
+    )
+
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"], pa.string()),
+            "lang": pa.array(["en", "en", "fr", None], pa.string()),
+            "source": pa.array(["s1", "s1", "s1", None], pa.string()),
+            "n_chars": pa.array([10, 20, 30, 5], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        source_composition(str(tmp_path))
+        .to_pandas()
+        .sort_values("source", na_position="first")
+        .reset_index(drop=True)
+    )
+    # null source forms its own stratum
+    assert out.loc[0, "source"] is None or out.loc[0, "source"] != out.loc[0, "source"]
+    assert out.loc[0, "n_docs"] == 1 and out.loc[0, "total_chars"] == 5
+    s1 = out[out["source"] == "s1"].iloc[0]
+    assert s1["n_docs"] == 3 and s1["total_chars"] == 60
+    assert s1["mean_chars"] == 20.0
+    # entropy of (2/3, 1/3)
+    want = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert s1["lang_entropy"] == round(want, 6)
