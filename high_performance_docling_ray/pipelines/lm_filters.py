@@ -64,7 +64,9 @@ def _shingle_hash_rows(batch: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray]
         shingles = ngram_set(text or "", n)
         if not shingles:
             continue
-        hv.append(hash64(sorted(shingles)))
+        # no sort: downstream is set membership / distinct counts, and
+        # set iteration order never reaches any output
+        hv.append(hash64(list(shingles)))
         dv.append(np.full(len(shingles), did, np.int64))
     if not hv:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
@@ -660,6 +662,12 @@ def clean_corpus(
     ``groupby(text_hash).min(doc_id)`` attached back by one
     ``cogroup_attach`` — so the only exchanges are hash-keyed rows of
     a few dozen bytes, never document text.
+
+    Scale note: the eval-hash build is a SECOND pass over the corpus
+    here only because the synthetic eval set is a doc_id slice of the
+    same table; in a real deployment the benchmark suite is its own
+    small table and that pass reads ONLY it (the flags pass over the
+    training corpus stays single-read either way).
     """
     from ..kernels.text_stats import md5_fingerprint, quality_score
     from .corpus_clean import repetition_stats_rows
