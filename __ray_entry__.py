@@ -697,6 +697,17 @@ def _q_pack_assignments(sf_dir: str):
     return pack_sequences(sf_dir, return_assignments=True)
 
 
+def _q_curate_and_pack(sf_dir: str):
+    """End-to-end: composite cleaner -> keep survivors -> pack their
+    tokens into 512-token sequences. Verdicts attach to (doc_id,
+    n_tok) count rows by cogroup (text never rides an exchange)."""
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        curate_and_pack,
+    )
+
+    return curate_and_pack(sf_dir)
+
+
 def _q_clean_corpus(sf_dir: str):
     """Composite C4/Gopher-style cleaner: per-doc keep/drop verdict
     with the first failing rule as reason (holdout, too_short,
@@ -897,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "pack_assignments": _q_pack_assignments,
         "clean_corpus": _q_clean_corpus,
+        "curate_and_pack": _q_curate_and_pack,
         "shuffle_ranks": _q_shuffle_ranks,
         "bloom_tokens": _q_bloom_tokens,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
@@ -986,6 +998,30 @@ hv AS (
 """
 
 _STOP_EN = "'the','a','of','and','to','in','is','it','you','that','he','was','for','on','are'"
+
+# the composite cleaner's plantings (lm_filters._plant_clean), shared
+# by the clean_corpus and curate_and_pack oracles
+_CLEAN_PLANTED_SQL = """
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 50 = 0 THEN
+                     text || ' leak sequence ' ||
+                     CAST((doc_id // 50) % 3 AS VARCHAR) ||
+                     ' alpha beta gamma delta epsilon zeta eta'
+                   WHEN doc_id % 41 IN (7, 8) THEN
+                     'dup block content ' || CAST(doc_id // 41 AS VARCHAR) ||
+                     ' lorem ipsum dolor sit amet consectetur adipiscing' ||
+                     ' elit sed do eiusmod tempor'
+                   WHEN doc_id % 37 = 11 THEN
+                     trim(repeat('click here buy now ' ||
+                                 CAST(doc_id AS VARCHAR) || ' ', 10))
+                   WHEN doc_id % 7 = 3 THEN
+                     text || ' leak sequence ' ||
+                     CAST(doc_id % 3 AS VARCHAR) ||
+                     ' alpha beta gamma delta epsilon zeta eta'
+                   ELSE text END AS text
+          FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2072,27 +2108,7 @@ def oracle_sql() -> dict[str, str]:
     # existing SQL piece over the SAME planted text; comparisons use
     # round(...,6) on both sides so thresholds can't straddle a ulp
     oracles["clean_corpus"] = rf"""
-        WITH p AS (
-          SELECT doc_id,
-                 CASE
-                   WHEN doc_id % 50 = 0 THEN
-                     text || ' leak sequence ' ||
-                     CAST((doc_id // 50) % 3 AS VARCHAR) ||
-                     ' alpha beta gamma delta epsilon zeta eta'
-                   WHEN doc_id % 41 IN (7, 8) THEN
-                     'dup block content ' || CAST(doc_id // 41 AS VARCHAR) ||
-                     ' lorem ipsum dolor sit amet consectetur adipiscing' ||
-                     ' elit sed do eiusmod tempor'
-                   WHEN doc_id % 37 = 11 THEN
-                     trim(repeat('click here buy now ' ||
-                                 CAST(doc_id AS VARCHAR) || ' ', 10))
-                   WHEN doc_id % 7 = 3 THEN
-                     text || ' leak sequence ' ||
-                     CAST(doc_id % 3 AS VARCHAR) ||
-                     ' alpha beta gamma delta epsilon zeta eta'
-                   ELSE text END AS text
-          FROM documents
-        ),
+        WITH p AS ({_CLEAN_PLANTED_SQL}),
         t AS (
           SELECT doc_id, text,
                  list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -2286,6 +2302,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(s + n, (u.c + 1) * 512)
                  - greatest(s, u.c * 512) AS BIGINT) AS n_tokens
         FROM o, unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS u(c)
+    """
+    # the composition: clean verdicts (nested CTE) filter the packer's
+    # doc spans; pack runs over the PLANTED text of kept docs
+    oracles["curate_and_pack"] = rf"""
+        WITH verdict AS ({oracles["clean_corpus"]}),
+        p2 AS ({_CLEAN_PLANTED_SQL}),
+        t2 AS (
+          SELECT p2.doc_id,
+                 len(list_filter(regexp_split_to_array(trim(p2.text), '\s+'),
+                                 x -> x <> '')) AS n
+          FROM p2 JOIN verdict ON verdict.doc_id = p2.doc_id
+          WHERE verdict.keep = 1
+        ),
+        o AS (
+          SELECT doc_id, n,
+                 CAST(SUM(n) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n
+                      AS BIGINT) AS s
+          FROM t2 WHERE n > 0
+        ),
+        x AS (
+          SELECT doc_id, CAST(u.c AS BIGINT) AS chunk_id,
+                 least(s + n, (u.c + 1) * 512)
+                   - greatest(s, u.c * 512) AS ov
+          FROM o, unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS u(c)
+        )
+        SELECT chunk_id, CAST(SUM(ov) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM x GROUP BY 1
     """
     # Bloom positions = the CMS bucket scheme at width 8192 (shift 51)
     oracles["bloom_tokens"] = r"""

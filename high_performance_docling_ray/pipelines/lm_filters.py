@@ -415,6 +415,7 @@ def pack_sequences(
     capacity: int = 512,
     bucket_docs: int = 64,
     return_assignments: bool = False,
+    docs: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """GPT-style sequence packing: concatenate every document's tokens
     in doc_id order and cut fixed-``capacity`` training sequences,
@@ -440,8 +441,25 @@ def pack_sequences(
     Exchanges: one tiny bucket groupby, one bucket-keyed regroup, one
     chunk-keyed groupby — document TEXT never shuffles, only
     (doc_id, n_tok) and (chunk_id, overlap) key rows.
+
+    ``docs`` overrides the source dataset (any (doc_id, text) stream —
+    e.g. the survivors of ``clean_corpus``); default reads sf_dir's
+    documents table.
     """
-    docs = read_documents(sf_dir, ("doc_id", "text"))
+    if docs is None:
+        docs = read_documents(sf_dir, ("doc_id", "text"))
+    counts = _tok_count_rows(docs, bucket_docs)
+    return _pack_from_counts(
+        counts, capacity, bucket_docs, return_assignments
+    )
+
+
+def _tok_count_rows(
+    docs: ray.data.Dataset, bucket_docs: int
+) -> ray.data.Dataset:
+    """(doc_id, text) stream -> materialized (doc_id, n_tok, bucket)
+    key rows (zero-token docs dropped) — ~24 B/doc, far smaller than
+    re-tokenizing the text for a second pass."""
 
     def tok_counts(batch: pa.Table) -> pa.Table:
         _, _, n_tok = _tokenize(batch.column("text"))
@@ -455,9 +473,17 @@ def pack_sequences(
             }
         )
 
-    # materialized: (doc_id, n_tok, bucket) key rows are ~24 B/doc —
-    # far smaller than re-tokenizing the text for the second pass
-    counts = docs.map_batches(tok_counts, batch_format="pyarrow").materialize()
+    return docs.map_batches(tok_counts, batch_format="pyarrow").materialize()
+
+
+def _pack_from_counts(
+    counts: ray.data.Dataset,
+    capacity: int,
+    bucket_docs: int,
+    return_assignments: bool,
+) -> ray.data.Dataset:
+    """The packing core over (doc_id, n_tok, bucket) key rows — see
+    ``pack_sequences`` for the two-level prefix-sum shape."""
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
         b = batch.column("bucket").to_numpy(zero_copy_only=False)
@@ -923,3 +949,61 @@ def shuffle_ranks(
     return keyed_ds.groupby("bucket").map_groups(
         rank_bucket, batch_format="pyarrow"
     )
+
+
+def curate_and_pack(
+    sf_dir: str,
+    capacity: int = 512,
+    bucket_docs: int = 64,
+    **clean_kwargs,
+) -> ray.data.Dataset:
+    """The end-to-end training-data pipeline in one DAG: run the
+    composite cleaner, keep only surviving docs, and pack THEIR tokens
+    into fixed-``capacity`` sequences — the `clean -> pack` composition
+    a pretraining job actually runs before tokenizing shards.
+
+    Composition stays key-rows-only: the kept/dropped verdict attaches
+    to the (doc_id, n_tok) COUNT rows via ``cogroup_attach`` by doc_id
+    (never to text), dropped docs filter out vectorized, and the
+    packing core runs over the surviving counts. Document text is read
+    once for signals and once for token counts; it never rides an
+    exchange anywhere in the composed DAG.
+
+    Output: the per-chunk stats table of ``pack_sequences``, over the
+    cleaned corpus (planted text, since the cleaner's corpus IS the
+    planted one).
+    """
+    verdicts = clean_corpus(sf_dir, **clean_kwargs)
+    plant = clean_kwargs.get("plant", True)
+    holdout_mod = clean_kwargs.get("holdout_mod", 50)
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+    if plant:
+        docs = docs.map_batches(
+            lambda b: _plant_clean(b, holdout_mod), batch_format="pyarrow"
+        )
+    counts = _tok_count_rows(docs, bucket_docs)
+
+    keep_flags = verdicts.map_batches(
+        lambda b: b.select(["doc_id", "keep"]).rename_columns(
+            ["doc_id", "keep"]
+        ),
+        batch_format="pyarrow",
+    )
+    attached = cogroup_attach(
+        counts,
+        keep_flags,
+        key="doc_id",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_tok", pa.int64()),
+            pa.field("bucket", pa.int64()),
+        ],
+        payload_fields=[pa.field("keep", pa.int64())],
+    )
+    kept = attached.map_batches(
+        lambda b: b.filter(
+            pc.fill_null(pc.equal(b.column("keep"), 1), False)
+        ).select(["doc_id", "n_tok", "bucket"]),
+        batch_format="pyarrow",
+    ).materialize()
+    return _pack_from_counts(kept, capacity, bucket_docs, False)

@@ -272,3 +272,27 @@ def test_clean_corpus_tiers_equal():
         .reset_index(drop=True)[list(a.columns)]
     )
     assert a.equals(b)
+
+
+def test_curate_and_pack_composition():
+    """The composed DAG == manual composition: pack only kept docs,
+    token totals match the kept corpus exactly."""
+    import duckdb
+
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        clean_corpus,
+        curate_and_pack,
+    )
+
+    out = (
+        curate_and_pack(SF, capacity=128)
+        .to_pandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    assert (out["n_tokens"].iloc[:-1] == 128).all()
+    kept = clean_corpus(SF).to_pandas()
+    kept_ids = set(kept.loc[kept["keep"] == 1, "doc_id"])
+    # every doc referenced by a chunk is a kept doc
+    assert set(out["first_doc"]).issubset(kept_ids)
+    assert set(out["last_doc"]).issubset(kept_ids)
