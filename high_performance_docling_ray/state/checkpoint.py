@@ -38,6 +38,11 @@ def shard_of_url(url: str, num_shards: int) -> int:
 
 
 def add_shard_column(batch: pa.Table, num_shards: int) -> pa.Table:
+    """Attach ``shard_id``. A batch that already carries one (a
+    doc-keyed result, say) keeps it — the sink is key-agnostic; the
+    url hash is only the default for page-keyed extraction output."""
+    if "shard_id" in batch.column_names:
+        return batch
     urls = batch.column("url").to_pylist()
     shards = pa.array(
         [shard_of_url(u, num_shards) for u in urls], type=pa.int32()

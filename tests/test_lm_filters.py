@@ -296,3 +296,71 @@ def test_curate_and_pack_composition():
     # every doc referenced by a chunk is a kept doc
     assert set(out["first_doc"]).issubset(kept_ids)
     assert set(out["last_doc"]).issubset(kept_ids)
+
+
+def test_clean_corpus_verdicts_resumable(tmp_path):
+    """The verdict table rides the shard-manifest sink: a mid-run crash
+    leaves manifests for completed shards, the resume writes ONLY the
+    missing ones, and the union equals a crash-free run."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from high_performance_docling_ray.pipelines.lm_filters import clean_corpus
+    from high_performance_docling_ray.state.checkpoint import (
+        completed_shards,
+        write_resumable,
+    )
+
+    n_shards = 8
+
+    def with_shards(ds):
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "shard_id",
+                pc.cast(
+                    pc.bit_wise_and(b.column("doc_id"), n_shards - 1),
+                    pa.int32(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+
+    out_dir = str(tmp_path / "verdicts")
+    try:
+        write_resumable(
+            with_shards(clean_corpus(SF)),
+            out_dir,
+            num_shards=n_shards,
+            _fail_shards={3, 5},
+        )
+    except Exception:
+        pass  # injected crash
+    done = completed_shards(out_dir)
+    assert done and 3 not in done and 5 not in done
+    # resume: write only the missing shards
+    done_arr = pa.array(sorted(done), type=pa.int32())
+    remaining = with_shards(clean_corpus(SF)).map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.is_in(b.column("shard_id"), value_set=done_arr))
+        ),
+        batch_format="pyarrow",
+    )
+    write_resumable(remaining, out_dir, num_shards=n_shards)
+    got = (
+        pd.concat(
+            [
+                pd.read_parquet(p)
+                for p in glob.glob(
+                    os.path.join(out_dir, "shard_id=*", "*.parquet")
+                )
+            ]
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = clean_corpus(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got[want.columns.tolist()].equals(want)
