@@ -652,6 +652,17 @@ def _q_top_tokens_per_lang(sf_dir: str):
     return top_tokens_per_lang(sf_dir)
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-class embedding diagnostics (counts, norm means, centroid
+    norm, mean cosine to centroid): register-style (labels x D)
+    partials both passes; vectors never ride an exchange."""
+    from high_performance_docling_ray.pipelines.similarity import (
+        label_centroids,
+    )
+
+    return label_centroids(sf_dir)
+
+
 def _q_source_composition(sf_dir: str):
     """Per-source corpus composition (doc counts, char mass, language
     entropy) — reads only metadata columns, text never leaves storage;
@@ -943,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct,
         "hll_distinct_hourly": _q_hll_hourly,
         "source_composition": _q_source_composition,
+        "label_centroids": _q_label_centroids,
         # relational operator demos
         "q1_pricing_summary": _q_q1,
         "q3_top_orders": _q_q3,
@@ -2256,6 +2268,44 @@ def oracle_sql() -> dict[str, str]:
                                ELSE raw END) AS BIGINT)
                    AS approx_distinct_users
         FROM est ORDER BY hour_bucket
+    """
+    # centroid = AVG per (label, dim); cosine via the dim join; all
+    # arithmetic CAST to DOUBLE to match the numpy float64 path
+    oracles["label_centroids"] = """
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * x))) AS vnorm
+          FROM embeddings
+        ),
+        dims AS (
+          SELECT label, u.i AS i,
+                 CAST(embedding[u.i] AS DOUBLE) AS v
+          FROM e, unnest(range(1, len(embedding) + 1)) AS u(i)
+        ),
+        c AS (SELECT label, i, AVG(v) AS cv FROM dims GROUP BY 1, 2),
+        cn AS (SELECT label, sqrt(SUM(cv * cv)) AS cnorm FROM c GROUP BY 1),
+        dots AS (
+          SELECT e.vec_id, e.label, ANY_VALUE(e.vnorm) AS vnorm,
+                 SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.cv) AS dot
+          FROM e JOIN c ON c.label = e.label
+          GROUP BY 1, 2
+        ),
+        cos AS (
+          SELECT d.label,
+                 d.dot / (CASE WHEN d.vnorm * cn.cnorm = 0 THEN 1
+                               ELSE d.vnorm * cn.cnorm END) AS cosv
+          FROM dots d JOIN cn ON cn.label = d.label
+        ),
+        cosagg AS (SELECT label, AVG(cosv) AS mc FROM cos GROUP BY 1)
+        SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               round(AVG(e.vnorm), 6) AS mean_norm,
+               round(ANY_VALUE(cn.cnorm), 6) AS centroid_norm,
+               round(ANY_VALUE(cosagg.mc), 6) AS mean_cos_to_centroid
+        FROM e
+        JOIN cn ON cn.label = e.label
+        JOIN cosagg ON cosagg.label = e.label
+        GROUP BY e.label
     """
     # entropy folds <= |langs| terms per source, round-6 on both sides
     oracles["source_composition"] = """

@@ -827,3 +827,149 @@ def quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
         )
 
     return read_embeddings(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def label_centroids(sf_dir: str) -> pa.Table:
+    """Per-class embedding diagnostics a curator reads before trusting
+    labels or training a classifier: ``(label, n_vecs, mean_norm,
+    centroid_norm, mean_cos_to_centroid)`` — low mean cosine flags a
+    mixed/noisy class, centroid_norm << mean_norm flags a class whose
+    members cancel out.
+
+    Pass 1: per-batch per-label (count, vector-sum, norm-sum) partials
+    — one (labels x D) matrix per block regardless of corpus size —
+    merged on the driver like HLL/CMS registers (elementwise add).
+    Pass 2: centroids broadcast via ``ray.put``; each batch folds its
+    cosine-to-own-centroid sums per label. Vectors never ride an
+    exchange; both exchanges are replaced by register-style partials
+    because the state is (labels x D), bounded by the label domain.
+    """
+    ds = read_embeddings(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(batch)
+        labels = (
+            batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
+        np.add.at(sums, inv, mat)
+        norms = np.linalg.norm(mat, axis=1)
+        n = np.bincount(inv).astype(np.int64)
+        norm_sum = np.bincount(inv, weights=norms)
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(uniq, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "vec_sum": pa.array(list(sums), pa.list_(pa.float64())),
+                "norm_sum": pa.array(norm_sum, pa.float64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+                "mean_norm": pa.array([], pa.float64()),
+                "centroid_norm": pa.array([], pa.float64()),
+                "mean_cos_to_centroid": pa.array([], pa.float64()),
+            }
+        )
+    merged: dict[int, list] = {}
+    for t in parts:
+        labs = t.column("label").to_numpy(zero_copy_only=False)
+        ns = t.column("n").to_numpy(zero_copy_only=False)
+        nsum = t.column("norm_sum").to_numpy(zero_copy_only=False)
+        vs = t.column("vec_sum").to_pylist()
+        for lab, n_, s_, v_ in zip(labs, ns, nsum, vs):
+            cur = merged.setdefault(
+                int(lab), [0, 0.0, np.zeros(len(v_), np.float64)]
+            )
+            cur[0] += int(n_)
+            cur[1] += float(s_)
+            cur[2] += np.asarray(v_, np.float64)
+    labels_sorted = sorted(merged)
+    centroids = {
+        lab: merged[lab][2] / merged[lab][0] for lab in labels_sorted
+    }
+    cent_ref = ray.put(centroids)
+
+    def cos_partial(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        _, mat = _batch_matrix(batch)
+        labels = (
+            batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        uniq, inv = np.unique(labels, return_inverse=True)
+        cmat = np.stack([cents[int(l)] for l in uniq])
+        cnorm = np.linalg.norm(cmat, axis=1)
+        vnorm = np.linalg.norm(mat, axis=1)
+        dots = np.einsum("ij,ij->i", mat, cmat[inv])
+        denom = vnorm * cnorm[inv]
+        denom[denom == 0.0] = 1.0
+        cos = dots / denom
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(uniq, pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "cos_sum": pa.array(
+                    np.bincount(inv, weights=cos), pa.float64()
+                ),
+            }
+        )
+
+    cos_merged: dict[int, list] = {}
+    for t in ray.get(
+        ds.map_batches(cos_partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    ):
+        if t.num_rows == 0:
+            continue
+        for lab, n_, c_ in zip(
+            t.column("label").to_numpy(zero_copy_only=False),
+            t.column("n").to_numpy(zero_copy_only=False),
+            t.column("cos_sum").to_numpy(zero_copy_only=False),
+        ):
+            cur = cos_merged.setdefault(int(lab), [0, 0.0])
+            cur[0] += int(n_)
+            cur[1] += float(c_)
+    return pa.Table.from_pydict(
+        {
+            "label": pa.array(labels_sorted, pa.int64()),
+            "n_vecs": pa.array(
+                [merged[lab][0] for lab in labels_sorted], pa.int64()
+            ),
+            "mean_norm": pa.array(
+                [
+                    round(merged[lab][1] / merged[lab][0], 6)
+                    for lab in labels_sorted
+                ],
+                pa.float64(),
+            ),
+            "centroid_norm": pa.array(
+                [
+                    round(float(np.linalg.norm(centroids[lab])), 6)
+                    for lab in labels_sorted
+                ],
+                pa.float64(),
+            ),
+            "mean_cos_to_centroid": pa.array(
+                [
+                    round(cos_merged[lab][1] / cos_merged[lab][0], 6)
+                    for lab in labels_sorted
+                ],
+                pa.float64(),
+            ),
+        }
+    )

@@ -163,3 +163,38 @@ def test_quantize_embeddings_bounds():
     # 1e-6 slack: both sides are rounded to 6dp before the compare
     assert (out["max_abs_err"] <= out["scale"] / 2 + 1e-6).all()
     assert (out["mse"] >= 0).all()
+
+
+def test_label_centroids_closed_form(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.similarity import (
+        label_centroids,
+    )
+
+    # label 0: two opposite unit vectors -> centroid 0, mean cos 0
+    # label 1: two identical vectors -> centroid == vec, mean cos 1
+    vecs = [[1.0, 0.0], [-1.0, 0.0], [0.0, 2.0], [0.0, 2.0]]
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[np.float32(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0, 1, 1], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = (
+        label_centroids(str(tmp_path))
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    assert out["n_vecs"].tolist() == [2, 2]
+    assert out["mean_norm"].tolist() == [1.0, 2.0]
+    assert out["centroid_norm"].tolist() == [0.0, 2.0]
+    assert out["mean_cos_to_centroid"].tolist() == [0.0, 1.0]
