@@ -652,6 +652,16 @@ def _q_top_tokens_per_lang(sf_dir: str):
     return top_tokens_per_lang(sf_dir)
 
 
+def _q_props_extract(sf_dir: str):
+    """Semi-structured extraction: numeric field out of the JSON props
+    string with one vectorized RE2 regex, then per-type partial agg."""
+    from high_performance_docling_ray.pipelines.relational import (
+        props_extract,
+    )
+
+    return props_extract(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-class embedding diagnostics (counts, norm means, centroid
     norm, mean cosine to centroid): register-style (labels x D)
@@ -955,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_hourly": _q_hll_hourly,
         "source_composition": _q_source_composition,
         "label_centroids": _q_label_centroids,
+        "props_extract": _q_props_extract,
         # relational operator demos
         "q1_pricing_summary": _q_q1,
         "q3_top_orders": _q_q3,
@@ -2268,6 +2279,23 @@ def oracle_sql() -> dict[str, str]:
                                ELSE raw END) AS BIGINT)
                    AS approx_distinct_users
         FROM est ORDER BY hour_bucket
+    """
+    # same RE2 pattern both sides; rows with no match count n=0, k=0
+    oracles["props_extract"] = r"""
+        WITH x AS (
+          SELECT event_type,
+                 regexp_extract(props, '"k":\s*(-?\d+)', 1) AS ks
+          FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (ks <> '') AS BIGINT) AS n,
+               CAST(COALESCE(SUM(CAST(CASE WHEN ks = '' THEN '0' ELSE ks
+                                      END AS BIGINT)), 0) AS BIGINT) AS sum_k,
+               round(COALESCE(SUM(CAST(CASE WHEN ks = '' THEN '0' ELSE ks
+                                       END AS BIGINT)), 0)
+                     * 1.0 / greatest(COUNT(*) FILTER (ks <> ''), 1), 6)
+                 AS avg_k
+        FROM x GROUP BY 1
     """
     # centroid = AVG per (label, dim); cosine via the dim join; all
     # arithmetic CAST to DOUBLE to match the numpy float64 path

@@ -1006,3 +1006,56 @@ def events_sliding_window(
     return out.sort_by(
         [("window_start", "ascending"), ("event_type", "ascending")]
     )
+
+
+def props_extract(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction: pull the numeric ``k`` field out of
+    the JSON ``props`` string column with ONE vectorized regex
+    (``pc.extract_regex`` — no per-row json.loads), then the standard
+    partial-agg shape per event_type. The pattern is RE2 on both sides
+    (pyarrow and DuckDB), so extraction agrees byte-for-byte.
+
+    Output: (event_type, n, sum_k, avg_k)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        ext = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(
+            pc.fill_null(pc.struct_field(ext, "k"), "0"), pa.int64()
+        )
+        valid = pc.cast(pc.is_valid(pc.struct_field(ext, "k")), pa.int64())
+        t = pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "sum_k": k,
+                "n": valid,
+            }
+        )
+        return (
+            t.group_by("event_type")
+            .aggregate([("sum_k", "sum"), ("n", "sum")])
+            .rename_columns(["event_type", "sum_k", "n"])
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["event_type"], ["sum_k", "n"])
+    if tbl is None:  # over the combine budget: Ray groupby shuffle
+        agg = partials.groupby("event_type").sum(["sum_k", "n"])
+        tbl = pa.Table.from_pylist(agg.take_all())
+    n = (
+        tbl.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    sk = tbl.column("sum(sum_k)").to_numpy(zero_copy_only=False)
+    return pa.Table.from_pydict(
+        {
+            "event_type": tbl.column("event_type"),
+            "n": pc.cast(tbl.column("sum(n)"), pa.int64()),
+            "sum_k": pc.cast(tbl.column("sum(sum_k)"), pa.int64()),
+            "avg_k": pa.array(
+                np.round(sk / np.where(n > 0, n, 1.0), 6), pa.float64()
+            ),
+        }
+    )

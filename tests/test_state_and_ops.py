@@ -756,3 +756,30 @@ def test_source_composition_closed_form(tmp_path):
     # entropy of (2/3, 1/3)
     want = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
     assert s1["lang_entropy"] == round(want, 6)
+
+
+def test_props_extract_handles_missing_field(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.relational import (
+        props_extract,
+    )
+
+    tbl = pa.Table.from_pydict(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array([0, 1, 2], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "event_type": pa.array(["a", "a", "a"], pa.string()),
+            "value": pa.array([0.0, 0.0, 0.0], pa.float64()),
+            "props": pa.array(
+                ['{"k": 7}', '{"other": 1}', '{"k": -3}'], pa.string()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = props_extract(str(tmp_path)).to_pandas()
+    assert out["n"].tolist() == [2]       # the no-k row doesn't count
+    assert out["sum_k"].tolist() == [4]   # 7 + (-3)
+    assert out["avg_k"].tolist() == [2.0]
