@@ -228,7 +228,13 @@ def test_shuffle_ranks_is_permutation_and_salted():
     a = shuffle_ranks(SF).to_pandas()
     assert sorted(a["shuffle_rank"]) == list(range(500))  # a permutation
     b = shuffle_ranks(SF).to_pandas()  # deterministic rerun
-    assert a.sort_values("doc_id").equals(b.sort_values("doc_id"))
+    # reset_index: Ray block order varies run to run, and
+    # DataFrame.equals compares the index too
+    assert (
+        a.sort_values("doc_id")
+        .reset_index(drop=True)
+        .equals(b.sort_values("doc_id").reset_index(drop=True))
+    )
     c = shuffle_ranks(SF, salt=1).to_pandas()  # new epoch, new order
     merged = a.merge(c, on="doc_id", suffixes=("_0", "_1"))
     assert (merged["shuffle_rank_0"] != merged["shuffle_rank_1"]).any()
