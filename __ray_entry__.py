@@ -893,6 +893,25 @@ def _q_sessionize(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def _q_pagerank(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import pagerank
+
+    return pagerank(sf_dir)
+
+
+def _q_pagerank_cogroup(sf_dir: str):
+    """Over-budget tier: ranks attach via cogroup, never broadcast."""
+    from high_performance_docling_ray.pipelines.graph import pagerank
+
+    return pagerank(sf_dir, rank_broadcast_budget=0)
+
+
+def _q_degree_stats(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import degree_stats
+
+    return degree_stats(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship extraction (SURVEY.md §3; non-SQL, rows-only check)
@@ -979,6 +998,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join,
         "events_sliding_window": _q_sliding_window,
+        # graph analytics (link-graph shape over the lineitem bipartite)
+        "pagerank": _q_pagerank,
+        "pagerank_cogroup": _q_pagerank_cogroup,
+        "degree_stats": _q_degree_stats,
     }
 
 
@@ -2490,5 +2513,54 @@ def oracle_sql() -> dict[str, str]:
                420.0 AS l, 8.0 AS t, 560.0 AS r, 28.0 AS b,
                'Figure: doc ' || CAST(doc_id AS VARCHAR) AS caption
         FROM documents
+    """
+    # PageRank over the symmetrised supplier<->part bipartite graph
+    # (suppliers at node 2s, parts at 2p+1); 3 synchronous sweeps,
+    # d=0.85, r0 = 1/N. Symmetric edges => no dangling term and every
+    # node receives mass each sweep.
+    _pr_sweep = """
+        SELECT es.dst AS node,
+               0.15 / (SELECT n FROM nn)
+                 + 0.85 * SUM({prev}.r / deg.d) AS r
+        FROM es
+        JOIN {prev} ON es.src = {prev}.node
+        JOIN deg ON es.src = deg.node
+        GROUP BY 1
+    """
+    oracles["pagerank"] = (
+        """
+        WITH e0 AS (
+          SELECT DISTINCT 2 * l_suppkey AS src, 2 * l_partkey + 1 AS dst
+          FROM lineitem
+        ),
+        es AS (
+          SELECT src, dst FROM e0
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM e0
+        ),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM es GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+        r1 AS (""" + _pr_sweep.format(prev="r0") + """),
+        r2 AS (""" + _pr_sweep.format(prev="r1") + """),
+        r3 AS (""" + _pr_sweep.format(prev="r2") + """)
+        SELECT node, round(r, 6) AS pagerank FROM r3
+        """
+    )
+    oracles["pagerank_cogroup"] = oracles["pagerank"]
+    oracles["degree_stats"] = """
+        WITH e0 AS (
+          SELECT DISTINCT 2 * l_suppkey AS src, 2 * l_partkey + 1 AS dst
+          FROM lineitem
+        ),
+        es AS (
+          SELECT src, dst FROM e0
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM e0
+        ),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM es GROUP BY 1)
+        SELECT CAST(d AS BIGINT) AS deg,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY 1
     """
     return oracles
