@@ -893,6 +893,24 @@ def _q_sessionize(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def _q_kmeans(sf_dir: str):
+    from high_performance_docling_ray.pipelines.clustering import kmeans_assign
+
+    return kmeans_assign(sf_dir)
+
+
+def _q_bm25_topk(sf_dir: str):
+    from high_performance_docling_ray.pipelines.corpus_clean import bm25_topk
+
+    return bm25_topk(sf_dir)
+
+
+def _q_dsir_weights(sf_dir: str):
+    from high_performance_docling_ray.pipelines.lm_filters import dsir_weights
+
+    return dsir_weights(sf_dir)
+
+
 def _q_pagerank(sf_dir: str):
     from high_performance_docling_ray.pipelines.graph import pagerank
 
@@ -1002,6 +1020,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "pagerank_cogroup": _q_pagerank_cogroup,
         "degree_stats": _q_degree_stats,
+        # retrieval + data-selection
+        "bm25_topk": _q_bm25_topk,
+        "dsir_weights": _q_dsir_weights,
+        "kmeans_clusters": _q_kmeans,
     }
 
 
@@ -2513,6 +2535,123 @@ def oracle_sql() -> dict[str, str]:
                420.0 AS l, 8.0 AS t, 560.0 AS r, 28.0 AS b,
                'Figure: doc ' || CAST(doc_id AS VARCHAR) AS caption
         FROM documents
+    """
+    # k-means: exploded-dim CTEs; init = vec_id < 8; 2 Lloyd sweeps
+    # (assign -> per-dim AVG update, empty clusters keep the previous
+    # centroid) then the final assignment. Ties break to the lowest
+    # cluster index on both sides (np.argmin == row_number ORDER BY
+    # d2, cl). All arithmetic in DOUBLE; dist2 rounded to 6dp.
+    _km_assign = """
+        SELECT vec_id, cl FROM (
+          SELECT vec_id, cl,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cl) AS rn
+          FROM (
+            SELECT ed.vec_id, c.cl,
+                   SUM((ed.x - c.cv) * (ed.x - c.cv)) AS d2
+            FROM ed JOIN {cent} c USING (i) GROUP BY 1, 2
+          )
+        ) WHERE rn = 1
+    """
+    _km_update = """
+        SELECT p.cl, p.i, COALESCE(u.cv, p.cv) AS cv
+        FROM {prev} p LEFT JOIN (
+          SELECT {assign}.cl, ed.i, AVG(ed.x) AS cv
+          FROM ed JOIN {assign} USING (vec_id) GROUP BY 1, 2
+        ) u ON u.cl = p.cl AND u.i = p.i
+    """
+    oracles["kmeans_clusters"] = (
+        """
+        WITH ed AS (
+          SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        ),
+        c0 AS (SELECT vec_id AS cl, i, x AS cv FROM ed WHERE vec_id < 8),
+        a1 AS (""" + _km_assign.format(cent="c0") + """),
+        c1 AS (""" + _km_update.format(assign="a1", prev="c0") + """),
+        a2 AS (""" + _km_assign.format(cent="c1") + """),
+        c2 AS (""" + _km_update.format(assign="a2", prev="c1") + """)
+        SELECT vec_id, CAST(cl AS BIGINT) AS cluster,
+               round(d2, 6) AS dist2
+        FROM (
+          SELECT vec_id, cl, d2,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cl) AS rn
+          FROM (
+            SELECT ed.vec_id, c.cl,
+                   SUM((ed.x - c.cv) * (ed.x - c.cv)) AS d2
+            FROM ed JOIN c2 c USING (i) GROUP BY 1, 2
+          )
+        ) WHERE rn = 1
+        """
+    )
+    # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not
+    # lowercased); scores rounded to 6dp BEFORE ranking on both sides
+    # so the top-20 SET is stable; ties break by doc_id
+    oracles["bm25_topk"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        qt AS (SELECT * FROM (VALUES ('table'), ('hash'), ('sort'),
+                              ('window')) q(token)),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM tok JOIN qt USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        s AS (
+          SELECT tf.doc_id,
+                 SUM(ln(1 + ((SELECT n FROM st) - df.df + 0.5)
+                            / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                       / (SELECT avgdl FROM st)))
+                 ) AS score
+          FROM tf JOIN df USING (token)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          GROUP BY 1
+        )
+        SELECT doc_id, round(score, 6) AS score
+        FROM s
+        QUALIFY row_number()
+          OVER (ORDER BY round(score, 6) DESC, doc_id) <= 20
+    """
+    # DSIR hashed-unigram importance weights: bucket(token) =
+    # md5_number_upper % 1024 == kernels.sketch.hash64; add-1 smoothing
+    # over the fixed bucket domain; zero-token docs emit no row
+    oracles["dsir_weights"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        b AS (SELECT doc_id,
+                     CAST(md5_number_upper(token) % 1024 AS BIGINT)
+                       AS bucket
+              FROM tok),
+        raw AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY 1),
+        tgt AS (SELECT bucket, COUNT(*) AS c FROM b
+                WHERE doc_id % 50 = 0 GROUP BY 1),
+        tots AS (SELECT (SELECT COUNT(*) FROM b) AS rawtot,
+                        (SELECT COUNT(*) FROM b
+                         WHERE doc_id % 50 = 0) AS tgttot),
+        w AS (
+          SELECT raw.bucket,
+                 ln((COALESCE(tgt.c, 0) + 1.0)
+                    / (tots.tgttot + 1024))
+                   - ln((raw.c + 1.0) / (tots.rawtot + 1024)) AS w
+          FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tots
+        )
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(SUM(w.w), 6) AS dsir_logweight
+        FROM b JOIN w USING (bucket)
+        GROUP BY 1
     """
     # PageRank over the symmetrised supplier<->part bipartite graph
     # (suppliers at node 2s, parts at 2p+1); 3 synchronous sweeps,

@@ -1,0 +1,129 @@
+"""Distributed k-means over the embedding corpus.
+
+The corpus-curation use: cluster document embeddings to stratify /
+cap / rebalance a pretraining mix (SemDeDup-style pruning starts
+exactly here). Reference scope never needed it; a 100-TB pipeline
+does.
+
+Scale shape (the same register discipline as ``label_centroids``):
+
+- Centroids are (k x D) — a constructor constant, broadcast via
+  ``ray.put`` unconditionally (independent of corpus size).
+- Each Lloyd sweep is ONE ``map_batches`` pass emitting per-batch
+  (cluster, count, vector-sum) register partials — at most k rows per
+  block regardless of block size — merged on the driver. Vectors
+  never ride an exchange; there is no groupby at all.
+- Deterministic: init is the k lowest vec_ids (reproducible in SQL),
+  assignment ties break to the lowest cluster index (``np.argmin``
+  == SQL ``row_number() ORDER BY d2, cl``), empty clusters keep their
+  previous centroid on both sides.
+
+At 10^12 vectors one sweep is one full read; ``iters`` stays small
+(mini-batch k-means over a hash sample is the cheaper refinement —
+``build_ivf_index`` already trains that way; this is the exact
+full-corpus variant with a driver-gate oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .similarity import _batch_matrix, read_embeddings
+
+
+def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """The k lowest vec_ids, read driver-direct with pyarrow (small
+    side; no Ray operator spin-up — the q3/q5 lesson)."""
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    import pyarrow.compute as pc
+
+    tbl = tbl.filter(pc.less(tbl.column("vec_id"), k))
+    tbl = tbl.sort_by("vec_id")
+    return np.array(tbl.column("embedding").to_pylist(), np.float64)
+
+
+def _sq_dists(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n x k) squared euclidean distances, computed per-cluster as a
+    direct sum of squares (matches the SQL oracle's dim-join SUM to
+    float64 rounding, unlike the |x|^2 - 2xC expansion)."""
+    n, k = len(mat), len(cents)
+    d2 = np.empty((n, k), np.float64)
+    for c in range(k):
+        diff = mat - cents[c]
+        d2[:, c] = np.einsum("ij,ij->i", diff, diff)
+    return d2
+
+
+def kmeans_assign(
+    sf_dir: str, k: int = 8, iters: int = 2
+) -> ray.data.Dataset:
+    """``iters`` synchronous Lloyd sweeps from the deterministic init,
+    then a final assignment pass: (vec_id, cluster, dist2 round6)."""
+    ds = read_embeddings(sf_dir).materialize()
+    cents = _init_centroids(sf_dir, k)
+
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+
+        def sweep_partial(batch: pa.Table) -> pa.Table:
+            cts = ray.get(cents_ref)
+            _, mat = _batch_matrix(batch)
+            mat = mat.astype(np.float64, copy=False)
+            assign = np.argmin(_sq_dists(mat, cts), axis=1)
+            uniq, inv = np.unique(assign, return_inverse=True)
+            sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
+            np.add.at(sums, inv, mat)
+            cnt = np.bincount(inv).astype(np.int64)
+            return pa.Table.from_pydict(
+                {
+                    "cl": pa.array(uniq, pa.int64()),
+                    "n": pa.array(cnt, pa.int64()),
+                    "vec_sum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                ds.map_batches(sweep_partial, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        sums = np.zeros((k, cents.shape[1]), np.float64)
+        counts = np.zeros(k, np.int64)
+        for t in parts:
+            cls = t.column("cl").to_numpy(zero_copy_only=False)
+            counts[cls] += t.column("n").to_numpy(zero_copy_only=False)
+            sums[cls] += np.array(t.column("vec_sum").to_pylist(), np.float64)
+        filled = counts > 0
+        new_cents = cents.copy()  # empty clusters keep their centroid
+        new_cents[filled] = sums[filled] / counts[filled, None]
+        cents = new_cents
+
+    cents_ref = ray.put(cents)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        cts = ray.get(cents_ref)
+        ids, mat = _batch_matrix(batch)
+        mat = mat.astype(np.float64, copy=False)
+        d2 = _sq_dists(mat, cts)
+        assign = np.argmin(d2, axis=1)
+        best = d2[np.arange(len(mat)), assign]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+                "dist2": pa.array(np.round(best, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")

@@ -851,3 +851,130 @@ def top_tokens_per_lang(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         .groupby("lang")
         .map_groups(topk_group, batch_format="pyarrow")
     )
+
+
+DEFAULT_BM25_QUERY = ("table", "hash", "sort", "window")
+
+
+def bm25_topk(
+    sf_dir: str,
+    query_tokens: tuple[str, ...] = DEFAULT_BM25_QUERY,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pa.Table:
+    """Okapi BM25 retrieval: top-``k`` documents for a fixed query
+    token set, ``(doc_id, score)`` with score rounded to 6dp BEFORE
+    ranking (ties then break by doc_id, so the result set is stable
+    against float summation order).
+
+    Scale shape — the query side is O(|q|), so nothing shuffles:
+
+    - Pass 1 streams the corpus once and emits ONE stats row per batch
+      (doc count, token-length sum, per-query-token document
+      frequencies as a fixed-width list) — a register-style partial
+      bounded by |q|, driver-combined like the HLL/CMS sketches.
+    - Pass 2 re-reads text (pruned columns; the corpus is never
+      pinned), scores hit docs against the |q| broadcast scalars, and
+      keeps only the per-block top-k, so the driver merge sees
+      k x #blocks rows.
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5))  (Robertson/Lucene)
+    """
+    q = list(query_tokens)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, n_tokens = _tokenize(batch.column("text"))
+        n_docs = batch.num_rows
+        df = np.zeros(len(q), np.int64)
+        if len(flat):
+            for j, tok in enumerate(q):
+                mask = pc.equal(flat, tok).to_numpy(zero_copy_only=False)
+                if mask.any():
+                    hit_docs = np.unique(doc_idx[mask])
+                    df[j] = len(hit_docs)
+        return pa.Table.from_pydict(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "sum_dl": pa.array([int(n_tokens.sum())], pa.int64()),
+                "df": pa.array([df.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            read_documents(sf_dir, ("doc_id", "text"))
+            .map_batches(stats_partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.Table.from_pydict(
+        {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
+    if not parts:
+        return empty
+    stats = pa.concat_tables(parts)
+    n_total = int(pc.sum(stats.column("n_docs")).as_py() or 0)
+    sum_dl = int(pc.sum(stats.column("sum_dl")).as_py() or 0)
+    df_mat = np.array(stats.column("df").to_pylist(), np.int64)
+    df_tot = df_mat.sum(axis=0)
+    if n_total == 0:
+        return empty
+    avgdl = sum_dl / n_total
+    idf = np.log(1.0 + (n_total - df_tot + 0.5) / (df_tot + 0.5))
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, n_tokens = _tokenize(batch.column("text"))
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        score = np.zeros(n, np.float64)
+        if len(flat):
+            dl = n_tokens.astype(np.float64)
+            denom_dl = k1 * (1.0 - b + b * dl / avgdl)
+            for j, tok in enumerate(q):
+                mask = pc.equal(flat, tok).to_numpy(zero_copy_only=False)
+                if not mask.any():
+                    continue
+                tf = np.bincount(doc_idx[mask], minlength=n).astype(np.float64)
+                hit = tf > 0
+                score[hit] += idf[j] * (
+                    tf[hit] * (k1 + 1.0) / (tf[hit] + denom_dl[hit])
+                )
+        hit = score > 0
+        if not hit.any():
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        sc = np.round(score[hit], 6)
+        ids = doc_ids[hit]
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(sc[order], pa.float64()),
+            }
+        )
+
+    blocks = [
+        t
+        for t in ray.get(
+            read_documents(sf_dir, ("doc_id", "text"))
+            .map_batches(score_block, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not blocks:
+        return empty
+    merged = pa.concat_tables(blocks)
+    sc = merged.column("score").to_numpy(zero_copy_only=False)
+    ids = merged.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sc))[:k]
+    return merged.take(pa.array(np.sort(order))).sort_by(
+        [("score", "descending"), ("doc_id", "ascending")]
+    )

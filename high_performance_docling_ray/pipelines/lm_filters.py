@@ -1007,3 +1007,106 @@ def curate_and_pack(
         batch_format="pyarrow",
     ).materialize()
     return _pack_from_counts(kept, capacity, bucket_docs, False)
+
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_weights(
+    sf_dir: str, n_buckets: int = DSIR_BUCKETS, holdout_mod: int = 50
+) -> ray.data.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-doc
+    log importance weight under hashed-unigram bag-of-words models of
+    the TARGET distribution (the ``doc_id % holdout_mod == 0`` slice
+    standing in for the curated target corpus) vs the RAW corpus,
+    add-1 smoothed over ``n_buckets`` hash buckets:
+
+        w(doc) = sum_tok [ ln p_tgt(bucket(tok)) - ln p_raw(bucket(tok)) ]
+
+    Returns (doc_id, n_tokens, dsir_logweight round6); zero-token docs
+    emit no row (mirrors unigram_logprob).
+
+    Scale shape: the feature state is FIXED-WIDTH (n_buckets counts),
+    not vocabulary-width — per-batch ``np.bincount`` partials ride a
+    bucket-keyed groupby bounded by ``n_buckets`` rows, and the fitted
+    log-ratio table broadcasts unconditionally because its size is a
+    constructor constant, independent of corpus size (no fallback tier
+    needed — this is the point of hashed features). The scoring pass is
+    a pure map. Buckets are md5 ``hash64 % n_buckets`` ==
+    ``md5_number_upper(token) % n_buckets`` so the driver-gate oracle
+    rebuilds both models bit-exactly.
+    """
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _tokenize(batch.column("text"))
+        if not len(flat):
+            return pa.Table.from_pydict(
+                {"bucket": pa.array([], pa.int64()),
+                 "raw_cnt": pa.array([], pa.int64()),
+                 "tgt_cnt": pa.array([], pa.int64())}
+            )
+        buckets = (hash64(flat.to_pylist()) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        is_tgt = (doc_ids[doc_idx] % holdout_mod) == 0
+        raw = np.bincount(buckets, minlength=n_buckets)
+        tgt = np.bincount(buckets[is_tgt], minlength=n_buckets)
+        nz = np.flatnonzero(raw)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "raw_cnt": pa.array(raw[nz], pa.int64()),
+                "tgt_cnt": pa.array(tgt[nz], pa.int64()),
+            }
+        )
+
+    counts = (
+        read_documents(sf_dir, ("doc_id", "text"))
+        .map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum(["raw_cnt", "tgt_cnt"])
+    )
+    parts = [
+        t
+        for t in ray.get(counts.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    raw = np.zeros(n_buckets, np.int64)
+    tgt = np.zeros(n_buckets, np.int64)
+    for t in parts:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        raw[b] += t.column("sum(raw_cnt)").to_numpy(zero_copy_only=False)
+        tgt[b] += t.column("sum(tgt_cnt)").to_numpy(zero_copy_only=False)
+    raw_tot, tgt_tot = int(raw.sum()), int(tgt.sum())
+    w = np.log((tgt + 1.0) / (tgt_tot + n_buckets)) - np.log(
+        (raw + 1.0) / (raw_tot + n_buckets)
+    )
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        wt = ray.get(w_ref)
+        flat, doc_idx, n_tokens = _tokenize(batch.column("text"))
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        tot = np.zeros(n, np.float64)
+        if len(flat):
+            buckets = (
+                hash64(flat.to_pylist()) % np.uint64(n_buckets)
+            ).astype(np.int64)
+            np.add.at(tot, doc_idx, wt[buckets])
+        keep = n_tokens > 0
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                "n_tokens": pa.array(n_tokens[keep], pa.int64()),
+                "dsir_logweight": pa.array(
+                    np.round(tot[keep], 6), pa.float64()
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, ("doc_id", "text")).map_batches(
+        score, batch_format="pyarrow"
+    )
