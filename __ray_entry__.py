@@ -893,6 +893,20 @@ def _q_sessionize(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def _q_semdedup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.clustering import semdedup
+
+    return semdedup(sf_dir)
+
+
+def _q_dedup_keep_best(sf_dir: str):
+    from high_performance_docling_ray.pipelines.components import (
+        dedup_keep_best,
+    )
+
+    return dedup_keep_best(sf_dir)
+
+
 def _q_kmeans(sf_dir: str):
     from high_performance_docling_ray.pipelines.clustering import kmeans_assign
 
@@ -1024,6 +1038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "dsir_weights": _q_dsir_weights,
         "kmeans_clusters": _q_kmeans,
+        "semdedup": _q_semdedup,
+        "dedup_keep_best": _q_dedup_keep_best,
     }
 
 
@@ -1963,6 +1979,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
         FROM reach GROUP BY node
     """
+    # keep-best survivor selection: same component labels, winner =
+    # longest member (n_chars DESC, doc_id ASC) per component
+    oracles["dedup_keep_best"] = (
+        "WITH lab AS ("
+        + oracles["neardup_components"]
+        + """),
+        w AS (
+          SELECT component, doc_id AS winner FROM (
+            SELECT l.component, l.doc_id,
+                   row_number() OVER (PARTITION BY l.component
+                                      ORDER BY d.n_chars DESC, l.doc_id)
+                     AS rn
+            FROM lab l JOIN documents d USING (doc_id)
+          ) WHERE rn = 1
+        )
+        SELECT l.doc_id, l.component, l.doc_id = w.winner AS keep
+        FROM lab l JOIN w USING (component)
+        """
+    )
     oracles["sample_per_group"] = """
         SELECT doc_id, lang FROM documents
         QUALIFY row_number() OVER (
@@ -2583,6 +2618,32 @@ def oracle_sql() -> dict[str, str]:
             FROM ed JOIN c2 c USING (i) GROUP BY 1, 2
           )
         ) WHERE rn = 1
+        """
+    )
+    # SemDeDup: same k-means assignment CTEs, then within-cluster
+    # cosine pruning — drop a vector when a lower-vec_id cluster-mate
+    # has cosine > 0.4 with it (keep-lowest-id rule, both sides)
+    oracles["semdedup"] = (
+        "WITH a AS ("
+        + oracles["kmeans_clusters"]
+        + """),
+        en AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        d AS (
+          SELECT DISTINCT hi.vec_id
+          FROM a lo
+          JOIN a hi ON lo.cluster = hi.cluster
+                   AND lo.vec_id < hi.vec_id
+          JOIN en e1 ON e1.vec_id = lo.vec_id
+          JOIN en e2 ON e2.vec_id = hi.vec_id
+          WHERE list_cosine_similarity(e1.v, e2.v) > 0.4
+        )
+        SELECT a.vec_id, a.cluster,
+               a.vec_id NOT IN (SELECT vec_id FROM d) AS keep
+        FROM a
         """
     )
     # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not

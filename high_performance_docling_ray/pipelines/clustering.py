@@ -62,10 +62,14 @@ def _sq_dists(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 
 def kmeans_assign(
-    sf_dir: str, k: int = 8, iters: int = 2
+    sf_dir: str, k: int = 8, iters: int = 2, carry_embedding: bool = False
 ) -> ray.data.Dataset:
     """``iters`` synchronous Lloyd sweeps from the deterministic init,
-    then a final assignment pass: (vec_id, cluster, dist2 round6)."""
+    then a final assignment pass: (vec_id, cluster, dist2 round6).
+    ``carry_embedding=True`` keeps the vector column on the output rows
+    (for consumers like ``semdedup`` that need the payload grouped by
+    cluster — cheaper than a post-hoc join back onto the table the
+    assignment just read)."""
     ds = read_embeddings(sf_dir).materialize()
     cents = _init_centroids(sf_dir, k)
 
@@ -118,12 +122,65 @@ def kmeans_assign(
         d2 = _sq_dists(mat, cts)
         assign = np.argmin(d2, axis=1)
         best = d2[np.arange(len(mat)), assign]
+        cols = {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+            "dist2": pa.array(np.round(best, 6), pa.float64()),
+        }
+        if carry_embedding:
+            cols["embedding"] = batch.column("embedding")
+        return pa.Table.from_pydict(cols)
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def semdedup(
+    sf_dir: str, k: int = 8, iters: int = 2, tau: float = 0.4
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that makes all-pairs cosine tractable by only
+    comparing WITHIN k-means clusters. A vector is dropped when some
+    lower-vec_id member of its own cluster has cosine > ``tau`` with
+    it (deterministic keep-lowest-id rule). Returns
+    (vec_id, cluster, keep) for every vector.
+
+    Scale shape: clustering is the no-shuffle register pass above;
+    then ONE payload exchange groups vectors by cluster and the
+    pairwise check runs inside ``map_groups`` as a single normalized
+    gram matrix per cluster. The cluster-size cap IS k — at corpus
+    scale you raise k so |cluster| ~ corpus/k stays matmul-sized
+    (SemDeDup's own design), or recurse: re-cluster an oversized
+    cluster with a second hash-salted k-means before the pairwise.
+    """
+    attached = kmeans_assign(
+        sf_dir, k=k, iters=iters, carry_embedding=True
+    ).select_columns(["vec_id", "cluster", "embedding"])
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(group)
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        nm = mat / norms
+        gram = nm @ nm.T
+        n = len(ids)
+        # drop i if any j < i (by vec_id order) with cos > tau
+        drop = np.zeros(n, bool)
+        iu = np.triu_indices(n, 1)
+        hit = gram[iu] > tau
+        if hit.any():
+            drop_idx = np.unique(iu[1][hit])
+            drop[drop_idx] = True
+        cluster = group.column("cluster").take(pa.array(order))
         return pa.Table.from_pydict(
             {
                 "vec_id": pa.array(ids, pa.int64()),
-                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
-                "dist2": pa.array(np.round(best, 6), pa.float64()),
+                "cluster": cluster,
+                "keep": pa.array(~drop, pa.bool_()),
             }
         )
 
-    return ds.map_batches(final_assign, batch_format="pyarrow")
+    return attached.groupby("cluster").map_groups(
+        prune, batch_format="pyarrow"
+    )

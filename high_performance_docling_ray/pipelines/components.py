@@ -182,3 +182,65 @@ def neardup_components(
         lambda b: b.rename_columns(["doc_id", "component"]),
         batch_format="pyarrow",
     )
+
+
+def dedup_keep_best(
+    sf_dir: str,
+    threshold: float = 0.5,
+    pairs_broadcast_budget: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Quality-aware near-dup survivor selection: label every doc with
+    its duplicate component (``neardup_components``), then per
+    component keep the LONGEST member (``n_chars`` DESC, doc_id ASC
+    tiebreak) — "keep the most complete copy", the usual upgrade over
+    keep-min-id dedup. Returns (doc_id, component, keep) for every doc.
+
+    Fully distributed, no driver state beyond the components tier:
+    metadata (doc_id, n_chars) cogroup-attaches to the label rows by
+    doc_id, and the winner is decided INSIDE a component-keyed
+    ``map_groups`` — the keep flag never needs a second join because
+    the whole group is in hand. Both exchanges are key-only (3 int
+    columns); text never moves. Component skew is benign: a giant dup
+    cluster is a wide group of 24-byte rows.
+    """
+    labels = neardup_components(
+        sf_dir, threshold=threshold,
+        pairs_broadcast_budget=pairs_broadcast_budget,
+    )
+    labels_ds = (
+        ray.data.from_arrow(labels) if isinstance(labels, pa.Table) else labels
+    )
+    meta = read_documents(sf_dir, ("doc_id", "n_chars"))
+    attached = cogroup_attach(
+        labels_ds,
+        meta,
+        "doc_id",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("component", pa.int64()),
+        ],
+        payload_fields=[pa.field("n_chars", pa.int64())],
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        # meta covers every doc, but fill_null anyway: ONE null would
+        # silently promote the whole column to float64 (NOTES_r3)
+        n_chars = pc.fill_null(group.column("n_chars"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        # argmax n_chars, tie -> min doc_id
+        winner = ids[np.lexsort((ids, -n_chars))[0]]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "component": group.column("component"),
+                "keep": pa.array(ids == winner, pa.bool_()),
+            }
+        )
+
+    return attached.groupby("component").map_groups(
+        pick, batch_format="pyarrow"
+    )

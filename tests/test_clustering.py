@@ -38,3 +38,46 @@ def test_kmeans_inertia_monotone():
         assert b <= a + 1e-6
     # and the first sweep strictly improves on the raw init
     assert inertias[1] < inertias[0]
+
+
+def test_semdedup_semantics():
+    """Recompute the keep rule in numpy over the collected result."""
+    import pyarrow.parquet as pq
+    from high_performance_docling_ray.pipelines.clustering import semdedup
+
+    t = semdedup(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(t) == 500 and t["vec_id"].is_unique
+    emb = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    mat = np.array(emb["embedding"].tolist(), np.float64)
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for cl in t["cluster"].unique():
+        sub = t[t["cluster"] == cl].sort_values("vec_id")
+        ids = sub["vec_id"].to_numpy()
+        gram = nm[ids] @ nm[ids].T
+        n = len(ids)
+        expected_drop = np.zeros(n, bool)
+        for i in range(n):
+            for j in range(i):
+                if gram[i, j] > 0.4:
+                    expected_drop[i] = True
+                    break
+        assert (sub["keep"].to_numpy() == ~expected_drop).all()
+        # lowest vec_id in every cluster always survives
+        assert sub["keep"].iloc[0]
+
+
+def test_dedup_keep_best_one_winner_per_component():
+    from high_performance_docling_ray.pipelines.components import (
+        dedup_keep_best,
+    )
+
+    t = dedup_keep_best(SF).to_pandas()
+    assert len(t) > 0 and t["doc_id"].is_unique
+    per = t.groupby("component")["keep"].sum()
+    assert (per == 1).all()  # exactly one survivor per component
+    # and tiers agree (forced distributed label propagation)
+    t2 = dedup_keep_best(SF, pairs_broadcast_budget=0).to_pandas()
+    a = t.sort_values("doc_id").reset_index(drop=True)
+    b = t2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
