@@ -893,6 +893,22 @@ def _q_sessionize(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.incremental import (
+        incremental_dedup,
+    )
+
+    return incremental_dedup(sf_dir)
+
+
+def _q_crossdoc_ngram_dup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        crossdoc_ngram_dup,
+    )
+
+    return crossdoc_ngram_dup(sf_dir)
+
+
 def _q_semdedup(sf_dir: str):
     from high_performance_docling_ray.pipelines.clustering import semdedup
 
@@ -1040,6 +1056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "semdedup": _q_semdedup,
         "dedup_keep_best": _q_dedup_keep_best,
+        "crossdoc_ngram_dup": _q_crossdoc_ngram_dup,
+        "incremental_dedup": _q_incremental_dedup,
     }
 
 
@@ -1978,6 +1996,67 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
         FROM reach GROUP BY node
+    """
+    # incremental dedup: the persisted store holds distinct md5 hashes
+    # of every NON-src1 doc; src1 is the incoming shard. is_new =
+    # first-in-shard (min doc_id per hash) and absent from history
+    oracles["incremental_dedup"] = """
+        WITH planted AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 20 IN (1, 2) AND (doc_id // 20) % 5 = 0
+                 THEN 'hist shared ' ||
+                      CAST((doc_id // 20) % 4 AS VARCHAR)
+                 WHEN doc_id % 20 = 1 AND (doc_id // 20) % 5 = 2
+                 THEN 'shard dup ' ||
+                      CAST((doc_id // 20) % 3 AS VARCHAR)
+                 ELSE text END AS text
+          FROM documents
+        ),
+        base AS (
+          SELECT DISTINCT md5(text) AS text_hash FROM planted
+          WHERE COALESCE(source, '') <> 'src1'
+        ),
+        shard AS (
+          SELECT doc_id, md5(text) AS text_hash FROM planted
+          WHERE COALESCE(source, '') = 'src1'
+        ),
+        w AS (SELECT text_hash, MIN(doc_id) AS winner
+              FROM shard GROUP BY 1)
+        SELECT s.doc_id, s.text_hash,
+               (s.doc_id = w.winner AND s.text_hash NOT IN
+                  (SELECT text_hash FROM base)) AS is_new
+        FROM shard s JOIN w USING (text_hash)
+    """
+    # cross-doc duplicate n-gram fraction: same 3-gram shingle CTE as
+    # the dedup family (lowercased, whole-doc shingle below n tokens,
+    # list_distinct); one (gram, doc) row per distinct gram per doc so
+    # COUNT(*) per gram IS the doc frequency
+    oracles["crossdoc_ngram_dup"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            END AS sh
+          FROM toks
+        ),
+        g AS (SELECT doc_id, unnest(sh) AS gram FROM sh
+              WHERE len(sh) > 0),
+        df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) FILTER (df.df >= 2) AS BIGINT) AS n_dup,
+               round(COUNT(*) FILTER (df.df >= 2) * 1.0 / COUNT(*), 6)
+                 AS dup_frac
+        FROM g JOIN df USING (gram)
+        GROUP BY 1
     """
     # keep-best survivor selection: same component labels, winner =
     # longest member (n_chars DESC, doc_id ASC) per component

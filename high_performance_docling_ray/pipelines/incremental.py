@@ -1,0 +1,204 @@
+"""Incremental (shard-vs-corpus) exact dedup against a PERSISTED
+hash store — the shape a continuously-crawled corpus needs: the base
+corpus is hashed ONCE into a bucket-partitioned parquet store, and
+each incoming shard probes that store instead of re-reading 100 TB of
+history.
+
+Store layout follows the repo's persisted-artifact convention
+(``build_inverted_index`` / ``build_ivf_index``): content-keyed cache
+dir under /tmp, ``_SUCCESS`` marker, crash-wipe rebuild, parquet
+partitioned by ``bucket = hash(text_hash) % num_buckets`` so the probe
+join reads bucket partitions in parallel (and prunes when a shard maps
+to few buckets).
+
+The probe itself never broadcasts and never moves text: shard rows are
+(doc_id, text_hash) keys, the store side is distinct hashes, and both
+meet in the standard union-cogroup join; the within-shard keep-first
+winner is decided inside a hash-keyed ``map_groups``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..kernels.text_stats import md5_fingerprint
+from .joins import cogroup_attach, string_key_buckets
+from .text_analysis import read_documents
+
+DEFAULT_SHARD_SOURCE = "src1"
+
+
+def _plant_collisions(batch: pa.Table) -> pa.Table:
+    """Deterministic planted collisions (mirrored exactly in the SQL
+    oracle — the redact_pii/clean_corpus idiom): the organic corpus has
+    no cross-source duplicate texts, so without planting the
+    history-hit and within-shard-dup branches never fire.
+
+    - ``doc_id % 20 in (1, 2) and (doc_id//20) % 5 == 0``: the same
+      'hist shared <v>' text lands in the shard (src1) AND the base
+      (src2) -> history hits.
+    - ``doc_id % 20 == 1 and (doc_id//20) % 5 == 2``: 'shard dup <v>'
+      texts repeat WITHIN the shard only -> keep-first winners that
+      are genuinely new.
+    """
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    m = ids // 20
+    hist = ((ids % 20 == 1) | (ids % 20 == 2)) & (m % 5 == 0)
+    dup = (ids % 20 == 1) & (m % 5 == 2)
+    if not (hist.any() or dup.any()):
+        return batch
+    text = np.asarray(batch.column("text").to_pylist(), object)
+    text[hist] = [f"hist shared {v}" for v in (m[hist] % 4)]
+    text[dup] = [f"shard dup {v}" for v in (m[dup] % 3)]
+    return batch.set_column(
+        batch.schema.get_field_index("text"),
+        "text",
+        pa.array(text.tolist(), pa.string()),
+    )
+
+
+def _hash_rows(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text_hash": pa.array(
+                [md5_fingerprint(t or "") for t in texts], pa.string()
+            ),
+        }
+    )
+
+
+def build_hash_store(
+    sf_dir: str,
+    exclude_source: str = DEFAULT_SHARD_SOURCE,
+    num_buckets: int = 16,
+    out_dir: str | None = None,
+) -> str:
+    """Persist the base corpus's distinct text hashes (every source
+    except ``exclude_source`` — the slice that plays "history") as
+    bucket-partitioned parquet. Single streaming pass + one key-only
+    distinct groupby; text never leaves the map stage."""
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        content_tag = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content_tag = "unknown"
+    if out_dir is None:
+        tag = hashlib.md5(
+            f"{src}:{exclude_source}:{num_buckets}:{content_tag}:planted"
+            .encode()
+        ).hexdigest()[:12]
+        out_dir = f"/tmp/graft_hashstore/{tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = read_documents(sf_dir, ("doc_id", "text", "source"))
+
+    def base_hashes(batch: pa.Table) -> pa.Table:
+        batch = _plant_collisions(batch)
+        keep = pc.not_equal(
+            pc.fill_null(batch.column("source"), ""), exclude_source
+        )
+        batch = batch.filter(keep)
+        rows = _hash_rows(batch).select(["text_hash"])
+        # local distinct before the global one
+        return rows.group_by("text_hash").aggregate([])
+
+    distinct = (
+        docs.map_batches(base_hashes, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array(
+                string_key_buckets(batch.column("text_hash"), num_buckets),
+                pa.int32(),
+            ),
+        )
+
+    distinct.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def incremental_dedup(
+    sf_dir: str,
+    shard_source: str = DEFAULT_SHARD_SOURCE,
+    store_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Dedup the incoming shard (``source == shard_source``) against
+    the persisted base-corpus hash store AND against itself:
+    (doc_id, text_hash, is_new) where ``is_new`` means the doc is the
+    first occurrence of its text within the shard (min doc_id) and the
+    hash is absent from the store."""
+    if store_dir is None:
+        store_dir = build_hash_store(sf_dir, exclude_source=shard_source)
+
+    docs = read_documents(sf_dir, ("doc_id", "text", "source"))
+
+    def shard_rows(batch: pa.Table) -> pa.Table:
+        batch = _plant_collisions(batch)
+        keep = pc.equal(
+            pc.fill_null(batch.column("source"), ""), shard_source
+        )
+        return _hash_rows(batch.filter(keep))
+
+    shard = docs.map_batches(shard_rows, batch_format="pyarrow")
+    store = ray.data.read_parquet(store_dir, columns=["text_hash"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "in_store", pa.array(np.ones(batch.num_rows, bool))
+        )
+
+    attached = cogroup_attach(
+        shard,
+        store.map_batches(mark, batch_format="pyarrow"),
+        "text_hash",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("text_hash", pa.string()),
+        ],
+        payload_fields=[pa.field("in_store", pa.bool_())],
+    )
+
+    def verdict(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        stored = bool(
+            pc.any(
+                pc.fill_null(group.column("in_store"), False)
+            ).as_py()
+        )
+        winner = ids.min()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text_hash": group.column("text_hash"),
+                "is_new": pa.array((ids == winner) & (not stored), pa.bool_()),
+            }
+        )
+
+    return attached.groupby("text_hash").map_groups(
+        verdict, batch_format="pyarrow"
+    )

@@ -1110,3 +1110,137 @@ def dsir_weights(
     return read_documents(sf_dir, ("doc_id", "text")).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def crossdoc_ngram_dup(
+    sf_dir: str, n: int = 3, dup_broadcast_budget: int = 2_000_000
+) -> ray.data.Dataset:
+    """Cross-document duplicate n-gram fraction (the RefinedWeb /
+    MassiveText signal that is NOT the within-doc Gopher repetition):
+    per doc, the share of its DISTINCT word n-grams that also occur in
+    at least one other document. Returns
+    (doc_id, n_grams, n_dup, dup_frac round6); gram-less docs emit no
+    row.
+
+    Tiers (decontaminate's discipline, but the probe set is derived
+    from the corpus itself):
+
+    - distinct (h, doc_id) shingle rows -> key-only ``groupby(h)``
+      count -> the DUPLICATED hash set (df >= 2), usually far smaller
+      than the vocabulary. Under ``dup_broadcast_budget`` it broadcasts
+      as one sorted int64 array and a pure-map pass rescans the text
+      (vectorized searchsorted probe). Past it, the dup markers
+      cogroup-attach back onto the (h, doc_id) rows by h and a
+      doc-keyed aggregate folds the fraction — text never shuffles in
+      either tier; tiers are pinned equal in tests.
+    """
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        h, d = _shingle_hash_rows(batch, n)
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "doc_id": pa.array(d, pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(gram_rows, batch_format="pyarrow")
+    df = rows.groupby("h").count()
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("count()"), 2)
+        return batch.filter(keep).select(["h"])
+
+    dup_ds = df.map_batches(dup_only, batch_format="pyarrow")
+    dup_tbl = _collect_within_budget(dup_ds, dup_broadcast_budget)
+
+    if dup_tbl is not None:
+        dup_sorted = np.sort(
+            dup_tbl.column("h").to_numpy(zero_copy_only=False)
+            if dup_tbl.num_rows
+            else np.empty(0, np.int64)
+        )
+        dup_ref = ray.put(dup_sorted)
+
+        def score(batch: pa.Table) -> pa.Table:
+            dup_arr = ray.get(dup_ref)
+            h, d = _shingle_hash_rows(batch, n)
+            hi = h.view(np.int64)
+            if len(hi) and len(dup_arr):
+                pos = np.minimum(
+                    np.searchsorted(dup_arr, hi), len(dup_arr) - 1
+                )
+                member = dup_arr[pos] == hi
+            else:
+                member = np.zeros(len(hi), bool)
+            uniq, inv = np.unique(d, return_inverse=True)
+            n_grams = np.bincount(inv)
+            n_dup = np.bincount(inv, weights=member.astype(np.float64))
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(uniq, pa.int64()),
+                    "n_grams": pa.array(n_grams, pa.int64()),
+                    "n_dup": pa.array(n_dup.astype(np.int64), pa.int64()),
+                    "dup_frac": pa.array(
+                        np.round(n_dup / n_grams, 6), pa.float64()
+                    ),
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # over-budget tier: mark dup rows via cogroup by h, doc-keyed fold
+    marked = cogroup_attach(
+        rows,
+        dup_ds.map_batches(
+            lambda b: b.append_column(
+                "is_dup", pa.array(np.ones(b.num_rows, bool))
+            ),
+            batch_format="pyarrow",
+        ),
+        "h",
+        left_fields=[
+            pa.field("h", pa.int64()),
+            pa.field("doc_id", pa.int64()),
+        ],
+        payload_fields=[pa.field("is_dup", pa.bool_())],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (
+            pc.fill_null(batch.column("is_dup"), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        uniq, inv = np.unique(d, return_inverse=True)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "g": pa.array(np.bincount(inv), pa.int64()),
+                "dup": pa.array(
+                    np.bincount(inv, weights=m).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    summed = (
+        marked.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum(["g", "dup"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        g = batch.column("sum(g)").to_numpy(zero_copy_only=False)
+        dup = batch.column("sum(dup)").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": pa.array(g.astype(np.int64), pa.int64()),
+                "n_dup": pa.array(dup.astype(np.int64), pa.int64()),
+                "dup_frac": pa.array(np.round(dup / g, 6), pa.float64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")

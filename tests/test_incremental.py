@@ -1,0 +1,74 @@
+"""Incremental shard-vs-store dedup + cross-doc duplicate n-gram
+fraction: branch coverage, store reuse, tier pins."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from high_performance_docling_ray.pipelines.incremental import (  # noqa: E402
+    build_hash_store,
+    incremental_dedup,
+)
+from high_performance_docling_ray.pipelines.lm_filters import (  # noqa: E402
+    crossdoc_ngram_dup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_dedup_branches_and_determinism():
+    t = (
+        incremental_dedup(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert t["doc_id"].is_unique and len(t) > 0
+    # shard slice only
+    assert (t["doc_id"] % 20 == 1).all()
+    # planted history hits are never new
+    m = t["doc_id"] // 20
+    hist = m % 5 == 0
+    assert hist.any() and (~t.loc[hist, "is_new"]).all()
+    # planted within-shard dups: exactly one winner per planted text
+    dup = m % 5 == 2
+    if dup.sum() >= 2:
+        per = t[dup].groupby(m[dup] % 3)["is_new"].sum()
+        assert (per == 1).all()
+    t2 = (
+        incremental_dedup(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert t.equals(t2)
+
+
+def test_hash_store_cached_and_resumable():
+    d1 = build_hash_store(SF)
+    assert os.path.exists(os.path.join(d1, "_SUCCESS"))
+    mtime = os.stat(os.path.join(d1, "_SUCCESS")).st_mtime_ns
+    d2 = build_hash_store(SF)  # second call = cache hit, no rebuild
+    assert d1 == d2
+    assert os.stat(os.path.join(d2, "_SUCCESS")).st_mtime_ns == mtime
+
+
+def test_crossdoc_ngram_dup_tiers_equal():
+    a = (
+        crossdoc_ngram_dup(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        crossdoc_ngram_dup(SF, dup_broadcast_budget=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[a.columns.tolist()]
+    )
+    assert a.equals(b)
+    assert (a["n_dup"] <= a["n_grams"]).all()
+    assert np.allclose(a["dup_frac"], (a["n_dup"] / a["n_grams"]).round(6))
