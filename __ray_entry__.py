@@ -893,6 +893,14 @@ def _q_sessionize(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def _q_importance_resample(sf_dir: str):
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        importance_resample,
+    )
+
+    return importance_resample(sf_dir)
+
+
 def _q_incremental_dedup(sf_dir: str):
     from high_performance_docling_ray.pipelines.incremental import (
         incremental_dedup,
@@ -1058,6 +1066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "crossdoc_ngram_dup": _q_crossdoc_ngram_dup,
         "incremental_dedup": _q_incremental_dedup,
+        "importance_resample": _q_importance_resample,
     }
 
 
@@ -2793,6 +2802,28 @@ def oracle_sql() -> dict[str, str]:
         FROM b JOIN w USING (bucket)
         GROUP BY 1
     """
+    # Gumbel-top-k importance resampling composed on the DSIR oracle:
+    # u = (md5_number_upper(doc_id)+0.5)/2^64, key = w - ln(-ln(u)),
+    # rounded to 6dp BEFORE ranking (doc_id tiebreak) on both sides.
+    # NOTE: dsir_logweight in the subselect is already round(...,6),
+    # matching the Ray side which composes on dsir_weights' output.
+    oracles["importance_resample"] = (
+        "WITH dsir AS ("
+        + oracles["dsir_weights"]
+        + """),
+        g AS (
+          SELECT doc_id, dsir_logweight,
+                 round(dsir_logweight
+                       - ln(-ln((md5_number_upper(CAST(doc_id AS VARCHAR))
+                                 + 0.5) / 18446744073709551616.0)),
+                       6) AS gumbel_key
+          FROM dsir
+        )
+        SELECT doc_id, dsir_logweight, gumbel_key FROM g
+        QUALIFY row_number()
+          OVER (ORDER BY gumbel_key DESC, doc_id) <= 50
+        """
+    )
     # PageRank over the symmetrised supplier<->part bipartite graph
     # (suppliers at node 2s, parts at 2p+1); 3 synchronous sweeps,
     # d=0.85, r0 = 1/N. Symmetric edges => no dangling term and every

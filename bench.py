@@ -134,6 +134,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "unigram_logprob",
         "pack_sequences",
         "clean_corpus",
+        # session-3 additions: graph / clustering / retrieval / dedup+
+        "pagerank",
+        "kmeans_clusters",
+        "semdedup",
+        "bm25_topk",
+        "dsir_weights",
+        "crossdoc_ngram_dup",
+        "incremental_dedup",
+        "dedup_keep_best",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

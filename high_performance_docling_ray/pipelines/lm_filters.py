@@ -1244,3 +1244,61 @@ def crossdoc_ngram_dup(
         )
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def importance_resample(sf_dir: str, k: int = 50) -> pa.Table:
+    """DSIR's second half — importance RESAMPLING: draw ``k`` docs
+    without replacement with probability proportional to
+    ``exp(dsir_logweight)`` via the deterministic Gumbel-top-k trick
+    (key = w - ln(-ln(u)), u from the doc's md5 — reproducible noise,
+    no RNG state). Returns (doc_id, dsir_logweight, gumbel_key round6)
+    of the selected docs; keys are rounded BEFORE ranking (doc_id
+    tiebreak) so the selected SET is float-order stable.
+
+    Scale shape: composes on the ``dsir_weights`` map output — the key
+    is per-row math, selection is per-block top-k + a k x #blocks
+    driver merge (the ``top_tokens`` idiom). Nothing shuffles.
+    """
+    ds = dsir_weights(sf_dir)
+
+    def keyed_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        w = batch.column("dsir_logweight").to_numpy(zero_copy_only=False)
+        u = (hash64([str(i) for i in ids]).astype(np.float64) + 0.5) / float(
+            1 << 64
+        )
+        key = np.round(w - np.log(-np.log(u)), 6)
+        order = np.lexsort((ids, -key))[:k]
+        order = np.sort(order)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "dsir_logweight": pa.array(w[order], pa.float64()),
+                "gumbel_key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(keyed_topk, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "dsir_logweight": pa.array([], pa.float64()),
+                "gumbel_key": pa.array([], pa.float64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    ids = merged.column("doc_id").to_numpy(zero_copy_only=False)
+    key = merged.column("gumbel_key").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -key))[:k]
+    return merged.take(pa.array(np.sort(order))).sort_by(
+        [("gumbel_key", "descending"), ("doc_id", "ascending")]
+    )

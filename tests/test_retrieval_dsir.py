@@ -49,3 +49,29 @@ def test_dsir_weights_invariants():
     a = t.sort_values("doc_id").reset_index(drop=True)
     b = dsir_weights(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_importance_resample_topk():
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        importance_resample,
+    )
+
+    t = importance_resample(SF, k=25).to_pandas()
+    assert len(t) == 25 and t["doc_id"].is_unique
+    # keys descending; k-prefix property
+    key = t["gumbel_key"].to_numpy()
+    assert (np.diff(key) <= 1e-12).all()
+    t5 = importance_resample(SF, k=5).to_pandas().reset_index(drop=True)
+    assert t5.equals(t.iloc[:5].reset_index(drop=True))
+    # gumbel key recomputation from the weight column
+    w = dsir_weights(SF).to_pandas().set_index("doc_id")["dsir_logweight"]
+    import hashlib
+
+    for _, row in t5.iterrows():
+        h = int.from_bytes(
+            hashlib.md5(str(int(row["doc_id"])).encode()).digest()[:8],
+            "little",
+        )
+        u = (h + 0.5) / float(1 << 64)
+        expect = round(w[row["doc_id"]] - np.log(-np.log(u)), 6)
+        assert abs(expect - row["gumbel_key"]) < 1e-9
