@@ -893,6 +893,14 @@ def _q_sessionize(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def _q_bigram_logprob(sf_dir: str):
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        bigram_logprob,
+    )
+
+    return bigram_logprob(sf_dir)
+
+
 def _q_importance_resample(sf_dir: str):
     from high_performance_docling_ray.pipelines.lm_filters import (
         importance_resample,
@@ -1067,6 +1075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossdoc_ngram_dup": _q_crossdoc_ngram_dup,
         "incremental_dedup": _q_incremental_dedup,
         "importance_resample": _q_importance_resample,
+        "bigram_logprob": _q_bigram_logprob,
     }
 
 
@@ -2800,6 +2809,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                round(SUM(w.w), 6) AS dsir_logweight
         FROM b JOIN w USING (bucket)
+        GROUP BY 1
+    """
+    # interpolated bigram LM: counts keyed by md5_number_upper (== the
+    # Ray side's hash64) so any hash collision collides identically;
+    # same whitespace tokenizer; docs with < 2 tokens emit no row
+    oracles["bigram_logprob"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id,
+                 md5_number_upper(toks[u.i - 1]) AS hp,
+                 md5_number_upper(toks[u.i]) AS hc,
+                 md5_number_upper(toks[u.i - 1] || ' ' || toks[u.i]) AS h2
+          FROM t, unnest(range(2, len(toks) + 1)) AS u(i)
+          WHERE len(toks) >= 2
+        ),
+        tok AS (SELECT md5_number_upper(unnest(toks)) AS h FROM t),
+        c1 AS (SELECT h, COUNT(*) AS c FROM tok GROUP BY 1),
+        c2 AS (SELECT h2 AS h, COUNT(*) AS c FROM pos GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS t FROM tok)
+        SELECT pos.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(AVG(ln(0.7 * c2.c / cp.c
+                            + 0.3 * cc.c / tot.t)), 6) AS bigram_logprob
+        FROM pos
+        JOIN c2 ON c2.h = pos.h2
+        JOIN c1 cp ON cp.h = pos.hp
+        JOIN c1 cc ON cc.h = pos.hc
+        CROSS JOIN tot
         GROUP BY 1
     """
     # Gumbel-top-k importance resampling composed on the DSIR oracle:

@@ -222,25 +222,47 @@ def dedup_keep_best(
         payload_fields=[pa.field("n_chars", pa.int64())],
     )
 
+    # bucket components so the groupby keys on ~4*CPU buckets and each
+    # group resolves ALL its components vectorized (one lexsort), not
+    # one Python call per component
+    from .joins import default_num_buckets, int_key_buckets
+
+    num_parts = default_num_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        comp = batch.column("component").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(int_key_buckets(comp, num_parts))
+        )
+
     def pick(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        comp = group.column("component").to_numpy(zero_copy_only=False)
         # meta covers every doc, but fill_null anyway: ONE null would
         # silently promote the whole column to float64 (NOTES_r3)
         n_chars = pc.fill_null(group.column("n_chars"), 0).to_numpy(
             zero_copy_only=False
         )
-        # argmax n_chars, tie -> min doc_id
-        winner = ids[np.lexsort((ids, -n_chars))[0]]
+        # winner per component: sort by (component, -n_chars, doc_id);
+        # the first row of each component run wins
+        order = np.lexsort((ids, -n_chars, comp))
+        comp_sorted = comp[order]
+        first = np.ones(len(order), bool)
+        first[1:] = comp_sorted[1:] != comp_sorted[:-1]
+        keep = np.zeros(len(order), bool)
+        keep[order[first]] = True
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "component": group.column("component"),
-                "keep": pa.array(ids == winner, pa.bool_()),
+                "component": pa.array(comp, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
             }
         )
 
-    return attached.groupby("component").map_groups(
-        pick, batch_format="pyarrow"
+    return (
+        attached.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pyarrow")
     )

@@ -63,14 +63,41 @@ def _edges_dataset(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    # global distinct via groupby on the composite; key-only exchange
-    def distinct_group(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    # global distinct: bucket the composite key so the exchange keys
+    # on ~4*CPU buckets and each group dedups VECTORIZED (a
+    # groupby(src,dst).map_groups would make one Python call per
+    # distinct edge — 240k calls at sf0.1; this makes P)
+    from .joins import default_num_buckets, int_key_buckets
+
+    num_parts = default_num_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        mixed = s.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F) + d.astype(
+            np.uint64
+        )
+        return batch.append_column(
+            "bucket",
+            pa.array(int_key_buckets(mixed.view(np.int64), num_parts)),
+        )
+
+    def distinct_in_bucket(group: pa.Table) -> pa.Table:
+        s = group.column("src").to_numpy(zero_copy_only=False)
+        d = group.column("dst").to_numpy(zero_copy_only=False)
+        key = np.unique(np.stack([s, d], axis=1), axis=0)
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(key[:, 0], pa.int64()),
+                "dst": pa.array(key[:, 1], pa.int64()),
+            }
+        )
 
     return (
         ds.map_batches(pair_rows, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .map_groups(distinct_group, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_in_bucket, batch_format="pyarrow")
     )
 
 

@@ -14,7 +14,8 @@ to few buckets).
 The probe itself never broadcasts and never moves text: shard rows are
 (doc_id, text_hash) keys, the store side is distinct hashes, and both
 meet in the standard union-cogroup join; the within-shard keep-first
-winner is decided inside a hash-keyed ``map_groups``.
+winner is decided vectorized inside a bucket-keyed ``map_groups`` (one
+lexsort + run scan per bucket, not one Python call per hash).
 """
 
 from __future__ import annotations
@@ -117,26 +118,28 @@ def build_hash_store(
         batch = batch.filter(keep)
         rows = _hash_rows(batch).select(["text_hash"])
         # local distinct before the global one
-        return rows.group_by("text_hash").aggregate([])
-
-    distinct = (
-        docs.map_batches(base_hashes, batch_format="pyarrow")
-        .groupby("text_hash")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    )
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
+        rows = rows.group_by("text_hash").aggregate([])
+        return rows.append_column(
             "bucket",
             pa.array(
-                string_key_buckets(batch.column("text_hash"), num_buckets),
+                string_key_buckets(rows.column("text_hash"), num_buckets),
                 pa.int32(),
             ),
         )
 
-    distinct.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["bucket"]
+    # global distinct VECTORIZED per bucket (a groupby(text_hash)
+    # map_groups would make one Python call per distinct hash); the
+    # bucket doubles as the store partition key
+    def distinct_in_bucket(group: pa.Table) -> pa.Table:
+        return group.group_by(["text_hash", "bucket"]).aggregate([])
+
+    distinct = (
+        docs.map_batches(base_hashes, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_in_bucket, batch_format="pyarrow")
     )
+
+    distinct.write_parquet(out_dir, partition_cols=["bucket"])
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
@@ -183,22 +186,48 @@ def incremental_dedup(
         payload_fields=[pa.field("in_store", pa.bool_())],
     )
 
-    def verdict(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        stored = bool(
-            pc.any(
-                pc.fill_null(group.column("in_store"), False)
-            ).as_py()
+    # verdicts per BUCKET of hashes, resolved vectorized with one
+    # lexsort + run-boundary scan — a groupby(text_hash).map_groups
+    # would make one Python call per distinct hash
+    num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array(
+                string_key_buckets(batch.column("text_hash"), num_parts),
+                pa.int32(),
+            ),
         )
-        winner = ids.min()
+
+    def verdict_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        codes = (
+            pc.dictionary_encode(group.column("text_hash").combine_chunks())
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        stored = pc.fill_null(group.column("in_store"), False).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((ids, codes))
+        cs = codes[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        # any in_store across each hash run (stored is per-row: the
+        # cogroup marks every row of a stored hash)
+        run_stored = np.logical_or.reduceat(stored[order], starts)
+        is_new = np.zeros(len(ids), bool)
+        is_new[order[starts]] = ~run_stored
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "text_hash": group.column("text_hash"),
-                "is_new": pa.array((ids == winner) & (not stored), pa.bool_()),
+                "is_new": pa.array(is_new, pa.bool_()),
             }
         )
 
-    return attached.groupby("text_hash").map_groups(
-        verdict, batch_format="pyarrow"
+    return (
+        attached.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verdict_bucket, batch_format="pyarrow")
     )

@@ -40,6 +40,22 @@ def string_key_buckets(col: pa.ChunkedArray | pa.Array, num_parts: int) -> np.nd
     return (h % np.uint64(num_parts)).astype(np.int32)
 
 
+def int_key_buckets(vals: np.ndarray, num_parts: int) -> np.ndarray:
+    """Vectorized coarse shuffle key for INT64 key arrays:
+    Fibonacci-multiplicative hash then ``% num_parts`` as int32. Like
+    ``string_key_buckets``, the bucket only routes rows (all rows of a
+    key share a bucket) so a groupby can key on ~4*CPU buckets and the
+    per-group work stays vectorized — never one Python call per key."""
+    h = vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33)) % np.uint64(num_parts)).astype(np.int32)
+
+
+def default_num_buckets() -> int:
+    """~4 groups per CPU: enough for balance, few enough that per-group
+    Python overhead is negligible."""
+    return 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+
 def cogroup_attach(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

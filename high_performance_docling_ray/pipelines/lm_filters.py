@@ -405,8 +405,23 @@ def unigram_logprob(
             np.log(cnts / total),
         )
 
-    return joined.groupby("doc_id").map_groups(
-        per_doc, batch_format="pyarrow"
+    # bucket docs so the exchange keys on ~4*CPU buckets and per_doc
+    # resolves every doc in the bucket with one argsort + reduceat —
+    # groupby(doc_id).map_groups would be one Python call per doc
+    from .joins import default_num_buckets, int_key_buckets
+
+    num_parts = default_num_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(int_key_buckets(ids, num_parts))
+        )
+
+    return (
+        joined.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_doc, batch_format="pyarrow")
     )
 
 
@@ -1302,3 +1317,250 @@ def importance_resample(sf_dir: str, k: int = 50) -> pa.Table:
     return merged.take(pa.array(np.sort(order))).sort_by(
         [("gumbel_key", "descending"), ("doc_id", "ascending")]
     )
+
+
+def _bigram_position_arrays(batch: pa.Table):
+    """Per-position bigram rows for a (doc_id, text) batch: returns
+    ``(doc_ids_per_pos, h_prev, h_cur, h_bigram)`` for every within-doc
+    adjacent token pair (uint64 md5 hashes == ``md5_number_upper``, so
+    an oracle can rebuild the same keyed counts — hash collisions, if
+    any, collide identically on both sides)."""
+    flat, doc_idx, _ = _tokenize(batch.column("text"))
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    if len(flat) < 2:
+        e = np.empty(0, np.uint64)
+        return np.empty(0, np.int64), e, e, e
+    adj = doc_idx[1:] == doc_idx[:-1]
+    if not adj.any():
+        e = np.empty(0, np.uint64)
+        return np.empty(0, np.int64), e, e, e
+    keep_prev = np.flatnonzero(adj)
+    prev = flat.take(pa.array(keep_prev))
+    cur = flat.take(pa.array(keep_prev + 1))
+    big = pc.binary_join_element_wise(prev, cur, " ")
+    h_all = hash64(flat.to_pylist())
+    hp = h_all[keep_prev]
+    hc = h_all[keep_prev + 1]
+    h2 = hash64(big.to_pylist())
+    return doc_ids[doc_idx[keep_prev]], hp, hc, h2
+
+
+def bigram_logprob(
+    sf_dir: str,
+    lam: float = 0.7,
+    cnt_broadcast_budget: int = 4_000_000,
+) -> ray.data.Dataset:
+    """Interpolated bigram LM scoring — the KenLM-perplexity-filter
+    stand-in one order above ``unigram_logprob``:
+
+        P(w_i | w_{i-1}) = lam * c2(w_{i-1} w_i) / c1(w_{i-1})
+                           + (1 - lam) * c1(w_i) / T
+
+    per-doc mean ln P over positions 2..n. Returns (doc_id, n_bigrams,
+    bigram_logprob round6); docs with < 2 tokens emit no row.
+
+    Model pass: ONE exchange — per-batch (kind, h, cnt) partials for
+    token counts (kind 1) and bigram counts (kind 2), keyed by md5
+    hash64 (== ``md5_number_upper``), composite-key groupby sum. Under
+    ``cnt_broadcast_budget`` model rows the two sorted count arrays
+    broadcast and scoring is a pure map. Past it, per-position rows
+    (doc_id, hp, hc, h2) take three key-only ``cogroup_attach`` passes
+    (c2 by h2, c1 by hp, c1 by hc) and a doc-keyed aggregate — the
+    vocabulary^2 model never lands on the driver; tiers pinned equal
+    in tests.
+    """
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+
+    def model_partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenize(batch.column("text"))
+        _, _, _, h2 = _bigram_position_arrays(batch)
+        h1 = hash64(flat.to_pylist()) if len(flat) else np.empty(0, np.uint64)
+        ks, hs, cs = [], [], []
+        for kind, h in ((1, h1), (2, h2)):
+            if len(h):
+                uniq, cnt = np.unique(h, return_counts=True)
+                ks.append(np.full(len(uniq), kind, np.int8))
+                hs.append(uniq.view(np.int64))
+                cs.append(cnt.astype(np.int64))
+        if not ks:
+            return pa.Table.from_pydict(
+                {"kind": pa.array([], pa.int8()),
+                 "h": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pydict(
+            {
+                "kind": pa.array(np.concatenate(ks), pa.int8()),
+                "h": pa.array(np.concatenate(hs), pa.int64()),
+                "cnt": pa.array(np.concatenate(cs), pa.int64()),
+            }
+        )
+
+    model = (
+        docs.map_batches(model_partial, batch_format="pyarrow")
+        .groupby(["kind", "h"])
+        .sum("cnt")
+    )
+
+    def rename_model(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["kind", "h", "cnt"])
+
+    model = model.map_batches(rename_model, batch_format="pyarrow")
+    model_tbl = _collect_within_budget(model, cnt_broadcast_budget)
+
+    if model_tbl is not None and model_tbl.num_rows:
+        kinds = model_tbl.column("kind").to_numpy(zero_copy_only=False)
+        hs = model_tbl.column("h").to_numpy(zero_copy_only=False)
+        cs = model_tbl.column("cnt").to_numpy(zero_copy_only=False)
+        m1, m2 = kinds == 1, kinds == 2
+        o1, o2 = np.argsort(hs[m1]), np.argsort(hs[m2])
+        h1_sorted, c1_sorted = hs[m1][o1], cs[m1][o1]
+        h2_sorted, c2_sorted = hs[m2][o2], cs[m2][o2]
+        total = float(c1_sorted.sum())
+        refs = ray.put((h1_sorted, c1_sorted, h2_sorted, c2_sorted, total))
+
+        def lookup(sorted_h, sorted_c, keys):
+            pos = np.minimum(
+                np.searchsorted(sorted_h, keys), len(sorted_h) - 1
+            )
+            return sorted_c[pos].astype(np.float64)
+
+        def score(batch: pa.Table) -> pa.Table:
+            h1s, c1s, h2s, c2s, tot = ray.get(refs)
+            dids, hp, hc, h2 = _bigram_position_arrays(batch)
+            if not len(dids):
+                return pa.Table.from_pydict(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "n_bigrams": pa.array([], pa.int64()),
+                     "bigram_logprob": pa.array([], pa.float64())}
+                )
+            # every key is present in the model by construction
+            cp = lookup(h1s, c1s, hp.view(np.int64))
+            cc = lookup(h1s, c1s, hc.view(np.int64))
+            c2v = lookup(h2s, c2s, h2.view(np.int64))
+            lp = np.log(lam * c2v / cp + (1.0 - lam) * cc / tot)
+            uniq, inv = np.unique(dids, return_inverse=True)
+            n = np.bincount(inv)
+            s = np.bincount(inv, weights=lp)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(uniq, pa.int64()),
+                    "n_bigrams": pa.array(n.astype(np.int64), pa.int64()),
+                    "bigram_logprob": pa.array(
+                        np.round(s / n, 6), pa.float64()
+                    ),
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # over-budget tier: three key-only cogroups over position rows
+    def split_kind(kind: int):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch.column("kind"), kind)
+            return batch.filter(keep).select(["h", "cnt"])
+
+        return f
+
+    c1_ds = model.map_batches(split_kind(1), batch_format="pyarrow")
+    c2_ds = model.map_batches(split_kind(2), batch_format="pyarrow")
+    total = float(c1_ds.sum("cnt") or 0.0)
+
+    def pos_rows(batch: pa.Table) -> pa.Table:
+        dids, hp, hc, h2 = _bigram_position_arrays(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "hp": pa.array(hp.view(np.int64), pa.int64()),
+                "hc": pa.array(hc.view(np.int64), pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(pos_rows, batch_format="pyarrow")
+
+    def rename_to(key: str, val: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([key, val])
+
+        return f
+
+    step1 = cogroup_attach(
+        rows,
+        c2_ds.map_batches(rename_to("h2", "c2"), batch_format="pyarrow"),
+        "h2",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("hp", pa.int64()),
+            pa.field("hc", pa.int64()),
+            pa.field("h2", pa.int64()),
+        ],
+        payload_fields=[pa.field("c2", pa.int64())],
+    )
+    step2 = cogroup_attach(
+        step1,
+        c1_ds.map_batches(rename_to("hp", "cp"), batch_format="pyarrow"),
+        "hp",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("hp", pa.int64()),
+            pa.field("hc", pa.int64()),
+            pa.field("h2", pa.int64()),
+            pa.field("c2", pa.int64()),
+        ],
+        payload_fields=[pa.field("cp", pa.int64())],
+    )
+    step3 = cogroup_attach(
+        step2,
+        c1_ds.map_batches(rename_to("hc", "cc"), batch_format="pyarrow"),
+        "hc",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("hp", pa.int64()),
+            pa.field("hc", pa.int64()),
+            pa.field("h2", pa.int64()),
+            pa.field("c2", pa.int64()),
+            pa.field("cp", pa.int64()),
+        ],
+        payload_fields=[pa.field("cc", pa.int64())],
+    )
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        c2v = pc.fill_null(batch.column("c2"), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        cp = pc.fill_null(batch.column("cp"), 1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        cc = pc.fill_null(batch.column("cc"), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        lp = np.log(lam * c2v / cp + (1.0 - lam) * cc / total)
+        uniq, inv = np.unique(dids, return_inverse=True)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "s": pa.array(np.bincount(inv, weights=lp), pa.float64()),
+            }
+        )
+
+    summed = (
+        step3.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum(["n", "s"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        s = batch.column("sum(s)").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(n.astype(np.int64), pa.int64()),
+                "bigram_logprob": pa.array(np.round(s / n, 6), pa.float64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")

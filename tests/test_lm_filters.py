@@ -370,3 +370,51 @@ def test_clean_corpus_verdicts_resumable(tmp_path):
     )
     want = clean_corpus(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got[want.columns.tolist()].equals(want)
+
+
+def test_bigram_logprob_closed_form(tmp_path):
+    # corpus: doc0 "a b a", doc1 "b a", doc2 "a" -> unigrams a:4 b:2
+    # T=6 (doc2's lone token still feeds the model, same as the SQL
+    # oracle); bigrams: "a b":1, "b a":2
+    # doc0 positions: (a,b) lp=ln(.7*1/4 + .3*2/6); (b,a) ln(.7*2/2 + .3*4/6)
+    # doc1: (b,a) -> same as second term; doc2 single token -> no row
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        bigram_logprob,
+    )
+
+    sf = _write_docs(tmp_path, [(0, "a b a"), (1, "b a"), (2, "a")])
+    out = (
+        bigram_logprob(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    lp_ab = math.log(0.7 * (1 / 4) + 0.3 * (2 / 6))
+    lp_ba = math.log(0.7 * (2 / 2) + 0.3 * (4 / 6))
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_bigrams"].tolist() == [2, 1]
+    assert out.loc[0, "bigram_logprob"] == round((lp_ab + lp_ba) / 2, 6)
+    assert out.loc[1, "bigram_logprob"] == round(lp_ba, 6)
+
+
+def test_bigram_logprob_tiers_equal():
+    """Broadcast model tier == forced three-cogroup tier, byte for
+    byte (the n_bigrams/rounded-mean outputs are exact either way)."""
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        bigram_logprob,
+    )
+
+    a = (
+        bigram_logprob(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        bigram_logprob(SF, cnt_broadcast_budget=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[list(a.columns)]
+    )
+    assert len(a) > 0
+    assert a.equals(b)
