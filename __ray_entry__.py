@@ -901,6 +901,14 @@ def _q_bigram_logprob(sf_dir: str):
     return bigram_logprob(sf_dir)
 
 
+def _q_perplexity_buckets(sf_dir: str):
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        perplexity_buckets,
+    )
+
+    return perplexity_buckets(sf_dir)
+
+
 def _q_importance_resample(sf_dir: str):
     from high_performance_docling_ray.pipelines.lm_filters import (
         importance_resample,
@@ -1076,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "importance_resample": _q_importance_resample,
         "bigram_logprob": _q_bigram_logprob,
+        "perplexity_buckets": _q_perplexity_buckets,
     }
 
 
@@ -2842,6 +2851,54 @@ def oracle_sql() -> dict[str, str]:
         JOIN c1 cc ON cc.h = pos.hc
         CROSS JOIN tot
         GROUP BY 1
+    """
+    # CCNet terciles composed on the unigram-logprob oracle: per-lang
+    # thresholds are the VALUES at integer ranks (n+2)//3 and
+    # (2n+2)//3 of logprob ascending (ties share a value, so window
+    # row_number tie order is irrelevant); >= comparisons both sides
+    oracles["perplexity_buckets"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        total AS (SELECT COUNT(*) AS total FROM tok),
+        lp AS (
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                 round(SUM(tf * ln(cnt / CAST(total.total AS DOUBLE)))
+                       / SUM(tf), 6) AS logprob
+          FROM tf JOIN cnt USING (token) CROSS JOIN total
+          GROUP BY doc_id
+        ),
+        lpl AS (
+          SELECT lp.doc_id, COALESCE(d.lang, '') AS lang,
+                 lp.n_tokens, lp.logprob
+          FROM lp JOIN documents d USING (doc_id)
+        ),
+        ranked AS (
+          SELECT lang, logprob,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY logprob) AS r,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM lpl
+        ),
+        th AS (
+          SELECT lang,
+                 MAX(CASE WHEN r = greatest(1, (n + 2) // 3)
+                     THEN logprob END) AS t1,
+                 MAX(CASE WHEN r = greatest(1, (2 * n + 2) // 3)
+                     THEN logprob END) AS t2
+          FROM ranked GROUP BY lang
+        )
+        SELECT lpl.doc_id, lpl.lang, lpl.n_tokens, lpl.logprob,
+               CASE WHEN lpl.logprob >= th.t2 THEN 'head'
+                    WHEN lpl.logprob >= th.t1 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM lpl JOIN th USING (lang)
     """
     # Gumbel-top-k importance resampling composed on the DSIR oracle:
     # u = (md5_number_upper(doc_id)+0.5)/2^64, key = w - ln(-ln(u)),

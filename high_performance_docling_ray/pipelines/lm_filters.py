@@ -1564,3 +1564,207 @@ def bigram_logprob(
         )
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+# -- CCNet-style perplexity stratification ----------------------------------
+
+
+def _spill_logprob_rows(sf_dir: str) -> str:
+    """Compute (doc_id, lang, n_tokens, logprob) ONCE and spill to
+    /tmp parquet (the minhash-signature idiom): the bucketing pass
+    needs three reads of these per-doc summary rows (histogram,
+    boundary-bin refinement, final assignment) and re-running the
+    unigram model for each would triple the corpus text reads. The
+    spill is the per-doc summary — 4 narrow columns, never text."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    src = _os.path.join(_os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = _os.stat(src)
+        content_tag = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content_tag = "unknown"
+    tag = _hashlib.md5(f"lpbuckets:{src}:{content_tag}".encode()).hexdigest()[
+        :12
+    ]
+    out_dir = f"/tmp/graft_lpbuckets/{tag}"
+    marker = _os.path.join(out_dir, "_SUCCESS")
+    if _os.path.exists(marker):
+        return out_dir
+    if _os.path.isdir(out_dir):
+        _shutil.rmtree(out_dir)
+    _os.makedirs(out_dir, exist_ok=True)
+
+    lp = unigram_logprob(sf_dir)
+    langs = read_documents(sf_dir, ("doc_id", "lang"))
+
+    def lang_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                # null lang -> '' sentinel, mirrored by COALESCE in SQL
+                "lang": pc.fill_null(batch.column("lang"), ""),
+            }
+        )
+
+    rows = cogroup_attach(
+        lp,
+        langs.map_batches(lang_rows, batch_format="pyarrow"),
+        "doc_id",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("logprob", pa.float64()),
+        ],
+        payload_fields=[pa.field("lang", pa.string())],
+    )
+    rows.write_parquet(out_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def perplexity_buckets(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style per-language quality stratification (Wenzek et al.
+    2020): docs are bucketed head / middle / tail by per-doc unigram
+    log-prob (``unigram_logprob``) against that LANGUAGE's exact
+    tercile thresholds — head = top third (highest logprob == lowest
+    perplexity).
+
+    The per-lang thresholds are EXACT discrete quantiles computed
+    without any global sort, two rounds of the ``exact_quantiles``
+    primitive (relational.py:428) generalized to grouped CONTINUOUS
+    values:
+
+      1. coarse histogram: one (lang, floor(logprob*100)) count
+         exchange — the bin domain is bounded (logprob spans a few
+         hundred centinats), so the driver-side table is
+         O(langs x bins), never O(docs);
+      2. refinement: only rows whose bin CONTAINS a tercile boundary
+         re-emit (lang, value) counts — O(docs/bins) rows — and the
+         driver reads the exact rank-``max(1, ceil(q*n))`` value off
+         the cumulative counts (the quantile_disc rule).
+
+    Thresholds (langs x 2 scalars) ship in the assignment closure;
+    assignment is a pure map. Ties at a threshold go to the higher
+    bucket on both sides (``>=`` here, ``>=`` in the CASE oracle).
+    Returns (doc_id, lang, n_tokens, logprob, bucket).
+    """
+    spill = _spill_logprob_rows(sf_dir)
+    rows = ray.data.read_parquet(spill)
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        lp = batch.column("logprob").to_numpy(zero_copy_only=False)
+        bins = np.floor(lp * 100.0).astype(np.int64)
+        import pandas as pd
+
+        df = pd.DataFrame({"lang": lang, "bin": bins})
+        g = df.groupby(["lang", "bin"], sort=False).size().reset_index()
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "bin": pa.array(g["bin"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g[0].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    # bounded: O(langs x few-hundred bins) rows
+    hist = (
+        rows.map_batches(bin_partial, batch_format="pyarrow")
+        .groupby(["lang", "bin"])
+        .sum("cnt")
+        .take_all()
+    )
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        by_lang.setdefault(r["lang"], []).append((r["bin"], r["sum(cnt)"]))
+
+    # per (lang, tercile): the bin holding rank ceil(q*n) and the row
+    # count strictly below that bin; ranks in EXACT integer math
+    # ((n+2)//3 == ceil(n/3)) so the SQL oracle can reproduce them
+    # without float-division drift
+    targets: dict[str, list[tuple[int, int, int]]] = {}
+    need: set[tuple[str, int]] = set()
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        cnts = np.array([c for _, c in pairs], np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        targets[lang] = []
+        for rank in ((n + 2) // 3, (2 * n + 2) // 3):
+            rank = max(1, rank)
+            i = int(np.searchsorted(cum, rank))
+            below = int(cum[i - 1]) if i else 0
+            targets[lang].append((rank, pairs[i][0], below))
+            need.add((lang, pairs[i][0]))
+
+    def refine_partial(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        lp = batch.column("logprob").to_numpy(zero_copy_only=False)
+        bins = np.floor(lp * 100.0).astype(np.int64)
+        # <= 2 boundary bins per lang: one vectorized mask per pair
+        keep = np.zeros(len(lang), bool)
+        for la, b in need:
+            keep |= (lang == la) & (bins == b)
+        import pandas as pd
+
+        df = pd.DataFrame({"lang": lang[keep], "value": lp[keep]})
+        g = df.groupby(["lang", "value"], sort=False).size().reset_index()
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "value": pa.array(g["value"].to_numpy(), pa.float64()),
+                "cnt": pa.array(g[0].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    vals = (
+        rows.map_batches(refine_partial, batch_format="pyarrow")
+        .groupby(["lang", "value"])
+        .sum("cnt")
+        .take_all()
+    )
+    in_bin: dict[str, list[tuple[float, int]]] = {}
+    for r in vals:
+        in_bin.setdefault(r["lang"], []).append((r["value"], r["sum(cnt)"]))
+
+    thresholds: dict[str, list[float]] = {}
+    for lang, specs in targets.items():
+        pairs = sorted(in_bin.get(lang, []))
+        v = np.array([x for x, _ in pairs], np.float64)
+        c = np.array([x for _, x in pairs], np.int64)
+        bins_of_v = np.floor(v * 100.0).astype(np.int64)
+        ths = []
+        for rank, b, below in specs:
+            m = bins_of_v == b
+            cum = below + np.cumsum(c[m])
+            ths.append(float(v[m][np.searchsorted(cum, rank)]))
+        thresholds[lang] = ths
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        lp = batch.column("logprob").to_numpy(zero_copy_only=False)
+        s = pd.Series(lang, dtype=object)
+        t1 = s.map({la: t[0] for la, t in thresholds.items()}).to_numpy(
+            np.float64
+        )
+        t2 = s.map({la: t[1] for la, t in thresholds.items()}).to_numpy(
+            np.float64
+        )
+        bucket = np.where(lp >= t2, "head", np.where(lp >= t1, "middle", "tail"))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_tokens": batch.column("n_tokens"),
+                "logprob": batch.column("logprob"),
+                "bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    return rows.map_batches(assign, batch_format="pyarrow")

@@ -418,3 +418,53 @@ def test_bigram_logprob_tiers_equal():
     )
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_perplexity_buckets_ordering_and_ties(tmp_path):
+    """Every head logprob >= every middle >= every tail within a lang;
+    all-tied logprobs collapse to one bucket ('head', ties take the
+    higher bucket)."""
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        perplexity_buckets,
+    )
+
+    # 6 docs, one lang, strictly distinct logprobs (token freqs 6..1)
+    rows = [(i, " ".join([f"w{i}"] * (i + 1)) + " common") for i in range(6)]
+    sf = _write_docs(tmp_path, rows)
+    out = perplexity_buckets(sf).to_pandas()
+    assert len(out) == 6
+    by = {
+        b: sorted(g["logprob"]) for b, g in out.groupby("bucket")
+    }
+    assert set(by) == {"head", "middle", "tail"}
+    assert min(by["head"]) >= max(by["middle"]) >= max(by["tail"])
+
+    # all-identical docs -> identical logprob -> single 'head' bucket
+    sf2 = _write_docs(tmp_path / "t2" if (tmp_path / "t2").mkdir() is None else tmp_path / "t2", [(i, "x y z") for i in range(5)])
+    out2 = perplexity_buckets(sf2).to_pandas()
+    assert set(out2["bucket"]) == {"head"}
+
+
+def test_perplexity_buckets_deterministic():
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        perplexity_buckets,
+    )
+
+    a = (
+        perplexity_buckets(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        perplexity_buckets(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[list(a.columns)]
+    )
+    assert len(a) == 500
+    assert a.equals(b)
+    # per-lang tercile sizes: |head|+|middle|+|tail| == n and sizes
+    # within 1 of n/3 when logprobs are distinct enough
+    g = a.groupby("lang")["bucket"].value_counts().unstack(fill_value=0)
+    assert (g.sum(axis=1) == a.groupby("lang").size()).all()
