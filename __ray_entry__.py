@@ -909,6 +909,14 @@ def _q_perplexity_buckets(sf_dir: str):
     return perplexity_buckets(sf_dir)
 
 
+def _q_substring_dedup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.substring import (
+        substring_dedup,
+    )
+
+    return substring_dedup(sf_dir)
+
+
 def _q_importance_resample(sf_dir: str):
     from high_performance_docling_ray.pipelines.lm_filters import (
         importance_resample,
@@ -1085,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_resample": _q_importance_resample,
         "bigram_logprob": _q_bigram_logprob,
         "perplexity_buckets": _q_perplexity_buckets,
+        "substring_dedup": _q_substring_dedup,
     }
 
 
@@ -2851,6 +2860,69 @@ def oracle_sql() -> dict[str, str]:
         JOIN c1 cc ON cc.h = pos.hc
         CROSS JOIN tot
         GROUP BY 1
+    """
+    # ExactSubstr dedup (Lee et al. 2022): planted passages mirror
+    # pipelines/substring.py:_plant_passages; windows keyed by
+    # md5_number_upper of the space-joined L=8 window (== hash64, so
+    # collisions collide identically); winner = MIN(doc_id*2^20 + i);
+    # a token is removed iff covered by any non-winner dup window
+    oracles["substring_dedup"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 23 = 5 THEN COALESCE(text, '') ||
+                   ' the shared boilerplate footer appears on every mirrored page here'
+                 WHEN doc_id % 29 = 7 THEN COALESCE(text, '') ||
+                   ' repeat block alpha beta gamma delta epsilon zeta eta' ||
+                   ' repeat block alpha beta gamma delta epsilon zeta eta'
+                 ELSE COALESCE(text, '') END AS text
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM base
+        ),
+        p AS (
+          SELECT doc_id, u.i AS i,
+                 md5_number_upper(
+                   array_to_string(toks[u.i + 1 : u.i + 8], ' ')) AS h,
+                 doc_id * 1048576 + u.i AS packed
+          FROM t, unnest(range(0, len(toks) - 7)) AS u(i)
+          WHERE len(toks) >= 8
+        ),
+        agg AS (SELECT h, COUNT(*) AS c, MIN(packed) AS win
+                FROM p GROUP BY 1),
+        dup AS (
+          SELECT p.doc_id, p.i
+          FROM p JOIN agg USING (h)
+          WHERE agg.c >= 2 AND p.packed <> agg.win
+        ),
+        cov AS (
+          SELECT DISTINCT doc_id, i + u.k AS j
+          FROM dup, unnest(range(0, 8)) AS u(k)
+        ),
+        tokrows AS (
+          SELECT doc_id, unnest(range(len(toks))) AS j,
+                 unnest(toks) AS tok
+          FROM t
+        ),
+        keep AS (
+          SELECT tr.doc_id, tr.j, tr.tok
+          FROM tokrows tr
+          ANTI JOIN cov ON (tr.doc_id = cov.doc_id AND tr.j = cov.j)
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(c.rm, 0) AS BIGINT) AS n_removed,
+               COALESCE(k.txt, '') AS clean_text
+        FROM t
+        LEFT JOIN (SELECT doc_id, COUNT(*) AS rm FROM cov GROUP BY 1) c
+          USING (doc_id)
+        LEFT JOIN (SELECT doc_id,
+                          string_agg(tok, ' ' ORDER BY j) AS txt
+                   FROM keep GROUP BY 1) k
+          USING (doc_id)
     """
     # CCNet terciles composed on the unigram-logprob oracle: per-lang
     # thresholds are the VALUES at integer ranks (n+2)//3 and
