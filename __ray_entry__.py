@@ -917,6 +917,22 @@ def _q_substring_dedup(sf_dir: str):
     return substring_dedup(sf_dir)
 
 
+def _q_url_curation(sf_dir: str):
+    from high_performance_docling_ray.pipelines.web_curation import (
+        url_curation,
+    )
+
+    return url_curation(sf_dir)
+
+
+def _q_domain_stats(sf_dir: str):
+    from high_performance_docling_ray.pipelines.web_curation import (
+        domain_stats,
+    )
+
+    return domain_stats(sf_dir)
+
+
 def _q_importance_resample(sf_dir: str):
     from high_performance_docling_ray.pipelines.lm_filters import (
         importance_resample,
@@ -1094,6 +1110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": _q_bigram_logprob,
         "perplexity_buckets": _q_perplexity_buckets,
         "substring_dedup": _q_substring_dedup,
+        "url_curation": _q_url_curation,
+        "domain_stats": _q_domain_stats,
     }
 
 
@@ -2860,6 +2878,61 @@ def oracle_sql() -> dict[str, str]:
         JOIN c1 cc ON cc.h = pos.hc
         CROSS JOIN tot
         GROUP BY 1
+    """
+    # URL curation: the normalized url is a CLOSED FORM of the planted
+    # construction (pipelines/web_curation.py:_synth_raw_urls) — the
+    # oracle never reimplements RFC 3986, it knows scheme/host case
+    # lowers, :443 / trailing slash / #frag / utm params all vanish,
+    # and only a bare ?id=N query can survive; spam count via the same
+    # RE2 both sides
+    oracles["url_curation"] = r"""
+        WITH u AS (
+          SELECT doc_id,
+                 lower(COALESCE(source, 'nosrc')) || '.example.com'
+                   AS domain,
+                 'https://m' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+                 lower(COALESCE(source, 'nosrc')) || '.example.com' ||
+                 '/p/' || CAST(doc_id // 10 AS VARCHAR) ||
+                 CASE WHEN doc_id % 31 = 9 THEN '-casino-bonus'
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 17 IN (2, 3, 4)
+                      THEN '?id=' || CAST(doc_id % 97 AS VARCHAR)
+                      ELSE '' END AS url_norm
+          FROM documents
+        ),
+        v AS (
+          SELECT doc_id, url_norm, domain,
+                 CAST(len(regexp_extract_all(url_norm, 'casino|bonus'))
+                      AS BIGINT) AS spam_hits,
+                 domain IN ('src3.example.com', 'src7.example.com',
+                            'src11.example.com') AS blocked
+          FROM u
+        )
+        SELECT doc_id, url_norm, domain, spam_hits, blocked,
+               (NOT blocked) AND spam_hits = 0 AS keep
+        FROM v
+    """
+    oracles["domain_stats"] = r"""
+        WITH u AS (
+          SELECT doc_id, COALESCE(n_chars, 0) AS n_chars,
+                 lower(COALESCE(source, 'nosrc')) || '.example.com'
+                   AS domain,
+                 CASE WHEN doc_id % 31 = 9 THEN 1 ELSE 0 END AS spam
+          FROM documents
+        ),
+        v AS (
+          SELECT domain, n_chars,
+                 CASE WHEN domain IN ('src3.example.com',
+                                      'src7.example.com',
+                                      'src11.example.com') THEN 0
+                      WHEN spam = 1 THEN 0 ELSE 1 END AS keep
+          FROM u
+        )
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(keep) AS BIGINT) AS n_kept,
+               round(SUM(n_chars) / CAST(COUNT(*) AS DOUBLE), 6)
+                 AS mean_chars
+        FROM v GROUP BY 1
     """
     # ExactSubstr dedup (Lee et al. 2022): planted passages mirror
     # pipelines/substring.py:_plant_passages; windows keyed by

@@ -143,6 +143,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crossdoc_ngram_dup",
         "incremental_dedup",
         "dedup_keep_best",
+        # session-4 additions: bigram LM, CCNet terciles, ExactSubstr
+        "bigram_logprob",
+        "perplexity_buckets",
+        "substring_dedup",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

@@ -1,0 +1,80 @@
+"""URL curation (pipelines/web_curation.py): each planted mess type
+normalizes away, verdict rules fire, and domain_stats reconciles with
+the per-doc verdicts."""
+
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+from high_performance_docling_ray.pipelines.web_curation import (  # noqa: E402
+    domain_stats,
+    url_curation,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, rows):
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_url_curation_normalization_closed_forms(tmp_path):
+    # doc 20: %5==0 (HTTPS scheme) -> lowered
+    # doc  4: %3==1 (upper host) and %11==4 (:443) -> lowered, dropped
+    # doc 19: %13==6 (trailing /) and %17==2 (utm + id) -> slash gone,
+    #         utm stripped, ?id kept
+    # doc  5: %19==5 (#frag) -> dropped
+    # doc  9: %31==9 -> '-casino-bonus' path, 2 spam hits
+    sf = _write_docs(
+        tmp_path,
+        [(20, "src0", 10), (4, "src1", 10), (19, "src2", 10),
+         (5, "src2", 10), (9, "src4", 10)],
+    )
+    out = (
+        url_curation(sf)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # 20 % 17 == 3 also plants utm+id -> utm stripped, id survives
+    assert out.loc[20, "url_norm"] == "https://m6.src0.example.com/p/2?id=20"
+    assert out.loc[4, "url_norm"] == "https://m4.src1.example.com/p/0?id=4"
+    assert out.loc[19, "url_norm"] == "https://m5.src2.example.com/p/1?id=19"
+    assert out.loc[5, "url_norm"] == "https://m5.src2.example.com/p/0"
+    assert (
+        out.loc[9, "url_norm"] == "https://m2.src4.example.com/p/0-casino-bonus"
+    )
+    assert out.loc[9, "spam_hits"] == 2
+    assert not out.loc[9, "keep"]
+    assert out.loc[20, "spam_hits"] == 0 and out.loc[20, "keep"]
+    assert (out["domain"] == out.index.map(
+        {20: "src0", 4: "src1", 19: "src2", 5: "src2", 9: "src4"}
+    ) + ".example.com").all()
+
+
+def test_url_curation_blocklist(tmp_path):
+    sf = _write_docs(tmp_path, [(1, "src3", 5), (2, "src4", 5)])
+    out = url_curation(sf).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "blocked"]) and not bool(out.loc[1, "keep"])
+    assert not bool(out.loc[2, "blocked"]) and bool(out.loc[2, "keep"])
+
+
+def test_domain_stats_reconciles_with_verdicts():
+    v = url_curation(SF).to_pandas()
+    s = domain_stats(SF).to_pandas().set_index("domain")
+    g = v.groupby("domain")
+    assert (s["n_docs"] == g.size()).all()
+    assert (s["n_kept"] == g["keep"].sum()).all()
+    assert len(s) == v["domain"].nunique()
