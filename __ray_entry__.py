@@ -933,6 +933,14 @@ def _q_domain_stats(sf_dir: str):
     return domain_stats(sf_dir)
 
 
+def _q_mixture_sample(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        mixture_sample,
+    )
+
+    return mixture_sample(sf_dir)
+
+
 def _q_importance_resample(sf_dir: str):
     from high_performance_docling_ray.pipelines.lm_filters import (
         importance_resample,
@@ -1112,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": _q_substring_dedup,
         "url_curation": _q_url_curation,
         "domain_stats": _q_domain_stats,
+        "mixture_sample": _q_mixture_sample,
     }
 
 
@@ -2878,6 +2887,32 @@ def oracle_sql() -> dict[str, str]:
         JOIN c1 cc ON cc.h = pos.hc
         CROSS JOIN tot
         GROUP BY 1
+    """
+    # data-mixing sampler: integer micro-thresholds (floor(1e6*T_s/n_s))
+    # and the hash_sample md5 rule — no float comparison anywhere
+    oracles["mixture_sample"] = r"""
+        WITH t AS (
+          SELECT doc_id, COALESCE(source, '') AS source,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '')) AS n_tok
+          FROM documents
+        ),
+        ns AS (SELECT source, SUM(n_tok) AS n_s FROM t GROUP BY 1),
+        tot AS (SELECT SUM(n_s) AS total, COUNT(*) AS s FROM ns),
+        th AS (
+          SELECT source,
+                 CASE WHEN n_s = 0 THEN 1000000
+                      ELSE least(1000000, CAST(floor(
+                        1000000.0 * ((SELECT total FROM tot)
+                                     // (2 * (SELECT s FROM tot)))
+                        / n_s) AS BIGINT)) END AS p_micro
+          FROM ns
+        )
+        SELECT t.doc_id, t.source, CAST(t.n_tok AS BIGINT) AS n_tok,
+               th.p_micro,
+               md5_number_upper(CAST(t.doc_id AS VARCHAR)) % 1000000
+                 < th.p_micro AS sampled
+        FROM t JOIN th USING (source)
     """
     # URL curation: the normalized url is a CLOSED FORM of the planted
     # construction (pipelines/web_curation.py:_synth_raw_urls) — the

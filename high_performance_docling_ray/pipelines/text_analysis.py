@@ -502,3 +502,92 @@ def source_composition(sf_dir: str) -> ray.data.Dataset:
         .groupby("source")
         .map_groups(entropy_fold, batch_format="pyarrow")
     )
+
+
+def mixture_sample(sf_dir: str, budget_den: int = 2) -> ray.data.Dataset:
+    """Data-mixing sampler (the Pile / DoReMi reweighting shape): pick
+    a deterministic sub-corpus whose TOKEN mass is split uniformly
+    across sources, targeting ``total_tokens // budget_den`` tokens
+    overall. Per-source acceptance is an INTEGER micro-threshold —
+    accept a doc iff ``hash64(doc_id) % 1e6 < p_micro[source]`` where
+    ``p_micro = min(1e6, floor(1e6 * T_s / n_s))`` and
+    ``T_s = total // (budget_den * n_sources)`` — so the sample is
+    deterministic, nested in the budget (same hash as ``hash_sample``),
+    and reproducible in SQL with zero float-comparison risk.
+
+    Two stages: a bounded per-source token-count aggregate (the
+    ``source_composition`` exchange shape, O(sources) rows), then a
+    pure accept map with the tiny threshold table in the closure.
+    Returns every doc: (doc_id, source, n_tok, p_micro, sampled).
+    """
+    from ..kernels.sketch import hash64
+    from .corpus_clean import _tokenize
+
+    docs = read_documents(sf_dir, ("doc_id", "text", "source"))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        _, _, n_tok = _tokenize(batch.column("text"))
+        src = pc.fill_null(batch.column("source"), "").to_numpy(
+            zero_copy_only=False
+        )
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"source": src, "n": n_tok})
+            .groupby("source", sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum("n")
+        .take_all()  # bounded: one row per source
+    )
+    n_s = {r["source"]: int(r["sum(n)"]) for r in counts}
+    total = sum(n_s.values())
+    t_s = total // (budget_den * max(1, len(n_s)))
+    p_micro = {
+        s: (
+            1_000_000
+            if n == 0
+            else min(1_000_000, int(np.floor(1_000_000.0 * t_s / n)))
+        )
+        for s, n in n_s.items()
+    }
+
+    def accept(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        _, _, n_tok = _tokenize(batch.column("text"))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = pc.fill_null(batch.column("source"), "").to_numpy(
+            zero_copy_only=False
+        )
+        p = (
+            pd.Series(src, dtype=object)
+            .map(p_micro)
+            .to_numpy(np.int64)
+        )
+        hv = hash64(ids) % np.uint64(1_000_000)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": pa.array(src.tolist(), pa.string()),
+                "n_tok": pa.array(n_tok, pa.int64()),
+                "p_micro": pa.array(p, pa.int64()),
+                "sampled": pa.array(hv.astype(np.int64) < p, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(accept, batch_format="pyarrow")

@@ -78,3 +78,60 @@ def test_domain_stats_reconciles_with_verdicts():
     assert (s["n_docs"] == g.size()).all()
     assert (s["n_kept"] == g["keep"].sum()).all()
     assert len(s) == v["domain"].nunique()
+
+
+def test_mixture_sample_closed_form(tmp_path):
+    """Skewed sources: the big source is capped at ~T_s tokens, the
+    tiny one is taken whole (p_micro == 1e6)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        mixture_sample,
+    )
+
+    rows = [(i, "w " * 10, "big") for i in range(40)] + [
+        (100, "a b c", "small")
+    ]
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = mixture_sample(str(tmp_path)).to_pandas()
+    # total = 403 tokens, S = 2, T_s = 403 // 4 = 100
+    # big: n_s = 400 -> p = floor(1e6 * 100/400) = 250000
+    # small: n_s = 3 -> capped at 1e6 -> always sampled
+    big = out[out.source == "big"]
+    small = out[out.source == "small"]
+    assert (big["p_micro"] == 250000).all()
+    assert (small["p_micro"] == 1_000_000).all()
+    assert small["sampled"].all()
+    assert 0 < big["sampled"].sum() < len(big)
+
+
+def test_mixture_sample_deterministic_and_total():
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        mixture_sample,
+    )
+
+    a = (
+        mixture_sample(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        mixture_sample(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[list(a.columns)]
+    )
+    assert len(a) == 500
+    assert a.equals(b)
+    share = a.loc[a.sampled, "n_tok"].sum() / a.n_tok.sum()
+    assert 0.3 < share < 0.7  # targets ~1/2 of corpus tokens
