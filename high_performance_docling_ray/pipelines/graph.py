@@ -102,17 +102,47 @@ def _edges_dataset(sf_dir: str) -> ray.data.Dataset:
 
 
 def _degree_table(edges: ray.data.Dataset) -> pa.Table:
-    """(node, deg) for every node, collected on the driver (O(nodes),
-    the same budget class as the rank vector)."""
-    deg = edges.groupby("src").count()
+    """(node, deg) for every node: per-block degree partials combined
+    on the DRIVER — no AllToAll; the driver work is O(distinct src per
+    block x blocks), the same budget class as the rank vector."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(src, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(uniq, pa.int64()),
+                "count()": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
     parts = [
         t
-        for t in ray.get(deg.materialize().to_arrow_refs())
+        for t in ray.get(
+            edges.map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
         if t.num_rows
     ]
+    if not parts:
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array([], pa.int64()),
+                "count()": pa.array([], pa.int64()),
+            }
+        )
     tbl = pa.concat_tables(parts)
-    order = pc.sort_indices(tbl, sort_keys=[("src", "ascending")])
-    return tbl.take(order)
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    cnt = tbl.column("count()").to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(src, return_inverse=True)
+    degs = np.bincount(inv, weights=cnt).astype(np.int64)
+    return pa.Table.from_pydict(
+        {
+            "src": pa.array(nodes, pa.int64()),
+            "count()": pa.array(degs, pa.int64()),
+        }
+    )
 
 
 def pagerank(
@@ -199,6 +229,12 @@ def _collect(ds: ray.data.Dataset) -> pa.Table:
 
 
 def _sweep_broadcast(edges, nodes, shares, base, damping) -> pa.Table:
+    """In-budget sweep: per-block SPARSE register partials (dst,
+    contrib) combined on the DRIVER with one searchsorted + np.add.at
+    per block — no AllToAll per iteration (the kmeans register
+    pattern). Driver work is O(distinct dst per block x blocks),
+    bounded by the same rank_broadcast_budget that gates this tier;
+    past it, ``_sweep_cogroup`` keeps the keyed groupby."""
     nodes_ref = ray.put(nodes)
     shares_ref = ray.put(shares)
 
@@ -209,13 +245,26 @@ def _sweep_broadcast(edges, nodes, shares, base, damping) -> pa.Table:
         dst = batch.column("dst").to_numpy(zero_copy_only=False)
         return _contrib_partial(src, dst, node_arr, share_arr)
 
-    summed = (
-        edges.map_batches(partial, batch_format="pyarrow")
-        .groupby("dst")
-        .sum("contrib")
-        .map_batches(_finish(base, damping), batch_format="pyarrow")
+    parts = [
+        t
+        for t in ray.get(
+            edges.map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    sums = np.zeros(len(nodes), np.float64)
+    for t in parts:
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        c = t.column("contrib").to_numpy(zero_copy_only=False)
+        np.add.at(sums, np.searchsorted(nodes, d), c)
+    return pa.Table.from_pydict(
+        {
+            "dst": pa.array(nodes, pa.int64()),
+            "rank": pa.array(base + damping * sums, pa.float64()),
+        }
     )
-    return _collect(summed)
 
 
 def _sweep_cogroup(edges, nodes, shares, base, damping) -> pa.Table:
