@@ -63,7 +63,8 @@ def neardup_components(
     threshold: float = 0.5,
     pairs_broadcast_budget: int = 2_000_000,
     max_rounds: int = 64,
-) -> ray.data.Dataset | pa.Table:
+    _return_parts: bool = False,
+) -> ray.data.Dataset | pa.Table | tuple:
     """(doc_id, component) for EVERY document, where component is the
     min doc_id reachable through exact n-gram-Jaccard >= ``threshold``
     edges (``ngram_jaccard_pairs``); docs with no near-dup are their
@@ -113,7 +114,8 @@ def neardup_components(
                 }
             )
 
-        return docs.map_batches(attach, batch_format="pyarrow")
+        out = docs.map_batches(attach, batch_format="pyarrow")
+        return (out, labels) if _return_parts else out
 
     # distributed tier: min-label propagation to fixpoint
     def symm(batch: pa.Table) -> pa.Table:
@@ -178,10 +180,11 @@ def neardup_components(
             f"{max_rounds} rounds (pair-graph diameter exceeds it); "
             f"raise max_rounds"
         )
-    return labels_ds.map_batches(
+    out = labels_ds.map_batches(
         lambda b: b.rename_columns(["doc_id", "component"]),
         batch_format="pyarrow",
     )
+    return (out, None) if _return_parts else out
 
 
 def dedup_keep_best(
@@ -195,22 +198,105 @@ def dedup_keep_best(
     tiebreak) — "keep the most complete copy", the usual upgrade over
     keep-min-id dedup. Returns (doc_id, component, keep) for every doc.
 
-    Fully distributed, no driver state beyond the components tier:
-    metadata (doc_id, n_chars) cogroup-attaches to the label rows by
-    doc_id, and the winner is decided INSIDE a component-keyed
-    ``map_groups`` — the keep flag never needs a second join because
-    the whole group is in hand. Both exchanges are key-only (3 int
-    columns); text never moves. Component skew is benign: a giant dup
-    cluster is a wide group of 24-byte rows.
+    Tiered like the components step itself:
+
+    * pairs in budget (label map on the driver): the docs needing a
+      winner decision are exactly the label map's keys — the SAME
+      budget class as the pairs — so their (doc_id, n_chars) rows are
+      collected with one filtered metadata read (``pc.is_in``, never
+      text), winners resolve driver-side with one lexsort, and the
+      verdict is a pure map over all docs. ZERO exchanges after the
+      pair join.
+    * past the budget: metadata cogroup-attaches to the label rows by
+      doc_id and winners are decided vectorized inside a bucket-keyed
+      ``map_groups`` (one lexsort per ~4*CPU bucket). Both exchanges
+      are key-only (3 int columns); text never moves. Component skew
+      is benign: a giant dup cluster is a wide group of 24-byte rows.
     """
-    labels = neardup_components(
+    labels, label_map = neardup_components(
         sf_dir, threshold=threshold,
         pairs_broadcast_budget=pairs_broadcast_budget,
+        _return_parts=True,
     )
     labels_ds = (
         ray.data.from_arrow(labels) if isinstance(labels, pa.Table) else labels
     )
     meta = read_documents(sf_dir, ("doc_id", "n_chars"))
+
+    if label_map is not None:
+        import pyarrow.compute as pc
+
+        member_ids = np.fromiter(label_map.keys(), np.int64, len(label_map))
+        wanted = pa.array(np.sort(member_ids), pa.int64())
+
+        def member_meta(batch: pa.Table) -> pa.Table:
+            keep = pc.is_in(batch.column("doc_id"), value_set=wanted)
+            t = batch.filter(keep)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_chars": pc.fill_null(t.column("n_chars"), 0),
+                }
+            )
+
+        rows = pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    meta.map_batches(member_meta, batch_format="pyarrow")
+                    .materialize()
+                    .to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+            or [
+                pa.Table.from_pydict(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_chars": pa.array([], pa.int64()),
+                    }
+                )
+            ]
+        )
+        ids = rows.column("doc_id").to_numpy(zero_copy_only=False)
+        n_chars = rows.column("n_chars").to_numpy(zero_copy_only=False)
+        comp = np.fromiter(
+            (label_map[int(i)] for i in ids), np.int64, len(ids)
+        )
+        order = np.lexsort((ids, -n_chars, comp))
+        comp_sorted = comp[order]
+        first = np.ones(len(order), bool)
+        first[1:] = comp_sorted[1:] != comp_sorted[:-1]
+        winners = set(ids[order[first]].tolist())
+        state_ref = ray.put((label_map, winners))
+
+        def verdict(batch: pa.Table) -> pa.Table:
+            lookup, wins = ray.get(state_ref)
+            d = (
+                batch.column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            comp = d.copy()
+            keep = np.ones(len(d), bool)
+            import pandas as pd
+
+            hit = pd.Series(d).isin(lookup.keys()).to_numpy()
+            if hit.any():
+                comp[hit] = np.fromiter(
+                    (lookup[int(i)] for i in d[hit]), np.int64, int(hit.sum())
+                )
+                keep[hit] = [int(i) in wins for i in d[hit]]
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(d, pa.int64()),
+                    "component": pa.array(comp, pa.int64()),
+                    "keep": pa.array(keep, pa.bool_()),
+                }
+            )
+
+        docs = read_documents(sf_dir, ("doc_id",))
+        return docs.map_batches(verdict, batch_format="pyarrow")
     attached = cogroup_attach(
         labels_ds,
         meta,
