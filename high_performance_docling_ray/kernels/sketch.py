@@ -41,6 +41,26 @@ def hash64(values) -> np.ndarray:
     return out
 
 
+def hash64_strings(col) -> np.ndarray:
+    """``hash64`` of a pyarrow STRING array, md5-ing each DISTINCT
+    value once (dictionary-encode, hash the dictionary, scatter by
+    code). Token columns repeat their vocabulary heavily, so this cuts
+    the per-value md5 loop by 10-100x while producing byte-identical
+    hashes to ``hash64(col.to_pylist())``."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, np.uint64)
+    if col.null_count:  # null codes would float-promote; rare path
+        return hash64(col.to_pylist())
+    enc = col.dictionary_encode()
+    dict_hashes = hash64(enc.dictionary.to_pylist())
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    return dict_hashes[codes.astype(np.int64)]
+
+
 def empty_registers(p: int = DEFAULT_P) -> np.ndarray:
     return np.zeros(1 << p, dtype=np.uint8)
 

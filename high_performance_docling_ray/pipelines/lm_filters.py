@@ -41,7 +41,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..kernels.sketch import hash64
+from ..kernels.sketch import hash64, hash64_strings
 from ..kernels.text_stats import ngram_set
 from .corpus_clean import _tokenize, doc_tf_rows
 from .dedup import _collect_within_budget
@@ -1061,7 +1061,7 @@ def dsir_weights(
                  "raw_cnt": pa.array([], pa.int64()),
                  "tgt_cnt": pa.array([], pa.int64())}
             )
-        buckets = (hash64(flat.to_pylist()) % np.uint64(n_buckets)).astype(
+        buckets = (hash64_strings(flat) % np.uint64(n_buckets)).astype(
             np.int64
         )
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1108,7 +1108,7 @@ def dsir_weights(
         tot = np.zeros(n, np.float64)
         if len(flat):
             buckets = (
-                hash64(flat.to_pylist()) % np.uint64(n_buckets)
+                hash64_strings(flat) % np.uint64(n_buckets)
             ).astype(np.int64)
             np.add.at(tot, doc_idx, wt[buckets])
         keep = n_tokens > 0
@@ -1338,10 +1338,10 @@ def _bigram_position_arrays(batch: pa.Table):
     prev = flat.take(pa.array(keep_prev))
     cur = flat.take(pa.array(keep_prev + 1))
     big = pc.binary_join_element_wise(prev, cur, " ")
-    h_all = hash64(flat.to_pylist())
+    h_all = hash64_strings(flat)
     hp = h_all[keep_prev]
     hc = h_all[keep_prev + 1]
-    h2 = hash64(big.to_pylist())
+    h2 = hash64_strings(big)
     return doc_ids[doc_idx[keep_prev]], hp, hc, h2
 
 
@@ -1374,7 +1374,7 @@ def bigram_logprob(
     def model_partial(batch: pa.Table) -> pa.Table:
         flat, _, _ = _tokenize(batch.column("text"))
         _, _, _, h2 = _bigram_position_arrays(batch)
-        h1 = hash64(flat.to_pylist()) if len(flat) else np.empty(0, np.uint64)
+        h1 = hash64_strings(flat) if len(flat) else np.empty(0, np.uint64)
         ks, hs, cs = [], [], []
         for kind, h in ((1, h1), (2, h2)):
             if len(h):

@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..kernels.sketch import hash64
+from ..kernels.sketch import hash64_strings
 from .corpus_clean import _tokenize
 from .dedup import _collect_within_budget
 from .joins import cogroup_attach, default_num_buckets, int_key_buckets
@@ -97,7 +97,7 @@ def _window_arrays(batch: pa.Table, L: int):
         return (e, e, e, np.empty(0, np.uint64), flat, doc_idx, n_tokens)
     parts = [flat.take(pa.array(starts + k)) for k in range(L)]
     joined = pc.binary_join_element_wise(*parts, " ")
-    h = hash64(joined.to_pylist())
+    h = hash64_strings(joined)
     d = doc_idx[starts]
     rel = starts - offsets[d]
     return (doc_ids[d], rel, starts, h, flat, doc_idx, n_tokens)
