@@ -143,10 +143,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crossdoc_ngram_dup",
         "incremental_dedup",
         "dedup_keep_best",
-        # session-4 additions: bigram LM, CCNet terciles, ExactSubstr
+        # session-4 additions: bigram LM, CCNet terciles, ExactSubstr,
+        # URL curation, data mixing
         "bigram_logprob",
         "perplexity_buckets",
         "substring_dedup",
+        "url_curation",
+        "domain_stats",
+        "mixture_sample",
     ]
     qs = entrymod.queries()
     for name in bench_keys:
