@@ -135,3 +135,40 @@ def test_mixture_sample_deterministic_and_total():
     assert a.equals(b)
     share = a.loc[a.sampled, "n_tok"].sum() / a.n_tok.sum()
     assert 0.3 < share < 0.7  # targets ~1/2 of corpus tokens
+
+
+def test_chunk_documents_overlap_closed_form(tmp_path):
+    """n=10, size=4, stride=3 -> K = 1 + ceil(6/3) = 3 chunks at
+    starts 0,3,6 with the last chunk length 4 (6..9); overlap = 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(10)]
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([" ".join(toks), "a b", "   "], pa.string()),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        chunk_documents(str(tmp_path), size=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_ord"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    assert d1["chunk_ord"].tolist() == [0, 1, 2]
+    assert d1["start_tok"].tolist() == [0, 3, 6]
+    assert d1["n_tok"].tolist() == [4, 4, 4]
+    assert d1["chunk_text"].tolist() == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    d2 = out[out.doc_id == 2]
+    assert d2["chunk_text"].tolist() == ["a b"]
+    assert (out.doc_id != 3).all()  # 0-token doc emits no chunk
