@@ -933,6 +933,14 @@ def _q_domain_stats(sf_dir: str):
     return domain_stats(sf_dir)
 
 
+def _q_chunk_documents(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        chunk_documents,
+    )
+
+    return chunk_documents(sf_dir)
+
+
 def _q_mixture_sample(sf_dir: str):
     from high_performance_docling_ray.pipelines.text_analysis import (
         mixture_sample,
@@ -1121,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_curation": _q_url_curation,
         "domain_stats": _q_domain_stats,
         "mixture_sample": _q_mixture_sample,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -2887,6 +2896,31 @@ def oracle_sql() -> dict[str, str]:
         JOIN c1 cc ON cc.h = pos.hc
         CROSS JOIN tot
         GROUP BY 1
+    """
+    # sliding-window chunking: K = 1 + ceil((n - size)/stride) in
+    # integer math ((n - size + stride - 1) // stride); DuckDB list
+    # slices are 1-based inclusive
+    oracles["chunk_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        n AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) = 0 THEN 0
+                      WHEN len(toks) <= 128 THEN 1
+                      ELSE 1 + (len(toks) - 128 + 95) // 96 END AS k
+          FROM t
+        )
+        SELECT doc_id, u.c AS chunk_ord,
+               u.c * 96 AS start_tok,
+               CAST(least(128, n - u.c * 96) AS BIGINT) AS n_tok,
+               array_to_string(
+                 toks[u.c * 96 + 1 : least(u.c * 96 + 128, n)], ' ')
+                 AS chunk_text
+        FROM n, unnest(range(0, k)) AS u(c)
     """
     # data-mixing sampler: integer micro-thresholds (floor(1e6*T_s/n_s))
     # and the hash_sample md5 rule — no float comparison anywhere

@@ -591,3 +591,78 @@ def mixture_sample(sf_dir: str, budget_den: int = 2) -> ray.data.Dataset:
         )
 
     return docs.map_batches(accept, batch_format="pyarrow")
+
+
+def chunk_documents(
+    sf_dir: str, size: int = 128, stride: int = 96
+) -> ray.data.Dataset:
+    """Sliding-window chunking for embedding/retrieval prep: each doc
+    with n > 0 tokens yields K = 1 + ceil((n - size) / stride) chunks
+    (K = 1 when n <= size), chunk k covering tokens
+    [k*stride, min(k*stride + size, n)) — adjacent chunks overlap by
+    ``size - stride`` tokens and the tail is always covered. Pure map,
+    fully vectorized: chunk token index arrays are built with one
+    repeat/arange pass, gathered from the flat token array, and
+    re-joined per chunk with one ``binary_join``. Integer chunk-count
+    math ((n - size + stride - 1) // stride) is mirrored exactly in
+    SQL. Returns (doc_id, chunk_ord, start_tok, n_tok, chunk_text).
+    """
+    from .corpus_clean import _tokenize
+
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, _, n_tok = _tokenize(batch.column("text"))
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_offs = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+        k_per_doc = np.where(
+            n_tok == 0,
+            0,
+            1 + np.maximum(0, (n_tok - size + stride - 1) // stride),
+        ).astype(np.int64)
+        if int(k_per_doc.sum()) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_ord": pa.array([], pa.int64()),
+                    "start_tok": pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        rows = np.repeat(np.arange(len(n_tok), dtype=np.int64), k_per_doc)
+        # chunk ordinal within each doc: global arange minus each doc's
+        # first chunk row index
+        firsts = np.concatenate(([0], np.cumsum(k_per_doc)))[:-1]
+        ords = np.arange(len(rows), dtype=np.int64) - firsts[rows]
+        starts = ords * stride
+        lens = np.minimum(size, n_tok[rows] - starts)
+        # gather token indices for every chunk: for chunk c the tokens
+        # are doc_offs[row] + starts[c] .. + lens[c]
+        chunk_offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        total = int(chunk_offs[-1])
+        # index = base[c] + (i - chunk_offs[c]) for i in the chunk span
+        base = doc_offs[rows] + starts
+        idx = np.arange(total, dtype=np.int64) - np.repeat(
+            chunk_offs[:-1], lens
+        ) + np.repeat(base, lens)
+        taken = flat.take(pa.array(idx))
+        text = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(chunk_offs.astype(np.int32), pa.int32()), taken
+            ),
+            " ",
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids[rows], pa.int64()),
+                "chunk_ord": pa.array(ords, pa.int64()),
+                "start_tok": pa.array(starts, pa.int64()),
+                "n_tok": pa.array(lens.astype(np.int64), pa.int64()),
+                "chunk_text": text,
+            }
+        )
+
+    return docs.map_batches(chunk, batch_format="pyarrow")
