@@ -941,6 +941,14 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(sf_dir)
 
 
+def _q_line_dedup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.web_curation import (
+        line_dedup,
+    )
+
+    return line_dedup(sf_dir)
+
+
 def _q_mixture_sample(sf_dir: str):
     from high_performance_docling_ray.pipelines.text_analysis import (
         mixture_sample,
@@ -1130,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "mixture_sample": _q_mixture_sample,
         "chunk_documents": _q_chunk_documents,
+        "line_dedup": _q_line_dedup,
     }
 
 
@@ -2896,6 +2905,62 @@ def oracle_sql() -> dict[str, str]:
         JOIN c1 cc ON cc.h = pos.hc
         CROSS JOIN tot
         GROUP BY 1
+    """
+    # line-level boilerplate removal: planted lines mirror
+    # web_curation.py:_plant_lines; df keyed by md5_number_upper(line)
+    # (== hash64, collisions collide identically); a doc losing > 30%
+    # of its chars is dropped
+    oracles["line_dedup"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+            COALESCE(text, '') || chr(10) ||
+            'cookie notice please accept this site uses cookies' ||
+            CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+              'subscribe to our newsletter for updates today'
+              ELSE '' END ||
+            CASE WHEN doc_id % 13 = 4 THEN chr(10) ||
+              'all rights reserved contact us about advertising here' ||
+              chr(10) ||
+              'terms of service privacy policy and cookie settings apply' ||
+              chr(10) ||
+              'follow us on social media for the latest updates and news' ||
+              chr(10) ||
+              'copyright two thousand twenty four example media holdings llc'
+              ELSE '' END AS text
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id, unnest(range(len(ls))) AS o, unnest(ls) AS line
+          FROM (SELECT doc_id, str_split(text, chr(10)) AS ls FROM base)
+        ),
+        dfm AS (
+          SELECT md5_number_upper(line) AS h,
+                 COUNT(DISTINCT doc_id) AS df
+          FROM l GROUP BY 1
+        ),
+        v AS (
+          SELECT l.doc_id, l.o, l.line, length(l.line) AS len,
+                 (dfm.df >= 2) AS rm
+          FROM l JOIN dfm ON dfm.h = md5_number_upper(l.line)
+        ),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_lines,
+                 SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS n_removed_lines,
+                 SUM(CASE WHEN rm THEN len ELSE 0 END) AS rm_chars,
+                 SUM(len) AS tot_chars
+          FROM v GROUP BY 1
+        ),
+        txt AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY o) AS clean_text
+          FROM v WHERE NOT rm GROUP BY 1
+        )
+        SELECT agg.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(n_removed_lines AS BIGINT) AS n_removed_lines,
+               (CASE WHEN tot_chars > 0
+                     THEN rm_chars / CAST(tot_chars AS DOUBLE)
+                     ELSE 0 END) <= 0.3 AS kept,
+               COALESCE(txt.clean_text, '') AS clean_text
+        FROM agg LEFT JOIN txt USING (doc_id)
     """
     # sliding-window chunking: K = 1 + ceil((n - size)/stride) in
     # integer math ((n - size + stride - 1) // stride); DuckDB list

@@ -34,6 +34,7 @@ import ray
 import ray.data
 
 from ..kernels.urlnorm import normalize_url_column
+from .joins import cogroup_attach
 from .text_analysis import read_documents
 
 # UT1-style blocklist: a constant, like a real blocklist file shipped
@@ -166,3 +167,281 @@ def domain_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# -- line-level boilerplate removal -----------------------------------------
+
+COOKIE_LINE = "cookie notice please accept this site uses cookies"
+NEWSLETTER_LINE = "subscribe to our newsletter for updates today"
+LEGAL_LINES = (
+    "all rights reserved contact us about advertising here",
+    "terms of service privacy policy and cookie settings apply",
+    "follow us on social media for the latest updates and news",
+    "copyright two thousand twenty four example media holdings llc",
+)
+
+
+def _plant_lines(batch: pa.Table) -> pa.Table:
+    """Deterministic line structure (mirrored in the SQL oracle): the
+    corpus has no newlines, so boilerplate lines are appended — every
+    doc gets the cookie line, every doc_id % 3 == 0 the newsletter
+    line, and doc_id % 13 == 4 four bulky legal lines (enough char
+    mass to trip the 30% doc-drop rule on short docs)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    text = pc.fill_null(batch.column("text"), "")
+    vals = np.asarray(text.to_pylist(), object)
+    news = ids % 3 == 0
+    legal = ids % 13 == 4
+    out = []
+    for i, t in enumerate(vals):
+        t = t + "\n" + COOKIE_LINE
+        if news[i]:
+            t = t + "\n" + NEWSLETTER_LINE
+        if legal[i]:
+            t = t + "\n" + "\n".join(LEGAL_LINES)
+        out.append(t)
+    return batch.set_column(
+        batch.schema.get_field_index("text"),
+        "text",
+        pa.array(out, pa.string()),
+    )
+
+
+def _line_arrays(batch: pa.Table):
+    """Flat line rows for a (doc_id, text) batch: ``(row_idx, flat
+    lines, per-doc line counts)`` — splitting on newline only, no
+    trimming, so SQL's regexp_split_to_array('\\n') agrees byte-wise."""
+    lines = pc.split_pattern(
+        pc.fill_null(batch.column("text"), ""), "\n"
+    )
+    flat = pc.list_flatten(lines)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return rows, flat, counts
+
+
+def line_dedup(
+    sf_dir: str,
+    min_df: int = 2,
+    drop_frac: float = 0.3,
+    df_broadcast_budget: int = 4_000_000,
+    plant: bool = True,
+) -> ray.data.Dataset:
+    """RefinedWeb-style line-level boilerplate removal: a line that
+    occurs in >= ``min_df`` DISTINCT documents is removed from every
+    document (boilerplate semantics — no first-occurrence survivor),
+    and a document losing more than ``drop_frac`` of its characters is
+    dropped entirely. Returns every doc: (doc_id, n_lines,
+    n_removed_lines, kept, clean_text).
+
+    Scale shape: a doc's lines never straddle batches (one row = one
+    doc), so per-batch distinct (line-hash, doc) rows are globally
+    distinct and the df model is ONE key-only ``groupby(h).sum``
+    exchange of md5 hashes. Under ``df_broadcast_budget`` the sorted
+    boilerplate-hash array broadcasts and the second pass removes +
+    reassembles as a pure map; past it, line rows cogroup-attach the
+    df verdict by hash, per-doc removed-ordinal lists rebuild in
+    bucket-keyed vectorized groups, and ONE doc-keyed cogroup meets
+    the text (the ExactSubstr fallback shape). Tiers pinned in tests.
+    """
+    from ..kernels.sketch import hash64_strings
+
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+    prep = _plant_lines if plant else (
+        lambda b: b.set_column(
+            b.schema.get_field_index("text"),
+            "text",
+            pc.fill_null(b.column("text"), ""),
+        )
+    )
+    docs = docs.map_batches(prep, batch_format="pyarrow")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        rows, flat, _ = _line_arrays(batch)
+        h = hash64_strings(flat).view(np.int64)
+        # distinct (h, doc) within the batch == globally distinct
+        key = np.unique(np.stack([h, rows], axis=1), axis=0)
+        uniq, cnt = np.unique(key[:, 0], return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(uniq, pa.int64()),
+                "df": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    df_model = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("h")
+        .sum("df")
+    )
+
+    def boiler_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("sum(df)"), min_df))
+        return pa.Table.from_pydict({"h": t.column("h")})
+
+    from .dedup import _collect_within_budget
+
+    boiler = df_model.map_batches(boiler_only, batch_format="pyarrow")
+    boiler_tbl = _collect_within_budget(boiler, df_broadcast_budget)
+
+    def clean_batch(batch: pa.Table, removed_mask: np.ndarray) -> pa.Table:
+        rows, flat, counts = _line_arrays(batch)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        rem_lines = np.bincount(
+            rows[removed_mask], minlength=len(counts)
+        ).astype(np.int64)
+        rem_chars = np.bincount(
+            rows[removed_mask], weights=lens[removed_mask],
+            minlength=len(counts),
+        )
+        tot_chars = np.bincount(
+            rows, weights=lens, minlength=len(counts)
+        )
+        kept_mask = ~removed_mask
+        kept_counts = counts - rem_lines
+        offs = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()),
+                flat.filter(pa.array(kept_mask)),
+            ),
+            "\n",
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = np.where(tot_chars > 0, rem_chars / tot_chars, 0.0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pa.array(counts.astype(np.int64), pa.int64()),
+                "n_removed_lines": pa.array(rem_lines, pa.int64()),
+                "kept": pa.array(frac <= drop_frac, pa.bool_()),
+                "clean_text": clean,
+            }
+        )
+
+    if boiler_tbl is not None:
+        hs = (
+            np.sort(boiler_tbl.column("h").to_numpy(zero_copy_only=False))
+            if boiler_tbl.num_rows and "h" in boiler_tbl.column_names
+            else np.empty(0, np.int64)
+        )
+        ref = ray.put(hs)
+
+        def clean_broadcast(batch: pa.Table) -> pa.Table:
+            boil = ray.get(ref)
+            rows, flat, counts = _line_arrays(batch)
+            h = hash64_strings(flat).view(np.int64)
+            if len(boil) and len(h):
+                pos = np.minimum(np.searchsorted(boil, h), len(boil) - 1)
+                removed = boil[pos] == h
+            else:
+                removed = np.zeros(len(h), bool)
+            return clean_batch(batch, removed)
+
+        return docs.map_batches(clean_broadcast, batch_format="pyarrow")
+
+    # over-budget tier: line rows attach the boilerplate verdict by
+    # hash, removed ordinals regroup per doc, one doc-keyed cogroup
+    # meets the text (the ExactSubstr fallback shape)
+    def line_rows(batch: pa.Table) -> pa.Table:
+        rows, flat, counts = _line_arrays(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        ords = np.arange(len(rows), dtype=np.int64) - offs[rows]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[rows], pa.int64()),
+                "ord": pa.array(ords, pa.int64()),
+                "h": pa.array(
+                    hash64_strings(flat).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "boil", pa.array(np.ones(batch.num_rows, bool))
+        )
+
+    attached = cogroup_attach(
+        docs.map_batches(line_rows, batch_format="pyarrow"),
+        boiler.map_batches(mark, batch_format="pyarrow"),
+        "h",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("ord", pa.int64()),
+            pa.field("h", pa.int64()),
+        ],
+        payload_fields=[pa.field("boil", pa.bool_())],
+    )
+
+    def removed_rows(batch: pa.Table) -> pa.Table:
+        boil = pc.fill_null(batch.column("boil"), False).to_numpy(
+            zero_copy_only=False
+        )
+        t = batch.filter(pa.array(boil))
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id"), "ord": t.column("ord")}
+        )
+
+    from .joins import default_num_buckets, int_key_buckets
+
+    num_parts = default_num_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(int_key_buckets(d, num_parts))
+        )
+
+    def lists_in_bucket(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        o = group.column("ord").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, d))
+        d, o = d[order], o[order]
+        first = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        offs = np.concatenate((first, [len(d)])).astype(np.int32)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(d[first], pa.int64()),
+                "rm": pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(o, pa.int64())
+                ),
+            }
+        )
+
+    rm_lists = (
+        attached.map_batches(removed_rows, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lists_in_bucket, batch_format="pyarrow")
+    )
+
+    with_rm = cogroup_attach(
+        docs,
+        rm_lists,
+        "doc_id",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("text", pa.string()),
+        ],
+        payload_fields=[pa.field("rm", pa.list_(pa.int64()))],
+    )
+
+    def clean_joined(batch: pa.Table) -> pa.Table:
+        rows, flat, counts = _line_arrays(batch)
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        rm_col = batch.column("rm")
+        rm_flat = pc.list_flatten(rm_col).to_numpy(zero_copy_only=False)
+        rm_lens = pc.fill_null(
+            pc.list_value_length(rm_col), 0
+        ).to_numpy(zero_copy_only=False)
+        rm_rows = np.repeat(np.arange(len(rm_lens), dtype=np.int64), rm_lens)
+        removed = np.zeros(len(rows), bool)
+        if len(rm_rows):
+            removed[offs[rm_rows] + rm_flat] = True
+        return clean_batch(batch, removed)
+
+    return with_rm.map_batches(clean_joined, batch_format="pyarrow")

@@ -172,3 +172,65 @@ def test_chunk_documents_overlap_closed_form(tmp_path):
     d2 = out[out.doc_id == 2]
     assert d2["chunk_text"].tolist() == ["a b"]
     assert (out.doc_id != 3).all()  # 0-token doc emits no chunk
+
+
+def test_line_dedup_closed_form(tmp_path):
+    """Boilerplate = df>=2 lines removed from EVERY doc (no survivor);
+    unique lines stay; a doc losing >30% of chars is dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.web_curation import (
+        line_dedup,
+    )
+
+    boiler = "accept cookies"
+    rows = [
+        (1, "first unique content line here okay\n" + boiler),
+        (2, "second unique and much longer content line\n" + boiler),
+        (3, boiler + "\nx"),  # boiler is 14/15 chars -> dropped
+        (4, "only unique content nothing shared at all"),
+    ]
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        line_dedup(str(tmp_path), plant=False)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out["n_lines"].tolist() == [2, 2, 2, 1]
+    assert out["n_removed_lines"].tolist() == [1, 1, 1, 0]
+    assert out.loc[1, "clean_text"] == "first unique content line here okay"
+    assert out.loc[3, "clean_text"] == "x"
+    # char fractions removed: doc1 14/49=0.286, doc2 14/57=0.246 (both
+    # kept), doc3 14/15=0.933 (dropped), doc4 0
+    assert out["kept"].tolist() == [True, True, False, True]
+
+
+def test_line_dedup_tiers_equal():
+    from high_performance_docling_ray.pipelines.web_curation import (
+        line_dedup,
+    )
+
+    a = (
+        line_dedup(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        line_dedup(SF, df_broadcast_budget=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[list(a.columns)]
+    )
+    assert len(a) == 500
+    assert (~a["kept"]).sum() > 0 and a["n_removed_lines"].sum() > 0
+    assert a.equals(b)
