@@ -151,6 +151,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "url_curation",
         "domain_stats",
         "mixture_sample",
+        "chunk_documents",
+        "line_dedup",
     ]
     qs = entrymod.queries()
     for name in bench_keys:
