@@ -941,6 +941,14 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(sf_dir)
 
 
+def _q_bpe_train(sf_dir: str):
+    # no oracle_sql entry: BPE is an iterative argmax algorithm DuckDB
+    # can't express; pinned against a serial reference in tests/test_bpe.py
+    from high_performance_docling_ray.pipelines.bpe import bpe_train
+
+    return bpe_train(sf_dir)
+
+
 def _q_line_dedup(sf_dir: str):
     from high_performance_docling_ray.pipelines.web_curation import (
         line_dedup,
@@ -1139,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "chunk_documents": _q_chunk_documents,
         "line_dedup": _q_line_dedup,
+        "bpe_train": _q_bpe_train,
     }
 
 
