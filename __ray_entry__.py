@@ -941,6 +941,14 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(sf_dir)
 
 
+def _q_incremental_minhash(sf_dir: str):
+    from high_performance_docling_ray.pipelines.incremental import (
+        incremental_minhash,
+    )
+
+    return incremental_minhash(sf_dir)
+
+
 def _q_bpe_train(sf_dir: str):
     # no oracle_sql entry: BPE is an iterative argmax algorithm DuckDB
     # can't express; pinned against a serial reference in tests/test_bpe.py
@@ -1148,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "line_dedup": _q_line_dedup,
         "bpe_train": _q_bpe_train,
+        "incremental_minhash": _q_incremental_minhash,
     }
 
 
@@ -2914,6 +2923,76 @@ def oracle_sql() -> dict[str, str]:
         JOIN c1 cc ON cc.h = pos.hc
         CROSS JOIN tot
         GROUP BY 1
+    """
+    # incremental shard-vs-store NEAR-dup: same exact 64-perm
+    # signature rebuild as minhash_lsh_pairs, over the _plant_near
+    # text, restricted to (shard x base) cross-partition pairs with
+    # >= 1 band agreement and est_jaccard >= 0.8
+    oracles["incremental_minhash"] = f"""
+        WITH perms(p, a, b) AS (VALUES {_minhash_perm_values()}),
+        planted AS (
+          SELECT doc_id, COALESCE(source, '') AS source,
+            CASE WHEN doc_id % 20 IN (1, 2) AND (doc_id // 20) % 5 = 0
+                 THEN 'hist shared ' ||
+                      CAST((doc_id // 20) % 4 AS VARCHAR)
+                 WHEN doc_id % 20 IN (1, 6) AND (doc_id // 20) % 5 = 1
+                 THEN 'near shared ' ||
+                      CAST((doc_id // 20) % 4 AS VARCHAR) ||
+                      ' alpha beta gamma delta epsilon zeta eta theta' ||
+                      ' iota kappa lambda mu nu xi omicron pi rho sigma' ||
+                      ' tau upsilon' ||
+                      CASE WHEN COALESCE(source, '') = 'src1'
+                           THEN ' shardtail' ELSE '' END
+                 ELSE text END AS text
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM planted
+        ),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            END AS sh
+          FROM toks
+        ),
+        hv AS (
+          SELECT doc_id, md5_number_upper(s) AS h
+          FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+        ),
+        sig AS (
+          SELECT hv.doc_id, perms.p,
+                 CAST(min((perms.a * hv.h::HUGEINT + perms.b)
+                      % 18446744073709551616::HUGEINT) AS UBIGINT) AS v
+          FROM hv CROSS JOIN perms GROUP BY hv.doc_id, perms.p
+        ),
+        sigg AS (SELECT doc_id, list(v ORDER BY p) AS sig
+                 FROM sig GROUP BY doc_id),
+        sigl AS (
+          SELECT s.doc_id, p.source,
+                 coalesce(g.sig, list_transform(range(1, 65),
+                     x -> 18446744073709551615::UBIGINT)) AS sig
+          FROM sh s
+          JOIN planted p USING (doc_id)
+          LEFT JOIN sigg g ON s.doc_id = g.doc_id
+        )
+        SELECT a.doc_id AS shard_doc, b.doc_id AS base_doc,
+          round(CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i]))
+               AS DOUBLE) / 64, 6) AS est_jaccard
+        FROM sigl a JOIN sigl b
+          ON a.source = 'src1' AND b.source <> 'src1'
+        WHERE len(list_filter(range(0, 16),
+              bnd -> a.sig[4*bnd+1] = b.sig[4*bnd+1]
+                 AND a.sig[4*bnd+2] = b.sig[4*bnd+2]
+                 AND a.sig[4*bnd+3] = b.sig[4*bnd+3]
+                 AND a.sig[4*bnd+4] = b.sig[4*bnd+4])) > 0
+          AND len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i]))
+              >= 0.8 * 64
     """
     # line-level boilerplate removal: planted lines mirror
     # web_curation.py:_plant_lines; df keyed by md5_number_upper(line)

@@ -231,3 +231,308 @@ def incremental_dedup(
         .groupby("bucket")
         .map_groups(verdict_bucket, batch_format="pyarrow")
     )
+
+
+# -- incremental NEAR-dup (MinHash shard-vs-store) ---------------------------
+
+NEAR_PASSAGE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    " mu nu xi omicron pi rho sigma tau upsilon"
+)  # 20 tokens -> ~19 3-gram shingles; one appended token => J ~ 0.95
+
+
+def _plant_near(batch: pa.Table) -> pa.Table:
+    """Planting for the MinHash incremental probe (mirrored in SQL):
+    the exact 'hist shared' rule from ``_plant_collisions`` (J = 1
+    cross-partition pairs) plus a NEAR rule — doc_id % 20 in (1, 6)
+    and (doc_id//20) % 5 == 1 docs share a 20-token passage, with the
+    shard copies carrying one extra trailing token so the pair is
+    near- but not exact-duplicate (J ~ 0.95 >= 0.8). The corpus
+    generator sets source = src{doc_id % 20}, so residue 1 lands in
+    the shard and residue 6 in the base."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    m = ids // 20
+    hist = ((ids % 20 == 1) | (ids % 20 == 2)) & (m % 5 == 0)
+    near = ((ids % 20 == 1) | (ids % 20 == 6)) & (m % 5 == 1)
+    if not (hist.any() or near.any()):
+        return batch
+    src = np.asarray(
+        pc.fill_null(batch.column("source"), "").to_pylist(), object
+    )
+    text = np.asarray(batch.column("text").to_pylist(), object)
+    text[hist] = [f"hist shared {v}" for v in (m[hist] % 4)]
+    is_shard = src == DEFAULT_SHARD_SOURCE
+    text[near] = [
+        f"near shared {v} {NEAR_PASSAGE}" + (" shardtail" if s else "")
+        for v, s in zip(m[near] % 4, is_shard[near])
+    ]
+    return batch.set_column(
+        batch.schema.get_field_index("text"),
+        "text",
+        pa.array(text.tolist(), pa.string()),
+    )
+
+
+def build_minhash_store(
+    sf_dir: str,
+    exclude_source: str = DEFAULT_SHARD_SOURCE,
+    num_perm: int = 64,
+    bands: int = 16,
+    out_dir: str | None = None,
+) -> str:
+    """Persist the base corpus's LSH index: ``bands/`` holds distinct
+    (band_key, doc_id) rows and ``sigs/`` the 512-byte signatures —
+    the artifact a continuously-crawled corpus keeps so each incoming
+    shard probes the index instead of re-reading 100 TB of history.
+    Same content-keyed cache + _SUCCESS discipline as the exact-dup
+    hash store."""
+    from .dedup import make_minhash_fn, MinHashStage, _MINHASH_CACHE
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        content_tag = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content_tag = "unknown"
+    if out_dir is None:
+        # "planted2" versions the _plant_near rule: changing the
+        # planting must invalidate the cached store
+        tag = hashlib.md5(
+            f"mh:{src}:{exclude_source}:{num_perm}:{bands}:{content_tag}"
+            f":planted2".encode()
+        ).hexdigest()[:12]
+        out_dir = f"/tmp/graft_minhash_store/{tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = read_documents(sf_dir, ("doc_id", "text", "source"))
+
+    def base_only(batch: pa.Table) -> pa.Table:
+        batch = _plant_near(batch)
+        keep = pc.not_equal(
+            pc.fill_null(batch.column("source"), ""), exclude_source
+        )
+        return batch.filter(keep)
+
+    base = docs.map_batches(base_only, batch_format="pyarrow")
+    band_fn = make_minhash_fn(num_perm, bands)
+    base.map_batches(band_fn, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "bands")
+    )
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        hasher = _MINHASH_CACHE.setdefault(
+            (num_perm, bands), MinHashStage(num_perm, bands)
+        ).hasher
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "signature": pa.array(
+                    [
+                        hasher.signature(t).tobytes()
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    base.map_batches(sig_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "sigs")
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def incremental_minhash(
+    sf_dir: str,
+    shard_source: str = DEFAULT_SHARD_SOURCE,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    store_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Near-dup the incoming shard against the PERSISTED MinHash LSH
+    store: (shard_doc, base_doc, est_jaccard) for every shard doc
+    whose signature agrees with a history doc on >= 1 of ``bands``
+    bands AND whose estimated Jaccard >= ``threshold``.
+
+    Everything is key-only or spilled: shard and store band rows meet
+    in one coarse band_key-bucketed groupby that emits CROSS pairs
+    (shard x base only, vectorized per band run); pair dedup is an
+    aggregate; signatures attach through two ``cogroup_attach`` rounds
+    (shard side computed in-flight, store side read from the persisted
+    parquet) — no broadcast, no driver materialization at any tier.
+    """
+    from .dedup import make_minhash_fn, MinHashStage, _MINHASH_CACHE
+
+    if store_dir is None:
+        store_dir = build_minhash_store(
+            sf_dir, exclude_source=shard_source,
+            num_perm=num_perm, bands=bands,
+        )
+
+    docs = read_documents(sf_dir, ("doc_id", "text", "source"))
+
+    def shard_only(batch: pa.Table) -> pa.Table:
+        batch = _plant_near(batch)
+        keep = pc.equal(
+            pc.fill_null(batch.column("source"), ""), shard_source
+        )
+        return batch.filter(keep)
+
+    shard = docs.map_batches(shard_only, batch_format="pyarrow")
+    band_fn = make_minhash_fn(num_perm, bands)
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(batch.num_rows, side, np.int8))
+            )
+
+        return f
+
+    shard_bands = shard.map_batches(band_fn, batch_format="pyarrow")
+    store_bands = ray.data.read_parquet(os.path.join(store_dir, "bands"))
+    tagged = shard_bands.map_batches(tag(0), batch_format="pyarrow").union(
+        store_bands.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array(
+                string_key_buckets(batch.column("band_key"), num_parts),
+                pa.int32(),
+            ),
+        )
+
+    def cross_pairs(group: pa.Table) -> pa.Table:
+        """Per bucket: for each band_key run, emit shard x base pairs
+        — one dictionary-encode + lexsort, vectorized emission."""
+        keys = group.column("band_key").combine_chunks()
+        codes = (
+            pc.dictionary_encode(keys)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, side, codes))
+        c, s, d = codes[order], side[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        ends = np.r_[starts[1:], len(c)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for lo, hi in zip(starts, ends):
+            sh = d[lo:hi][s[lo:hi] == 0]
+            ba = d[lo:hi][s[lo:hi] == 1]
+            if len(sh) and len(ba):
+                out_a.append(np.repeat(sh, len(ba)))
+                out_b.append(np.tile(ba, len(sh)))
+        if not out_a:
+            return pa.Table.from_pydict(
+                {"shard_doc": pa.array([], pa.int64()),
+                 "base_doc": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pydict(
+            {
+                "shard_doc": pa.array(np.concatenate(out_a), pa.int64()),
+                "base_doc": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    pairs = (
+        tagged.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: cross_pairs(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+        # a pair can surface from several bands: aggregate-dedup
+        .groupby(["shard_doc", "base_doc"])
+        .count()
+        .map_batches(
+            lambda b: b.select(["shard_doc", "base_doc"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def shard_sigs(batch: pa.Table) -> pa.Table:
+        hasher = _MINHASH_CACHE.setdefault(
+            (num_perm, bands), MinHashStage(num_perm, bands)
+        ).hasher
+        return pa.Table.from_pydict(
+            {
+                "shard_doc": batch.column("doc_id"),
+                "sig_a": pa.array(
+                    [
+                        hasher.signature(t).tobytes()
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    j1 = cogroup_attach(
+        pairs,
+        shard.map_batches(shard_sigs, batch_format="pyarrow"),
+        "shard_doc",
+        left_fields=[
+            pa.field("shard_doc", pa.int64()),
+            pa.field("base_doc", pa.int64()),
+        ],
+        payload_fields=[pa.field("sig_a", pa.binary())],
+    )
+
+    def rename_store(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["base_doc", "sig_b"])
+
+    j2 = cogroup_attach(
+        j1,
+        ray.data.read_parquet(os.path.join(store_dir, "sigs")).map_batches(
+            rename_store, batch_format="pyarrow"
+        ),
+        "base_doc",
+        left_fields=[
+            pa.field("shard_doc", pa.int64()),
+            pa.field("base_doc", pa.int64()),
+            pa.field("sig_a", pa.binary()),
+        ],
+        payload_fields=[pa.field("sig_b", pa.binary())],
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = np.frombuffer(
+            b"".join(batch.column("sig_a").to_pylist() or [b""]), np.uint64
+        ).reshape(batch.num_rows, num_perm) if batch.num_rows else np.zeros(
+            (0, num_perm), np.uint64
+        )
+        b_ = np.frombuffer(
+            b"".join(batch.column("sig_b").to_pylist() or [b""]), np.uint64
+        ).reshape(batch.num_rows, num_perm) if batch.num_rows else np.zeros(
+            (0, num_perm), np.uint64
+        )
+        est = (a == b_).mean(axis=1) if batch.num_rows else np.zeros(0)
+        keep = est >= threshold
+        return pa.Table.from_pydict(
+            {
+                "shard_doc": batch.column("shard_doc").filter(
+                    pa.array(keep)
+                ),
+                "base_doc": batch.column("base_doc").filter(pa.array(keep)),
+                "est_jaccard": pa.array(
+                    np.round(est[keep], 6), pa.float64()
+                ),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")

@@ -72,3 +72,35 @@ def test_crossdoc_ngram_dup_tiers_equal():
     assert a.equals(b)
     assert (a["n_dup"] <= a["n_grams"]).all()
     assert np.allclose(a["dup_frac"], (a["n_dup"] / a["n_grams"]).round(6))
+
+
+def test_incremental_minhash_exact_and_near_pairs():
+    """Planted exact (hist shared, est=1.0) and near (20-token passage
+    + shard tail, est=63/64) cross-partition pairs both surface; every
+    pair is shard (source residue 1) x base, est >= 0.8."""
+    from high_performance_docling_ray.pipelines.incremental import (
+        incremental_minhash,
+    )
+
+    out = (
+        incremental_minhash(SF)
+        .to_pandas()
+        .sort_values(["shard_doc", "base_doc"])
+        .reset_index(drop=True)
+    )
+    assert len(out) > 0
+    # shard side is src1 == doc_id % 20 == 1 in this corpus
+    assert (out["shard_doc"] % 20 == 1).all()
+    assert (out["base_doc"] % 20 != 1).all()
+    assert (out["est_jaccard"] >= 0.8).all()
+    vals = set(out["est_jaccard"].round(6))
+    assert 1.0 in vals            # exact hist pairs
+    assert round(63 / 64, 6) in vals  # near pairs (one-token tail)
+    # deterministic rerun (store cached)
+    again = (
+        incremental_minhash(SF)
+        .to_pandas()
+        .sort_values(["shard_doc", "base_doc"])
+        .reset_index(drop=True)[out.columns.tolist()]
+    )
+    assert out.equals(again)
