@@ -941,6 +941,12 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(sf_dir)
 
 
+def _q_ingest_jsonl(sf_dir: str):
+    from high_performance_docling_ray.pipelines.io import ingest_jsonl
+
+    return ingest_jsonl(sf_dir)
+
+
 def _q_incremental_minhash(sf_dir: str):
     from high_performance_docling_ray.pipelines.incremental import (
         incremental_minhash,
@@ -1157,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "bpe_train": _q_bpe_train,
         "incremental_minhash": _q_incremental_minhash,
+        "ingest_jsonl": _q_ingest_jsonl,
     }
 
 
@@ -2923,6 +2930,12 @@ def oracle_sql() -> dict[str, str]:
         JOIN c1 cc ON cc.h = pos.hc
         CROSS JOIN tot
         GROUP BY 1
+    """
+    # jsonl ingest roundtrip: the Ray side exports documents to
+    # sharded JSONL and reads it back through ray.data.read_json, so
+    # the identity oracle hash-gates the parquet -> jsonl -> Arrow path
+    oracles["ingest_jsonl"] = """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
     """
     # incremental shard-vs-store NEAR-dup: same exact 64-perm
     # signature rebuild as minhash_lsh_pairs, over the _plant_near

@@ -29,3 +29,68 @@ def read_parquet_clean(path, **kwargs) -> ray.data.Dataset:
     return ray.data.read_parquet(path, **kwargs).map_batches(
         strip_pandas_metadata, batch_format="pyarrow"
     )
+
+
+def export_jsonl(sf_dir: str, out_dir: str | None = None) -> str:
+    """Export the documents table to sharded JSONL ONCE (content-keyed
+    cache + _SUCCESS, the persisted-artifact convention) so the JSONL
+    ingest path can be driven end-to-end without external data."""
+    import hashlib
+    import os
+    import shutil
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        content_tag = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content_tag = "unknown"
+    if out_dir is None:
+        tag = hashlib.md5(f"jsonl:{src}:{content_tag}".encode()).hexdigest()[
+            :12
+        ]
+        out_dir = f"/tmp/graft_jsonl/{tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    read_parquet_clean(src).write_json(out_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def ingest_jsonl(sf_dir: str) -> ray.data.Dataset:
+    """JSONL source coverage, driven end-to-end: documents -> sharded
+    JSONL (cached export) -> ``ray.data.read_json`` -> schema
+    normalization (column order + types pinned to the documents
+    schema). The oracle is the identity over the original table, so
+    the driver hash-gates the full parquet -> jsonl -> Arrow roundtrip
+    — a real ingest path for corpora delivered as JSONL (the common
+    crawl-dump interchange format)."""
+    import pyarrow as pa
+
+    path = export_jsonl(sf_dir)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        out = {}
+        types = {
+            "doc_id": pa.int64(),
+            "text": pa.string(),
+            "lang": pa.string(),
+            "source": pa.string(),
+            "n_chars": pa.int64(),
+        }
+        for c in cols:
+            col = batch.column(c)
+            if col.type != types[c]:
+                col = col.cast(types[c])
+            out[c] = col
+        return pa.Table.from_pydict(out)
+
+    return ray.data.read_json(path).map_batches(
+        normalize, batch_format="pyarrow"
+    )

@@ -234,3 +234,28 @@ def test_line_dedup_tiers_equal():
     assert len(a) == 500
     assert (~a["kept"]).sum() > 0 and a["n_removed_lines"].sum() > 0
     assert a.equals(b)
+
+
+def test_ingest_jsonl_roundtrip():
+    """parquet -> sharded JSONL -> ray.data.read_json == the original
+    table, byte for byte after schema normalization."""
+    import duckdb
+    import pandas as pd
+
+    from high_performance_docling_ray.pipelines.io import ingest_jsonl
+
+    got = (
+        ingest_jsonl(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, text, lang, source, n_chars "
+            f"FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+        )
+        .fetchdf()
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
