@@ -947,6 +947,12 @@ def _q_ingest_jsonl(sf_dir: str):
     return ingest_jsonl(sf_dir)
 
 
+def _q_ingest_csv(sf_dir: str):
+    from high_performance_docling_ray.pipelines.io import ingest_csv
+
+    return ingest_csv(sf_dir)
+
+
 def _q_incremental_minhash(sf_dir: str):
     from high_performance_docling_ray.pipelines.incremental import (
         incremental_minhash,
@@ -1164,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _q_bpe_train,
         "incremental_minhash": _q_incremental_minhash,
         "ingest_jsonl": _q_ingest_jsonl,
+        "ingest_csv": _q_ingest_csv,
     }
 
 
@@ -2935,6 +2942,9 @@ def oracle_sql() -> dict[str, str]:
     # sharded JSONL and reads it back through ray.data.read_json, so
     # the identity oracle hash-gates the parquet -> jsonl -> Arrow path
     oracles["ingest_jsonl"] = """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    """
+    oracles["ingest_csv"] = """
         SELECT doc_id, text, lang, source, n_chars FROM documents
     """
     # incremental shard-vs-store NEAR-dup: same exact 64-perm

@@ -31,10 +31,11 @@ def read_parquet_clean(path, **kwargs) -> ray.data.Dataset:
     )
 
 
-def export_jsonl(sf_dir: str, out_dir: str | None = None) -> str:
-    """Export the documents table to sharded JSONL ONCE (content-keyed
-    cache + _SUCCESS, the persisted-artifact convention) so the JSONL
-    ingest path can be driven end-to-end without external data."""
+def _export_docs(sf_dir: str, fmt: str, out_dir: str | None = None) -> str:
+    """Export the documents table to sharded JSONL or CSV ONCE
+    (content-keyed cache + _SUCCESS, the persisted-artifact
+    convention) so the text-format ingest paths can be driven
+    end-to-end without external data."""
     import hashlib
     import os
     import shutil
@@ -46,20 +47,28 @@ def export_jsonl(sf_dir: str, out_dir: str | None = None) -> str:
     except OSError:
         content_tag = "unknown"
     if out_dir is None:
-        tag = hashlib.md5(f"jsonl:{src}:{content_tag}".encode()).hexdigest()[
+        tag = hashlib.md5(f"{fmt}:{src}:{content_tag}".encode()).hexdigest()[
             :12
         ]
-        out_dir = f"/tmp/graft_jsonl/{tag}"
+        out_dir = f"/tmp/graft_{fmt}/{tag}"
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    read_parquet_clean(src).write_json(out_dir)
+    ds = read_parquet_clean(src)
+    if fmt == "jsonl":
+        ds.write_json(out_dir)
+    else:
+        ds.write_csv(out_dir)
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
+
+
+def export_jsonl(sf_dir: str, out_dir: str | None = None) -> str:
+    return _export_docs(sf_dir, "jsonl", out_dir)
 
 
 def ingest_jsonl(sf_dir: str) -> ray.data.Dataset:
@@ -92,5 +101,36 @@ def ingest_jsonl(sf_dir: str) -> ray.data.Dataset:
         return pa.Table.from_pydict(out)
 
     return ray.data.read_json(path).map_batches(
+        normalize, batch_format="pyarrow"
+    )
+
+
+def ingest_csv(sf_dir: str) -> ray.data.Dataset:
+    """CSV source coverage, end-to-end like ``ingest_jsonl``: the
+    cached CSV export reads back through ``ray.data.read_csv`` (Arrow
+    CSV with proper quoting) and normalizes to the documents schema;
+    the identity oracle hash-gates the roundtrip."""
+    import pyarrow as pa
+
+    path = _export_docs(sf_dir, "csv")
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        types = {
+            "doc_id": pa.int64(),
+            "text": pa.string(),
+            "lang": pa.string(),
+            "source": pa.string(),
+            "n_chars": pa.int64(),
+        }
+        out = {}
+        for c, t in types.items():
+            col = batch.column(c)
+            if col.type != t:
+                col = col.cast(t)
+            out[c] = col
+        return pa.Table.from_pydict(out)
+
+    # the _SUCCESS marker is not a CSV file: restrict by extension
+    return ray.data.read_csv(path, file_extensions=["csv"]).map_batches(
         normalize, batch_format="pyarrow"
     )

@@ -259,3 +259,26 @@ def test_ingest_jsonl_roundtrip():
         .fetchdf()
     )
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_ingest_csv_roundtrip():
+    import duckdb
+    import pandas as pd
+
+    from high_performance_docling_ray.pipelines.io import ingest_csv
+
+    got = (
+        ingest_csv(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, text, lang, source, n_chars "
+            f"FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+        )
+        .fetchdf()
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
