@@ -947,6 +947,14 @@ def _q_ingest_jsonl(sf_dir: str):
     return ingest_jsonl(sf_dir)
 
 
+def _q_domain_split(sf_dir: str):
+    from high_performance_docling_ray.pipelines.web_curation import (
+        domain_split,
+    )
+
+    return domain_split(sf_dir)
+
+
 def _q_ingest_csv(sf_dir: str):
     from high_performance_docling_ray.pipelines.io import ingest_csv
 
@@ -1171,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_minhash": _q_incremental_minhash,
         "ingest_jsonl": _q_ingest_jsonl,
         "ingest_csv": _q_ingest_csv,
+        "domain_split": _q_domain_split,
     }
 
 
@@ -2946,6 +2955,23 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["ingest_csv"] = """
         SELECT doc_id, text, lang, source, n_chars FROM documents
+    """
+    # leakage-aware split: md5 threshold on the registrable DOMAIN so
+    # templated near-dups within a domain land in one split
+    oracles["domain_split"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 lower(COALESCE(source, 'nosrc')) || '.example.com'
+                   AS domain
+          FROM documents
+        )
+        SELECT doc_id, domain,
+               CASE WHEN md5_number_upper(domain) % 1000 < 50
+                    THEN 'test'
+                    WHEN md5_number_upper(domain) % 1000 < 100
+                    THEN 'val'
+                    ELSE 'train' END AS split
+        FROM d
     """
     # incremental shard-vs-store NEAR-dup: same exact 64-perm
     # signature rebuild as minhash_lsh_pairs, over the _plant_near

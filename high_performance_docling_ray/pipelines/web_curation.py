@@ -445,3 +445,36 @@ def line_dedup(
         return clean_batch(batch, removed)
 
     return with_rm.map_batches(clean_joined, batch_format="pyarrow")
+
+
+def domain_split(
+    sf_dir: str, val_permille: int = 50, test_permille: int = 50
+) -> ray.data.Dataset:
+    """Leakage-aware train/val/test assignment: the split key is the
+    registrable DOMAIN, not the doc — near-duplicates and templated
+    pages cluster within a domain, so splitting by doc would leak eval
+    content into training. Deterministic md5 threshold on the domain
+    (the hash_sample rule), pure map at any scale. Returns
+    (doc_id, domain, split)."""
+    from ..kernels.sketch import hash64
+
+    docs = read_documents(sf_dir, ("doc_id", "source"))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = _verdict_batch(batch)
+        dom = v.column("domain").to_pylist()
+        hv = hash64(dom) % np.uint64(1000)
+        split = np.where(
+            hv < test_permille,
+            "test",
+            np.where(hv < test_permille + val_permille, "val", "train"),
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "domain": v.column("domain"),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")

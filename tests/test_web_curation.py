@@ -282,3 +282,26 @@ def test_ingest_csv_roundtrip():
         .fetchdf()
     )
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_domain_split_leakage_free_and_deterministic():
+    from high_performance_docling_ray.pipelines.web_curation import (
+        domain_split,
+    )
+
+    a = (
+        domain_split(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # every domain lands in exactly one split (the leakage guarantee)
+    assert (a.groupby("domain")["split"].nunique() == 1).all()
+    assert set(a["split"]) <= {"train", "val", "test"}
+    b = (
+        domain_split(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[list(a.columns)]
+    )
+    assert a.equals(b)
