@@ -1180,7 +1180,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_jsonl": _q_ingest_jsonl,
         "ingest_csv": _q_ingest_csv,
         "domain_split": _q_domain_split,
+        "normalize_text": _q_normalize_text,
     }
+
+
+def _q_normalize_text(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        normalize_text,
+    )
+
+    return normalize_text(sf_dir)
 
 
 def _minhash_perm_values() -> str:
@@ -2972,6 +2981,43 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'val'
                     ELSE 'train' END AS split
         FROM d
+    """
+    # normalize_text: the oracle mirrors the planted unicode mess as a
+    # closed form of the construction (decomposed combining marks via
+    # chr(), NBSP, BEL, wide gaps), then applies the identical chain —
+    # DuckDB's nfc_normalize composes per standard Unicode NFC (the
+    # Ray side routes composition through stdlib unicodedata because
+    # this pyarrow build's utf8_normalize NFC does not compose), and
+    # both regexp engines are RE2 so the strip/collapse steps agree
+    # byte-for-byte.
+    oracles["normalize_text"] = r"""
+        WITH planted AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 23 = 3
+                    THEN ' nfc Cafe' || chr(769) ELSE '' END
+            || CASE WHEN doc_id % 23 = 10
+                    THEN ' ring A' || chr(778) ELSE '' END
+            || CASE WHEN doc_id % 29 = 11
+                    THEN ' ctl x' || chr(7) || 'y' ELSE '' END
+            || CASE WHEN doc_id % 13 = 5
+                    THEN ' nbsp p' || chr(160) || 'q' ELSE '' END
+            || CASE WHEN doc_id % 19 = 2
+                    THEN '  wide   gaps  ' ELSE '' END AS ptext
+          FROM documents
+        ), norm AS (
+          SELECT doc_id, ptext,
+            trim(regexp_replace(regexp_replace(
+                replace(nfc_normalize(ptext), chr(160), ' '),
+                '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+              '\s+', ' ', 'g')) AS text_norm
+          FROM planted
+        )
+        SELECT doc_id, text_norm,
+               length(ptext) AS n_before,
+               length(text_norm) AS n_after,
+               ptext <> text_norm AS changed
+        FROM norm
     """
     # incremental shard-vs-store NEAR-dup: same exact 64-perm
     # signature rebuild as minhash_lsh_pairs, over the _plant_near

@@ -666,3 +666,88 @@ def chunk_documents(
         )
 
     return docs.map_batches(chunk, batch_format="pyarrow")
+
+
+def normalize_text(sf_dir: str) -> ray.data.Dataset:
+    """Unicode text normalization — the first map every web-scale text
+    pipeline runs before tokenizing (cf. the reference's sanitize_text
+    byte-identity core, fork/docling shim textnorm; this is the
+    corpus-level sibling over the documents table).
+
+    The corpus text is clean ASCII, so deterministic unicode mess is
+    planted per doc_id residue (the url_curation pattern — the SQL
+    oracle mirrors the exact planted construction, then applies the
+    same normalization chain; DuckDB's nfc_normalize and pyarrow's
+    utf8_normalize both implement standard Unicode NFC, and both
+    regexp engines are RE2, so every step agrees byte-for-byte):
+
+    - ``%23==3``  decomposed e + U+0301  -> NFC composes to ``é``
+    - ``%23==10`` decomposed A + U+030A  -> NFC composes to ``Å``
+    - ``%29==11`` BEL control char       -> stripped
+    - ``%13==5``  NBSP                   -> mapped to space
+    - ``%19==2``  leading/multi/trailing spaces -> collapsed + trimmed
+
+    Chain (fixed order, both sides): NFC -> NBSP->space -> strip
+    C0/DEL controls -> collapse ``\\s+`` to one space -> trim.
+    Pure vectorized map: no shuffle, scale-free at 100 TB.
+    """
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        suf = np.full(len(ids), "", dtype=object)
+        suf[ids % 23 == 3] = " nfc Cafe\u0301"
+        suf = np.where(ids % 23 == 10, suf + " ring A\u030A", suf)
+        suf = np.where(ids % 29 == 11, suf + " ctl x\x07y", suf)
+        suf = np.where(ids % 13 == 5, suf + " nbsp p\u00a0q", suf)
+        suf = np.where(ids % 19 == 2, suf + "  wide   gaps  ", suf)
+        planted = pc.binary_join_element_wise(
+            batch.column("text"), pa.array(list(suf), pa.string()), ""
+        )
+        # replace_with_mask needs flat arrays, not ChunkedArray
+        if isinstance(planted, pa.ChunkedArray):
+            planted = planted.combine_chunks()
+        # NFC: this pyarrow build's utf8_normalize(form="NFC") does NOT
+        # compose (NFD of a composed char works, NFC of the decomposed
+        # sequence returns it unchanged — verified on pyarrow 16.1), so
+        # composition runs through stdlib unicodedata, gated on an RE2
+        # match so only mark-bearing strings pay the Python loop; the
+        # gate covers the canonical combining-mark blocks plus the
+        # compatibility singletons (OHM/KELVIN/ANGSTROM) that NFC maps.
+        m = pc.match_substring_regex(
+            planted,
+            "[\u0300-\u036f\u1ab0-\u1aff\u1dc0-\u1dff"
+            "\u20d0-\u20ff\ufe20-\ufe2f\u2126\u212a\u212b]",
+        )
+        x = planted
+        midx = np.flatnonzero(m.to_numpy(zero_copy_only=False))
+        if midx.size:
+            import unicodedata
+
+            sub = x.take(pa.array(midx))
+            fixed = pa.array(
+                [unicodedata.normalize("NFC", s) for s in sub.to_pylist()],
+                pa.string(),
+            )
+            x = pc.replace_with_mask(x, m, fixed)
+        x = pc.replace_substring(x, pattern="\u00a0", replacement=" ")
+        x = pc.replace_substring_regex(
+            x,
+            pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]",
+            replacement="",
+        )
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim_whitespace(x)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_norm": x,
+                "n_before": pc.utf8_length(planted),
+                "n_after": pc.utf8_length(x),
+                "changed": pc.not_equal(planted, x),
+            }
+        )
+
+    return read_documents(sf_dir, ("doc_id", "text")).map_batches(
+        f, batch_format="pyarrow"
+    )

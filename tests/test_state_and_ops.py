@@ -783,3 +783,48 @@ def test_props_extract_handles_missing_field(tmp_path):
     assert out["n"].tolist() == [2]       # the no-k row doesn't count
     assert out["sum_k"].tolist() == [4]   # 7 + (-3)
     assert out["avg_k"].tolist() == [2.0]
+
+
+def test_normalize_text_planted_rules():
+    """Each planted unicode mess is fixed by its chain step; untouched
+    docs pass through byte-identical (closed form per doc_id residue)."""
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        normalize_text,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = normalize_text(sf).to_pandas().set_index("doc_id")
+    base = (
+        pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    touched = 0
+    for d, row in out.iterrows():
+        t = row.text_norm
+        plain = True
+        if d % 23 == 3:  # decomposed e+U+0301 -> composed é
+            assert "nfc Café" in t and "́" not in t
+            plain = False
+        if d % 23 == 10:  # decomposed A+U+030A -> composed Å
+            assert "ring Å" in t and "̊" not in t
+            plain = False
+        if d % 29 == 11:  # BEL stripped
+            assert "ctl xy" in t and "\x07" not in t
+            plain = False
+        if d % 13 == 5:  # NBSP -> space
+            assert "nbsp p q" in t and " " not in t
+            plain = False
+        if d % 19 == 2:  # gaps collapsed + trimmed
+            assert t.endswith("wide gaps") and "  " not in t
+            plain = False
+        if plain:
+            assert t == base.loc[d, "text"]
+            assert not row.changed
+        else:
+            assert row.changed
+            touched += 1
+        assert row.n_after <= row.n_before
+    assert touched > 0
