@@ -1181,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_csv": _q_ingest_csv,
         "domain_split": _q_domain_split,
         "normalize_text": _q_normalize_text,
+        "corpus_report": _q_corpus_report,
     }
 
 
@@ -1190,6 +1191,14 @@ def _q_normalize_text(sf_dir: str):
     )
 
     return normalize_text(sf_dir)
+
+
+def _q_corpus_report(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        corpus_report,
+    )
+
+    return corpus_report(sf_dir)
 
 
 def _minhash_perm_values() -> str:
@@ -3018,6 +3027,46 @@ def oracle_sql() -> dict[str, str]:
                length(text_norm) AS n_after,
                ptext <> text_norm AS changed
         FROM norm
+    """
+    # corpus_report: long-format datasheet; the dup planting is the
+    # clean_corpus construction (doc_id%41 in {7,8} share one text per
+    # 41-block) and the hash is md5_number_upper == hash64, so dup
+    # group multiplicities are bit-identical
+    oracles["corpus_report"] = r"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 41 IN (7, 8)
+                      THEN 'dup page body ' || CAST(doc_id // 41 AS VARCHAR)
+                      ELSE text END AS ptext
+          FROM documents
+        ), dup AS (
+          SELECT COALESCE(SUM(c), 0) AS n_dup FROM (
+            SELECT COUNT(*) AS c FROM planted
+            GROUP BY md5_number_upper(ptext) HAVING COUNT(*) > 1
+          )
+        ), tot AS (
+          SELECT COUNT(*) AS n, SUM(n_chars) AS ch FROM documents
+        ), strata AS (
+          SELECT 'lang' AS section, COALESCE(lang, '') AS stratum,
+                 COUNT(*) AS n, SUM(n_chars) AS ch
+          FROM documents GROUP BY lang
+          UNION ALL
+          SELECT 'source', COALESCE(source, ''), COUNT(*), SUM(n_chars)
+          FROM documents GROUP BY source
+        )
+        SELECT 'global' AS section, 'ALL' AS stratum, 'docs' AS metric,
+               CAST(n AS DOUBLE) AS value FROM tot
+        UNION ALL
+        SELECT 'global', 'ALL', 'chars', CAST(ch AS DOUBLE) FROM tot
+        UNION ALL
+        SELECT 'global', 'ALL', 'dup_doc_frac',
+               ROUND(CAST(n_dup AS DOUBLE) / (SELECT n FROM tot), 6)
+        FROM dup
+        UNION ALL
+        SELECT section, stratum, 'docs', CAST(n AS DOUBLE) FROM strata
+        UNION ALL
+        SELECT section, stratum, 'mean_chars',
+               ROUND(CAST(ch AS DOUBLE) / n, 6) FROM strata
     """
     # incremental shard-vs-store NEAR-dup: same exact 64-perm
     # signature rebuild as minhash_lsh_pairs, over the _plant_near

@@ -751,3 +751,135 @@ def normalize_text(sf_dir: str) -> ray.data.Dataset:
     return read_documents(sf_dir, ("doc_id", "text")).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def corpus_report(sf_dir: str) -> "pa.Table":
+    """Dataset datasheet — the one-page summary a curator publishes
+    next to a released corpus: long-format ``(section, stratum,
+    metric, value)`` rows covering global counts, the exact-duplicate
+    fraction, and per-language / per-source composition.
+
+    Three scale-safe shapes composed in one result:
+
+    - ``global`` / ``lang`` / ``source`` counts: per-batch combiners
+      over (lang, source, n_chars) — text never read for these — then
+      one composite-keyed groupby bounded by the strata domain.
+    - ``dup_doc_frac``: md5 ``hash64(text)`` per batch, one KEY-ONLY
+      ``groupby(h).count()`` exchange (the exact_dedup shape), docs in
+      count>1 groups summed by a streaming aggregate. The hash is the
+      first 8 md5 bytes == DuckDB ``md5_number_upper``, so the oracle
+      groups bit-identically.
+
+    Returns a small driver-side table (O(strata) rows); every input
+    pass streams.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..kernels.sketch import hash64
+    from .io import read_parquet_clean
+
+    nul = "\x00"
+
+    # -- strata counts (no text) ------------------------------------
+    meta = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = pc.fill_null(batch.column("lang"), nul)
+        srcs = pc.fill_null(batch.column("source"), nul)
+        t = pa.Table.from_pydict(
+            {"lang": langs, "source": srcs, "ch": batch.column("n_chars")}
+        )
+        agg = t.group_by(["lang", "source"]).aggregate(
+            [("ch", "sum"), ("ch", "count")]
+        )
+        return agg.rename_columns(["lang", "source", "ch", "n"])
+
+    parts = (
+        meta.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("ch", alias_name="ch"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    # -- exact-dup fraction (key-only exchange over text hashes) -----
+    # the corpus has no exact-dup texts, so pairs are planted per
+    # doc_id residue (the clean_corpus construction: docs with
+    # doc_id%41 in {7,8} share one text per 41-block) and the oracle
+    # mirrors the same CASE — the metric exercises a real dup mass
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def h(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dup = np.isin(ids % 41, (7, 8))
+        planted = pc.if_else(
+            pa.array(dup),
+            pc.binary_join_element_wise(
+                "dup page body ",
+                pa.array((ids // 41).astype("U"), pa.string()),
+                "",
+            ),
+            batch.column("text"),
+        )
+        # int64 bit-reinterpret: Ray's groupby key path converts
+        # through Python ints and overflows on uint64 > 2^63; the
+        # view is bijective so group multiplicities are unchanged
+        hv = hash64(planted.to_pylist()).view(np.int64)
+        return pa.Table.from_pydict({"h": pa.array(hv, pa.int64())})
+
+    counts = (
+        docs.map_batches(h, batch_format="pyarrow")
+        .groupby("h")
+        .count()
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "dup": pa.array(
+                        [
+                            pc.sum(
+                                pc.if_else(
+                                    pc.greater(t.column("count()"), 1),
+                                    t.column("count()"),
+                                    pa.scalar(0, t.column("count()").type),
+                                )
+                            ).as_py()
+                            or 0
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("dup")
+    )
+    n_dup = int(counts)
+
+    # -- assemble the long-format report ------------------------------
+    total_n = int(parts["n"].sum())
+    total_ch = int(parts["ch"].sum())
+    rows: list[tuple[str, str, str, float]] = [
+        ("global", "ALL", "docs", float(total_n)),
+        ("global", "ALL", "chars", float(total_ch)),
+        ("global", "ALL", "dup_doc_frac", round(n_dup / total_n, 6)),
+    ]
+    for key, grp in (("lang", parts.groupby("lang")),
+                     ("source", parts.groupby("source"))):
+        for stratum, g in grp:
+            s = "" if stratum == nul else str(stratum)
+            n, ch = int(g["n"].sum()), int(g["ch"].sum())
+            rows.append((key, s, "docs", float(n)))
+            rows.append((key, s, "mean_chars", round(ch / n, 6)))
+    return pa.Table.from_pydict(
+        {
+            "section": pa.array([r[0] for r in rows], pa.string()),
+            "stratum": pa.array([r[1] for r in rows], pa.string()),
+            "metric": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )

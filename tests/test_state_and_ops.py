@@ -828,3 +828,34 @@ def test_normalize_text_planted_rules():
             touched += 1
         assert row.n_after <= row.n_before
     assert touched > 0
+
+
+def test_corpus_report_closed_form():
+    """Datasheet totals reconcile with the raw table; planted dup
+    pairs (doc_id%41 in {7,8} share one text per 41-block) surface in
+    dup_doc_frac exactly."""
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        corpus_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = corpus_report(sf).to_pandas()
+    raw = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pandas()
+    g = df.set_index(["section", "stratum", "metric"]).value
+    assert g[("global", "ALL", "docs")] == len(raw)
+    assert g[("global", "ALL", "chars")] == raw.n_chars.sum()
+    # closed form: every 41-block contributes its {7,8}-residue docs,
+    # and a block's pair only counts when BOTH residues exist
+    ids = raw.doc_id.to_numpy()
+    blocks = {}
+    for d in ids[(ids % 41 == 7) | (ids % 41 == 8)]:
+        blocks.setdefault(d // 41, []).append(d)
+    n_dup = sum(len(v) for v in blocks.values() if len(v) > 1)
+    assert g[("global", "ALL", "dup_doc_frac")] == round(n_dup / len(raw), 6)
+    # per-lang docs partition the corpus
+    lang_docs = df[(df.section == "lang") & (df.metric == "docs")].value
+    assert lang_docs.sum() == len(raw)
