@@ -605,6 +605,18 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(sf_dir)
 
 
+def _q_quality_classifier(sf_dir: str):
+    """fastText-style model-based quality filter: hashed unigram +
+    word-bigram features index an actor-held weight table; per-doc
+    score = feature-weight mean, keep decided in integer arithmetic.
+    Pure map — no exchange at any scale."""
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        quality_classifier,
+    )
+
+    return quality_classifier(sf_dir)
+
+
 def _q_unigram_logprob(sf_dir: str):
     """CCNet-style per-doc mean unigram log-probability: token-count
     model pass (combiner + small groupby), then a pure-map scoring
@@ -1100,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": _q_segment_dedup,
         "tfidf_topk": _q_tfidf_topk,
         "decontaminate": _q_decontaminate,
+        "quality_classifier": _q_quality_classifier,
         "unigram_logprob": _q_unigram_logprob,
         "pack_sequences": _q_pack_sequences,
         "pack_assignments": _q_pack_assignments,
@@ -2378,6 +2391,41 @@ def oracle_sql() -> dict[str, str]:
         tr AS (SELECT DISTINCT doc_id, h FROM hv WHERE doc_id % 50 <> 0)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
         FROM tr JOIN ev USING (h) GROUP BY 1
+    """
+    # fastText-style hashed linear classifier: features are the same
+    # trim + \s+ unigrams plus space-joined adjacent bigrams; bucket =
+    # md5 % 4096, weight k = md5(str(bucket)) % 2001, score =
+    # (sum(k) - 1000 n)/(997 n) (997 prime -> no round-6 straddles),
+    # keep decided in INTEGER arithmetic on both sides
+    oracles["quality_classifier"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        uni AS (SELECT doc_id, unnest(toks) AS f FROM t),
+        bi AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+          FROM t, unnest(range(1, len(toks))) AS u(i)
+        ),
+        feat AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        k AS (
+          SELECT doc_id,
+                 CAST(md5_number_upper(CAST(md5_number_upper(f) % 4096
+                                            AS VARCHAR)) % 2001
+                      AS BIGINT) AS k
+          FROM feat
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_feat,
+               round((SUM(k) - 1000 * COUNT(*))
+                     / (997.0 * COUNT(*)), 6) AS score,
+               round(1 / (1 + exp(-4.0 * ((SUM(k) - 1000 * COUNT(*))
+                                          / (997.0 * COUNT(*))))), 6)
+                 AS prob,
+               SUM(k) >= 1000 * COUNT(*) AS keep
+        FROM k GROUP BY doc_id
     """
     # unigram LM scoring shares tfidf's tokenization (trim + \s+ split,
     # not lowercased); zero-token docs emit no row on either side

@@ -1768,3 +1768,93 @@ def perplexity_buckets(sf_dir: str) -> ray.data.Dataset:
         )
 
     return rows.map_batches(assign, batch_format="pyarrow")
+
+
+# -- model-based quality filtering (fastText-style hashed linear) -----------
+
+CLS_BUCKETS = 4096
+CLS_SIGMOID_SCALE = 4.0
+
+
+def _classifier_weights(n_buckets: int = CLS_BUCKETS) -> np.ndarray:
+    """Deterministic int64 'trained' weight table, one value per hash
+    bucket: k(b) = md5_number_upper(str(b)) % 2001 in [0, 2000] (the
+    real weight is (k - 1000) / 997 — 997 is prime, so score rationals
+    m/(997*n) never terminate in decimal and round(...,6) can't
+    straddle a boundary). DuckDB rebuilds k(b) bit-exactly."""
+    return (hash64([str(b) for b in range(n_buckets)]) % np.uint64(2001)).astype(
+        np.int64
+    )
+
+
+class QualityClassifier:
+    """fastText-style model-based quality filter (Joulin et al. 2017;
+    the CCNet / LLaMA 'quality classifier' stage): every doc's hashed
+    unigram + word-bigram features index a weight table and the doc
+    score is the feature-weight mean — exactly fastText's averaged
+    bag-of-features linear model, with deterministic md5-derived
+    weights standing in for trained ones so the DuckDB oracle can
+    rebuild every score bit-for-bit.
+
+    Scale shape: the weight table is the MODEL and lives in actor
+    state — built once per actor in ``__init__`` (a real fastText
+    ``.bin`` would be ``ray.put`` once and ``ray.get`` here, read
+    zero-copy from each node's object store, never re-shipped per
+    batch). Scoring is a pure vectorized map: no exchange at any
+    scale. ``keep`` is decided in INTEGER arithmetic
+    (sum(k) >= 1000*n) so the verdict can't flip on a float ulp
+    between numpy and SQL."""
+
+    def __init__(self, n_buckets: int = CLS_BUCKETS):
+        self.n_buckets = n_buckets
+        self.k = _classifier_weights(n_buckets)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _tokenize(batch.column("text"))
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nrows = batch.num_rows
+        h_uni = hash64_strings(flat)
+        if len(flat) >= 2:
+            adj = doc_idx[1:] == doc_idx[:-1]
+            keep_prev = np.flatnonzero(adj)
+        else:
+            keep_prev = np.empty(0, np.int64)
+        if len(keep_prev):
+            prev = flat.take(pa.array(keep_prev))
+            cur = flat.take(pa.array(keep_prev + 1))
+            h_bi = hash64_strings(
+                pc.binary_join_element_wise(prev, cur, " ")
+            )
+            feat_h = np.concatenate([h_uni, h_bi])
+            feat_doc = np.concatenate([doc_idx, doc_idx[keep_prev]])
+        else:
+            feat_h = h_uni
+            feat_doc = doc_idx
+        b = (feat_h % np.uint64(self.n_buckets)).astype(np.int64)
+        k = self.k[b]
+        num = np.zeros(nrows, np.int64)  # sum(k) - 1000*n, exact
+        np.add.at(num, feat_doc, k - 1000)
+        cnt = np.bincount(feat_doc, minlength=nrows).astype(np.int64)
+        mask = cnt > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            score = num / (997.0 * cnt)
+            prob = 1.0 / (1.0 + np.exp(-CLS_SIGMOID_SCALE * score))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids[mask], pa.int64()),
+                "n_feat": pa.array(cnt[mask], pa.int64()),
+                "score": pa.array(np.round(score[mask], 6), pa.float64()),
+                "prob": pa.array(np.round(prob[mask], 6), pa.float64()),
+                "keep": pa.array(num[mask] >= 0, pa.bool_()),
+            }
+        )
+
+
+def quality_classifier(sf_dir: str) -> ray.data.Dataset:
+    """Model-based quality scores for every non-empty doc:
+    (doc_id, n_feat, score, prob, keep). Actor-pool map_batches — the
+    weight table loads once per actor, scoring is vectorized."""
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+    return docs.map_batches(
+        QualityClassifier, concurrency=(1, 4), batch_format="pyarrow"
+    )

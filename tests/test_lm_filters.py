@@ -468,3 +468,43 @@ def test_perplexity_buckets_deterministic():
     # within 1 of n/3 when logprobs are distinct enough
     g = a.groupby("lang")["bucket"].value_counts().unstack(fill_value=0)
     assert (g.sum(axis=1) == a.groupby("lang").size()).all()
+
+
+def test_quality_classifier_closed_form(tmp_path):
+    # serial reference: same hashing/weights, computed by hand
+    import hashlib
+
+    import numpy as np
+
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        quality_classifier,
+    )
+
+    def h64(s):
+        return int.from_bytes(
+            hashlib.md5(s.encode()).digest()[:8], "little"
+        )
+
+    sf = _write_docs(
+        tmp_path,
+        [(0, "alpha beta gamma"), (1, "solo"), (2, ""), (3, None)],
+    )
+    out = (
+        quality_classifier(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # docs 2/3 have no tokens -> no row
+    assert out["doc_id"].tolist() == [0, 1]
+    feats0 = ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+    ks = [h64(str(h64(f) % 4096)) % 2001 for f in feats0]
+    num = sum(ks) - 1000 * len(ks)
+    assert out.loc[0, "n_feat"] == 5
+    assert out.loc[0, "score"] == round(num / (997.0 * len(ks)), 6)
+    assert bool(out.loc[0, "keep"]) == (num >= 0)
+    k1 = h64(str(h64("solo") % 4096)) % 2001
+    assert out.loc[1, "n_feat"] == 1
+    assert out.loc[1, "score"] == round((k1 - 1000) / 997.0, 6)
+    p = 1.0 / (1.0 + np.exp(-4.0 * ((k1 - 1000) / 997.0)))
+    assert out.loc[1, "prob"] == round(p, 6)
