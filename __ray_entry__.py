@@ -696,6 +696,18 @@ def _q_source_composition(sf_dir: str):
     return source_composition(sf_dir)
 
 
+def _q_source_divergence(sf_dir: str):
+    """Per-source Jensen-Shannon divergence vs the corpus unigram
+    distribution: one corpus pass -> materialized (token, source, cnt)
+    domain -> one token-bucketed exchange; absent-token KL mass folds
+    to a closed form, so the token x source matrix never densifies."""
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        source_divergence,
+    )
+
+    return source_divergence(sf_dir)
+
+
 def _q_hll_hourly(sf_dir: str):
     """Per-hour HLL distinct users: register blobs keyed by hour,
     merged by groupby().map_groups where the group lives (no driver
@@ -1152,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct,
         "hll_distinct_hourly": _q_hll_hourly,
         "source_composition": _q_source_composition,
+        "source_divergence": _q_source_divergence,
         "label_centroids": _q_label_centroids,
         "props_extract": _q_props_extract,
         # relational operator demos
@@ -2699,6 +2712,36 @@ def oracle_sql() -> dict[str, str]:
                           * ln(c.n * 1.0 / s.n_docs)), 6) AS lang_entropy
         FROM c JOIN s USING (source)
         GROUP BY 1, s.n_docs, s.total_chars
+    """
+    # JS divergence per source vs the corpus unigram distribution;
+    # same trim + \s+ tokens; tokens absent from a source contribute
+    # (1 - sum q) ln 2 in closed form on both sides
+    oracles["source_divergence"] = r"""
+        WITH t AS (
+          SELECT COALESCE(source, '') AS source,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT source, unnest(toks) AS token FROM t),
+        ts AS (SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        ns AS (SELECT source, SUM(cnt) AS n_s FROM ts GROUP BY 1),
+        qt AS (SELECT token, SUM(cnt) AS qcnt FROM ts GROUP BY 1),
+        tot AS (SELECT SUM(cnt) AS n FROM ts),
+        terms AS (
+          SELECT ts.source,
+                 ts.cnt / CAST(ns.n_s AS DOUBLE) AS p,
+                 qt.qcnt / CAST(tot.n AS DOUBLE) AS q
+          FROM ts JOIN ns USING (source) JOIN qt USING (token)
+          CROSS JOIN tot
+        )
+        SELECT terms.source, CAST(ANY_VALUE(ns.n_s) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               round(0.5 * SUM(p * ln(2 * p / (p + q)))
+                     + 0.5 * (SUM(q * ln(2 * q / (p + q)))
+                              + (1 - SUM(q)) * ln(2)), 6) AS jsd
+        FROM terms JOIN ns USING (source)
+        GROUP BY terms.source
     """
     # rank in md5 order; hash64 == md5_number_upper, doc_id tiebreak
     oracles["shuffle_ranks"] = r"""

@@ -883,3 +883,172 @@ def corpus_report(sf_dir: str) -> "pa.Table":
             "value": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+def source_divergence(sf_dir: str) -> pa.Table:
+    """Per-source Jensen-Shannon divergence (nats) between the
+    source's unigram distribution P_s and the whole-corpus
+    distribution Q — the domain-shift report a curator reads next to
+    ``source_composition`` before setting mixture weights. Returns
+    ``(source, n_tokens, vocab, jsd)``.
+
+    Scale shape: ONE corpus pass emits per-batch-combined
+    (token, source, cnt) partials; that distinct-domain dataset
+    (vocab x sources, far smaller than the corpus) is materialized
+    once and reused for (a) the per-source token totals — per-batch
+    combine -> tiny driver fold, no exchange — and (b) the single
+    token-bucketed exchange where each bucket group computes exact
+    per-(token, source) counts and folds them into per-source partial
+    JS terms. Tokens absent from a source need no rows: their entire
+    KL(Q||M) contribution collapses to ``(1 - sum_{t in V_s} q) ln 2``
+    because m = q/2 there, so the exchange never densifies the
+    (token x source) matrix. Final fold is sources x buckets rows on
+    the driver.
+    """
+    import pyarrow.compute as pc
+
+    from ..kernels.sketch import hash64_strings
+    from .corpus_clean import _tokenize
+    from .joins import default_num_buckets
+
+    docs = read_documents(sf_dir, ("doc_id", "source", "text"))
+    num_parts = default_num_buckets()
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _tokenize(batch.column("text"))
+        if len(flat) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "token": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        src = pc.fill_null(batch.column("source"), "").to_numpy(
+            zero_copy_only=False
+        )
+        enc = flat.dictionary_encode()
+        tcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        senc = pa.array(src[doc_idx]).dictionary_encode()
+        scode = senc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact within-batch combine per (token, source)
+        packed = tcode * len(senc.dictionary) + scode
+        uniq, cnt = np.unique(packed, return_counts=True)
+        ut = (uniq // len(senc.dictionary)).astype(np.int64)
+        us = (uniq % len(senc.dictionary)).astype(np.int64)
+        tok = enc.dictionary.take(pa.array(ut))
+        h = hash64_strings(tok)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(
+                    (h % np.uint64(num_parts)).astype(np.int32), pa.int32()
+                ),
+                "token": tok,
+                "source": senc.dictionary.take(pa.array(us)),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tf = docs.map_batches(tf_partial, batch_format="pyarrow").materialize()
+
+    # per-source token totals: per-batch combine -> tiny driver fold
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            pa.Table.from_pydict(
+                {"source": batch.column("source"), "cnt": batch.column("cnt")}
+            )
+            .group_by("source")
+            .aggregate([("cnt", "sum")])
+        )
+        return agg.rename_columns(["source", "n"])
+
+    n_s: dict[str, int] = {}
+    for row in tf.map_batches(
+        totals_partial, batch_format="pyarrow"
+    ).take_all():
+        n_s[row["source"]] = n_s.get(row["source"], 0) + int(row["n"])
+    n_total = sum(n_s.values())
+    if n_total == 0:
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "vocab": pa.array([], pa.int64()),
+                "jsd": pa.array([], pa.float64()),
+            }
+        )
+
+    def bucket_terms(group: pa.Table) -> pa.Table:
+        tok = group.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        enc = tok.dictionary_encode()
+        tcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        src = group.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        senc = src.dictionary_encode()
+        scode = senc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        n_src = len(senc.dictionary)
+        # exact (token, source) counts across partial rows
+        packed = tcode * n_src + scode
+        order = np.argsort(packed, kind="stable")
+        packed, cnt_o = packed[order], cnt[order]
+        first = np.flatnonzero(np.r_[True, packed[1:] != packed[:-1]])
+        cnt_ts = np.add.reduceat(cnt_o.astype(np.int64), first)
+        ut = (packed[first] // n_src).astype(np.int64)
+        us = (packed[first] % n_src).astype(np.int64)
+        qcnt = np.bincount(
+            ut, weights=cnt_ts, minlength=len(enc.dictionary)
+        ).astype(np.int64)
+        src_names = np.asarray(senc.dictionary.to_pylist(), object)
+        ns_arr = np.array([n_s[s] for s in src_names], np.float64)
+        p = cnt_ts / ns_arr[us]
+        q = qcnt[ut] / float(n_total)
+        term_p = p * np.log(2.0 * p / (p + q))
+        term_q = q * np.log(2.0 * q / (p + q))
+        # local per-source fold: sources x 1 rows per bucket
+        sum_p = np.bincount(us, weights=term_p, minlength=n_src)
+        sum_q = np.bincount(us, weights=term_q, minlength=n_src)
+        qmass = np.bincount(us, weights=q, minlength=n_src)
+        voc = np.bincount(us, minlength=n_src).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "source": senc.dictionary,
+                "sum_p": pa.array(sum_p, pa.float64()),
+                "sum_q": pa.array(sum_q, pa.float64()),
+                "qmass": pa.array(qmass, pa.float64()),
+                "vocab": pa.array(voc, pa.int64()),
+            }
+        )
+
+    parts = tf.groupby("bucket").map_groups(
+        bucket_terms, batch_format="pyarrow"
+    )
+    # driver fold: sources x buckets rows
+    acc: dict[str, list[float]] = {}
+    for row in parts.take_all():
+        a = acc.setdefault(row["source"], [0.0, 0.0, 0.0, 0])
+        a[0] += row["sum_p"]
+        a[1] += row["sum_q"]
+        a[2] += row["qmass"]
+        a[3] += row["vocab"]
+    srcs = sorted(acc)
+    jsd = [
+        round(
+            0.5 * acc[s][0]
+            + 0.5 * (acc[s][1] + (1.0 - acc[s][2]) * np.log(2.0)),
+            6,
+        )
+        for s in srcs
+    ]
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_tokens": pa.array([n_s[s] for s in srcs], pa.int64()),
+            "vocab": pa.array([acc[s][3] for s in srcs], pa.int64()),
+            "jsd": pa.array(jsd, pa.float64()),
+        }
+    )

@@ -198,3 +198,41 @@ def test_label_centroids_closed_form(tmp_path):
     assert out["mean_norm"].tolist() == [1.0, 2.0]
     assert out["centroid_norm"].tolist() == [0.0, 2.0]
     assert out["mean_cos_to_centroid"].tolist() == [0.0, 1.0]
+
+
+def test_source_divergence_closed_form(tmp_path):
+    import math
+
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        source_divergence,
+    )
+
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "source": pa.array(["a", "b"], pa.string()),
+            "text": pa.array(["x x y", "x z"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        source_divergence(str(tmp_path))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    # corpus: x3 y1 z1 (N=5); a: x2 y1 (N_a=3); b: x1 z1 (N_b=2)
+    q = {"x": 3 / 5, "y": 1 / 5, "z": 1 / 5}
+
+    def jsd(p):
+        s_p = sum(pv * math.log(2 * pv / (pv + q[t])) for t, pv in p.items())
+        s_q = sum(q[t] * math.log(2 * q[t] / (p[t] + q[t])) for t in p)
+        qm = sum(q[t] for t in p)
+        return round(0.5 * s_p + 0.5 * (s_q + (1 - qm) * math.log(2)), 6)
+
+    assert out["source"].tolist() == ["a", "b"]
+    assert out["n_tokens"].tolist() == [3, 2]
+    assert out["vocab"].tolist() == [2, 2]
+    assert out.loc[0, "jsd"] == jsd({"x": 2 / 3, "y": 1 / 3})
+    assert out.loc[1, "jsd"] == jsd({"x": 1 / 2, "z": 1 / 2})
