@@ -1001,6 +1001,15 @@ def _q_bpe_train(sf_dir: str):
     return bpe_train(sf_dir)
 
 
+def _q_bpe_encode(sf_dir: str):
+    # no oracle_sql entry: iterative merge application is outside SQL;
+    # pinned against a serial reference (and the trainer's own vocab
+    # state) in tests/test_bpe.py. Actor pool holds the merge table.
+    from high_performance_docling_ray.pipelines.bpe import bpe_encode
+
+    return bpe_encode(sf_dir)
+
+
 def _q_line_dedup(sf_dir: str):
     from high_performance_docling_ray.pipelines.web_curation import (
         line_dedup,
@@ -1202,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "line_dedup": _q_line_dedup,
         "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
         "incremental_minhash": _q_incremental_minhash,
         "ingest_jsonl": _q_ingest_jsonl,
         "ingest_csv": _q_ingest_csv,

@@ -101,18 +101,31 @@ def _pair_counts(batch: pa.Table) -> dict[tuple[str, str], int]:
     return out
 
 
-def _apply_merge(batch: pa.Table, a: str, b: str) -> pa.Table:
-    """Merge every leftmost-first non-overlapping (a, b) occurrence.
+def _merge_pattern(a: str, b: str):
+    """Whole-symbol (a, b) matcher on the SEP-joined form — the
+    Sennrich boundary trick: lookarounds assert each side is a SEP or
+    a string edge WITHOUT consuming it, so (1) a pair like (o, w)
+    never matches inside ["lo", "w"] just because 'o' is a suffix of
+    a larger symbol, and (2) consecutive pairs ["a","b","a","b"] both
+    merge (the shared SEP is not eaten by the first match). re.sub is
+    leftmost-first non-overlapping, exactly the BPE rule."""
+    import re
 
-    Pure string op on the SEP-joined form: replace a<SEP>b with ab.
-    Python's str.replace is already leftmost-first non-overlapping,
-    which is exactly the BPE rule."""
+    return re.compile(
+        r"(?<![^\x00])" + re.escape(a) + "\x00" + re.escape(b)
+        + r"(?![^\x00])"
+    )
+
+
+def _apply_merge(batch: pa.Table, a: str, b: str) -> pa.Table:
+    """Merge every leftmost-first non-overlapping whole-symbol (a, b)
+    occurrence in each SEP-joined symbol string."""
     syms = batch.column("syms").to_pylist()
-    pat = f"{a}{SEP}{b}"
-    rep = f"{a}{b}"
+    pat = _merge_pattern(a, b)
+    rep = (a + b).replace("\\", "\\\\")
     return pa.Table.from_pydict(
         {
-            "syms": pa.array([s.replace(pat, rep) for s in syms]),
+            "syms": pa.array([pat.sub(rep, s) for s in syms]),
             "cnt": batch.column("cnt"),
         }
     )
@@ -183,4 +196,107 @@ def bpe_train(sf_dir: str, n_merges: int = 12) -> pa.Table:
             "right": pa.array([m[2] for m in merges], pa.string()),
             "pair_count": pa.array([m[3] for m in merges], pa.int64()),
         }
+    )
+
+
+class BpeEncoder:
+    """Corpus tokenization with a TRAINED merge list — the encode half
+    of the tokenizer lifecycle (train -> encode -> pack). An actor
+    holds the merge table (the model: tiny here, a few MB at a real
+    100k-merge vocabulary — constructor-shipped once per actor, never
+    per batch) and encodes each DISTINCT word of a batch once
+    (dictionary-encode + scatter; web text repeats its vocabulary
+    heavily), applying merges in rank order with the same
+    leftmost-first non-overlapping replace the trainer used — so
+    encode(word) is bit-identical to the trained vocab state.
+    """
+
+    def __init__(self, merge_pairs: list[tuple[str, str]]):
+        self.subs = [
+            (
+                _merge_pattern(a, b),
+                (a + b).replace("\\", "\\\\"),
+                f"{a}{SEP}{b}",
+            )
+            for a, b in merge_pairs
+        ]
+
+    def encode_word(self, word: str) -> list[str]:
+        s = SEP.join(word)
+        for pat, rep, quick in self.subs:
+            if quick in s:  # cheap substring pre-filter
+                s = pat.sub(rep, s)
+        return s.split(SEP) if s else []
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.sketch import hash64
+
+        flat, doc_idx, n_tok = _tokenize_words(batch.column("text"))
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nrows = batch.num_rows
+        if len(flat):
+            enc = flat.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            words = enc.dictionary.to_pylist()
+            pieces = [self.encode_word(w) for w in words]
+            piece_len = np.array([len(p) for p in pieces], np.int64)
+            # per-distinct-word token-hash sum -> per-doc checksum
+            word_sum = np.array(
+                [
+                    int(np.sum(hash64(p), dtype=np.uint64)) if p else 0
+                    for p in pieces
+                ],
+                np.uint64,
+            )
+            n_bpe = np.zeros(nrows, np.int64)
+            np.add.at(n_bpe, doc_idx, piece_len[codes])
+            checksum = np.zeros(nrows, np.uint64)
+            np.add.at(checksum, doc_idx, word_sum[codes])
+        else:
+            n_bpe = np.zeros(nrows, np.int64)
+            checksum = np.zeros(nrows, np.uint64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_words": pa.array(n_tok, pa.int64()),
+                "n_bpe": pa.array(n_bpe, pa.int64()),
+                "checksum": pa.array(
+                    checksum.view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
+def _tokenize_words(col):
+    from .corpus_clean import _tokenize
+
+    return _tokenize(col)
+
+
+def bpe_encode(
+    sf_dir: str, n_merges: int = 12, merges: pa.Table | None = None
+) -> ray.data.Dataset:
+    """Tokenize the whole corpus with a trained BPE: per doc
+    (doc_id, n_words, n_bpe, checksum) where checksum is the mod-2^64
+    sum of md5 hashes of the doc's BPE tokens (pins byte-level token
+    agreement in tests without shipping token lists). Trains the
+    merges first unless a merge table is passed. Rows-only at the
+    driver gate (iterative encode is outside SQL); pinned against a
+    serial reference in tests/test_bpe.py."""
+    if merges is None:
+        merges = bpe_train(sf_dir, n_merges)
+    pairs = list(
+        zip(merges.column("left").to_pylist(),
+            merges.column("right").to_pylist())
+    )
+    from .text_analysis import read_documents
+
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+    return docs.map_batches(
+        BpeEncoder,
+        fn_constructor_args=(pairs,),
+        concurrency=(1, 4),
+        batch_format="pyarrow",
     )

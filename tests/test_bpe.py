@@ -103,3 +103,78 @@ def test_bpe_deterministic():
     # merges nest: a shorter run is a prefix of a longer one
     c = bpe_train(SF, n_merges=2).to_pandas()
     assert c.equals(a.iloc[:2].reset_index(drop=True))
+
+
+def _serial_apply(word, merges):
+    """Apply merges in rank order, leftmost non-overlapping each."""
+    syms = list(word)
+    for _, a, b, _ in merges:
+        j, out = 0, []
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_serial_application(tmp_path):
+    import numpy as np
+
+    from high_performance_docling_ray.kernels.sketch import hash64
+    from high_performance_docling_ray.pipelines.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = [
+        "low low lower lowest",
+        "new newer newest low",
+        "wider wide wide new",
+        "",
+    ]
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    merges_tbl = bpe_train(str(tmp_path), n_merges=8)
+    merges = list(
+        zip(
+            merges_tbl.column("merge_ord").to_pylist(),
+            merges_tbl.column("left").to_pylist(),
+            merges_tbl.column("right").to_pylist(),
+            merges_tbl.column("pair_count").to_pylist(),
+        )
+    )
+    out = (
+        bpe_encode(str(tmp_path), merges=merges_tbl)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        words = t.split()
+        pieces = [p for w in words for p in _serial_apply(w, merges)]
+        # every piece list concatenates back to its word
+        for w in words:
+            assert "".join(_serial_apply(w, merges)) == w
+        want_sum = int(np.sum(hash64(pieces), dtype=np.uint64).view(np.int64)) if pieces else 0
+        assert out.loc[i, "n_words"] == len(words)
+        assert out.loc[i, "n_bpe"] == len(pieces)
+        assert int(out.loc[i, "checksum"]) == want_sum
+
+
+def test_bpe_encode_corpus_runs():
+    from high_performance_docling_ray.pipelines.bpe import bpe_encode
+
+    out = bpe_encode(SF, n_merges=4).to_pandas()
+    assert len(out) == 500
+    # encoding never yields fewer than 1 piece per non-empty word
+    assert (out.loc[out["n_words"] > 0, "n_bpe"] >= out.loc[out["n_words"] > 0, "n_words"]).all()
