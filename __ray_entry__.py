@@ -696,6 +696,18 @@ def _q_source_composition(sf_dir: str):
     return source_composition(sf_dir)
 
 
+def _q_winnowing(sf_dir: str):
+    """Winnowing fingerprints (MOSS): md5 word 4-gram hashes, 8-hash
+    windows, per-window minimum with the rightmost-tie rule, distinct
+    selected (pos, hash) pairs. Pure vectorized map — one
+    sliding_window_view pass per batch, no exchange."""
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    return winnowing_fingerprints(sf_dir)
+
+
 def _q_source_divergence(sf_dir: str):
     """Per-source Jensen-Shannon divergence vs the corpus unigram
     distribution: one corpus pass -> materialized (token, source, cnt)
@@ -1174,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_hourly": _q_hll_hourly,
         "source_composition": _q_source_composition,
         "source_divergence": _q_source_divergence,
+        "winnowing_fingerprints": _q_winnowing,
         "label_centroids": _q_label_centroids,
         "props_extract": _q_props_extract,
         # relational operator demos
@@ -2722,6 +2735,43 @@ def oracle_sql() -> dict[str, str]:
                           * ln(c.n * 1.0 / s.n_docs)), 6) AS lang_entropy
         FROM c JOIN s USING (source)
         GROUP BY 1, s.n_docs, s.total_chars
+    """
+    # winnowing (MOSS): word 4-grams (same trim + \s+ tokens), 8-hash
+    # windows; j <= greatest(m-8, 0) keeps exactly the full windows
+    # plus one truncated whole-doc window for docs with < 8 grams
+    # (DuckDB ROWS ... FOLLOWING truncates at the partition edge);
+    # rightmost tie = MAX(pos) among window rows equal to the min
+    oracles["winnowing_fingerprints"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS i,
+                 md5_number_upper(
+                   array_to_string(toks[u.i:u.i + 3], ' ')) AS h
+          FROM t, unnest(range(1, len(toks) - 4 + 2)) AS u(i)
+        ),
+        win AS (
+          SELECT doc_id, i AS j,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND 7 FOLLOWING) AS mh,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS m
+          FROM g
+        ),
+        w2 AS (SELECT * FROM win WHERE j <= greatest(m - 8, 0)),
+        sel AS (
+          SELECT w2.doc_id, w2.j, MAX(g.i) AS pos
+          FROM w2 JOIN g ON g.doc_id = w2.doc_id
+                        AND g.i BETWEEN w2.j AND w2.j + 7
+                        AND g.h = w2.mh
+          GROUP BY w2.doc_id, w2.j
+        )
+        SELECT DISTINCT sel.doc_id, sel.pos, CAST(g.h AS UBIGINT) AS h
+        FROM sel JOIN g ON g.doc_id = sel.doc_id AND g.i = sel.pos
     """
     # JS divergence per source vs the corpus unigram distribution;
     # same trim + \s+ tokens; tokens absent from a source contribute

@@ -1052,3 +1052,91 @@ def source_divergence(sf_dir: str) -> pa.Table:
             "jsd": pa.array(jsd, pa.float64()),
         }
     )
+
+
+def winnowing_fingerprints(
+    sf_dir: str, k: int = 4, w: int = 8
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS scheme): hash every word ``k``-gram, slide a ``w``-hash
+    window, and select each window's minimum (RIGHTMOST position on
+    ties — the paper's rule, which makes selections consistent across
+    overlapping windows); the distinct selected (position, hash) pairs
+    are the doc's fingerprints. Guarantees every length-``w`` gram run
+    contributes at least one fingerprint, unlike a plain mod-p sampler.
+    Returns rows ``(doc_id, pos, h)``; docs shorter than ``k`` tokens
+    emit none, docs with fewer than ``w`` grams emit their single
+    whole-doc minimum.
+
+    Pure map at any scale (a doc's grams never straddle batches); the
+    window minimum is one vectorized ``sliding_window_view`` pass with
+    a reversed argmin for the rightmost-tie rule. Hashes are the md5
+    ``hash64`` DuckDB rebuilds as ``md5_number_upper``, so the oracle
+    reproduces every selected pair exactly.
+    """
+    import pyarrow.compute as pc
+
+    from ..kernels.sketch import hash64_strings
+    from .corpus_clean import _tokenize
+
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+
+    def empty() -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "h": pa.array([], pa.uint64()),
+            }
+        )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _tokenize(batch.column("text"))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < k:
+            return empty()
+        valid = doc_idx[: n - k + 1] == doc_idx[k - 1 :]
+        starts = np.flatnonzero(valid)
+        if len(starts) == 0:
+            return empty()
+        parts = [flat.take(pa.array(starts + d)) for d in range(k)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        h = hash64_strings(grams)
+        gdoc = doc_idx[starts]
+        first = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+        counts = np.diff(np.r_[first, len(gdoc)])
+        doc_start = np.repeat(first, counts)
+        pos = np.arange(len(gdoc), dtype=np.int64) - doc_start
+        m_of = np.repeat(counts, counts)  # grams in this gram's doc
+        selected = []
+        if len(h) >= w:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            W = sliding_window_view(h, w)
+            am = np.argmin(W[:, ::-1], axis=1)
+            sel = np.arange(len(W), dtype=np.int64) + (w - 1 - am)
+            full = pos[: len(W)] <= (m_of[: len(W)] - w)
+            selected.append(sel[full])
+        # docs with fewer than w grams: one whole-doc minimum
+        small = np.flatnonzero(counts < w)
+        for gi in small:
+            s, e = first[gi], first[gi] + counts[gi]
+            hh = h[s:e]
+            selected.append(
+                np.array(
+                    [s + len(hh) - 1 - int(np.argmin(hh[::-1]))], np.int64
+                )
+            )
+        if not selected:
+            return empty()
+        sel = np.unique(np.concatenate(selected))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[gdoc[sel]], pa.int64()),
+                "pos": pa.array(pos[sel], pa.int64()),
+                "h": pa.array(h[sel], pa.uint64()),
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")

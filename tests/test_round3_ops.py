@@ -236,3 +236,59 @@ def test_source_divergence_closed_form(tmp_path):
     assert out["vocab"].tolist() == [2, 2]
     assert out.loc[0, "jsd"] == jsd({"x": 2 / 3, "y": 1 / 3})
     assert out.loc[1, "jsd"] == jsd({"x": 1 / 2, "z": 1 / 2})
+
+
+def test_winnowing_closed_form(tmp_path):
+    from high_performance_docling_ray.kernels.sketch import hash64
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    # doc 0: 12 tokens -> 9 grams -> 2 full windows (j=0,1)
+    # doc 1: 5 tokens -> 2 grams (< w) -> one whole-doc min
+    # doc 2: 3 tokens -> no 4-gram
+    texts = [
+        "a b c d e f g h i j k l",
+        "p q r s t",
+        "x y z",
+    ]
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        winnowing_fingerprints(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+
+    def serial(toks, k=4, w=8):
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = hash64(grams)
+        sel = set()
+        if len(hs) == 0:
+            return sel
+        if len(hs) < w:
+            win = [(0, len(hs))]
+        else:
+            win = [(j, j + w) for j in range(len(hs) - w + 1)]
+        for a, b in win:
+            mh = hs[a:b].min()
+            pos = max(i for i in range(a, b) if hs[i] == mh)
+            sel.add((pos, int(hs[pos])))
+        return sel
+
+    for d, t in enumerate(texts):
+        got = {
+            (int(r.pos), int(r.h))
+            for r in out[out.doc_id == d].itertuples()
+        }
+        assert got == serial(t.split()), f"doc {d}"
+    # the winnowing guarantee on doc 0: every full window selected one
+    assert len(out[out.doc_id == 0]) >= 1
+    assert len(out[out.doc_id == 2]) == 0
