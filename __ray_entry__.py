@@ -708,6 +708,18 @@ def _q_winnowing(sf_dir: str):
     return winnowing_fingerprints(sf_dir)
 
 
+def _q_winnowing_pairs(sf_dir: str):
+    """MOSS overlap detection: doc pairs sharing >= 2 distinct
+    winnowed fingerprints, ubiquitous fingerprints (df > 64) dropped
+    per the paper. Key-only hash-bucketed exchange, vectorized pair
+    emission, local pair-count combine, one pair-keyed groupby."""
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        winnowing_overlap_pairs,
+    )
+
+    return winnowing_overlap_pairs(sf_dir)
+
+
 def _q_source_divergence(sf_dir: str):
     """Per-source Jensen-Shannon divergence vs the corpus unigram
     distribution: one corpus pass -> materialized (token, source, cnt)
@@ -1187,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_composition": _q_source_composition,
         "source_divergence": _q_source_divergence,
         "winnowing_fingerprints": _q_winnowing,
+        "winnowing_overlap_pairs": _q_winnowing_pairs,
         "label_centroids": _q_label_centroids,
         "props_extract": _q_props_extract,
         # relational operator demos
@@ -2773,6 +2786,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT sel.doc_id, sel.pos, CAST(g.h AS UBIGINT) AS h
         FROM sel JOIN g ON g.doc_id = sel.doc_id AND g.i = sel.pos
     """
+    # MOSS overlap: distinct (doc, h) over the winnowing oracle, df
+    # cap, self-join pair counts
+    oracles["winnowing_overlap_pairs"] = (
+        "WITH fp AS (SELECT DISTINCT doc_id, h FROM ("
+        + oracles["winnowing_fingerprints"]
+        + """)),
+        df AS (SELECT h, COUNT(*) AS c FROM fp GROUP BY h),
+        ok AS (SELECT h FROM df WHERE c BETWEEN 2 AND 64)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM fp a JOIN fp b USING (h) JOIN ok USING (h)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+        """
+    )
     # JS divergence per source vs the corpus unigram distribution;
     # same trim + \s+ tokens; tokens absent from a source contribute
     # (1 - sum q) ln 2 in closed form on both sides

@@ -1140,3 +1140,115 @@ def winnowing_fingerprints(
         )
 
     return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def winnowing_overlap_pairs(
+    sf_dir: str, min_shared: int = 2, max_df: int = 64
+) -> ray.data.Dataset:
+    """MOSS-style overlap detection over winnowing fingerprints: doc
+    pairs sharing >= ``min_shared`` distinct selected hashes, after
+    dropping fingerprints selected by more than ``max_df`` docs (the
+    paper's rule — ubiquitous fingerprints are boilerplate, and the
+    cap also bounds the per-hash pair blowup to max_df^2 instead of
+    letting one hot fingerprint emit corpus^2 pairs). Returns
+    ``(doc_a, doc_b, shared)``.
+
+    Scale shape: per-batch DISTINCT (h, doc) rows (a doc never
+    straddles batches) -> ONE hash-bucketed exchange of key-only rows
+    -> within each bucket group: vectorized per-hash df filter + pair
+    emission + local pair-count combine -> one pair-keyed groupby sum.
+    Payload text never shuffles; the exchange is bounded by the
+    fingerprint domain, ~2/(w+1) of the gram count.
+    """
+    import pyarrow.compute as pc
+
+    from .joins import default_num_buckets, int_key_buckets
+
+    fps = winnowing_fingerprints(sf_dir)
+    num_parts = default_num_buckets()
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(d) and (d.min() < 0 or d.max() >= (1 << 31)):
+            raise ValueError(
+                "winnowing_overlap_pairs packs (doc_a, doc_b) into one "
+                "int64; doc_id must fit in 31 bits — use a string pair "
+                "key past that"
+            )
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        # distinct (h, doc) within batch == globally distinct
+        key = np.unique(np.stack([h, d.astype(np.uint64)], axis=1), axis=0)
+        hs = np.ascontiguousarray(key[:, 0])
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(hs, pa.uint64()),
+                "doc_id": pa.array(key[:, 1].astype(np.int64), pa.int64()),
+                "bucket": pa.array(
+                    int_key_buckets(hs.view(np.int64), num_parts)
+                ),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        first = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        counts = np.diff(np.r_[first, len(h)])
+        ok = (counts >= 2) & (counts <= max_df)
+        pair_chunks = []
+        for gi in np.flatnonzero(ok):
+            s = first[gi]
+            docs = d[s : s + counts[gi]]  # sorted asc
+            ii, jj = np.triu_indices(len(docs), k=1)
+            pair_chunks.append(
+                docs[ii].astype(np.int64) * (1 << 32) + docs[jj]
+            )
+        if not pair_chunks:
+            return pa.Table.from_pydict(
+                {
+                    "pk": pa.array([], pa.int64()),
+                    "shared": pa.array([], pa.int64()),
+                }
+            )
+        pk = np.concatenate(pair_chunks)
+        uniq, cnt = np.unique(pk, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "pk": pa.array(uniq, pa.int64()),
+                "shared": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        fps.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("pk")
+        .sum("shared")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "pk" not in batch.column_names:
+            # Ray groupby can hand a 0-row 0-COLUMN block downstream
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "shared": pa.array([], pa.int64()),
+                }
+            )
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        sh = batch.column("sum(shared)").to_numpy(zero_copy_only=False)
+        keep = sh >= min_shared
+        pk, sh = pk[keep], sh[keep]
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(pk >> 32, pa.int64()),
+                "doc_b": pa.array(pk & ((1 << 32) - 1), pa.int64()),
+                "shared": pa.array(sh.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

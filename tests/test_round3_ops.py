@@ -292,3 +292,51 @@ def test_winnowing_closed_form(tmp_path):
     # the winnowing guarantee on doc 0: every full window selected one
     assert len(out[out.doc_id == 0]) >= 1
     assert len(out[out.doc_id == 2]) == 0
+
+
+def test_winnowing_overlap_pairs_planted(tmp_path):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        winnowing_overlap_pairs,
+    )
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+    )
+    texts = [
+        shared + " uniq0 tail0 words here now",
+        shared + " uniq1 tail1 words here now",
+        "completely different content with no overlap at all whatsoever",
+    ]
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = winnowing_overlap_pairs(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert (out.loc[0, "doc_a"], out.loc[0, "doc_b"]) == (0, 1)
+    assert out.loc[0, "shared"] >= 2
+
+
+def test_winnowing_overlap_df_cap_drops_boilerplate(tmp_path):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        winnowing_overlap_pairs,
+    )
+
+    # 6 docs all sharing the same text: with max_df=4 every
+    # fingerprint is ubiquitous and no pair survives
+    texts = ["common words repeated in every doc alike here today"] * 6
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 6),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = winnowing_overlap_pairs(str(tmp_path), max_df=4).to_pandas()
+    assert len(out) == 0
