@@ -696,6 +696,18 @@ def _q_source_composition(sf_dir: str):
     return source_composition(sf_dir)
 
 
+def _q_phrase_lookup(sf_dir: str):
+    """Exact phrase search ('hash join') over the PERSISTED positional
+    inverted index: reads only the phrase tokens' bucket partitions,
+    then one doc-bucketed regroup intersects per-ordinal sorted
+    position arrays (the classic positional-postings merge)."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        phrase_lookup,
+    )
+
+    return phrase_lookup(sf_dir)
+
+
 def _q_winnowing(sf_dir: str):
     """Winnowing fingerprints (MOSS): md5 word 4-gram hashes, 8-hash
     windows, per-window minimum with the rightmost-tie rule, distinct
@@ -1146,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "figure_crops": _q_figure_crops,
         "neardup_components": _q_neardup_components,
         "postings_lookup": _q_postings_lookup,
+        "phrase_lookup": _q_phrase_lookup,
         "top_tokens": _q_top_tokens,
         "cms_token_estimates": _q_cms_estimates,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -2785,6 +2798,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT DISTINCT sel.doc_id, sel.pos, CAST(g.h AS UBIGINT) AS h
         FROM sel JOIN g ON g.doc_id = sel.doc_id AND g.i = sel.pos
+    """
+    # exact phrase occurrences of 'hash join' (0-based first_pos)
+    oracles["phrase_lookup"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        occ AS (
+          SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS p
+          FROM t, unnest(range(1, len(toks))) AS u(i)
+          WHERE toks[u.i] = 'hash' AND toks[u.i + 1] = 'join'
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+               MIN(p) AS first_pos
+        FROM occ GROUP BY doc_id
     """
     # MOSS overlap: distinct (doc, h) over the winnowing oracle, df
     # cap, self-join pair counts

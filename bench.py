@@ -153,6 +153,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "mixture_sample",
         "chunk_documents",
         "line_dedup",
+        # session-5 additions: classifier filtering, winnowing, JSD
+        "quality_classifier",
+        "winnowing_fingerprints",
+        "winnowing_overlap_pairs",
+        "source_divergence",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

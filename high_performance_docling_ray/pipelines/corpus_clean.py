@@ -978,3 +978,192 @@ def bm25_topk(
     return merged.take(pa.array(np.sort(order))).sort_by(
         [("score", "descending"), ("doc_id", "ascending")]
     )
+
+
+def build_positional_index(
+    sf_dir: str,
+    num_buckets: int = 16,
+    out_dir: str | None = None,
+) -> str:
+    """PERSISTED positional inverted index: (token, doc_id, positions)
+    posting rows — the phrase-search extension of
+    ``build_inverted_index`` (same content-keyed cache dir, _SUCCESS
+    marker, bucket partitioning; a query reads only its tokens'
+    buckets). Positions are 0-based whitespace-token ordinals, built
+    in one vectorized lexsort pass per batch; no shuffle — parquet
+    partitioning on write is the only data movement."""
+    import hashlib
+    import os
+    import shutil
+
+    from .joins import string_key_buckets
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        content_tag = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content_tag = "unknown"
+    if out_dir is None:
+        tag = hashlib.md5(
+            f"{src}:{num_buckets}:{content_tag}:pos".encode()
+        ).hexdigest()[:12]
+        out_dir = f"/tmp/graft_posidx/{tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+
+    def position_rows(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, n_tok = _tokenize(batch.column("text"))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "token": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "positions": pa.array([], pa.list_(pa.int64())),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        offs = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+        pos = np.arange(len(doc_idx), dtype=np.int64) - offs[doc_idx]
+        enc = flat.dictionary_encode()
+        tcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pos, tcode, doc_idx))
+        d, t, p = doc_idx[order], tcode[order], pos[order]
+        first = np.flatnonzero(np.r_[True, (d[1:] != d[:-1]) | (t[1:] != t[:-1])])
+        counts = np.diff(np.r_[first, len(d)])
+        lo = np.concatenate((first, [len(d)])).astype(np.int32)
+        tok = enc.dictionary.take(pa.array(t[first]))
+        return pa.Table.from_pydict(
+            {
+                "token": tok,
+                "doc_id": pa.array(ids[d[first]], pa.int64()),
+                "positions": pa.ListArray.from_arrays(
+                    pa.array(lo, pa.int32()), pa.array(p, pa.int64())
+                ),
+                "bucket": pa.array(
+                    string_key_buckets(tok, num_buckets), pa.int32()
+                ),
+            }
+        )
+
+    docs.map_batches(position_rows, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def phrase_lookup(
+    sf_dir: str,
+    phrase: tuple[str, ...] = ("hash", "join"),
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Exact phrase search over the persisted positional index:
+    returns ``(doc_id, n_occ, first_pos)`` for every doc containing
+    the token sequence at adjacent positions. Reads ONLY the phrase
+    tokens' bucket partitions (partition pruning = candidate
+    filtering, like the IVF nprobe read); the surviving postings —
+    bounded by the phrase's document frequency, not the corpus —
+    regroup once by doc bucket, and each doc intersects its per-ordinal
+    sorted position arrays (cand = cand[isin(cand + k, pos_k)]), the
+    classic positional-postings merge."""
+    import glob
+    import os
+
+    import ray
+    import ray.data
+
+    from .joins import (
+        default_num_buckets,
+        int_key_buckets,
+        string_key_buckets,
+    )
+
+    if not phrase:
+        raise ValueError("phrase must have at least one token")
+    index_dir = build_positional_index(sf_dir, num_buckets=num_buckets)
+    want = pa.array(sorted(set(phrase)), pa.string())
+    buckets = sorted(set(string_key_buckets(want, num_buckets).tolist()))
+    paths = [
+        f
+        for b in buckets
+        for f in sorted(
+            glob.glob(os.path.join(out_glob(index_dir, b), "*.parquet"))
+        )
+    ]
+    empty_out = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_occ": pa.array([], pa.int64()),
+            "first_pos": pa.array([], pa.int64()),
+        }
+    )
+    if not paths:
+        return ray.data.from_arrow(empty_out)
+    # token -> phrase ordinals (a token may repeat in the phrase)
+    ords_of: dict[str, list[int]] = {}
+    for k, t in enumerate(phrase):
+        ords_of.setdefault(t, []).append(k)
+    n_parts = default_num_buckets()
+
+    def hit(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("token"), value_set=want)
+        t = batch.filter(mask).select(["token", "doc_id", "positions"])
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "dbucket", pa.array(int_key_buckets(d, n_parts))
+        )
+
+    def intersect(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty_out
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = group.column("token").to_pylist()
+        pos_col = group.column("positions")
+        order = np.argsort(d, kind="stable")
+        out_doc, out_n, out_first = [], [], []
+        i = 0
+        while i < len(order):
+            j = i
+            per_ord: dict[int, np.ndarray] = {}
+            while j < len(order) and d[order[j]] == d[order[i]]:
+                r = order[j]
+                pl = np.asarray(pos_col[int(r)].as_py(), np.int64)
+                for k in ords_of.get(toks[r], ()):
+                    per_ord[k] = pl
+                j += 1
+            if len(per_ord) == len(phrase):
+                cand = per_ord[0]
+                for k in range(1, len(phrase)):
+                    if not len(cand):
+                        break
+                    cand = cand[np.isin(cand + k, per_ord[k])]
+                if len(cand):
+                    out_doc.append(int(d[order[i]]))
+                    out_n.append(len(cand))
+                    out_first.append(int(cand.min()))
+            i = j
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "n_occ": pa.array(out_n, pa.int64()),
+                "first_pos": pa.array(out_first, pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            paths, columns=["token", "doc_id", "positions"]
+        )
+        .map_batches(hit, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(intersect, batch_format="pyarrow")
+    )

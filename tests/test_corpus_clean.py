@@ -301,3 +301,73 @@ def test_top_tokens_per_lang_closed_form(tmp_path):
     assert sorted(zip(en["token"], en["cnt"])) == [("a", 2), ("c", 3)]
     nul = out[out["lang"].isna()]
     assert sorted(zip(nul["token"], nul["cnt"])) == [("q", 1), ("z", 2)]
+
+
+def test_phrase_lookup_closed_form(tmp_path):
+    import pyarrow.parquet as _pq
+
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        phrase_lookup,
+    )
+
+    texts = [
+        "a b a b a",          # "a b a": occurrences at 0 and 2
+        "a b c a b a x",      # one at 3
+        "b a b a b",          # one at 1
+        "c c c",              # none
+        "a b",                # phrase longer than doc suffix: none
+    ]
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+    _pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        phrase_lookup(str(tmp_path), phrase=("a", "b", "a"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_occ"].tolist() == [2, 1, 1]
+    assert out["first_pos"].tolist() == [0, 3, 1]
+
+
+def test_phrase_lookup_pruned_and_absent(tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        build_positional_index,
+        phrase_lookup,
+    )
+    from high_performance_docling_ray.pipelines.joins import (
+        string_key_buckets,
+    )
+
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["x y z w", "y z x"], pa.string()),
+            "lang": pa.array(["en", "en"]),
+        }
+    )
+    _pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    # absent phrase -> empty result with a stable schema
+    out = phrase_lookup(str(tmp_path), phrase=("z", "q")).to_pandas()
+    assert len(out) == 0
+    # pruning: the query's buckets are a subset of the store's
+    index_dir = build_positional_index(str(tmp_path))
+    all_buckets = {
+        int(d.split("=")[1])
+        for d in os.listdir(index_dir)
+        if d.startswith("bucket=")
+    }
+    qb = set(
+        string_key_buckets(pa.array(["y", "z"], pa.string()), 16).tolist()
+    )
+    assert qb <= all_buckets
