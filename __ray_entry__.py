@@ -696,6 +696,17 @@ def _q_source_composition(sf_dir: str):
     return source_composition(sf_dir)
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Snapshot-versioning diff: per-doc added/removed/modified/
+    unchanged decided by content-hash comparison; key-only (doc_id,
+    h, side) rows, one doc-bucketed exchange, vectorized resolve."""
+    from high_performance_docling_ray.pipelines.incremental import (
+        corpus_diff,
+    )
+
+    return corpus_diff(sf_dir)
+
+
 def _q_phrase_lookup(sf_dir: str):
     """Exact phrase search ('hash join') over the PERSISTED positional
     inverted index: reads only the phrase tokens' bucket partitions,
@@ -1252,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
         "incremental_minhash": _q_incremental_minhash,
+        "corpus_diff": _q_corpus_diff,
         "ingest_jsonl": _q_ingest_jsonl,
         "ingest_csv": _q_ingest_csv,
         "domain_split": _q_domain_split,
@@ -2798,6 +2810,18 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT DISTINCT sel.doc_id, sel.pos, CAST(g.h AS UBIGINT) AS h
         FROM sel JOIN g ON g.doc_id = sel.doc_id AND g.i = sel.pos
+    """
+    # snapshot diff: the CLOSED FORM of the v2 planting (removed
+    # checked before modified — doc 190 at sf0.01 matches both)
+    oracles["corpus_diff"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 4 THEN 'removed'
+                    WHEN doc_id % 17 = 3 THEN 'modified'
+                    ELSE 'unchanged' END AS status
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, 'added' AS status
+        FROM documents WHERE doc_id % 23 = 5
     """
     # exact phrase occurrences of 'hash join' (0-based first_pos)
     oracles["phrase_lookup"] = r"""

@@ -536,3 +536,107 @@ def incremental_minhash(
         )
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+# -- corpus snapshot diff (dataset versioning) -------------------------------
+
+
+def corpus_diff(sf_dir: str) -> ray.data.Dataset:
+    """Dataset-versioning diff between two corpus snapshots: per doc
+    ``(doc_id, status)`` with status in added / removed / modified /
+    unchanged, decided by CONTENT HASH comparison (the mechanism a
+    real snapshot diff uses), not by knowing the edit plan. v2 is
+    derived deterministically from v1 so the oracle is a closed form
+    of the planting: doc_id % 31 == 4 removed (checked first),
+    else % 17 == 3 modified (text + ' v2prime'), and % 23 == 5 spawns
+    an added doc at doc_id + 1_000_000.
+
+    Scale shape: ONE read emits both sides' key-only (doc_id, h, side)
+    rows per batch (v2 is derived in-batch; with a real second
+    snapshot this is a union of two pruned reads — text never
+    shuffles either way), then one doc-bucketed exchange where each
+    bucket resolves statuses vectorized (lexsort + run scan).
+    """
+    from .joins import default_num_buckets, int_key_buckets
+
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+    num_parts = default_num_buckets()
+
+    def both_sides(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        h1 = np.asarray(
+            [md5_fingerprint(t or "") for t in texts], object
+        )
+        removed = ids % 31 == 4
+        modified = (ids % 17 == 3) & ~removed
+        spawns = ids % 23 == 5
+        # v1 side
+        d = [ids]
+        h = [h1]
+        s = [np.zeros(len(ids), np.int8)]
+        # v2 side: survivors (modified docs re-hash)
+        keep = ~removed
+        h2 = h1.copy()
+        if modified.any():
+            h2[modified] = [
+                md5_fingerprint((texts[i] or "") + " v2prime")
+                for i in np.flatnonzero(modified)
+            ]
+        d.append(ids[keep])
+        h.append(h2[keep])
+        s.append(np.ones(int(keep.sum()), np.int8))
+        # v2 side: added docs
+        if spawns.any():
+            idx = np.flatnonzero(spawns)
+            d.append(ids[idx] + 1_000_000)
+            h.append(
+                np.asarray(
+                    [md5_fingerprint((texts[i] or "") + " new") for i in idx],
+                    object,
+                )
+            )
+            s.append(np.ones(len(idx), np.int8))
+        dd = np.concatenate(d)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(dd, pa.int64()),
+                "h": pa.array(np.concatenate(h).tolist(), pa.string()),
+                "side": pa.array(np.concatenate(s), pa.int8()),
+                "bucket": pa.array(int_key_buckets(dd, num_parts)),
+            }
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "status": pa.array([], pa.string()),
+                }
+            )
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        s = group.column("side").to_numpy(zero_copy_only=False)
+        h = np.asarray(group.column("h").to_pylist(), object)
+        order = np.lexsort((s, d))
+        d, s, h = d[order], s[order], h[order]
+        first = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        counts = np.diff(np.r_[first, len(d)])
+        status = np.empty(len(first), object)
+        two = counts == 2
+        f2 = first[two]
+        status[two] = np.where(h[f2] == h[f2 + 1], "unchanged", "modified")
+        one = counts == 1
+        status[one] = np.where(s[first[one]] == 0, "removed", "added")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(d[first], pa.int64()),
+                "status": pa.array(status.tolist(), pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(both_sides, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

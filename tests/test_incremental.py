@@ -104,3 +104,33 @@ def test_incremental_minhash_exact_and_near_pairs():
         .reset_index(drop=True)[out.columns.tolist()]
     )
     assert out.equals(again)
+
+
+def test_corpus_diff_statuses(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from high_performance_docling_ray.pipelines.incremental import (
+        corpus_diff,
+    )
+
+    # ids chosen so each status fires: 4 removed (4%31), 3 modified
+    # (3%17), 5 unchanged + spawns 1000005 added (5%23), 0 unchanged
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 3, 4, 5], pa.int64()),
+            "text": pa.array(["t0", "t3", "t4", "t5"], pa.string()),
+            "lang": pa.array(["en"] * 4),
+        }
+    )
+    _pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        corpus_diff(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = {0: "unchanged", 3: "modified", 4: "removed",
+            5: "unchanged", 1000005: "added"}
+    got = dict(zip(out["doc_id"], out["status"]))
+    assert got == want
