@@ -696,6 +696,15 @@ def _q_source_composition(sf_dir: str):
     return source_composition(sf_dir)
 
 
+def _q_pack_bins(sf_dir: str):
+    # no oracle_sql entry: greedy FFD packing is sequential and
+    # outside SQL; pinned against a serial FFD + conservation /
+    # capacity invariants in tests/test_lm_filters.py
+    from high_performance_docling_ray.pipelines.lm_filters import pack_bins
+
+    return pack_bins(sf_dir)
+
+
 def _q_corpus_diff(sf_dir: str):
     """Snapshot-versioning diff: per-doc added/removed/modified/
     unchanged decided by content-hash comparison; key-only (doc_id,
@@ -1184,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "unigram_logprob": _q_unigram_logprob,
         "pack_sequences": _q_pack_sequences,
+        "pack_bins": _q_pack_bins,
         "pack_assignments": _q_pack_assignments,
         "clean_corpus": _q_clean_corpus,
         "curate_and_pack": _q_curate_and_pack,

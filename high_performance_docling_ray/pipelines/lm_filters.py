@@ -1858,3 +1858,135 @@ def quality_classifier(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(
         QualityClassifier, concurrency=(1, 4), batch_format="pyarrow"
     )
+
+
+# -- FFD sample packing (docs not split) -------------------------------------
+
+
+def pack_bins(
+    sf_dir: str, capacity: int = 512, bucket_docs: int = 256
+) -> ray.data.Dataset:
+    """SFT-style sample packing: docs are NOT split (unlike
+    ``pack_sequences``' concat-and-chunk) — each bin holds whole
+    documents with total tokens <= ``capacity``, packed
+    first-fit-decreasing. Returns assignments
+    ``(doc_id, n_tok, bin_id, overflow)``; a doc longer than capacity
+    gets a bin of its own with ``overflow = true``.
+
+    FFD is inherently sequential, so the distributed shape packs each
+    doc_id BUCKET independently (exactly what real loaders do per
+    shard) and makes bucket-local bin ids global with a driver cumsum
+    over per-bucket bin counts — the two-level offset pattern shared
+    with ``pack_sequences``. Exchanges: the (doc_id, n_tok) key-row
+    pass, one bucket-keyed regroup, and a tiny per-bucket bin-count
+    fold on the driver; text never shuffles. Rows-only at the driver
+    gate (greedy packing is outside SQL); pinned against a serial FFD
+    and conservation/capacity invariants in tests.
+    """
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+    counts = _tok_count_rows(docs, bucket_docs)
+
+    def ffd(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return pa.Table.from_pydict(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                    "local_bin": pa.array([], pa.int64()),
+                    "overflow": pa.array([], pa.bool_()),
+                }
+            )
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        n = group.column("n_tok").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -n))  # n_tok desc, doc_id asc
+        remaining: list[int] = []
+        bin_of = np.empty(len(d), np.int64)
+        over = np.zeros(len(d), bool)
+        for r in order:
+            t = int(n[r])
+            if t >= capacity:
+                bin_of[r] = len(remaining)
+                remaining.append(0)
+                over[r] = t > capacity
+                continue
+            for b, rem in enumerate(remaining):
+                if rem >= t:
+                    bin_of[r] = b
+                    remaining[b] = rem - t
+                    break
+            else:
+                bin_of[r] = len(remaining)
+                remaining.append(capacity - t)
+        bucket = group.column("bucket").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "doc_id": pa.array(d, pa.int64()),
+                "n_tok": pa.array(n, pa.int64()),
+                "local_bin": pa.array(bin_of, pa.int64()),
+                "overflow": pa.array(over, pa.bool_()),
+            }
+        )
+
+    packed = (
+        counts.groupby("bucket").map_groups(ffd, batch_format="pyarrow")
+    ).materialize()
+
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "bucket" not in batch.column_names:
+            return pa.Table.from_pydict(
+                {"bucket": pa.array([], pa.int64()),
+                 "n_bins": pa.array([], pa.int64())}
+            )
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        lb = batch.column("local_bin").to_numpy(zero_copy_only=False)
+        uniq = np.unique(b)
+        mx = np.full(len(uniq), -1, np.int64)
+        idx = np.searchsorted(uniq, b)
+        np.maximum.at(mx, idx, lb)
+        return pa.Table.from_pydict(
+            {"bucket": pa.array(uniq, pa.int64()),
+             "n_bins": pa.array(mx + 1, pa.int64())}
+        )
+
+    # per-bucket bin counts: tiny (corpus/bucket_docs rows) driver fold
+    per_bucket: dict[int, int] = {}
+    for row in packed.map_batches(
+        bin_counts, batch_format="pyarrow"
+    ).take_all():
+        per_bucket[row["bucket"]] = max(
+            per_bucket.get(row["bucket"], 0), int(row["n_bins"])
+        )
+    buckets_sorted = sorted(per_bucket)
+    offsets = {}
+    acc = 0
+    for b in buckets_sorted:
+        offsets[b] = acc
+        acc += per_bucket[b]
+    off_ref = ray.put(offsets)
+
+    def globalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "bucket" not in batch.column_names:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                    "bin_id": pa.array([], pa.int64()),
+                    "overflow": pa.array([], pa.bool_()),
+                }
+            )
+        offs = ray.get(off_ref)
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        lb = batch.column("local_bin").to_numpy(zero_copy_only=False)
+        gb = lb + np.asarray([offs[int(x)] for x in b], np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tok": batch.column("n_tok"),
+                "bin_id": pa.array(gb, pa.int64()),
+                "overflow": batch.column("overflow"),
+            }
+        )
+
+    return packed.map_batches(globalize, batch_format="pyarrow")

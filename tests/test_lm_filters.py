@@ -508,3 +508,80 @@ def test_quality_classifier_closed_form(tmp_path):
     assert out.loc[1, "score"] == round((k1 - 1000) / 997.0, 6)
     p = 1.0 / (1.0 + np.exp(-4.0 * ((k1 - 1000) / 997.0)))
     assert out.loc[1, "prob"] == round(p, 6)
+
+
+def _serial_ffd(pairs, capacity):
+    """(doc_id, n_tok) -> {doc_id: bin}, FFD with (n desc, id asc)."""
+    order = sorted(pairs, key=lambda p: (-p[1], p[0]))
+    remaining, out = [], {}
+    for d, t in order:
+        if t >= capacity:
+            out[d] = len(remaining)
+            remaining.append(0)
+            continue
+        for b, rem in enumerate(remaining):
+            if rem >= t:
+                out[d] = b
+                remaining[b] = rem - t
+                break
+        else:
+            out[d] = len(remaining)
+            remaining.append(capacity - t)
+    return out
+
+
+def test_pack_bins_serial_pin_single_bucket(tmp_path):
+    from high_performance_docling_ray.pipelines.lm_filters import pack_bins
+
+    # token counts 300, 300, 200, 200, 600(overflow), 100
+    texts = [
+        "w " * 300, "x " * 300, "y " * 200, "z " * 200,
+        "v " * 600, "u " * 100,
+    ]
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array([t.strip() for t in texts], pa.string()),
+            "lang": pa.array(["en"] * 6),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        pack_bins(str(tmp_path), capacity=512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _serial_ffd([(i, n) for i, n in enumerate([300, 300, 200, 200, 600, 100])], 512)
+    assert dict(zip(out["doc_id"], out["bin_id"])) == want
+    assert out.loc[4, "overflow"] and not out.loc[0, "overflow"]
+
+
+def test_pack_bins_invariants_corpus():
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        _tok_count_rows,
+        pack_bins,
+    )
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        read_documents,
+    )
+
+    out = pack_bins(SF, capacity=512).to_pandas()
+    # conservation: every nonzero-token doc assigned exactly once
+    n_docs = len(
+        _tok_count_rows(read_documents(SF, ("doc_id", "text")), 256)
+        .to_pandas()
+    )
+    assert len(out) == n_docs
+    assert out["doc_id"].is_unique
+    # capacity: every non-overflow bin fits
+    fills = out[~out["overflow"]].groupby("bin_id")["n_tok"].sum()
+    assert (fills <= 512).all()
+    # overflow bins are singletons
+    over_bins = out[out["overflow"]]["bin_id"]
+    assert out["bin_id"].isin(over_bins).sum() == len(over_bins)
+    # determinism
+    out2 = pack_bins(SF, capacity=512).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
