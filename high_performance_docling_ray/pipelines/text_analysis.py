@@ -1197,40 +1197,42 @@ def winnowing_overlap_pairs(
         first = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
         counts = np.diff(np.r_[first, len(h)])
         ok = (counts >= 2) & (counts <= max_df)
-        pair_chunks = []
-        for gi in np.flatnonzero(ok):
-            s = first[gi]
-            docs = d[s : s + counts[gi]]  # sorted asc
-            ii, jj = np.triu_indices(len(docs), k=1)
-            pair_chunks.append(
-                docs[ii].astype(np.int64) * (1 << 32) + docs[jj]
-            )
-        if not pair_chunks:
+        sizes = counts[ok]
+        if not len(sizes):
             return pa.Table.from_pydict(
                 {
                     "pk": pa.array([], pa.int64()),
                     "shared": pa.array([], pa.int64()),
+                    "pkb": pa.array([], pa.int32()),
                 }
             )
-        pk = np.concatenate(pair_chunks)
+        # vectorized per-run pair emission (repeat/arange product,
+        # i < j mask): work = sum c^2 <= max_df * sum pairs, no
+        # Python loop over hot hashes
+        starts = first[ok]
+        c2 = sizes * sizes
+        run_id = np.repeat(np.arange(len(sizes)), c2)
+        base = np.repeat(np.cumsum(c2) - c2, c2)
+        loc = np.arange(int(c2.sum()), dtype=np.int64) - base
+        c_of = sizes[run_id]
+        ii = loc // c_of
+        jj = loc % c_of
+        m = ii < jj
+        gi = starts[run_id[m]] + ii[m]
+        gj = starts[run_id[m]] + jj[m]
+        # docs sorted asc within a run, so d[gi] < d[gj]
+        pk = d[gi].astype(np.int64) * (1 << 32) + d[gj]
         uniq, cnt = np.unique(pk, return_counts=True)
         return pa.Table.from_pydict(
             {
                 "pk": pa.array(uniq, pa.int64()),
                 "shared": pa.array(cnt.astype(np.int64), pa.int64()),
+                "pkb": pa.array(int_key_buckets(uniq, num_parts)),
             }
         )
 
-    agg = (
-        fps.map_batches(key_rows, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby("pk")
-        .sum("shared")
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "pk" not in batch.column_names:
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "pk" not in group.column_names:
             # Ray groupby can hand a 0-row 0-COLUMN block downstream
             return pa.Table.from_pydict(
                 {
@@ -1239,16 +1241,28 @@ def winnowing_overlap_pairs(
                     "shared": pa.array([], pa.int64()),
                 }
             )
-        pk = batch.column("pk").to_numpy(zero_copy_only=False)
-        sh = batch.column("sum(shared)").to_numpy(zero_copy_only=False)
-        keep = sh >= min_shared
-        pk, sh = pk[keep], sh[keep]
+        pk = group.column("pk").to_numpy(zero_copy_only=False)
+        sh = group.column("shared").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        tot = np.bincount(inv, weights=sh).astype(np.int64)
+        keep = tot >= min_shared
+        pk, tot = uniq[keep], tot[keep]
         return pa.Table.from_pydict(
             {
                 "doc_a": pa.array(pk >> 32, pa.int64()),
                 "doc_b": pa.array(pk & ((1 << 32) - 1), pa.int64()),
-                "shared": pa.array(sh.astype(np.int64), pa.int64()),
+                "shared": pa.array(tot, pa.int64()),
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    # the pair-count fold is a BUCKETED map_groups (128-value key):
+    # a groupby over millions of distinct pair keys pays the sort
+    # shuffle's per-key cost; a bucket key does one np.unique fold
+    # per bucket instead (the session-4 pagerank/keep-best pattern)
+    return (
+        fps.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("pkb")
+        .map_groups(finish, batch_format="pyarrow")
+    )
