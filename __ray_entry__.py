@@ -1279,7 +1279,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_split": _q_domain_split,
         "normalize_text": _q_normalize_text,
         "corpus_report": _q_corpus_report,
+        # embedding decomposition + quantization
+        "embedding_covariance": _q_embedding_covariance,
+        "pca_project": _q_pca_project,
+        "pq_codes": _q_pq_codes,
     }
+
+
+def _q_embedding_covariance(sf_dir: str):
+    from high_performance_docling_ray.pipelines.decomposition import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(sf_dir)
+
+
+def _q_pca_project(sf_dir: str):
+    """Rows-only by design: eigendecomposition is not SQL-expressible.
+    Pinned by test_decomposition.py (serial numpy equality, variance ==
+    eigenvalues, orthonormal basis, determinism); the covariance input
+    is the hash-verified embedding_covariance query."""
+    from high_performance_docling_ray.pipelines.decomposition import (
+        pca_project,
+    )
+
+    return pca_project(sf_dir)
+
+
+def _q_pq_codes(sf_dir: str):
+    from high_performance_docling_ray.pipelines.clustering import pq_codes
+
+    return pq_codes(sf_dir)
 
 
 def _q_normalize_text(sf_dir: str):
@@ -3108,6 +3138,89 @@ def oracle_sql() -> dict[str, str]:
                a.vec_id NOT IN (SELECT vec_id FROM d) AS keep
         FROM a
         """
+    )
+    # Population covariance of the embedding matrix, long-format upper
+    # triangle (1-based dims). E[xy] - E[x]E[y] in DOUBLE, round 6 —
+    # the Ray side folds per-block float64 moment registers.
+    oracles["embedding_covariance"] = """
+        WITH ed AS (
+          SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        ),
+        m AS (SELECT i, AVG(x) AS mu FROM ed GROUP BY 1),
+        p AS (
+          SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy,
+                 COUNT(*) AS n
+          FROM ed a JOIN ed b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2
+        )
+        SELECT p.i, p.j, round(sxy / n - ma.mu * mb.mu, 6) AS cov
+        FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+    """
+    # Product quantization: m=4 independent k-means (k=4, 2 Lloyd
+    # sweeps) over contiguous 16-dim subspaces — the kmeans_clusters
+    # CTE chain instantiated per subspace and UNION ALLed. Same
+    # determinism rules (init vec_id < k, ties -> lowest code, empty
+    # clusters keep their codeword).
+    def _pq_subspace(s: int, lo: int, hi: int, k: int) -> tuple[str, str]:
+        assign = """
+          SELECT vec_id, cl FROM (
+            SELECT vec_id, cl,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cl) AS rn
+            FROM (
+              SELECT e.vec_id, c.cl,
+                     SUM((e.x - c.cv) * (e.x - c.cv)) AS d2
+              FROM ed{s} e JOIN {cent} c USING (i) GROUP BY 1, 2
+            )
+          ) WHERE rn = 1
+        """
+        update = """
+          SELECT p.cl, p.i, COALESCE(u.cv, p.cv) AS cv
+          FROM {prev} p LEFT JOIN (
+            SELECT a.cl, e.i, AVG(e.x) AS cv
+            FROM ed{s} e JOIN {assign} a USING (vec_id) GROUP BY 1, 2
+          ) u ON u.cl = p.cl AND u.i = p.i
+        """
+        ctes = (
+            f"ed{s} AS (SELECT vec_id, i, x FROM ed "
+            f"WHERE i BETWEEN {lo} AND {hi}),\n"
+            f"c0_{s} AS (SELECT vec_id AS cl, i, x AS cv FROM ed{s} "
+            f"WHERE vec_id < {k}),\n"
+            f"a1_{s} AS ({assign.format(s=s, cent=f'c0_{s}')}),\n"
+            f"c1_{s} AS ({update.format(s=s, assign=f'a1_{s}', prev=f'c0_{s}')}),\n"
+            f"a2_{s} AS ({assign.format(s=s, cent=f'c1_{s}')}),\n"
+            f"c2_{s} AS ({update.format(s=s, assign=f'a2_{s}', prev=f'c1_{s}')})"
+        )
+        final = f"""
+          SELECT vec_id, CAST({s} AS BIGINT) AS sub,
+                 CAST(cl AS BIGINT) AS code, round(d2, 6) AS dist2
+          FROM (
+            SELECT vec_id, cl, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cl) AS rn
+            FROM (
+              SELECT e.vec_id, c.cl,
+                     SUM((e.x - c.cv) * (e.x - c.cv)) AS d2
+              FROM ed{s} e JOIN c2_{s} c USING (i) GROUP BY 1, 2
+            )
+          ) WHERE rn = 1
+        """
+        return ctes, final
+
+    _pq_parts = [
+        _pq_subspace(s, s * 16 + 1, (s + 1) * 16, 4) for s in range(4)
+    ]
+    oracles["pq_codes"] = (
+        """
+        WITH ed AS (
+          SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        ),
+        """
+        + ",\n".join(c for c, _ in _pq_parts)
+        + "\n"
+        + "\nUNION ALL\n".join(f for _, f in _pq_parts)
     )
     # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not
     # lowercased); scores rounded to 6dp BEFORE ranking on both sides

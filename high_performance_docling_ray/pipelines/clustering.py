@@ -134,6 +134,121 @@ def kmeans_assign(
     return ds.map_batches(final_assign, batch_format="pyarrow")
 
 
+def pq_codes(
+    sf_dir: str, m: int = 4, k: int = 4, iters: int = 2
+) -> ray.data.Dataset:
+    """Product quantization (Jegou et al. 2011): split each D-dim
+    embedding into ``m`` contiguous subspaces of D/m dims and run an
+    independent k-means (``k`` codewords) in each; a vector's code is
+    its per-subspace nearest codeword. PQ codes are the memory-bound
+    scale path for billion-vector ANN (an IVF-PQ index stores m bytes
+    per vector instead of 4D) — ``build_ivf_index`` covers the
+    coarse quantizer, this is the fine one.
+
+    Scale shape — the ``kmeans_assign`` register discipline, FUSED
+    across subspaces: each Lloyd sweep is ONE ``map_batches`` pass
+    emitting at most m*k (subspace, cluster, count, vector-sum)
+    register rows per block; the driver folds them into the
+    (m x k x D/m) codebook. Vectors never ride an exchange; m and k
+    are constructor constants so the codebook broadcasts
+    unconditionally. All m subspace trainings cost the same corpus
+    reads as ONE k-means.
+
+    Determinism matches ``kmeans_assign``: init = the k lowest
+    vec_ids (sliced per subspace), argmin ties -> lowest code, empty
+    clusters keep their codeword. Output long format
+    (vec_id, sub, code, dist2 round6) — dist2 is the subspace
+    reconstruction error, so SUM(dist2) per vec_id is the vector's
+    total quantization error.
+    """
+    ds = read_embeddings(sf_dir).materialize()
+    init = _init_centroids(sf_dir, k)  # (k, D)
+    d = init.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub_d = d // m
+    # cents[s] is the (k, sub_d) codebook of subspace s
+    cents = np.stack([init[:, s * sub_d : (s + 1) * sub_d] for s in range(m)])
+
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+
+        def sweep_partial(batch: pa.Table) -> pa.Table:
+            cb = ray.get(cents_ref)
+            _, mat = _batch_matrix(batch)
+            mat = mat.astype(np.float64, copy=False)
+            subs, cls, ns, sums = [], [], [], []
+            for s in range(m):
+                sub = mat[:, s * sub_d : (s + 1) * sub_d]
+                assign = np.argmin(_sq_dists(sub, cb[s]), axis=1)
+                uniq, inv = np.unique(assign, return_inverse=True)
+                acc = np.zeros((len(uniq), sub_d), np.float64)
+                np.add.at(acc, inv, sub)
+                subs.append(np.full(len(uniq), s, np.int64))
+                cls.append(uniq.astype(np.int64))
+                ns.append(np.bincount(inv).astype(np.int64))
+                sums.extend(acc)
+            return pa.Table.from_pydict(
+                {
+                    "sub": pa.array(np.concatenate(subs), pa.int64()),
+                    "cl": pa.array(np.concatenate(cls), pa.int64()),
+                    "n": pa.array(np.concatenate(ns), pa.int64()),
+                    "vec_sum": pa.array(sums, pa.list_(pa.float64())),
+                }
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                ds.map_batches(sweep_partial, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            )
+            if t.num_rows and "sub" in t.column_names
+        ]
+        sums = np.zeros((m, k, sub_d), np.float64)
+        counts = np.zeros((m, k), np.int64)
+        for t in parts:
+            ss = t.column("sub").to_numpy(zero_copy_only=False)
+            cc = t.column("cl").to_numpy(zero_copy_only=False)
+            counts[ss, cc] += t.column("n").to_numpy(zero_copy_only=False)
+            sums[ss, cc] += np.array(
+                t.column("vec_sum").to_pylist(), np.float64
+            )
+        filled = counts > 0
+        new_cents = cents.copy()  # empty clusters keep their codeword
+        new_cents[filled] = sums[filled] / counts[filled][:, None]
+        cents = new_cents
+
+    cents_ref = ray.put(cents)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cents_ref)
+        ids, mat = _batch_matrix(batch)
+        mat = mat.astype(np.float64, copy=False)
+        out_ids, out_sub, out_code, out_d2 = [], [], [], []
+        for s in range(m):
+            sub = mat[:, s * sub_d : (s + 1) * sub_d]
+            d2 = _sq_dists(sub, cb[s])
+            assign = np.argmin(d2, axis=1)
+            out_ids.append(ids)
+            out_sub.append(np.full(len(ids), s, np.int64))
+            out_code.append(assign.astype(np.int64))
+            out_d2.append(d2[np.arange(len(sub)), assign])
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "sub": pa.array(np.concatenate(out_sub), pa.int64()),
+                "code": pa.array(np.concatenate(out_code), pa.int64()),
+                "dist2": pa.array(
+                    np.round(np.concatenate(out_d2), 6), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
 def semdedup(
     sf_dir: str, k: int = 8, iters: int = 2, tau: float = 0.4
 ) -> ray.data.Dataset:

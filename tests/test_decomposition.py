@@ -1,0 +1,109 @@
+"""Embedding covariance / PCA / PQ: serial numpy recomputation pins
+(exact covariance + PQ codes are additionally hash-verified by the
+driver-gate oracle at sf0.01; PCA is rows-only by design — these pins
+ARE its correctness evidence)."""
+
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+from high_performance_docling_ray.pipelines.clustering import (  # noqa: E402
+    pq_codes,
+)
+from high_performance_docling_ray.pipelines.decomposition import (  # noqa: E402
+    embedding_covariance,
+    pca_basis,
+    pca_project,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus() -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(f"{SF}/embeddings.parquet").sort_by("vec_id")
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = np.array(t.column("embedding").to_pylist(), np.float64)
+    return ids, mat
+
+
+def test_covariance_matches_serial_numpy():
+    ids, mat = _corpus()
+    cov = np.cov(mat, rowvar=False, bias=True)  # population
+    out = embedding_covariance(SF).to_pandas()
+    d = mat.shape[1]
+    assert len(out) == d * (d + 1) // 2
+    got = np.zeros((d, d))
+    got[out["i"] - 1, out["j"] - 1] = out["cov"]
+    iu = np.triu_indices(d)
+    assert np.abs(got[iu] - cov[iu]).max() < 1.5e-6  # round-6 both
+
+
+def test_pca_basis_orthonormal_and_sign_fixed():
+    mean, basis, vals = pca_basis(SF, k=8)
+    assert basis.shape == (64, 8)
+    assert np.allclose(basis.T @ basis, np.eye(8), atol=1e-10)
+    assert (vals[:-1] >= vals[1:]).all()  # descending
+    for c in range(8):
+        v = basis[:, c]
+        assert v[int(np.argmax(np.abs(v)))] > 0  # sign rule
+
+
+def test_pca_project_matches_serial_and_eigenvalues():
+    ids, mat = _corpus()
+    mean, basis, vals = pca_basis(SF, k=8)
+    expect = np.round((mat - mat.mean(axis=0)) @ basis, 6)
+    out = (
+        pca_project(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    got = np.stack(out["pc"].to_numpy())
+    assert (out["vec_id"].to_numpy() == ids).all()
+    assert np.abs(got - expect).max() <= 1e-6
+    # per-component variance of the projection == eigenvalue
+    assert np.allclose(got.var(axis=0), vals, rtol=1e-4)
+    # determinism across runs
+    out2 = (
+        pca_project(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert np.array_equal(got, np.stack(out2["pc"].to_numpy()))
+
+
+def _serial_pq(mat: np.ndarray, m=4, k=4, iters=2):
+    d = mat.shape[1]
+    sub_d = d // m
+    codes = np.zeros((len(mat), m), np.int64)
+    d2s = np.zeros((len(mat), m))
+    for s in range(m):
+        sub = mat[:, s * sub_d : (s + 1) * sub_d]
+        cents = sub[:k].copy()  # vec_id-sorted input -> lowest ids
+        for _ in range(iters):
+            dist = ((sub[:, None, :] - cents[None]) ** 2).sum(axis=2)
+            a = np.argmin(dist, axis=1)
+            for c in range(k):
+                if (a == c).any():
+                    cents[c] = sub[a == c].mean(axis=0)
+        dist = ((sub[:, None, :] - cents[None]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(dist, axis=1)
+        d2s[:, s] = dist[np.arange(len(sub)), codes[:, s]]
+    return codes, d2s
+
+
+def test_pq_codes_match_serial_lloyd():
+    ids, mat = _corpus()
+    codes, d2s = _serial_pq(mat)
+    out = (
+        pq_codes(SF)
+        .to_pandas()
+        .sort_values(["vec_id", "sub"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(mat) * 4
+    got_codes = out["code"].to_numpy().reshape(len(mat), 4)
+    got_d2 = out["dist2"].to_numpy().reshape(len(mat), 4)
+    assert np.array_equal(got_codes, codes)
+    assert np.abs(got_d2 - d2s).max() < 1.5e-6
+    # total quantization error is small relative to raw energy
+    energy = ((mat - mat.mean(axis=0)) ** 2).sum()
+    assert got_d2.sum() < energy
