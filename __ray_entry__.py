@@ -1283,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "pca_project": _q_pca_project,
         "pq_codes": _q_pq_codes,
+        "knn_pq_adc": _q_knn_pq_adc,
     }
 
 
@@ -1310,6 +1311,12 @@ def _q_pq_codes(sf_dir: str):
     from high_performance_docling_ray.pipelines.clustering import pq_codes
 
     return pq_codes(sf_dir)
+
+
+def _q_knn_pq_adc(sf_dir: str):
+    from high_performance_docling_ray.pipelines.clustering import knn_pq_adc
+
+    return knn_pq_adc(sf_dir)
 
 
 def _q_normalize_text(sf_dir: str):
@@ -3161,8 +3168,10 @@ def oracle_sql() -> dict[str, str]:
     # sweeps) over contiguous 16-dim subspaces — the kmeans_clusters
     # CTE chain instantiated per subspace and UNION ALLed. Same
     # determinism rules (init vec_id < k, ties -> lowest code, empty
-    # clusters keep their codeword).
-    def _pq_subspace(s: int, lo: int, hi: int, k: int) -> tuple[str, str]:
+    # clusters keep their codeword). The chain ends in a reusable
+    # code_{s}(vec_id, code, d2) CTE shared by the pq_codes output
+    # and the knn_pq_adc lookup-table scan.
+    def _pq_subspace(s: int, lo: int, hi: int, k: int) -> str:
         assign = """
           SELECT vec_id, cl FROM (
             SELECT vec_id, cl,
@@ -3182,20 +3191,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ed{s} e JOIN {assign} a USING (vec_id) GROUP BY 1, 2
           ) u ON u.cl = p.cl AND u.i = p.i
         """
-        ctes = (
-            f"ed{s} AS (SELECT vec_id, i, x FROM ed "
-            f"WHERE i BETWEEN {lo} AND {hi}),\n"
-            f"c0_{s} AS (SELECT vec_id AS cl, i, x AS cv FROM ed{s} "
-            f"WHERE vec_id < {k}),\n"
-            f"a1_{s} AS ({assign.format(s=s, cent=f'c0_{s}')}),\n"
-            f"c1_{s} AS ({update.format(s=s, assign=f'a1_{s}', prev=f'c0_{s}')}),\n"
-            f"a2_{s} AS ({assign.format(s=s, cent=f'c1_{s}')}),\n"
-            f"c2_{s} AS ({update.format(s=s, assign=f'a2_{s}', prev=f'c1_{s}')})"
-        )
-        final = f"""
-          SELECT vec_id, CAST({s} AS BIGINT) AS sub,
-                 CAST(cl AS BIGINT) AS code, round(d2, 6) AS dist2
-          FROM (
+        code = f"""
+          SELECT vec_id, cl AS code, d2 FROM (
             SELECT vec_id, cl, d2,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY d2, cl) AS rn
@@ -3206,21 +3203,74 @@ def oracle_sql() -> dict[str, str]:
             )
           ) WHERE rn = 1
         """
-        return ctes, final
+        return (
+            f"ed{s} AS (SELECT vec_id, i, x FROM ed "
+            f"WHERE i BETWEEN {lo} AND {hi}),\n"
+            f"c0_{s} AS (SELECT vec_id AS cl, i, x AS cv FROM ed{s} "
+            f"WHERE vec_id < {k}),\n"
+            f"a1_{s} AS ({assign.format(s=s, cent=f'c0_{s}')}),\n"
+            f"c1_{s} AS ({update.format(s=s, assign=f'a1_{s}', prev=f'c0_{s}')}),\n"
+            f"a2_{s} AS ({assign.format(s=s, cent=f'c1_{s}')}),\n"
+            f"c2_{s} AS ({update.format(s=s, assign=f'a2_{s}', prev=f'c1_{s}')}),\n"
+            f"code_{s} AS ({code})"
+        )
 
-    _pq_parts = [
-        _pq_subspace(s, s * 16 + 1, (s + 1) * 16, 4) for s in range(4)
-    ]
-    oracles["pq_codes"] = (
-        """
+    _pq_ed = """
         WITH ed AS (
           SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
         ),
-        """
-        + ",\n".join(c for c, _ in _pq_parts)
+    """
+    _pq_parts = [
+        _pq_subspace(s, s * 16 + 1, (s + 1) * 16, 4) for s in range(4)
+    ]
+    oracles["pq_codes"] = (
+        _pq_ed
+        + ",\n".join(_pq_parts)
         + "\n"
-        + "\nUNION ALL\n".join(f for _, f in _pq_parts)
+        + "\nUNION ALL\n".join(
+            f"SELECT vec_id, CAST({s} AS BIGINT) AS sub, "
+            f"CAST(code AS BIGINT) AS code, round(d2, 6) AS dist2 "
+            f"FROM code_{s}"
+            for s in range(4)
+        )
+    )
+    # ADC top-k: per-query lookup tables lut_{s}(qid, cl, ld) = squared
+    # distance from the un-quantized query subvector to each codeword;
+    # a corpus vector's approximate distance is the SUM of its m
+    # looked-up entries. round(...,6) BEFORE ranking on both sides;
+    # ties -> lowest vec_id. Queries = vec_id < 3 (qid == vec_id since
+    # vec_ids are 0-based contiguous — the same identity the pq init
+    # relies on).
+    oracles["knn_pq_adc"] = (
+        _pq_ed
+        + ",\n".join(_pq_parts)
+        + ",\n"
+        + ",\n".join(
+            f"lut_{s} AS (SELECT e.vec_id AS qid, c.cl, "
+            f"SUM((e.x - c.cv) * (e.x - c.cv)) AS ld "
+            f"FROM ed{s} e JOIN c2_{s} c USING (i) "
+            f"WHERE e.vec_id < 3 GROUP BY 1, 2)"
+            for s in range(4)
+        )
+        + ",\ncontrib AS (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT l.qid, co.vec_id, l.ld "
+            f"FROM code_{s} co JOIN lut_{s} l ON l.cl = co.code"
+            for s in range(4)
+        )
+        + """
+        ),
+        a AS (
+          SELECT qid, vec_id, round(SUM(ld), 6) AS adist
+          FROM contrib GROUP BY 1, 2
+        )
+        SELECT CAST(qid AS BIGINT) AS query_id, vec_id, adist FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY adist, vec_id) AS rn
+          FROM a
+        ) WHERE rn <= 10
+        """
     )
     # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not
     # lowercased); scores rounded to 6dp BEFORE ranking on both sides

@@ -134,34 +134,16 @@ def kmeans_assign(
     return ds.map_batches(final_assign, batch_format="pyarrow")
 
 
-def pq_codes(
-    sf_dir: str, m: int = 4, k: int = 4, iters: int = 2
-) -> ray.data.Dataset:
-    """Product quantization (Jegou et al. 2011): split each D-dim
-    embedding into ``m`` contiguous subspaces of D/m dims and run an
-    independent k-means (``k`` codewords) in each; a vector's code is
-    its per-subspace nearest codeword. PQ codes are the memory-bound
-    scale path for billion-vector ANN (an IVF-PQ index stores m bytes
-    per vector instead of 4D) — ``build_ivf_index`` covers the
-    coarse quantizer, this is the fine one.
-
-    Scale shape — the ``kmeans_assign`` register discipline, FUSED
-    across subspaces: each Lloyd sweep is ONE ``map_batches`` pass
-    emitting at most m*k (subspace, cluster, count, vector-sum)
-    register rows per block; the driver folds them into the
-    (m x k x D/m) codebook. Vectors never ride an exchange; m and k
-    are constructor constants so the codebook broadcasts
-    unconditionally. All m subspace trainings cost the same corpus
-    reads as ONE k-means.
-
+def _train_pq(
+    ds: ray.data.Dataset, sf_dir: str, m: int, k: int, iters: int
+) -> np.ndarray:
+    """Train the (m x k x D/m) product-quantization codebook: ``m``
+    independent k-means over contiguous D/m-dim subspaces, FUSED so
+    each Lloyd sweep is ONE ``map_batches`` pass emitting at most m*k
+    (subspace, cluster, count, vector-sum) register rows per block.
     Determinism matches ``kmeans_assign``: init = the k lowest
     vec_ids (sliced per subspace), argmin ties -> lowest code, empty
-    clusters keep their codeword. Output long format
-    (vec_id, sub, code, dist2 round6) — dist2 is the subspace
-    reconstruction error, so SUM(dist2) per vec_id is the vector's
-    total quantization error.
-    """
-    ds = read_embeddings(sf_dir).materialize()
+    clusters keep their codeword."""
     init = _init_centroids(sf_dir, k)  # (k, D)
     d = init.shape[1]
     if d % m:
@@ -219,7 +201,43 @@ def pq_codes(
         new_cents = cents.copy()  # empty clusters keep their codeword
         new_cents[filled] = sums[filled] / counts[filled][:, None]
         cents = new_cents
+    return cents
 
+
+def _pq_assign(mat: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n x m) int64 codes: per-subspace nearest codeword, argmin
+    ties -> lowest code (same rule as ``kmeans_assign``)."""
+    m, _, sub_d = cb.shape
+    codes = np.empty((len(mat), m), np.int64)
+    for s in range(m):
+        sub = mat[:, s * sub_d : (s + 1) * sub_d]
+        codes[:, s] = np.argmin(_sq_dists(sub, cb[s]), axis=1)
+    return codes
+
+
+def pq_codes(
+    sf_dir: str, m: int = 4, k: int = 4, iters: int = 2
+) -> ray.data.Dataset:
+    """Product quantization (Jegou et al. 2011): split each D-dim
+    embedding into ``m`` contiguous subspaces of D/m dims and run an
+    independent k-means (``k`` codewords) in each; a vector's code is
+    its per-subspace nearest codeword. PQ codes are the memory-bound
+    scale path for billion-vector ANN (an IVF-PQ index stores m bytes
+    per vector instead of 4D) — ``build_ivf_index`` covers the
+    coarse quantizer, this is the fine one.
+
+    Scale shape — see ``_train_pq``: vectors never ride an exchange;
+    m and k are constructor constants so the codebook broadcasts
+    unconditionally. All m subspace trainings cost the same corpus
+    reads as ONE k-means.
+
+    Output long format (vec_id, sub, code, dist2 round6) — dist2 is
+    the subspace reconstruction error, so SUM(dist2) per vec_id is
+    the vector's total quantization error.
+    """
+    ds = read_embeddings(sf_dir).materialize()
+    cents = _train_pq(ds, sf_dir, m, k, iters)
+    sub_d = cents.shape[2]
     cents_ref = ray.put(cents)
 
     def final_assign(batch: pa.Table) -> pa.Table:
@@ -247,6 +265,86 @@ def pq_codes(
         )
 
     return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def knn_pq_adc(
+    sf_dir: str,
+    n_queries: int = 3,
+    topk: int = 10,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+) -> pa.Table:
+    """Asymmetric-distance (ADC) top-k search over PQ codes (Jegou et
+    al. 2011 §IV): approximate d²(q, x) = Σ_s ||q_s − c_{s,code_s(x)}||²
+    — the query stays un-quantized, every corpus vector collapses to
+    its m codes, and the per-query cost is a (m × k) lookup table plus
+    one table lookup per (vector, subspace). This is the scan that
+    makes a billion-vector index RAM-resident: at 10^12 vectors the
+    probe reads m bytes/vector instead of 4D.
+
+    Scale shape: the codebook and the (n_queries × m × k) LUT are
+    driver constants broadcast once via ``ray.put``; each block
+    computes its codes (same argmin rule as ``pq_codes``), gathers
+    LUT entries, and emits only its local top-k per query — k ×
+    n_queries rows per block, merged in one tiny driver sort. ADC
+    distances are block-independent (they depend only on codes + LUT),
+    so per-block round-then-merge is exact.
+
+    Determinism: adist rounded to 6dp BEFORE ranking on both sides;
+    ties break by vec_id asc. Queries are the ``n_queries`` lowest
+    vec_ids (query vectors are NOT excluded from their own result —
+    the oracle keeps them too).
+    """
+    ds = read_embeddings(sf_dir).materialize()
+    cents = _train_pq(ds, sf_dir, m, k, iters)  # (m, k, sub_d)
+    sub_d = cents.shape[2]
+    queries = _init_centroids(sf_dir, n_queries)  # (nq, D)
+    lut = np.empty((n_queries, m, k), np.float64)
+    for s in range(m):
+        qs = queries[:, s * sub_d : (s + 1) * sub_d]
+        lut[:, s, :] = _sq_dists(qs, cents[s])
+    bcast = ray.put((cents, lut))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        cb, lt = ray.get(bcast)
+        ids, mat = _batch_matrix(batch)
+        mat = mat.astype(np.float64, copy=False)
+        codes = _pq_assign(mat, cb)  # (n, m)
+        adist = np.zeros((n_queries, len(ids)), np.float64)
+        for s in range(m):
+            adist += lt[:, s, codes[:, s]]
+        adist = np.round(adist, 6)
+        out_q, out_v, out_d = [], [], []
+        kk = min(topk, len(ids))
+        for qi in range(n_queries):
+            order = np.lexsort((ids, adist[qi]))[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_v.append(ids[order])
+            out_d.append(adist[qi][order])
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "adist": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    rows = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["query_id"], r["adist"], r["vec_id"]))
+    out_q, out_v, out_d = [], [], []
+    for qi in range(n_queries):
+        per = [r for r in rows if r["query_id"] == qi][:topk]
+        out_q.extend(r["query_id"] for r in per)
+        out_v.extend(r["vec_id"] for r in per)
+        out_d.extend(r["adist"] for r in per)
+    return pa.Table.from_pydict(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "adist": pa.array(out_d, pa.float64()),
+        }
+    )
 
 
 def semdedup(

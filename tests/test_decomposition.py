@@ -11,6 +11,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, "/root/repo")
 
 from high_performance_docling_ray.pipelines.clustering import (  # noqa: E402
+    knn_pq_adc,
     pq_codes,
 )
 from high_performance_docling_ray.pipelines.decomposition import (  # noqa: E402
@@ -107,3 +108,55 @@ def test_pq_codes_match_serial_lloyd():
     # total quantization error is small relative to raw energy
     energy = ((mat - mat.mean(axis=0)) ** 2).sum()
     assert got_d2.sum() < energy
+
+
+def test_knn_pq_adc_matches_serial_lut_scan():
+    """ADC top-k == a serial LUT scan over the serial-Lloyd codes:
+    same codebooks, same argmin ties, round-6-before-rank, vec_id
+    tiebreak. Also pins block-independence (distances don't depend on
+    how Ray split the corpus) and cross-run determinism."""
+    ids, mat = _corpus()
+    m, k, sub_d, nq, topk = 4, 4, mat.shape[1] // 4, 3, 10
+    codes, _ = _serial_pq(mat, m=m, k=k)
+    # rebuild the trained codebooks the same serial way
+    cents = np.zeros((m, k, sub_d))
+    for s in range(m):
+        sub = mat[:, s * sub_d : (s + 1) * sub_d]
+        cb = sub[:k].copy()
+        for _ in range(2):
+            dist = ((sub[:, None, :] - cb[None]) ** 2).sum(axis=2)
+            a = np.argmin(dist, axis=1)
+            for c in range(k):
+                if (a == c).any():
+                    cb[c] = sub[a == c].mean(axis=0)
+        cents[s] = cb
+    queries = mat[np.argsort(ids, kind="stable")][:nq]
+    expect_rows = []
+    for qi in range(nq):
+        adist = np.zeros(len(mat))
+        for s in range(m):
+            lut = ((queries[qi, s * sub_d : (s + 1) * sub_d] - cents[s]) ** 2).sum(
+                axis=1
+            )
+            adist += lut[codes[:, s]]
+        adist = np.round(adist, 6)
+        order = np.lexsort((ids, adist))[:topk]
+        expect_rows += [(qi, int(ids[i]), adist[i]) for i in order]
+    out = knn_pq_adc(SF).to_pandas()
+    got = list(zip(out["query_id"], out["vec_id"], out["adist"]))
+    assert [(q, v) for q, v, _ in got] == [(q, v) for q, v, _ in expect_rows]
+    assert (
+        np.abs(
+            np.array([d for *_, d in got]) - np.array([d for *_, d in expect_rows])
+        ).max()
+        < 1.5e-6
+    )
+    # query's own vector should rank first with adist == its
+    # quantization error under the shared codebook (it is its own
+    # nearest reconstruction for these corpora)
+    for qi in range(nq):
+        first = out[out["query_id"] == qi].iloc[0]
+        assert first["vec_id"] == qi
+    # determinism across runs
+    out2 = knn_pq_adc(SF).to_pandas()
+    assert out.equals(out2)
