@@ -1284,6 +1284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": _q_pca_project,
         "pq_codes": _q_pq_codes,
         "knn_pq_adc": _q_knn_pq_adc,
+        "random_projection": _q_random_projection,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -1317,6 +1319,22 @@ def _q_knn_pq_adc(sf_dir: str):
     from high_performance_docling_ray.pipelines.clustering import knn_pq_adc
 
     return knn_pq_adc(sf_dir)
+
+
+def _q_random_projection(sf_dir: str):
+    from high_performance_docling_ray.pipelines.decomposition import (
+        random_projection,
+    )
+
+    return random_projection(sf_dir)
+
+
+def _q_weighted_sample(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        weighted_sample,
+    )
+
+    return weighted_sample(sf_dir)
 
 
 def _q_normalize_text(sf_dir: str):
@@ -3272,6 +3290,46 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn <= 10
         """
     )
+    # JL sign projection: the sign matrix is md5-derived per (i, j) so
+    # SQL rebuilds it exactly; sum-then-scale order matches the Ray
+    # kernel (SUM(x*sign) / sqrt(16), round 6).
+    oracles["random_projection"] = """
+        WITH ed AS (
+          SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        ),
+        r AS (
+          SELECT d.i, u.j,
+                 CASE WHEN md5_number_upper('rp:' || d.i || ':' || u.j)
+                           % 2 = 0
+                      THEN 1.0 ELSE -1.0 END AS sign
+          FROM (SELECT DISTINCT i FROM ed) d,
+               unnest(range(1, 17)) AS u(j)
+        )
+        SELECT e.vec_id, r.j,
+               round(SUM(e.x * r.sign) / sqrt(16.0), 6) AS y
+        FROM ed e JOIN r USING (i) GROUP BY 1, 2
+    """
+    # Priority sampling: u = (double(md5) + 1) / 2^64 with the same
+    # IEEE op order as the kernel, so weight/u is bit-identical on
+    # both sides and the top-50 rank needs no tolerance. Zero-weight
+    # docs are unsampleable.
+    oracles["weighted_sample"] = """
+        WITH w AS (
+          SELECT doc_id,
+                 COALESCE(length(text), 0) AS weight,
+                 (CAST(md5_number_upper('ws:' || doc_id) AS DOUBLE) + 1)
+                   / 18446744073709551616.0 AS u
+          FROM documents
+        )
+        SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+               round(weight / u, 6) AS priority
+        FROM (
+          SELECT *, row_number() OVER (ORDER BY weight / u DESC,
+                                       doc_id) AS rn
+          FROM w WHERE weight > 0
+        ) WHERE rn <= 50
+    """
     # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not
     # lowercased); scores rounded to 6dp BEFORE ranking on both sides
     # so the top-20 SET is stable; ties break by doc_id

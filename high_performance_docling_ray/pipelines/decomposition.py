@@ -151,3 +151,49 @@ def pca_project(sf_dir: str, k: int = 8) -> ray.data.Dataset:
         )
 
     return read_embeddings(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+def random_projection(sf_dir: str, k: int = 16) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss sign random projection (Achlioptas 2003):
+    y = x @ R / sqrt(k) with R[i, j] in {+1, -1}. Unlike PCA this
+    needs NO training pass — the matrix is a pure function of (i, j),
+    so at 10^12 vectors the whole operator is one stateless
+    ``map_batches`` with a broadcast (D x k) sign matrix: zero
+    exchanges, zero corpus-dependent state.
+
+    The sign is md5-derived (``hash64("rp:i:j") % 2``, 1-based dims ==
+    DuckDB ``md5_number_upper('rp:' || i || ':' || j) % 2``) so the
+    driver-gate oracle rebuilds the identical matrix in SQL. Output
+    long format (vec_id, j, y round6).
+    """
+    from ..kernels.sketch import hash64
+
+    d = _init_centroids_dim(sf_dir)
+    keys = [f"rp:{i}:{j}" for i in range(1, d + 1) for j in range(1, k + 1)]
+    signs = np.where(hash64(keys) % 2 == 0, 1.0, -1.0).reshape(d, k)
+    r_ref = ray.put(signs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        r = ray.get(r_ref)
+        ids, mat = _batch_matrix(batch)
+        # sum-then-scale, matching the oracle's SUM(x*sign)/sqrt(k)
+        y = np.round(mat.astype(np.float64, copy=False) @ r / np.sqrt(k), 6)
+        n, kk = y.shape
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(np.repeat(ids, kk), pa.int64()),
+                "j": pa.array(np.tile(np.arange(1, kk + 1), n), pa.int64()),
+                "y": pa.array(y.ravel(), pa.float64()),
+            }
+        )
+
+    return read_embeddings(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+def _init_centroids_dim(sf_dir: str) -> int:
+    """Embedding dimensionality from one driver-direct row."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first.column("embedding")[0])

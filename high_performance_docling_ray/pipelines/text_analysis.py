@@ -242,6 +242,83 @@ def sample_per_group(
     )
 
 
+def weighted_sample(sf_dir: str, k: int = 50) -> pa.Table:
+    """Priority sampling (Duffield-Lund-Thorup 2007): a weight-
+    proportional without-replacement sample of k docs. Each doc gets
+    priority = weight / u with u = a doc-keyed uniform in (0, 1]; the
+    k highest priorities ARE the sample (and the (k+1)th priority is
+    the unbiased-estimator threshold). Weight = char length — the
+    standard proxy when sampling corpora for inspection or ablation
+    so long docs aren't under-represented.
+
+    DETERMINISTIC: u derives from md5 (``hash64("ws:doc_id")`` ==
+    ``md5_number_upper('ws:' || doc_id)``); both sides compute
+    (double(h) + 1) / 2^64 with the same IEEE op order, so priorities
+    are bit-identical pre-rounding and ranking needs no tolerance.
+    Zero-weight docs are unsampleable (priority 0) and filtered.
+
+    Scale shape: per-block top-k combiner (at most k rows leave any
+    block), one tiny driver merge — the ``sample_per_group`` shape
+    with a weighted key and no strata. No shuffle, no RNG state.
+    """
+    from ..kernels.sketch import hash64
+
+    def local_k(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_chars = pc.fill_null(
+            pc.utf8_length(batch.column("text")), 0
+        ).to_numpy(zero_copy_only=False)
+        hv = hash64([f"ws:{i}" for i in ids.tolist()])
+        u = (hv.astype(np.float64) + 1.0) / 18446744073709551616.0
+        prio = n_chars.astype(np.float64) / u
+        ok = n_chars > 0
+        order = np.lexsort((ids[ok], -prio[ok]))[:k]
+        sel = np.nonzero(ok)[0][order]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[sel].astype(np.int64), pa.int64()),
+                "weight": pa.array(n_chars[sel].astype(np.int64), pa.int64()),
+                "priority": pa.array(prio[sel], pa.float64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            read_documents(sf_dir, ("doc_id", "text"))
+            .map_batches(local_k, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "weight": pa.array([], pa.int64()),
+            "priority": pa.array([], pa.float64()),
+        }
+    )
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts)
+    prio = merged.column("priority").to_numpy(zero_copy_only=False)
+    ids = merged.column("doc_id").to_numpy(zero_copy_only=False)
+    top = np.lexsort((ids, -prio))[:k]
+    out = merged.take(pa.array(np.sort(top)))
+    out = out.set_column(
+        out.schema.get_field_index("priority"),
+        "priority",
+        pa.array(
+            np.round(out.column("priority").to_numpy(zero_copy_only=False), 6),
+            pa.float64(),
+        ),
+    )
+    return out.sort_by([("doc_id", "ascending")])
+
+
 def lang_stats(sf_dir: str):
     """Per-language doc count + mean n_chars: per-batch partial
     aggregation merged with one driver-side group_by (Ray groupby

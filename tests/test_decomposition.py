@@ -18,6 +18,10 @@ from high_performance_docling_ray.pipelines.decomposition import (  # noqa: E402
     embedding_covariance,
     pca_basis,
     pca_project,
+    random_projection,
+)
+from high_performance_docling_ray.pipelines.text_analysis import (  # noqa: E402
+    weighted_sample,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -160,3 +164,67 @@ def test_knn_pq_adc_matches_serial_lut_scan():
     # determinism across runs
     out2 = knn_pq_adc(SF).to_pandas()
     assert out.equals(out2)
+
+
+def test_random_projection_matches_serial_and_preserves_distance():
+    """Serial-equality pin + the JL property the operator exists for:
+    scaled sign projections approximately preserve pairwise squared
+    distances in expectation (checked loosely over the corpus mean)."""
+    from high_performance_docling_ray.kernels.sketch import hash64
+
+    ids, mat = _corpus()
+    d, k = mat.shape[1], 16
+    keys = [f"rp:{i}:{j}" for i in range(1, d + 1) for j in range(1, k + 1)]
+    signs = np.where(hash64(keys) % 2 == 0, 1.0, -1.0).reshape(d, k)
+    expect = np.round(mat @ signs / np.sqrt(k), 6)
+    out = (
+        random_projection(SF)
+        .to_pandas()
+        .sort_values(["vec_id", "j"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(mat) * k
+    got = out["y"].to_numpy().reshape(len(mat), k)
+    assert np.abs(got - expect).max() <= 1e-9  # same float path
+    # JL in expectation: mean squared norm is preserved (E||y||^2 ==
+    # ||x||^2 for sign projections); allow 25% sampling slack at k=16
+    ratio = (got**2).sum() / (mat**2).sum()
+    assert 0.75 < ratio < 1.25
+    # determinism
+    out2 = (
+        random_projection(SF)
+        .to_pandas()
+        .sort_values(["vec_id", "j"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+
+
+def test_weighted_sample_matches_serial_priority_rule():
+    from high_performance_docling_ray.kernels.sketch import hash64
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = t.column("text").to_pylist()
+    w = np.array([0 if s is None else len(s) for s in texts], np.float64)
+    u = (
+        hash64([f"ws:{i}" for i in ids.tolist()]).astype(np.float64) + 1.0
+    ) / 2.0**64
+    prio = w / u
+    ok = w > 0
+    order = np.lexsort((ids[ok], -prio[ok]))[:50]
+    sel = np.nonzero(ok)[0][order]
+    expect = sorted(
+        zip(ids[sel].tolist(), w[sel].astype(int).tolist(), np.round(prio[sel], 6))
+    )
+    out = weighted_sample(SF).to_pandas()
+    got = list(zip(out["doc_id"], out["weight"], out["priority"]))
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in expect]
+    assert np.allclose(
+        [p for *_, p in got], [p for *_, p in expect], rtol=0, atol=1e-9
+    )
+    # weight-proportionality sanity: the sample's mean weight should
+    # exceed the corpus mean (long docs are favored)
+    assert out["weight"].mean() > w[ok].mean()
+    # determinism
+    assert out.to_dict() == weighted_sample(SF).to_pandas().to_dict()
