@@ -1286,6 +1286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq_adc": _q_knn_pq_adc,
         "random_projection": _q_random_projection,
         "weighted_sample": _q_weighted_sample,
+        # outlink extraction + domain link graph
+        "extract_links": _q_extract_links,
+        "link_domain_graph": _q_link_domain_graph,
     }
 
 
@@ -1335,6 +1338,18 @@ def _q_weighted_sample(sf_dir: str):
     )
 
     return weighted_sample(sf_dir)
+
+
+def _q_extract_links(sf_dir: str):
+    from high_performance_docling_ray.pipelines.links import extract_links
+
+    return extract_links(sf_dir)
+
+
+def _q_link_domain_graph(sf_dir: str):
+    from high_performance_docling_ray.pipelines.links import link_domain_graph
+
+    return link_domain_graph(sf_dir)
 
 
 def _q_normalize_text(sf_dir: str):
@@ -3329,6 +3344,53 @@ def oracle_sql() -> dict[str, str]:
                                        doc_id) AS rn
           FROM w WHERE weight > 0
         ) WHERE rn <= 50
+    """
+    # Outlink extraction: the Ray side regex-parses the planted HTML
+    # (sources/pages.py:pages_with_links) and urljoin-resolves; the
+    # oracle reconstructs the same 6 links per doc as a closed form of
+    # doc_id — extract_pages-style verification.
+    oracles["extract_links"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 'https://site' || (doc_id % 5) || '.example' AS host,
+                 'https://site' || (doc_id % 5) || '.example/d/'
+                   || doc_id AS url,
+                 (doc_id * 31 + 17) % 100000 AS t1,
+                 (doc_id * 31 + 34) % 100000 AS t2,
+                 doc_id % 7 AS m, doc_id % 13 AS r
+          FROM documents
+        )
+        SELECT url, '/n0' AS href, host || '/n0' AS resolved,
+               CAST(1 AS BIGINT) AS pos FROM base
+        UNION ALL SELECT url, '/n1', host || '/n1', 2 FROM base
+        UNION ALL SELECT url, 'https://docs.example/' || t1,
+                         'https://docs.example/' || t1, 3 FROM base
+        UNION ALL SELECT url, 'https://docs.example/' || t2,
+                         'https://docs.example/' || t2, 4 FROM base
+        UNION ALL SELECT url,
+                         'https://ext' || m || '.example/p/' || r,
+                         'https://ext' || m || '.example/p/' || r,
+                         5 FROM base
+        UNION ALL SELECT url, '/contact', host || '/contact', 6 FROM base
+    """
+    oracles["link_domain_graph"] = """
+        WITH e AS (
+          SELECT 'site' || (doc_id % 5) || '.example' AS src_domain,
+                 'site' || (doc_id % 5) || '.example' AS dst_domain,
+                 3 AS n
+          FROM documents
+          UNION ALL
+          SELECT 'site' || (doc_id % 5) || '.example',
+                 'docs.example', 2
+          FROM documents
+          UNION ALL
+          SELECT 'site' || (doc_id % 5) || '.example',
+                 'ext' || (doc_id % 7) || '.example', 1
+          FROM documents
+        )
+        SELECT src_domain, dst_domain,
+               CAST(SUM(n) AS BIGINT) AS n_links
+        FROM e GROUP BY 1, 2
     """
     # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not
     # lowercased); scores rounded to 6dp BEFORE ranking on both sides
