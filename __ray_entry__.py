@@ -1289,6 +1289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # outlink extraction + domain link graph
         "extract_links": _q_extract_links,
         "link_domain_graph": _q_link_domain_graph,
+        "domain_pagerank": _q_domain_pagerank,
     }
 
 
@@ -1350,6 +1351,12 @@ def _q_link_domain_graph(sf_dir: str):
     from high_performance_docling_ray.pipelines.links import link_domain_graph
 
     return link_domain_graph(sf_dir)
+
+
+def _q_domain_pagerank(sf_dir: str):
+    from high_performance_docling_ray.pipelines.links import domain_pagerank
+
+    return domain_pagerank(sf_dir)
 
 
 def _q_normalize_text(sf_dir: str):
@@ -3392,6 +3399,65 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(n) AS BIGINT) AS n_links
         FROM e GROUP BY 1, 2
     """
+    # Weighted PageRank with dangling-mass redistribution over the
+    # same closed-form domain edge aggregate; 3 sweeps, d = 0.85.
+    _dpr_sweep = """
+        SELECT nd.node,
+               0.15 / (SELECT n FROM nn) + 0.85 * (
+                 COALESCE(infl.s, 0)
+                 + (SELECT COALESCE(SUM(p.r), 0) FROM {prev} p
+                    LEFT JOIN ow ON ow.node = p.node
+                    WHERE ow.node IS NULL) / (SELECT n FROM nn)
+               ) AS r
+        FROM nd
+        LEFT JOIN (
+          SELECT e.dst_domain AS node, SUM(p.r * e.n_links / ow.w) AS s
+          FROM e JOIN {prev} p ON p.node = e.src_domain
+                 JOIN ow ON ow.node = e.src_domain
+          GROUP BY 1
+        ) infl ON infl.node = nd.node
+    """
+    oracles["domain_pagerank"] = (
+        """
+        WITH raw AS (
+          SELECT 'site' || (doc_id % 5) || '.example' AS src_domain,
+                 'site' || (doc_id % 5) || '.example' AS dst_domain,
+                 3 AS n
+          FROM documents
+          UNION ALL
+          SELECT 'site' || (doc_id % 5) || '.example',
+                 'docs.example', 2
+          FROM documents
+          UNION ALL
+          SELECT 'site' || (doc_id % 5) || '.example',
+                 'ext' || (doc_id % 7) || '.example', 1
+          FROM documents
+        ),
+        e AS (
+          SELECT src_domain, dst_domain, SUM(n) AS n_links
+          FROM raw GROUP BY 1, 2
+        ),
+        nd AS (
+          SELECT src_domain AS node FROM e
+          UNION
+          SELECT dst_domain FROM e
+        ),
+        ow AS (SELECT src_domain AS node, SUM(n_links) AS w
+               FROM e GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM nd),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nd),
+        r1 AS ("""
+        + _dpr_sweep.format(prev="r0")
+        + """),
+        r2 AS ("""
+        + _dpr_sweep.format(prev="r1")
+        + """),
+        r3 AS ("""
+        + _dpr_sweep.format(prev="r2")
+        + """)
+        SELECT node AS domain, round(r, 6) AS pagerank FROM r3
+        """
+    )
     # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not
     # lowercased); scores rounded to 6dp BEFORE ranking on both sides
     # so the top-20 SET is stable; ties break by doc_id

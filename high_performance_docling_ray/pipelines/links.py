@@ -128,3 +128,65 @@ def link_domain_graph(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def domain_pagerank(
+    sf_dir: str, iterations: int = 3, damping: float = 0.85
+) -> pa.Table:
+    """Host-level PageRank over the EXTRACTED link graph — the crawl-
+    prioritization signal, weighted by link multiplicity and with the
+    full dangling-node treatment (link-graph sinks like pure-content
+    hosts have no outlinks; their mass redistributes uniformly each
+    sweep):
+
+        r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)·w(u,v)/outw(u) + dang/N)
+
+    Scale shape: the DISTRIBUTED work is ``link_domain_graph`` —
+    collapsing O(total links) into the O(distinct domain-pair) edge
+    aggregate via per-block combiners; the power iteration then runs
+    on that aggregate driver-side (domains number ~10^8 against 10^12
+    pages — the aggregate is the small side by five orders of
+    magnitude; past driver memory, swap the iteration for the
+    ``graph.pagerank`` cogroup tier over the same aggregate).
+    Deterministic: nodes sorted lexicographically, float64 both sides,
+    round 6 on output only.
+    """
+    edges = link_domain_graph(sf_dir)
+    parts = [
+        t
+        for t in ray.get(edges.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.Table.from_pydict(
+            {
+                "domain": pa.array([], pa.string()),
+                "pagerank": pa.array([], pa.float64()),
+            }
+        )
+    e = pa.concat_tables(parts)
+    src = np.asarray(e.column("src_domain").to_pylist(), object)
+    dst = np.asarray(e.column("dst_domain").to_pylist(), object)
+    w = e.column("n_links").to_numpy(zero_copy_only=False).astype(np.float64)
+    nodes = np.unique(np.concatenate([src, dst]))  # sorted
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    outw = np.zeros(n, np.float64)
+    np.add.at(outw, si, w)
+    dangling = outw == 0.0
+
+    r = np.full(n, 1.0 / n, np.float64)
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        inflow = np.zeros(n, np.float64)
+        np.add.at(inflow, di, r[si] * w / outw[si])
+        dang = r[dangling].sum()
+        r = base + damping * (inflow + dang / n)
+
+    return pa.Table.from_pydict(
+        {
+            "domain": pa.array(nodes.tolist(), pa.string()),
+            "pagerank": pa.array(np.round(r, 6), pa.float64()),
+        }
+    )

@@ -62,3 +62,21 @@ def test_link_domain_graph_accounts_for_every_link():
     assert g.sort_values(key).reset_index(drop=True).equals(
         g2.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_domain_pagerank_conserves_mass_and_ranks_sinks_high():
+    import numpy as np
+
+    from high_performance_docling_ray.pipelines.links import domain_pagerank
+
+    out = domain_pagerank(SF).to_pandas()
+    # probability mass conserved through dangling redistribution
+    assert abs(out["pagerank"].sum() - 1.0) < 1e-4
+    # docs.example receives 2 links from every page and links nowhere:
+    # it must outrank every site host
+    docs = out[out["domain"] == "docs.example"]["pagerank"].iloc[0]
+    sites = out[out["domain"].str.startswith("site")]["pagerank"]
+    assert (docs > sites).all()
+    # determinism
+    out2 = domain_pagerank(SF).to_pandas()
+    assert out.equals(out2)
