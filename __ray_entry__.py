@@ -1290,6 +1290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _q_extract_links,
         "link_domain_graph": _q_link_domain_graph,
         "domain_pagerank": _q_domain_pagerank,
+        "anchor_text_stats": _q_anchor_text_stats,
+        "crawl_frontier": _q_crawl_frontier,
     }
 
 
@@ -1357,6 +1359,18 @@ def _q_domain_pagerank(sf_dir: str):
     from high_performance_docling_ray.pipelines.links import domain_pagerank
 
     return domain_pagerank(sf_dir)
+
+
+def _q_anchor_text_stats(sf_dir: str):
+    from high_performance_docling_ray.pipelines.links import anchor_text_stats
+
+    return anchor_text_stats(sf_dir)
+
+
+def _q_crawl_frontier(sf_dir: str):
+    from high_performance_docling_ray.pipelines.links import crawl_frontier
+
+    return crawl_frontier(sf_dir)
 
 
 def _q_normalize_text(sf_dir: str):
@@ -3363,7 +3377,7 @@ def oracle_sql() -> dict[str, str]:
                  'https://site' || (doc_id % 5) || '.example/d/'
                    || doc_id AS url,
                  (doc_id * 31 + 17) % 100000 AS t1,
-                 (doc_id * 31 + 34) % 100000 AS t2,
+                 (doc_id * 7 + 3) % 97 AS t2,
                  doc_id % 7 AS m, doc_id % 13 AS r
           FROM documents
         )
@@ -3372,8 +3386,8 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT url, '/n1', host || '/n1', 2 FROM base
         UNION ALL SELECT url, 'https://docs.example/' || t1,
                          'https://docs.example/' || t1, 3 FROM base
-        UNION ALL SELECT url, 'https://docs.example/' || t2,
-                         'https://docs.example/' || t2, 4 FROM base
+        UNION ALL SELECT url, '/d/' || t2,
+                         host || '/d/' || t2, 4 FROM base
         UNION ALL SELECT url,
                          'https://ext' || m || '.example/p/' || r,
                          'https://ext' || m || '.example/p/' || r,
@@ -3384,11 +3398,11 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (
           SELECT 'site' || (doc_id % 5) || '.example' AS src_domain,
                  'site' || (doc_id % 5) || '.example' AS dst_domain,
-                 3 AS n
+                 4 AS n
           FROM documents
           UNION ALL
           SELECT 'site' || (doc_id % 5) || '.example',
-                 'docs.example', 2
+                 'docs.example', 1
           FROM documents
           UNION ALL
           SELECT 'site' || (doc_id % 5) || '.example',
@@ -3422,11 +3436,11 @@ def oracle_sql() -> dict[str, str]:
         WITH raw AS (
           SELECT 'site' || (doc_id % 5) || '.example' AS src_domain,
                  'site' || (doc_id % 5) || '.example' AS dst_domain,
-                 3 AS n
+                 4 AS n
           FROM documents
           UNION ALL
           SELECT 'site' || (doc_id % 5) || '.example',
-                 'docs.example', 2
+                 'docs.example', 1
           FROM documents
           UNION ALL
           SELECT 'site' || (doc_id % 5) || '.example',
@@ -3458,6 +3472,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS domain, round(r, 6) AS pagerank FROM r3
         """
     )
+    # Anchor texts aggregated per destination domain — the planted
+    # anchors (home/about/ref one/ref two/src/contact) are closed
+    # forms of doc_id like the links themselves.
+    oracles["anchor_text_stats"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 'site' || (doc_id % 5) || '.example' AS host,
+                 'ext' || (doc_id % 7) || '.example' AS exth
+          FROM documents
+        ),
+        a AS (
+          SELECT host AS dst_domain, 'home' AS anchor FROM p
+          UNION ALL SELECT host, 'about' FROM p
+          UNION ALL SELECT 'docs.example', 'ref one' FROM p
+          UNION ALL SELECT host, 'ref two' FROM p
+          UNION ALL SELECT exth, 'src' FROM p
+          UNION ALL SELECT host, 'contact' FROM p
+        )
+        SELECT dst_domain, anchor, CAST(COUNT(*) AS BIGINT) AS n
+        FROM a GROUP BY 1, 2
+    """
+    # Crawl frontier: distinct resolved targets anti-joined against
+    # the crawled url set. A /d/{t2} content link is crawled exactly
+    # when its target doc lives on the linking host — the LEFT JOIN
+    # against the closed-form url set decides it, no count assumption.
+    oracles["crawl_frontier"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 'https://site' || (doc_id % 5) || '.example' AS host,
+                 'https://site' || (doc_id % 5) || '.example/d/'
+                   || doc_id AS url,
+                 (doc_id * 31 + 17) % 100000 AS t1,
+                 (doc_id * 7 + 3) % 97 AS t2,
+                 doc_id % 7 AS m, doc_id % 13 AS r
+          FROM documents
+        ),
+        l AS (
+          SELECT host || '/n0' AS url FROM base
+          UNION ALL SELECT host || '/n1' FROM base
+          UNION ALL SELECT 'https://docs.example/' || t1 FROM base
+          UNION ALL SELECT host || '/d/' || t2 FROM base
+          UNION ALL SELECT 'https://ext' || m || '.example/p/' || r
+            FROM base
+          UNION ALL SELECT host || '/contact' FROM base
+        ),
+        agg AS (
+          SELECT url, CAST(COUNT(*) AS BIGINT) AS n_inlinks
+          FROM l GROUP BY 1
+        )
+        SELECT a.url, a.n_inlinks
+        FROM agg a LEFT JOIN base b ON b.url = a.url
+        WHERE b.url IS NULL
+    """
     # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not
     # lowercased); scores rounded to 6dp BEFORE ranking on both sides
     # so the top-20 SET is stable; ties break by doc_id

@@ -37,6 +37,7 @@ import ray.data
 from ..sources.pages import pages_with_links
 
 _HREF = re.compile(r'href="([^"]*)"')
+_ANCHOR = re.compile(r'<a href="([^"]*)"[^>]*>([^<]*)</a>')
 _DOMAIN = re.compile(r"^https://(?P<dom>[^/]+)")
 
 
@@ -190,3 +191,165 @@ def domain_pagerank(
             "pagerank": pa.array(np.round(r, 6), pa.float64()),
         }
     )
+
+
+def anchor_text_stats(sf_dir: str) -> ray.data.Dataset:
+    """(dst_domain, anchor, n): how each destination domain is
+    described by the pages that link to it — anchor text is the
+    classic weak-label / query-synthesis signal mined from crawls.
+    Same shape as ``link_domain_graph``: per-page RE2 anchor scan
+    (pure map), urljoin resolve, vectorized domain parse, per-batch
+    combiner, ONE (domain, anchor)-keyed groupby sum."""
+    ds = pages_with_links(sf_dir)
+
+    def harvest(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        doms: list[str] = []
+        anchors: list[str] = []
+        for u, h in zip(urls, htmls):
+            if h is None or u is None:
+                continue
+            body = h.decode("utf-8", "replace")
+            for m in _ANCHOR.finditer(body):
+                resolved = urllib.parse.urljoin(u, m.group(1))
+                dm = _DOMAIN.match(resolved)
+                if dm is None:
+                    continue
+                doms.append(dm.group("dom"))
+                anchors.append(m.group(2))
+        g = (
+            pd.DataFrame({"dst_domain": doms, "anchor": anchors})
+            .groupby(["dst_domain", "anchor"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pydict(
+            {
+                "dst_domain": pa.array(g["dst_domain"].tolist(), pa.string()),
+                "anchor": pa.array(g["anchor"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(harvest, batch_format="pyarrow")
+        .groupby(["dst_domain", "anchor"])
+        .sum("n")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "dst_domain": batch.column("dst_domain"),
+                "anchor": batch.column("anchor"),
+                "n": pc.cast(batch.column("sum(n)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def crawl_frontier(
+    sf_dir: str, build_broadcast_budget: int = 2_000_000
+):
+    """(url, n_inlinks): distinct link targets NOT yet crawled, with
+    their in-link counts — the seed list for the next crawl wave,
+    ordered by demand. The distributed ANTI-JOIN over web data:
+
+    - probe side: ``extract_links`` collapsed to distinct targets via
+      a per-batch combiner + ONE key-only groupby sum (the exchange
+      carries (url, count) pairs, never link rows);
+    - build side: the crawled url set, reduced to distinct keys. Under
+      ``build_broadcast_budget`` it broadcasts once via ``ray.put``
+      and the probe stream filters with exact vectorized ``pc.is_in``;
+      past it, ``joins.cogroup_attach`` marks matches on the url key
+      and a null-filter keeps the anti rows (same tier discipline as
+      ``relational.anti_join_customers``).
+    """
+    links = extract_links(sf_dir)
+
+    def target_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "url": batch.column("resolved").to_numpy(
+                        zero_copy_only=False
+                    )
+                }
+            )
+            .groupby("url", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(g["url"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    targets = (
+        links.map_batches(target_partial, batch_format="pyarrow")
+        .groupby("url")
+        .sum("n")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url"),
+                "n_inlinks": pc.cast(batch.column("sum(n)"), pa.int64()),
+            }
+        )
+
+    targets = targets.map_batches(finish, batch_format="pyarrow")
+
+    crawled_keys = pages_with_links(sf_dir).select_columns(["url"])
+    from .dedup import _collect_within_budget
+
+    keys_tbl = _collect_within_budget(crawled_keys, build_broadcast_budget)
+    if keys_tbl is not None:
+        crawled = keys_tbl.column("url").combine_chunks().unique()
+        crawled_ref = ray.put(crawled)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            have = ray.get(crawled_ref)
+            mask = pc.is_in(batch.column("url").combine_chunks(), value_set=have)
+            return batch.filter(pc.invert(mask))
+
+        return targets.map_batches(anti, batch_format="pyarrow")
+
+    # over-budget tier: distributed key-only anti-join
+    from .joins import cogroup_attach
+
+    marked = cogroup_attach(
+        targets,
+        crawled_keys.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "url": b.column("url"),
+                    "crawled": pa.array(
+                        np.ones(b.num_rows, np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        key="url",
+        left_fields=[
+            pa.field("url", pa.string()),
+            pa.field("n_inlinks", pa.int64()),
+        ],
+        payload_fields=[pa.field("crawled", pa.int64())],
+    )
+
+    def keep_anti(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch.column("crawled"))
+        return batch.filter(mask).select(["url", "n_inlinks"])
+
+    return marked.map_batches(keep_anti, batch_format="pyarrow")

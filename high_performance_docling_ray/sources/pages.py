@@ -790,13 +790,15 @@ def pages_from_documents(sf_dir: str):
 def pages_with_links(sf_dir: str):
     """Derive a pages table whose HTML carries a deterministic LINK
     structure — the input for the outlink-extraction / link-graph
-    family (pipelines/links.py). Per doc: 2 relative nav links, 2
-    content links to docs.example targets ((doc_id*31 + j*17) %
-    100000 — dangling targets are realistic), 1 external-domain link,
-    1 relative footer link; the page itself lives on one of 5 site
-    hosts. Every planted value is a closed form of doc_id so the
-    driver-gate oracle reconstructs the expected edges in SQL without
-    reimplementing an HTML parser."""
+    family (pipelines/links.py). Per doc: 2 relative nav links, 1
+    content link to a docs.example target ((doc_id*31 + 17) % 100000
+    — mostly dangling, realistic), 1 relative content link to
+    /d/{(doc_id*7 + 3) % 97} (crawled iff that target doc lives on
+    this host — gives the frontier anti-join both outcomes), 1
+    external-domain link, 1 relative footer link; the page itself
+    lives on one of 5 site hosts. Every planted value is a closed
+    form of doc_id so the driver-gate oracle reconstructs the
+    expected edges in SQL without reimplementing an HTML parser."""
     import ray.data
 
     def to_pages(batch: pa.Table) -> pa.Table:
@@ -806,13 +808,13 @@ def pages_with_links(sf_dir: str):
         rows = []
         for doc_id, text, lang in zip(doc_ids, texts, langs):
             t1 = (doc_id * 31 + 17) % 100000
-            t2 = (doc_id * 31 + 34) % 100000
+            t2 = (doc_id * 7 + 3) % 97
             html = (
                 f'<html><body><nav><a href="/n0">home</a>'
                 f'<a href="/n1">about</a></nav>'
                 f"<main><h1>Doc {doc_id}</h1><p>{text}</p>"
                 f'<a href="https://docs.example/{t1}">ref one</a>'
-                f'<a href="https://docs.example/{t2}">ref two</a>'
+                f'<a href="/d/{t2}">ref two</a>'
                 f'<a href="https://ext{doc_id % 7}.example/p/{doc_id % 13}">src</a>'
                 f'</main><footer><a href="/contact">contact</a>'
                 f"</footer></body></html>"

@@ -34,10 +34,11 @@ def test_extract_links_six_per_page_in_document_order():
         "/n0",
         "/n1",
         "https://docs.example/17",
-        "https://docs.example/34",
+        "/d/3",
         "https://ext0.example/p/0",
         "/contact",
     ]
+    assert d0["resolved"].iloc[3] == "https://site0.example/d/3"
     # relative links resolve against the page host, absolute pass through
     assert list(d0["resolved"])[:2] == [
         "https://site0.example/n0",
@@ -51,11 +52,11 @@ def test_link_domain_graph_accounts_for_every_link():
     n = _n_docs()
     g = link_domain_graph(SF).to_pandas()
     assert g["n_links"].sum() == 6 * n
-    # each site host emits exactly 3 self-links per page it serves
+    # each site host emits exactly 4 self-links per page it serves
     self_edges = g[g["src_domain"] == g["dst_domain"]]
-    assert (self_edges["n_links"] % 3 == 0).all()
+    assert (self_edges["n_links"] % 4 == 0).all()
     docs_in = g[g["dst_domain"] == "docs.example"]["n_links"].sum()
-    assert docs_in == 2 * n
+    assert docs_in == n
     # determinism
     g2 = link_domain_graph(SF).to_pandas()
     key = ["src_domain", "dst_domain"]
@@ -72,11 +73,53 @@ def test_domain_pagerank_conserves_mass_and_ranks_sinks_high():
     out = domain_pagerank(SF).to_pandas()
     # probability mass conserved through dangling redistribution
     assert abs(out["pagerank"].sum() - 1.0) < 1e-4
-    # docs.example receives 2 links from every page and links nowhere:
-    # it must outrank every site host
+    # docs.example receives 1 link from EVERY page; each ext host only
+    # from ~1/7 of pages — docs.example must outrank every ext host
     docs = out[out["domain"] == "docs.example"]["pagerank"].iloc[0]
-    sites = out[out["domain"].str.startswith("site")]["pagerank"]
-    assert (docs > sites).all()
+    exts = out[out["domain"].str.startswith("ext")]["pagerank"]
+    assert (docs > exts).all()
     # determinism
     out2 = domain_pagerank(SF).to_pandas()
     assert out.equals(out2)
+
+
+def test_anchor_text_stats_counts_planted_anchors():
+    from high_performance_docling_ray.pipelines.links import anchor_text_stats
+
+    n = _n_docs()
+    out = anchor_text_stats(SF).to_pandas()
+    assert out["n"].sum() == 6 * n
+    docs = out[out["dst_domain"] == "docs.example"]
+    assert len(docs) == 1 and docs["anchor"].iloc[0] == "ref one"
+    assert docs["n"].iloc[0] == n
+    # every site host is described by exactly 4 anchor strings
+    site0 = out[out["dst_domain"] == "site0.example"]
+    assert sorted(site0["anchor"]) == ["about", "contact", "home", "ref two"]
+
+
+def test_crawl_frontier_tiers_agree_and_exclude_crawled():
+    from high_performance_docling_ray.pipelines.links import crawl_frontier
+
+    key = ["url", "n_inlinks"]
+    broad = (
+        crawl_frontier(SF).to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    cogrp = (
+        crawl_frontier(SF, build_broadcast_budget=0)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert broad.equals(cogrp)  # tier pin
+    # no crawled url may appear in the frontier
+    crawled = {
+        f"https://site{d % 5}.example/d/{d}" for d in range(_n_docs())
+    }
+    assert not (set(broad["url"]) & crawled)
+    # at least one /d/ link IS crawled (anti-join bites) and at least
+    # one dangles (frontier keeps it)
+    d_links = {
+        f"https://site{d % 5}.example/d/{(d * 7 + 3) % 97}"
+        for d in range(_n_docs())
+    }
+    assert d_links & crawled and (d_links - crawled) <= set(broad["url"])
