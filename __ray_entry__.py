@@ -1292,6 +1292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_pagerank": _q_domain_pagerank,
         "anchor_text_stats": _q_anchor_text_stats,
         "crawl_frontier": _q_crawl_frontier,
+        "frontier_prioritized": _q_frontier_prioritized,
     }
 
 
@@ -1371,6 +1372,14 @@ def _q_crawl_frontier(sf_dir: str):
     from high_performance_docling_ray.pipelines.links import crawl_frontier
 
     return crawl_frontier(sf_dir)
+
+
+def _q_frontier_prioritized(sf_dir: str):
+    from high_performance_docling_ray.pipelines.links import (
+        frontier_prioritized,
+    )
+
+    return frontier_prioritized(sf_dir)
 
 
 def _q_normalize_text(sf_dir: str):
@@ -3431,7 +3440,7 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1
         ) infl ON infl.node = nd.node
     """
-    oracles["domain_pagerank"] = (
+    _dpr_ctes = (
         """
         WITH raw AS (
           SELECT 'site' || (doc_id % 5) || '.example' AS src_domain,
@@ -3468,9 +3477,11 @@ def oracle_sql() -> dict[str, str]:
         + """),
         r3 AS ("""
         + _dpr_sweep.format(prev="r2")
-        + """)
-        SELECT node AS domain, round(r, 6) AS pagerank FROM r3
-        """
+        + """)"""
+    )
+    oracles["domain_pagerank"] = (
+        _dpr_ctes
+        + "\nSELECT node AS domain, round(r, 6) AS pagerank FROM r3"
     )
     # Anchor texts aggregated per destination domain — the planted
     # anchors (home/about/ref one/ref two/src/contact) are closed
@@ -3525,6 +3536,56 @@ def oracle_sql() -> dict[str, str]:
         FROM agg a LEFT JOIN base b ON b.url = a.url
         WHERE b.url IS NULL
     """
+    # Frontier ranked by destination-domain PageRank (crawl
+    # scheduling): reuse the 3-sweep pagerank CTE chain, rebuild the
+    # frontier, join on the regexp-extracted domain, rank by
+    # (round-6 rank DESC, in-links DESC, url ASC), keep the top 100.
+    oracles["frontier_prioritized"] = (
+        _dpr_ctes
+        + """,
+        base AS (
+          SELECT doc_id,
+                 'https://site' || (doc_id % 5) || '.example' AS host,
+                 'https://site' || (doc_id % 5) || '.example/d/'
+                   || doc_id AS url,
+                 (doc_id * 31 + 17) % 100000 AS t1,
+                 (doc_id * 7 + 3) % 97 AS t2,
+                 doc_id % 7 AS m, doc_id % 13 AS r
+          FROM documents
+        ),
+        l AS (
+          SELECT host || '/n0' AS url FROM base
+          UNION ALL SELECT host || '/n1' FROM base
+          UNION ALL SELECT 'https://docs.example/' || t1 FROM base
+          UNION ALL SELECT host || '/d/' || t2 FROM base
+          UNION ALL SELECT 'https://ext' || m || '.example/p/' || r
+            FROM base
+          UNION ALL SELECT host || '/contact' FROM base
+        ),
+        agg AS (
+          SELECT url, CAST(COUNT(*) AS BIGINT) AS n_inlinks
+          FROM l GROUP BY 1
+        ),
+        fr AS (
+          SELECT a.url, a.n_inlinks,
+                 regexp_extract(a.url, '^https://([^/]+)', 1) AS domain
+          FROM agg a LEFT JOIN base b ON b.url = a.url
+          WHERE b.url IS NULL
+        ),
+        scored AS (
+          SELECT fr.url, fr.domain, fr.n_inlinks,
+                 COALESCE(round(r3.r, 6), 0) AS domain_rank
+          FROM fr LEFT JOIN r3 ON r3.node = fr.domain
+        )
+        SELECT url, domain, n_inlinks, domain_rank,
+               CAST(rn AS BIGINT) AS priority_rank
+        FROM (
+          SELECT *, row_number() OVER (ORDER BY domain_rank DESC,
+                                       n_inlinks DESC, url) AS rn
+          FROM scored
+        ) WHERE rn <= 100
+    """
+    )
     # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not
     # lowercased); scores rounded to 6dp BEFORE ranking on both sides
     # so the top-20 SET is stable; ties break by doc_id

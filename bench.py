@@ -158,6 +158,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "winnowing_fingerprints",
         "winnowing_overlap_pairs",
         "source_divergence",
+        # session-6 additions: decomposition/PQ + link family
+        "embedding_covariance",
+        "pq_codes",
+        "knn_pq_adc",
+        "random_projection",
+        "weighted_sample",
+        "extract_links",
+        "link_domain_graph",
+        "domain_pagerank",
+        "crawl_frontier",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

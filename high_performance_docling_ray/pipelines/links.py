@@ -353,3 +353,82 @@ def crawl_frontier(
         return batch.filter(mask).select(["url", "n_inlinks"])
 
     return marked.map_batches(keep_anti, batch_format="pyarrow")
+
+
+def frontier_prioritized(sf_dir: str, topk: int = 100) -> pa.Table:
+    """Crawl scheduling: the frontier ranked by the PageRank of each
+    target's domain — crawl demand (in-links) breaks ties within a
+    domain, url asc breaks exact ties. Returns the global top-k
+    (url, domain, n_inlinks, domain_rank, priority_rank).
+
+    Composition shape: ``domain_pagerank`` is a driver-held table by
+    construction (see its docstring), so attaching scores to the
+    frontier stream is a broadcast lookup (sorted searchsorted per
+    batch), never a shuffle; the global top-k is a per-block
+    combiner + one tiny driver merge (rank = lexsort on the merged
+    <= k x blocks rows).
+    """
+    pr = domain_pagerank(sf_dir)
+    pr_nodes = np.asarray(pr.column("domain").to_pylist(), object)
+    pr_vals = pr.column("pagerank").to_numpy(zero_copy_only=False)
+    pr_ref = ray.put((pr_nodes, pr_vals))
+
+    frontier = crawl_frontier(sf_dir)
+
+    def local_k(batch: pa.Table) -> pa.Table:
+        nodes, vals = ray.get(pr_ref)
+        urls = np.asarray(batch.column("url").to_pylist(), object)
+        inl = batch.column("n_inlinks").to_numpy(zero_copy_only=False)
+        doms = np.empty(len(urls), object)
+        for i, u in enumerate(urls):
+            m = _DOMAIN.match(u)
+            doms[i] = m.group("dom") if m else ""
+        idx = np.searchsorted(nodes, doms)
+        idx = np.clip(idx, 0, len(nodes) - 1)
+        rank = np.where(nodes[idx] == doms, vals[idx], 0.0)
+        order = np.lexsort((urls, -inl, -rank))[:topk]
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(urls[order].tolist(), pa.string()),
+                "domain": pa.array(doms[order].tolist(), pa.string()),
+                "n_inlinks": pa.array(
+                    inl[order].astype(np.int64), pa.int64()
+                ),
+                "domain_rank": pa.array(rank[order], pa.float64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            frontier.map_batches(local_k, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array([], pa.string()),
+                "domain": pa.array([], pa.string()),
+                "n_inlinks": pa.array([], pa.int64()),
+                "domain_rank": pa.array([], pa.float64()),
+                "priority_rank": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    urls = np.asarray(merged.column("url").to_pylist(), object)
+    inl = merged.column("n_inlinks").to_numpy(zero_copy_only=False)
+    rank = merged.column("domain_rank").to_numpy(zero_copy_only=False)
+    order = np.lexsort((urls, -inl, -rank))[:topk]
+    out = merged.take(pa.array(np.sort(order)))
+    # global priority rank in the same (rank desc, inlinks desc, url)
+    urls2 = np.asarray(out.column("url").to_pylist(), object)
+    inl2 = out.column("n_inlinks").to_numpy(zero_copy_only=False)
+    rank2 = out.column("domain_rank").to_numpy(zero_copy_only=False)
+    pos = np.empty(len(urls2), np.int64)
+    pos[np.lexsort((urls2, -inl2, -rank2))] = np.arange(1, len(urls2) + 1)
+    return out.append_column(
+        "priority_rank", pa.array(pos, pa.int64())
+    )

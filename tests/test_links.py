@@ -123,3 +123,28 @@ def test_crawl_frontier_tiers_agree_and_exclude_crawled():
         for d in range(_n_docs())
     }
     assert d_links & crawled and (d_links - crawled) <= set(broad["url"])
+
+
+def test_frontier_prioritized_orders_by_domain_rank_then_demand():
+    from high_performance_docling_ray.pipelines.links import (
+        domain_pagerank,
+        frontier_prioritized,
+    )
+
+    out = frontier_prioritized(SF).to_pandas()
+    assert len(out) == 100
+    assert list(out.sort_values("priority_rank")["priority_rank"]) == list(
+        range(1, 101)
+    )
+    ordered = out.sort_values("priority_rank").reset_index(drop=True)
+    # non-increasing (rank, inlinks) along the priority order
+    for i in range(1, len(ordered)):
+        a, b = ordered.iloc[i - 1], ordered.iloc[i]
+        assert (a["domain_rank"], a["n_inlinks"], ) >= (
+            b["domain_rank"],
+            b["n_inlinks"],
+        ) or a["domain_rank"] > b["domain_rank"]
+    # domain_rank values come from the pagerank table
+    pr = domain_pagerank(SF).to_pandas().set_index("domain")["pagerank"]
+    for _, row in ordered.head(20).iterrows():
+        assert row["domain_rank"] == pr[row["domain"]]
