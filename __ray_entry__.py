@@ -1293,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_stats": _q_anchor_text_stats,
         "crawl_frontier": _q_crawl_frontier,
         "frontier_prioritized": _q_frontier_prioritized,
+        "cdx_index": _q_cdx_index,
     }
 
 
@@ -1380,6 +1381,12 @@ def _q_frontier_prioritized(sf_dir: str):
     )
 
     return frontier_prioritized(sf_dir)
+
+
+def _q_cdx_index(sf_dir: str):
+    from high_performance_docling_ray.pipelines.links import cdx_index
+
+    return cdx_index(sf_dir)
 
 
 def _q_normalize_text(sf_dir: str):
@@ -3586,6 +3593,24 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn <= 100
     """
     )
+    # CDX capture index: SURT key + global rank in SURT order. SURTs
+    # are unique (url is the dedup key) so the order is total; the Ray
+    # side's rank comes from Ray's distributed sort + per-block offsets.
+    oracles["cdx_index"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 'https://site' || (doc_id % 5) || '.example/d/'
+                   || doc_id AS url,
+                 'example,site' || (doc_id % 5) || ')/d/'
+                   || doc_id AS surt,
+                 make_timestamp(1704067200000000 + doc_id) AS warc_ts
+          FROM documents
+        )
+        SELECT surt, url, warc_ts,
+               CAST(row_number() OVER (ORDER BY surt) - 1 AS BIGINT)
+                 AS "rank"
+        FROM base
+    """
     # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not
     # lowercased); scores rounded to 6dp BEFORE ranking on both sides
     # so the top-20 SET is stable; ties break by doc_id

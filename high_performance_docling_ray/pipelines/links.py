@@ -432,3 +432,71 @@ def frontier_prioritized(sf_dir: str, topk: int = 100) -> pa.Table:
     return out.append_column(
         "priority_rank", pa.array(pos, pa.int64())
     )
+
+
+def cdx_index(sf_dir: str) -> ray.data.Dataset:
+    """CDX-style capture index: every crawled page keyed by its SURT
+    (Sort-friendly URI Reordering Transform — host labels reversed and
+    comma-joined, then the path: ``example,site0)/d/123``) with the
+    capture timestamp and the page's GLOBAL position in SURT order.
+    The sorted index is what makes a 10^12-capture crawl archive
+    binary-searchable; rank is the lookup offset.
+
+    Scale shape: the SURT transform is a pure map that reverses each
+    DISTINCT host once (dictionary-encode + scatter — hosts repeat
+    heavily in a crawl); the global order comes from Ray Data's own
+    distributed range-partition ``sort`` (the one operator here that
+    IS an all-to-all, used deliberately: a binary-searchable index
+    cannot avoid a global sort); ranks are then assigned per sorted
+    block from a driver cumsum of block row-counts — raw Ray tasks,
+    because the Dataset API exposes no ordered block index. SURTs are
+    unique in a deduped crawl (url is the dedup key), so the order is
+    total and reproducible.
+    """
+    import ray
+
+    pages = pages_with_links(sf_dir).select_columns(["url", "warc_ts"])
+
+    def to_surt(batch: pa.Table) -> pa.Table:
+        col = batch.column("url").combine_chunks()
+        parts = pc.extract_regex(
+            col, r"^https://(?P<dom>[^/]+)(?P<path>/.*)$"
+        )
+        doms = parts.field("dom")
+        paths = parts.field("path")
+        enc = doms.dictionary_encode()
+        rev = [
+            ",".join(reversed(h.split("."))) if h is not None else None
+            for h in enc.dictionary.to_pylist()
+        ]
+        rev_col = pc.take(pa.array(rev, pa.string()), enc.indices)
+        surt_col = pc.binary_join_element_wise(rev_col, paths, ")")
+        return pa.Table.from_pydict(
+            {
+                "surt": surt_col,
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+            }
+        )
+
+    keyed = pages.map_batches(to_surt, batch_format="pyarrow")
+    sorted_ds = keyed.sort("surt").materialize()
+    refs = sorted_ds.to_arrow_refs()  # blocks in global sorted order
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def _add_rank(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(
+            "rank", pa.array(off + np.arange(t.num_rows, dtype=np.int64))
+        )
+
+    ranked = [
+        _add_rank.remote(r, int(o)) for r, o in zip(refs, offsets)
+    ]
+    return ray.data.from_arrow_refs(ranked)

@@ -148,3 +148,25 @@ def test_frontier_prioritized_orders_by_domain_rank_then_demand():
     pr = domain_pagerank(SF).to_pandas().set_index("domain")["pagerank"]
     for _, row in ordered.head(20).iterrows():
         assert row["domain_rank"] == pr[row["domain"]]
+
+
+def test_cdx_index_rank_is_global_surt_order():
+    import numpy as np
+
+    from high_performance_docling_ray.pipelines.links import cdx_index
+
+    out = cdx_index(SF).to_pandas().sort_values("rank").reset_index(drop=True)
+    n = _n_docs()
+    assert len(out) == n
+    assert list(out["rank"]) == list(range(n))
+    # rank order IS lexicographic surt order
+    assert list(out["surt"]) == sorted(out["surt"])
+    # SURT shape: reversed host labels, ')' before the path
+    r0 = out[out["url"] == "https://site3.example/d/3"].iloc[0]
+    assert r0["surt"] == "example,site3)/d/3"
+    # determinism across runs (block layout must not leak into ranks)
+    out2 = (
+        cdx_index(SF).to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert out.equals(out2)
+    _ = np
