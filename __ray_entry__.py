@@ -1294,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": _q_crawl_frontier,
         "frontier_prioritized": _q_frontier_prioritized,
         "cdx_index": _q_cdx_index,
+        "robots_filter": _q_robots_filter,
     }
 
 
@@ -1387,6 +1388,12 @@ def _q_cdx_index(sf_dir: str):
     from high_performance_docling_ray.pipelines.links import cdx_index
 
     return cdx_index(sf_dir)
+
+
+def _q_robots_filter(sf_dir: str):
+    from high_performance_docling_ray.pipelines.links import robots_filter
+
+    return robots_filter(sf_dir)
 
 
 def _q_normalize_text(sf_dir: str):
@@ -3610,6 +3617,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY surt) - 1 AS BIGINT)
                  AS "rank"
         FROM base
+    """
+    # Robots politeness gate over the frontier: the planted policy
+    # (odd site hosts disallow /d/, all site hosts disallow /contact,
+    # ext hosts with residue % 3 == 0 disallow everything) mirrored as
+    # a CASE filter over the rebuilt frontier.
+    oracles["robots_filter"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 'https://site' || (doc_id % 5) || '.example' AS host,
+                 'https://site' || (doc_id % 5) || '.example/d/'
+                   || doc_id AS url,
+                 (doc_id * 31 + 17) % 100000 AS t1,
+                 (doc_id * 7 + 3) % 97 AS t2,
+                 doc_id % 7 AS m, doc_id % 13 AS r
+          FROM documents
+        ),
+        l AS (
+          SELECT host || '/n0' AS url FROM base
+          UNION ALL SELECT host || '/n1' FROM base
+          UNION ALL SELECT 'https://docs.example/' || t1 FROM base
+          UNION ALL SELECT host || '/d/' || t2 FROM base
+          UNION ALL SELECT 'https://ext' || m || '.example/p/' || r
+            FROM base
+          UNION ALL SELECT host || '/contact' FROM base
+        ),
+        agg AS (
+          SELECT url, CAST(COUNT(*) AS BIGINT) AS n_inlinks
+          FROM l GROUP BY 1
+        ),
+        fr AS (
+          SELECT a.url, a.n_inlinks,
+                 regexp_extract(a.url, '^https://([^/]+)', 1) AS dom,
+                 regexp_extract(a.url, '^https://[^/]+(/.*)$', 1) AS path
+          FROM agg a LEFT JOIN base b ON b.url = a.url
+          WHERE b.url IS NULL
+        )
+        SELECT url, n_inlinks FROM fr
+        WHERE NOT (
+          (dom LIKE 'site%.example' AND path LIKE '/contact%')
+          OR (dom LIKE 'site%.example' AND path LIKE '/d/%'
+              AND COALESCE(TRY_CAST(regexp_extract(dom,
+                    'site(\\d+)\\.example', 1) AS BIGINT) % 2, -1) = 1)
+          OR (dom LIKE 'ext%.example'
+              AND COALESCE(TRY_CAST(regexp_extract(dom,
+                    'ext(\\d+)\\.example', 1) AS BIGINT) % 3, -1) = 0)
+        )
     """
     # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not
     # lowercased); scores rounded to 6dp BEFORE ranking on both sides

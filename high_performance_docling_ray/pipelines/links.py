@@ -500,3 +500,54 @@ def cdx_index(sf_dir: str) -> ray.data.Dataset:
         _add_rank.remote(r, int(o)) for r, o in zip(refs, offsets)
     ]
     return ray.data.from_arrow_refs(ranked)
+
+
+# Planted robots.txt policy (a real pipeline fetches robots.txt per
+# host and broadcasts the compiled rule set, exactly like the UT1
+# blocklist constant in web_curation.py): odd-numbered site hosts
+# disallow /d/, every site host disallows /contact, ext hosts with
+# residue % 3 == 0 disallow everything, docs.example allows all.
+_ROBOTS_DISALLOW = {
+    "site_odd": "/d/",
+    "site_all": "/contact",
+    "ext_mod3": "/",
+}
+
+
+def robots_filter(sf_dir: str) -> ray.data.Dataset:
+    """(url, n_inlinks): the crawl frontier with robots.txt policy
+    applied — the politeness gate between frontier construction and
+    fetch scheduling. Pure vectorized map over the frontier stream
+    (domain regex + path prefix tests against the broadcast rule
+    constants); no additional exchange beyond ``crawl_frontier``'s."""
+    frontier = crawl_frontier(sf_dir)
+
+    def allowed(batch: pa.Table) -> pa.Table:
+        col = batch.column("url").combine_chunks()
+        parts = pc.extract_regex(
+            col, r"^https://(?P<dom>[^/]+)(?P<path>/.*)$"
+        )
+        doms = np.asarray(parts.field("dom").to_pylist(), object)
+        paths = np.asarray(parts.field("path").to_pylist(), object)
+        n = len(doms)
+        deny = np.zeros(n, bool)
+        for i in range(n):
+            d, p = doms[i], paths[i]
+            if d is None or p is None:
+                deny[i] = True
+                continue
+            if d.startswith("site") and d.endswith(".example"):
+                k = d[len("site"):-len(".example")]
+                if k.isdigit() and int(k) % 2 == 1 and p.startswith(
+                    _ROBOTS_DISALLOW["site_odd"]
+                ):
+                    deny[i] = True
+                if p.startswith(_ROBOTS_DISALLOW["site_all"]):
+                    deny[i] = True
+            elif d.startswith("ext") and d.endswith(".example"):
+                m = d[len("ext"):-len(".example")]
+                if m.isdigit() and int(m) % 3 == 0:
+                    deny[i] = True
+        return batch.filter(pa.array(~deny))
+
+    return frontier.map_batches(allowed, batch_format="pyarrow")

@@ -170,3 +170,26 @@ def test_cdx_index_rank_is_global_surt_order():
     )
     assert out.equals(out2)
     _ = np
+
+
+def test_robots_filter_enforces_each_planted_rule():
+    from high_performance_docling_ray.pipelines.links import (
+        crawl_frontier,
+        robots_filter,
+    )
+
+    allowed = set(robots_filter(SF).to_pandas()["url"])
+    frontier = set(crawl_frontier(SF).to_pandas()["url"])
+    assert allowed < frontier  # the gate removes something
+    for u in allowed:
+        assert "/contact" not in u
+        host = u.split("/")[2]
+        if host.startswith("site") and "/d/" in u:
+            assert int(host[4:].split(".")[0]) % 2 == 0
+        if host.startswith("ext"):
+            assert int(host[3:].split(".")[0]) % 3 != 0
+    # every rule actually removed at least one url
+    removed = frontier - allowed
+    assert any("/contact" in u for u in removed)
+    assert any("/d/" in u and u.split("/")[2].startswith("site") for u in removed)
+    assert any(u.split("/")[2].startswith("ext") for u in removed)
