@@ -1295,6 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_prioritized": _q_frontier_prioritized,
         "cdx_index": _q_cdx_index,
         "robots_filter": _q_robots_filter,
+        "quality_threshold_filter": _q_quality_threshold_filter,
     }
 
 
@@ -1394,6 +1395,14 @@ def _q_robots_filter(sf_dir: str):
     from high_performance_docling_ray.pipelines.links import robots_filter
 
     return robots_filter(sf_dir)
+
+
+def _q_quality_threshold_filter(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        quality_threshold_filter,
+    )
+
+    return quality_threshold_filter(sf_dir)
 
 
 def _q_normalize_text(sf_dir: str):
@@ -3663,6 +3672,49 @@ def oracle_sql() -> dict[str, str]:
               AND COALESCE(TRY_CAST(regexp_extract(dom,
                     'ext(\\d+)\\.example', 1) AS BIGINT) % 3, -1) = 0)
         )
+    """
+    # Corpus-relative quality gate: keep docs at/above the p90 quality
+    # score. quantile_disc on the round-6 scores == the Ray side's
+    # ceil(q*n)-1 cumulative-count rule; the score expression is the
+    # hash-verified quality_scores formula.
+    oracles["quality_threshold_filter"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS ltoks,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, n_chars, len(toks) AS n_tokens,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                           AS DOUBLE) / len(toks)
+            END AS mwl,
+            CASE WHEN n_chars = 0 THEN 0.0
+                 ELSE CAST(n_punct AS DOUBLE) / n_chars END AS pr,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(ltoks, x -> x IN ({_STOP_EN})))
+                           AS DOUBLE) / len(toks)
+            END AS sr
+          FROM t
+        ),
+        sc AS (
+          SELECT doc_id,
+            round(0.4 * least(1.0, n_tokens / 50.0)
+                  + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+                                THEN 1.0 ELSE 0.5 END)
+                  + 0.2 * least(1.0, sr * 5.0)
+                  + 0.2 * (1.0 - least(1.0,
+                                       greatest(0.0, pr - 0.2) * 2.0)),
+                  6) AS quality
+          FROM f
+        ),
+        th AS (SELECT quantile_disc(quality, 0.9) AS t FROM sc)
+        SELECT doc_id, quality FROM sc, th WHERE quality >= th.t
     """
     # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not
     # lowercased); scores rounded to 6dp BEFORE ranking on both sides

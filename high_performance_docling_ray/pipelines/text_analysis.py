@@ -1343,3 +1343,72 @@ def winnowing_overlap_pairs(
         .groupby("pkb")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def quality_threshold_filter(
+    sf_dir: str, q: float = 0.9, distinct_limit: int = 2_000_000
+) -> ray.data.Dataset:
+    """Dynamic corpus-relative filtering: keep docs whose quality
+    score is at or above the corpus q-quantile — the two-pass shape
+    every "top decile of the crawl" curation rule needs, because the
+    threshold is a property OF the corpus, not a constant.
+
+    Pass 1 computes the exact discrete quantile WITHOUT a sort: each
+    block emits its (score, cnt) histogram (scores are round-6, so
+    the distinct domain is bounded), one combine folds them, the
+    driver takes ``index = max(0, ceil(q*n) - 1)`` from the cumulative
+    counts (== DuckDB ``quantile_disc``). Pass 2 re-scores and filters
+    with the threshold embedded as a closure constant — a pure map.
+    Two corpus reads total; nothing but histograms ever leaves a
+    block in pass 1.
+    """
+    import math
+
+    from .relational import _combine_partials
+
+    scores = quality_scores(sf_dir).select_columns(["doc_id", "quality"])
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        vals = batch.column("quality").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "value": pa.array(uniq.astype(np.float64), pa.float64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = scores.map_batches(local_counts, batch_format="pyarrow")
+    merged = _combine_partials(
+        partials, keys=["value"], sum_cols=["cnt"],
+        combine_limit=distinct_limit,
+    )
+    if merged is None:
+        import ray as _ray
+
+        shuffled = partials.groupby("value").sum("cnt")
+        merged = pa.concat_tables(
+            [
+                t
+                for t in _ray.get(shuffled.materialize().to_arrow_refs())
+                if t.num_rows
+            ]
+        )
+    vals = merged.column("value").to_numpy(zero_copy_only=False)
+    cnts = merged.column("sum(cnt)").to_numpy(zero_copy_only=False)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return scores
+    idx = max(0, math.ceil(q * n) - 1)
+    threshold = float(vals[np.searchsorted(cum, idx + 1)])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.greater_equal(batch.column("quality"), threshold)
+        return batch.filter(pc.fill_null(mask, False))
+
+    return scores.map_batches(keep, batch_format="pyarrow")

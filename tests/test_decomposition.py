@@ -228,3 +228,26 @@ def test_weighted_sample_matches_serial_priority_rule():
     assert out["weight"].mean() > w[ok].mean()
     # determinism
     assert out.to_dict() == weighted_sample(SF).to_pandas().to_dict()
+
+
+def test_quality_threshold_filter_is_corpus_relative():
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        quality_scores,
+        quality_threshold_filter,
+    )
+
+    all_scores = quality_scores(SF).to_pandas()
+    kept = quality_threshold_filter(SF).to_pandas()
+    n = len(all_scores)
+    # at most ~10% + ties survive a p90 gate, and never zero
+    assert 0 < len(kept) <= int(0.1 * n) + (all_scores["quality"] ==
+                                            kept["quality"].min()).sum()
+    # the threshold is exactly the quantile_disc value: every kept
+    # score >= it, and every dropped score < it
+    thr = kept["quality"].min()
+    dropped = all_scores[~all_scores["doc_id"].isin(kept["doc_id"])]
+    assert (dropped["quality"] < thr).all()
+    srt = np.sort(all_scores["quality"].to_numpy())
+    import math
+
+    assert thr == srt[max(0, math.ceil(0.9 * n) - 1)]
