@@ -1296,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_index": _q_cdx_index,
         "robots_filter": _q_robots_filter,
         "quality_threshold_filter": _q_quality_threshold_filter,
+        "parse_warc": _q_parse_warc,
     }
 
 
@@ -1403,6 +1404,12 @@ def _q_quality_threshold_filter(sf_dir: str):
     )
 
     return quality_threshold_filter(sf_dir)
+
+
+def _q_parse_warc(sf_dir: str):
+    from high_performance_docling_ray.pipelines.warc import parse_warc
+
+    return parse_warc(sf_dir)
 
 
 def _q_normalize_text(sf_dir: str):
@@ -3715,6 +3722,39 @@ def oracle_sql() -> dict[str, str]:
         ),
         th AS (SELECT quantile_disc(quality, 0.9) AS t FROM sc)
         SELECT doc_id, quality FROM sc, th WHERE quality >= th.t
+    """
+    # WARC record parse: the Ray side walks real Content-Length-framed
+    # binary records; the oracle rebuilds each record's url, payload
+    # byte length (strlen == octet count of the utf-8 html) and md5
+    # digest from the same closed-form page construction.
+    oracles["parse_warc"] = """
+        WITH base AS (
+          SELECT doc_id, text,
+                 'https://site' || (doc_id % 5) || '.example/d/'
+                   || doc_id AS url,
+                 (doc_id * 31 + 17) % 100000 AS t1,
+                 (doc_id * 7 + 3) % 97 AS t2,
+                 doc_id % 7 AS m, doc_id % 13 AS r
+          FROM documents
+        ),
+        h AS (
+          SELECT url,
+            '<html><body><nav><a href="/n0">home</a>'
+            || '<a href="/n1">about</a></nav><main><h1>Doc '
+            || doc_id || '</h1><p>' || text
+            || '</p><a href="https://docs.example/' || t1
+            || '">ref one</a><a href="/d/' || t2
+            || '">ref two</a><a href="https://ext' || m
+            || '.example/p/' || r
+            || '">src</a></main><footer>'
+            || '<a href="/contact">contact</a></footer></body></html>'
+            AS html
+          FROM base
+        )
+        SELECT url, 'response' AS warc_type,
+               CAST(strlen(html) AS BIGINT) AS content_length,
+               md5(html) AS payload_md5
+        FROM h
     """
     # BM25: same whitespace tokenizer as tfidf (trim + \s+ split, not
     # lowercased); scores rounded to 6dp BEFORE ranking on both sides

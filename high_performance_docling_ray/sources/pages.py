@@ -787,7 +787,7 @@ def pages_from_documents(sf_dir: str):
     ).map_batches(to_pages, batch_format="pyarrow")
 
 
-def pages_with_links(sf_dir: str):
+def pages_with_links(sf_dir: str, with_doc_id: bool = False):
     """Derive a pages table whose HTML carries a deterministic LINK
     structure — the input for the outlink-extraction / link-graph
     family (pipelines/links.py). Per doc: 2 relative nav links, 1
@@ -828,7 +828,10 @@ def pages_with_links(sf_dir: str):
                     "lang": lang,
                 }
             )
-        return rows_to_table(rows)
+        tbl = rows_to_table(rows)
+        if with_doc_id:
+            tbl = tbl.append_column("doc_id", pa.array(doc_ids, pa.int64()))
+        return tbl
 
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
