@@ -1297,6 +1297,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": _q_robots_filter,
         "quality_threshold_filter": _q_quality_threshold_filter,
         "parse_warc": _q_parse_warc,
+        # head-section metadata extraction family
+        "page_metadata": _q_page_metadata,
+        "html_outline": _q_html_outline,
+        "sitemap_urls": _q_sitemap_urls,
+        "fix_mojibake": _q_fix_mojibake,
     }
 
 
@@ -1410,6 +1415,32 @@ def _q_parse_warc(sf_dir: str):
     from high_performance_docling_ray.pipelines.warc import parse_warc
 
     return parse_warc(sf_dir)
+
+
+def _q_page_metadata(sf_dir: str):
+    from high_performance_docling_ray.pipelines.page_meta import page_metadata
+
+    return page_metadata(sf_dir)
+
+
+def _q_html_outline(sf_dir: str):
+    from high_performance_docling_ray.pipelines.page_meta import html_outline
+
+    return html_outline(sf_dir)
+
+
+def _q_sitemap_urls(sf_dir: str):
+    from high_performance_docling_ray.pipelines.page_meta import sitemap_urls
+
+    return sitemap_urls(sf_dir)
+
+
+def _q_fix_mojibake(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        fix_mojibake,
+    )
+
+    return fix_mojibake(sf_dir)
 
 
 def _q_normalize_text(sf_dir: str):
@@ -4357,6 +4388,75 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, round(r, 6) AS pagerank FROM r3
         """
     )
+    # Mojibake repair: the Ray side genuinely round-trips the planted
+    # UTF-8-as-Latin-1 text back through latin-1 -> utf-8; the oracle
+    # is the closed form of the planting (repair(break(x)) == x).
+    oracles["fix_mojibake"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 2
+                    THEN 'café — naïve résumé: ' || text
+                    ELSE text END AS text_fixed,
+               doc_id % 6 = 2 AS was_mojibake
+        FROM documents
+    """
+    # Head-section metadata: the Ray side regex-parses the planted
+    # <head> block (sources/pages.py:pages_with_metadata); the oracle
+    # is the closed form of the planting.
+    oracles["page_metadata"] = """
+        SELECT 'https://site' || (doc_id % 5) || '.example/d/'
+                 || doc_id AS url,
+               'Title ' || doc_id AS title,
+               CASE WHEN doc_id % 3 != 0
+                    THEN 'Summary of doc ' || doc_id END AS description,
+               CASE WHEN doc_id % 4 = 1
+                    THEN 'https://canon.example/c/' || doc_id
+               END AS canonical,
+               CASE WHEN doc_id % 5 IN (0, 2)
+                    THEN 'OG ' || doc_id END AS og_title,
+               doc_id % 11 = 7 AS noindex
+        FROM documents
+    """
+    # Heading hierarchy: rows generated in (j, k) section order, ord =
+    # row_number per doc; breadcrumb paths rebuilt level by level.
+    oracles["html_outline"] = """
+        WITH h AS (
+          SELECT doc_id, 0 AS j, 0 AS k, 1 AS level,
+                 'Doc ' || doc_id AS heading
+          FROM documents
+          UNION ALL
+          SELECT doc_id, j, 0, 2, 'S' || j
+          FROM documents, UNNEST(range(1, 2 + doc_id % 3)) AS t(j)
+          UNION ALL
+          SELECT doc_id, j, k, 3, 'S' || j || '.' || k
+          FROM documents,
+               UNNEST(range(1, 2 + doc_id % 3)) AS t(j),
+               UNNEST(range(1, 1 + (doc_id + j) % 3)) AS s(k)
+        )
+        SELECT 'https://site' || (doc_id % 5) || '.example/d/'
+                 || doc_id AS url,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY j, k) AS ord,
+               CAST(level AS BIGINT) AS level, heading,
+               CASE level
+                 WHEN 1 THEN heading
+                 WHEN 2 THEN 'Doc ' || doc_id || ' > ' || heading
+                 ELSE 'Doc ' || doc_id || ' > S' || j || ' > ' || heading
+               END AS path
+        FROM h
+    """
+    # Sitemap harvest: 5 planted <url> entries per doc_id % 10 == 0.
+    oracles["sitemap_urls"] = """
+        SELECT 'https://site' || (doc_id % 5) || '.example/sitemap'
+                 || doc_id || '.xml' AS sitemap_url,
+               CAST(i AS BIGINT) AS ord,
+               'https://site' || (doc_id % 5) || '.example/d/'
+                 || (doc_id + i) AS loc,
+               '2024-01-' || printf('%02d', 1 + (doc_id + i) % 28)
+                 AS lastmod,
+               i / 10.0 AS priority
+        FROM documents, UNNEST(range(1, 6)) AS t(i)
+        WHERE doc_id % 10 = 0
+    """
     oracles["pagerank_cogroup"] = oracles["pagerank"]
     oracles["degree_stats"] = """
         WITH e0 AS (

@@ -1412,3 +1412,79 @@ def quality_threshold_filter(
         return batch.filter(pc.fill_null(mask, False))
 
     return scores.map_batches(keep, batch_format="pyarrow")
+
+
+def fix_mojibake(sf_dir: str) -> ray.data.Dataset:
+    """Mojibake repair (ftfy-lite) — undo the classic UTF-8-read-as-
+    Latin-1 double encoding that litters web crawls ("cafÃ©" -> "café").
+
+    The corpus text is clean, so mojibake is PLANTED per residue (the
+    normalize_text pattern — the oracle mirrors the construction):
+    docs with ``doc_id % 6 == 2`` get the prefix
+    ``'café — naïve résumé: '`` prepended and the whole string
+    round-tripped ``encode('utf-8').decode('latin-1')``.
+
+    Repair is gated: a vectorized RE2 match for the mojibake marker
+    bytes (Ã / Â / â) selects candidates; only those pay the Python
+    ``encode('latin-1') -> decode('utf-8')`` round-trip (strict — a
+    string that legitimately contains the markers fails the decode and
+    is kept verbatim). Scatter-back via ``replace_with_mask``. Pure
+    vectorized map outside the gated subset: no shuffle, scale-free.
+
+    Output: (doc_id, text_fixed, was_mojibake).
+    """
+    import pyarrow.compute as pc
+
+    prefix = "café — naïve résumé: "
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").combine_chunks()
+        hit = ids % 6 == 2
+        if hit.any():
+            idx = np.flatnonzero(hit)
+            broken = pa.array(
+                [
+                    (prefix + s).encode("utf-8").decode("latin-1")
+                    for s in texts.take(pa.array(idx)).to_pylist()
+                ],
+                pa.string(),
+            )
+            mask = pa.array(hit)
+            texts = pc.replace_with_mask(texts, mask, broken)
+        # --- the actual operator: detect + repair ---
+        cand = pc.match_substring_regex(texts, "[ÃÂâ]")
+        cidx = np.flatnonzero(
+            pc.fill_null(cand, False).to_numpy(zero_copy_only=False)
+        )
+        fixed = texts
+        was = np.zeros(len(ids), dtype=bool)
+        if cidx.size:
+            sub = texts.take(pa.array(cidx)).to_pylist()
+            rep: list[str] = []
+            ok = np.zeros(cidx.size, dtype=bool)
+            for i, s in enumerate(sub):
+                try:
+                    r = s.encode("latin-1").decode("utf-8")
+                except (UnicodeEncodeError, UnicodeDecodeError):
+                    rep.append(s)
+                    continue
+                rep.append(r)
+                ok[i] = r != s
+            m = np.zeros(len(ids), dtype=bool)
+            m[cidx] = True
+            fixed = pc.replace_with_mask(
+                texts, pa.array(m), pa.array(rep, pa.string())
+            )
+            was[cidx] = ok
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_fixed": fixed,
+                "was_mojibake": pa.array(was),
+            }
+        )
+
+    return read_documents(sf_dir, columns=("doc_id", "text")).map_batches(
+        f, batch_format="pyarrow"
+    )

@@ -836,3 +836,144 @@ def pages_with_links(sf_dir: str, with_doc_id: bool = False):
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     ).map_batches(to_pages, batch_format="pyarrow")
+
+
+def pages_with_metadata(sf_dir: str):
+    """Pages whose ``<head>`` carries a planted metadata block — the
+    input for ``pipelines/page_meta.py:page_metadata``. Per doc_id
+    (all closed forms, so the driver-gate oracle is pure CASE SQL):
+
+    * ``<title>`` — always ``Title {doc_id}``.
+    * meta description — present iff ``doc_id % 3 != 0``.
+    * ``<link rel="canonical">`` — present iff ``doc_id % 4 == 1``.
+    * ``og:title`` — present iff ``doc_id % 5 in (0, 2)``.
+    * robots ``noindex`` — present iff ``doc_id % 11 == 7``.
+    * a decoy ``keywords`` meta on EVERY page, so extraction must key
+      on the attribute value, not on ``<meta`` alone.
+    """
+    import ray.data
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        rows = []
+        for doc_id, text, lang in zip(doc_ids, texts, langs):
+            head = [f"<title>Title {doc_id}</title>",
+                    '<meta name="keywords" content="synthetic,corpus">']
+            if doc_id % 3 != 0:
+                head.append(
+                    f'<meta name="description" content="Summary of doc {doc_id}">'
+                )
+            if doc_id % 4 == 1:
+                head.append(
+                    f'<link rel="canonical" href="https://canon.example/c/{doc_id}">'
+                )
+            if doc_id % 5 in (0, 2):
+                head.append(
+                    f'<meta property="og:title" content="OG {doc_id}">'
+                )
+            if doc_id % 11 == 7:
+                head.append('<meta name="robots" content="noindex,nofollow">')
+            html = (
+                f"<html><head>{''.join(head)}</head>"
+                f"<body><p>{text}</p></body></html>"
+            )
+            rows.append(
+                {
+                    "url": f"https://site{doc_id % 5}.example/d/{doc_id}",
+                    "warc_ts": _TS0 + int(doc_id),
+                    "html": html.encode("utf-8"),
+                    "text": text,
+                    "lang": lang,
+                }
+            )
+        return rows_to_table(rows)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(to_pages, batch_format="pyarrow")
+
+
+def pages_with_outline(sf_dir: str):
+    """Pages with a planted heading hierarchy — input for
+    ``pipelines/page_meta.py:html_outline``. Per doc_id: one ``<h1>``
+    (``Doc {doc_id}``), ``1 + doc_id % 3`` ``<h2>`` sections named
+    ``S{j}``, and ``(doc_id + j) % 3`` ``<h3>`` subsections named
+    ``S{j}.{k}`` under each — with paragraph filler between headings
+    so the parse is positional, not line-oriented."""
+    import ray.data
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        rows = []
+        for doc_id, text, lang in zip(doc_ids, texts, langs):
+            parts = [f"<h1>Doc {doc_id}</h1><p>intro {doc_id}</p>"]
+            for j in range(1, 2 + doc_id % 3):
+                parts.append(f"<h2>S{j}</h2><p>sec {j}</p>")
+                for k in range(1, 1 + (doc_id + j) % 3):
+                    parts.append(f"<h3>S{j}.{k}</h3><p>sub {k}</p>")
+            html = (
+                f"<html><body><main>{''.join(parts)}</main>"
+                f"<footer>© synth</footer></body></html>"
+            )
+            rows.append(
+                {
+                    "url": f"https://site{doc_id % 5}.example/d/{doc_id}",
+                    "warc_ts": _TS0 + int(doc_id),
+                    "html": html.encode("utf-8"),
+                    "text": text,
+                    "lang": lang,
+                }
+            )
+        return rows_to_table(rows)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(to_pages, batch_format="pyarrow")
+
+
+def sitemap_pages(sf_dir: str):
+    """Sitemap-XML pages — input for
+    ``pipelines/page_meta.py:sitemap_urls``. Every doc with
+    ``doc_id % 10 == 0`` becomes a sitemap listing 5 ``<url>`` entries
+    (loc/lastmod/priority all closed forms of doc_id)."""
+    import ray.data
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        rows = []
+        for doc_id, lang in zip(doc_ids, langs):
+            if doc_id % 10 != 0:
+                continue
+            host = f"https://site{doc_id % 5}.example"
+            entries = []
+            for i in range(1, 6):
+                t = doc_id + i
+                entries.append(
+                    f"<url><loc>{host}/d/{t}</loc>"
+                    f"<lastmod>2024-01-{1 + t % 28:02d}</lastmod>"
+                    f"<priority>0.{i}</priority></url>"
+                )
+            xml = (
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + "".join(entries) + "</urlset>"
+            )
+            rows.append(
+                {
+                    "url": f"{host}/sitemap{doc_id}.xml",
+                    "warc_ts": _TS0 + int(doc_id),
+                    "html": xml.encode("utf-8"),
+                    "text": "",
+                    "lang": lang,
+                }
+            )
+        return rows_to_table(rows)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(to_pages, batch_format="pyarrow")

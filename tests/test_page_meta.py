@@ -1,0 +1,112 @@
+"""Head-section metadata family (pipelines/page_meta.py) and mojibake
+repair (text_analysis.py:fix_mojibake) — driver-gate hash evidence
+exists at sf0.001/sf0.01; these pins cover null semantics, breadcrumb
+state, sitemap framing, and the repair round-trip.
+"""
+
+import sys
+
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+from high_performance_docling_ray.pipelines.page_meta import (  # noqa: E402
+    html_outline,
+    page_metadata,
+    sitemap_urls,
+)
+from high_performance_docling_ray.pipelines.text_analysis import (  # noqa: E402
+    fix_mojibake,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _n_docs() -> int:
+    return pq.read_metadata(f"{SF}/documents.parquet").num_rows
+
+
+def test_page_metadata_fields_and_nulls():
+    out = page_metadata(SF).to_pandas().set_index("url")
+    assert len(out) == _n_docs()
+    r = out.loc["https://site1.example/d/1"]
+    # doc 1: %3=1 -> description, %4=1 -> canonical, %5=1 -> no og
+    assert r["title"] == "Title 1"
+    assert r["description"] == "Summary of doc 1"
+    assert r["canonical"] == "https://canon.example/c/1"
+    assert r["og_title"] is None
+    assert not r["noindex"]
+    # doc 0: %3=0 -> NO description (null, not ""), %5=0 -> og present
+    r0 = out.loc["https://site0.example/d/0"]
+    assert r0["description"] is None
+    assert r0["og_title"] == "OG 0"
+    # doc 7: %11==7 -> noindex
+    assert bool(out.loc["https://site2.example/d/7"]["noindex"])
+    # the decoy keywords meta never leaks into any extracted field
+    assert not out["title"].str.contains("synthetic").any()
+
+
+def test_html_outline_breadcrumbs_close_deeper_levels():
+    out = html_outline(SF).to_pandas()
+    # doc 5: n_h2 = 1 + 5%3 = 3; h3 counts per j: (5+j)%3 = 0,1,2
+    d = (
+        out[out["url"] == "https://site0.example/d/5"]
+        .sort_values("ord")
+        .reset_index(drop=True)
+    )
+    assert d["heading"].tolist() == [
+        "Doc 5", "S1", "S2", "S2.1", "S3", "S3.1", "S3.2",
+    ]
+    assert d["path"].tolist() == [
+        "Doc 5",
+        "Doc 5 > S1",
+        "Doc 5 > S2",
+        "Doc 5 > S2 > S2.1",
+        "Doc 5 > S3",
+        "Doc 5 > S3 > S3.1",
+        "Doc 5 > S3 > S3.2",  # a new h3 REPLACES the previous crumb
+    ]
+    assert d["ord"].tolist() == list(range(1, 8))
+
+
+def test_sitemap_urls_only_sitemap_docs_emit():
+    out = sitemap_urls(SF).to_pandas()
+    n_sitemaps = sum(1 for i in range(_n_docs()) if i % 10 == 0)
+    assert len(out) == 5 * n_sitemaps
+    d = (
+        out[out["sitemap_url"] == "https://site0.example/sitemap10.xml"]
+        .sort_values("ord")
+        .reset_index(drop=True)
+    )
+    assert d["loc"].tolist() == [
+        f"https://site0.example/d/{10 + i}" for i in range(1, 6)
+    ]
+    assert d["lastmod"].tolist() == [
+        f"2024-01-{1 + (10 + i) % 28:02d}" for i in range(1, 6)
+    ]
+    assert d["priority"].tolist() == [0.1, 0.2, 0.3, 0.4, 0.5]
+
+
+def test_fix_mojibake_roundtrip_and_passthrough():
+    out = fix_mojibake(SF).to_pandas().set_index("doc_id")
+    assert len(out) == _n_docs()
+    assert out["was_mojibake"].equals(out.index.to_series() % 6 == 2)
+    fixed = out.loc[2, "text_fixed"]
+    assert fixed.startswith("café — naïve résumé: ")
+    assert "Ã" not in fixed
+    # untouched docs pass through byte-identical
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id")
+    assert out.loc[3, "text_fixed"] == docs.loc[3, "text"]
+
+
+def test_fix_mojibake_keeps_legit_marker_strings():
+    # a string that CONTAINS the marker but is not valid mojibake must
+    # survive verbatim (strict decode fails -> keep)
+    s = "price Ã 100"  # 0xC3 0x20 is not valid UTF-8
+    try:
+        s.encode("latin-1").decode("utf-8")
+        assert False, "expected invalid utf-8"
+    except UnicodeDecodeError:
+        pass
