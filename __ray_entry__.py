@@ -1302,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_outline": _q_html_outline,
         "sitemap_urls": _q_sitemap_urls,
         "fix_mojibake": _q_fix_mojibake,
+        "html_tables": _q_html_tables,
     }
 
 
@@ -1433,6 +1434,12 @@ def _q_sitemap_urls(sf_dir: str):
     from high_performance_docling_ray.pipelines.page_meta import sitemap_urls
 
     return sitemap_urls(sf_dir)
+
+
+def _q_html_tables(sf_dir: str):
+    from high_performance_docling_ray.pipelines.page_meta import html_tables
+
+    return html_tables(sf_dir)
 
 
 def _q_fix_mojibake(sf_dir: str):
@@ -4456,6 +4463,51 @@ def oracle_sql() -> dict[str, str]:
                i / 10.0 AS priority
         FROM documents, UNNEST(range(1, 6)) AS t(i)
         WHERE doc_id % 10 = 0
+    """
+    # HTML table grid: the Ray side runs the standard layout algorithm
+    # (first free column + rowspan occupancy) over planted markup; the
+    # oracle rebuilds the same anchors as CASE closed forms — row 1's
+    # colspan shifts later tds right by 1, row 3 under an open rowspan
+    # starts at col 1, and each spanned row is written one td short.
+    oracles["html_tables"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 2 + doc_id % 2 AS ncols,
+                 2 + doc_id % 3 AS nr,
+                 doc_id % 5 = 0 AS cs,
+                 (doc_id % 7 = 2 AND 2 + doc_id % 3 >= 3) AS rs
+          FROM documents
+        ),
+        hdr AS (
+          SELECT doc_id, 0 AS r, c, 1 AS rowspan, 1 AS colspan,
+                 true AS header, 'C' || c AS text
+          FROM p, UNNEST(range(0, ncols)) AS t(c)
+        ),
+        dat AS (
+          SELECT doc_id, r,
+                 CASE WHEN r = 1 AND cs THEN
+                        CASE WHEN k = 0 THEN 0 ELSE k + 1 END
+                      WHEN r = 3 AND rs THEN k + 1
+                      ELSE k END AS c,
+                 CASE WHEN r = 2 AND rs AND k = 0 THEN 2 ELSE 1
+                   END AS rowspan,
+                 CASE WHEN r = 1 AND cs AND k = 0 THEN 2 ELSE 1
+                   END AS colspan,
+                 false AS header,
+                 'v' || doc_id || '.' || r || '.' || k AS text
+          FROM p,
+               UNNEST(range(1, nr + 1)) AS t(r),
+               UNNEST(range(0, ncols)) AS s(k)
+          WHERE k < ncols
+                  - (CASE WHEN r = 1 AND cs THEN 1 ELSE 0 END)
+                  - (CASE WHEN r = 3 AND rs THEN 1 ELSE 0 END)
+        )
+        SELECT 'https://site' || (doc_id % 5) || '.example/d/'
+                 || doc_id AS url,
+               CAST(r AS BIGINT) AS "row", CAST(c AS BIGINT) AS col,
+               CAST(rowspan AS BIGINT) AS rowspan,
+               CAST(colspan AS BIGINT) AS colspan, header, text
+        FROM (SELECT * FROM hdr UNION ALL SELECT * FROM dat)
     """
     oracles["pagerank_cogroup"] = oracles["pagerank"]
     oracles["degree_stats"] = """

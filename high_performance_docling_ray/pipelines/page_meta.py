@@ -36,6 +36,7 @@ import ray.data
 from ..sources.pages import (
     pages_with_metadata,
     pages_with_outline,
+    pages_with_tables,
     sitemap_pages,
 )
 
@@ -156,6 +157,83 @@ def sitemap_urls(sf_dir: str) -> ray.data.Dataset:
                 "loc": pa.array(out_loc, pa.string()),
                 "lastmod": pa.array(out_mod, pa.string()),
                 "priority": pa.array(out_pri, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(harvest, batch_format="pyarrow")
+
+
+_TR = re.compile(r"<tr>(.*?)</tr>", re.S)
+_CELL = re.compile(r"<(t[dh])((?:\s+[a-z]+=\"[^\"]*\")*)>([^<]*)</t[dh]>")
+_SPAN = re.compile(r'(rowspan|colspan)="(\d+)"')
+
+
+def _layout_table(rows_html: list[str]) -> list[tuple[int, int, int, int, bool, str]]:
+    """Standard HTML table layout: place each cell at the first free
+    column of its row, honoring rowspan/colspan occupancy carried from
+    earlier rows. Returns (row, col, rowspan, colspan, header, text)
+    per cell (anchor position)."""
+    out: list[tuple[int, int, int, int, bool, str]] = []
+    # col -> number of FUTURE rows still occupied by an open rowspan
+    pending: dict[int, int] = {}
+    for r, row_html in enumerate(rows_html):
+        col = 0
+        for m in _CELL.finditer(row_html):
+            while pending.get(col, 0) > 0:
+                col += 1
+            tag, attrs, text = m.group(1), m.group(2), m.group(3)
+            spans = dict(_SPAN.findall(attrs))
+            rowspan = int(spans.get("rowspan", 1))
+            colspan = int(spans.get("colspan", 1))
+            out.append((r, col, rowspan, colspan, tag == "th", text))
+            # record occupancy INCLUSIVE of this row — the end-of-row
+            # age-out below runs over it once before the next row scans
+            for c in range(col, col + colspan):
+                if rowspan > 1:
+                    pending[c] = rowspan
+            col += colspan
+        # age out the occupancy map at the end of each row
+        pending = {c: n - 1 for c, n in pending.items() if n - 1 > 0}
+    return out
+
+
+def html_tables(sf_dir: str) -> ray.data.Dataset:
+    """(url, row, col, rowspan, colspan, header, text): every cell of
+    every ``<table>`` at its resolved grid anchor — the DOM-side
+    sibling of the PDF OTSL grid build (kernels/table_rules.py); the
+    layout algorithm (first free column, occupancy carried across rows
+    by open rowspans) is the standard HTML one."""
+    ds = pages_with_tables(sf_dir)
+
+    def harvest(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols: dict[str, list] = {
+            "url": [], "row": [], "col": [], "rowspan": [],
+            "colspan": [], "header": [], "text": [],
+        }
+        for u, h in zip(urls, htmls):
+            if h is None or u is None:
+                continue
+            body = h.decode("utf-8", "replace")
+            rows_html = _TR.findall(body)
+            for r, c, rs, cs, th, text in _layout_table(rows_html):
+                cols["url"].append(u)
+                cols["row"].append(r)
+                cols["col"].append(c)
+                cols["rowspan"].append(rs)
+                cols["colspan"].append(cs)
+                cols["header"].append(th)
+                cols["text"].append(text)
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "row": pa.array(cols["row"], pa.int64()),
+                "col": pa.array(cols["col"], pa.int64()),
+                "rowspan": pa.array(cols["rowspan"], pa.int64()),
+                "colspan": pa.array(cols["colspan"], pa.int64()),
+                "header": pa.array(cols["header"], pa.bool_()),
+                "text": pa.array(cols["text"], pa.string()),
             }
         )
 

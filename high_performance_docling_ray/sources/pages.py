@@ -977,3 +977,67 @@ def sitemap_pages(sf_dir: str):
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     ).map_batches(to_pages, batch_format="pyarrow")
+
+
+def pages_with_tables(sf_dir: str):
+    """Pages carrying one planted ``<table>`` each — input for
+    ``pipelines/page_meta.py:html_tables``. Per doc_id (all closed
+    forms, so the oracle rebuilds the grid in SQL):
+
+    * ``ncols = 2 + doc_id % 2``; header row of ``<th>C{c}</th>``.
+    * ``nr = 2 + doc_id % 3`` data rows of ``<td>v{doc_id}.{r}.{k}</td>``
+      (k = the td ordinal within its row).
+    * colspan: iff ``doc_id % 5 == 0`` the FIRST td of data row 1 gets
+      ``colspan=2`` (and the row is written with one fewer td).
+    * rowspan: iff ``doc_id % 7 == 2 and nr >= 3`` the first td of data
+      row 2 gets ``rowspan=2`` (and data row 3 one fewer td) — so the
+      parser must carry occupancy across rows.
+    """
+    import ray.data
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        rows = []
+        for doc_id, lang in zip(doc_ids, langs):
+            ncols = 2 + doc_id % 2
+            nr = 2 + doc_id % 3
+            cs = doc_id % 5 == 0
+            rs = doc_id % 7 == 2 and nr >= 3
+            parts = ["<table><tr>"]
+            parts += [f"<th>C{c}</th>" for c in range(ncols)]
+            parts.append("</tr>")
+            for r in range(1, nr + 1):
+                parts.append("<tr>")
+                ntd = ncols
+                if r == 1 and cs:
+                    ntd -= 1
+                if r == 3 and rs:
+                    ntd -= 1
+                for k in range(ntd):
+                    attr = ""
+                    if r == 1 and cs and k == 0:
+                        attr = ' colspan="2"'
+                    if r == 2 and rs and k == 0:
+                        attr = ' rowspan="2"'
+                    parts.append(f"<td{attr}>v{doc_id}.{r}.{k}</td>")
+                parts.append("</tr>")
+            parts.append("</table>")
+            html = (
+                f"<html><body><h1>Doc {doc_id}</h1>{''.join(parts)}"
+                f"</body></html>"
+            )
+            rows.append(
+                {
+                    "url": f"https://site{doc_id % 5}.example/d/{doc_id}",
+                    "warc_ts": _TS0 + int(doc_id),
+                    "html": html.encode("utf-8"),
+                    "text": "",
+                    "lang": lang,
+                }
+            )
+        return rows_to_table(rows)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(to_pages, batch_format="pyarrow")

@@ -110,3 +110,60 @@ def test_fix_mojibake_keeps_legit_marker_strings():
         assert False, "expected invalid utf-8"
     except UnicodeDecodeError:
         pass
+
+
+def test_layout_table_rowspan_carries_into_next_row():
+    from high_performance_docling_ray.pipelines.page_meta import (
+        _layout_table,
+    )
+
+    rows = [
+        "<th>C0</th><th>C1</th><th>C2</th>",
+        '<td colspan="2">a</td><td>b</td>',
+        '<td rowspan="2">c</td><td>d</td><td>e</td>',
+        "<td>f</td><td>g</td>",
+    ]
+    cells = _layout_table(rows)
+    # colspan shifts the sibling right
+    assert (1, 0, 1, 2, False, "a") in cells
+    assert (1, 2, 1, 1, False, "b") in cells
+    # the open rowspan occupies col 0 of the NEXT row (regression: the
+    # occupancy map must not age out in the row that created it)
+    assert (3, 1, 1, 1, False, "f") in cells
+    assert (3, 2, 1, 1, False, "g") in cells
+
+
+def test_layout_table_rowspan_three_and_nested_spans():
+    from high_performance_docling_ray.pipelines.page_meta import (
+        _layout_table,
+    )
+
+    rows = [
+        '<td rowspan="3">a</td><td>b</td>',
+        "<td>c</td>",
+        "<td>d</td>",
+        "<td>e</td><td>f</td>",
+    ]
+    cells = _layout_table(rows)
+    assert (1, 1, 1, 1, False, "c") in cells
+    assert (2, 1, 1, 1, False, "d") in cells
+    # row 3: the rowspan has expired, col 0 is free again
+    assert (3, 0, 1, 1, False, "e") in cells
+
+
+def test_html_tables_grid_for_doc_100():
+    from high_performance_docling_ray.pipelines.page_meta import html_tables
+
+    out = html_tables(SF).to_pandas()
+    # doc 100: ncols=2, nr=3, colspan (100%5==0) AND rowspan (100%7==2)
+    d = out[out["url"] == "https://site0.example/d/100"]
+    d = d.sort_values(["row", "col"]).reset_index(drop=True)
+    got = list(
+        zip(d["row"], d["col"], d["rowspan"], d["colspan"], d["text"])
+    )
+    assert got == [
+        (0, 0, 1, 1, "C0"), (0, 1, 1, 1, "C1"),
+        (1, 0, 1, 2, "v100.1.0"),          # colspan row: one td only
+        (2, 0, 2, 1, "v100.2.0"), (2, 1, 1, 1, "v100.2.1"),
+        (3, 1, 1, 1, "v100.3.0"),          # col 0 held by the rowspan
+    ]
