@@ -1303,6 +1303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_urls": _q_sitemap_urls,
         "fix_mojibake": _q_fix_mojibake,
         "html_tables": _q_html_tables,
+        "capture_change_rate": _q_capture_change_rate,
     }
 
 
@@ -1440,6 +1441,14 @@ def _q_html_tables(sf_dir: str):
     from high_performance_docling_ray.pipelines.page_meta import html_tables
 
     return html_tables(sf_dir)
+
+
+def _q_capture_change_rate(sf_dir: str):
+    from high_performance_docling_ray.pipelines.page_meta import (
+        capture_change_rate,
+    )
+
+    return capture_change_rate(sf_dir)
 
 
 def _q_fix_mojibake(sf_dir: str):
@@ -4463,6 +4472,25 @@ def oracle_sql() -> dict[str, str]:
                i / 10.0 AS priority
         FROM documents, UNNEST(range(1, 6)) AS t(i)
         WHERE doc_id % 10 = 0
+    """
+    # Capture change rate: the Ray side hashes each capture's html and
+    # run-scans consecutive hashes per url; the oracle counts the
+    # planted change points ((doc_id + k) % 3 == 0) directly.
+    oracles["capture_change_rate"] = """
+        WITH p AS (SELECT doc_id, 1 + doc_id % 4 AS n FROM documents),
+        c AS (
+          SELECT doc_id, n,
+                 (SELECT COUNT(*) FROM UNNEST(range(1, n)) AS t(k)
+                  WHERE (doc_id + k) % 3 = 0) AS ch
+          FROM p
+        )
+        SELECT 'https://site' || (doc_id % 5) || '.example/d/'
+                 || doc_id AS url,
+               CAST(n AS BIGINT) AS n_captures,
+               CAST(ch AS BIGINT) AS n_changes,
+               CASE WHEN n > 1
+                    THEN round(ch / (n - 1.0), 6) END AS change_rate
+        FROM c
     """
     # HTML table grid: the Ray side runs the standard layout algorithm
     # (first free column + rowspan occupancy) over planted markup; the

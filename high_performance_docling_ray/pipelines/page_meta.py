@@ -238,3 +238,83 @@ def html_tables(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(harvest, batch_format="pyarrow")
+
+
+def capture_change_rate(
+    sf_dir: str, num_parts: int | None = None
+) -> ray.data.Dataset:
+    """Recrawl scheduling signal: per url, how often its content
+    actually changed across captures — (url, n_captures, n_changes,
+    change_rate), change_rate null for single-capture urls.
+
+    Shape: per batch each capture collapses to a KEY ROW
+    (url, warc_ts, content-hash64) — the payload never shuffles; one
+    url-bucketed exchange (``string_key_buckets``, ~4 groups/CPU);
+    per-group work is a vectorized lexsort + run-scan (boundary-masked
+    consecutive-hash diffs folded per run with ``np.add.reduceat``).
+    Scale-free at 10^12 captures: the exchange is O(urls), the only
+    per-row cost is the md5 (distinct-value-deduped).
+    """
+    import numpy as np
+
+    from ..kernels.sketch import hash64_strings
+    from .joins import default_num_buckets, string_key_buckets
+    from ..sources.pages import pages_with_captures
+
+    parts = num_parts or default_num_buckets()
+    ds = pages_with_captures(sf_dir)
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        html = pc.cast(batch.column("html").combine_chunks(), pa.string())
+        h = hash64_strings(html)
+        urls = batch.column("url").combine_chunks()
+        return pa.Table.from_pydict(
+            {
+                "url": urls,
+                "ts": batch.column("warc_ts"),
+                # int64 bit-reinterpret: Ray's groupby/sort key path
+                # mishandles raw uint64
+                "h": pa.array(h.view(np.int64)),
+                "bucket": pa.array(string_key_buckets(urls, parts)),
+            }
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "url": pa.array([], pa.string()),
+                "n_captures": pa.array([], pa.int64()),
+                "n_changes": pa.array([], pa.int64()),
+                "change_rate": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "url" not in group.column_names:
+            return empty
+        u = np.asarray(group.column("url").to_pylist(), object)
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, h = u[order], h[order]
+        first = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[first, len(u)])
+        neq = np.r_[False, h[1:] != h[:-1]]
+        neq[first] = False  # url boundaries are not changes
+        changes = np.add.reduceat(neq.astype(np.int64), first)
+        multi = counts > 1
+        rate = np.divide(
+            changes, counts - 1, out=np.zeros(len(first)), where=multi
+        )
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(u[first].tolist(), pa.string()),
+                "n_captures": pa.array(counts, pa.int64()),
+                "n_changes": pa.array(changes, pa.int64()),
+                "change_rate": pa.array(rate, pa.float64(), mask=~multi),
+            }
+        )
+
+    return (
+        ds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

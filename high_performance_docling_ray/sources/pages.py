@@ -1041,3 +1041,41 @@ def pages_with_tables(sf_dir: str):
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     ).map_batches(to_pages, batch_format="pyarrow")
+
+
+def pages_with_captures(sf_dir: str):
+    """Multi-capture crawl history — input for
+    ``pipelines/page_meta.py:capture_change_rate``. Per doc_id:
+    ``1 + doc_id % 4`` captures of the same url, one day apart; the
+    content CHANGES at capture k (k >= 1) iff ``(doc_id + k) % 3 == 0``
+    (the html embeds the cumulative version count, so consecutive
+    captures are byte-identical exactly when nothing changed)."""
+    import ray.data
+
+    _DAY = 86_400_000_000
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        rows = []
+        for doc_id, lang in zip(doc_ids, langs):
+            n_caps = 1 + doc_id % 4
+            version = 0
+            for k in range(n_caps):
+                if k >= 1 and (doc_id + k) % 3 == 0:
+                    version += 1
+                body = f"doc {doc_id} version {version}"
+                rows.append(
+                    {
+                        "url": f"https://site{doc_id % 5}.example/d/{doc_id}",
+                        "warc_ts": _TS0 + int(doc_id) + k * _DAY,
+                        "html": f"<html><body><p>{body}</p></body></html>".encode(),
+                        "text": body,
+                        "lang": lang,
+                    }
+                )
+        return rows_to_table(rows)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(to_pages, batch_format="pyarrow")

@@ -167,3 +167,27 @@ def test_html_tables_grid_for_doc_100():
         (2, 0, 2, 1, "v100.2.0"), (2, 1, 1, 1, "v100.2.1"),
         (3, 1, 1, 1, "v100.3.0"),          # col 0 held by the rowspan
     ]
+
+
+def test_capture_change_rate_closed_form():
+    from high_performance_docling_ray.pipelines.page_meta import (
+        capture_change_rate,
+    )
+
+    out = capture_change_rate(SF).to_pandas().set_index("url")
+    assert len(out) == _n_docs()
+
+    def expected(doc_id):
+        n = 1 + doc_id % 4
+        ch = sum(1 for k in range(1, n) if (doc_id + k) % 3 == 0)
+        return n, ch
+
+    for doc_id in (0, 1, 2, 3, 7, 11):
+        n, ch = expected(doc_id)
+        r = out.loc[f"https://site{doc_id % 5}.example/d/{doc_id}"]
+        assert r["n_captures"] == n
+        assert r["n_changes"] == ch
+        if n == 1:
+            assert r["change_rate"] != r["change_rate"]  # NaN
+        else:
+            assert abs(r["change_rate"] - ch / (n - 1)) < 1e-12
