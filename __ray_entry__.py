@@ -1304,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fix_mojibake": _q_fix_mojibake,
         "html_tables": _q_html_tables,
         "capture_change_rate": _q_capture_change_rate,
+        "canonical_collapse": _q_canonical_collapse,
     }
 
 
@@ -1441,6 +1442,14 @@ def _q_html_tables(sf_dir: str):
     from high_performance_docling_ray.pipelines.page_meta import html_tables
 
     return html_tables(sf_dir)
+
+
+def _q_canonical_collapse(sf_dir: str):
+    from high_performance_docling_ray.pipelines.page_meta import (
+        canonical_collapse,
+    )
+
+    return canonical_collapse(sf_dir)
 
 
 def _q_capture_change_rate(sf_dir: str):
@@ -4472,6 +4481,29 @@ def oracle_sql() -> dict[str, str]:
                i / 10.0 AS priority
         FROM documents, UNNEST(range(1, 6)) AS t(i)
         WHERE doc_id % 10 = 0
+    """
+    # Canonical collapse: groups keyed by the extracted canonical
+    # target (shared_canonical planting: c/{doc_id % 50} for
+    # doc_id % 4 == 1), winner = earliest capture = min doc_id.
+    oracles["canonical_collapse"] = """
+        WITH meta AS (
+          SELECT doc_id,
+                 'https://site' || (doc_id % 5) || '.example/d/'
+                   || doc_id AS url,
+                 CASE WHEN doc_id % 4 = 1
+                      THEN 'https://canon.example/c/' || (doc_id % 50)
+                      ELSE 'https://site' || (doc_id % 5)
+                             || '.example/d/' || doc_id
+                 END AS collapse_key
+          FROM documents
+        ),
+        g AS (
+          SELECT collapse_key, MIN(doc_id) AS wid, COUNT(*) AS n
+          FROM meta GROUP BY 1
+        )
+        SELECT m.url, m.collapse_key, CAST(g.n AS BIGINT) AS n_members
+        FROM meta m
+        JOIN g ON g.collapse_key = m.collapse_key AND g.wid = m.doc_id
     """
     # Capture change rate: the Ray side hashes each capture's html and
     # run-scans consecutive hashes per url; the oracle counts the

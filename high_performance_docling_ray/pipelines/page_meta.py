@@ -318,3 +318,74 @@ def capture_change_rate(
         .groupby("bucket")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def canonical_collapse(sf_dir: str) -> ray.data.Dataset:
+    """Canonical-url dedup: pages declaring the same
+    ``<link rel="canonical">`` target collapse to one representative
+    (the earliest capture); pages without a canonical stand alone.
+    The crawl-side sibling of exact url dedup — search indexes and
+    training corpora both key on the canonical target, not the fetch
+    url.
+
+    Shape: key rows only (url, collapse_key, ts) leave the extraction
+    map — payloads never shuffle. Winner per key = ONE
+    ``groupby(key).aggregate(Min(ts), Count())`` over O(distinct keys);
+    members re-attach via the distributed ``cogroup_attach`` (no
+    broadcast anywhere), and the winner filter is a vectorized
+    ``ts == min_ts`` compare. Output: (url, collapse_key, n_members)
+    for each KEPT page.
+    """
+    from ray.data.aggregate import Count, Min
+
+    from .joins import cogroup_attach
+
+    ds = pages_with_metadata(sf_dir, shared_canonical=True)
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        html = pc.cast(batch.column("html").combine_chunks(), pa.string())
+        s = pc.extract_regex(html, _CANONICAL)
+        urls = batch.column("url").combine_chunks()
+        key = pc.if_else(s.is_valid(), s.field("v"), urls)
+        return pa.Table.from_pydict(
+            {
+                "url": urls,
+                "collapse_key": key,
+                "ts": pc.cast(batch.column("warc_ts"), pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(key_rows, batch_format="pyarrow")
+    winners = (
+        rows.groupby("collapse_key")
+        .aggregate(Min("ts"), Count())
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["collapse_key", "min_ts", "n_members"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    attached = cogroup_attach(
+        rows,
+        winners,
+        "collapse_key",
+        left_fields=[
+            pa.field("url", pa.string()),
+            pa.field("collapse_key", pa.string()),
+            pa.field("ts", pa.int64()),
+        ],
+        payload_fields=[
+            pa.field("min_ts", pa.int64()),
+            pa.field("n_members", pa.int64()),
+        ],
+    )
+
+    def keep_winner(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(
+            pc.equal(batch.column("ts"), batch.column("min_ts")), False
+        )
+        kept = batch.filter(mask)
+        return kept.select(["url", "collapse_key", "n_members"])
+
+    return attached.map_batches(keep_winner, batch_format="pyarrow")

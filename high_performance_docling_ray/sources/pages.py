@@ -838,7 +838,7 @@ def pages_with_links(sf_dir: str, with_doc_id: bool = False):
     ).map_batches(to_pages, batch_format="pyarrow")
 
 
-def pages_with_metadata(sf_dir: str):
+def pages_with_metadata(sf_dir: str, shared_canonical: bool = False):
     """Pages whose ``<head>`` carries a planted metadata block — the
     input for ``pipelines/page_meta.py:page_metadata``. Per doc_id
     (all closed forms, so the driver-gate oracle is pure CASE SQL):
@@ -850,6 +850,10 @@ def pages_with_metadata(sf_dir: str):
     * robots ``noindex`` — present iff ``doc_id % 11 == 7``.
     * a decoy ``keywords`` meta on EVERY page, so extraction must key
       on the attribute value, not on ``<meta`` alone.
+
+    ``shared_canonical=True`` (the canonical_collapse input) makes the
+    canonical target ``c/{doc_id % 50}`` instead of ``c/{doc_id}``, so
+    canonical-bearing pages form collapse groups.
     """
     import ray.data
 
@@ -866,8 +870,9 @@ def pages_with_metadata(sf_dir: str):
                     f'<meta name="description" content="Summary of doc {doc_id}">'
                 )
             if doc_id % 4 == 1:
+                target = doc_id % 50 if shared_canonical else doc_id
                 head.append(
-                    f'<link rel="canonical" href="https://canon.example/c/{doc_id}">'
+                    f'<link rel="canonical" href="https://canon.example/c/{target}">'
                 )
             if doc_id % 5 in (0, 2):
                 head.append(

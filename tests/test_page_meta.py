@@ -191,3 +191,28 @@ def test_capture_change_rate_closed_form():
             assert r["change_rate"] != r["change_rate"]  # NaN
         else:
             assert abs(r["change_rate"] - ch / (n - 1)) < 1e-12
+
+
+def test_canonical_collapse_keeps_earliest_per_group():
+    from high_performance_docling_ray.pipelines.page_meta import (
+        canonical_collapse,
+    )
+
+    out = canonical_collapse(SF).to_pandas()
+    n = _n_docs()
+    canon_docs = [i for i in range(n) if i % 4 == 1]
+    groups = {}
+    for i in canon_docs:
+        groups.setdefault(i % 50, []).append(i)
+    # every canonical group keeps exactly its min member
+    for target, members in groups.items():
+        key = f"https://canon.example/c/{target}"
+        kept = out[out["collapse_key"] == key]
+        assert len(kept) == 1
+        w = min(members)
+        assert kept.iloc[0]["url"] == f"https://site{w % 5}.example/d/{w}"
+        assert kept.iloc[0]["n_members"] == len(members)
+    # non-canonical docs all survive with group size 1
+    solo = out[out["n_members"] == 1]
+    assert len(solo) == n - len(canon_docs)
+    assert len(out) == n - len(canon_docs) + len(groups)
