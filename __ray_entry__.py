@@ -1305,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_tables": _q_html_tables,
         "capture_change_rate": _q_capture_change_rate,
         "canonical_collapse": _q_canonical_collapse,
+        "host_line_dedup": _q_host_line_dedup,
     }
 
 
@@ -1442,6 +1443,14 @@ def _q_html_tables(sf_dir: str):
     from high_performance_docling_ray.pipelines.page_meta import html_tables
 
     return html_tables(sf_dir)
+
+
+def _q_host_line_dedup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.web_curation import (
+        line_dedup,
+    )
+
+    return line_dedup(sf_dir, scope="host")
 
 
 def _q_canonical_collapse(sf_dir: str):
@@ -4089,6 +4098,55 @@ def oracle_sql() -> dict[str, str]:
     # web_curation.py:_plant_lines; df keyed by md5_number_upper(line)
     # (== hash64, collisions collide identically); a doc losing > 30%
     # of its chars is dropped
+    # Host-scoped variant: df counted per (source, line) — the planted
+    # per-source footers always trip it; the cross-host notice is
+    # removed only on hosts where >= 2 of its docs collide.
+    oracles["host_line_dedup"] = r"""
+        WITH base AS (
+          SELECT doc_id, source,
+            COALESCE(text, '') || chr(10) ||
+            '(c) footer of ' || source || chr(10) ||
+            'visit ' || source || ' for more' ||
+            CASE WHEN doc_id % 97 = 5 THEN chr(10) ||
+              'rare cross-host migration notice' ELSE '' END AS text
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id, source, unnest(range(len(ls))) AS o,
+                 unnest(ls) AS line
+          FROM (SELECT doc_id, source,
+                       str_split(text, chr(10)) AS ls FROM base)
+        ),
+        dfm AS (
+          SELECT source, line, COUNT(DISTINCT doc_id) AS df
+          FROM l GROUP BY 1, 2
+        ),
+        v AS (
+          SELECT l.doc_id, l.o, l.line, length(l.line) AS len,
+                 (dfm.df >= 2) AS rm
+          FROM l JOIN dfm
+            ON dfm.source = l.source AND dfm.line = l.line
+        ),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_lines,
+                 SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS n_removed_lines,
+                 SUM(CASE WHEN rm THEN len ELSE 0 END) AS rm_chars,
+                 SUM(len) AS tot_chars
+          FROM v GROUP BY 1
+        ),
+        txt AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY o) AS clean_text
+          FROM v WHERE NOT rm GROUP BY 1
+        )
+        SELECT agg.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(n_removed_lines AS BIGINT) AS n_removed_lines,
+               (CASE WHEN tot_chars > 0
+                     THEN rm_chars * 1.0 / tot_chars ELSE 0 END)
+                 <= 0.3 AS kept,
+               COALESCE(txt.clean_text, '') AS clean_text
+        FROM agg LEFT JOIN txt ON txt.doc_id = agg.doc_id
+    """
     oracles["line_dedup"] = r"""
         WITH base AS (
           SELECT doc_id,

@@ -222,12 +222,40 @@ def _line_arrays(batch: pa.Table):
     return rows, flat, counts
 
 
+def _plant_host_lines(batch: pa.Table) -> pa.Table:
+    """Host-scoped planting (mirrored in the host_line_dedup oracle):
+    every doc gets two per-SOURCE template lines (df within the host ==
+    docs-per-host, removed), and ``doc_id % 97 == 5`` docs share one
+    cross-host notice whose within-host df depends on scale — the line
+    the host scoping treats differently from global df."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    text = pc.fill_null(batch.column("text"), "")
+    vals = np.asarray(text.to_pylist(), object)
+    srcs = np.asarray(
+        pc.fill_null(batch.column("source"), "").to_pylist(), object
+    )
+    rare = ids % 97 == 5
+    out = []
+    for i, t in enumerate(vals):
+        s = srcs[i]
+        t = t + f"\n(c) footer of {s}\nvisit {s} for more"
+        if rare[i]:
+            t = t + "\nrare cross-host migration notice"
+        out.append(t)
+    return batch.set_column(
+        batch.schema.get_field_index("text"),
+        "text",
+        pa.array(out, pa.string()),
+    )
+
+
 def line_dedup(
     sf_dir: str,
     min_df: int = 2,
     drop_frac: float = 0.3,
     df_broadcast_budget: int = 4_000_000,
     plant: bool = True,
+    scope: str = "global",
 ) -> ray.data.Dataset:
     """RefinedWeb-style line-level boilerplate removal: a line that
     occurs in >= ``min_df`` DISTINCT documents is removed from every
@@ -235,6 +263,12 @@ def line_dedup(
     and a document losing more than ``drop_frac`` of its characters is
     dropped entirely. Returns every doc: (doc_id, n_lines,
     n_removed_lines, kept, clean_text).
+
+    ``scope="host"`` counts df per (source, line) instead of globally
+    — the RefinedWeb formulation proper (template boilerplate repeats
+    within a site; a quote repeating across sites is content). The
+    host key folds into the line hash (one uint64 mix), so EVERY tier
+    below runs unchanged on the composite key.
 
     Scale shape: a doc's lines never straddle batches (one row = one
     doc), so per-batch distinct (line-hash, doc) rows are globally
@@ -248,19 +282,32 @@ def line_dedup(
     """
     from ..kernels.sketch import hash64_strings
 
-    docs = read_documents(sf_dir, ("doc_id", "text"))
-    prep = _plant_lines if plant else (
-        lambda b: b.set_column(
+    host_scope = scope == "host"
+    cols = ("doc_id", "text", "source") if host_scope else ("doc_id", "text")
+    docs = read_documents(sf_dir, cols)
+    if plant:
+        prep = _plant_host_lines if host_scope else _plant_lines
+    else:
+        prep = lambda b: b.set_column(  # noqa: E731
             b.schema.get_field_index("text"),
             "text",
             pc.fill_null(b.column("text"), ""),
         )
-    )
     docs = docs.map_batches(prep, batch_format="pyarrow")
+
+    def line_hashes(batch: pa.Table, flat, rows) -> np.ndarray:
+        """uint64 line key; under host scope the source hash is mixed
+        in (Fibonacci multiply + add), so equal lines on different
+        hosts get distinct keys."""
+        h = hash64_strings(flat)
+        if host_scope:
+            hs = hash64_strings(batch.column("source"))
+            h = h * np.uint64(0x9E3779B97F4A7C15) + hs[rows]
+        return h.view(np.int64)
 
     def df_partial(batch: pa.Table) -> pa.Table:
         rows, flat, _ = _line_arrays(batch)
-        h = hash64_strings(flat).view(np.int64)
+        h = line_hashes(batch, flat, rows)
         # distinct (h, doc) within the batch == globally distinct
         key = np.unique(np.stack([h, rows], axis=1), axis=0)
         uniq, cnt = np.unique(key[:, 0], return_counts=True)
@@ -332,7 +379,7 @@ def line_dedup(
         def clean_broadcast(batch: pa.Table) -> pa.Table:
             boil = ray.get(ref)
             rows, flat, counts = _line_arrays(batch)
-            h = hash64_strings(flat).view(np.int64)
+            h = line_hashes(batch, flat, rows)
             if len(boil) and len(h):
                 pos = np.minimum(np.searchsorted(boil, h), len(boil) - 1)
                 removed = boil[pos] == h
@@ -354,9 +401,7 @@ def line_dedup(
             {
                 "doc_id": pa.array(ids[rows], pa.int64()),
                 "ord": pa.array(ords, pa.int64()),
-                "h": pa.array(
-                    hash64_strings(flat).view(np.int64), pa.int64()
-                ),
+                "h": pa.array(line_hashes(batch, flat, rows), pa.int64()),
             }
         )
 

@@ -305,3 +305,35 @@ def test_domain_split_leakage_free_and_deterministic():
         .reset_index(drop=True)[list(a.columns)]
     )
     assert a.equals(b)
+
+
+def test_host_line_dedup_scopes_df_per_source():
+    """The cross-host notice (doc_id % 97 == 5) lands on a DIFFERENT
+    source for each of the 5-6 planted docs at this scale, so per-host
+    df stays 1 and the line SURVIVES — while the per-source footers
+    (df == docs-per-host) are removed everywhere."""
+    from high_performance_docling_ray.pipelines.web_curation import (
+        line_dedup,
+    )
+
+    out = (
+        line_dedup(SF, scope="host")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(out) == n
+    rare_docs = [i for i in range(n) if i % 97 == 5]
+    sources = {i % 20 for i in rare_docs}
+    assert len(sources) == len(rare_docs)  # precondition: distinct hosts
+    for i in rare_docs:
+        assert "rare cross-host migration notice" in out.loc[i, "clean_text"]
+    # per-source footers removed from every doc
+    assert not out["clean_text"].str.contains("footer of src").any()
+    # each doc lost exactly its two footer lines
+    extra = out.index.to_series() % 97 == 5
+    assert (out["n_removed_lines"] == 2).all()
+    assert (out["n_lines"] == 2 + 1 + extra).all()
