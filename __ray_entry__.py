@@ -1306,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "capture_change_rate": _q_capture_change_rate,
         "canonical_collapse": _q_canonical_collapse,
         "host_line_dedup": _q_host_line_dedup,
+        "incremental_decontaminate": _q_incremental_decontaminate,
     }
 
 
@@ -1443,6 +1444,14 @@ def _q_html_tables(sf_dir: str):
     from high_performance_docling_ray.pipelines.page_meta import html_tables
 
     return html_tables(sf_dir)
+
+
+def _q_incremental_decontaminate(sf_dir: str):
+    from high_performance_docling_ray.pipelines.incremental import (
+        incremental_decontaminate,
+    )
+
+    return incremental_decontaminate(sf_dir)
 
 
 def _q_host_line_dedup(sf_dir: str):
@@ -2668,6 +2677,50 @@ def oracle_sql() -> dict[str, str]:
         ),
         ev AS (SELECT DISTINCT h FROM hv WHERE doc_id % 50 = 0),
         tr AS (SELECT DISTINCT doc_id, h FROM hv WHERE doc_id % 50 <> 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM tr JOIN ev USING (h) GROUP BY 1
+    """
+    # Incremental decontamination: the decontaminate construction with
+    # the training side restricted to the incoming shard (source =
+    # 'src3'); the Ray side probes the PERSISTED eval-shingle store.
+    oracles["incremental_decontaminate"] = r"""
+        WITH p AS (
+          SELECT doc_id, source,
+                 text || CASE
+                   WHEN doc_id % 50 = 0 THEN
+                     ' leak sequence ' ||
+                     CAST((doc_id // 50) % 3 AS VARCHAR) ||
+                     ' alpha beta gamma delta epsilon zeta eta'
+                   WHEN doc_id % 7 = 3 THEN
+                     ' leak sequence ' || CAST(doc_id % 3 AS VARCHAR) ||
+                     ' alpha beta gamma delta epsilon zeta eta'
+                   ELSE '' END AS text
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM p
+        ),
+        sh AS (
+          SELECT doc_id, source,
+            CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+                        i -> array_to_string(toks[i : i + 7], ' ')))
+            END AS sh
+          FROM t
+        ),
+        hv AS (
+          SELECT doc_id, source, md5_number_upper(s) AS h
+          FROM (SELECT doc_id, source, unnest(sh) AS s FROM sh)
+        ),
+        ev AS (SELECT DISTINCT h FROM hv WHERE doc_id % 50 = 0),
+        tr AS (
+          SELECT DISTINCT doc_id, h FROM hv
+          WHERE doc_id % 50 <> 0 AND source = 'src3'
+        )
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
         FROM tr JOIN ev USING (h) GROUP BY 1
     """

@@ -640,3 +640,142 @@ def corpus_diff(sf_dir: str) -> ray.data.Dataset:
         .groupby("bucket")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def build_eval_shingle_store(
+    sf_dir: str,
+    n: int = 8,
+    holdout_mod: int = 50,
+    out_dir: str | None = None,
+) -> str:
+    """Persist the eval set's DISTINCT shingle hashes — the benchmark
+    artifact a continuously-crawled corpus screens every incoming
+    shard against (the eval suite changes rarely; rehashing it per
+    shard ingest would be waste). Same content-keyed cache + _SUCCESS
+    discipline as the MinHash/exact-dup stores; the hashes are the
+    decontaminate ones (md5 ``hash64`` == ``md5_number_upper``)."""
+    from .lm_filters import _plant_leaks, _shingle_hash_rows
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        content_tag = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content_tag = "unknown"
+    if out_dir is None:
+        # "leaks1" versions the _plant_leaks rule (a cache tag must
+        # version the planting)
+        tag = hashlib.md5(
+            f"evalsh:{src}:{n}:{holdout_mod}:{content_tag}:leaks1".encode()
+        ).hexdigest()[:12]
+        out_dir = f"/tmp/graft_eval_shingles/{tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+
+    def eval_partial(batch: pa.Table) -> pa.Table:
+        batch = _plant_leaks(batch, holdout_mod)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % holdout_mod == 0))
+        hv, _ = _shingle_hash_rows(sub, n)
+        return pa.Table.from_pydict(
+            {"h": pa.array(np.unique(hv).view(np.int64), pa.int64())}
+        )
+
+    # one key-only groupby makes the store globally distinct (the
+    # probe cogroup requires a unique right side)
+    (
+        docs.map_batches(eval_partial, batch_format="pyarrow")
+        .groupby("h")
+        .count()
+        .map_batches(
+            lambda b: b.select(["h"]), batch_format="pyarrow"
+        )
+        .write_parquet(os.path.join(out_dir, "shingles"))
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def incremental_decontaminate(
+    sf_dir: str,
+    shard_source: str = "src3",
+    n: int = 8,
+    holdout_mod: int = 50,
+    store_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Screen ONE incoming shard against the persisted benchmark
+    store: (doc_id, n_hits) for every shard doc sharing >= 1 lowercased
+    word ``n``-gram with any eval doc. The store is read from parquet
+    (never recomputed, never broadcast); shard shingle rows are
+    per-batch distinct == globally distinct (docs don't straddle
+    batches), so the probe is ONE hash-keyed cogroup + ONE
+    ``groupby(doc_id).count()`` — key-only exchanges throughout."""
+    from .lm_filters import _plant_leaks, _shingle_hash_rows
+
+    if store_dir is None:
+        store_dir = build_eval_shingle_store(sf_dir, n, holdout_mod)
+
+    docs = read_documents(sf_dir, ("doc_id", "text", "source"))
+
+    def shard_rows(batch: pa.Table) -> pa.Table:
+        batch = _plant_leaks(batch, holdout_mod)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src_ok = pc.equal(
+            pc.fill_null(batch.column("source"), ""), shard_source
+        ).to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(src_ok & (ids % holdout_mod != 0)))
+        hv, dv = _shingle_hash_rows(sub, n)
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(hv.view(np.int64), pa.int64()),
+                "doc_id": pa.array(dv, pa.int64()),
+            }
+        )
+
+    store = ray.data.read_parquet(
+        os.path.join(store_dir, "shingles")
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "h": b.column("h"),
+                "hit": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = cogroup_attach(
+        docs.map_batches(shard_rows, batch_format="pyarrow"),
+        store,
+        key="h",
+        left_fields=[
+            pa.field("h", pa.int64()),
+            pa.field("doc_id", pa.int64()),
+        ],
+        payload_fields=[pa.field("hit", pa.int8())],
+    )
+
+    def keep_hits(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.equal(batch.column("hit"), 1), False)
+        return batch.filter(mask).select(["doc_id"])
+
+    return (
+        joined.map_batches(keep_hits, batch_format="pyarrow")
+        .groupby("doc_id")
+        .count()
+        .map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n_hits": pc.cast(b.column("count()"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

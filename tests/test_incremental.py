@@ -134,3 +134,41 @@ def test_corpus_diff_statuses(tmp_path):
             5: "unchanged", 1000005: "added"}
     got = dict(zip(out["doc_id"], out["status"]))
     assert got == want
+
+
+def test_incremental_decontaminate_matches_full_restricted_to_shard():
+    """The shard probe against the PERSISTED store must agree exactly
+    with the full decontaminate run restricted to the shard's docs."""
+    from high_performance_docling_ray.pipelines.incremental import (
+        build_eval_shingle_store,
+        incremental_decontaminate,
+    )
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        decontaminate,
+    )
+
+    inc = (
+        incremental_decontaminate(SF, shard_source="src3")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    full = decontaminate(SF).to_pandas()
+    full = (
+        full[full["doc_id"] % 20 == 3]  # source == src3
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert inc.equals(full)
+    # the store is cached: a second build returns the same dir, and a
+    # second run is byte-identical
+    d1 = build_eval_shingle_store(SF)
+    d2 = build_eval_shingle_store(SF)
+    assert d1 == d2
+    again = (
+        incremental_decontaminate(SF, shard_source="src3", store_dir=d1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert again.equals(inc)
