@@ -1307,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_collapse": _q_canonical_collapse,
         "host_line_dedup": _q_host_line_dedup,
         "incremental_decontaminate": _q_incremental_decontaminate,
+        "paragraph_dedup": _q_paragraph_dedup,
     }
 
 
@@ -1452,6 +1453,14 @@ def _q_incremental_decontaminate(sf_dir: str):
     )
 
     return incremental_decontaminate(sf_dir)
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.web_curation import (
+        paragraph_dedup,
+    )
+
+    return paragraph_dedup(sf_dir)
 
 
 def _q_host_line_dedup(sf_dir: str):
@@ -4151,6 +4160,33 @@ def oracle_sql() -> dict[str, str]:
     # web_curation.py:_plant_lines; df keyed by md5_number_upper(line)
     # (== hash64, collisions collide identically); a doc losing > 30%
     # of its chars is dropped
+    # Within-doc paragraph dedup: first occurrence per (doc, para),
+    # order preserved — the whole op is a pure map on the Ray side.
+    oracles["paragraph_dedup"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+            COALESCE(text, '') ||
+            CASE WHEN doc_id % 9 = 4
+                 THEN repeat(chr(10) || 'repeated promo paragraph '
+                               || (doc_id % 5), 3)
+                 ELSE '' END AS text
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id, unnest(range(len(ls))) AS o, unnest(ls) AS para
+          FROM (SELECT doc_id, str_split(text, chr(10)) AS ls FROM base)
+        ),
+        f AS (SELECT doc_id, para, MIN(o) AS fo FROM l GROUP BY 1, 2),
+        agg AS (SELECT doc_id, COUNT(*) AS n_paras FROM l GROUP BY 1),
+        ded AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(para, chr(10) ORDER BY fo) AS clean_text
+          FROM f GROUP BY 1
+        )
+        SELECT agg.doc_id, CAST(n_paras AS BIGINT) AS n_paras,
+               CAST(n_paras - n_kept AS BIGINT) AS n_removed, clean_text
+        FROM agg JOIN ded USING (doc_id)
+    """
     # Host-scoped variant: df counted per (source, line) — the planted
     # per-source footers always trip it; the cross-host notice is
     # removed only on hosts where >= 2 of its docs collide.

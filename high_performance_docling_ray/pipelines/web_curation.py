@@ -523,3 +523,72 @@ def domain_split(
         )
 
     return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def paragraph_dedup(sf_dir: str, plant: bool = True) -> ray.data.Dataset:
+    """Within-document paragraph dedup (the Dolma cleaning rule):
+    repeated paragraphs inside one doc keep their FIRST occurrence
+    only. Unlike ``line_dedup`` this needs no df model and no exchange
+    at all — the doc is the scope, so the whole operator is one pure
+    vectorized map: (doc_id, n_paras, n_removed, clean_text).
+
+    Planting (mirrored in SQL): docs with ``doc_id % 9 == 4`` get a
+    promo paragraph appended 3x; every doc's own text is its first
+    paragraph."""
+    from ..kernels.sketch import hash64_strings
+
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(batch.column("text"), "")
+        if plant:
+            promo = np.where(
+                ids % 9 == 4,
+                np.asarray(
+                    [
+                        "\nrepeated promo paragraph " + str(i % 5)
+                        for i in ids
+                    ],
+                    object,
+                ),
+                "",
+            ).astype(object)
+            text = pc.binary_join_element_wise(
+                text,
+                pa.array((promo * 3).tolist(), pa.string()),
+                "",
+            )
+        tbl = pa.Table.from_pydict({"doc_id": batch.column("doc_id"),
+                                    "text": text})
+        rows, flat, counts = _line_arrays(tbl)
+        h = hash64_strings(flat).view(np.int64)
+        # first occurrence per (doc, paragraph): np.unique returns the
+        # first flat index of each distinct pair
+        _, first_idx = np.unique(
+            np.stack([rows, h], axis=1), axis=0, return_index=True
+        )
+        keep = np.zeros(len(rows), bool)
+        keep[first_idx] = True
+        kept_counts = np.bincount(
+            rows[keep], minlength=len(counts)
+        ).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), flat.filter(pa.array(keep))
+            ),
+            "\n",
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_paras": pa.array(counts.astype(np.int64), pa.int64()),
+                "n_removed": pa.array(
+                    counts.astype(np.int64) - kept_counts, pa.int64()
+                ),
+                "clean_text": clean,
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")

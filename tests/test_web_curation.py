@@ -337,3 +337,19 @@ def test_host_line_dedup_scopes_df_per_source():
     extra = out.index.to_series() % 97 == 5
     assert (out["n_removed_lines"] == 2).all()
     assert (out["n_lines"] == 2 + 1 + extra).all()
+
+
+def test_paragraph_dedup_keeps_first_occurrence_only():
+    from high_performance_docling_ray.pipelines.web_curation import (
+        paragraph_dedup,
+    )
+
+    out = paragraph_dedup(SF).to_pandas().set_index("doc_id")
+    # doc 4: text + promo x3 -> 4 paras, 2 removed, promo kept once
+    r = out.loc[4]
+    assert r["n_paras"] == 4 and r["n_removed"] == 2
+    assert r["clean_text"].count("repeated promo paragraph 4") == 1
+    assert r["clean_text"].endswith("\nrepeated promo paragraph 4")
+    # unplanted docs pass through with a single paragraph
+    r3 = out.loc[3]
+    assert r3["n_paras"] == 1 and r3["n_removed"] == 0
