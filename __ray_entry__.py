@@ -1308,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_line_dedup": _q_host_line_dedup,
         "incremental_decontaminate": _q_incremental_decontaminate,
         "paragraph_dedup": _q_paragraph_dedup,
+        "parse_wet": _q_parse_wet,
     }
 
 
@@ -1453,6 +1454,12 @@ def _q_incremental_decontaminate(sf_dir: str):
     )
 
     return incremental_decontaminate(sf_dir)
+
+
+def _q_parse_wet(sf_dir: str):
+    from high_performance_docling_ray.pipelines.warc import parse_wet
+
+    return parse_wet(sf_dir)
 
 
 def _q_paragraph_dedup(sf_dir: str):
@@ -2294,6 +2301,9 @@ def oracle_sql() -> dict[str, str]:
     }
     # both tiers of the distributed OCR join-back are byte-identical to
     # the inline path by contract, so they answer to ITS oracle
+    # WET roundtrip: extraction -> conversion-record framing -> parse
+    # must reproduce extract_docs_text byte-for-byte.
+    oracles["parse_wet"] = oracles["extract_docs_text"]
     oracles["extract_pdf_ocr_distributed"] = oracles["extract_pdf_ocr"]
     oracles["extract_pdf_ocr_cogroup"] = oracles["extract_pdf_ocr"]
     # the standalone recognize stage over the same planted wrap: one

@@ -146,3 +146,117 @@ def parse_warc(sf_dir: str, records_per_blob: int = 32) -> ray.data.Dataset:
         )
 
     return blobs.map_batches(parse, batch_format="pyarrow")
+
+
+def _wet_record_bytes(url: str, ts_us: int, text: str) -> bytes:
+    payload = text.encode("utf-8")
+    header = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date-Micros: {ts_us}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("utf-8")
+    return header + payload + _CRLF2
+
+
+def wet_blobs(sf_dir: str, records_per_blob: int = 32) -> ray.data.Dataset:
+    """WET export of the flagship extraction: each doc's EXTRACTED
+    text framed as a ``WARC-Type: conversion`` record, packed into
+    multi-record blobs (blob_id = doc_id // records_per_blob, doc_id
+    recovered from the deterministic docs.example url). The
+    extraction -> WET -> parse roundtrip is hash-gated against the
+    same closed-form oracle as extract_docs_text, so the framing can't
+    silently corrupt payloads."""
+    from ..sources.pages import pages_from_documents
+    from .extract import extract_pipeline
+
+    out = extract_pipeline(
+        pages_from_documents(sf_dir), dedup=True, explode_giant=False
+    ).select_columns(["url", "warc_ts", "extracted_text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(
+                    batch.column("url").combine_chunks(), r"/(?P<id>\d+)$"
+                ),
+                "id",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "blob_id",
+            pa.array((ids // records_per_blob).astype(np.int64), pa.int64()),
+        ).append_column("doc_id", pa.array(ids, pa.int64()))
+
+    def assemble(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        g = group.take(order)
+        urls = g.column("url").to_pylist()
+        texts = g.column("extracted_text").to_pylist()
+        ts = g.column("warc_ts").cast(pa.int64()).to_pylist()
+        blob = b"".join(
+            _wet_record_bytes(u, t, x or "")
+            for u, t, x in zip(urls, ts, texts)
+        )
+        return pa.Table.from_pydict(
+            {
+                "blob_id": pa.array(
+                    [int(g.column("blob_id")[0].as_py())], pa.int64()
+                ),
+                "blob": pa.array([blob], pa.binary()),
+                "n_records": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        out.map_batches(keyed, batch_format="pyarrow")
+        .groupby("blob_id")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
+def parse_wet(sf_dir: str, records_per_blob: int = 32) -> ray.data.Dataset:
+    """(url, extracted_text): the WET blobs parsed back — byte-level
+    roundtrip of the extraction output through the archive framing."""
+    blobs = wet_blobs(sf_dir, records_per_blob=records_per_blob)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        texts: list[str] = []
+        for blob in batch.column("blob").to_pylist():
+            i = 0
+            n = len(blob)
+            while i < n:
+                if not blob.startswith(b"WARC/1.0\r\n", i):
+                    raise ValueError(f"bad record framing at offset {i}")
+                hdr_end = blob.find(_CRLF2, i)
+                if hdr_end < 0:
+                    raise ValueError("unterminated header block")
+                headers: dict[str, str] = {}
+                for line in blob[i:hdr_end].decode("utf-8").split("\r\n")[1:]:
+                    k, _, v = line.partition(": ")
+                    headers[k] = v
+                if headers["WARC-Type"] != "conversion":
+                    raise ValueError("non-conversion record in WET blob")
+                length = int(headers["Content-Length"])
+                start = hdr_end + len(_CRLF2)
+                payload = blob[start : start + length]
+                if len(payload) != length:
+                    raise ValueError("truncated payload")
+                urls.append(headers["WARC-Target-URI"])
+                texts.append(payload.decode("utf-8"))
+                i = start + length + len(_CRLF2)
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(urls, pa.string()),
+                "extracted_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return blobs.map_batches(parse, batch_format="pyarrow")

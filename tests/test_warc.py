@@ -75,3 +75,39 @@ def test_parser_rejects_corrupt_framing():
         parse_warc_blob(b"XXXX" + rec)
     with pytest.raises(ValueError, match="truncated payload"):
         parse_warc_blob(rec[:-6])  # cut into the payload/trailer
+
+
+def test_wet_roundtrip_preserves_extraction_bytes():
+    from high_performance_docling_ray.pipelines.extract import (
+        extract_pipeline,
+    )
+    from high_performance_docling_ray.pipelines.warc import (
+        parse_wet,
+        wet_blobs,
+    )
+    from high_performance_docling_ray.sources.pages import (
+        pages_from_documents,
+    )
+
+    direct = (
+        extract_pipeline(
+            pages_from_documents(SF), dedup=True, explode_giant=False
+        )
+        .select_columns(["url", "extracted_text"])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    rt = (
+        parse_wet(SF)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert rt.equals(direct)
+    # records are conversion-framed with correct blob packing
+    blobs = wet_blobs(SF, records_per_blob=32).to_pandas()
+    assert blobs["n_records"].sum() == len(direct)
+    assert blobs["blob"].map(
+        lambda b: b.startswith(b"WARC/1.0\r\nWARC-Type: conversion")
+    ).all()
