@@ -1309,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_decontaminate": _q_incremental_decontaminate,
         "paragraph_dedup": _q_paragraph_dedup,
         "parse_wet": _q_parse_wet,
+        "sitemap_frontier": _q_sitemap_frontier,
     }
 
 
@@ -1454,6 +1455,14 @@ def _q_incremental_decontaminate(sf_dir: str):
     )
 
     return incremental_decontaminate(sf_dir)
+
+
+def _q_sitemap_frontier(sf_dir: str):
+    from high_performance_docling_ray.pipelines.page_meta import (
+        sitemap_frontier,
+    )
+
+    return sitemap_frontier(sf_dir)
 
 
 def _q_parse_wet(sf_dir: str):
@@ -4625,6 +4634,21 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'Doc ' || doc_id || ' > S' || j || ' > ' || heading
                END AS path
         FROM h
+    """
+    # Sitemap-seeded frontier: a loc is already crawled only when it
+    # equals an existing doc's REAL url — host matches only at i = 5
+    # (t % 5 == doc_id % 5 iff i % 5 == 0), and the target must exist.
+    oracles["sitemap_frontier"] = """
+        SELECT 'https://site' || (doc_id % 5) || '.example/d/'
+                 || (doc_id + i) AS loc,
+               '2024-01-' || printf('%02d', 1 + (doc_id + i) % 28)
+                 AS lastmod,
+               i / 10.0 AS priority
+        FROM documents, UNNEST(range(1, 6)) AS t(i)
+        WHERE doc_id % 10 = 0
+          AND NOT (i = 5 AND EXISTS (
+                SELECT 1 FROM documents d2
+                WHERE d2.doc_id = documents.doc_id + 5))
     """
     # Sitemap harvest: 5 planted <url> entries per doc_id % 10 == 0.
     oracles["sitemap_urls"] = """

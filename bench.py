@@ -168,6 +168,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "link_domain_graph",
         "domain_pagerank",
         "crawl_frontier",
+        # session-7 additions: page-metadata family, archive formats,
+        # host-scoped boilerplate, incremental decontamination
+        "page_metadata",
+        "html_tables",
+        "capture_change_rate",
+        "canonical_collapse",
+        "host_line_dedup",
+        "paragraph_dedup",
+        "incremental_decontaminate",
+        "parse_wet",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

@@ -389,3 +389,61 @@ def canonical_collapse(sf_dir: str) -> ray.data.Dataset:
         return kept.select(["url", "collapse_key", "n_members"])
 
     return attached.map_batches(keep_winner, batch_format="pyarrow")
+
+
+def sitemap_frontier(sf_dir: str) -> ray.data.Dataset:
+    """Seed discovery: sitemap ``<loc>`` entries not yet in the crawl
+    — (loc, lastmod, priority) for every advertised url with no
+    existing capture. The sitemap side comes from the real XML parse
+    (``sitemap_urls``); the crawled set is the corpus's own url column;
+    they meet in the standard distributed ``cogroup_attach`` anti-join
+    (key-only rows, no broadcast) — the same shape as
+    ``links.py:crawl_frontier`` but seeded by sitemaps instead of
+    outlinks."""
+    import ray.data as rd
+
+    import numpy as np
+
+    from .joins import cogroup_attach
+
+    locs = sitemap_urls(sf_dir).map_batches(
+        lambda b: b.select(["loc", "lastmod", "priority"]),
+        batch_format="pyarrow",
+    )
+
+    def crawled_urls(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "loc": pa.array(
+                    [
+                        f"https://site{i % 5}.example/d/{i}"
+                        for i in ids
+                    ],
+                    pa.string(),
+                ),
+                "crawled": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            }
+        )
+
+    crawled = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(crawled_urls, batch_format="pyarrow")
+
+    attached = cogroup_attach(
+        locs,
+        crawled,
+        key="loc",
+        left_fields=[
+            pa.field("loc", pa.string()),
+            pa.field("lastmod", pa.string()),
+            pa.field("priority", pa.float64()),
+        ],
+        payload_fields=[pa.field("crawled", pa.int8())],
+    )
+
+    def uncrawled(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch.column("crawled"))
+        return batch.filter(mask).select(["loc", "lastmod", "priority"])
+
+    return attached.map_batches(uncrawled, batch_format="pyarrow")

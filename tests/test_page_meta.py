@@ -216,3 +216,24 @@ def test_canonical_collapse_keeps_earliest_per_group():
     solo = out[out["n_members"] == 1]
     assert len(solo) == n - len(canon_docs)
     assert len(out) == n - len(canon_docs) + len(groups)
+
+
+def test_sitemap_frontier_anti_join_outcomes():
+    from high_performance_docling_ray.pipelines.page_meta import (
+        sitemap_frontier,
+    )
+
+    out = sitemap_frontier(SF).to_pandas()
+    n = _n_docs()
+    sitemap_docs = [i for i in range(n) if i % 10 == 0]
+    # i in 1..4 always uncrawled (host mismatch); i == 5 crawled iff
+    # the target doc exists
+    expected = sum(
+        4 + (0 if d + 5 < n else 1) for d in sitemap_docs
+    )
+    assert len(out) == expected
+    # doc 0's sitemap: locs for 1..4 present, 5 absent (crawled)
+    locs = set(out["loc"])
+    for i in range(1, 5):
+        assert f"https://site0.example/d/{i}" in locs
+    assert "https://site0.example/d/5" not in locs
