@@ -1310,6 +1310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "parse_wet": _q_parse_wet,
         "sitemap_frontier": _q_sitemap_frontier,
+        "incremental_extract": _q_incremental_extract,
     }
 
 
@@ -1455,6 +1456,14 @@ def _q_incremental_decontaminate(sf_dir: str):
     )
 
     return incremental_decontaminate(sf_dir)
+
+
+def _q_incremental_extract(sf_dir: str):
+    from high_performance_docling_ray.pipelines.incremental import (
+        incremental_extract,
+    )
+
+    return incremental_extract(sf_dir)
 
 
 def _q_sitemap_frontier(sf_dir: str):
@@ -2313,6 +2322,20 @@ def oracle_sql() -> dict[str, str]:
     # WET roundtrip: extraction -> conversion-record framing -> parse
     # must reproduce extract_docs_text byte-for-byte.
     oracles["parse_wet"] = oracles["extract_docs_text"]
+    # Incremental extraction: the v2 snapshot's from-scratch closed
+    # form (extract_docs_text over the modified text), composed by
+    # substituting the v2 docs CTE — plus the reused flag, which is
+    # simply "the page did not change".
+    oracles["incremental_extract"] = (
+        "WITH docs2 AS (SELECT doc_id, text ||"
+        " CASE WHEN doc_id % 23 = 7 THEN ' v2' ELSE '' END AS text"
+        " FROM documents), base AS ("
+        + oracles["extract_docs_text"].replace("FROM documents", "FROM docs2")
+        + r""") SELECT url, extracted_text,
+               (CAST(regexp_extract(url, '(\d+)$', 1) AS BIGINT) % 23)
+                 <> 7 AS reused
+          FROM base"""
+    )
     oracles["extract_pdf_ocr_distributed"] = oracles["extract_pdf_ocr"]
     oracles["extract_pdf_ocr_cogroup"] = oracles["extract_pdf_ocr"]
     # the standalone recognize stage over the same planted wrap: one

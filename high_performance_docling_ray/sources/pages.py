@@ -749,10 +749,14 @@ def pdf_pages_from_documents(
     ).map_batches(to_pdf_pages, batch_format="pyarrow")
 
 
-def pages_from_documents(sf_dir: str):
+def pages_from_documents(sf_dir: str, snapshot: str = "v1"):
     """Derive a pages table from the driver's ``documents`` parquet:
     each document's text is deterministically wrapped in boilerplated
-    HTML. Lets the extraction pipeline run at any scale factor."""
+    HTML. Lets the extraction pipeline run at any scale factor.
+
+    ``snapshot="v2"`` (the incremental_extract input) modifies docs
+    with ``doc_id % 23 == 7`` (text + ' v2'), leaving every other
+    page byte-identical to v1 — a later crawl of the same corpus."""
     import ray.data
 
     def to_pages(batch: pa.Table) -> pa.Table:
@@ -761,6 +765,8 @@ def pages_from_documents(sf_dir: str):
         langs = batch.column("lang").to_pylist()
         rows = []
         for doc_id, text, lang in zip(doc_ids, texts, langs):
+            if snapshot == "v2" and doc_id % 23 == 7:
+                text = text + " v2"
             rng = random.Random(doc_id)
             nav = " ".join(f'<a href="/n{i}">nav{i}</a>' for i in range(6))
             sentences = text.split(". ")

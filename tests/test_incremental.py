@@ -172,3 +172,35 @@ def test_incremental_decontaminate_matches_full_restricted_to_shard():
         .reset_index(drop=True)
     )
     assert again.equals(inc)
+
+
+def test_incremental_extract_tiers_and_reuse_accounting():
+    from high_performance_docling_ray.pipelines.incremental import (
+        build_extract_store,
+        incremental_extract,
+    )
+
+    store = build_extract_store(SF)
+    a = (
+        incremental_extract(SF, store_dir=store)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    # exactly the planted modifications re-extract
+    changed = a[~a["reused"]]
+    ids = changed["url"].str.extract(r"(\d+)$")[0].astype(int)
+    assert (ids % 23 == 7).all()
+    # modified docs end with the planted suffix, reused ones don't
+    assert changed["extracted_text"].str.endswith(" v2").all()
+    assert not a[a["reused"]]["extracted_text"].str.endswith(" v2").any()
+    # budget=0 forces the full-row cogroup fallback; byte-identical
+    b = (
+        incremental_extract(
+            SF, store_dir=store, changed_broadcast_budget=0
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
