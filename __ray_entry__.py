@@ -1311,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_wet": _q_parse_wet,
         "sitemap_frontier": _q_sitemap_frontier,
         "incremental_extract": _q_incremental_extract,
+        "cdc_chunks": _q_cdc_chunks,
     }
 
 
@@ -1456,6 +1457,14 @@ def _q_incremental_decontaminate(sf_dir: str):
     )
 
     return incremental_decontaminate(sf_dir)
+
+
+def _q_cdc_chunks(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        cdc_chunks,
+    )
+
+    return cdc_chunks(sf_dir)
 
 
 def _q_incremental_extract(sf_dir: str):
@@ -2319,6 +2328,53 @@ def oracle_sql() -> dict[str, str]:
     }
     # both tiers of the distributed OCR join-back are byte-identical to
     # the inline path by contract, so they answer to ITS oracle
+    # Content-defined chunking: the fingerprint_rolling recurrence,
+    # with a cut wherever the 16-byte window hash divides by 64;
+    # chunks = spans between {0, boundaries, n}.
+    _m = 1 << 61
+    _bw = pow(257, 15, _m)
+    oracles["cdc_chunks"] = f"""
+        WITH RECURSIVE r AS (
+          SELECT doc_id, text, length(text) AS n, 0 AS i,
+                 CAST(0 AS HUGEINT) AS h
+          FROM documents
+          UNION ALL
+          SELECT doc_id, text, n, i + 1,
+            CASE WHEN i < 16
+                 THEN (h * 257 + ord(substr(text, i + 1, 1))) % {_m}
+                 ELSE ((((h - ord(substr(text, i - 15, 1))
+                          * {_bw}::HUGEINT) % {_m}) + {_m}) % {_m}
+                       * 257 + ord(substr(text, i + 1, 1))) % {_m}
+            END AS h
+          FROM r WHERE i < n
+        ),
+        bounds AS (
+          SELECT doc_id, i AS p FROM r WHERE i >= 16 AND h % 64 = 0
+        ),
+        marks AS (
+          SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, 0 AS p FROM documents WHERE length(text) > 0
+            UNION ALL
+            SELECT doc_id, length(text) FROM documents
+            WHERE length(text) > 0
+            UNION ALL SELECT doc_id, p FROM bounds
+          )
+        ),
+        spans AS (
+          SELECT doc_id, p AS s,
+                 lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS e
+          FROM marks
+        )
+        SELECT spans.doc_id,
+               CAST(row_number() OVER (PARTITION BY spans.doc_id
+                                       ORDER BY s) AS BIGINT) AS chunk_ord,
+               CAST(s AS BIGINT) AS start,
+               CAST(e - s AS BIGINT) AS length,
+               md5(substr(d.text, CAST(s + 1 AS INT),
+                          CAST(e - s AS INT))) AS chunk_md5
+        FROM spans JOIN documents d ON d.doc_id = spans.doc_id
+        WHERE e IS NOT NULL
+    """
     # WET roundtrip: extraction -> conversion-record framing -> parse
     # must reproduce extract_docs_text byte-for-byte.
     oracles["parse_wet"] = oracles["extract_docs_text"]

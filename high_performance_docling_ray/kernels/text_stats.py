@@ -145,3 +145,34 @@ def batch_md5(texts: list[str]) -> list[str]:
 
 def batch_token_count(texts: list[str]) -> np.ndarray:
     return np.fromiter((token_count(t) for t in texts), np.int64, len(texts))
+
+
+def cdc_boundaries(
+    data: bytes, window: int = 16, div: int = 64, mod: int = 1 << 61
+) -> list[int]:
+    """Content-defined chunk boundaries (Rabin-style): a cut AFTER
+    byte position ``p`` (1-based, p >= window) whenever the base-257
+    rolling hash of the window ending at ``p`` is divisible by
+    ``div`` — the same recurrence as ``rolling_fingerprint``, so the
+    SQL oracle reuses the proven recursive-CTE form. Insertions shift
+    only neighboring chunks (the storage-dedup property); production
+    CDC adds min/max clamps, which are deliberately omitted here to
+    keep the closed form."""
+    n = len(data)
+    if n < window:
+        return []
+    base = 257
+    basew = pow(base, window - 1, mod)
+    h = 0
+    bounds: list[int] = []
+    for i in range(n):
+        ch = data[i]
+        if i < window:
+            h = (h * base + ch) % mod
+            if i == window - 1 and h % div == 0:
+                bounds.append(i + 1)
+        else:
+            h = ((h - data[i - window] * basew) * base + ch) % mod
+            if h % div == 0:
+                bounds.append(i + 1)
+    return bounds

@@ -1488,3 +1488,54 @@ def fix_mojibake(sf_dir: str) -> ray.data.Dataset:
     return read_documents(sf_dir, columns=("doc_id", "text")).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def cdc_chunks(sf_dir: str, window: int = 16, div: int = 64) -> ray.data.Dataset:
+    """Content-defined chunking (Rabin rolling-hash boundaries) — the
+    storage-level dedup primitive: chunk boundaries follow CONTENT, so
+    an insertion reshapes only its neighborhood and every other chunk
+    keeps its hash (dedupable across snapshots). Pure map, one Python
+    rolling pass per doc (same budget class as rolling_fingerprint).
+
+    Output: (doc_id, chunk_ord, start, length, chunk_md5) — start is a
+    0-based byte offset, chunks cover the doc exactly.
+    """
+    import hashlib
+
+    from ..kernels.text_stats import cdc_boundaries
+
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        d: list[int] = []
+        o: list[int] = []
+        s: list[int] = []
+        ln: list[int] = []
+        md: list[str] = []
+        for did, text in zip(ids, texts):
+            data = (text or "").encode("utf-8")
+            if not data:
+                continue
+            marks = sorted(
+                {0, len(data), *cdc_boundaries(data, window, div)}
+            )
+            for k in range(len(marks) - 1):
+                a, b = marks[k], marks[k + 1]
+                d.append(int(did))
+                o.append(k + 1)
+                s.append(a)
+                ln.append(b - a)
+                md.append(hashlib.md5(data[a:b]).hexdigest())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "chunk_ord": pa.array(o, pa.int64()),
+                "start": pa.array(s, pa.int64()),
+                "length": pa.array(ln, pa.int64()),
+                "chunk_md5": pa.array(md, pa.string()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")

@@ -364,3 +364,56 @@ def test_session5_ops_deterministic_across_runs():
         a = fn(SF).to_pandas().sort_values(keys).reset_index(drop=True)
         b = fn(SF).to_pandas().sort_values(keys).reset_index(drop=True)
         assert a.equals(b), fn.__name__
+
+
+def test_cdc_insertion_locality_and_coverage():
+    """The defining CDC property: an insertion changes only chunks in
+    its neighborhood — every chunk hash after the next boundary
+    survives byte-identically."""
+    import hashlib
+
+    from high_performance_docling_ray.kernels.text_stats import (
+        cdc_boundaries,
+    )
+
+    base = (b"the quick brown fox jumps over the lazy dog " * 40)
+
+    def chunks(data):
+        marks = sorted({0, len(data), *cdc_boundaries(data)})
+        return [
+            hashlib.md5(data[marks[k]:marks[k + 1]]).hexdigest()
+            for k in range(len(marks) - 1)
+        ]
+
+    c1 = chunks(base)
+    edited = base[:100] + b"INSERTED BYTES " + base[100:]
+    c2 = chunks(edited)
+    # coverage: chunks tile the input exactly (checked inside chunks())
+    assert len(c1) > 5
+    # tail chunks are unchanged; only the edited neighborhood differs
+    k = 0
+    while c1[-1 - k] == c2[-1 - k]:
+        k += 1
+    assert len(c1) - k <= 4  # all but the first few chunks survive
+    assert set(c1[-k:]) <= set(c2)
+
+
+def test_cdc_chunks_cover_documents_exactly():
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        cdc_chunks,
+    )
+    import pyarrow.parquet as pq
+
+    out = cdc_chunks(SF).to_pandas()
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    lens = out.groupby("doc_id")["length"].sum()
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        n = len((text or "").encode())
+        if n:
+            assert lens.loc[did] == n
+    # ordinals are contiguous from 1 and starts are cumulative
+    g = out.sort_values(["doc_id", "chunk_ord"]).groupby("doc_id")
+    assert (g["chunk_ord"].first() == 1).all()
+    assert (g["start"].first() == 0).all()
