@@ -1312,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_frontier": _q_sitemap_frontier,
         "incremental_extract": _q_incremental_extract,
         "cdc_chunks": _q_cdc_chunks,
+        "html_structure_groups": _q_html_structure_groups,
     }
 
 
@@ -1457,6 +1458,14 @@ def _q_incremental_decontaminate(sf_dir: str):
     )
 
     return incremental_decontaminate(sf_dir)
+
+
+def _q_html_structure_groups(sf_dir: str):
+    from high_performance_docling_ray.pipelines.page_meta import (
+        html_structure_groups,
+    )
+
+    return html_structure_groups(sf_dir)
 
 
 def _q_cdc_chunks(sf_dir: str):
@@ -4713,6 +4722,23 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'Doc ' || doc_id || ' > S' || j || ' > ' || heading
                END AS path
         FROM h
+    """
+    # Template detection: the opening-tag sequence of the metadata
+    # fixture is a closed form of the four presence flags; the oracle
+    # md5s the same comma-joined sequence.
+    oracles["html_structure_groups"] = """
+        WITH s AS (
+          SELECT md5('html,head,title,meta'
+                 || CASE WHEN doc_id % 3 != 0 THEN ',meta' ELSE '' END
+                 || CASE WHEN doc_id % 4 = 1 THEN ',link' ELSE '' END
+                 || CASE WHEN doc_id % 5 IN (0, 2) THEN ',meta'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 7 THEN ',meta' ELSE '' END
+                 || ',body,p') AS structure_md5
+          FROM documents
+        )
+        SELECT structure_md5, CAST(COUNT(*) AS BIGINT) AS n_pages
+        FROM s GROUP BY 1
     """
     # Sitemap-seeded frontier: a loc is already crawled only when it
     # equals an existing doc's REAL url — host matches only at i = 5

@@ -447,3 +447,52 @@ def sitemap_frontier(sf_dir: str) -> ray.data.Dataset:
         return batch.filter(mask).select(["loc", "lastmod", "priority"])
 
     return attached.map_batches(uncrawled, batch_format="pyarrow")
+
+
+_TAG = re.compile(r"<([a-z]+)")
+
+
+def html_structure_groups(sf_dir: str) -> ray.data.Dataset:
+    """Template detection: pages grouped by the md5 of their opening-
+    tag sequence — pages sharing a structure hash render the same
+    template with different content (the signal behind site-template
+    boilerplate models and scraper generators). Per-batch combiner
+    (count per structure) -> ONE structure-keyed groupby sum; the
+    exchange is O(distinct templates) per block, never O(pages).
+    Output: (structure_md5, n_pages)."""
+    import hashlib
+
+    import numpy as np
+
+    ds = pages_with_metadata(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        htmls = batch.column("html").to_pylist()
+        keys = [
+            hashlib.md5(
+                ",".join(_TAG.findall(h.decode("utf-8", "replace"))).encode()
+            ).hexdigest()
+            for h in htmls
+            if h is not None
+        ]
+        g = pd.Series(keys).value_counts()
+        return pa.Table.from_pydict(
+            {
+                "structure_md5": pa.array(g.index.tolist(), pa.string()),
+                "n_pages": pa.array(
+                    g.to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("structure_md5")
+        .sum("n_pages")
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["structure_md5", "n_pages"]),
+        batch_format="pyarrow",
+    )

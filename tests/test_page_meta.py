@@ -237,3 +237,32 @@ def test_sitemap_frontier_anti_join_outcomes():
     for i in range(1, 5):
         assert f"https://site0.example/d/{i}" in locs
     assert "https://site0.example/d/5" not in locs
+
+
+def test_html_structure_groups_accounting():
+    from high_performance_docling_ray.pipelines.page_meta import (
+        html_structure_groups,
+    )
+
+    out = html_structure_groups(SF).to_pandas()
+    assert out["n_pages"].sum() == _n_docs()
+    # structure is determined by the 4 planted presence flags
+    import hashlib
+
+    def key(i):
+        s = "html,head,title,meta"
+        if i % 3 != 0:
+            s += ",meta"
+        if i % 4 == 1:
+            s += ",link"
+        if i % 5 in (0, 2):
+            s += ",meta"
+        if i % 11 == 7:
+            s += ",meta"
+        return hashlib.md5((s + ",body,p").encode()).hexdigest()
+
+    expected = {}
+    for i in range(_n_docs()):
+        expected[key(i)] = expected.get(key(i), 0) + 1
+    got = dict(zip(out["structure_md5"], out["n_pages"]))
+    assert got == expected
