@@ -1313,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_extract": _q_incremental_extract,
         "cdc_chunks": _q_cdc_chunks,
         "html_structure_groups": _q_html_structure_groups,
+        "cdc_dedup_stats": _q_cdc_dedup_stats,
     }
 
 
@@ -1466,6 +1467,14 @@ def _q_html_structure_groups(sf_dir: str):
     )
 
     return html_structure_groups(sf_dir)
+
+
+def _q_cdc_dedup_stats(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        cdc_dedup_stats,
+    )
+
+    return cdc_dedup_stats(sf_dir)
 
 
 def _q_cdc_chunks(sf_dir: str):
@@ -2339,14 +2348,18 @@ def oracle_sql() -> dict[str, str]:
     # the inline path by contract, so they answer to ITS oracle
     # Content-defined chunking: the fingerprint_rolling recurrence,
     # with a cut wherever the 16-byte window hash divides by 64;
-    # chunks = spans between {0, boundaries, n}.
+    # chunks = spans between {0, boundaries, n}. Parameterized over
+    # the source relation so the dedup-stats oracle can run it over a
+    # planted-duplicates CTE.
     _m = 1 << 61
     _bw = pow(257, 15, _m)
-    oracles["cdc_chunks"] = f"""
+
+    def _cdc_chunks_sql(src: str) -> str:
+        return f"""
         WITH RECURSIVE r AS (
           SELECT doc_id, text, length(text) AS n, 0 AS i,
                  CAST(0 AS HUGEINT) AS h
-          FROM documents
+          FROM {src}
           UNION ALL
           SELECT doc_id, text, n, i + 1,
             CASE WHEN i < 16
@@ -2362,9 +2375,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         marks AS (
           SELECT DISTINCT doc_id, p FROM (
-            SELECT doc_id, 0 AS p FROM documents WHERE length(text) > 0
+            SELECT doc_id, 0 AS p FROM {src} WHERE length(text) > 0
             UNION ALL
-            SELECT doc_id, length(text) FROM documents
+            SELECT doc_id, length(text) FROM {src}
             WHERE length(text) > 0
             UNION ALL SELECT doc_id, p FROM bounds
           )
@@ -2381,9 +2394,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(e - s AS BIGINT) AS length,
                md5(substr(d.text, CAST(s + 1 AS INT),
                           CAST(e - s AS INT))) AS chunk_md5
-        FROM spans JOIN documents d ON d.doc_id = spans.doc_id
+        FROM spans JOIN {src} d ON d.doc_id = spans.doc_id
         WHERE e IS NOT NULL
     """
+
+    oracles["cdc_chunks"] = _cdc_chunks_sql("documents")
+    # CDC dedup accounting over planted duplicate docs (%41 in {7,8}
+    # share one repeated payload): chunk-level duplicate mass.
+    oracles["cdc_dedup_stats"] = (
+        """
+        WITH dup2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 41 IN (7, 8)
+                      THEN repeat('shared duplicate payload block """
+        """alpha beta gamma delta. ', 4)
+                      ELSE text END AS text
+          FROM documents
+        ),
+        chunks AS ("""
+        + _cdc_chunks_sql("dup2")
+        + """),
+        g AS (
+          SELECT chunk_md5, COUNT(*) AS c, MIN(length) AS l
+          FROM chunks GROUP BY 1
+        )
+        SELECT CAST(SUM(c) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               round(SUM(c - 1) * 1.0 / SUM(c), 6) AS dup_chunk_frac,
+               round(SUM((c - 1) * l) * 1.0 / SUM(c * l), 6)
+                 AS dup_byte_frac
+        FROM g
+    """
+    )
     # WET roundtrip: extraction -> conversion-record framing -> parse
     # must reproduce extract_docs_text byte-for-byte.
     oracles["parse_wet"] = oracles["extract_docs_text"]

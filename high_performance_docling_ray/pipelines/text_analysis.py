@@ -1490,7 +1490,12 @@ def fix_mojibake(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def cdc_chunks(sf_dir: str, window: int = 16, div: int = 64) -> ray.data.Dataset:
+def cdc_chunks(
+    sf_dir: str,
+    window: int = 16,
+    div: int = 64,
+    plant_dups: bool = False,
+) -> ray.data.Dataset:
     """Content-defined chunking (Rabin rolling-hash boundaries) — the
     storage-level dedup primitive: chunk boundaries follow CONTENT, so
     an insertion reshapes only its neighborhood and every other chunk
@@ -1506,9 +1511,16 @@ def cdc_chunks(sf_dir: str, window: int = 16, div: int = 64) -> ray.data.Dataset
 
     docs = read_documents(sf_dir, ("doc_id", "text"))
 
+    _DUP_PAYLOAD = "shared duplicate payload block alpha beta gamma delta. " * 4
+
     def f(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
+        if plant_dups:
+            texts = [
+                _DUP_PAYLOAD if i % 41 in (7, 8) else t
+                for i, t in zip(ids, texts)
+            ]
         d: list[int] = []
         o: list[int] = []
         s: list[int] = []
@@ -1539,3 +1551,59 @@ def cdc_chunks(sf_dir: str, window: int = 16, div: int = 64) -> ray.data.Dataset
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def cdc_dedup_stats(sf_dir: str) -> pa.Table:
+    """Chunk-level duplicate accounting over CDC chunks (planted
+    duplicate docs: ``doc_id % 41 in (7, 8)`` share one repeated
+    payload): ONE key-only ``groupby(chunk_md5)`` (Count + Min length
+    — equal hashes have equal lengths), then per-block partial sums
+    fold to a single report row on the driver. Output: (n_chunks,
+    n_distinct, dup_chunk_frac, dup_byte_frac)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min
+
+    chunks = cdc_chunks(sf_dir, plant_dups=True)
+    g = chunks.groupby("chunk_md5").aggregate(Count(), Min("length"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("count()").to_numpy(zero_copy_only=False)
+        ln = batch.column("min(length)").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "n_chunks": pa.array([int(c.sum())], pa.int64()),
+                "n_distinct": pa.array([len(c)], pa.int64()),
+                "dup_chunks": pa.array([int((c - 1).sum())], pa.int64()),
+                "dup_bytes": pa.array(
+                    [int(((c - 1) * ln).sum())], pa.int64()
+                ),
+                "total_bytes": pa.array([int((c * ln).sum())], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in g.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    tot = pa.concat_tables(parts)
+    n_chunks = int(pc.sum(tot.column("n_chunks")).as_py())
+    n_distinct = int(pc.sum(tot.column("n_distinct")).as_py())
+    dup_chunks = int(pc.sum(tot.column("dup_chunks")).as_py())
+    dup_bytes = int(pc.sum(tot.column("dup_bytes")).as_py())
+    total_bytes = int(pc.sum(tot.column("total_bytes")).as_py())
+    return pa.Table.from_pydict(
+        {
+            "n_chunks": pa.array([n_chunks], pa.int64()),
+            "n_distinct": pa.array([n_distinct], pa.int64()),
+            "dup_chunk_frac": pa.array(
+                [round(dup_chunks / n_chunks, 6)], pa.float64()
+            ),
+            "dup_byte_frac": pa.array(
+                [round(dup_bytes / total_bytes, 6)], pa.float64()
+            ),
+        }
+    )

@@ -417,3 +417,18 @@ def test_cdc_chunks_cover_documents_exactly():
     g = out.sort_values(["doc_id", "chunk_ord"]).groupby("doc_id")
     assert (g["chunk_ord"].first() == 1).all()
     assert (g["start"].first() == 0).all()
+
+
+def test_cdc_dedup_stats_consistency():
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        cdc_chunks,
+        cdc_dedup_stats,
+    )
+
+    stats = cdc_dedup_stats(SF).to_pandas().iloc[0]
+    chunks = cdc_chunks(SF, plant_dups=True).to_pandas()
+    assert stats["n_chunks"] == len(chunks)
+    assert stats["n_distinct"] == chunks["chunk_md5"].nunique()
+    # planted duplicate docs guarantee nonzero dup mass
+    assert stats["dup_chunk_frac"] > 0
+    assert 0 < stats["dup_byte_frac"] <= stats["dup_chunk_frac"] + 0.2
