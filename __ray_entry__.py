@@ -1314,6 +1314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _q_cdc_chunks,
         "html_structure_groups": _q_html_structure_groups,
         "cdc_dedup_stats": _q_cdc_dedup_stats,
+        "index_export": _q_index_export,
     }
 
 
@@ -1467,6 +1468,12 @@ def _q_html_structure_groups(sf_dir: str):
     )
 
     return html_structure_groups(sf_dir)
+
+
+def _q_index_export(sf_dir: str):
+    from high_performance_docling_ray.pipelines.page_meta import index_export
+
+    return index_export(sf_dir)
 
 
 def _q_cdc_dedup_stats(sf_dir: str):
@@ -4764,6 +4771,36 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'Doc ' || doc_id || ' > S' || j || ' > ' || heading
                END AS path
         FROM h
+    """
+    # Index export: noindex policy -> canonical collapse (winner = min
+    # doc_id) -> whitespace-normalized extraction text (the metadata
+    # fixture wraps the whole doc text in one <p>, so the extractor's
+    # closed form is trim + collapse).
+    oracles["index_export"] = r"""
+        WITH meta AS (
+          SELECT doc_id,
+                 'https://site' || (doc_id % 5) || '.example/d/'
+                   || doc_id AS url,
+                 'Title ' || doc_id AS title,
+                 CASE WHEN doc_id % 4 = 1
+                      THEN 'https://canon.example/c/' || (doc_id % 50)
+                      ELSE 'https://site' || (doc_id % 5)
+                             || '.example/d/' || doc_id
+                 END AS collapse_key
+          FROM documents
+          WHERE doc_id % 11 <> 7
+        ),
+        g AS (
+          SELECT collapse_key, MIN(doc_id) AS wid, COUNT(*) AS n
+          FROM meta GROUP BY 1
+        )
+        SELECT m.url, m.title, m.collapse_key,
+               CAST(g.n AS BIGINT) AS n_members,
+               trim(regexp_replace(d.text, '\s+', ' ', 'g'))
+                 AS extracted_text
+        FROM meta m
+        JOIN g ON g.collapse_key = m.collapse_key AND g.wid = m.doc_id
+        JOIN documents d ON d.doc_id = m.doc_id
     """
     # Template detection: the opening-tag sequence of the metadata
     # fixture is a closed form of the four presence flags; the oracle

@@ -496,3 +496,107 @@ def html_structure_groups(sf_dir: str) -> ray.data.Dataset:
         lambda b: b.rename_columns(["structure_md5", "n_pages"]),
         batch_format="pyarrow",
     )
+
+
+def index_export(sf_dir: str) -> ray.data.Dataset:
+    """The search-index feed — the composition a crawl actually ships:
+    robots-meta policy (drop ``noindex`` pages) -> canonical-url
+    collapse (one representative per declared canonical) -> the REAL
+    boilerplate-strip extraction text attached to each surviving page.
+    Output: (url, title, collapse_key, n_members, extracted_text).
+
+    Shape: metadata/key rows drive both the policy filter and the
+    collapse (Min+Count groupby over O(distinct keys)); the extraction
+    stream joins back by url through one ``cogroup_attach`` — the only
+    exchange that moves text, and it moves each survivor's text once.
+    """
+    from ray.data.aggregate import Count, Min
+
+    from .extract import extract_pipeline
+    from .joins import cogroup_attach
+
+    pages = pages_with_metadata(sf_dir, shared_canonical=True)
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        html = pc.cast(batch.column("html").combine_chunks(), pa.string())
+        s = pc.extract_regex(html, _CANONICAL)
+        urls = batch.column("url").combine_chunks()
+        key = pc.if_else(s.is_valid(), s.field("v"), urls)
+        t = pc.extract_regex(html, _TITLE)
+        title = pc.if_else(
+            t.is_valid(), t.field("v"), pa.scalar(None, pa.string())
+        )
+        noindex = pc.match_substring_regex(html, _NOINDEX)
+        tbl = pa.Table.from_pydict(
+            {
+                "url": urls,
+                "title": title,
+                "collapse_key": key,
+                "ts": pc.cast(batch.column("warc_ts"), pa.int64()),
+            }
+        )
+        return tbl.filter(pc.invert(pc.fill_null(noindex, True)))
+
+    rows = pages.map_batches(key_rows, batch_format="pyarrow")
+    winners = (
+        rows.groupby("collapse_key")
+        .aggregate(Min("ts"), Count())
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["collapse_key", "min_ts", "n_members"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    attached = cogroup_attach(
+        rows,
+        winners,
+        "collapse_key",
+        left_fields=[
+            pa.field("url", pa.string()),
+            pa.field("title", pa.string()),
+            pa.field("collapse_key", pa.string()),
+            pa.field("ts", pa.int64()),
+        ],
+        payload_fields=[
+            pa.field("min_ts", pa.int64()),
+            pa.field("n_members", pa.int64()),
+        ],
+    )
+
+    def keep_winner(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(
+            pc.equal(batch.column("ts"), batch.column("min_ts")), False
+        )
+        return batch.filter(mask).select(
+            ["url", "title", "collapse_key", "n_members"]
+        )
+
+    survivors = attached.map_batches(keep_winner, batch_format="pyarrow")
+
+    extracted = extract_pipeline(
+        pages, dedup=True, explode_giant=False
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "url": b.column("url"),
+                "extracted_text": pc.cast(
+                    b.column("extracted_text"), pa.string()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    return cogroup_attach(
+        survivors,
+        extracted,
+        "url",
+        left_fields=[
+            pa.field("url", pa.string()),
+            pa.field("title", pa.string()),
+            pa.field("collapse_key", pa.string()),
+            pa.field("n_members", pa.int64()),
+        ],
+        payload_fields=[pa.field("extracted_text", pa.string())],
+    )

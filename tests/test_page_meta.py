@@ -266,3 +266,23 @@ def test_html_structure_groups_accounting():
         expected[key(i)] = expected.get(key(i), 0) + 1
     got = dict(zip(out["structure_md5"], out["n_pages"]))
     assert got == expected
+
+
+def test_index_export_policy_then_collapse():
+    from high_performance_docling_ray.pipelines.page_meta import index_export
+
+    out = index_export(SF).to_pandas()
+    n = _n_docs()
+    ids = out["url"].str.extract(r"(\d+)$")[0].astype(int)
+    # no noindex page survives
+    assert not (ids % 11 == 7).any()
+    # a noindex group-minimum cedes the win to the next member:
+    # group c/{7}: members 7, 57, 107, ... — doc 7 is noindex
+    g7 = out[out["collapse_key"] == "https://canon.example/c/7"]
+    if len(g7):
+        w = int(g7.iloc[0]["url"].rsplit("/", 1)[1])
+        assert w != 7 and w % 4 == 1 and w % 50 == 7
+    # extracted text is the real extraction output (normalized body)
+    assert (out["title"] == "Title " + ids.astype(str)).all()
+    assert out["extracted_text"].notna().all()
+    assert len(out) < n
