@@ -1315,7 +1315,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_structure_groups": _q_html_structure_groups,
         "cdc_dedup_stats": _q_cdc_dedup_stats,
         "index_export": _q_index_export,
+        # table profiling (ANALYZE-style planning stats)
+        "column_profile": _q_column_profile,
     }
+
+
+def _q_column_profile(sf_dir: str):
+    """Exact per-column profile of the documents table: null counts,
+    distinct counts via bucketed key-only hash rows, native-typed
+    min/max stringified, mean rendered length."""
+    from high_performance_docling_ray.pipelines.profiling import (
+        column_profile,
+    )
+
+    return column_profile(sf_dir)
 
 
 def _q_embedding_covariance(sf_dir: str):
@@ -4950,4 +4963,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_nodes
         FROM deg GROUP BY 1
     """
+    # ANALYZE-style profile: min/max computed on the NATIVE type then
+    # stringified (matches the pipeline's pc.min_max-then-str rule;
+    # string comparisons agree because the corpus is pure ASCII —
+    # same assumption the rolling-fingerprint oracle documents)
+    oracles["column_profile"] = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str,
+               round(avg(length(CAST({c} AS VARCHAR))), 6) AS avg_len
+        FROM documents"""
+        for c in ("doc_id", "lang", "n_chars", "source", "text")
+    )
     return oracles

@@ -1,0 +1,245 @@
+"""Distributed table profiling — the ANALYZE-TABLE step a 100 TB
+curation run fires before planning (skew checks, dictionary-encoding
+decisions, partition-key selection).
+
+One row per profiled column: row count, null count, EXACT distinct
+count, min/max (computed on the NATIVE type, then stringified — the
+same rule as SQL ``CAST(min(col) AS VARCHAR)``), and the mean rendered
+length of non-null values.
+
+Shape at scale:
+  - counts / null counts / min / max / length sums are per-batch
+    PARTIALS (one tiny row per column per block) combined on the
+    driver — bounded by #columns x #blocks, never by data size.
+  - distinct counts exchange ONLY (col, hash64(value)) key rows,
+    pre-deduplicated per block, bucketed by ``hash % P`` so no single
+    group ever holds a whole column's distinct set (the hot-key shape
+    a plain ``groupby(col)`` would create on a high-cardinality
+    column). hash64 is the md5-derived 64-bit key the dedup family
+    already treats as collision-free (kernels/sketch.py:hash64).
+
+The reference has no corpus-level profiling (SURVEY.md §2.5: its only
+aggregations are in-page); this operator comes from the north-rule's
+training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..kernels.sketch import hash64_strings
+from .joins import default_num_buckets, int_key_buckets
+
+
+def _as_strings(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Render a column as strings the way DuckDB ``CAST(x AS
+    VARCHAR)`` does (identity for strings, decimal repr for ints)."""
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return col
+    return pc.cast(col, pa.string())
+
+
+def _partial_stats(columns: list[str]):
+    """Per-batch combiner: one stats row per column per block."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            "col_name": [],
+            "n": [],
+            "n_null": [],
+            "min_str": [],
+            "max_str": [],
+            "sum_len": [],
+        }
+        for name in columns:
+            col = batch.column(name)
+            n = len(col)
+            n_null = col.null_count
+            if n - n_null > 0:
+                mm = pc.min_max(col).as_py()
+                rendered = _as_strings(col)
+                sum_len = pc.sum(pc.utf8_length(rendered)).as_py() or 0
+                lo, hi = mm["min"], mm["max"]
+                min_s, max_s = str(lo), str(hi)
+            else:
+                min_s = max_s = None
+                sum_len = 0
+            out["col_name"].append(name)
+            out["n"].append(n)
+            out["n_null"].append(n_null)
+            out["min_str"].append(min_s)
+            out["max_str"].append(max_s)
+            out["sum_len"].append(int(sum_len))
+        return pa.Table.from_pydict(
+            {
+                "col_name": pa.array(out["col_name"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "n_null": pa.array(out["n_null"], pa.int64()),
+                "min_str": pa.array(out["min_str"], pa.string()),
+                "max_str": pa.array(out["max_str"], pa.string()),
+                "sum_len": pa.array(out["sum_len"], pa.int64()),
+            }
+        )
+
+    return f
+
+
+def _distinct_key_rows(columns: list[str], num_parts: int):
+    """Per-batch: block-distinct (col_idx, h, bucket) key rows, nulls
+    excluded (SQL ``count(DISTINCT col)`` ignores nulls)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        cols: list[np.ndarray] = []
+        hs: list[np.ndarray] = []
+        for idx, name in enumerate(columns):
+            col = batch.column(name)
+            valid = col.combine_chunks().drop_null()
+            if len(valid) == 0:
+                continue
+            h = hash64_strings(_as_strings(pa.chunked_array([valid])))
+            h = np.unique(h.astype(np.int64))
+            cols.append(np.full(len(h), idx, np.int32))
+            hs.append(h)
+        if not cols:
+            return pa.Table.from_pydict(
+                {
+                    "col_idx": pa.array([], pa.int32()),
+                    "h": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        col_arr = np.concatenate(cols)
+        h_arr = np.concatenate(hs)
+        return pa.Table.from_pydict(
+            {
+                "col_idx": pa.array(col_arr, pa.int32()),
+                "h": pa.array(h_arr, pa.int64()),
+                "bucket": pa.array(
+                    int_key_buckets(h_arr, num_parts), pa.int32()
+                ),
+            }
+        )
+
+    return f
+
+
+def column_profile(
+    sf_dir: str,
+    table: str = "documents",
+    columns: tuple[str, ...] = ("doc_id", "text", "lang", "source", "n_chars"),
+) -> pa.Table:
+    """Profile ``columns`` of ``{sf_dir}/{table}.parquet``.
+
+    Returns (col_name, n_rows, n_null, n_distinct, min_str, max_str,
+    avg_len) sorted by col_name; avg_len is the mean rendered length
+    of NON-NULL values rounded to 6 (SQL ``avg(length(CAST(col AS
+    VARCHAR)))``).
+    """
+    import pyarrow.parquet as pq
+
+    from .io import read_parquet_clean
+
+    cols = list(columns)
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.ParquetFile(path).schema_arrow
+    numeric_cols = {
+        f.name
+        for f in schema
+        if pa.types.is_integer(f.type) or pa.types.is_floating(f.type)
+    }
+    ds = read_parquet_clean(path, columns=cols)
+
+    # pass 1: tiny per-block partials, combined on the driver
+    partials = pa.concat_tables(
+        t
+        for t in ray.get(
+            ds.map_batches(_partial_stats(cols), batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    )
+
+    # pass 2: exact distinct via block-distinct key rows + bucketed
+    # groupby (key-only exchange)
+    num_parts = default_num_buckets()
+    keys = ds.map_batches(
+        _distinct_key_rows(cols, num_parts), batch_format="pyarrow"
+    )
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        # one (bucket, col_idx) group at a time: distinct = unique h
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        ci = group.column("col_idx")[0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "col_idx": pa.array([ci], pa.int32()),
+                "nd": pa.array([len(np.unique(h))], pa.int64()),
+            }
+        )
+
+    nd_rows = (
+        keys.groupby(["bucket", "col_idx"])
+        .map_groups(bucket_counts, batch_format="pyarrow")
+        .take_all()
+    )
+    n_distinct = {c: 0 for c in cols}
+    for r in nd_rows:
+        n_distinct[cols[r["col_idx"]]] += int(r["nd"])
+
+    # driver combine of pass-1 partials
+    pdf = partials.to_pandas()
+    out = {
+        "col_name": [],
+        "n_rows": [],
+        "n_null": [],
+        "n_distinct": [],
+        "min_str": [],
+        "max_str": [],
+        "avg_len": [],
+    }
+    for name in sorted(cols):
+        g = pdf[pdf["col_name"] == name]
+        n = int(g["n"].sum())
+        n_null = int(g["n_null"].sum())
+        mins = g["min_str"].dropna()
+        maxs = g["max_str"].dropna()
+        # numeric partials must combine numerically, not lexically
+        numeric = name in numeric_cols
+        if len(mins):
+            if numeric:
+                # compare numerically, keep the partial's native
+                # rendering (no float round-trip of the string)
+                min_s = min(mins, key=float)
+                max_s = max(maxs, key=float)
+            else:
+                min_s = min(mins)
+                max_s = max(maxs)
+        else:
+            min_s = max_s = None
+        n_valid = n - n_null
+        avg_len = (
+            round(float(g["sum_len"].sum()) / n_valid, 6) if n_valid else None
+        )
+        out["col_name"].append(name)
+        out["n_rows"].append(n)
+        out["n_null"].append(n_null)
+        out["n_distinct"].append(n_distinct[name])
+        out["min_str"].append(min_s)
+        out["max_str"].append(max_s)
+        out["avg_len"].append(avg_len)
+    return pa.Table.from_pydict(
+        {
+            "col_name": pa.array(out["col_name"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_null": pa.array(out["n_null"], pa.int64()),
+            "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+            "min_str": pa.array(out["min_str"], pa.string()),
+            "max_str": pa.array(out["max_str"], pa.string()),
+            "avg_len": pa.array(out["avg_len"], pa.float64()),
+        }
+    )

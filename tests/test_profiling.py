@@ -1,0 +1,72 @@
+"""Table profiling (pipelines/profiling.py) — exact-count semantics,
+null handling, and oracle agreement (the driver gate also checks this
+at sf0.01; the duckdb pin here keeps it covered under plain pytest).
+"""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+sys.path.insert(0, "/root/repo")
+
+from high_performance_docling_ray.pipelines.profiling import (  # noqa: E402
+    column_profile,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_column_profile_matches_sql():
+    rdf = column_profile(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str,
+               round(avg(length(CAST({c} AS VARCHAR))), 6) AS avg_len
+        FROM documents"""
+        for c in ("doc_id", "lang", "n_chars", "source", "text")
+    ]
+    odf = con.execute(" UNION ALL ".join(parts) + " ORDER BY col_name").df()
+    pd.testing.assert_frame_equal(
+        rdf.reset_index(drop=True), odf.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_column_profile_null_semantics(tmp_path):
+    """Nulls: excluded from distinct, min/max, and avg_len; counted in
+    n_null. An all-null column profiles to null min/max/avg_len."""
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a", None, "a", "bb"], pa.string()),
+            "lang": pa.array([None, None, None, None], pa.string()),
+            "source": pa.array(["s", "s", "s", "s"], pa.string()),
+            "n_chars": pa.array([1, 0, 1, 2], pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    out = column_profile(str(d)).to_pandas().set_index("col_name")
+    t = out.loc["text"]
+    assert t["n_null"] == 1 and t["n_distinct"] == 2
+    assert t["min_str"] == "a" and t["max_str"] == "bb"
+    assert abs(t["avg_len"] - 4 / 3) < 1e-6
+    la = out.loc["lang"]
+    assert la["n_null"] == 4 and la["n_distinct"] == 0
+    assert la["min_str"] is None or pd.isna(la["min_str"])
+    assert pd.isna(la["avg_len"])
+    assert out.loc["n_chars"]["min_str"] == "0"
