@@ -1317,7 +1317,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_export": _q_index_export,
         # table profiling (ANALYZE-style planning stats)
         "column_profile": _q_column_profile,
+        # unicode script composition (orthography axis of lang-ID)
+        "script_mix": _q_script_mix,
     }
+
+
+def _q_script_mix(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        script_mix,
+    )
+
+    return script_mix(sf_dir)
 
 
 def _q_column_profile(sf_dir: str):
@@ -4978,4 +4988,41 @@ def oracle_sql() -> dict[str, str]:
         FROM documents"""
         for c in ("doc_id", "lang", "n_chars", "source", "text")
     )
+    # script composition: planted Cyrillic/CJK/Greek mirrored as the
+    # same closed-form appends; length() counts codepoints on both
+    # sides (everything planted is BMP, no astral chars)
+    oracles["script_mix"] = r"""
+        WITH p AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 13 = 4
+                    THEN ' Пример русского текста номер ' || doc_id || '.'
+                    ELSE '' END
+            || CASE WHEN doc_id % 17 = 6
+                    THEN ' 中文样本文档' || doc_id || '号' ELSE '' END
+            || CASE WHEN doc_id % 19 = 3
+                    THEN ' Ελληνικό δείγμα ' || doc_id ELSE '' END
+            AS planted
+          FROM documents
+        ), c AS (
+          SELECT doc_id, length(planted) AS n_chars,
+            CAST(len(regexp_extract_all(planted, '[A-Za-z]'))
+                 AS BIGINT) AS n_latin,
+            CAST(len(regexp_extract_all(planted, '[\x{0400}-\x{04FF}]'))
+                 AS BIGINT) AS n_cyrillic,
+            CAST(len(regexp_extract_all(planted, '[\x{0370}-\x{03FF}]'))
+                 AS BIGINT) AS n_greek,
+            CAST(len(regexp_extract_all(planted, '[\x{4E00}-\x{9FFF}]'))
+                 AS BIGINT) AS n_cjk,
+            CAST(len(regexp_extract_all(planted, '[0-9]'))
+                 AS BIGINT) AS n_digit
+          FROM p
+        )
+        SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_cjk,
+               n_digit,
+               CASE WHEN n_chars = 0 THEN 0.0
+                    ELSE round(CAST(n_cyrillic + n_greek + n_cjk AS DOUBLE)
+                               / n_chars, 6)
+               END AS frac_non_latin
+        FROM c
+    """
     return oracles

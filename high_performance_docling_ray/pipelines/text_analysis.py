@@ -1607,3 +1607,98 @@ def cdc_dedup_stats(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# -- unicode script composition ----------------------------------------------
+
+_SCRIPT_PLANTS = (
+    (13, 4, " Пример русского текста номер {}.", ""),
+    (17, 6, " 中文样本文档{}号", ""),
+    (19, 3, " Ελληνικό δείγμα {}", ""),
+)
+
+
+def script_mix(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc unicode SCRIPT composition — the orthography axis of
+    language ID (a corpus labeled ``lang=ru`` whose pages are 95 %
+    Latin is mislabeled or mojibake; CJK fractions gate tokenizer
+    choice). The corpus text is pure ASCII, so non-Latin scripts are
+    PLANTED per residue (the fix_mojibake pattern — the oracle mirrors
+    the construction): Cyrillic on doc_id%13==4, CJK on %17==6, Greek
+    on %19==3, appended in that order (a doc can hit several).
+
+    The counting pass is fully vectorized and allocation-bounded: one
+    string join per batch -> one utf-32 decode (np.frombuffer) -> per
+    class a cumsum sampled at doc offsets (reduceat-safe for empty
+    docs). No per-row Python beyond the planted subset. Pure map,
+    zero exchanges.
+
+    Output: (doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_cjk,
+    n_digit, frac_non_latin).
+    """
+    import pyarrow.compute as pc
+
+    from .io import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    # (lo, hi) inclusive codepoint ranges per class; latin is letters
+    # only (A-Z, a-z) to match the oracle's [A-Za-z]
+    classes = {
+        "n_latin": ((0x41, 0x5A), (0x61, 0x7A)),
+        "n_cyrillic": ((0x0400, 0x04FF),),
+        "n_greek": ((0x0370, 0x03FF),),
+        "n_cjk": ((0x4E00, 0x9FFF),),
+        "n_digit": ((0x30, 0x39),),
+    }
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").combine_chunks()
+        planted = texts
+        for mod, res, fmt, _ in _SCRIPT_PLANTS:
+            hit = ids % mod == res
+            if hit.any():
+                idx = np.flatnonzero(hit)
+                grown = pa.array(
+                    [
+                        s + fmt.format(i)
+                        for s, i in zip(
+                            planted.take(pa.array(idx)).to_pylist(),
+                            ids[idx],
+                        )
+                    ],
+                    pa.string(),
+                )
+                planted = pc.replace_with_mask(
+                    planted, pa.array(hit), grown
+                )
+        # --- the actual operator: vectorized codepoint histogram ---
+        texts_py = planted.to_pylist()
+        joined = "".join(texts_py)
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        n_chars = pc.utf8_length(planted).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate([[0], np.cumsum(n_chars)]).astype(np.int64)
+        out: dict[str, pa.Array] = {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars.astype(np.int64), pa.int64()),
+        }
+        non_latin = np.zeros(len(ids), np.int64)
+        for name, ranges in classes.items():
+            mask = np.zeros(len(cp), bool)
+            for lo, hi in ranges:
+                mask |= (cp >= lo) & (cp <= hi)
+            csum = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+            counts = csum[offsets[1:]] - csum[offsets[:-1]]
+            out[name] = pa.array(counts, pa.int64())
+            if name in ("n_cyrillic", "n_greek", "n_cjk"):
+                non_latin += counts
+        denom = np.maximum(out["n_chars"].to_numpy(zero_copy_only=False), 1)
+        frac = np.round(non_latin / denom, 6)
+        frac[out["n_chars"].to_numpy(zero_copy_only=False) == 0] = 0.0
+        out["frac_non_latin"] = pa.array(frac, pa.float64())
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")
