@@ -1319,7 +1319,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_profile": _q_column_profile,
         # unicode script composition (orthography axis of lang-ID)
         "script_mix": _q_script_mix,
+        # Dolma-style attribute sidecars: tag once, mix many times
+        "tag_attributes": _q_tag_attributes,
+        "mix_attributes": _q_mix_attributes,
     }
+
+
+def _q_tag_attributes(sf_dir: str):
+    """The tagger pass read back from the persisted sidecar store."""
+    from high_performance_docling_ray.pipelines.attributes import (
+        tag_attributes,
+    )
+
+    return tag_attributes(sf_dir)
+
+
+def _q_mix_attributes(sf_dir: str):
+    """The mixer: documents joined to the sidecar by one key-only
+    cogroup; policy verdict with too_short > low_quality >
+    lang_mismatch precedence."""
+    from high_performance_docling_ray.pipelines.attributes import (
+        mix_attributes,
+    )
+
+    return mix_attributes(sf_dir)
 
 
 def _q_script_mix(sf_dir: str):
@@ -5024,5 +5047,102 @@ def oracle_sql() -> dict[str, str]:
                                / n_chars, 6)
                END AS frac_non_latin
         FROM c
+    """
+    # Dolma-style tagger: token count + rounded quality + language
+    # agreement, composed from the token_counts / quality_scores /
+    # language_id oracle fragments (nested-CTE composition pattern)
+    _attr_cte = f"""
+        tok AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END AS n_ws_tokens
+          FROM documents
+        ),
+        qt AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS ltoks,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+          FROM documents
+        ),
+        qf AS (
+          SELECT doc_id, n_chars, len(toks) AS n_tokens,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                           AS DOUBLE) / len(toks)
+            END AS mwl,
+            CASE WHEN n_chars = 0 THEN 0.0
+                 ELSE CAST(n_punct AS DOUBLE) / n_chars END AS pr,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(ltoks, x -> x IN ({_STOP_EN})))
+                           AS DOUBLE) / len(toks)
+            END AS sr
+          FROM qt
+        ),
+        qs AS (
+          SELECT doc_id,
+            round(0.4 * least(1.0, n_tokens / 50.0)
+                  + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+                                THEN 1.0 ELSE 0.5 END)
+                  + 0.2 * least(1.0, sr * 5.0)
+                  + 0.2 * (1.0 - least(1.0,
+                                       greatest(0.0, pr - 0.2) * 2.0)),
+                  6) AS quality
+          FROM qf
+        ),
+        lw AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_filter(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> ''
+                 )) AS words
+          FROM documents
+        ),
+        lh AS (
+          SELECT doc_id, lang, len(words) AS nw,
+            len(list_filter(words, x -> x IN ('der','die','das','und','ist','ich','nicht','sie','mit','ein','zu','den','von'))) AS hde,
+            len(list_filter(words, x -> x IN ({_STOP_EN}))) AS hen,
+            len(list_filter(words, x -> x IN ('el','la','los','las','de','y','un','una','es','en','no','que','por','para'))) AS hes,
+            len(list_filter(words, x -> x IN ('le','la','les','de','et','un','une','est','je','pas','pour','que','dans'))) AS hfr,
+            len(list_filter(words, x -> x IN ('il','lo','la','gli','le','di','e','un','una','è','che','non','per','con'))) AS hit
+          FROM lw
+        ),
+        ld AS (
+          SELECT doc_id,
+            (CASE WHEN nw = 0 OR greatest(hde,hen,hes,hfr,hit) = 0
+                  THEN 'und'
+                  WHEN hde >= hen AND hde >= hes AND hde >= hfr
+                       AND hde >= hit THEN 'de'
+                  WHEN hen >= hes AND hen >= hfr AND hen >= hit THEN 'en'
+                  WHEN hes >= hfr AND hes >= hit THEN 'es'
+                  WHEN hfr >= hit THEN 'fr'
+                  ELSE 'it' END = lang) AS lang_agrees
+          FROM lh
+        )
+    """
+    oracles["tag_attributes"] = f"""
+        WITH {_attr_cte}
+        SELECT tok.doc_id, tok.n_ws_tokens, qs.quality, ld.lang_agrees
+        FROM tok JOIN qs USING (doc_id) JOIN ld USING (doc_id)
+    """
+    # mixer verdict over the SAME rounded attribute values; precedence
+    # too_short > low_quality > lang_mismatch > keep
+    oracles["mix_attributes"] = f"""
+        WITH {_attr_cte},
+        a AS (
+          SELECT tok.doc_id, tok.n_ws_tokens, qs.quality, ld.lang_agrees
+          FROM tok JOIN qs USING (doc_id) JOIN ld USING (doc_id)
+        )
+        SELECT a.doc_id, d.n_chars,
+               CASE WHEN a.n_ws_tokens < 20 THEN 'too_short'
+                    WHEN a.quality < 0.7 THEN 'low_quality'
+                    WHEN NOT a.lang_agrees THEN 'lang_mismatch'
+                    ELSE 'keep' END AS reason,
+               (reason = 'keep') AS keep
+        FROM a JOIN documents d USING (doc_id)
     """
     return oracles
