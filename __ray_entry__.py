@@ -1322,7 +1322,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dolma-style attribute sidecars: tag once, mix many times
         "tag_attributes": _q_tag_attributes,
         "mix_attributes": _q_mix_attributes,
+        # margin-based bitext mining (LASER/CCMatrix recipe); the
+        # _sharded entry forces the out-of-core tier through the same
+        # oracle
+        "bitext_mine": _q_bitext_mine,
+        "bitext_mine_sharded": _q_bitext_mine_sharded,
     }
+
+
+def _q_bitext_mine(sf_dir: str):
+    from high_performance_docling_ray.pipelines.bitext import bitext_mine
+
+    return bitext_mine(sf_dir)
+
+
+def _q_bitext_mine_sharded(sf_dir: str):
+    """Over-budget tier: both sides persisted as normalized shard
+    stores; blocked out-of-core matmuls, stats attach via cogroup —
+    nothing pinned on the driver."""
+    from high_performance_docling_ray.pipelines.bitext import bitext_mine
+
+    return bitext_mine(sf_dir, broadcast_budget=0)
 
 
 def _q_tag_attributes(sf_dir: str):
@@ -5145,4 +5165,39 @@ def oracle_sql() -> dict[str, str]:
                (reason = 'keep') AS keep
         FROM a JOIN documents d USING (doc_id)
     """
+    # margin-based bitext mining: ratio margin over mean top-4
+    # neighborhoods, mutual-best via two row_number windows; ulp-level
+    # float differences (duckdb cosine vs numpy normalized matmul)
+    # wash out in the 6dp round, same as embedding_neardup_pairs
+    oracles["bitext_mine"] = """
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        a AS (SELECT vec_id, e FROM n WHERE vec_id % 2 = 0),
+        b AS (SELECT vec_id, e FROM n WHERE vec_id % 2 = 1),
+        s AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+                     list_cosine_similarity(a.e, b.e) AS c
+              FROM a, b),
+        tka AS (SELECT ai, avg(c) AS tk FROM (
+                  SELECT ai, c, row_number() OVER (
+                      PARTITION BY ai ORDER BY c DESC) AS r FROM s
+                ) WHERE r <= 4 GROUP BY ai),
+        tkb AS (SELECT bi, avg(c) AS tk FROM (
+                  SELECT bi, c, row_number() OVER (
+                      PARTITION BY bi ORDER BY c DESC) AS r FROM s
+                ) WHERE r <= 4 GROUP BY bi),
+        m AS (SELECT s.ai, s.bi, s.c / ((tka.tk + tkb.tk) / 2) AS margin
+              FROM s JOIN tka USING (ai) JOIN tkb USING (bi)),
+        fb AS (SELECT ai, bi, margin, row_number() OVER (
+                   PARTITION BY ai ORDER BY margin DESC, bi ASC) AS r
+               FROM m),
+        bb AS (SELECT ai, bi, row_number() OVER (
+                   PARTITION BY bi ORDER BY margin DESC, ai ASC) AS r
+               FROM m)
+        SELECT fb.ai AS src_id, fb.bi AS tgt_id,
+               round(fb.margin, 6) AS margin
+        FROM fb JOIN bb ON fb.ai = bb.ai AND fb.bi = bb.bi
+        WHERE fb.r = 1 AND bb.r = 1 AND fb.margin >= 1.06
+    """
+    oracles["bitext_mine_sharded"] = oracles["bitext_mine"]
     return oracles
