@@ -178,6 +178,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "paragraph_dedup",
         "incremental_decontaminate",
         "parse_wet",
+        # session-8 additions: profiling, script mix, attribute
+        # sidecars, bitext mining
+        "column_profile",
+        "script_mix",
+        "tag_attributes",
+        "mix_attributes",
+        "bitext_mine",
     ]
     qs = entrymod.queries()
     for name in bench_keys:
