@@ -1327,7 +1327,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle
         "bitext_mine": _q_bitext_mine,
         "bitext_mine_sharded": _q_bitext_mine_sharded,
+        # small-file compaction, hash-gated through the extraction
+        # oracle (write -> compact -> read-back)
+        "compact_store": _q_compact_store,
     }
+
+
+def _q_compact_store(sf_dir: str):
+    from high_performance_docling_ray.pipelines.compaction import (
+        compacted_extract,
+    )
+
+    return compacted_extract(sf_dir)
 
 
 def _q_bitext_mine(sf_dir: str):
@@ -5200,4 +5211,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE fb.r = 1 AND bb.r = 1 AND fb.margin >= 1.06
     """
     oracles["bitext_mine_sharded"] = oracles["bitext_mine"]
+    # compaction is a pure storage rewrite: read-back must equal the
+    # extraction itself (the parse_wet hash-gate pattern)
+    oracles["compact_store"] = oracles["extract_docs_text"]
     return oracles
