@@ -1330,7 +1330,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # small-file compaction, hash-gated through the extraction
         # oracle (write -> compact -> read-back)
         "compact_store": _q_compact_store,
+        # mergeable histogram quantile sketch (approx_percentile shape)
+        "histogram_quantiles": _q_histogram_quantiles,
     }
+
+
+def _q_histogram_quantiles(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        histogram_quantiles,
+    )
+
+    return histogram_quantiles(sf_dir)
 
 
 def _q_compact_store(sf_dir: str):
@@ -5214,4 +5224,30 @@ def oracle_sql() -> dict[str, str]:
     # compaction is a pure storage rewrite: read-back must equal the
     # extraction itself (the parse_wet hash-gate pattern)
     oracles["compact_store"] = oracles["extract_docs_text"]
+    # histogram sketch estimator rebuilt bin-for-bin: first bin whose
+    # cumulative count reaches q*n, interpolated with the SAME float
+    # op order as the pipeline
+    oracles["histogram_quantiles"] = """
+        WITH c AS (
+          SELECT least(CAST(n_chars // 16 AS INT), 64) AS bin,
+                 count(*) AS cnt
+          FROM documents GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c),
+        cum AS (SELECT bin, cnt,
+                       sum(cnt) OVER (ORDER BY bin) AS cum FROM c),
+        qv(q) AS (VALUES (0.25), (0.5), (0.75), (0.9)),
+        sel AS (
+          SELECT qv.q, cum.bin, cum.cnt, cum.cum,
+                 row_number() OVER (
+                     PARTITION BY qv.q ORDER BY cum.bin) AS r
+          FROM qv JOIN cum
+            ON CAST(cum.cum AS DOUBLE) >= qv.q * (SELECT n FROM t)
+        )
+        SELECT q, round(bin * 16.0
+                        + 16.0 * (q * (SELECT n FROM t)
+                                  - CAST(cum - cnt AS DOUBLE))
+                          / CAST(cnt AS DOUBLE), 6) AS value
+        FROM sel WHERE r = 1
+    """
     return oracles

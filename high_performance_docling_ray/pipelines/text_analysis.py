@@ -1702,3 +1702,77 @@ def script_mix(sf_dir: str) -> ray.data.Dataset:
         return pa.Table.from_pydict(out)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -- mergeable histogram quantile sketch --------------------------------------
+
+HIST_WIDTH = 16
+HIST_BINS = 64  # bins [0, 1024) + one overflow bin
+
+
+def histogram_quantiles(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9)
+) -> pa.Table:
+    """Quantile estimates from a MERGEABLE equi-width histogram sketch
+    (the approx_percentile/t-digest niche, fourth mergeable sketch
+    next to HLL/CMS/Bloom): constant 65-register state per block, so
+    the merge is a tiny partial-sum — one driver combine regardless of
+    corpus size, the same register idiom as kernels/sketch.py HLL.
+
+    Per block: ``np.bincount`` of ``min(n_chars // 16, 64)`` (bin 64 =
+    overflow). Estimator: for each q, the first bin whose cumulative
+    count reaches ``q*n``, linearly interpolated inside the bin —
+    ``bin*16 + 16*(q*n - cum_before)/cnt`` — written in exactly this
+    float op order so the SQL oracle reproduces it bit-for-bit (after
+    the shared 6dp round).
+
+    Returns (q, value) rows.
+    """
+    from .io import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        bins = np.minimum(v // HIST_WIDTH, HIST_BINS).astype(np.int64)
+        counts = np.bincount(bins, minlength=HIST_BINS + 1)
+        return pa.Table.from_pydict(
+            {"counts": pa.array([counts.tolist()], pa.list_(pa.int64()))}
+        )
+
+    parts = [
+        t
+        for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if t.num_rows
+    ]
+    reg = np.zeros(HIST_BINS + 1, np.int64)
+    for t in parts:
+        col = t.column("counts").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        reg += flat.reshape(len(col), HIST_BINS + 1).sum(axis=0)
+    n = int(reg.sum())
+    cum = np.cumsum(reg)
+    out_q, out_v = [], []
+    for q in qs:
+        target = q * float(n)
+        b = int(np.searchsorted(cum, target, side="left"))
+        # empty leading bins: advance to the first bin with mass
+        while reg[b] == 0 and b < HIST_BINS:
+            b += 1
+        cum_before = float(cum[b] - reg[b])
+        cnt = float(reg[b])
+        val = b * float(HIST_WIDTH) + float(HIST_WIDTH) * (
+            target - cum_before
+        ) / cnt
+        out_q.append(q)
+        out_v.append(round(min(val, float(HIST_WIDTH * (HIST_BINS + 1))), 6))
+    return pa.Table.from_pydict(
+        {
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )
