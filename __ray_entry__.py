@@ -1332,7 +1332,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_store": _q_compact_store,
         # mergeable histogram quantile sketch (approx_percentile shape)
         "histogram_quantiles": _q_histogram_quantiles,
+        # per-paragraph language segmentation (CCNet code-switch rule)
+        "paragraph_langs": _q_paragraph_langs,
+        # Merkle dataset fingerprint (versioning / shard diff)
+        "dataset_fingerprint": _q_dataset_fingerprint,
     }
+
+
+def _q_dataset_fingerprint(sf_dir: str):
+    from high_performance_docling_ray.pipelines.profiling import (
+        dataset_fingerprint,
+    )
+
+    return dataset_fingerprint(sf_dir)
+
+
+def _q_paragraph_langs(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        paragraph_langs,
+    )
+
+    return paragraph_langs(sf_dir)
 
 
 def _q_histogram_quantiles(sf_dir: str):
@@ -5249,5 +5269,79 @@ def oracle_sql() -> dict[str, str]:
                                   - CAST(cum - cnt AS DOUBLE))
                           / CAST(cnt AS DOUBLE), 6) AS value
         FROM sel WHERE r = 1
+    """
+    # per-paragraph language ID: newline explode (ordinal via the
+    # range-unnest idiom) + the language_id detection CASE per
+    # paragraph, over the same closed-form stopword-line plants
+    oracles["paragraph_langs"] = f"""
+        WITH p AS (
+          SELECT doc_id, lang, text
+            || CASE WHEN doc_id % 7 = 2 THEN chr(10) ||
+                 'der und die das ist nicht ein von mit zu' ELSE '' END
+            || CASE WHEN doc_id % 11 = 5 THEN chr(10) ||
+                 'le la les et un une est pour dans pas' ELSE '' END
+            || CASE WHEN doc_id % 13 = 8 THEN chr(10) ||
+                 'el la los las de y un una es en no que' ELSE '' END
+            AS planted
+          FROM documents
+        ),
+        sp AS (SELECT doc_id, lang,
+                      regexp_split_to_array(planted, chr(10)) AS parts
+               FROM p),
+        e AS (
+          SELECT doc_id, lang, CAST(u.ord AS BIGINT) AS para_ord,
+                 parts[u.ord + 1] AS para
+          FROM sp, unnest(range(0, len(parts))) AS u(ord)
+        ),
+        w AS (
+          SELECT doc_id, lang, para_ord,
+                 list_distinct(list_filter(
+                     regexp_split_to_array(lower(para), '\\s+'),
+                     x -> x <> '')) AS words
+          FROM e
+        ),
+        h AS (
+          SELECT doc_id, lang, para_ord, len(words) AS nw,
+            len(list_filter(words, x -> x IN ('der','die','das','und','ist','ich','nicht','sie','mit','ein','zu','den','von'))) AS hde,
+            len(list_filter(words, x -> x IN ({_STOP_EN}))) AS hen,
+            len(list_filter(words, x -> x IN ('el','la','los','las','de','y','un','una','es','en','no','que','por','para'))) AS hes,
+            len(list_filter(words, x -> x IN ('le','la','les','de','et','un','une','est','je','pas','pour','que','dans'))) AS hfr,
+            len(list_filter(words, x -> x IN ('il','lo','la','gli','le','di','e','un','una','è','che','non','per','con'))) AS hit
+          FROM w
+        )
+        SELECT doc_id, para_ord,
+          CASE WHEN nw = 0 OR greatest(hde,hen,hes,hfr,hit) = 0 THEN 'und'
+               WHEN hde >= hen AND hde >= hes AND hde >= hfr
+                    AND hde >= hit THEN 'de'
+               WHEN hen >= hes AND hen >= hfr AND hen >= hit THEN 'en'
+               WHEN hes >= hfr AND hes >= hit THEN 'es'
+               WHEN hfr >= hit THEN 'fr'
+               ELSE 'it' END AS para_lang,
+          lang AS doc_lang,
+          (para_lang <> lang) AS differs
+        FROM h
+    """
+    # Merkle fingerprint: leaf = md5 of doc digests in doc_id order,
+    # root = md5 of leaf digests in shard order (shard = -1 row)
+    oracles["dataset_fingerprint"] = """
+        WITH d AS (
+          SELECT doc_id % 16 AS shard, doc_id, md5(text) AS h
+          FROM documents
+        ),
+        l AS (
+          SELECT CAST(shard AS BIGINT) AS shard,
+                 md5(string_agg(h, '' ORDER BY doc_id)) AS node_md5,
+                 count(*) AS n_docs
+          FROM d GROUP BY shard
+        ),
+        r AS (
+          SELECT CAST(-1 AS BIGINT) AS shard,
+                 md5(string_agg(node_md5, '' ORDER BY shard)) AS node_md5,
+                 CAST(sum(n_docs) AS BIGINT) AS n_docs
+          FROM l
+        )
+        SELECT shard, node_md5, n_docs FROM l
+        UNION ALL
+        SELECT shard, node_md5, n_docs FROM r
     """
     return oracles

@@ -243,3 +243,88 @@ def column_profile(
             "avg_len": pa.array(out["avg_len"], pa.float64()),
         }
     )
+
+
+# -- Merkle dataset fingerprint ------------------------------------------------
+
+def dataset_fingerprint(
+    sf_dir: str, num_shards: int = 16
+) -> pa.Table:
+    """Merkle-style dataset fingerprint — the versioning primitive an
+    incremental 100 TB pipeline diffs two runs with: per-shard content
+    hashes roll up to one root, so two datasets compare root-first and
+    only mismatching shards are re-examined (the same reason
+    incremental_extract keys its snapshot store by page hash).
+
+    Leaf = ``md5`` of the shard's per-doc ``md5(text)`` digests
+    concatenated in doc_id order; root = ``md5`` of the leaf digests
+    in shard order. Only (shard, doc_id, md5) KEY rows ever move —
+    one bounded groupby(shard), root on the driver over ``num_shards``
+    rows.
+
+    Returns ``num_shards`` leaf rows + one root row (shard = -1).
+    """
+    import hashlib as _hashlib
+
+    from ..kernels.text_stats import batch_md5
+    from .io import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = batch_md5(batch.column("text").to_pylist())
+        return pa.Table.from_pydict(
+            {
+                "shard": pa.array(
+                    (ids % num_shards).astype(np.int64), pa.int64()
+                ),
+                "doc_id": batch.column("doc_id"),
+                "h": pa.array(hs, pa.string()),
+            }
+        )
+
+    def leaf(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = group.column("h").to_pylist()
+        order = np.argsort(ids, kind="stable")
+        digest = _hashlib.md5(
+            "".join(hs[i] for i in order).encode()
+        ).hexdigest()
+        return pa.Table.from_pydict(
+            {
+                "shard": pa.array(
+                    [int(group.column("shard")[0].as_py())], pa.int64()
+                ),
+                "node_md5": pa.array([digest], pa.string()),
+                "n_docs": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    leaves = (
+        ds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(leaf, batch_format="pyarrow")
+        .take_all()
+    )
+    leaves.sort(key=lambda r: r["shard"])
+    root = _hashlib.md5(
+        "".join(r["node_md5"] for r in leaves).encode()
+    ).hexdigest()
+    return pa.Table.from_pydict(
+        {
+            "shard": pa.array(
+                [r["shard"] for r in leaves] + [-1], pa.int64()
+            ),
+            "node_md5": pa.array(
+                [r["node_md5"] for r in leaves] + [root], pa.string()
+            ),
+            "n_docs": pa.array(
+                [r["n_docs"] for r in leaves]
+                + [sum(r["n_docs"] for r in leaves)],
+                pa.int64(),
+            ),
+        }
+    )

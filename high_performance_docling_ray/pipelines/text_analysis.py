@@ -1776,3 +1776,72 @@ def histogram_quantiles(
             "value": pa.array(out_v, pa.float64()),
         }
     )
+
+
+# -- per-paragraph language segmentation --------------------------------------
+
+_PARA_PLANTS = (
+    (7, 2, "der und die das ist nicht ein von mit zu"),
+    (11, 5, "le la les et un une est pour dans pas"),
+    (13, 8, "el la los las de y un una es en no que"),
+)
+
+
+def paragraph_langs(sf_dir: str) -> ray.data.Dataset:
+    """Per-PARAGRAPH language ID — code-switch segmentation (CCNet
+    runs language ID per paragraph precisely because crawled pages mix
+    languages; a doc-level label hides embedded boilerplate in another
+    language). Paragraphs are newline-separated (the paragraph_dedup
+    convention); foreign-language paragraphs are PLANTED per residue
+    with stopword-bearing lines the detector genuinely recognizes
+    (German on doc_id%7==2, French on %11==5, Spanish on %13==8,
+    appended in that order — a doc can hit several).
+
+    The detector is the SAME stopword-overlap heuristic as the
+    hash-verified ``language_id`` query (kernels/text_stats.py:
+    detect_language), applied per paragraph. Pure map, zero exchanges.
+
+    Output: one row per paragraph — (doc_id, para_ord, para_lang,
+    doc_lang, differs).
+    """
+    import pyarrow.compute as pc
+
+    from ..kernels.text_stats import detect_language
+
+    docs = read_documents(sf_dir, ("doc_id", "text", "lang"))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(batch.column("text"), "")
+        for mod, res, line in _PARA_PLANTS:
+            suffix = np.where(ids % mod == res, "\n" + line, "").astype(
+                object
+            )
+            text = pc.binary_join_element_wise(
+                text, pa.array(suffix, pa.string()), ""
+            )
+        paras = pc.split_pattern(text, "\n").combine_chunks()
+        offsets = paras.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offsets)
+        parent = np.repeat(np.arange(len(ids)), counts)
+        ords = np.arange(len(parent)) - np.repeat(
+            offsets[:-1], counts
+        )
+        flat = paras.flatten().to_pylist()
+        detected = [detect_language(p) for p in flat]
+        doc_lang = (
+            pc.fill_null(batch.column("lang"), "")
+            .take(pa.array(parent))
+        )
+        det = pa.array(detected, pa.string())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[parent], pa.int64()),
+                "para_ord": pa.array(ords.astype(np.int64), pa.int64()),
+                "para_lang": det,
+                "doc_lang": doc_lang,
+                "differs": pc.not_equal(det, doc_lang),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
