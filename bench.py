@@ -185,6 +185,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "tag_attributes",
         "mix_attributes",
         "bitext_mine",
+        "compact_store",
+        "histogram_quantiles",
+        "paragraph_langs",
+        "dataset_fingerprint",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

@@ -103,22 +103,6 @@ def _best_update(
 
 # -- in-budget tier -----------------------------------------------------------
 
-def _collect_side(sf_dir: str, side: int) -> tuple[np.ndarray, np.ndarray]:
-    """(ids sorted asc, normalized matrix) for one side — the
-    broadcast build of the in-budget tier."""
-    parts = [
-        t
-        for t in ray.get(
-            _side_ds(sf_dir, side).materialize().to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    tbl = pa.concat_tables(parts)
-    ids, mat = _batch_matrix(tbl)
-    order = np.argsort(ids, kind="stable")
-    return ids[order], _normalize(mat[order])
-
-
 def _mutual_pairs(
     rows: ray.data.Dataset, threshold: float
 ) -> ray.data.Dataset:
@@ -170,91 +154,120 @@ def bitext_mine(
 ) -> ray.data.Dataset:
     """Mutual-best margin pairs between the even- and odd-id halves of
     the embeddings table: (src_id, tgt_id, margin) with margin
-    rounded to 6dp, margin >= threshold."""
-    if read_embeddings(sf_dir).count() > broadcast_budget:
+    rounded to 6dp, margin >= threshold.
+
+    In-budget topology count matters more than FLOPs at bench scale:
+    the tier runs ONE materialize (both sides split driver-side), ONE
+    parity-branching stats pass, and ONE parity-branching best pass
+    fused into the mutual groupby — 3 executions, not 5 per-side ones
+    (the q3/q5 lesson from NOTES_r3: operator spin-up dominates small
+    build sides). The budget probe reads parquet metadata, not a
+    ``count()`` execution."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
+    if n_rows > broadcast_budget:
         return _bitext_mine_sharded(sf_dir, threshold=threshold, k=k)
 
-    ids_a, mat_a = _collect_side(sf_dir, 0)
-    ids_b, mat_b = _collect_side(sf_dir, 1)
-    ref_a = ray.put((ids_a, mat_a))
-    ref_b = ray.put((ids_b, mat_b))
-
-    def stats_pass(opp_ref):
-        def f(batch: pa.Table) -> pa.Table:
-            _, opp = ray.get(opp_ref)
-            bids, mat = _batch_matrix(batch)
-            sims = _normalize(mat) @ opp.T
-            return pa.Table.from_pydict(
-                {
-                    "vec_id": pa.array(bids, pa.int64()),
-                    "tk": pa.array(_topk_mean(sims, k), pa.float64()),
-                }
-            )
-
-        return f
-
-    stats_a = _stats_array(
-        _side_ds(sf_dir, 0).map_batches(
-            stats_pass(ref_b), batch_format="pyarrow"
-        ),
-        ids_a,
-    )
-    stats_b = _stats_array(
-        _side_ds(sf_dir, 1).map_batches(
-            stats_pass(ref_a), batch_format="pyarrow"
-        ),
-        ids_b,
-    )
-    # stats travel with their id index so the closure ships no arrays
-    sa_ref = ray.put((ids_a, stats_a))
-    sb_ref = ray.put((ids_b, stats_b))
-
-    def best_pass(opp_ref, own_stats_ref, opp_stats_ref, direction: int):
-        def f(batch: pa.Table) -> pa.Table:
-            opp_ids, opp = ray.get(opp_ref)
-            own_ids, own_tk = ray.get(own_stats_ref)
-            _, opp_tk = ray.get(opp_stats_ref)
-            bids, mat = _batch_matrix(batch)
-            sims = _normalize(mat) @ opp.T
-            pos = np.searchsorted(own_ids, bids)
-            margins = sims / ((own_tk[pos][:, None] + opp_tk[None, :]) / 2.0)
-            best_m = np.full(len(bids), -np.inf)
-            best_id = np.full(len(bids), np.iinfo(np.int64).max, np.int64)
-            _best_update(best_m, best_id, margins, opp_ids)
-            src = bids if direction == 0 else best_id
-            tgt = best_id if direction == 0 else bids
-            return pa.Table.from_pydict(
-                {
-                    "src_id": pa.array(src, pa.int64()),
-                    "tgt_id": pa.array(tgt, pa.int64()),
-                    "margin": pa.array(best_m, pa.float64()),
-                }
-            )
-
-        return f
-
-    fwd = _side_ds(sf_dir, 0).map_batches(
-        best_pass(ref_b, sa_ref, sb_ref, 0), batch_format="pyarrow"
-    )
-    bwd = _side_ds(sf_dir, 1).map_batches(
-        best_pass(ref_a, sb_ref, sa_ref, 1), batch_format="pyarrow"
-    )
-    return _mutual_pairs(fwd.union(bwd), threshold)
-
-
-def _stats_array(stats_ds: ray.data.Dataset, ids_sorted: np.ndarray) -> np.ndarray:
-    """Collect (vec_id, tk) rows and align to ids_sorted order."""
     parts = [
         t
-        for t in ray.get(stats_ds.materialize().to_arrow_refs())
+        for t in ray.get(
+            read_embeddings(sf_dir).materialize().to_arrow_refs()
+        )
         if t.num_rows
     ]
-    tbl = pa.concat_tables(parts)
-    vid = tbl.column("vec_id").to_numpy(zero_copy_only=False)
-    tk = tbl.column("tk").to_numpy(zero_copy_only=False)
-    out = np.empty(len(ids_sorted), np.float64)
-    out[np.searchsorted(ids_sorted, vid)] = tk
-    return out
+    ids, mat = _batch_matrix(pa.concat_tables(parts))
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], _normalize(mat[order])
+    amask = ids % 2 == 0
+    ids_a, mat_a = ids[amask], mat[amask]
+    ids_b, mat_b = ids[~amask], mat[~amask]
+    ref = ray.put((ids_a, mat_a, ids_b, mat_b))
+
+    def stats_f(batch: pa.Table) -> pa.Table:
+        a_ids, a_mat, b_ids, b_mat = ray.get(ref)
+        bids, bmat = _batch_matrix(batch)
+        bmat = _normalize(bmat)
+        even = bids % 2 == 0
+        tk = np.empty(len(bids), np.float64)
+        if even.any():
+            tk[even] = _topk_mean(bmat[even] @ b_mat.T, k)
+        if (~even).any():
+            tk[~even] = _topk_mean(bmat[~even] @ a_mat.T, k)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(bids, pa.int64()),
+                "tk": pa.array(tk, pa.float64()),
+            }
+        )
+
+    stats_tbl = pa.concat_tables(
+        t
+        for t in ray.get(
+            read_embeddings(sf_dir)
+            .map_batches(stats_f, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    )
+    svid = stats_tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    stk = stats_tbl.column("tk").to_numpy(zero_copy_only=False)
+    tk_all = np.empty(len(ids), np.float64)
+    tk_all[np.searchsorted(ids, svid)] = stk
+    sref = ray.put((ids_a, tk_all[amask], ids_b, tk_all[~amask]))
+
+    def best_f(batch: pa.Table) -> pa.Table:
+        a_ids, a_mat, b_ids, b_mat = ray.get(ref)
+        sa_ids, sa_tk, sb_ids, sb_tk = ray.get(sref)
+        bids, bmat = _batch_matrix(batch)
+        bmat = _normalize(bmat)
+        even = bids % 2 == 0
+        out_src, out_tgt, out_m = [], [], []
+        for side_mask, own_ids, own_tk, opp_ids, opp_mat, opp_tk in (
+            (even, sa_ids, sa_tk, b_ids, b_mat, sb_tk),
+            (~even, sb_ids, sb_tk, a_ids, a_mat, sa_tk),
+        ):
+            if not side_mask.any() or len(opp_ids) == 0:
+                continue
+            rows = bids[side_mask]
+            sims = bmat[side_mask] @ opp_mat.T
+            pos = np.searchsorted(own_ids, rows)
+            margins = sims / ((own_tk[pos][:, None] + opp_tk[None, :]) / 2.0)
+            best_m = np.full(len(rows), -np.inf)
+            best_id = np.full(len(rows), np.iinfo(np.int64).max, np.int64)
+            _best_update(best_m, best_id, margins, opp_ids)
+            if own_ids is sa_ids:  # forward: src = own (A side)
+                out_src.append(rows)
+                out_tgt.append(best_id)
+            else:  # backward: src = partner (A side)
+                out_src.append(best_id)
+                out_tgt.append(rows)
+            out_m.append(best_m)
+        if not out_m:
+            return pa.Table.from_pydict(
+                {
+                    "src_id": pa.array([], pa.int64()),
+                    "tgt_id": pa.array([], pa.int64()),
+                    "margin": pa.array([], pa.float64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "src_id": pa.array(np.concatenate(out_src), pa.int64()),
+                "tgt_id": pa.array(np.concatenate(out_tgt), pa.int64()),
+                "margin": pa.array(np.concatenate(out_m), pa.float64()),
+            }
+        )
+
+    rows = read_embeddings(sf_dir).map_batches(
+        best_f, batch_format="pyarrow"
+    )
+    return _mutual_pairs(rows, threshold)
 
 
 # -- out-of-core tier ---------------------------------------------------------
