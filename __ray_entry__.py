@@ -1336,7 +1336,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_langs": _q_paragraph_langs,
         # Merkle dataset fingerprint (versioning / shard diff)
         "dataset_fingerprint": _q_dataset_fingerprint,
+        # exact triangle counting (degree-ordered compact-forward);
+        # _cogroup forces the no-broadcast wedge-and-close tier
+        "triangle_count": _q_triangle_count,
+        "triangle_count_cogroup": _q_triangle_count_cogroup,
     }
+
+
+def _q_triangle_count(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import triangle_count
+
+    return triangle_count(sf_dir)
+
+
+def _q_triangle_count_cogroup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import triangle_count
+
+    return triangle_count(sf_dir, adj_broadcast_budget=0)
 
 
 def _q_dataset_fingerprint(sf_dir: str):
@@ -5344,4 +5360,21 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT shard, node_md5, n_docs FROM r
     """
+    # triangles of the mod-40 contracted supplier/part graph; the
+    # three-way self-join counts each triangle once (u < v < w order)
+    oracles["triangle_count"] = """
+        WITH e0 AS (
+          SELECT DISTINCT least(l_suppkey % 40, l_partkey % 40) AS u,
+                          greatest(l_suppkey % 40, l_partkey % 40) AS v
+          FROM lineitem WHERE l_suppkey % 40 <> l_partkey % 40
+        )
+        SELECT (SELECT count(DISTINCT n) FROM
+                  (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0))
+                 AS n_nodes,
+               (SELECT count(*) FROM e0) AS n_edges,
+               (SELECT count(*) FROM e0 a
+                  JOIN e0 b ON b.u = a.u AND b.v > a.v
+                  JOIN e0 c ON c.u = a.v AND c.v = b.v) AS n_triangles
+    """
+    oracles["triangle_count_cogroup"] = oracles["triangle_count"]
     return oracles

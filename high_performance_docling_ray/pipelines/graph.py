@@ -344,3 +344,373 @@ def degree_stats(sf_dir: str) -> pa.Table:
         )
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+# -- triangle counting ---------------------------------------------------------
+
+TRI_MOD = 40
+
+
+def _tri_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct UNDIRECTED edges (u < v) of the mod-contracted
+    supplier/part graph: u = l_suppkey % 40, v = l_partkey % 40,
+    self-loops dropped. Suppliers and parts share the 0..39 id space
+    ON PURPOSE: the contraction creates odd cycles, so the graph
+    actually contains triangles (the raw bipartite graph has none)."""
+    from .io import read_parquet_clean
+    from .joins import default_num_buckets, int_key_buckets
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False) % TRI_MOD
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False) % TRI_MOD
+        u = np.minimum(s, p)
+        v = np.maximum(s, p)
+        keep = u != v
+        key = np.unique(np.stack([u[keep], v[keep]], axis=1), axis=0)
+        return pa.Table.from_pydict(
+            {
+                "u": pa.array(key[:, 0], pa.int64()),
+                "v": pa.array(key[:, 1], pa.int64()),
+            }
+        )
+
+    num_parts = default_num_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        mixed = u.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F) + v.astype(
+            np.uint64
+        )
+        return batch.append_column(
+            "bucket",
+            pa.array(int_key_buckets(mixed.view(np.int64), num_parts)),
+        )
+
+    def distinct_in_bucket(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        key = np.unique(np.stack([u, v], axis=1), axis=0)
+        return pa.Table.from_pydict(
+            {
+                "u": pa.array(key[:, 0], pa.int64()),
+                "v": pa.array(key[:, 1], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pair_rows, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_in_bucket, batch_format="pyarrow")
+    )
+
+
+def _orient(u, v, deg):
+    """Degree-ordered orientation: every edge points from its
+    (deg, id)-smaller endpoint to the larger. The resulting DAG has
+    out-degrees O(sqrt(2m)), which bounds wedge generation — the
+    classic compact-forward guarantee."""
+    du, dv = deg[u], deg[v]
+    u_first = (du < dv) | ((du == dv) & (u < v))
+    a = np.where(u_first, u, v)
+    b = np.where(u_first, v, u)
+    return a, b
+
+
+def triangle_count(
+    sf_dir: str, adj_broadcast_budget: int = 50_000_000
+) -> pa.Table:
+    """Exact triangle count — the graph-quality statistic crawl
+    analyses use for community density (and the canonical "hard"
+    all-to-all of graph analytics).
+
+    Orientation by (degree, id) gives each edge a canonical direction;
+    a triangle is counted exactly once, at its minimal vertex.
+
+    - IN-BUDGET (edge count under ``adj_broadcast_budget``): the
+      oriented adjacency rides ``ray.put`` as CSR arrays; one
+      map_batches over oriented-edge blocks intersects sorted
+      out-neighbor lists (vectorized searchsorted membership) — zero
+      further exchange.
+    - DISTRIBUTED (forced by budget=0 in tests): wedge rows
+      (w1, w2) are emitted per source from its sorted out-neighbors
+      (bounded by the orientation), unioned with edge rows, bucketed
+      by the pair key, and closed with one vectorized membership scan
+      per bucket — all key-only exchanges; degrees attach to edges by
+      TWO ``cogroup_attach`` joins instead of a broadcast.
+
+    Returns one row: (n_nodes, n_edges, n_triangles).
+    """
+    edges = _tri_edges(sf_dir).materialize()
+    deg_tbl = _tri_degree(edges)
+    nodes = deg_tbl.column("node").to_numpy(zero_copy_only=False)
+    degs = deg_tbl.column("deg").to_numpy(zero_copy_only=False)
+    n_nodes = len(nodes)
+    n_edges = edges.count()
+
+    if n_edges <= adj_broadcast_budget:
+        # dense node-id space: deg lookup by position
+        deg_lut = np.zeros(int(nodes.max()) + 1 if n_nodes else 1, np.int64)
+        deg_lut[nodes] = degs
+        # build oriented CSR on the driver (edge list is in budget)
+        parts = [
+            t for t in ray.get(edges.to_arrow_refs()) if t.num_rows
+        ]
+        et = pa.concat_tables(parts)
+        u = et.column("u").to_numpy(zero_copy_only=False)
+        v = et.column("v").to_numpy(zero_copy_only=False)
+        a, b = _orient(u, v, deg_lut)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.searchsorted(a, np.arange(len(deg_lut)))
+        ends = np.searchsorted(a, np.arange(len(deg_lut)) + 1)
+        dag_keys = np.sort(a * np.int64(1 << 32) + b)
+        csr_ref = ray.put((starts, ends, b, dag_keys, deg_lut))
+
+        def tri_block(batch: pa.Table) -> pa.Table:
+            starts_, ends_, nbrs, keys, lut = ray.get(csr_ref)
+            ua = batch.column("u").to_numpy(zero_copy_only=False)
+            va = batch.column("v").to_numpy(zero_copy_only=False)
+            aa, bb = _orient(ua, va, lut)
+            # fully vectorized edge-iterator: for every oriented edge
+            # (a,b), count a's out-neighbors x with (b,x) in the DAG
+            la = ends_[aa] - starts_[aa]
+            total_len = int(la.sum())
+            if total_len == 0:
+                return pa.Table.from_pydict({"t": pa.array([0], pa.int64())})
+            base = np.repeat(starts_[aa], la)
+            local = np.arange(total_len) - np.repeat(
+                np.cumsum(la) - la, la
+            )
+            nx = nbrs[base + local]
+            q = np.repeat(bb, la) * np.int64(1 << 32) + nx
+            pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+            total = int((keys[pos] == q).sum())
+            return pa.Table.from_pydict(
+                {"t": pa.array([total], pa.int64())}
+            )
+
+        tri_parts = edges.map_batches(
+            tri_block, batch_format="pyarrow"
+        ).take_all()
+        n_tri = sum(r["t"] for r in tri_parts)
+    else:
+        n_tri = _triangles_distributed(edges, deg_tbl)
+
+    return pa.Table.from_pydict(
+        {
+            "n_nodes": pa.array([n_nodes], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_triangles": pa.array([int(n_tri)], pa.int64()),
+        }
+    )
+
+
+def _tri_degree(edges: ray.data.Dataset) -> pa.Table:
+    """Undirected degree per node: per-batch bincount partials,
+    driver combine (O(nodes) rows)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        both = np.concatenate([u, v])
+        node, cnt = np.unique(both, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(node, pa.int64()),
+                "deg": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in edges.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    tbl = pa.concat_tables(parts)
+    node = tbl.column("node").to_numpy(zero_copy_only=False)
+    deg = tbl.column("deg").to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(node, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, deg)
+    return pa.Table.from_pydict(
+        {
+            "node": pa.array(uniq, pa.int64()),
+            "deg": pa.array(sums, pa.int64()),
+        }
+    )
+
+
+def _triangles_distributed(
+    edges: ray.data.Dataset, deg_tbl: pa.Table
+) -> int:
+    """Wedge-and-close without any broadcast: degrees attach via two
+    key-only cogroups, wedges generate per source inside a bucketed
+    groupby (orientation bounds out-degrees), closure is one more
+    bucketed key-only exchange."""
+    from .joins import cogroup_attach, default_num_buckets, int_key_buckets
+
+    deg_ds = ray.data.from_arrow(deg_tbl)
+
+    def rename_for(key: str, out: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns([key, out])
+
+        return f
+
+    with_du = cogroup_attach(
+        edges,
+        deg_ds.map_batches(rename_for("u", "du"), batch_format="pyarrow"),
+        key="u",
+        left_fields=[pa.field("u", pa.int64()), pa.field("v", pa.int64())],
+        payload_fields=[pa.field("du", pa.int64())],
+    )
+    with_both = cogroup_attach(
+        with_du,
+        deg_ds.map_batches(rename_for("v", "dv"), batch_format="pyarrow"),
+        key="v",
+        left_fields=[
+            pa.field("u", pa.int64()),
+            pa.field("v", pa.int64()),
+            pa.field("du", pa.int64()),
+        ],
+        payload_fields=[pa.field("dv", pa.int64())],
+    )
+
+    num_parts = default_num_buckets()
+
+    def oriented(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        du = pc.fill_null(batch.column("du"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        dv = pc.fill_null(batch.column("dv"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(u_first, u, v)
+        b = np.where(u_first, v, u)
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "bucket": pa.array(
+                    int_key_buckets(a, num_parts), pa.int32()
+                ),
+            }
+        )
+
+    dag = with_both.map_batches(oriented, batch_format="pyarrow")
+
+    def wedges(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        # neighbor pairs per source: runs of equal a
+        starts = np.flatnonzero(
+            np.concatenate([[True], a[1:] != a[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(a)]])
+        w1, w2 = [], []
+        for s, e in zip(starts, ends):
+            nb = b[s:e]
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            w1.append(nb[i])
+            w2.append(nb[j])
+        if not w1:
+            return pa.Table.from_pydict(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int8()),
+                }
+            )
+        x = np.concatenate(w1)
+        y = np.concatenate(w2)
+        # canonical pair key: plain (min, max) — the closing edge is
+        # stored undirected, so id order is the shared convention
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array(lo, pa.int64()),
+                "b": pa.array(hi, pa.int64()),
+                "is_edge": pa.array(
+                    np.zeros(len(lo), np.int8), pa.int8()
+                ),
+            }
+        )
+
+    wedge_rows = dag.groupby("bucket").map_groups(
+        lambda g: wedges(g.drop_columns(["bucket"])),
+        batch_format="pyarrow",
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "a": batch.column("u"),
+                "b": batch.column("v"),
+                "is_edge": pa.array(
+                    np.ones(batch.num_rows, np.int8), pa.int8()
+                ),
+            }
+        )
+
+    tagged = wedge_rows.union(
+        edges.map_batches(edge_rows, batch_format="pyarrow")
+    )
+
+    def close_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket",
+            pa.array(
+                int_key_buckets(
+                    (
+                        a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                        + b.astype(np.uint64)
+                    ).view(np.int64),
+                    num_parts,
+                ),
+                pa.int32(),
+            ),
+        )
+
+    def count_closed(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        tag = group.column("is_edge").to_numpy(zero_copy_only=False)
+        key = a.astype(np.int64) * np.int64(1 << 32) + b
+        ek = np.unique(key[tag == 1])
+        wk = key[tag == 0]
+        if len(ek) == 0 or len(wk) == 0:
+            n = 0
+        else:
+            pos = np.minimum(np.searchsorted(ek, wk), len(ek) - 1)
+            n = int((ek[pos] == wk).sum())
+        return pa.Table.from_pydict({"t": pa.array([n], pa.int64())})
+
+    parts = (
+        tagged.map_batches(close_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: count_closed(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    return sum(r["t"] for r in parts)
