@@ -1340,7 +1340,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # _cogroup forces the no-broadcast wedge-and-close tier
         "triangle_count": _q_triangle_count,
         "triangle_count_cogroup": _q_triangle_count_cogroup,
+        # TPC-H q18 shape: HAVING-filtered winner set before any join
+        "q18_big_orders": _q_q18_big_orders,
+        # event-time watermark / late-data accounting
+        "late_event_stats": _q_late_event_stats,
     }
+
+
+def _q_late_event_stats(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        late_event_stats,
+    )
+
+    return late_event_stats(sf_dir)
+
+
+def _q_q18_big_orders(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        q18_big_orders,
+    )
+
+    return q18_big_orders(sf_dir)
 
 
 def _q_triangle_count(sf_dir: str):
@@ -5377,4 +5397,39 @@ def oracle_sql() -> dict[str, str]:
                   JOIN e0 c ON c.u = a.v AND c.v = b.v) AS n_triangles
     """
     oracles["triangle_count_cogroup"] = oracles["triangle_count"]
+    oracles["q18_big_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200
+        )
+        SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, big.sum_qty
+        FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+    """
+    # watermark lateness over the planted out-of-order arrival
+    # (events with event_id%17==3 arrive 1000 sequence slots late)
+    oracles["late_event_stats"] = """
+        WITH a AS (
+          SELECT user_id, event_id, ts,
+                 event_id + CASE WHEN event_id % 17 = 3
+                                 THEN 1000 ELSE 0 END AS arrival_key
+          FROM events
+        ), w AS (
+          SELECT user_id, ts,
+                 max(ts) OVER (PARTITION BY user_id
+                               ORDER BY arrival_key, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS hwm
+          FROM a
+        )
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CASE WHEN ts < hwm - INTERVAL 3600 SECOND
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM w GROUP BY user_id
+    """
     return oracles

@@ -1059,3 +1059,207 @@ def props_extract(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# -- q18-style large-volume customers -----------------------------------------
+
+def q18_big_orders(
+    sf_dir: str, threshold: int = 200, k: int = 20,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """TPC-H q18 shape: orders whose total lineitem quantity exceeds
+    ``threshold``, joined to orders + customer, top-k by price.
+
+    The interesting plan property: the HAVING filter collapses the
+    probe-side aggregate to a SMALL winner set before any join — the
+    same key-only-winner discipline as the dedup family. lineitem
+    streams once (per-batch int64-cents partials -> one driver C++
+    combine, Ray groupby fallback past the budget); orders/customer
+    are broadcast build sides read driver-direct
+    (``_broadcast_parquet``, the q3/q5 lesson).
+    """
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        part = pa.Table.from_pydict(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "qty_c": pa.array(
+                    _cents(batch.column("l_quantity")), pa.int64()
+                ),
+            }
+        )
+        return part.group_by("l_orderkey").aggregate(
+            [("qty_c", "sum")]
+        ).rename_columns(["l_orderkey", "qty_c"])
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    merged = _combine_partials(
+        partials, ["l_orderkey"], ["qty_c"], combine_limit=combine_limit
+    )
+    if merged is not None:
+        okey = merged.column("l_orderkey").to_numpy().astype(np.int64)
+        qty = merged.column("sum(qty_c)").to_numpy().astype(np.int64)
+    else:  # over the combine budget: Ray groupby shuffle, then the
+        # HAVING-filtered winners (tiny) collect
+        agg = partials.groupby("l_orderkey").sum("qty_c")
+
+        def keep_big(b: pa.Table) -> pa.Table:
+            q = b.column("sum(qty_c)").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(q > threshold * 100))
+
+        rows = agg.map_batches(keep_big, batch_format="pyarrow").take_all()
+        okey = np.array([r["l_orderkey"] for r in rows], np.int64)
+        qty = np.array([r["sum(qty_c)"] for r in rows], np.int64)
+    big = qty > threshold * 100
+    okey, qty = okey[big], qty[big]
+    order_sort = np.argsort(okey, kind="stable")
+    okey, qty = okey[order_sort], qty[order_sort]
+
+    orders = _broadcast_parquet(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    ok = orders.column("o_orderkey").to_numpy().astype(np.int64)
+    hit = _sorted_member_mask(okey, ok)
+    orders = orders.filter(pa.array(hit))
+    ok = ok[hit]
+    sum_qty = qty[np.searchsorted(okey, ok)] / 100.0
+
+    cust = _broadcast_parquet(sf_dir, "customer", ["c_custkey", "c_name"])
+    ck = cust.column("c_custkey").to_numpy().astype(np.int64)
+    cn = cust.column("c_name").to_pylist()
+    corder = np.argsort(ck, kind="stable")
+    ck_sorted = ck[corder]
+    oc = orders.column("o_custkey").to_numpy().astype(np.int64)
+    cpos = corder[np.searchsorted(ck_sorted, oc)]
+    names = pa.array([cn[i] for i in cpos], pa.string())
+
+    full = orders.append_column("sum_qty", pa.array(sum_qty, pa.float64()))
+    full = full.append_column("c_name", names)
+    idx = pc.sort_indices(
+        full,
+        sort_keys=[
+            ("o_totalprice", "descending"),
+            ("o_orderkey", "ascending"),
+        ],
+    )[:k]
+    return full.take(idx).select(
+        [
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        ]
+    )
+
+
+# -- watermark / late-data accounting ------------------------------------------
+
+LATE_SHIFT = 1000
+LATE_ALLOWED_US = 3600 * 1_000_000
+
+
+def late_event_stats(
+    sf_dir: str,
+    allowed_us: int = LATE_ALLOWED_US,
+) -> pa.Table:
+    """Event-time watermark accounting — the late-data statistic a
+    streaming ingest needs before choosing its allowed-lateness bound.
+    The events fixture arrives in timestamp order, so out-of-order
+    ARRIVAL is planted closed-form (mirrored in SQL): events with
+    ``event_id % 17 == 3`` arrive 1000 sequence slots late
+    (``arrival_key = event_id + 1000``); everyone else arrives at
+    ``event_id``.
+
+    Watermark semantics (per user): before each event, the running max
+    event-time of all PREVIOUSLY ARRIVED events of that user; an event
+    is late when its own time is more than ``allowed_us`` behind that
+    high-water mark. First arrival per user is never late.
+
+    Shape: the sessionize coarse-partition + key-runs pattern — one
+    hash(user) % P exchange of (user, event_id, ts) key rows, then a
+    single vectorized pass per partition (lexsort + segmented running
+    max via the run-offset trick). Output: (user_id, n_events,
+    n_late) per user.
+    """
+    num_parts = 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        part = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            num_parts
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts": batch.column("ts"),
+                "part": pa.array(part.astype(np.int32)),
+            }
+        )
+
+    def late_part(group: pa.Table) -> pa.Table:
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(users):
+            return pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_late": pa.array([], pa.int64()),
+                }
+            )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        arrival = eid + np.where(eid % 17 == 3, LATE_SHIFT, 0)
+        order = np.lexsort((eid, arrival, users))
+        u, t = users[order], ts[order]
+        is_start = np.concatenate([[True], u[1:] != u[:-1]])
+        run_id = np.cumsum(is_start) - 1
+        # segmented running max via the offset trick (exact: int64
+        # headroom checked — ts spans << 2^63 / n_runs)
+        t0 = t - t.min()
+        span = int(t0.max()) + 1
+        assert span * (int(run_id[-1]) + 1) < (1 << 62)
+        cm = np.maximum.accumulate(t0 + run_id * span) - run_id * span
+        # high-water mark BEFORE each event: shift within run
+        hwm = np.concatenate([[0], cm[:-1]])
+        late = (~is_start) & (t0 < hwm - allowed_us)
+        starts = np.flatnonzero(is_start)
+        ends = np.concatenate([starts[1:], [len(u)]])
+        n_events = ends - starts
+        n_late = np.add.reduceat(late.astype(np.int64), starts)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n_events": pa.array(n_events.astype(np.int64), pa.int64()),
+                "n_late": pa.array(n_late, pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: late_part(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["user_id"])
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
+            "n_late": pa.array([r["n_late"] for r in rows], pa.int64()),
+        }
+    )
