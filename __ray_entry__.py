@@ -1344,7 +1344,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_big_orders": _q_q18_big_orders,
         # event-time watermark / late-data accounting
         "late_event_stats": _q_late_event_stats,
+        # would-be shuffle balance per candidate partition key
+        "partition_skew_report": _q_partition_skew_report,
+        # perceptual-hash image dedup (stub decode; real dHash + the
+        # key-only dedup shape) — rows-only like the other multimodal
+        # stub-model pipelines; planted-dup recall is test-pinned
+        "image_phash_dedup": _q_image_phash_dedup,
     }
+
+
+def _q_image_phash_dedup(sf_dir: str):
+    from high_performance_docling_ray.stages.multimodal import (
+        image_phash_dedup,
+    )
+
+    n = {"0.001": 100, "0.01": 256, "0.1": 1024}.get(
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1], 256
+    )
+    return image_phash_dedup(n)
+
+
+def _q_partition_skew_report(sf_dir: str):
+    from high_performance_docling_ray.pipelines.profiling import (
+        partition_skew_report,
+    )
+
+    return partition_skew_report(sf_dir)
 
 
 def _q_late_event_stats(sf_dir: str):
@@ -5432,4 +5457,17 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_late
         FROM w GROUP BY user_id
     """
+    # skew report buckets use the engine's own md5 hash64
+    # (== md5_number_upper), so the SQL rebuild is the REAL placement
+    oracles["partition_skew_report"] = " UNION ALL ".join(
+        f"""
+        SELECT '{k}' AS part_key, count(DISTINCT b) AS n_buckets_used,
+               max(cnt) AS max_rows,
+               round(sum(cnt) / 64.0, 6) AS avg_rows,
+               round(max(cnt) / (sum(cnt) / 64.0), 6) AS skew_ratio
+        FROM (SELECT md5_number_upper(CAST({k} AS VARCHAR)) % 64 AS b,
+                     count(*) AS cnt
+              FROM documents GROUP BY 1)"""
+        for k in ("doc_id", "lang", "source")
+    )
     return oracles

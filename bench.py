@@ -189,6 +189,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "histogram_quantiles",
         "paragraph_langs",
         "dataset_fingerprint",
+        "triangle_count",
+        "q18_big_orders",
+        "late_event_stats",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

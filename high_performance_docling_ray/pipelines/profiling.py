@@ -328,3 +328,94 @@ def dataset_fingerprint(
             ),
         }
     )
+
+
+# -- partition-skew report -------------------------------------------------------
+
+SKEW_BUCKETS = 64
+
+
+def partition_skew_report(
+    sf_dir: str,
+    keys: tuple[str, ...] = ("doc_id", "lang", "source"),
+    num_buckets: int = SKEW_BUCKETS,
+) -> pa.Table:
+    """Would-be shuffle balance per CANDIDATE partition key — the
+    planning statistic behind "pick ONE partitioning key and reuse it"
+    (a key whose hash buckets are 10x imbalanced makes every groupby
+    on it a straggler). Buckets use the repo's md5 hash64 (== DuckDB
+    ``md5_number_upper``), so the report is the actual placement the
+    engine's bucketed exchanges would produce.
+
+    Per key: fixed ``num_buckets`` bincount partials per block, driver
+    combine (bounded by keys x buckets x blocks) — a pure map, no
+    exchange at all.
+
+    Output per key: (part_key, n_buckets_used, max_rows, avg_rows,
+    skew_ratio = max / (n / num_buckets), rounded 6).
+    """
+    from ..kernels.sketch import hash64_strings
+    from .io import read_parquet_clean
+
+    cols = list(keys)
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, vecs = [], []
+        for name in cols:
+            col = _as_strings(batch.column(name).combine_chunks())
+            h = hash64_strings(col)
+            b = (h % np.uint64(num_buckets)).astype(np.int64)
+            names.append(name)
+            vecs.append(np.bincount(b, minlength=num_buckets))
+        return pa.Table.from_pydict(
+            {
+                "part_key": pa.array(names, pa.string()),
+                "counts": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    parts = [
+        t
+        for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if t.num_rows
+    ]
+    acc = {k: np.zeros(num_buckets, np.int64) for k in cols}
+    for t in parts:
+        ks = t.column("part_key").to_pylist()
+        cl = t.column("counts").combine_chunks()
+        flat = cl.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(ks), num_buckets)
+        for i, k in enumerate(ks):
+            acc[k] += mat[i]
+    out = {
+        "part_key": [],
+        "n_buckets_used": [],
+        "max_rows": [],
+        "avg_rows": [],
+        "skew_ratio": [],
+    }
+    for k in cols:
+        counts = acc[k]
+        n = int(counts.sum())
+        avg = n / num_buckets
+        out["part_key"].append(k)
+        out["n_buckets_used"].append(int((counts > 0).sum()))
+        out["max_rows"].append(int(counts.max()))
+        out["avg_rows"].append(round(avg, 6))
+        out["skew_ratio"].append(
+            round(float(counts.max()) / avg, 6) if n else 0.0
+        )
+    return pa.Table.from_pydict(
+        {
+            "part_key": pa.array(out["part_key"], pa.string()),
+            "n_buckets_used": pa.array(out["n_buckets_used"], pa.int64()),
+            "max_rows": pa.array(out["max_rows"], pa.int64()),
+            "avg_rows": pa.array(out["avg_rows"], pa.float64()),
+            "skew_ratio": pa.array(out["skew_ratio"], pa.float64()),
+        }
+    )

@@ -358,3 +358,125 @@ def video_frame_features(n: int = 64, stride: int = 10,
         batch_size=batch_size, concurrency=concurrency,
         fn_constructor_kwargs={"stride": stride},
     )
+
+
+# -- perceptual-hash image dedup ----------------------------------------------
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: grayscale -> 9x8 bilinear -> horizontal
+    gradient sign bits. Identical pixels give identical hashes; small
+    perturbations flip few bits (the standard pHash-family property).
+    The hash itself is real — only the decode behind it is the
+    container's deterministic stub."""
+    gray = img.astype(np.float64).mean(axis=2)
+    small = resize_bilinear(
+        np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8), 8, 9
+    )[:, :, 0].astype(np.int16)
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class PHashStage:
+    """Actor-pool stage: decode -> dHash. Emits only (media_id,
+    phash) key rows — the MB-scale payload dies with the input block,
+    so the downstream dedup groupby is key-only."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("media").to_pylist()
+        out_id, out_h, out_ok = [], [], []
+        for media_id, payload in zip(ids, payloads):
+            try:
+                img = decode_fake_image(payload or b"")
+                out_h.append(dhash64(img))
+                out_ok.append(True)
+            except ImageDecodeError:
+                out_h.append(0)
+                out_ok.append(False)
+            out_id.append(media_id)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "phash": pa.array(
+                    np.array(out_h, np.uint64).view(np.int64), pa.int64()
+                ),
+                "decode_ok": pa.array(out_ok, pa.bool_()),
+            }
+        )
+
+
+def synth_media_with_dups(n: int, seed: int = 42):
+    """The synth media table with PLANTED perceptual duplicates:
+    media_id % 10 == 7 carries the PAYLOAD of media_id - 3 (identical
+    pixels after decode => identical dHash)."""
+    import random
+
+    import ray.data
+
+    def gen(batch):
+        ids = batch["id"].to_pylist()
+        rows = {"media_id": [], "media": [], "media_type": []}
+        for i in ids:
+            src = int(i) - 3 if (int(i) % 10 == 7 and int(i) >= 3) else int(i)
+            rng = random.Random((seed << 16) ^ src)
+            h = rng.randint(16, 128)
+            w = rng.randint(16, 128)
+            rows["media_id"].append(int(i))
+            rows["media"].append(encode_fake_image(h, w, str(src).encode()))
+            rows["media_type"].append("image/fake")
+        return pa.Table.from_pydict(rows)
+
+    return ray.data.range(n).map_batches(gen, batch_format="pyarrow")
+
+
+def image_phash_dedup(
+    n: int = 256, concurrency=(1, 4), batch_size: int = 16
+):
+    """Perceptual image dedup: decode+hash in an actor pool (key rows
+    out), then ONE key-only groupby(phash) Min+Count — each image
+    reports its group's canonical member and size.
+
+    Returns (media_id, phash, canonical_id, group_size) via a
+    cogroup re-attach of the group table to the key rows (the
+    canonical_collapse shape on a binary-payload corpus).
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..pipelines.joins import cogroup_attach
+
+    keys = synth_media_with_dups(n).map_batches(
+        PHashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def drop_bad(b: pa.Table) -> pa.Table:
+        return b.filter(b.column("decode_ok")).drop_columns(["decode_ok"])
+
+    keys = keys.map_batches(drop_bad, batch_format="pyarrow")
+    groups = (
+        keys.groupby("phash")
+        .aggregate(ray.data.aggregate.Min("media_id"), ray.data.aggregate.Count())
+        .map_batches(
+            lambda b: b.rename_columns(
+                ["phash", "canonical_id", "group_size"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return cogroup_attach(
+        keys,
+        groups,
+        key="phash",
+        left_fields=[
+            pa.field("media_id", pa.int64()),
+            pa.field("phash", pa.int64()),
+        ],
+        payload_fields=[
+            pa.field("canonical_id", pa.int64()),
+            pa.field("group_size", pa.int64()),
+        ],
+    )
