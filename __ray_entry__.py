@@ -1350,7 +1350,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # key-only dedup shape) — rows-only like the other multimodal
         # stub-model pipelines; planted-dup recall is test-pinned
         "image_phash_dedup": _q_image_phash_dedup,
+        # per-dimension z-score embedding sanity screen
+        "embedding_outliers": _q_embedding_outliers,
+        # GROUPED histogram sketch (register merge through the
+        # groupby, the hll_distinct_hourly shape)
+        "lang_histogram_quantiles": _q_lang_histogram_quantiles,
     }
+
+
+def _q_embedding_outliers(sf_dir: str):
+    from high_performance_docling_ray.pipelines.decomposition import (
+        embedding_outliers,
+    )
+
+    return embedding_outliers(sf_dir)
+
+
+def _q_lang_histogram_quantiles(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        lang_histogram_quantiles,
+    )
+
+    return lang_histogram_quantiles(sf_dir)
 
 
 def _q_image_phash_dedup(sf_dir: str):
@@ -5470,4 +5491,49 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY 1)"""
         for k in ("doc_id", "lang", "source")
     )
+    # z-score outliers: per-dim moments rebuilt by unnest + avg; ulp
+    # differences (streaming avg vs register fold) wash out in the
+    # 6dp round, order decided pre-round on continuous values
+    oracles["embedding_outliers"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings
+        ),
+        x AS (SELECT vec_id, CAST(u.ord AS INT) dim, emb[u.ord + 1] AS x
+              FROM e, unnest(range(0, len(emb))) u(ord)),
+        s AS (SELECT dim, avg(x) mu,
+                     sqrt(greatest(avg(x*x) - avg(x)*avg(x), 0.0)) sigma
+              FROM x GROUP BY 1),
+        z AS (SELECT vec_id,
+                     max(abs(x - mu) /
+                         (CASE WHEN sigma = 0 THEN 1 ELSE sigma END)) zmax
+              FROM x JOIN s USING (dim) GROUP BY 1)
+        SELECT vec_id, round(zmax, 6) AS z
+        FROM z ORDER BY zmax DESC, vec_id LIMIT 10
+    """
+    # grouped histogram sketch: the histogram_quantiles estimator
+    # partitioned by lang
+    oracles["lang_histogram_quantiles"] = """
+        WITH c AS (
+          SELECT lang, least(CAST(n_chars // 16 AS INT), 64) bin,
+                 count(*) cnt
+          FROM documents GROUP BY 1, 2
+        ),
+        t AS (SELECT lang, CAST(sum(cnt) AS DOUBLE) n FROM c GROUP BY 1),
+        cum AS (SELECT lang, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY lang ORDER BY bin) cum
+                FROM c),
+        qv(q) AS (VALUES (0.25), (0.5), (0.75), (0.9)),
+        sel AS (SELECT qv.q, cum.lang, bin, cnt, cum,
+                       row_number() OVER (
+                           PARTITION BY qv.q, cum.lang ORDER BY bin) r
+                FROM qv JOIN cum ON CAST(cum AS DOUBLE) >=
+                     qv.q * (SELECT n FROM t WHERE t.lang = cum.lang))
+        SELECT lang, q,
+               round(bin * 16.0
+                     + 16.0 * (q * (SELECT n FROM t
+                                    WHERE t.lang = sel.lang)
+                               - CAST(cum - cnt AS DOUBLE))
+                       / CAST(cnt AS DOUBLE), 6) AS value
+        FROM sel WHERE r = 1
+    """
     return oracles

@@ -197,3 +197,53 @@ def _init_centroids_dim(sf_dir: str) -> int:
     f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     first = next(f.iter_batches(batch_size=1, columns=["embedding"]))
     return len(first.column("embedding")[0])
+
+
+def embedding_outliers(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k per-dimension z-score outliers — the embedding-sanity
+    screen a curation run fires before trusting vectors for dedup /
+    retrieval (a bad encoder shard shows up as dimension blowouts).
+
+    Pass 1 reuses the covariance moment registers (``_covariance``:
+    per-block (n, sum, sum_xy) partials, driver fold). Pass 2 is a
+    pure map: z = max_d |x_d - mu_d| / sigma_d per vector, per-block
+    top-k, driver merge of k rows per block (the knn_brute pattern).
+
+    Returns (vec_id, z) sorted by z desc, vec_id asc.
+    """
+    import pyarrow.compute as pc
+
+    _, mean, cov = _covariance(sf_dir)
+    sigma = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    sigma = np.where(sigma == 0.0, 1.0, sigma)
+    ref = ray.put((mean, sigma))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        mu, sd = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        z = (np.abs(mat - mu) / sd).max(axis=1)
+        kk = min(k, len(ids))
+        part = (
+            np.argpartition(-z, kk - 1)[:kk] if kk else np.array([], int)
+        )
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids[part], pa.int64()),
+                "z": pa.array(z[part], pa.float64()),
+            }
+        )
+
+    rows = (
+        read_embeddings(sf_dir)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    rows.sort(key=lambda r: (-r["z"], r["vec_id"]))
+    top = rows[:k]
+    del pc
+    return pa.Table.from_pydict(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in top], pa.int64()),
+            "z": pa.array([round(r["z"], 6) for r in top], pa.float64()),
+        }
+    )

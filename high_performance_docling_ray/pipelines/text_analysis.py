@@ -1845,3 +1845,72 @@ def paragraph_langs(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def lang_histogram_quantiles(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9)
+) -> ray.data.Dataset:
+    """GROUPED histogram quantile sketch: one 65-register histogram
+    per language, merged through ONE ``groupby(lang)`` of per-block
+    register rows (the hll_distinct_hourly grouped-sketch shape — no
+    driver dict, works at any group cardinality). Estimator identical
+    to ``histogram_quantiles``. Returns (lang, q, value) rows.
+    """
+    from .io import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        bins = np.minimum(v // HIST_WIDTH, HIST_BINS).astype(np.int64)
+        out_l, out_c = [], []
+        import pandas as pd
+
+        codes, uniq = pd.factorize(np.asarray(langs, object))
+        for i, lg in enumerate(uniq):
+            counts = np.bincount(
+                bins[codes == i], minlength=HIST_BINS + 1
+            )
+            out_l.append(lg)
+            out_c.append(counts.tolist())
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "counts": pa.array(out_c, pa.list_(pa.int64())),
+            }
+        )
+
+    def estimate(group: pa.Table) -> pa.Table:
+        lang = group.column("lang")[0].as_py()
+        col = group.column("counts").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        reg = flat.reshape(len(col), HIST_BINS + 1).sum(axis=0)
+        n = int(reg.sum())
+        cum = np.cumsum(reg)
+        out_q, out_v = [], []
+        for q in qs:
+            target = q * float(n)
+            b = int(np.searchsorted(cum, target, side="left"))
+            cum_before = float(cum[b] - reg[b])
+            cnt = float(reg[b])
+            val = b * float(HIST_WIDTH) + float(HIST_WIDTH) * (
+                target - cum_before
+            ) / cnt
+            out_q.append(q)
+            out_v.append(round(val, 6))
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array([lang] * len(qs), pa.string()),
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(estimate, batch_format="pyarrow")
+    )

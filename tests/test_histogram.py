@@ -54,3 +54,69 @@ def test_block_size_independence():
     b = histogram_quantiles(SF).to_pandas()
     assert a.equals(b)
     assert len(a) == 4 and a["value"].is_monotonic_increasing
+
+
+def test_lang_grouped_sketch_consistent_with_global(tmp_path):
+    """A single-language corpus: the grouped sketch must equal the
+    global sketch on that language."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        lang_histogram_quantiles,
+    )
+
+    d = tmp_path / "one"
+    d.mkdir()
+    vals = list(range(0, 320, 5))
+    pq.write_table(
+        pa.table(
+            {
+                "n_chars": pa.array(vals, pa.int64()),
+                "lang": pa.array(["en"] * len(vals), pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    g = histogram_quantiles(str(d)).to_pandas()
+    gl = (
+        lang_histogram_quantiles(str(d))
+        .to_pandas()
+        .sort_values("q")
+        .reset_index(drop=True)
+    )
+    assert (gl["lang"] == "en").all()
+    assert list(gl["value"]) == list(g.sort_values("q")["value"])
+
+
+def test_embedding_outliers_planted(tmp_path):
+    """A vector with one blown-out dimension must rank first."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.decomposition import (
+        embedding_outliers,
+    )
+
+    rng = np.random.default_rng(3)
+    mats = rng.normal(size=(50, 8))
+    mats[17, 3] = 40.0  # blowout
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array(
+                    [r.astype(np.float32).tolist() for r in mats],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * 50, pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    out = embedding_outliers(str(d)).to_pandas()
+    assert out.iloc[0]["vec_id"] == 17
+    assert out.iloc[0]["z"] > out.iloc[1]["z"] * 2
