@@ -1355,7 +1355,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GROUPED histogram sketch (register merge through the
         # groupby, the hll_distinct_hourly shape)
         "lang_histogram_quantiles": _q_lang_histogram_quantiles,
+        # vocabulary-bounded PMI collocations (k x k register M.T@M)
+        "pmi_pairs": _q_pmi_pairs,
     }
+
+
+def _q_pmi_pairs(sf_dir: str):
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        pmi_pairs,
+    )
+
+    return pmi_pairs(sf_dir)
 
 
 def _q_embedding_outliers(sf_dir: str):
@@ -5535,5 +5545,35 @@ def oracle_sql() -> dict[str, str]:
                                - CAST(cum - cnt AS DOUBLE))
                        / CAST(cnt AS DOUBLE), 6) AS value
         FROM sel WHERE r = 1
+    """
+    # vocabulary-bounded PMI over document frequencies; pair
+    # orientation = string order (vocab matrix is token-sorted)
+    oracles["pmi_pairs"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        v AS (SELECT token FROM (
+                SELECT token, count(*) cnt FROM tok GROUP BY 1
+                ORDER BY cnt DESC, token LIMIT 64)),
+        p AS (SELECT DISTINCT doc_id, token FROM tok JOIN v USING (token)),
+        n AS (SELECT count(*) AS nd FROM documents),
+        cx AS (SELECT token, count(*) c FROM p GROUP BY 1),
+        cxy AS (SELECT a.token AS ta, b.token AS tb, count(*) c
+                FROM p a JOIN p b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2),
+        pm AS (SELECT ta, tb, cxy.c AS c_xy,
+                      ln(CAST(cxy.c AS DOUBLE) * (SELECT nd FROM n)
+                         / (ca.c * cb.c)) AS pmi
+               FROM cxy JOIN cx ca ON ca.token = cxy.ta
+                        JOIN cx cb ON cb.token = cxy.tb
+               WHERE cxy.c >= 5)
+        SELECT ta AS token_a, tb AS token_b,
+               CAST(c_xy AS BIGINT) AS n_docs_xy, round(pmi, 6) AS pmi
+        FROM pm ORDER BY pmi DESC, token_a, token_b LIMIT 25
     """
     return oracles

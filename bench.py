@@ -192,6 +192,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "triangle_count",
         "q18_big_orders",
         "late_event_stats",
+        "partition_skew_report",
+        "lang_histogram_quantiles",
+        "embedding_outliers",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

@@ -1167,3 +1167,90 @@ def phrase_lookup(
         .groupby("dbucket")
         .map_groups(intersect, batch_format="pyarrow")
     )
+
+
+def pmi_pairs(
+    sf_dir: str,
+    vocab_k: int = 64,
+    top_pairs: int = 25,
+    min_docs: int = 5,
+) -> pa.Table:
+    """Vocabulary-bounded PMI collocations — co-occurrence mining with
+    the pair explosion CAPPED by construction: pairs are only counted
+    among the exact top-``vocab_k`` tokens (from ``top_tokens``), so
+    the co-occurrence state is one dense ``k x k`` int64 register per
+    block regardless of corpus size — the same mergeable-register
+    discipline as the sketch family, applied to a quadratic statistic.
+
+    Per batch: tokens hit the broadcast sorted vocab via searchsorted,
+    presence dedups to a (docs x k) boolean matrix, and the pair
+    register update is ONE ``M.T @ M`` — no per-doc Python, no pair
+    rows on the wire. Driver folds the registers and scores
+    ``pmi(x,y) = ln(c_xy * n_docs / (c_x * c_y))`` over document
+    frequencies, keeping pairs seen in >= ``min_docs`` docs.
+
+    Output: (token_a, token_b, n_docs_xy, pmi) top ``top_pairs`` by
+    (pmi desc, token_a, token_b); token_a < token_b in string order —
+    the vocab matrix is sorted by token, so pair orientation matches
+    the SQL ``a.token < b.token`` join.
+    """
+    vocab_tbl = top_tokens(sf_dir, k=vocab_k)
+    vocab = np.sort(
+        np.asarray(vocab_tbl.column("token").to_pylist(), dtype=object)
+    )
+    vref = ray.put(vocab)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vref)
+        flat, doc_idx, _ = _tokenize(batch.column("text"))
+        n_rows = batch.num_rows
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        if len(toks):
+            pos = np.searchsorted(voc, toks)
+            pos = np.minimum(pos, len(voc) - 1)
+            hit = voc[pos] == toks
+            m = np.zeros((n_rows, len(voc)), bool)
+            m[doc_idx[hit], pos[hit]] = True
+        else:
+            m = np.zeros((n_rows, len(voc)), bool)
+        mi = m.astype(np.int64)
+        pair = mi.T @ mi  # diag = per-token doc counts
+        return pa.Table.from_pydict(
+            {
+                "n_docs": pa.array([n_rows], pa.int64()),
+                "reg": pa.array([pair.ravel().tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = [
+        t
+        for t in read_documents(sf_dir, ("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    k = len(vocab)
+    reg = np.zeros((k, k), np.int64)
+    n_docs = 0
+    for t in parts:
+        n_docs += int(pc.sum(t.column("n_docs")).as_py())
+        col = t.column("reg").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        reg += flat.reshape(len(col), k * k).sum(axis=0).reshape(k, k)
+    cx = np.diag(reg)
+    iu, ju = np.triu_indices(k, k=1)
+    c_xy = reg[iu, ju]
+    keep = c_xy >= min_docs
+    iu, ju, c_xy = iu[keep], ju[keep], c_xy[keep]
+    pmi = np.log(
+        c_xy.astype(np.float64) * n_docs / (cx[iu] * cx[ju]).astype(np.float64)
+    )
+    order = np.lexsort((vocab[ju], vocab[iu], -pmi))[:top_pairs]
+    return pa.Table.from_pydict(
+        {
+            "token_a": pa.array(vocab[iu][order], pa.string()),
+            "token_b": pa.array(vocab[ju][order], pa.string()),
+            "n_docs_xy": pa.array(c_xy[order], pa.int64()),
+            "pmi": pa.array(np.round(pmi[order], 6), pa.float64()),
+        }
+    )
