@@ -1357,7 +1357,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_histogram_quantiles": _q_lang_histogram_quantiles,
         # vocabulary-bounded PMI collocations (k x k register M.T@M)
         "pmi_pairs": _q_pmi_pairs,
+        # time-series resample: zero-filled per-user hourly counts
+        "events_gap_fill": _q_events_gap_fill,
     }
+
+
+def _q_events_gap_fill(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        events_gap_fill,
+    )
+
+    return events_gap_fill(sf_dir)
 
 
 def _q_pmi_pairs(sf_dir: str):
@@ -5575,5 +5585,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT ta AS token_a, tb AS token_b,
                CAST(c_xy AS BIGINT) AS n_docs_xy, round(pmi, 6) AS pmi
         FROM pm ORDER BY pmi DESC, token_a, token_b LIMIT 25
+    """
+    # zero-filled hourly resample: generate-series join per user span
+    oracles["events_gap_fill"] = """
+        WITH e AS (SELECT user_id, date_trunc('hour', ts) h FROM events),
+        b AS (SELECT user_id, min(h) h0, max(h) h1 FROM e GROUP BY 1),
+        g AS (SELECT user_id, h0 + u.x * INTERVAL 1 HOUR AS hour
+              FROM b, unnest(range(0,
+                   CAST(date_diff('hour', h0, h1) AS BIGINT) + 1)) u(x)),
+        c AS (SELECT user_id, h, count(*) n FROM e GROUP BY 1, 2)
+        SELECT g.user_id, g.hour,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.h = g.hour
     """
     return oracles

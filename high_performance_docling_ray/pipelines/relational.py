@@ -1263,3 +1263,97 @@ def late_event_stats(
             "n_late": pa.array([r["n_late"] for r in rows], pa.int64()),
         }
     )
+
+
+def events_gap_fill(sf_dir: str) -> pa.Table:
+    """Per-user hourly event counts with ZERO-FILLED gaps between each
+    user's first and last active hour — the resample/gap-fill step a
+    time-series feature pipeline runs before windowed models (a
+    missing hour must be an explicit 0, not an absent row).
+
+    Shape: (user, hour) KEY rows only; the sessionize coarse-partition
+    pattern (hash(user) % P, every user whole in one partition), then
+    one vectorized pass per partition: lexsort, per-run min/max hour,
+    ``np.bincount`` over the dense hour range. Emitted rows are
+    bounded by sum of user spans — the operator's contract, same as
+    SQL's generate-series join.
+
+    Output: (user_id, hour, n_events) sorted by (user_id, hour).
+    """
+    num_parts = 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    hour_us = 3_600_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        part = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            num_parts
+        )
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id"),
+                "hour": hour,
+                "part": pa.array(part.astype(np.int32)),
+            }
+        )
+
+    def fill_part(group: pa.Table) -> pa.Table:
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(users):
+            return pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "hour": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        h = (
+            group.column("hour")
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        ) // hour_us
+        order = np.lexsort((h, users))
+        u, hh = users[order], h[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], u[1:] != u[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(u)]])
+        out_u, out_h, out_n = [], [], []
+        for s, e in zip(starts, ends):
+            span = hh[s:e]
+            h0, h1 = int(span[0]), int(span[-1])
+            counts = np.bincount(span - h0, minlength=h1 - h0 + 1)
+            hours = np.arange(h0, h1 + 1, dtype=np.int64)
+            out_u.append(np.full(len(hours), u[s], np.int64))
+            out_h.append(hours * hour_us)
+            out_n.append(counts.astype(np.int64))
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+                "hour": pa.array(np.concatenate(out_h)).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda g: fill_part(g.drop_columns(["part"])),
+                batch_format="pyarrow",
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    tbl = pa.concat_tables(parts)
+    return tbl.sort_by(
+        [("user_id", "ascending"), ("hour", "ascending")]
+    )

@@ -51,3 +51,29 @@ def test_late_events_closed_form(tmp_path):
     # user 1: arrival order 4, 21, 3(late by 2h > 1h allowance)
     assert out.loc[1, "n_events"] == 3 and out.loc[1, "n_late"] == 1
     assert out.loc[2, "n_events"] == 1 and out.loc[2, "n_late"] == 0
+
+
+def test_gap_fill_closed_form(tmp_path):
+    """User with events at hours 0 and 3 -> 4 rows, zeros at 1-2;
+    single-event user -> one row."""
+    import numpy as np
+
+    from high_performance_docling_ray.pipelines.relational import (
+        events_gap_fill,
+    )
+
+    base = np.datetime64("2024-01-01T00:10:00", "us")
+    h = np.timedelta64(3600, "s")
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([base, base + 3 * h, base + 3 * h, base]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+    out = events_gap_fill(str(d)).to_pandas()
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["n_events"]) == [1, 0, 0, 2]
+    assert len(out[out["user_id"] == 2]) == 1
