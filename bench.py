@@ -195,6 +195,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "partition_skew_report",
         "lang_histogram_quantiles",
         "embedding_outliers",
+        "pmi_pairs",
+        "events_gap_fill",
     ]
     qs = entrymod.queries()
     for name in bench_keys:
