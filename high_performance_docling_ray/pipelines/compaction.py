@@ -170,3 +170,41 @@ def compacted_extract(
     return read_parquet_clean(files).select_columns(
         ["url", "extracted_text"]
     )
+
+
+def gc_store(raw_dir: str, compacted_dir: str) -> dict:
+    """Reclaim the superseded RAW store after a verified compaction —
+    the retention step that keeps an incremental store from growing
+    without bound. Refuses (raises) unless the compacted store proves
+    itself: ``_SUCCESS`` present AND the compaction manifest's row
+    total equals the raw parquet footers' row total (metadata-only
+    check, no data read). Only then are raw parquet files deleted.
+
+    Returns {files_removed, bytes_reclaimed, rows_verified}.
+    """
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(compacted_dir, "_SUCCESS")
+    manifest_path = os.path.join(compacted_dir, "_compact_manifest.json")
+    if not (os.path.exists(marker) and os.path.exists(manifest_path)):
+        raise RuntimeError(
+            f"gc refused: {compacted_dir} has no verified compaction"
+        )
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    raw_files = _list_parts(raw_dir)
+    raw_rows = sum(pq.read_metadata(p).num_rows for p in raw_files)
+    if raw_rows != manifest["rows"]:
+        raise RuntimeError(
+            "gc refused: compacted manifest rows "
+            f"{manifest['rows']} != raw rows {raw_rows}"
+        )
+    reclaimed = 0
+    for p in raw_files:
+        reclaimed += os.path.getsize(p)
+        os.remove(p)
+    return {
+        "files_removed": len(raw_files),
+        "bytes_reclaimed": reclaimed,
+        "rows_verified": raw_rows,
+    }

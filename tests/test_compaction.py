@@ -79,3 +79,31 @@ def test_compacted_extract_cached_and_fewer_files():
     assert len(compacted) < len(raw)
     # second call is a cache hit returning the same rows
     assert compacted_extract(SF).count() == n
+
+
+def test_gc_store_verifies_then_reclaims(tmp_path):
+    import json
+
+    import pytest
+
+    from high_performance_docling_ray.pipelines.compaction import gc_store
+
+    store = _write_store(tmp_path, n_files=6, rows_per=5)
+    out = str(tmp_path / "out")
+    # refuse before compaction exists
+    with pytest.raises(RuntimeError, match="no verified compaction"):
+        gc_store(store, out)
+    compact_store_dir(store, out, target_files=2)
+    # refuse on row mismatch (tamper with the manifest)
+    mpath = os.path.join(out, "_compact_manifest.json")
+    m = json.load(open(mpath))
+    json.dump({**m, "rows": m["rows"] + 1}, open(mpath, "w"))
+    with pytest.raises(RuntimeError, match="gc refused"):
+        gc_store(store, out)
+    json.dump(m, open(mpath, "w"))
+    acct = gc_store(store, out)
+    assert acct["files_removed"] == 6 and acct["rows_verified"] == 30
+    assert glob.glob(store + "/*.parquet") == []
+    # compacted store fully intact
+    parts = sorted(glob.glob(out + "/*.parquet"))
+    assert sum(pq.read_metadata(p).num_rows for p in parts) == 30
