@@ -1359,7 +1359,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_pairs": _q_pmi_pairs,
         # time-series resample: zero-filled per-user hourly counts
         "events_gap_fill": _q_events_gap_fill,
+        # bulk kNN-graph construction (graph-ANN / SemDeDup primitive);
+        # _sharded forces the out-of-core shard-streaming tier
+        "knn_graph": _q_knn_graph,
+        "knn_graph_sharded": _q_knn_graph_sharded,
     }
+
+
+def _q_knn_graph(sf_dir: str):
+    from high_performance_docling_ray.pipelines.similarity import knn_graph
+
+    return knn_graph(sf_dir)
+
+
+def _q_knn_graph_sharded(sf_dir: str):
+    from high_performance_docling_ray.pipelines.similarity import knn_graph
+
+    return knn_graph(sf_dir, broadcast_budget=0)
 
 
 def _q_events_gap_fill(sf_dir: str):
@@ -5598,4 +5614,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
         FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.h = g.hour
     """
+    # bulk kNN graph: per-vector top-5 neighbors, ranked; ulp-level
+    # cosine differences wash out in round-6 (knn_brute precedent)
+    oracles["knn_graph"] = """
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+        ),
+        s AS (SELECT a.vec_id ai, b.vec_id bi,
+                     list_cosine_similarity(a.e, b.e) c
+              FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        r AS (SELECT ai, bi, c, row_number() OVER (
+                  PARTITION BY ai ORDER BY c DESC, bi) rnk FROM s)
+        SELECT ai AS vec_id, bi AS neighbor_id, round(c, 6) AS cosine,
+               CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= 5
+    """
+    oracles["knn_graph_sharded"] = oracles["knn_graph"]
     return oracles

@@ -973,3 +973,160 @@ def label_centroids(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# -- bulk kNN-graph construction ----------------------------------------------
+
+def _knn_graph_store(sf_dir: str) -> str:
+    """Normalized whole-table shard store for the out-of-core kNN
+    tier (content-keyed cache + _SUCCESS, the bitext convention)."""
+    import hashlib
+    import os
+    import shutil
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        content_tag = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content_tag = "unknown"
+    tag = hashlib.md5(f"{src}:knngraph:v1:{content_tag}".encode()).hexdigest()[
+        :12
+    ]
+    out_dir = f"/tmp/graft_knngraph/{tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def norm_batch(b: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(b)
+        order = np.argsort(ids, kind="stable")
+        nm = _normalize(mat)[order]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "nemb": pa.array(list(nm), pa.list_(pa.float64())),
+            }
+        )
+
+    read_embeddings(sf_dir).map_batches(
+        norm_batch, batch_format="pyarrow"
+    ).write_parquet(out_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def knn_graph(
+    sf_dir: str, k: int = 5, broadcast_budget: int = 2_000_000
+) -> ray.data.Dataset:
+    """k-nearest-neighbor GRAPH over the whole embeddings table — the
+    bulk primitive behind graph-ANN indexes and SemDeDup-style
+    clustering: every vector gets its k best cosine neighbors
+    (self excluded), ranked.
+
+    In-budget: the normalized matrix rides ``ray.put`` once; each
+    streaming batch is one blocked matmul + vectorized row top-k.
+    Past the budget: each batch streams the persisted normalized shard
+    store instead (the bitext out-of-core tier) keeping a running
+    top-k per row — nothing pinned on the driver; tiers test-pinned
+    equal. Output: (vec_id, neighbor_id, cosine, rank).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
+    in_budget = n_rows <= broadcast_budget
+    if in_budget:
+        ids_all, nm = _normalized_index(sf_dir)
+        ref = ray.put((ids_all, nm))
+        files = None
+    else:
+        from .bitext import _store_files
+
+        files = _store_files(_knn_graph_store(sf_dir))
+
+    def emit_topk(
+        bids: np.ndarray, sims: np.ndarray, nbr_ids: np.ndarray
+    ) -> pa.Table:
+        # fully vectorized row top-k: argpartition + per-row lexsort
+        kk = min(k, sims.shape[1])
+        rows = np.arange(len(bids))[:, None]
+        sel = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        top_c = sims[rows, sel]
+        top_i = nbr_ids[sel]
+        order = np.lexsort((top_i, -top_c), axis=1)
+        top_c = top_c[rows, order]
+        top_i = top_i[rows, order]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(np.repeat(bids, kk), pa.int64()),
+                "neighbor_id": pa.array(top_i.ravel(), pa.int64()),
+                "cosine": pa.array(
+                    np.round(top_c.ravel(), 6), pa.float64()
+                ),
+                "rank": pa.array(
+                    np.tile(np.arange(1, kk + 1, dtype=np.int64), len(bids)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def block(batch: pa.Table) -> pa.Table:
+        bids, mat = _batch_matrix(batch)
+        bmat = _normalize(mat)
+        if in_budget:
+            all_ids, index = ray.get(ref)
+            sims = bmat @ index.T
+            # exclude self: set own column to -inf
+            pos = np.searchsorted(all_ids, bids)
+            sims[np.arange(len(bids)), pos] = -np.inf
+            return emit_topk(bids, sims, all_ids)
+        # out-of-core: running top-k across shards
+        best_c = np.full((len(bids), k), -np.inf)
+        best_id = np.full((len(bids), k), np.iinfo(np.int64).max, np.int64)
+        from .bitext import _store_matrix
+
+        for path in files:
+            oids, opp = _store_matrix(path)
+            sims = bmat @ opp.T
+            hit = oids[None, :] == bids[:, None]
+            sims[hit] = -np.inf
+            cand_c = np.concatenate([best_c, sims], axis=1)
+            cand_i = np.concatenate(
+                [best_id, np.broadcast_to(oids, sims.shape)], axis=1
+            )
+            sel = np.argpartition(-cand_c, k - 1, axis=1)[:, :k]
+            rows = np.arange(len(bids))[:, None]
+            best_c = cand_c[rows, sel]
+            best_id = cand_i[rows, sel]
+        # final exact ordering per row: (cosine desc, neighbor asc)
+        order = np.lexsort(
+            (best_id, -best_c), axis=1
+        )
+        rows = np.arange(len(bids))[:, None]
+        best_c = best_c[rows, order]
+        best_id = best_id[rows, order]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(
+                    np.repeat(bids, k), pa.int64()
+                ),
+                "neighbor_id": pa.array(best_id.ravel(), pa.int64()),
+                "cosine": pa.array(
+                    np.round(best_c.ravel(), 6), pa.float64()
+                ),
+                "rank": pa.array(
+                    np.tile(np.arange(1, k + 1, dtype=np.int64), len(bids)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return read_embeddings(sf_dir).map_batches(block, batch_format="pyarrow")
