@@ -197,6 +197,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embedding_outliers",
         "pmi_pairs",
         "events_gap_fill",
+        "knn_graph",
     ]
     qs = entrymod.queries()
     for name in bench_keys:
