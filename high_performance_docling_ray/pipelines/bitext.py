@@ -11,10 +11,11 @@ here are deterministic halves of the embeddings table (even vs odd
 vec_id); a real run would pass two tables.
 
 Tiers (pinned equal by tests):
-  - IN-BUDGET: both sides' normalized matrices are ``ray.put`` once;
-    two streaming stat passes (mean top-k per row) + two best-match
-    passes, all blocked matmuls. No shuffle until the final mutual
-    check.
+  - IN-BUDGET: one materialize loads and splits both sides; the
+    normalized matrices ride ``ray.put`` once; ONE parity-branching
+    stats pass (mean top-k per row) + ONE parity-branching best pass,
+    all blocked matmuls — three topologies total. No shuffle until
+    the final mutual check.
   - OUT-OF-CORE (past ``broadcast_budget`` vectors per side): each
     side is persisted as a normalized parquet shard store
     (content-keyed cache + _SUCCESS, the IVF-store convention); the
@@ -51,7 +52,6 @@ K_NEIGHBORS = 4
 
 def _side_ds(sf_dir: str, side: int) -> ray.data.Dataset:
     """One 'language' side: vec_id % 2 == side."""
-    import pyarrow.compute as pc
 
     def f(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
