@@ -1363,7 +1363,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # _sharded forces the out-of-core shard-streaming tier
         "knn_graph": _q_knn_graph,
         "knn_graph_sharded": _q_knn_graph_sharded,
+        # TPC-H relational widening (pipelines/analytics.py): the
+        # remaining classic query shapes the schema can express
+        "q4_order_priority": _q_q4_order_priority,   # EXISTS semi-join
+        "q6_forecast_revenue": _q_q6_forecast,       # filtered scan agg
+        "q7_nation_volume": _q_q7_nation_volume,     # 2-nation volume/yr
+        "q10_returned_items": _q_q10_returned,       # join + topk cust
+        "q12_priority_lines": _q_q12_priority,       # CASE-count pivot
+        "q14_promo_revenue": _q_q14_promo,           # ratio aggregate
+        # GROUP BY ROLLUP derived from one finest-grain exact pass
+        "revenue_rollup": _q_revenue_rollup,
+        # ordered event funnel (strict min-time chaining per user)
+        "funnel_analysis": _q_funnel_analysis,
+        # cohort-day x day-offset distinct-user retention matrix
+        "retention_cohorts": _q_retention_cohorts,
     }
+
+
+def _q_q4_order_priority(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import q4_order_priority
+
+    return q4_order_priority(sf_dir)
+
+
+def _q_q6_forecast(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import q6_forecast_revenue
+
+    return q6_forecast_revenue(sf_dir)
+
+
+def _q_q7_nation_volume(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import q7_nation_volume
+
+    return q7_nation_volume(sf_dir)
+
+
+def _q_q10_returned(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import q10_returned_items
+
+    return q10_returned_items(sf_dir)
+
+
+def _q_q12_priority(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import q12_priority_lines
+
+    return q12_priority_lines(sf_dir)
+
+
+def _q_q14_promo(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import q14_promo_revenue
+
+    return q14_promo_revenue(sf_dir)
+
+
+def _q_revenue_rollup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import revenue_rollup
+
+    return revenue_rollup(sf_dir)
+
+
+def _q_funnel_analysis(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import funnel_analysis
+
+    return funnel_analysis(sf_dir)
+
+
+def _q_retention_cohorts(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import retention_cohorts
+
+    return retention_cohorts(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -5630,4 +5698,139 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rnk <= 5
     """
     oracles["knn_graph_sharded"] = oracles["knn_graph"]
+    # TPC-H widening family (pipelines/analytics.py). Money sums use
+    # DECIMAL casts (exact 2-decimal data) mirrored by int64-cents
+    # arithmetic on the Ray side; count aggregates use count(CASE...)
+    # so DuckDB returns BIGINT (a HUGEINT sum would land as float64 in
+    # pandas and break the value hash).
+    oracles["q4_order_priority"] = """
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """
+    oracles["q6_forecast_revenue"] = """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 24
+    """
+    oracles["q7_nation_volume"] = """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(vol) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 EXTRACT(year FROM l.l_shipdate) AS l_year,
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS vol
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        ) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+    oracles["q10_returned_items"] = """
+        SELECT c.c_custkey, c.c_name,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue,
+               c.c_acctbal, n.n_name
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o.o_orderdate < TIMESTAMP '1996-10-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1 - l.l_discount AS DECIMAL(18,2))) DESC,
+                 c.c_custkey ASC
+        LIMIT 20
+    """
+    oracles["q12_priority_lines"] = """
+        SELECT l.l_returnflag,
+               count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """
+    # both sides compute 100.0 * (promo / total) with the SAME float op
+    # order over the two exact DECIMAL-scale-4 sums
+    oracles["q14_promo_revenue"] = """
+        SELECT 100.0 * (
+                 CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                    * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                        AS DOUBLE)
+               ) AS promo_revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """
+    oracles["revenue_rollup"] = """
+        SELECT r.r_name, n.n_name,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)
+        ORDER BY r.r_name, n.n_name, revenue
+    """
+    # strict min-time chaining: first view, first click AFTER it,
+    # first purchase after that — counts per step
+    oracles["funnel_analysis"] = """
+        WITH v AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ), c AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY 1
+        ), p AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT step, users FROM (
+          SELECT '1_view' AS step, count(*) AS users FROM v
+          UNION ALL SELECT '2_click', count(*) FROM c
+          UNION ALL SELECT '3_purchase', count(*) FROM p
+        ) ORDER BY step
+    """
+    oracles["retention_cohorts"] = """
+        WITH f AS (
+          SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+          FROM events GROUP BY 1
+        )
+        SELECT f.cohort_day,
+               datediff('day', f.cohort_day, date_trunc('day', e.ts))
+                 AS day_offset,
+               count(DISTINCT e.user_id) AS users
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
     return oracles

@@ -198,6 +198,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "pmi_pairs",
         "events_gap_fill",
         "knn_graph",
+        # session-9 additions: TPC-H widening + event analytics
+        "q4_order_priority",
+        "q7_nation_volume",
+        "q10_returned_items",
+        "revenue_rollup",
+        "funnel_analysis",
+        "retention_cohorts",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

@@ -1,0 +1,776 @@
+"""TPC-H-style relational widening + event-funnel analytics.
+
+Extends ``relational.py`` with the remaining classic TPC-H shapes the
+test schema can express, plus two event-analytics operators (funnel,
+retention cohorts). Every query follows the house execution pattern:
+
+* small build sides are read driver-direct with pyarrow
+  (``_broadcast_parquet``), collapsed into dense numpy LUTs and
+  ``ray.put`` once — zero-copy plasma reads in every probe task;
+* the big probe side (lineitem / events) STREAMS through
+  ``map_batches`` with fully vectorized numpy/pyarrow kernels;
+* partial aggregates are key-only rows merged by ``_combine_partials``
+  (one driver-side C++ group_by) under a row budget, with the Ray
+  groupby shuffle as the any-cardinality fallback;
+* money math is exact int64 cents (scale 1e2; products at 1e4), so
+  every sum is order-independent and bit-stable vs the DuckDB oracle.
+
+Scale notes per query live in each docstring. All output column names
+match ``__ray_entry__.oracle_sql`` exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .relational import (
+    _broadcast_parquet,
+    _cents,
+    _combine_partials,
+    _read,
+    _sorted_member_mask,
+)
+
+_DAY_US = 86_400_000_000
+
+
+def _us(date: str) -> np.datetime64:
+    return np.datetime64(date, "us")
+
+
+def _ts_us(col) -> np.ndarray:
+    """timestamp[us] column -> int64 microseconds (zero-copy)."""
+    return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+
+
+# -- q6: filtered scan + scalar aggregate ------------------------------------
+
+def q6_forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 shape: pure filtered-scan scalar aggregate.
+
+    No build side at all — each batch reduces to ONE int64 partial
+    (revenue at scale 1e4); the driver sums Python ints (arbitrary
+    precision, safe at any corpus size). The cheapest possible query:
+    demonstrates predicate + projection pushdown at the read.
+    """
+    lo, hi = _us("1996-01-01"), _us("1997-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        disc_c = _cents(batch.column("l_discount"))
+        qty_c = _cents(batch.column("l_quantity"))
+        mask = (
+            (ship >= lo) & (ship < hi)
+            & (disc_c >= 2) & (disc_c <= 4)
+            & (qty_c < 2400)
+        )
+        base_c = _cents(batch.column("l_extendedprice"))[mask]
+        rev = int(np.sum(base_c * disc_c[mask], dtype=np.int64))
+        return pa.Table.from_pydict({"rev_e4": pa.array([rev], pa.int64())})
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = sum(int(r["rev_e4"]) for r in parts)
+    return pa.Table.from_pydict(
+        {"revenue": pa.array([total / 10000.0], pa.float64())}
+    )
+
+
+# -- q4: EXISTS semi-join + priority counts ----------------------------------
+
+def q4_order_priority(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """TPC-H Q4 shape (adapted: the schema has no commit/receipt dates,
+    so the EXISTS predicate is "some lineitem shipped after the order
+    date"): count orders per priority having such a lineitem.
+
+    The build side is orders FILTERED to a 3-month window — tiny at any
+    corpus scale — broadcast as parallel sorted arrays (orderkey,
+    orderdate_us, priority id). lineitem streams; each batch emits the
+    DISTINCT qualifying orderkeys it saw (block-distinct key rows, the
+    column_profile trick), merged under the combine budget, Ray
+    groupby fallback past it. The final priority count is a driver
+    bincount over ≤|window orders| keys.
+    """
+    lo, hi = _us(date_lo), _us(date_hi)
+    orders = _broadcast_parquet(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    odate = _ts_us(orders.column("o_orderdate"))
+    win = (odate >= lo.astype("datetime64[us]").astype(np.int64)) & (
+        odate < hi.astype("datetime64[us]").astype(np.int64)
+    )
+    okey = orders.column("o_orderkey").to_numpy().astype(np.int64)[win]
+    odate = odate[win]
+    prio = orders.column("o_orderpriority").to_numpy(zero_copy_only=False)[win]
+    prio_names, prio_id = np.unique(prio, return_inverse=True)
+    order_sort = np.argsort(okey, kind="stable")
+    okey_s, odate_s, prio_s = okey[order_sort], odate[order_sort], prio_id[order_sort]
+    build_ref = ray.put((okey_s, odate_s))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys_s, dates_s = ray.get(build_ref)
+        lkey = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        member = _sorted_member_mask(keys_s, lkey)
+        if not member.any():
+            return pa.Table.from_pydict(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        lkey_m = lkey[member]
+        ship = _ts_us(batch.column("l_shipdate"))[member]
+        pos = np.searchsorted(keys_s, lkey_m)
+        qual = ship > dates_s[pos]
+        hits = np.unique(lkey_m[qual])
+        return pa.Table.from_pydict(
+            {"o_orderkey": pa.array(hits, pa.int64()),
+             "n": pa.array(np.ones(len(hits), dtype=np.int64))}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    partials = li.map_batches(probe, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["o_orderkey"], ["n"], combine_limit)
+    if tbl is None:  # over budget: any-cardinality shuffle
+        tbl = pa.Table.from_pylist(
+            partials.groupby("o_orderkey").sum("n").take_all()
+        )
+    hit_keys = (
+        tbl.column("o_orderkey").to_numpy().astype(np.int64)
+        if tbl.num_rows
+        else np.array([], dtype=np.int64)
+    )
+    pos = np.searchsorted(okey_s, hit_keys)
+    counts = np.bincount(prio_s[pos], minlength=len(prio_names))
+    keep = counts > 0
+    return pa.Table.from_pydict(
+        {
+            "o_orderpriority": pa.array(prio_names[keep]),
+            "order_count": pa.array(counts[keep], pa.int64()),
+        }
+    ).sort_by([("o_orderpriority", "ascending")])
+
+
+# -- q7: two-nation volume by year --------------------------------------------
+
+def q7_nation_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+
+    Three build sides collapse into TWO dense LUTs on the driver —
+    suppkey -> supplier-nation tag (0/1/-1) and orderkey -> customer-
+    nation tag — broadcast once. lineitem streams; a batch reduces to
+    at most 2 × n_years partial rows (direction id × ship-year).
+
+    Scale note: orderkey->tag is the large LUT (like q3's broadcast
+    orders). At 10^12 orders the window filter doesn't shrink it, so
+    the deployment path swaps this LUT for a cogroup_attach of the
+    customer-nation tag onto lineitem by l_orderkey (joins.py) — same
+    partial-agg tail. The broadcast tier is used here because orders
+    ≪ lineitem in every TPC-H-shaped corpus.
+    """
+    nation = _broadcast_parquet(sf_dir, "nation", ["n_nationkey", "n_name"])
+    n_key = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    n_name = nation.column("n_name").to_numpy(zero_copy_only=False)
+    tag_of = np.full(int(n_key.max()) + 1, -1, dtype=np.int64)
+    tag_of[n_key[n_name == nation_a]] = 0
+    tag_of[n_key[n_name == nation_b]] = 1
+
+    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    s_key = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    s_nat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    supp_tag = np.full(int(s_key.max()) + 1, -1, dtype=np.int64)
+    supp_tag[s_key] = tag_of[s_nat]
+
+    cust = _broadcast_parquet(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    c_key = cust.column("c_custkey").to_numpy().astype(np.int64)
+    c_nat = cust.column("c_nationkey").to_numpy().astype(np.int64)
+    cust_tag = np.full(int(c_key.max()) + 1, -1, dtype=np.int64)
+    cust_tag[c_key] = tag_of[c_nat]
+
+    orders = _broadcast_parquet(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_key = orders.column("o_orderkey").to_numpy().astype(np.int64)
+    o_cust = orders.column("o_custkey").to_numpy().astype(np.int64)
+    order_tag = np.full(int(o_key.max()) + 1, -1, dtype=np.int64)
+    order_tag[o_key] = cust_tag[o_cust]
+    lut_ref = ray.put((supp_tag, order_tag))
+
+    _EMPTY = pa.Table.from_pydict(
+        {"dir_id": pa.array([], pa.int64()),
+         "l_year": pa.array([], pa.int64()),
+         "rev_e4": pa.array([], pa.int64())}
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        stag_lut, otag_lut = ray.get(lut_ref)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        stag = np.where(
+            (sk >= 0) & (sk < len(stag_lut)),
+            stag_lut[np.clip(sk, 0, max(len(stag_lut) - 1, 0))], -1,
+        )
+        otag = np.where(
+            (ok >= 0) & (ok < len(otag_lut)),
+            otag_lut[np.clip(ok, 0, max(len(otag_lut) - 1, 0))], -1,
+        )
+        # cross-nation pairs only: (a-supplier, b-customer) or reverse
+        mask = (stag >= 0) & (otag >= 0) & (stag != otag)
+        if not mask.any():
+            return _EMPTY
+        dir_id = stag[mask]  # 0: a->b, 1: b->a
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)[mask]
+        year = ship.astype("datetime64[Y]").astype(np.int64) + 1970
+        base_c = _cents(batch.column("l_extendedprice"))[mask]
+        disc_c = _cents(batch.column("l_discount"))[mask]
+        t = pa.Table.from_pydict(
+            {"dir_id": pa.array(dir_id, pa.int64()),
+             "l_year": pa.array(year, pa.int64()),
+             "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
+        )
+        return t.group_by(["dir_id", "l_year"]).aggregate(
+            [("rev_e4", "sum")]
+        ).rename_columns(["dir_id", "l_year", "rev_e4"])
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    partials = li.map_batches(probe, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["dir_id", "l_year"], ["rev_e4"],
+                            combine_limit)
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby(["dir_id", "l_year"]).sum("rev_e4").take_all()
+        )
+    dir_id = tbl.column("dir_id").to_numpy().astype(np.int64)
+    names = np.array([nation_a, nation_b], dtype=object)
+    out = pa.Table.from_pydict(
+        {
+            "supp_nation": pa.array(names[dir_id].tolist(), pa.string()),
+            "cust_nation": pa.array(names[1 - dir_id].tolist(), pa.string()),
+            "l_year": tbl.column("l_year"),
+            "revenue": pa.array(
+                tbl.column("sum(rev_e4)").to_numpy().astype(np.int64) / 10000.0,
+                pa.float64(),
+            ),
+        }
+    )
+    return out.sort_by(
+        [("supp_nation", "ascending"), ("cust_nation", "ascending"),
+         ("l_year", "ascending")]
+    )
+
+
+# -- q10: returned-item revenue per customer ----------------------------------
+
+def q10_returned_items(
+    sf_dir: str,
+    date_lo: str = "1996-07-01",
+    date_hi: str = "1996-10-01",
+    k: int = 20,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns in a
+    quarter. Build side = orders filtered to the window (orderkey ->
+    custkey), broadcast sorted; probe = lineitem with l_returnflag='R';
+    partial agg per custkey; the customer attribute attach happens on
+    the ≤k driver rows (never a distributed join).
+    """
+    lo, hi = _us(date_lo), _us(date_hi)
+    orders = _broadcast_parquet(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    odate = _ts_us(orders.column("o_orderdate"))
+    win = (odate >= int(lo.astype(np.int64))) & (odate < int(hi.astype(np.int64)))
+    okey = orders.column("o_orderkey").to_numpy().astype(np.int64)[win]
+    ocust = orders.column("o_custkey").to_numpy().astype(np.int64)[win]
+    order_sort = np.argsort(okey, kind="stable")
+    okey_s, ocust_s = okey[order_sort], ocust[order_sort]
+    build_ref = ray.put((okey_s, ocust_s))
+
+    _EMPTY = pa.Table.from_pydict(
+        {"c_custkey": pa.array([], pa.int64()),
+         "rev_e4": pa.array([], pa.int64())}
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys_s, cust_s = ray.get(build_ref)
+        flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        lkey = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        mask = (flag == "R") & _sorted_member_mask(keys_s, lkey)
+        if not mask.any():
+            return _EMPTY
+        ck = cust_s[np.searchsorted(keys_s, lkey[mask])]
+        base_c = _cents(batch.column("l_extendedprice"))[mask]
+        disc_c = _cents(batch.column("l_discount"))[mask]
+        t = pa.Table.from_pydict(
+            {"c_custkey": pa.array(ck, pa.int64()),
+             "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
+        )
+        return t.group_by("c_custkey").aggregate(
+            [("rev_e4", "sum")]
+        ).rename_columns(["c_custkey", "rev_e4"])
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    partials = li.map_batches(probe, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["c_custkey"], ["rev_e4"], combine_limit)
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby("c_custkey").sum("rev_e4").take_all()
+        )
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[("sum(rev_e4)", "descending"), ("c_custkey", "ascending")],
+    )[:k]
+    head = tbl.take(idx)
+    ck = head.column("c_custkey").to_numpy().astype(np.int64)
+    rev = head.column("sum(rev_e4)").to_numpy().astype(np.int64)
+
+    cust = _broadcast_parquet(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    )
+    nation = _broadcast_parquet(sf_dir, "nation", ["n_nationkey", "n_name"])
+    all_ck = cust.column("c_custkey").to_numpy().astype(np.int64)
+    pos = {int(c): i for i, c in enumerate(all_ck)}
+    rows = [pos[int(c)] for c in ck]
+    nname = nation.column("n_name").to_numpy(zero_copy_only=False)
+    nkey = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    nlut = np.empty(int(nkey.max()) + 1, dtype=object)
+    nlut[nkey] = nname
+    cnat = cust.column("c_nationkey").to_numpy().astype(np.int64)[rows]
+    return pa.Table.from_pydict(
+        {
+            "c_custkey": pa.array(ck, pa.int64()),
+            "c_name": pa.array(
+                cust.column("c_name").to_numpy(zero_copy_only=False)[rows].tolist()
+            ),
+            "revenue": pa.array(rev / 10000.0, pa.float64()),
+            "c_acctbal": pa.array(
+                cust.column("c_acctbal").to_numpy(zero_copy_only=False)[rows],
+                pa.float64(),
+            ),
+            "n_name": pa.array(nlut[cnat].tolist(), pa.string()),
+        }
+    )
+
+
+# -- q12: priority line counts per return flag --------------------------------
+
+def q12_priority_lines(
+    sf_dir: str, year: str = "1996", combine_limit: int = 2_000_000
+) -> pa.Table:
+    """TPC-H Q12 shape (adapted: no l_shipmode column — the group key is
+    l_returnflag): per flag, how many lines shipped that year belong to
+    high-priority orders (1-URGENT / 2-HIGH) vs the rest. Build side =
+    orderkey -> is_high bool LUT; probe emits ≤|flags| partial rows.
+    """
+    lo = _us(f"{year}-01-01")
+    hi = _us(f"{int(year) + 1}-01-01")
+    orders = _broadcast_parquet(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    okey = orders.column("o_orderkey").to_numpy().astype(np.int64)
+    oprio = orders.column("o_orderpriority").to_numpy(zero_copy_only=False)
+    high = np.full(int(okey.max()) + 1, -1, dtype=np.int8)
+    high[okey] = np.isin(oprio, ["1-URGENT", "2-HIGH"]).astype(np.int8)
+    lut_ref = ray.put(high)
+
+    _EMPTY = pa.Table.from_pydict(
+        {"l_returnflag": pa.array([], pa.string()),
+         "high_line_count": pa.array([], pa.int64()),
+         "low_line_count": pa.array([], pa.int64())}
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        lkey = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        mask = (ship >= lo) & (ship < hi) & (lkey >= 0) & (lkey < len(lut))
+        if not mask.any():
+            return _EMPTY
+        h = lut[lkey[mask]]
+        known = h >= 0
+        flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)[mask][known]
+        h = h[known].astype(np.int64)
+        t = pa.Table.from_pydict(
+            {"l_returnflag": pa.array(flag.tolist(), pa.string()),
+             "high_line_count": pa.array(h, pa.int64()),
+             "low_line_count": pa.array(1 - h, pa.int64())}
+        )
+        return t.group_by("l_returnflag").aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        ).rename_columns(["l_returnflag", "high_line_count", "low_line_count"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_returnflag"])
+    partials = li.map_batches(probe, batch_format="pyarrow")
+    tbl = _combine_partials(
+        partials, ["l_returnflag"], ["high_line_count", "low_line_count"],
+        combine_limit,
+    )
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby("l_returnflag")
+            .sum(["high_line_count", "low_line_count"]).take_all()
+        )
+    out = pa.Table.from_pydict(
+        {
+            "l_returnflag": tbl.column("l_returnflag"),
+            "high_line_count": tbl.column("sum(high_line_count)"),
+            "low_line_count": tbl.column("sum(low_line_count)"),
+        }
+    )
+    return out.sort_by([("l_returnflag", "ascending")])
+
+
+# -- q14: promo revenue share --------------------------------------------------
+
+def q14_promo_revenue(
+    sf_dir: str, date_lo: str = "1996-09-01", date_hi: str = "1996-10-01"
+) -> pa.Table:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO parts.
+    Build side = partkey -> is_promo bit LUT; each batch reduces to two
+    int64 partials (promo_e4, total_e4) summed as Python ints on the
+    driver; ONE float divide at the very end (bit-stable vs the oracle's
+    DOUBLE divide of two exact DECIMAL sums).
+    """
+    lo, hi = _us(date_lo), _us(date_hi)
+    part = _broadcast_parquet(sf_dir, "part", ["p_partkey", "p_type"])
+    pkey = part.column("p_partkey").to_numpy().astype(np.int64)
+    ptype = part.column("p_type").to_numpy(zero_copy_only=False)
+    promo = np.full(int(pkey.max()) + 1, -1, dtype=np.int8)
+    promo[pkey] = (ptype == "PROMO").astype(np.int8)
+    lut_ref = ray.put(promo)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        mask = (ship >= lo) & (ship < hi) & (pk >= 0) & (pk < len(lut))
+        flag = np.where(mask, lut[np.clip(pk, 0, max(len(lut) - 1, 0))], -1)
+        keep = flag >= 0
+        base_c = _cents(batch.column("l_extendedprice"))[keep]
+        disc_c = _cents(batch.column("l_discount"))[keep]
+        rev = base_c * (100 - disc_c)
+        return pa.Table.from_pydict(
+            {
+                "promo_e4": pa.array(
+                    [int(np.sum(rev[flag[keep] == 1], dtype=np.int64))], pa.int64()
+                ),
+                "total_e4": pa.array([int(np.sum(rev, dtype=np.int64))], pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    parts = li.map_batches(probe, batch_format="pyarrow").take_all()
+    promo_sum = sum(int(r["promo_e4"]) for r in parts)
+    total_sum = sum(int(r["total_e4"]) for r in parts)
+    share = 100.0 * ((promo_sum / 10000.0) / (total_sum / 10000.0)) if total_sum else 0.0
+    return pa.Table.from_pydict(
+        {"promo_revenue": pa.array([share], pa.float64())}
+    )
+
+
+# -- rollup: multi-level aggregate ---------------------------------------------
+
+def revenue_rollup(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
+    """GROUP BY ROLLUP(r_name, n_name) supplier revenue.
+
+    One streaming pass produces EXACT int64 partials at the FINEST
+    grain (nation id); region subtotals and the grand total are derived
+    on the driver from that ≤|nations|-row table — the rollup costs
+    nothing beyond the base aggregate (the standard rollup-from-finest-
+    grain identity, valid because sums are exact ints).
+    Output: (r_name, n_name, revenue) with NULLs marking subtotal rows,
+    exactly like SQL ROLLUP.
+    """
+    region = _broadcast_parquet(sf_dir, "region", ["r_regionkey", "r_name"])
+    nation = _broadcast_parquet(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    )
+    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    r_keys = region.column("r_regionkey").to_numpy().astype(np.int64)
+    r_names = region.column("r_name").to_numpy(zero_copy_only=False)
+    rname_of = np.empty(int(r_keys.max()) + 1, dtype=object)
+    rname_of[r_keys] = r_names
+    n_key = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    n_name = nation.column("n_name").to_numpy(zero_copy_only=False)
+    n_reg = nation.column("n_regionkey").to_numpy().astype(np.int64)
+    s_key = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    s_nat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    # suppkey -> dense nation index (position in the nation table)
+    nid_of_nkey = np.full(int(n_key.max()) + 1, -1, dtype=np.int64)
+    nid_of_nkey[n_key] = np.arange(len(n_key))
+    supp_nid = np.full(int(s_key.max()) + 1, -1, dtype=np.int64)
+    supp_nid[s_key] = nid_of_nkey[s_nat]
+    lut_ref = ray.put(supp_nid)
+    n_nations = len(n_key)
+
+    _EMPTY = pa.Table.from_pydict(
+        {"nid": pa.array([], pa.int64()), "rev_e4": pa.array([], pa.int64())}
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        if len(lut) == 0 or batch.num_rows == 0:
+            return _EMPTY
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        valid = (sk >= 0) & (sk < len(lut))
+        nid = np.where(valid, lut[np.clip(sk, 0, max(len(lut) - 1, 0))], -1)
+        ok = nid >= 0
+        base_c = _cents(batch.column("l_extendedprice"))[ok]
+        disc_c = _cents(batch.column("l_discount"))[ok]
+        sums = np.zeros(n_nations, dtype=np.int64)
+        np.add.at(sums, nid[ok], base_c * (100 - disc_c))
+        hit = np.zeros(n_nations, dtype=bool)
+        hit[nid[ok]] = True
+        return pa.Table.from_pydict(
+            {"nid": pa.array(np.nonzero(hit)[0], pa.int64()),
+             "rev_e4": pa.array(sums[hit], pa.int64())}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    partials = li.map_batches(probe, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["nid"], ["rev_e4"], combine_limit)
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby("nid").sum("rev_e4").take_all()
+        )
+
+    nid = tbl.column("nid").to_numpy().astype(np.int64)
+    rev = tbl.column("sum(rev_e4)").to_numpy().astype(np.int64)
+    rows_r, rows_n, rows_v = [], [], []
+    # finest grain
+    for i, v in zip(nid, rev):
+        rows_r.append(rname_of[n_reg[i]])
+        rows_n.append(n_name[i])
+        rows_v.append(int(v))
+    # region subtotals
+    reg_of_row = np.array([n_reg[i] for i in nid], dtype=np.int64)
+    for rk in np.unique(reg_of_row):
+        rows_r.append(rname_of[rk])
+        rows_n.append(None)
+        rows_v.append(int(rev[reg_of_row == rk].sum()))
+    # grand total
+    rows_r.append(None)
+    rows_n.append(None)
+    rows_v.append(int(rev.sum()))
+    out = pa.Table.from_pydict(
+        {
+            "r_name": pa.array(rows_r, pa.string()),
+            "n_name": pa.array(rows_n, pa.string()),
+            "revenue": pa.array(np.array(rows_v, dtype=np.int64) / 10000.0,
+                                pa.float64()),
+        }
+    )
+    return out.sort_by(
+        [("r_name", "ascending"), ("n_name", "ascending"), ("revenue", "ascending")]
+    )
+
+
+# -- funnel analysis ------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel_analysis(
+    sf_dir: str,
+    steps: list[str] | None = None,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """Ordered event funnel: users whose first step-k event STRICTLY
+    follows their first qualifying step-(k-1) event.
+
+    Per-user ordered semantics force a co-located scan, so this is the
+    groupby(user_id).map_groups shape (like sessionize) — each group
+    does a fully vectorized min-chain over its sorted timestamps. The
+    shuffle exchanges only (user_id, ts, event_type) key rows; counts
+    combine via one tiny aggregate.
+    """
+    steps = steps or _FUNNEL_STEPS
+    n_steps = len(steps)
+    step_id = {s: i for i, s in enumerate(steps)}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        keep = np.isin(et, steps)
+        kept = et[keep]
+        sid = np.zeros(len(kept), dtype=np.int64)
+        for i, s in enumerate(steps):  # |steps| vectorized passes, no row loop
+            sid[kept == s] = i
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id").filter(pa.array(keep)),
+                "ts_us": pa.array(_ts_us(batch.column("ts"))[keep], pa.int64()),
+                "sid": pa.array(sid, pa.int64()),
+            }
+        )
+
+    def depth(group: pa.Table) -> pa.Table:
+        ts = group.column("ts_us").to_numpy()
+        sid = group.column("sid").to_numpy()
+        t = -1  # start: any first-step event qualifies (ts > -1 always)
+        d = 0
+        for k in range(n_steps):
+            mask = (sid == k) & (ts > t)
+            if not mask.any():
+                break
+            t = int(ts[mask].min())
+            d = k + 1
+        return pa.Table.from_pydict({"depth": pa.array([d], pa.int64())})
+
+    def depth_hist(batch: pa.Table) -> pa.Table:
+        # per-block depth histogram: the driver only ever sees
+        # (n_steps+1)-row partials, never per-user rows
+        d = batch.column("depth").to_numpy().astype(np.int64)
+        hist = np.bincount(d, minlength=n_steps + 1)
+        return pa.Table.from_pydict(
+            {"depth": pa.array(np.arange(n_steps + 1), pa.int64()),
+             "n": pa.array(hist, pa.int64())}
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    hists = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(depth, batch_format="pyarrow")
+        .map_batches(depth_hist, batch_format="pyarrow")
+    )
+    tbl = _combine_partials(hists, ["depth"], ["n"], combine_limit)
+    if tbl is None:  # over budget (n_steps+1 keys — only under a forced 0)
+        tbl = pa.Table.from_pylist(
+            hists.groupby("depth").sum("n").take_all()
+        )
+    counts = np.zeros(n_steps, dtype=np.int64)
+    if tbl.num_rows:
+        dcol = tbl.column("depth").to_numpy().astype(np.int64)
+        ncol = tbl.column("sum(n)").to_numpy().astype(np.int64)
+        hist = np.zeros(n_steps + 1, dtype=np.int64)
+        hist[dcol] = ncol
+        # users reaching step k = sum of hist[d] for d >= k+1
+        counts = np.cumsum(hist[::-1])[::-1][1:]
+    return pa.Table.from_pydict(
+        {
+            "step": pa.array([f"{i + 1}_{s}" for i, s in enumerate(steps)]),
+            "users": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+# -- retention cohorts -----------------------------------------------------------
+
+def retention_cohorts(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
+    """Classic cohort retention: users grouped by first-activity day;
+    for each (cohort_day, day_offset) count DISTINCT active users.
+
+    Two passes: (1) per-user first day via per-batch min partials +
+    driver combine (key-only rows; Ray groupby fallback past the
+    budget); cohort map broadcast sorted. (2) events stream again,
+    each batch emits its DISTINCT (cohort_day, offset, user) triples
+    (block-distinct rows), combined into exact distinct counts. The
+    user id never leaves a key row, so the exchange stays narrow at any
+    corpus size; past the broadcast budget the cohort attach becomes a
+    cogroup_attach by user_id (documented deployment path).
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        day = _ts_us(batch.column("ts")) // _DAY_US
+        t = pa.Table.from_pydict(
+            {"user_id": pa.array(uid, pa.int64()),
+             "day": pa.array(day, pa.int64())}
+        )
+        return t.group_by("user_id").aggregate([("day", "min")]).rename_columns(
+            ["user_id", "day"]
+        )
+
+    partials = ds.map_batches(first_partial, batch_format="pyarrow")
+    firsts = _combine_partials(partials, ["user_id"], ["day"],
+                               combine_limit, agg="min")
+    if firsts is None:  # any-cardinality fallback
+        firsts = pa.Table.from_pylist(
+            partials.groupby("user_id").min("day").take_all()
+        )
+    uid = firsts.column("user_id").to_numpy().astype(np.int64)
+    day0 = firsts.column("min(day)").to_numpy().astype(np.int64)
+    order = np.argsort(uid, kind="stable")
+    uid_s, day0_s = uid[order], day0[order]
+    cohort_ref = ray.put((uid_s, day0_s))
+
+    _EMPTY_TRIP = pa.Table.from_pydict(
+        {"cohort_day": pa.array([], pa.int64()),
+         "day_offset": pa.array([], pa.int64()),
+         "user_id": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def triple_partial(batch: pa.Table) -> pa.Table:
+        users_s, days0_s = ray.get(cohort_ref)
+        if len(users_s) == 0 or batch.num_rows == 0:
+            return _EMPTY_TRIP
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        day = _ts_us(batch.column("ts")) // _DAY_US
+        pos = np.minimum(np.searchsorted(users_s, u), len(users_s) - 1)
+        ok = users_s[pos] == u
+        cohort = days0_s[pos]
+        off = day - cohort
+        trip = np.unique(
+            np.stack([cohort[ok], off[ok], u[ok]], axis=1), axis=0
+        )
+        return pa.Table.from_pydict(
+            {
+                "cohort_day": pa.array(trip[:, 0], pa.int64()),
+                "day_offset": pa.array(trip[:, 1], pa.int64()),
+                "user_id": pa.array(trip[:, 2], pa.int64()),
+                "n": pa.array(np.ones(len(trip), dtype=np.int64)),
+            }
+        )
+
+    trips = ds.map_batches(triple_partial, batch_format="pyarrow")
+    tbl = _combine_partials(
+        trips, ["cohort_day", "day_offset", "user_id"], ["n"], combine_limit
+    )
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            trips.groupby(["cohort_day", "day_offset", "user_id"])
+            .sum("n").take_all()
+        )
+    counted = (
+        tbl.select(["cohort_day", "day_offset"])
+        .append_column("users", pa.array(np.ones(tbl.num_rows, dtype=np.int64)))
+        .group_by(["cohort_day", "day_offset"])
+        .aggregate([("users", "sum")])
+        .rename_columns(["cohort_day", "day_offset", "users"])
+    )
+    ep = np.datetime64("1970-01-01", "us")
+    cd = counted.column("cohort_day").to_numpy().astype(np.int64)
+    out = pa.Table.from_pydict(
+        {
+            "cohort_day": pa.array(ep + cd * _DAY_US, pa.timestamp("us")),
+            "day_offset": counted.column("day_offset"),
+            "users": counted.column("users"),
+        }
+    )
+    return out.sort_by(
+        [("cohort_day", "ascending"), ("day_offset", "ascending")]
+    )

@@ -1,0 +1,183 @@
+"""TPC-H widening family (pipelines/analytics.py): over-budget
+shuffle-tier equality pins + closed-form funnel/retention fixtures.
+Oracle agreement for every query is driver-gate verified
+(tools/check_correctness.py).
+"""
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+from high_performance_docling_ray.pipelines.analytics import (  # noqa: E402
+    funnel_analysis,
+    q4_order_priority,
+    q6_forecast_revenue,
+    q7_nation_volume,
+    q10_returned_items,
+    q12_priority_lines,
+    q14_promo_revenue,
+    retention_cohorts,
+    revenue_rollup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _eq(a: pa.Table, b: pa.Table):
+    pa_a = a.to_pandas().reset_index(drop=True)
+    pa_b = b.to_pandas().reset_index(drop=True)
+    assert pa_a.equals(pa_b), f"{pa_a}\n!=\n{pa_b}"
+
+
+def test_q4_tiers_equal():
+    a = q4_order_priority(SF)
+    b = q4_order_priority(SF, combine_limit=0)  # forced groupby tier
+    _eq(a, b)
+    assert a.num_rows > 0
+    assert (a.column("order_count").to_numpy() > 0).all()
+
+
+def test_q7_tiers_equal():
+    a = q7_nation_volume(SF)
+    b = q7_nation_volume(SF, combine_limit=0)
+    _eq(a, b)
+    # both directions present and disjoint
+    sn = set(a.column("supp_nation").to_pylist())
+    assert sn <= {"NATION_1", "NATION_2"}
+    for s, c in zip(a.column("supp_nation").to_pylist(),
+                    a.column("cust_nation").to_pylist()):
+        assert s != c
+
+
+def test_q10_tiers_equal():
+    a = q10_returned_items(SF)
+    b = q10_returned_items(SF, combine_limit=0)
+    _eq(a, b)
+    rev = a.column("revenue").to_numpy()
+    assert (np.diff(rev) <= 1e-9).all()  # descending top-k
+
+
+def test_q12_tiers_equal():
+    a = q12_priority_lines(SF)
+    b = q12_priority_lines(SF, combine_limit=0)
+    _eq(a, b)
+    # every 1996-shipped line lands in exactly one bucket
+    tot = (a.column("high_line_count").to_numpy()
+           + a.column("low_line_count").to_numpy()).sum()
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_shipdate"])
+    ship = li.column("l_shipdate").to_numpy(zero_copy_only=False)
+    lo, hi = np.datetime64("1996-01-01", "us"), np.datetime64("1997-01-01", "us")
+    assert tot == int(((ship >= lo) & (ship < hi)).sum())
+
+
+def test_rollup_tiers_and_identity():
+    a = revenue_rollup(SF)
+    b = revenue_rollup(SF, combine_limit=0)
+    _eq(a, b)
+    df = a.to_pandas()
+    grand = df[df.r_name.isna()]["revenue"]
+    assert len(grand) == 1
+    finest = df[df.n_name.notna()]["revenue"].sum()
+    regions = df[df.r_name.notna() & df.n_name.isna()]["revenue"].sum()
+    assert abs(float(grand.iloc[0]) - finest) < 1e-6
+    assert abs(regions - finest) < 1e-6
+
+
+def test_q6_q14_scalars():
+    q6 = q6_forecast_revenue(SF)
+    assert q6.num_rows == 1 and q6.column("revenue")[0].as_py() > 0
+    q14 = q14_promo_revenue(SF)
+    v = q14.column("promo_revenue")[0].as_py()
+    assert 0.0 < v < 100.0
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([np.datetime64(r[1], "us") for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_funnel_closed_form(tmp_path):
+    """u1 completes all 3 steps in order; u2 clicks BEFORE viewing (the
+    click cannot count) and never purchases; u3 views only; u4 has a
+    purchase with no prior click (depth 1: view only)."""
+    rows = [
+        (1, "2024-01-01T00:00", "view"),
+        (1, "2024-01-01T01:00", "click"),
+        (1, "2024-01-01T02:00", "purchase"),
+        (2, "2024-01-01T00:30", "click"),
+        (2, "2024-01-01T01:30", "view"),
+        (3, "2024-01-02T00:00", "view"),
+        (4, "2024-01-03T00:00", "view"),
+        (4, "2024-01-03T01:00", "purchase"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = funnel_analysis(sf).to_pandas().set_index("step")["users"]
+    assert out["1_view"] == 4
+    assert out["2_click"] == 1  # only u1 clicked after first view
+    assert out["3_purchase"] == 1
+    # forced groupby tier identical
+    out2 = funnel_analysis(sf, combine_limit=0).to_pandas()
+    assert out2.set_index("step")["users"].equals(out)
+
+
+def test_funnel_strict_ordering(tmp_path):
+    """A click at EXACTLY the first-view timestamp does not qualify
+    (strict >), matching the oracle's e.ts > v.t1."""
+    rows = [
+        (1, "2024-01-01T00:00", "view"),
+        (1, "2024-01-01T00:00", "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = funnel_analysis(sf).to_pandas().set_index("step")["users"]
+    assert out["1_view"] == 1 and out["2_click"] == 0
+
+
+def test_retention_closed_form(tmp_path):
+    """u1 active day0+day2 (cohort d0), u2 active day1 twice (cohort d1,
+    one distinct row), u3 day0+day1 (cohort d0)."""
+    rows = [
+        (1, "2024-01-01T05:00", "view"),
+        (1, "2024-01-03T05:00", "view"),
+        (2, "2024-01-02T01:00", "view"),
+        (2, "2024-01-02T09:00", "click"),
+        (3, "2024-01-01T10:00", "view"),
+        (3, "2024-01-02T10:00", "view"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = retention_cohorts(sf).to_pandas()
+    d0 = np.datetime64("2024-01-01", "us")
+    d1 = np.datetime64("2024-01-02", "us")
+    got = {
+        (row.cohort_day.to_datetime64(), int(row.day_offset)): int(row.users)
+        for row in out.itertuples()
+    }
+    assert got == {
+        (d0, 0): 2,  # u1, u3 on their first day
+        (d0, 1): 1,  # u3 next day
+        (d0, 2): 1,  # u1 two days later
+        (d1, 0): 1,  # u2 (distinct once despite 2 events)
+    }
+    out2 = retention_cohorts(sf, combine_limit=0).to_pandas()
+    assert out2.equals(out)
+
+
+def test_retention_tiers_equal_sf():
+    a = retention_cohorts(SF).to_pandas().reset_index(drop=True)
+    b = retention_cohorts(SF, combine_limit=0).to_pandas().reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["users"] > 0).all()
