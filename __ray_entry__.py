@@ -1377,6 +1377,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_analysis": _q_funnel_analysis,
         # cohort-day x day-offset distinct-user retention matrix
         "retention_cohorts": _q_retention_cohorts,
+        # TPC-H tail (pipelines/tpch_ext.py): the last classic shapes
+        # the schema can express (adaptations in each docstring)
+        "q8_market_share": _q_q8_market_share,       # ratio per year
+        "q13_order_distribution": _q_q13_distribution,  # outer-join hist
+        "q15_top_supplier": _q_q15_top_supplier,     # global-max winners
+        "q17_small_qty_revenue": _q_q17_small_qty,   # correlated avg
+        "q19_disjunctive_revenue": _q_q19_disjunct,  # OR-of-AND scan
+        "q21_waiting_suppliers": _q_q21_waiting,     # self-join argmax
+        "q22_dormant_customers": _q_q22_dormant,     # scalar-sub + anti
     }
 
 
@@ -1432,6 +1441,54 @@ def _q_retention_cohorts(sf_dir: str):
     from high_performance_docling_ray.pipelines.analytics import retention_cohorts
 
     return retention_cohorts(sf_dir)
+
+
+def _q_q8_market_share(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import q8_market_share
+
+    return q8_market_share(sf_dir)
+
+
+def _q_q13_distribution(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import (
+        q13_customer_distribution,
+    )
+
+    return q13_customer_distribution(sf_dir)
+
+
+def _q_q15_top_supplier(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import q15_top_supplier
+
+    return q15_top_supplier(sf_dir)
+
+
+def _q_q17_small_qty(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import (
+        q17_small_quantity_revenue,
+    )
+
+    return q17_small_quantity_revenue(sf_dir)
+
+
+def _q_q19_disjunct(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import (
+        q19_disjunctive_revenue,
+    )
+
+    return q19_disjunctive_revenue(sf_dir)
+
+
+def _q_q21_waiting(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import q21_waiting_suppliers
+
+    return q21_waiting_suppliers(sf_dir)
+
+
+def _q_q22_dormant(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import q22_dormant_customers
+
+    return q22_dormant_customers(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -5832,5 +5889,116 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT e.user_id) AS users
         FROM events e JOIN f ON e.user_id = f.user_id
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # TPC-H tail (pipelines/tpch_ext.py). Same money discipline as the
+    # r3 widening family: DECIMAL(18,2) products mirrored by int64
+    # cents, ratio/average outputs divide the two exact sums with the
+    # identical float op order; q17/q22 thresholds are cross-multiplied
+    # INTEGER predicates on both sides (no float compare anywhere).
+    oracles["q8_market_share"] = """
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+                             THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                  * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                      AS DOUBLE) AS mkt_share
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1
+    """
+    oracles["q13_order_distribution"] = """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority = '1-URGENT'
+          GROUP BY c.c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """
+    oracles["q15_top_supplier"] = """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_rev AS DOUBLE) AS total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+        ORDER BY s.s_suppkey
+    """
+    oracles["q17_small_qty_revenue"] = """
+        WITH pp AS (
+          SELECT l_partkey,
+                 sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq,
+                 count(*) AS cnt
+          FROM lineitem GROUP BY 1)
+        SELECT COALESCE(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                             AS DOUBLE), 0.0) / 7.0 AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN pp ON pp.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13'
+          AND CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * pp.cnt < pp.sq
+    """
+    oracles["q19_disjunctive_revenue"] = """
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """
+    oracles["q21_waiting_suppliers"] = """
+        WITH per AS (
+          SELECT l.l_orderkey, l.l_suppkey, max(l.l_shipdate) AS ms
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F' GROUP BY 1, 2),
+        agg AS (
+          SELECT l_orderkey, max(ms) AS mx, count(*) AS nsupp
+          FROM per GROUP BY 1),
+        win AS (
+          SELECT p.l_suppkey
+          FROM per p JOIN agg a ON p.l_orderkey = a.l_orderkey
+          WHERE a.nsupp >= 2 AND p.ms = a.mx
+            AND 1 = (SELECT count(*) FROM per p2
+                     WHERE p2.l_orderkey = a.l_orderkey AND p2.ms = a.mx))
+        SELECT s.s_name, count(*) AS numwait
+        FROM win w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
+    """
+    oracles["q22_dormant_customers"] = """
+        WITH cand AS (
+          SELECT c.c_custkey, n.n_name,
+                 CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_name IN ('NATION_2', 'NATION_7', 'NATION_12')),
+        stats AS (
+          SELECT sum(bal_c) AS s, count(*) AS n FROM cand WHERE bal_c > 0)
+        SELECT cand.n_name, count(*) AS numcust,
+               CAST(sum(cand.bal_c) AS DOUBLE) / 100.0 AS totacctbal
+        FROM cand, stats
+        WHERE cand.bal_c * stats.n > stats.s
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = cand.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY 1 ORDER BY 1
     """
     return oracles

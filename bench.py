@@ -205,6 +205,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "revenue_rollup",
         "funnel_analysis",
         "retention_cohorts",
+        # session-9 TPC-H tail (q8/q13/q15/q17/q19/q21/q22 shapes;
+        # the heavier ones — q17 two passes, q21 self-join argmax)
+        "q17_small_qty_revenue",
+        "q21_waiting_suppliers",
+        "q13_order_distribution",
     ]
     qs = entrymod.queries()
     for name in bench_keys:
