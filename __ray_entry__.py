@@ -1386,6 +1386,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": _q_q19_disjunct,  # OR-of-AND scan
         "q21_waiting_suppliers": _q_q21_waiting,     # self-join argmax
         "q22_dormant_customers": _q_q22_dormant,     # scalar-sub + anti
+        # hot-key-SALTED cogroup enrichment join (every key hot by
+        # construction; skew tier of joins.cogroup_attach)
+        "event_type_warmup": _q_event_type_warmup,
     }
 
 
@@ -1489,6 +1492,12 @@ def _q_q22_dormant(sf_dir: str):
     from high_performance_docling_ray.pipelines.tpch_ext import q22_dormant_customers
 
     return q22_dormant_customers(sf_dir)
+
+
+def _q_event_type_warmup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import event_type_warmup
+
+    return event_type_warmup(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6000,5 +6009,15 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = cand.c_custkey
                             AND o.o_orderdate >= TIMESTAMP '2001-01-01')
         GROUP BY 1 ORDER BY 1
+    """
+    # row-level enrichment join through the hot-key-SALTED cogroup tier
+    # (every event_type is hot by construction); exact int64-us compare
+    oracles["event_type_warmup"] = """
+        WITH f AS (
+          SELECT event_type, min(ts) AS first_ts FROM events GROUP BY 1)
+        SELECT e.event_id, e.event_type,
+               (e.ts < f.first_ts + INTERVAL 1 DAY) AS is_early
+        FROM events e JOIN f USING (event_type)
+        ORDER BY e.event_id
     """
     return oracles

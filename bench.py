@@ -210,6 +210,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q17_small_qty_revenue",
         "q21_waiting_suppliers",
         "q13_order_distribution",
+        # hot-key-salted cogroup enrichment join over events
+        "event_type_warmup",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

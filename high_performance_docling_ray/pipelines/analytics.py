@@ -774,3 +774,99 @@ def retention_cohorts(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
     return out.sort_by(
         [("cohort_day", "ascending"), ("day_offset", "ascending")]
     )
+
+
+# -- salted enrichment join: per-type first-seen attach ------------------------
+
+def event_type_warmup(
+    sf_dir: str,
+    window_s: int = 86400,
+    n_salts: int | None = None,
+    salted: bool = True,
+) -> pa.Table:
+    """Row-level enrichment join by a LOW-CARDINALITY key where EVERY
+    key is hot: attach each event type's first-seen timestamp to every
+    event and flag the ones inside the type's first ``window_s`` (one day).
+
+    With ~5 event types, a plain hash-cogroup puts each type's ENTIRE
+    probe mass into one partition — five busy buckets, the rest idle:
+    the canonical skew straggler (``partition_skew_report`` measures
+    exactly this). This query exercises the HOT-KEY-SALTED tier of
+    ``joins.cogroup_attach``: probe rows spread round-robin over
+    ``n_salts`` partitions per key, the 5-row build side replicated
+    into each. (In-budget code would broadcast a 5-row dim, obviously —
+    the query forces the cogroup path by design, like the forced
+    ``extract_pdf_ocr_cogroup`` tier, because salting only matters once
+    the build side outgrows a broadcast but the key stays skewed.)
+
+    The comparison is exact int64 microseconds (no float threshold can
+    flip a row), so the row-level output hash-matches the SQL oracle.
+    """
+    from .joins import cogroup_attach
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    _EMPTY = pa.Table.from_pydict(
+        {"event_type": pa.array([], pa.string()),
+         "first_ts": pa.array([], pa.int64())}
+    )
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        t = pa.Table.from_pydict(
+            {"event_type": batch.column("event_type"),
+             "first_ts": pa.array(_ts_us(batch.column("ts")), pa.int64())}
+        )
+        return t.group_by("event_type").aggregate(
+            [("first_ts", "min")]
+        ).rename_columns(["event_type", "first_ts"])
+
+    partials = ev.map_batches(first_partial, batch_format="pyarrow")
+    # <=|event types| keys: always fits the driver combine
+    dim = _combine_partials(partials, ["event_type"], ["first_ts"], agg="min")
+    dim = pa.Table.from_pydict(
+        {"event_type": dim.column("event_type"),
+         "first_ts": dim.column("min(first_ts)")}
+    )
+    hot = dim.column("event_type").to_pylist() if salted else None
+
+    joined = cogroup_attach(
+        ev,
+        ray.data.from_arrow(dim),
+        "event_type",
+        left_fields=[
+            pa.field("event_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ],
+        payload_fields=[pa.field("first_ts", pa.int64())],
+        hot_keys=hot,
+        n_salts=n_salts,
+    )
+    win_us = int(window_s) * 1_000_000
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch.column("ts"))
+        first = batch.column("first_ts").to_numpy(zero_copy_only=False)
+        first = np.asarray(first, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {"event_id": batch.column("event_id"),
+             "event_type": batch.column("event_type"),
+             "is_early": pa.array(ts < first + win_us, pa.bool_())}
+        )
+
+    refs = ray.get(
+        joined.map_batches(flag, batch_format="pyarrow")
+        .materialize().to_arrow_refs()
+    )
+    # materialize() can emit 0-row 0-COLUMN blocks (NOTES_r3) — drop
+    # them before concat or the schema union fails
+    parts = [t for t in refs if t.num_rows > 0]
+    if not parts:
+        return pa.Table.from_pydict(
+            {"event_id": pa.array([], pa.int64()),
+             "event_type": pa.array([], pa.string()),
+             "is_early": pa.array([], pa.bool_())}
+        )
+    return pa.concat_tables(parts).sort_by([("event_id", "ascending")])

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -63,6 +64,8 @@ def cogroup_attach(
     left_fields: list[pa.Field],
     payload_fields: list[pa.Field],
     num_parts: int | None = None,
+    hot_keys: list | None = None,
+    n_salts: int | None = None,
 ) -> ray.data.Dataset:
     """LEFT JOIN ``right`` onto ``left`` by the int64 OR string column
     ``key``.
@@ -72,15 +75,35 @@ def cogroup_attach(
     be unique per key). Unmatched left rows — including null-key rows —
     get null payloads. Fields are passed explicitly so the wide union
     schema needs no plan execution to discover.
+
+    **Hot-key salting** (``hot_keys``): a key holding a large fraction
+    of the probe mass lands its ENTIRE group in one ``__part`` bucket —
+    the classic straggler. Passing its value(s) spreads the left side's
+    hot rows round-robin over ``n_salts`` consecutive partitions while
+    the right side's matching row (unique per key by contract, so
+    replication cannot duplicate output) is REPLICATED into each of
+    those partitions. Join semantics are unchanged — each left row
+    still meets exactly one copy of its payload — but the hot group's
+    work parallelizes ``n_salts``-ways. Callers discover candidates
+    with ``profiling.partition_skew_report`` (the planning side of the
+    same coin). ``n_salts`` defaults to ``min(16, num_parts)`` and is
+    clamped to ``num_parts`` so two replicas of one key can never share
+    a partition (which would break per-partition key uniqueness).
     """
     if num_parts is None:
         num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    hot_arr = None  # typed after the wide schema is known (below)
     left_names = [f.name for f in left_fields]
     payload_names = [f.name for f in payload_fields]
     wide = {f.name: f.type for f in list(left_fields) + list(payload_fields)}
     str_key = pa.types.is_string(wide[key]) or pa.types.is_large_string(
         wide[key]
     )
+    if hot_keys:
+        n_salts = min(n_salts or 16, num_parts)
+        hot_arr = pa.array(list(hot_keys), type=wide[key])
+    else:
+        n_salts = 1
 
     def widen(side: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -99,6 +122,41 @@ def cogroup_attach(
                     (keys.astype(np.uint64) * np.uint64(2654435761))
                     % np.uint64(num_parts)
                 ).astype(np.int32)
+            if hot_arr is not None:
+                hot = np.asarray(
+                    pc.fill_null(
+                        pc.is_in(batch.column(key), value_set=hot_arr), False
+                    ).to_numpy(zero_copy_only=False),
+                    dtype=bool,
+                )
+                if side == 0 and hot.any():
+                    # spread probe rows round-robin over the salt range
+                    idx = np.flatnonzero(hot)
+                    part = part.copy()
+                    part[idx] = (
+                        part[idx] + (np.arange(len(idx)) % n_salts)
+                    ).astype(np.int32) % num_parts
+                elif side == 1 and hot.any():
+                    # replicate each (unique-per-key) build row into
+                    # every salt partition its probes may land in
+                    base = pa.Table.from_pydict(
+                        {**cols,
+                         "__part": pa.array(part, pa.int32()),
+                         "__side": pa.array(np.full(n, side, np.int8))}
+                    )
+                    extras = []
+                    hot_tbl = base.filter(pa.array(hot))
+                    hot_part = part[hot]
+                    for s in range(1, n_salts):
+                        shifted = ((hot_part + s) % num_parts).astype(np.int32)
+                        extras.append(
+                            hot_tbl.set_column(
+                                hot_tbl.schema.get_field_index("__part"),
+                                "__part",
+                                pa.array(shifted, pa.int32()),
+                            )
+                        )
+                    return pa.concat_tables([base] + extras)
             cols["__part"] = pa.array(part, pa.int32())
             cols["__side"] = pa.array(np.full(n, side, np.int8))
             return pa.Table.from_pydict(cols)
