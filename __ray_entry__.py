@@ -1389,6 +1389,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hot-key-SALTED cogroup enrichment join (every key hot by
         # construction; skew tier of joins.cogroup_attach)
         "event_type_warmup": _q_event_type_warmup,
+        # LAG window: per-type day-over-day growth (driver shift over
+        # the bounded (type, day) aggregate)
+        "events_dod_growth": _q_events_dod_growth,
+        # GROUP BY CUBE grouping sets from one finest-grain pass
+        "events_cube": _q_events_cube,
     }
 
 
@@ -1498,6 +1503,18 @@ def _q_event_type_warmup(sf_dir: str):
     from high_performance_docling_ray.pipelines.analytics import event_type_warmup
 
     return event_type_warmup(sf_dir)
+
+
+def _q_events_dod_growth(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import events_dod_growth
+
+    return events_dod_growth(sf_dir)
+
+
+def _q_events_cube(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import events_cube
+
+    return events_cube(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6019,5 +6036,25 @@ def oracle_sql() -> dict[str, str]:
                (e.ts < f.first_ts + INTERVAL 1 DAY) AS is_early
         FROM events e JOIN f USING (event_type)
         ORDER BY e.event_id
+    """
+    # LAG window over EXISTING days per type; growth = one DOUBLE
+    # divide of the two exact counts, same op order both sides
+    oracles["events_dod_growth"] = """
+        WITH d AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, day, n_events,
+               LAG(n_events) OVER (PARTITION BY event_type ORDER BY day)
+                 AS prev_events,
+               CAST(n_events AS DOUBLE)
+                 / LAG(n_events) OVER (PARTITION BY event_type ORDER BY day)
+                 AS growth
+        FROM d ORDER BY event_type, day
+    """
+    oracles["events_cube"] = """
+        SELECT event_type, CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+               count(*) AS n_events
+        FROM events GROUP BY CUBE(event_type, dow)
     """
     return oracles

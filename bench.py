@@ -212,6 +212,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q13_order_distribution",
         # hot-key-salted cogroup enrichment join over events
         "event_type_warmup",
+        # LAG window growth (bounded (type, day) aggregate + shift)
+        "events_dod_growth",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

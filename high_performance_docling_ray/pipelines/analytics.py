@@ -870,3 +870,136 @@ def event_type_warmup(
              "is_early": pa.array([], pa.bool_())}
         )
     return pa.concat_tables(parts).sort_by([("event_id", "ascending")])
+
+
+# -- LAG window: day-over-day growth per event type ----------------------------
+
+def events_dod_growth(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Per-type day-over-day growth — the LAG window shape. One
+    streamed pass reduces events to (event_type, day) count partials
+    (bounded by types x days, tiny at any corpus size since the day
+    domain grows with TIME, not data volume); the LAG itself is a
+    driver shift within lexsorted (type, day) segments over those few
+    rows. ``prev_events`` is null on each type's first day, exactly
+    like ``LAG(..) OVER (PARTITION BY type ORDER BY day)`` — over
+    EXISTING days, so calendar gaps skip to the prior present day.
+    ``growth`` divides the two exact int64 counts once, mirrored op
+    order.
+    """
+    _EMPTY = pa.Table.from_pydict(
+        {"event_type": pa.array([], pa.string()),
+         "day_i": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        day_i = _ts_us(batch.column("ts")) // _DAY_US
+        t = pa.Table.from_pydict(
+            {"event_type": batch.column("event_type"),
+             "day_i": pa.array(day_i, pa.int64()),
+             "n": pa.array(np.ones(len(day_i), dtype=np.int64))}
+        )
+        return t.group_by(["event_type", "day_i"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["event_type", "day_i", "n"])
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["event_type", "day_i"], ["n"], combine_limit)
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby(["event_type", "day_i"]).sum("n").take_all()
+        )
+    et = np.asarray(tbl.column("event_type").to_numpy(zero_copy_only=False),
+                    dtype=object)
+    day_i = tbl.column("day_i").to_numpy().astype(np.int64)
+    n = tbl.column("sum(n)").to_numpy().astype(np.int64)
+    order = np.lexsort((day_i, et))
+    et, day_i, n = et[order], day_i[order], n[order]
+    first = np.r_[True, et[1:] != et[:-1]]
+    prev = np.empty(len(n), dtype=np.float64)
+    prev[0] = np.nan
+    prev[1:] = n[:-1]
+    prev[first] = np.nan
+    growth = n / prev  # nan where prev is nan (first day per type)
+    ep = np.datetime64("1970-01-01", "us")
+    return pa.Table.from_pydict(
+        {"event_type": pa.array(et.tolist(), pa.string()),
+         "day": pa.array(ep + day_i * _DAY_US, pa.timestamp("us")),
+         "n_events": pa.array(n, pa.int64()),
+         "prev_events": pa.array(
+             np.where(np.isnan(prev), 0, prev).astype(np.int64),
+             pa.int64(), mask=np.isnan(prev)),
+         "growth": pa.array(growth, pa.float64())}
+    )
+
+
+# -- CUBE grouping sets from one finest-grain pass -----------------------------
+
+def events_cube(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
+    """GROUP BY CUBE(event_type, day-of-week) counts — all four
+    grouping sets derived from ONE finest-grain streamed pass (the
+    revenue_rollup identity extended to the full cube): the exchange
+    only ever carries types x 7 partial rows; marginals and the grand
+    total are exact integer folds on the driver. Rolled-up dimensions
+    surface as nulls, exactly like SQL CUBE.
+    """
+    _EMPTY = pa.Table.from_pydict(
+        {"event_type": pa.array([], pa.string()),
+         "dow": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        # duckdb EXTRACT(dow): Sunday=0; epoch day 0 was a Thursday(=4)
+        dow = (_ts_us(batch.column("ts")) // _DAY_US + 4) % 7
+        t = pa.Table.from_pydict(
+            {"event_type": batch.column("event_type"),
+             "dow": pa.array(dow, pa.int64()),
+             "n": pa.array(np.ones(len(dow), dtype=np.int64))}
+        )
+        return t.group_by(["event_type", "dow"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["event_type", "dow", "n"])
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["event_type", "dow"], ["n"], combine_limit)
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby(["event_type", "dow"]).sum("n").take_all()
+        )
+    et = np.asarray(tbl.column("event_type").to_numpy(zero_copy_only=False),
+                    dtype=object)
+    dow = tbl.column("dow").to_numpy().astype(np.int64)
+    n = tbl.column("sum(n)").to_numpy().astype(np.int64)
+    order = np.lexsort((dow, et))  # deterministic across tiers
+    et, dow, n = et[order], dow[order], n[order]
+
+    rows_et: list = []
+    rows_dow: list = []
+    rows_n: list = []
+    # finest grain
+    for i in range(len(n)):
+        rows_et.append(et[i]); rows_dow.append(int(dow[i])); rows_n.append(int(n[i]))
+    # by type (dow rolled up)
+    for t_name in sorted(set(et.tolist())):
+        rows_et.append(t_name); rows_dow.append(None)
+        rows_n.append(int(n[et == t_name].sum()))
+    # by dow (type rolled up)
+    for d in sorted(set(dow.tolist())):
+        rows_et.append(None); rows_dow.append(int(d))
+        rows_n.append(int(n[dow == d].sum()))
+    # grand total
+    rows_et.append(None); rows_dow.append(None); rows_n.append(int(n.sum()))
+    return pa.Table.from_pydict(
+        {"event_type": pa.array(rows_et, pa.string()),
+         "dow": pa.array(rows_dow, pa.int64()),
+         "n_events": pa.array(rows_n, pa.int64())}
+    )

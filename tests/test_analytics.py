@@ -181,3 +181,34 @@ def test_retention_tiers_equal_sf():
     b = retention_cohorts(SF, combine_limit=0).to_pandas().reset_index(drop=True)
     assert a.equals(b)
     assert (a["users"] > 0).all()
+
+
+def test_events_dod_growth_tiers_and_lag_semantics():
+    from high_performance_docling_ray.pipelines.analytics import events_dod_growth
+
+    a = events_dod_growth(SF)
+    b = events_dod_growth(SF, combine_limit=0)
+    _eq(a, b)
+    df = a.to_pandas()
+    # per type: first day has null prev; every later row's prev equals
+    # the previous EXISTING day's count (calendar gaps skipped)
+    for t, g in df.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        assert np.isnan(g.growth.iloc[0]) and g.prev_events.isna().iloc[0]
+        assert (g.prev_events.iloc[1:].to_numpy()
+                == g.n_events.iloc[:-1].to_numpy()).all()
+
+
+def test_events_cube_identities():
+    from high_performance_docling_ray.pipelines.analytics import events_cube
+
+    a = events_cube(SF)
+    b = events_cube(SF, combine_limit=0)
+    _eq(a, b)
+    df = a.to_pandas()
+    total = df[df.event_type.isna() & df.dow.isna()].n_events.iloc[0]
+    fine = df[df.event_type.notna() & df.dow.notna()]
+    # each marginal set and the finest grain all sum to the total
+    assert fine.n_events.sum() == total
+    assert df[df.event_type.notna() & df.dow.isna()].n_events.sum() == total
+    assert df[df.event_type.isna() & df.dow.notna()].n_events.sum() == total
