@@ -1394,6 +1394,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dod_growth": _q_events_dod_growth,
         # GROUP BY CUBE grouping sets from one finest-grain pass
         "events_cube": _q_events_cube,
+        # exact edit-distance<=2 fuzzy self-join (SymSpell deletion
+        # neighborhoods with an O(1) algebraic delete-hash)
+        "edit_distance_pairs": _q_edit_distance_pairs,
     }
 
 
@@ -1515,6 +1518,12 @@ def _q_events_cube(sf_dir: str):
     from high_performance_docling_ray.pipelines.analytics import events_cube
 
     return events_cube(sf_dir)
+
+
+def _q_edit_distance_pairs(sf_dir: str):
+    from high_performance_docling_ray.pipelines.fuzzy import edit_distance_pairs
+
+    return edit_distance_pairs(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6056,5 +6065,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
                count(*) AS n_events
         FROM events GROUP BY CUBE(event_type, dow)
+    """
+    # fuzzy self-join: the key CASE mirrors pipelines/fuzzy.derive_keys
+    # (planted one-char delete / insert per residue, first-match
+    # precedence); DuckDB levenshtein == the banded DP on ASCII keys
+    oracles["edit_distance_pairs"] = """
+        WITH k AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 5
+                      THEN substr(substr(text, 1, 24), 1, (doc_id % 12) + 1)
+                           || substr(substr(text, 1, 24), (doc_id % 12) + 3)
+                      WHEN doc_id % 17 = 3
+                      THEN substr(substr(text, 1, 24), 1, (doc_id % 10) + 2)
+                           || 'x'
+                           || substr(substr(text, 1, 24), (doc_id % 10) + 3)
+                      ELSE substr(text, 1, 24) END AS key
+          FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        FROM k a, k b
+        WHERE a.doc_id < b.doc_id AND levenshtein(a.key, b.key) <= 2
+        ORDER BY 1, 2
     """
     return oracles

@@ -214,6 +214,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "event_type_warmup",
         # LAG window growth (bounded (type, day) aggregate + shift)
         "events_dod_growth",
+        # fuzzy edit-distance self-join (deletion-neighborhood blowup)
+        "edit_distance_pairs",
     ]
     qs = entrymod.queries()
     for name in bench_keys:

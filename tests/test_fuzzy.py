@@ -1,0 +1,111 @@
+"""Exact fuzzy (edit-distance<=2) self-join (pipelines/fuzzy.py):
+algebraic delete-hash identities, banded-DP kernel closed forms,
+SymSpell completeness on crafted edits, and over-budget tier pins.
+Oracle agreement (DuckDB levenshtein cross join) is driver-gate
+verified at both SFs.
+"""
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, "/root/repo")
+
+from high_performance_docling_ray.pipelines.fuzzy import (  # noqa: E402
+    _codepoint_matrix,
+    _ed_at_most,
+    _variant_hashes,
+    derive_keys,
+    edit_distance_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ed_kernel_closed_forms():
+    assert _ed_at_most("abc", "abc") == 0
+    assert _ed_at_most("abc", "abd") == 1          # substitution
+    assert _ed_at_most("abcdef", "abdef") == 1     # deletion
+    assert _ed_at_most("abdef", "abcdef") == 1     # insertion
+    assert _ed_at_most("abcd", "bacd") == 2        # transposition = 2 in L
+    assert _ed_at_most("abc", "xyz") == 3          # over the band -> k+1
+    assert _ed_at_most("", "ab") == 2
+    assert _ed_at_most("", "abc") == 3
+    assert _ed_at_most("aaaa", "aa") == 2
+
+
+def _brute_delete_hashes(key: str) -> set:
+    """Reference variant set: hash every <=2-deletion STRING with the
+    same polynomial the algebraic path uses."""
+    B, M = 1099511628211, 1 << 64
+
+    def poly(s: str) -> int:
+        h = 0
+        for t, ch in enumerate(s):
+            h = (h + ord(ch) * pow(B, t, M)) % M
+        return h
+
+    outs = {poly(key)}
+    for i in range(len(key)):
+        s1 = key[:i] + key[i + 1:]
+        outs.add(poly(s1))
+        for j in range(len(s1)):
+            outs.add(poly(s1[:j] + s1[j + 1:]))
+    return outs
+
+
+def test_algebraic_delete_hash_equals_string_slicing():
+    keys = ["key agg row scan slow fa", "abcxyz", "", "a",
+            "same same same same same"]
+    mat = _codepoint_matrix(keys)
+    vh = _variant_hashes(mat).view(np.uint64)
+    for row, key in enumerate(keys):
+        got = set(int(x) for x in vh[row])
+        want = _brute_delete_hashes(key)
+        # padding deletions alias shorter-deletion variants, so the
+        # algebraic set may contain exactly the brute set, no more
+        assert want <= got
+        assert got <= want | {int(vh[row][0])}
+
+
+def test_symspell_catches_crafted_edits():
+    base = "the quick brown fox jump"
+    edits = [
+        base,                      # 0
+        base[:5] + base[6:],       # deletion
+        base[:7] + "Z" + base[7:],  # insertion
+        base[:3] + "Q" + base[4:],  # substitution
+        base[:2] + "XY" + base[4:],  # two substitutions
+    ]
+    mats = _codepoint_matrix(edits)
+    vh = _variant_hashes(mats).view(np.uint64)
+    base_set = set(int(x) for x in vh[0])
+    for r in range(1, len(edits)):
+        assert base_set & set(int(x) for x in vh[r]), f"edit {r} missed"
+        assert _ed_at_most(base, edits[r], 2) <= 2
+
+
+def test_derive_keys_precedence_and_residues():
+    ids = np.array([5, 3, 70, 1], dtype=np.int64)  # 70 = 5 mod 13 AND 2 mod 17
+    texts = pa.chunked_array([pa.array(["abcdefghijklmnopqrstuvwxyz"] * 4)])
+    keys = derive_keys(ids, texts)
+    base = "abcdefghijklmnopqrstuvwx"
+    assert keys[3] == base
+    p = (5 % 12) + 1
+    assert keys[0] == base[:p] + base[p + 1:]
+    q = (3 % 10) + 2
+    assert keys[1] == base[:q] + "x" + base[q:]
+    p70 = (70 % 12) + 1  # delete branch wins for 70 (first match)
+    assert keys[2] == base[:p70] + base[p70 + 1:]
+
+
+def test_pairs_tiers_equal_and_planted_distances():
+    a = edit_distance_pairs(SF).to_pandas()
+    b = edit_distance_pairs(SF, pair_budget=0, key_budget=0).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert len(a) > 0
+    # planted edits make non-zero distances genuinely occur
+    assert (a.dist == 0).any() and (a.dist > 0).any()
+    assert (a.a_id < a.b_id).all()
+    assert a.dist.max() <= 2
