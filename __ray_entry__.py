@@ -1397,6 +1397,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact edit-distance<=2 fuzzy self-join (SymSpell deletion
         # neighborhoods with an O(1) algebraic delete-hash)
         "edit_distance_pairs": _q_edit_distance_pairs,
+        # interpolated exact quantiles (quantile_cont sibling of the
+        # value-count exact_quantiles — no global sort)
+        "exact_quantiles_cont": _q_exact_quantiles_cont,
+        # HLL sketch ALGEBRA: pairwise distinct-user overlap via
+        # inclusion-exclusion over merged registers
+        "hll_user_overlap": _q_hll_user_overlap,
     }
 
 
@@ -1524,6 +1530,22 @@ def _q_edit_distance_pairs(sf_dir: str):
     from high_performance_docling_ray.pipelines.fuzzy import edit_distance_pairs
 
     return edit_distance_pairs(sf_dir)
+
+
+def _q_exact_quantiles_cont(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        exact_quantiles_cont,
+    )
+
+    return exact_quantiles_cont(sf_dir)
+
+
+def _q_hll_user_overlap(sf_dir: str):
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        hll_user_overlap,
+    )
+
+    return hll_user_overlap(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6085,6 +6107,95 @@ def oracle_sql() -> dict[str, str]:
                CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
         FROM k a, k b
         WHERE a.doc_id < b.doc_id AND levenshtein(a.key, b.key) <= 2
+        ORDER BY 1, 2
+    """
+    oracles["exact_quantiles_cont"] = """
+        SELECT CAST(q AS DOUBLE) AS q, CAST(value AS DOUBLE) AS value
+        FROM (
+          SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+                 unnest((SELECT quantile_cont(l_quantity,
+                                              [0.25, 0.5, 0.75, 0.95])
+                         FROM lineitem)) AS value
+        )
+    """
+    # pairwise HLL inclusion-exclusion: the per-type register rebuild
+    # of hll_distinct_users, plus per-pair UNION registers (max over
+    # either type's regs); raw estimates combine before one round
+    oracles["hll_user_overlap"] = """
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+          FROM events
+        ),
+        rk AS (
+          SELECT event_type, CAST(hv >> 52 AS INTEGER) AS idx,
+                 to_hex(CAST((hv % 4503599627370496::HUGEINT) * 4096 + 4095
+                             AS UBIGINT)) AS hx
+          FROM h
+        ),
+        rk2 AS (
+          SELECT event_type, idx,
+                 65 - (4 * (length(hx) - 1) +
+                       CASE substr(hx, 1, 1)
+                            WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 2
+                            WHEN '4' THEN 3 WHEN '5' THEN 3 WHEN '6' THEN 3
+                            WHEN '7' THEN 3 ELSE 4 END) AS rank
+          FROM rk
+        ),
+        regs AS (SELECT event_type, idx, max(rank) AS reg
+                 FROM rk2 GROUP BY 1, 2),
+        est1 AS (
+          SELECT event_type,
+                 CASE WHEN (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096 /
+                           (CAST(sum(1::HUGEINT << (53 - reg))
+                                 + (4096 - count(*)) * (1::HUGEINT << 53)
+                                 AS DOUBLE) / 9007199254740992.0)
+                             <= 2.5 * 4096
+                       AND 4096 - count(*) > 0
+                      THEN 4096 * ln(4096.0 / (4096 - count(*)))
+                      ELSE (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096 /
+                           (CAST(sum(1::HUGEINT << (53 - reg))
+                                 + (4096 - count(*)) * (1::HUGEINT << 53)
+                                 AS DOUBLE) / 9007199254740992.0)
+                 END AS e
+          FROM regs GROUP BY event_type
+        ),
+        pairs AS (
+          SELECT a.event_type AS ta, b.event_type AS tb
+          FROM (SELECT DISTINCT event_type FROM events) a,
+               (SELECT DISTINCT event_type FROM events) b
+          WHERE a.event_type < b.event_type
+        ),
+        uregs AS (
+          SELECT p.ta, p.tb, r.idx, max(r.reg) AS reg
+          FROM pairs p JOIN regs r
+            ON r.event_type = p.ta OR r.event_type = p.tb
+          GROUP BY 1, 2, 3
+        ),
+        uest AS (
+          SELECT ta, tb,
+                 CASE WHEN (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096 /
+                           (CAST(sum(1::HUGEINT << (53 - reg))
+                                 + (4096 - count(*)) * (1::HUGEINT << 53)
+                                 AS DOUBLE) / 9007199254740992.0)
+                             <= 2.5 * 4096
+                       AND 4096 - count(*) > 0
+                      THEN 4096 * ln(4096.0 / (4096 - count(*)))
+                      ELSE (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096 /
+                           (CAST(sum(1::HUGEINT << (53 - reg))
+                                 + (4096 - count(*)) * (1::HUGEINT << 53)
+                                 AS DOUBLE) / 9007199254740992.0)
+                 END AS eu
+          FROM uregs GROUP BY ta, tb
+        )
+        SELECT u.ta AS type_a, u.tb AS type_b,
+               CAST(round(ea.e) AS BIGINT) AS approx_a,
+               CAST(round(eb.e) AS BIGINT) AS approx_b,
+               CAST(round(u.eu) AS BIGINT) AS approx_union,
+               CAST(round(ea.e + eb.e - u.eu) AS BIGINT) AS approx_overlap
+        FROM uest u
+        JOIN est1 ea ON ea.event_type = u.ta
+        JOIN est1 eb ON eb.event_type = u.tb
         ORDER BY 1, 2
     """
     return oracles

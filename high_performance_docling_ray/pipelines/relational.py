@@ -425,26 +425,14 @@ def distinct_segments(sf_dir: str) -> pa.Table:
     return pa.Table.from_pydict({"c_mktsegment": pa.array(vals)})
 
 
-def exact_quantiles(
-    sf_dir: str,
-    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
-    table: str = "lineitem",
-    column: str = "l_quantity",
-) -> pa.Table:
-    """EXACT discrete quantiles of a numeric column, computed as a
-    value-count aggregate instead of a global sort: each batch emits
-    its (value, cnt) histogram (np.unique combiner), one groupby
-    merges them, and the driver takes the quantile from the sorted
-    cumulative counts — ``index = max(0, ceil(q*n) - 1)``, matching
-    DuckDB ``quantile_disc``.
-
-    Scale shape: the exchange carries one row per DISTINCT value per
-    block — for bounded-cardinality columns (quantities, sizes,
-    scores at fixed precision) that is O(distinct), never O(rows), and
-    no sort of the data ever happens. For genuinely continuous
-    columns, bucket first (fixed-width bins) and refine the one
-    boundary bin with a second pass — same primitive, two rounds.
-    """
+def _sorted_value_counts(
+    sf_dir: str, table: str, column: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """The shared exact-quantile primitive: (sorted distinct values,
+    counts) of a numeric column via per-block np.unique combiners +
+    one key-only merge (budgeted driver combine, Ray groupby
+    fallback). O(distinct) on the wire, never O(rows), and no global
+    sort of the data ever happens."""
     ds = _read(sf_dir, table, [column])
 
     def local_counts(batch: pa.Table) -> pa.Table:
@@ -470,7 +458,30 @@ def exact_quantiles(
     vals = merged.column("value").to_numpy(zero_copy_only=False)
     cnts = merged.column("sum(cnt)").to_numpy(zero_copy_only=False)
     order = np.argsort(vals, kind="stable")
-    vals, cnts = vals[order], cnts[order]
+    return vals[order], cnts[order]
+
+
+def exact_quantiles(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    table: str = "lineitem",
+    column: str = "l_quantity",
+) -> pa.Table:
+    """EXACT discrete quantiles of a numeric column, computed as a
+    value-count aggregate instead of a global sort: each batch emits
+    its (value, cnt) histogram (np.unique combiner), one groupby
+    merges them, and the driver takes the quantile from the sorted
+    cumulative counts — ``index = max(0, ceil(q*n) - 1)``, matching
+    DuckDB ``quantile_disc``.
+
+    Scale shape: the exchange carries one row per DISTINCT value per
+    block — for bounded-cardinality columns (quantities, sizes,
+    scores at fixed precision) that is O(distinct), never O(rows), and
+    no sort of the data ever happens. For genuinely continuous
+    columns, bucket first (fixed-width bins) and refine the one
+    boundary bin with a second pass — same primitive, two rounds.
+    """
+    vals, cnts = _sorted_value_counts(sf_dir, table, column)
     cum = np.cumsum(cnts)
     n = int(cum[-1]) if len(cum) else 0
     if n == 0:
@@ -489,6 +500,46 @@ def exact_quantiles(
             "q": pa.array(out_q, pa.float64()),
             "value": pa.array(out_v, pa.float64()),
         }
+    )
+
+
+def exact_quantiles_cont(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    table: str = "lineitem",
+    column: str = "l_quantity",
+) -> pa.Table:
+    """EXACT continuous (interpolated) quantiles — the
+    ``quantile_cont`` / PERCENTILE_CONT sibling of ``exact_quantiles``:
+    same O(distinct) value-count exchange, but the driver interpolates
+    between the two adjacent order statistics at rank ``h = q*(n-1)``
+    (``v_lo + (v_hi - v_lo) * (h - floor(h))``, the standard linear
+    rule) instead of snapping to one. No sort of the data; two
+    searchsorted probes per requested quantile.
+    """
+    vals, cnts = _sorted_value_counts(sf_dir, table, column)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pa.Table.from_pydict(
+            {"q": pa.array([], pa.float64()),
+             "value": pa.array([], pa.float64())}
+        )
+
+    def order_stat(i: int) -> float:
+        return float(vals[int(np.searchsorted(cum, i + 1))])
+
+    out_q, out_v = [], []
+    for q in qs:
+        h = q * (n - 1)
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        v_lo, v_hi = order_stat(lo), order_stat(hi)
+        out_q.append(round(float(q), 6))
+        out_v.append(v_lo + (v_hi - v_lo) * (h - lo))
+    return pa.Table.from_pydict(
+        {"q": pa.array(out_q, pa.float64()),
+         "value": pa.array(out_v, pa.float64())}
     )
 
 

@@ -366,17 +366,12 @@ def lang_stats(sf_dir: str):
     return finalize(tbl)
 
 
-def distinct_users_hll(sf_dir: str, p: int = 12):
-    """Approximate distinct users per event_type via HyperLogLog.
-
-    The mergeable-sketch pattern for corpus-scale distinct counts: each
-    batch emits one 2^p-byte register array per key (vectorized build,
-    kernels/sketch.py), partials merge with elementwise max on the
-    driver — associative/commutative, so block order cannot change the
-    answer, and the shuffle a groupby-distinct would need never
-    happens. Returns (event_type, approx_distinct_users); ~1.6%
-    standard error at p=12.
-    """
+def _per_type_user_registers(sf_dir: str, p: int) -> dict:
+    """Merged per-event_type HLL registers over user_id — the shared
+    build for ``distinct_users_hll`` and the sketch-algebra overlap:
+    each batch emits one 2^p-byte register blob per key, partials merge
+    with elementwise max on the driver (associative/commutative, so
+    block order cannot change the answer)."""
     import numpy as np
     import pyarrow as pa
 
@@ -413,6 +408,22 @@ def distinct_users_hll(sf_dir: str, p: int = 12):
         merged[key] = (
             sketch.merge(merged[key], regs) if key in merged else regs.copy()
         )
+    return merged
+
+
+def distinct_users_hll(sf_dir: str, p: int = 12):
+    """Approximate distinct users per event_type via HyperLogLog.
+
+    The mergeable-sketch pattern for corpus-scale distinct counts: the
+    shuffle a groupby-distinct would need never happens (see
+    ``_per_type_user_registers``). Returns (event_type,
+    approx_distinct_users); ~1.6% standard error at p=12.
+    """
+    import pyarrow as pa
+
+    from ..kernels import sketch
+
+    merged = _per_type_user_registers(sf_dir, p)
     out_t = sorted(merged)
     return pa.Table.from_pydict(
         {
@@ -422,6 +433,47 @@ def distinct_users_hll(sf_dir: str, p: int = 12):
                 pa.int64(),
             ),
         }
+    )
+
+
+def hll_user_overlap(sf_dir: str, p: int = 12):
+    """Sketch ALGEBRA: approximate distinct-user OVERLAP between every
+    pair of event types by inclusion-exclusion over the same merged
+    HLL registers — union is native to HLL (elementwise register max),
+    so ``|A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)`` costs three
+    estimator evaluations and ZERO additional passes over the data.
+    This is the corpus-overlap primitive (audience overlap, shard/
+    source distinct-key overlap) at any scale: the registers are the
+    only state, one 4 KiB blob per key. The raw (un-rounded) estimates
+    combine before the single final round, mirrored bit-for-bit by the
+    SQL oracle's register rebuild.
+    """
+    import pyarrow as pa
+
+    from ..kernels import sketch
+
+    merged = _per_type_user_registers(sf_dir, p)
+    types = sorted(merged)
+    rows = {"type_a": [], "type_b": [], "approx_a": [], "approx_b": [],
+            "approx_union": [], "approx_overlap": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            e_a = sketch.estimate(merged[ta])
+            e_b = sketch.estimate(merged[tb])
+            e_u = sketch.estimate(sketch.merge(merged[ta], merged[tb]))
+            rows["type_a"].append(ta)
+            rows["type_b"].append(tb)
+            rows["approx_a"].append(int(round(e_a)))
+            rows["approx_b"].append(int(round(e_b)))
+            rows["approx_union"].append(int(round(e_u)))
+            rows["approx_overlap"].append(int(round(e_a + e_b - e_u)))
+    return pa.Table.from_pydict(
+        {"type_a": pa.array(rows["type_a"], pa.string()),
+         "type_b": pa.array(rows["type_b"], pa.string()),
+         "approx_a": pa.array(rows["approx_a"], pa.int64()),
+         "approx_b": pa.array(rows["approx_b"], pa.int64()),
+         "approx_union": pa.array(rows["approx_union"], pa.int64()),
+         "approx_overlap": pa.array(rows["approx_overlap"], pa.int64())}
     )
 
 

@@ -212,3 +212,38 @@ def test_events_cube_identities():
     assert fine.n_events.sum() == total
     assert df[df.event_type.notna() & df.dow.isna()].n_events.sum() == total
     assert df[df.event_type.isna() & df.dow.notna()].n_events.sum() == total
+
+
+def test_exact_quantiles_cont_interpolation():
+    from high_performance_docling_ray.pipelines.relational import (
+        exact_quantiles,
+        exact_quantiles_cont,
+    )
+
+    disc = exact_quantiles(SF).to_pandas().set_index("q")["value"]
+    cont = exact_quantiles_cont(SF).to_pandas().set_index("q")["value"]
+    # cont lies within one value-step of disc and is monotone in q
+    assert (cont.sort_index().diff().dropna() >= 0).all()
+    for q in (0.25, 0.5, 0.75, 0.95):
+        assert abs(cont[q] - disc[q]) <= 1.0 + 1e-9
+
+
+def test_hll_user_overlap_algebra():
+    from high_performance_docling_ray.pipelines.text_analysis import (
+        distinct_users_hll,
+        hll_user_overlap,
+    )
+
+    per = distinct_users_hll(SF).to_pandas().set_index("event_type")[
+        "approx_distinct_users"
+    ]
+    ov = hll_user_overlap(SF).to_pandas()
+    assert len(ov) == len(per) * (len(per) - 1) // 2
+    for _, r in ov.iterrows():
+        # the pairwise columns must agree with the single-type query
+        assert r.approx_a == per[r.type_a]
+        assert r.approx_b == per[r.type_b]
+        # union bounds: >= each side, <= sum
+        assert r.approx_union >= max(r.approx_a, r.approx_b) - 1
+        assert r.approx_union <= r.approx_a + r.approx_b
+        assert r.approx_overlap == r.approx_a + r.approx_b - r.approx_union
