@@ -1403,6 +1403,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL sketch ALGEBRA: pairwise distinct-user overlap via
         # inclusion-exclusion over merged registers
         "hll_user_overlap": _q_hll_user_overlap,
+        # exact bounded-depth BFS distances from a seed set (frontier
+        # sweeps / Bellman-Ford cogroup tiers)
+        "bfs_distances": _q_bfs_distances,
     }
 
 
@@ -1546,6 +1549,12 @@ def _q_hll_user_overlap(sf_dir: str):
     )
 
     return hll_user_overlap(sf_dir)
+
+
+def _q_bfs_distances(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import bfs_distances
+
+    return bfs_distances(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6197,5 +6206,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN est1 ea ON ea.event_type = u.ta
         JOIN est1 eb ON eb.event_type = u.tb
         ORDER BY 1, 2
+    """
+    # bounded-depth BFS as a recursive CTE: UNION (distinct) bounds
+    # the state space to (node, dist<=4) so recursion terminates; the
+    # min collapses multi-path reachability to the hop distance
+    oracles["bfs_distances"] = """
+        WITH RECURSIVE
+        e0 AS (
+          SELECT DISTINCT 2 * l_suppkey AS src, 2 * l_partkey + 1 AS dst
+          FROM lineitem),
+        es AS (SELECT src, dst FROM e0
+               UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        seeds AS (SELECT 2 * s_suppkey AS node FROM supplier
+                  WHERE s_nationkey = 3),
+        bfs AS (
+          SELECT node, 0 AS dist FROM seeds
+          UNION
+          SELECT e.dst AS node, b.dist + 1 AS dist
+          FROM bfs b JOIN es e ON e.src = b.node WHERE b.dist < 4)
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM bfs GROUP BY 1 ORDER BY 1
     """
     return oracles

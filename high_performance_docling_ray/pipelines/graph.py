@@ -714,3 +714,115 @@ def _triangles_distributed(
         .take_all()
     )
     return sum(r["t"] for r in parts)
+
+
+def bfs_distances(
+    sf_dir: str,
+    seed_nation: int = 3,
+    max_hops: int = 4,
+    node_budget: int = 2_000_000,
+) -> pa.Table:
+    """EXACT BFS hop distances from a seed set (suppliers of one
+    nation; default 3 — present at every SF) over the symmetrised bipartite graph — the bounded-depth
+    reachability primitive (crawl radius, contamination spread,
+    citation distance).
+
+    In budget, the node-side state (frontier + labeled set — O(nodes),
+    always far below O(edges)) lives in numpy on the driver and each
+    hop is ONE streamed pass over edges emitting block-distinct
+    frontier-neighbor rows (key-only). Past ``node_budget`` the SAME
+    distances come from unit-weight Bellman-Ford sweeps on (node,
+    dist) key rows: per hop, one ``cogroup_attach`` of current dists
+    onto edges by src + one groupby(node).min — after k sweeps every
+    node within k hops holds its true distance, entirely
+    key-only-distributed (the neardup_components min-label shape with
+    +1 per hop). Tier equality is test-pinned; the oracle is a
+    bounded-depth recursive CTE.
+    """
+    from .relational import _broadcast_parquet, _combine_partials
+
+    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    seeds = np.sort(2 * skey[snat == seed_nation])
+    edges = _edges_dataset(sf_dir).materialize()
+
+    # node-count probe for the tier choice: degree table is O(nodes)
+    n_nodes = _degree_table(edges).num_rows
+    if n_nodes <= node_budget:
+        dist_map: dict[int, int] = {int(s): 0 for s in seeds}
+        frontier = seeds
+        for h in range(1, max_hops + 1):
+            if len(frontier) == 0:
+                break
+            f_ref = ray.put(np.sort(frontier))
+
+            def neigh(batch: pa.Table) -> pa.Table:
+                f = ray.get(f_ref)
+                src = batch.column("src").to_numpy(zero_copy_only=False)
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(f, src), len(f) - 1)
+                uniq = np.unique(dst[f[pos] == src])
+                return pa.Table.from_pydict(
+                    {"node": pa.array(uniq, pa.int64()),
+                     "n": pa.array(np.ones(len(uniq), dtype=np.int64))}
+                )
+
+            tbl = _combine_partials(
+                edges.map_batches(neigh, batch_format="pyarrow"),
+                ["node"], ["n"],
+            )
+            cand = tbl.column("node").to_numpy().astype(np.int64)
+            new = np.array(
+                [c for c in cand if int(c) not in dist_map], dtype=np.int64
+            )
+            for c in new:
+                dist_map[int(c)] = h
+            frontier = new
+        nodes = np.array(sorted(dist_map), dtype=np.int64)
+        dists = np.array([dist_map[int(x)] for x in nodes], dtype=np.int64)
+        return pa.Table.from_pydict(
+            {"node": pa.array(nodes, pa.int64()),
+             "dist": pa.array(dists, pa.int64())}
+        )
+
+    # over-budget tier: Bellman-Ford sweeps on key-only (node, dist)
+    from .joins import cogroup_attach
+
+    labeled = ray.data.from_arrow(pa.Table.from_pydict(
+        {"node": pa.array(seeds, pa.int64()),
+         "dist": pa.array(np.zeros(len(seeds), dtype=np.int64))}
+    ))
+    for _h in range(1, max_hops + 1):
+        srcd = labeled.map_batches(
+            lambda t: t.rename_columns(["src", "sdist"]),
+            batch_format="pyarrow",
+        )
+        cand = cogroup_attach(
+            edges, srcd, "src",
+            [pa.field("src", pa.int64()), pa.field("dst", pa.int64())],
+            [pa.field("sdist", pa.int64())],
+        )
+
+        def relax(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.is_valid(batch.column("sdist")))
+            # fill_null BEFORE to_numpy: nullable int64 silently
+            # promotes to float64 otherwise (NOTES_r3)
+            d = np.asarray(pc.fill_null(t.column("sdist"), 0)
+                           .to_numpy(zero_copy_only=False), dtype=np.int64)
+            return pa.Table.from_pydict(
+                {"node": t.column("dst"),
+                 "dist": pa.array(d + 1, pa.int64())}
+            )
+
+        cand_rows = cand.map_batches(relax, batch_format="pyarrow")
+        labeled = labeled.union(cand_rows).groupby("node").min("dist")
+        labeled = labeled.map_batches(
+            lambda t: t.rename_columns(["node", "dist"]),
+            batch_format="pyarrow",
+        ).materialize()
+    parts = [
+        t for t in ray.get(labeled.to_arrow_refs()) if t.num_rows
+    ]
+    out = pa.concat_tables(parts)
+    return out.sort_by([("node", "ascending")])

@@ -67,3 +67,22 @@ def test_degree_stats_totals():
     # node counts across the histogram == node count in the rank vector
     assert int(t["n_nodes"].sum()) == len(pr)
     assert (t["deg"] >= 1).all()
+
+
+def test_bfs_distances_tiers_and_structure():
+    from high_performance_docling_ray.pipelines.graph import bfs_distances
+
+    a = bfs_distances(SF).to_pandas()
+    b = bfs_distances(SF, node_budget=0).to_pandas()  # Bellman-Ford tier
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert len(a) > 0
+    # bipartite parity: suppliers (even ids) at even dist, parts (odd
+    # ids) at odd dist — seeds are supplier nodes
+    assert ((a.node % 2) == (a.dist % 2)).all()
+    assert a.dist.min() == 0 and a.dist.max() <= 4
+    # seeds are exactly the nation's suppliers
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    seeds = set(2 * sup.loc[sup.s_nationkey == 3, "s_suppkey"])
+    assert set(a.loc[a.dist == 0, "node"]) == seeds
