@@ -1406,6 +1406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact bounded-depth BFS distances from a seed set (frontier
         # sweeps / Bellman-Ford cogroup tiers)
         "bfs_distances": _q_bfs_distances,
+        # row-level cume_dist / percent_rank distribution windows
+        # (value-count broadcast, tie-stable)
+        "events_value_ranks": _q_events_value_ranks,
     }
 
 
@@ -1555,6 +1558,12 @@ def _q_bfs_distances(sf_dir: str):
     from high_performance_docling_ray.pipelines.graph import bfs_distances
 
     return bfs_distances(sf_dir)
+
+
+def _q_events_value_ranks(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import events_value_ranks
+
+    return events_value_ranks(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6226,5 +6235,15 @@ def oracle_sql() -> dict[str, str]:
           FROM bfs b JOIN es e ON e.src = b.node WHERE b.dist < 4)
         SELECT node, CAST(min(dist) AS BIGINT) AS dist
         FROM bfs GROUP BY 1 ORDER BY 1
+    """
+    # tie-stable distribution windows: cume = n_le/n, pct = n_lt/(n-1)
+    # — exact integer counts, one mirrored divide each
+    oracles["events_value_ranks"] = """
+        SELECT event_id,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+                 AS cume_dist,
+               percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+                 AS percent_rank
+        FROM events ORDER BY event_id
     """
     return oracles

@@ -1003,3 +1003,91 @@ def events_cube(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
          "dow": pa.array(rows_dow, pa.int64()),
          "n_events": pa.array(rows_n, pa.int64())}
     )
+
+
+# -- distribution windows: cume_dist / percent_rank per type -------------------
+
+def events_value_ranks(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Row-level ``cume_dist`` + ``percent_rank`` of each event's value
+    within its type — the distribution-window shape (tie-STABLE, unlike
+    ntile, so the output is deterministic under any row order).
+
+    Pass 1 reduces events to per-(type, value) count partials — the
+    exact_quantiles value-count discipline, O(distinct values) on the
+    wire. The driver turns them into per-type sorted cumulative arrays
+    (broadcast once); pass 2 is a pure map: two searchsorted probes per
+    row and the two mirrored float divides
+    (``cume = n_le / n``, ``pct = n_lt / (n - 1)``).
+    """
+    _EMPTY = pa.Table.from_pydict(
+        {"event_type": pa.array([], pa.string()),
+         "value": pa.array([], pa.float64()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        t = pa.Table.from_pydict(
+            {"event_type": batch.column("event_type"),
+             "value": batch.column("value"),
+             "n": pa.array(np.ones(batch.num_rows, dtype=np.int64))}
+        )
+        return t.group_by(["event_type", "value"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["event_type", "value", "n"])
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    partials = ev.map_batches(counts, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["event_type", "value"], ["n"],
+                            combine_limit)
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby(["event_type", "value"]).sum("n").take_all()
+        )
+    et = np.asarray(tbl.column("event_type").to_numpy(zero_copy_only=False),
+                    dtype=object)
+    val = tbl.column("value").to_numpy(zero_copy_only=False)
+    cnt = tbl.column("sum(n)").to_numpy().astype(np.int64)
+    cdfs: dict[str, tuple] = {}
+    for t_name in sorted(set(et.tolist())):
+        m = et == t_name
+        v = val[m]
+        c = cnt[m]
+        o = np.argsort(v, kind="stable")
+        v, c = v[o], c[o]
+        cum = np.cumsum(c)
+        cdfs[t_name] = (v, cum, int(cum[-1]))
+    cdf_ref = ray.put(cdfs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut = ray.get(cdf_ref)
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        cume = np.empty(len(vals), dtype=np.float64)
+        pct = np.empty(len(vals), dtype=np.float64)
+        for t_name in np.unique(types):
+            m = types == t_name
+            v, cum, n = lut[t_name]
+            le = np.searchsorted(v, vals[m], side="right")
+            lt = np.searchsorted(v, vals[m], side="left")
+            n_le = np.where(le > 0, cum[np.maximum(le - 1, 0)], 0)
+            n_lt = np.where(lt > 0, cum[np.maximum(lt - 1, 0)], 0)
+            cume[m] = n_le / n
+            pct[m] = n_lt / (n - 1) if n > 1 else 0.0
+        return pa.Table.from_pydict(
+            {"event_id": batch.column("event_id"),
+             "cume_dist": pa.array(cume, pa.float64()),
+             "percent_rank": pa.array(pct, pa.float64())}
+        )
+
+    parts = [
+        t for t in ray.get(
+            ev.map_batches(score, batch_format="pyarrow")
+            .materialize().to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]
+    return pa.concat_tables(parts).sort_by([("event_id", "ascending")])

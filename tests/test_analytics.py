@@ -247,3 +247,16 @@ def test_hll_user_overlap_algebra():
         assert r.approx_union >= max(r.approx_a, r.approx_b) - 1
         assert r.approx_union <= r.approx_a + r.approx_b
         assert r.approx_overlap == r.approx_a + r.approx_b - r.approx_union
+
+
+def test_events_value_ranks_tiers_and_bounds():
+    from high_performance_docling_ray.pipelines.analytics import events_value_ranks
+
+    a = events_value_ranks(SF)
+    b = events_value_ranks(SF, combine_limit=0)
+    _eq(a, b)
+    df = a.to_pandas()
+    assert (df.cume_dist > 0).all() and (df.cume_dist <= 1).all()
+    assert (df.percent_rank >= 0).all() and (df.percent_rank <= 1).all()
+    # the max value of a type has cume_dist exactly 1
+    assert (df.cume_dist == 1.0).any()
