@@ -1409,6 +1409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row-level cume_dist / percent_rank distribution windows
         # (value-count broadcast, tie-stable)
         "events_value_ranks": _q_events_value_ranks,
+        # LEAD window: per-user event-type transition (Markov) counts
+        "event_transitions": _q_event_transitions,
     }
 
 
@@ -1564,6 +1566,12 @@ def _q_events_value_ranks(sf_dir: str):
     from high_performance_docling_ray.pipelines.analytics import events_value_ranks
 
     return events_value_ranks(sf_dir)
+
+
+def _q_event_transitions(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import event_transitions
+
+    return event_transitions(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6245,5 +6253,16 @@ def oracle_sql() -> dict[str, str]:
                percent_rank() OVER (PARTITION BY event_type ORDER BY value)
                  AS percent_rank
         FROM events ORDER BY event_id
+    """
+    # LEAD window: (ts, event_id) sort key makes ties deterministic
+    oracles["event_transitions"] = """
+        WITH s AS (
+          SELECT event_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM events)
+        SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
     return oracles

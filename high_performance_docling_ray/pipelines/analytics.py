@@ -1091,3 +1091,79 @@ def events_value_ranks(
         if t.num_rows > 0
     ]
     return pa.concat_tables(parts).sort_by([("event_id", "ascending")])
+
+
+# -- LEAD window: per-user event-type transition counts ------------------------
+
+def event_transitions(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
+    """Markov transition counts over per-user event sequences — the
+    LEAD window shape (``LEAD(type) OVER (PARTITION BY user ORDER BY
+    ts, event_id)``), on the sessionize coarse-partition + key-runs
+    pattern: ONE hash(user)%P key-row exchange, then each partition
+    lexsorts its rows once and pairs every event with its successor
+    inside the same user run — no per-user Python call, no per-user
+    groupby. Each partition reduces to <=|types|^2 count partials.
+    The (ts, event_id) sort key makes ties deterministic on both
+    sides.
+    """
+    num_parts = 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        part = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            num_parts
+        )
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
+
+    _EMPTY = pa.Table.from_pydict(
+        {"from_type": pa.array([], pa.string()),
+         "to_type": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def trans_part(group: pa.Table) -> pa.Table:
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(users):
+            return _EMPTY
+        ts = _ts_us(group.column("ts"))
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_numpy(zero_copy_only=False)
+        names, code = np.unique(types, return_inverse=True)
+        order = np.lexsort((eid, ts, users))
+        u_s, c_s = users[order], code[order]
+        same_user = u_s[1:] == u_s[:-1]
+        frm = c_s[:-1][same_user]
+        to = c_s[1:][same_user]
+        if not len(frm):
+            return _EMPTY
+        pair = frm * len(names) + to
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.Table.from_pydict(
+            {"from_type": pa.array(names[uniq // len(names)].tolist(),
+                                   pa.string()),
+             "to_type": pa.array(names[uniq % len(names)].tolist(),
+                                 pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: trans_part(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    tbl = _combine_partials(partials, ["from_type", "to_type"], ["n"],
+                            combine_limit)
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby(["from_type", "to_type"]).sum("n").take_all()
+        )
+    out = pa.Table.from_pydict(
+        {"from_type": tbl.column("from_type"),
+         "to_type": tbl.column("to_type"),
+         "n": tbl.column("sum(n)")}
+    )
+    return out.sort_by([("from_type", "ascending"), ("to_type", "ascending")])

@@ -260,3 +260,17 @@ def test_events_value_ranks_tiers_and_bounds():
     assert (df.percent_rank >= 0).all() and (df.percent_rank <= 1).all()
     # the max value of a type has cume_dist exactly 1
     assert (df.cume_dist == 1.0).any()
+
+
+def test_event_transitions_tiers_and_mass():
+    from high_performance_docling_ray.pipelines.analytics import event_transitions
+
+    a = event_transitions(SF)
+    b = event_transitions(SF, combine_limit=0)
+    _eq(a, b)
+    df = a.to_pandas()
+    # total transitions = total events - number of users (each user
+    # contributes len(events)-1 transitions)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
+    assert df.n.sum() == len(ev) - ev.user_id.nunique()
+    assert (df.n > 0).all()
