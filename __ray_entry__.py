@@ -1411,6 +1411,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ranks": _q_events_value_ranks,
         # LEAD window: per-user event-type transition (Markov) counts
         "event_transitions": _q_event_transitions,
+        # exact robust aggregates (trimmed + winsorized mean) from
+        # int64-cents value counts, no global sort
+        "trimmed_stats": _q_trimmed_stats,
     }
 
 
@@ -1572,6 +1575,12 @@ def _q_event_transitions(sf_dir: str):
     from high_performance_docling_ray.pipelines.analytics import event_transitions
 
     return event_transitions(sf_dir)
+
+
+def _q_trimmed_stats(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import trimmed_stats
+
+    return trimmed_stats(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6264,5 +6273,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
         FROM s WHERE next_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # robust aggregates: rank arithmetic over int64 cents; boundary
+    # order statistics clamp the winsorized tails; mirrored divides
+    oracles["trimmed_stats"] = """
+        WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                   FROM lineitem),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+        kk AS (SELECT count(*) AS n,
+                      CAST(floor(0.05 * count(*)) AS BIGINT) AS k FROM c),
+        b AS (SELECT
+                (SELECT sum(v) FROM r, kk WHERE rn > k AND rn <= n - k)
+                  AS mid_sum,
+                (SELECT v FROM r, kk WHERE rn = k + 1) AS lo,
+                (SELECT v FROM r, kk WHERE rn = n - k) AS hi,
+                n, k
+              FROM kk)
+        SELECT CAST(mid_sum AS DOUBLE) / (n - 2 * k) / 100.0
+                 AS trimmed_mean,
+               CAST(mid_sum + k * lo + k * hi AS DOUBLE) / n / 100.0
+                 AS winsorized_mean
+        FROM b
     """
     return oracles

@@ -1408,3 +1408,81 @@ def events_gap_fill(sf_dir: str) -> pa.Table:
     return tbl.sort_by(
         [("user_id", "ascending"), ("hour", "ascending")]
     )
+
+
+def trimmed_stats(
+    sf_dir: str,
+    alpha: float = 0.05,
+    table: str = "lineitem",
+    column: str = "l_extendedprice",
+) -> pa.Table:
+    """EXACT robust aggregates — trimmed and winsorized mean of a money
+    column, without any global sort: per-block (cents, count) value
+    partials (the exact_quantiles discipline at int64-cents precision,
+    so every sum is order-independent), one key-only merge, then the
+    driver trims ``k = floor(alpha*n)`` rows off each tail of the
+    cumulative array with exact integer arithmetic (boundary values
+    partially included by count). One mirrored double divide per
+    statistic at the very end.
+    """
+    ds = _read(sf_dir, table, [column])
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(column))
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.Table.from_pydict(
+            {"value_c": pa.array(uniq, pa.int64()),
+             "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    partials = ds.map_batches(local_counts, batch_format="pyarrow")
+    merged = _combine_partials(partials, keys=["value_c"], sum_cols=["cnt"])
+    if merged is None:
+        shuffled = partials.groupby("value_c").sum("cnt")
+        merged = pa.concat_tables(
+            [t for t in ray.get(shuffled.materialize().to_arrow_refs())
+             if t.num_rows]
+        )
+    vals = merged.column("value_c").to_numpy().astype(np.int64)
+    cnts = merged.column("sum(cnt)").to_numpy().astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pa.Table.from_pydict(
+            {"trimmed_mean": pa.array([], pa.float64()),
+             "winsorized_mean": pa.array([], pa.float64())}
+        )
+    k = int(np.floor(alpha * n))
+    m = n - 2 * k
+
+    def tail_sums(kk: int) -> tuple[int, int]:
+        """(sum of the kk smallest, sum of the kk largest) — exact ints
+        with boundary values partially counted."""
+        if kk == 0:
+            return 0, 0
+        lo_idx = int(np.searchsorted(cum, kk))          # first value whose cum >= kk
+        below = int(cum[lo_idx - 1]) if lo_idx else 0
+        lo_sum = int(np.sum(vals[:lo_idx] * cnts[:lo_idx], dtype=object) if lo_idx else 0)
+        lo_sum += int(vals[lo_idx]) * (kk - below)
+        rcum = np.cumsum(cnts[::-1])
+        hi_idx = int(np.searchsorted(rcum, kk))
+        rabove = int(rcum[hi_idx - 1]) if hi_idx else 0
+        hi_vals, hi_cnts = vals[::-1], cnts[::-1]
+        hi_sum = int(np.sum(hi_vals[:hi_idx] * hi_cnts[:hi_idx], dtype=object) if hi_idx else 0)
+        hi_sum += int(hi_vals[hi_idx]) * (kk - rabove)
+        return lo_sum, hi_sum
+
+    total = int(np.sum(vals.astype(object) * cnts.astype(object)))
+    lo_sum, hi_sum = tail_sums(k)
+    mid_sum = total - lo_sum - hi_sum
+    # winsorize: the k trimmed rows on each side are REPLACED by the
+    # boundary order statistics (the k-th smallest / largest kept value)
+    lo_bound = int(vals[int(np.searchsorted(cum, k + 1))])
+    hi_bound = int(vals[len(vals) - 1 - int(np.searchsorted(np.cumsum(cnts[::-1]), k + 1))])
+    win_sum = mid_sum + k * lo_bound + k * hi_bound
+    return pa.Table.from_pydict(
+        {"trimmed_mean": pa.array([mid_sum / m / 100.0], pa.float64()),
+         "winsorized_mean": pa.array([win_sum / n / 100.0], pa.float64())}
+    )

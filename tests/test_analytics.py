@@ -274,3 +274,19 @@ def test_event_transitions_tiers_and_mass():
     ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
     assert df.n.sum() == len(ev) - ev.user_id.nunique()
     assert (df.n > 0).all()
+
+
+def test_trimmed_stats_properties():
+    from high_performance_docling_ray.pipelines.relational import trimmed_stats
+
+    t = trimmed_stats(SF).to_pandas()
+    tm, wm = t.trimmed_mean.iloc[0], t.winsorized_mean.iloc[0]
+    assert tm > 0 and wm > 0
+    # alpha=0 degenerates to the plain mean for both statistics
+    t0 = trimmed_stats(SF, alpha=0.0).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_extendedprice"]).to_pandas()
+    cents = np.rint(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
+    plain = cents.sum() / len(cents) / 100.0
+    assert abs(t0.trimmed_mean.iloc[0] - plain) < 1e-9
+    assert abs(t0.winsorized_mean.iloc[0] - plain) < 1e-9
