@@ -187,8 +187,7 @@ def edit_distance_pairs(
         if batch.num_rows == 0:
             return pa.Table.from_pydict(
                 {"vhash": pa.array([], pa.int64()),
-                 "doc_id": pa.array([], pa.int64()),
-                 "bucket": pa.array([], pa.int32())}
+                 "doc_id": pa.array([], pa.int64())}
             )
         did = batch.column("doc_id").to_numpy().astype(np.int64)
         mat = _codepoint_matrix(batch.column("key").to_pylist())
@@ -198,8 +197,7 @@ def edit_distance_pairs(
         ids = np.repeat(did, nv)
         return pa.Table.from_pydict(
             {"vhash": pa.array(flat, pa.int64()),
-             "doc_id": pa.array(ids, pa.int64()),
-             "bucket": pa.array(int_key_buckets(flat, num_parts), pa.int32())}
+             "doc_id": pa.array(ids, pa.int64())}
         )
 
     var_rows = keys_ds.map_batches(variants, batch_format="pyarrow")
@@ -207,21 +205,28 @@ def edit_distance_pairs(
     def emit_pairs(group: pa.Table) -> pa.Table:
         vh = group.column("vhash").to_numpy().astype(np.int64)
         did = group.column("doc_id").to_numpy().astype(np.int64)
-        order = np.lexsort((did, vh))
-        vh, did = vh[order], did[order]
+        # global (vhash, doc) dedup first — a doc can repeat a variant
+        # (padding deletions alias), and dedup here also rules out
+        # self-pairs below
+        comp = np.unique(np.stack([vh, did], axis=1), axis=0)
+        vh, did = comp[:, 0], comp[:, 1]
         starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
-        ends = np.r_[starts[1:], len(vh)]
+        lens = np.diff(np.r_[starts, len(vh)])
+        multi_start = starts[lens >= 2]
+        multi_len = lens[lens >= 2]
+        if not len(multi_start):
+            return _PAIR_EMPTY
+        # fully vectorized all-pairs emission: one broadcast gather per
+        # DISTINCT run size (sizes are few; a python loop per RUN was
+        # the wall-time of this stage — true-dup groups share ~326
+        # variants, so multi runs number |pairs| x variants)
         a_out: list[np.ndarray] = []
         b_out: list[np.ndarray] = []
-        for s, e in zip(starts, ends):
-            g = np.unique(did[s:e])  # one doc can emit a variant twice
-            if len(g) < 2:
-                continue
-            ia, ib = np.triu_indices(len(g), 1)
-            a_out.append(g[ia])
-            b_out.append(g[ib])
-        if not a_out:
-            return _PAIR_EMPTY
+        for m in np.unique(multi_len):
+            runs = multi_start[multi_len == m]
+            ia, ib = np.triu_indices(int(m), 1)
+            a_out.append(did[(runs[:, None] + ia[None, :]).ravel()])
+            b_out.append(did[(runs[:, None] + ib[None, :]).ravel()])
         a = np.concatenate(a_out)
         b = np.concatenate(b_out)
         t = pa.Table.from_pydict(
@@ -235,12 +240,29 @@ def edit_distance_pairs(
             [("n", "sum")]
         ).rename_columns(["a_id", "b_id", "n"])
 
-    cand = var_rows.groupby("bucket").map_groups(
-        lambda g: emit_pairs(g.drop_columns(["bucket"])),
-        batch_format="pyarrow",
-    )
     from .relational import _combine_partials
 
+    # candidate pairing: bucketed hash-groupby with the fully
+    # vectorized per-bucket emitter. (A budgeted driver-collect tier
+    # was measured SLOWER here — iter_batches pulls the 16-byte key
+    # rows through the driver one block at a time, costing more than
+    # the AllToAll it saves — so the any-cardinality exchange is the
+    # only tier.)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        flat = batch.column("vhash").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket",
+            pa.array(int_key_buckets(flat, num_parts), pa.int32()),
+        )
+
+    cand = (
+        var_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: emit_pairs(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+    )
     pairs = _combine_partials(cand, ["a_id", "b_id"], ["n"], pair_budget)
     if pairs is None:
         pairs_ds = cand.groupby(["a_id", "b_id"]).sum("n")

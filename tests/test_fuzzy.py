@@ -103,6 +103,8 @@ def test_derive_keys_precedence_and_residues():
 def test_pairs_tiers_equal_and_planted_distances():
     a = edit_distance_pairs(SF).to_pandas()
     b = edit_distance_pairs(SF, pair_budget=0, key_budget=0).to_pandas()
+    # forced over-budget tiers: Ray-groupby pair dedup + double-cogroup
+    # key attach
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
     assert len(a) > 0
     # planted edits make non-zero distances genuinely occur
