@@ -8,34 +8,43 @@ record-linkage / near-duplicate-title join the dedup family lacks
 (MinHash etc. are token-set measures; this is CHARACTER-edit
 similarity).
 
-Algorithm (exact, two-sided deletion neighborhoods):
+Pipeline (exact at every step):
 
-* ed(a, b) <= k  implies  some string obtained by <= k deletions from
-  ``a`` equals one obtained by <= k deletions from ``b`` (the SymSpell
-  pigeonhole). So each doc emits hashes of ALL <= k-deletion variants
-  of its key; equal hashes are candidates; candidates are verified
-  with an exact banded DP. False negatives are impossible (equal
-  strings hash equal); hash collisions only cost a wasted verify.
-* The variant hashes are computed ALGEBRAICALLY, not by slicing
-  strings: with a polynomial hash  H = sum(c_t * B^t) mod 2^64  over
-  an ODD base B (invertible mod 2^64), deleting position i is O(1):
+1. **Distinct-key collapse.** Web corpora carry huge EXACT-duplicate
+   cliques (boilerplate); a clique of g docs sharing one key would
+   otherwise emit g x ~326 identical variant rows and g(g-1)/2 x 326
+   duplicate candidate pairs (measured: 97M candidate rows for 1M true
+   pairs on a replica-heavy 100k corpus). So docs first group by key:
+   one representative per DISTINCT key runs the fuzzy machinery;
+   distance-0 pairs fall out of the member groups directly; the few
+   (rep_a, rep_b, dist>=1) key pairs expand back to doc pairs with a
+   one-to-many cogroup at the very end. Every stage is bounded by
+   distinct keys or true output size.
+2. **Deletion neighborhoods (SymSpell).** ed(a, b) <= k implies some
+   string obtained by <= k deletions from ``a`` equals one obtained by
+   <= k deletions from ``b`` (the pigeonhole), so each distinct key
+   emits hashes of ALL <= k-deletion variants; equal hashes are
+   candidates, verified with an exact banded DP. False negatives are
+   impossible (equal strings hash equal); hash collisions only cost a
+   wasted verify.
+3. **Algebraic variant hashes.** With a polynomial hash
+   H = sum(c_t * B^t) mod 2^64 over an ODD base B (invertible mod
+   2^64), deleting position i is O(1):
 
-      del_i(H) = P_i + B^-1 * (H - P_i - c_i * B^i)
+       del_i(H) = P_i + B^-1 * (H - P_i - c_i * B^i)
 
-  where P_i is the prefix sum below i. Double deletions (i < j) apply
-  the identity twice (delete j first so indices below stay valid).
-  One (n, W) uint64 cumsum per batch replaces ~W^2/2 string slices
-  per ROW with pure vectorized uint64 math. Zero padding is free:
-  trailing NUL bytes contribute 0 to the polynomial, so variants of
-  different lengths hash consistently.
+   where P_i is the prefix sum below i; double deletions (i < j)
+   apply the identity twice (delete j first so lower indices stay
+   valid). One (n, W) uint64 cumsum per batch replaces ~W^2/2 string
+   slices per ROW. Zero padding is free: trailing NULs contribute 0,
+   so variants of different lengths hash consistently.
 
-Scale shape: variants are (hash, doc_id) KEY rows only (the payload
-never ships) — a bounded k-dependent blowup of ~(1 + W + W^2/2) rows
-per doc, documented and inherent to the method. Pair dedup is the
-usual budgeted driver combine with a bucketed-groupby fallback;
-verification attaches keys via broadcast under a budget or TWO
-``cogroup_attach`` passes (by a_id then b_id) past it. Tier equality
-is test-pinned; the driver gate hash-matches a DuckDB
+Scale shape: variant rows are (hash, key_id) KEY rows over DISTINCT
+keys only; candidate dedup is the budgeted driver combine with a
+bucketed-groupby fallback; representative keys attach to candidates
+via broadcast under a budget or TWO ``cogroup_attach`` passes past
+it; the member expansion is a bucketed one-to-many cogroup. Tier
+equality is test-pinned; the driver gate hash-matches a DuckDB
 ``levenshtein`` cross-join oracle at both SFs.
 """
 
@@ -155,33 +164,52 @@ _PAIR_EMPTY = pa.Table.from_pydict(
 )
 
 
-def edit_distance_pairs(
-    sf_dir: str,
-    k: int = 2,
-    pair_budget: int = 2_000_000,
-    key_budget: int = 5_000_000,
-    num_parts: int | None = None,
+def _emit_all_pairs(group: pa.Table, h_col: str, id_col: str) -> pa.Table:
+    """All unordered id pairs within equal-``h_col`` runs, fully
+    vectorized: one global (h, id) dedup, then one broadcast gather
+    per DISTINCT run size (a python loop per RUN was the wall-time of
+    this stage on dup-heavy data)."""
+    vh = group.column(h_col).to_numpy().astype(np.int64)
+    did = group.column(id_col).to_numpy().astype(np.int64)
+    comp = np.unique(np.stack([vh, did], axis=1), axis=0)
+    vh, did = comp[:, 0], comp[:, 1]
+    starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
+    lens = np.diff(np.r_[starts, len(vh)])
+    multi_start = starts[lens >= 2]
+    multi_len = lens[lens >= 2]
+    if not len(multi_start):
+        return _PAIR_EMPTY
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    for m in np.unique(multi_len):
+        runs = multi_start[multi_len == m]
+        ia, ib = np.triu_indices(int(m), 1)
+        a_out.append(did[(runs[:, None] + ia[None, :]).ravel()])
+        b_out.append(did[(runs[:, None] + ib[None, :]).ravel()])
+    a = np.concatenate(a_out)
+    b = np.concatenate(b_out)
+    t = pa.Table.from_pydict(
+        {"a_id": pa.array(a, pa.int64()),
+         "b_id": pa.array(b, pa.int64()),
+         "n": pa.array(np.ones(len(a), dtype=np.int64))}
+    )
+    # local dedup (a near-pair shares ~300 variants): one group_by here
+    # keeps the global exchange near |true pairs| rows
+    return t.group_by(["a_id", "b_id"]).aggregate(
+        [("n", "sum")]
+    ).rename_columns(["a_id", "b_id", "n"])
+
+
+def _symspell_key_pairs(
+    rep_ds: ray.data.Dataset,
+    pair_budget: int,
+    key_budget: int,
+    num_parts: int,
 ) -> pa.Table:
-    """All (a_id < b_id, dist) document pairs whose derived keys are
-    within Levenshtein distance ``k`` (<= 2; the deletion-neighborhood
-    generator is built for k=2). See module docstring for the tiers.
+    """(a_id, b_id, dist) over DISTINCT-key representative rows
+    (columns doc_id, key; doc_id is the key's representative id).
+    dist >= 1 by construction (equal keys share one representative).
     """
-    if k != 2:
-        raise ValueError("edit_distance_pairs is built for k=2")
-    if num_parts is None:
-        num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        did = batch.column("doc_id").to_numpy().astype(np.int64)
-        keys = derive_keys(did, batch.column("text"))
-        return pa.Table.from_pydict(
-            {"doc_id": pa.array(did, pa.int64()),
-             "key": pa.array(keys, pa.string())}
-        )
-
-    keys_ds = docs.map_batches(keyed, batch_format="pyarrow")
 
     def variants(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -192,62 +220,14 @@ def edit_distance_pairs(
         did = batch.column("doc_id").to_numpy().astype(np.int64)
         mat = _codepoint_matrix(batch.column("key").to_pylist())
         vh = _variant_hashes(mat).view(np.int64)
-        nv = vh.shape[1]
         flat = vh.reshape(-1)
-        ids = np.repeat(did, nv)
         return pa.Table.from_pydict(
             {"vhash": pa.array(flat, pa.int64()),
-             "doc_id": pa.array(ids, pa.int64())}
+             "doc_id": pa.array(np.repeat(did, vh.shape[1]), pa.int64())}
         )
 
-    var_rows = keys_ds.map_batches(variants, batch_format="pyarrow")
+    var_rows = rep_ds.map_batches(variants, batch_format="pyarrow")
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        vh = group.column("vhash").to_numpy().astype(np.int64)
-        did = group.column("doc_id").to_numpy().astype(np.int64)
-        # global (vhash, doc) dedup first — a doc can repeat a variant
-        # (padding deletions alias), and dedup here also rules out
-        # self-pairs below
-        comp = np.unique(np.stack([vh, did], axis=1), axis=0)
-        vh, did = comp[:, 0], comp[:, 1]
-        starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
-        lens = np.diff(np.r_[starts, len(vh)])
-        multi_start = starts[lens >= 2]
-        multi_len = lens[lens >= 2]
-        if not len(multi_start):
-            return _PAIR_EMPTY
-        # fully vectorized all-pairs emission: one broadcast gather per
-        # DISTINCT run size (sizes are few; a python loop per RUN was
-        # the wall-time of this stage — true-dup groups share ~326
-        # variants, so multi runs number |pairs| x variants)
-        a_out: list[np.ndarray] = []
-        b_out: list[np.ndarray] = []
-        for m in np.unique(multi_len):
-            runs = multi_start[multi_len == m]
-            ia, ib = np.triu_indices(int(m), 1)
-            a_out.append(did[(runs[:, None] + ia[None, :]).ravel()])
-            b_out.append(did[(runs[:, None] + ib[None, :]).ravel()])
-        a = np.concatenate(a_out)
-        b = np.concatenate(b_out)
-        t = pa.Table.from_pydict(
-            {"a_id": pa.array(a, pa.int64()),
-             "b_id": pa.array(b, pa.int64()),
-             "n": pa.array(np.ones(len(a), dtype=np.int64))}
-        )
-        # local dedup (a true pair shares ~300 variants): one group_by
-        # here keeps the global exchange near |true pairs| rows
-        return t.group_by(["a_id", "b_id"]).aggregate(
-            [("n", "sum")]
-        ).rename_columns(["a_id", "b_id", "n"])
-
-    from .relational import _combine_partials
-
-    # candidate pairing: bucketed hash-groupby with the fully
-    # vectorized per-bucket emitter. (A budgeted driver-collect tier
-    # was measured SLOWER here — iter_batches pulls the 16-byte key
-    # rows through the driver one block at a time, costing more than
-    # the AllToAll it saves — so the any-cardinality exchange is the
-    # only tier.)
     def add_bucket(batch: pa.Table) -> pa.Table:
         flat = batch.column("vhash").to_numpy(zero_copy_only=False)
         return batch.append_column(
@@ -259,10 +239,14 @@ def edit_distance_pairs(
         var_rows.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(
-            lambda g: emit_pairs(g.drop_columns(["bucket"])),
+            lambda g: _emit_all_pairs(
+                g.drop_columns(["bucket"]), "vhash", "doc_id"
+            ),
             batch_format="pyarrow",
         )
     )
+    from .relational import _combine_partials
+
     pairs = _combine_partials(cand, ["a_id", "b_id"], ["n"], pair_budget)
     if pairs is None:
         pairs_ds = cand.groupby(["a_id", "b_id"]).sum("n")
@@ -272,7 +256,7 @@ def edit_distance_pairs(
     else:
         pairs_ds = ray.data.from_arrow(pairs.select(["a_id", "b_id"]))
 
-    key_tbl = _collect_within_budget(keys_ds, key_budget)
+    key_tbl = _collect_within_budget(rep_ds, key_budget)
     if key_tbl is not None and key_tbl.num_rows:
         kid = key_tbl.column("doc_id").to_numpy().astype(np.int64)
         kstr = np.asarray(key_tbl.column("key").to_pylist(), dtype=object)
@@ -295,10 +279,11 @@ def edit_distance_pairs(
         enriched = pairs_ds.map_batches(attach_keys, batch_format="pyarrow")
     else:
         # over-budget: two key-only cogroups (by a_id, then b_id)
-        pair_fields = [pa.field("a_id", pa.int64()), pa.field("b_id", pa.int64())]
+        pair_fields = [pa.field("a_id", pa.int64()),
+                       pa.field("b_id", pa.int64())]
         enriched = cogroup_attach(
             pairs_ds,
-            keys_ds.map_batches(
+            rep_ds.map_batches(
                 lambda t: t.rename_columns(["a_id", "a_key"]),
                 batch_format="pyarrow",
             ),
@@ -306,7 +291,7 @@ def edit_distance_pairs(
         )
         enriched = cogroup_attach(
             enriched,
-            keys_ds.map_batches(
+            rep_ds.map_batches(
                 lambda t: t.rename_columns(["b_id", "b_key"]),
                 batch_format="pyarrow",
             ),
@@ -320,8 +305,8 @@ def edit_distance_pairs(
         b = batch.column("b_id").to_numpy().astype(np.int64)
         ak = batch.column("a_key").to_pylist()
         bk = batch.column("b_key").to_pylist()
-        # exact banded DP per CANDIDATE (bounded by true pairs +
-        # vanishing hash-collision rate — not a per-corpus-row loop)
+        # exact banded DP per CANDIDATE key pair (bounded by true
+        # near-pairs of DISTINCT keys + vanishing collision rate)
         dist = np.fromiter(
             (_ed_at_most(x, y, 2) for x, y in zip(ak, bk)),
             dtype=np.int64, count=len(ak),
@@ -333,19 +318,264 @@ def edit_distance_pairs(
              "dist": pa.array(dist[keep], pa.int64())}
         )
 
-    out_parts = [
+    parts = [
         t for t in ray.get(
             enriched.map_batches(verify, batch_format="pyarrow")
             .materialize().to_arrow_refs()
         )
         if t.num_rows > 0
     ]
-    if not out_parts:
+    if not parts:
         return pa.Table.from_pydict(
             {"a_id": pa.array([], pa.int64()),
              "b_id": pa.array([], pa.int64()),
              "dist": pa.array([], pa.int64())}
         )
-    return pa.concat_tables(out_parts).sort_by(
-        [("a_id", "ascending"), ("b_id", "ascending")]
+    return pa.concat_tables(parts)
+
+
+def _expand_one_to_many(
+    pairs_ds: ray.data.Dataset,
+    members: ray.data.Dataset,
+    key_col: str,
+    carry: list[pa.Field],
+    num_parts: int,
+) -> ray.data.Dataset:
+    """Replace ``pairs_ds[key_col]`` (a key id) with EVERY member doc
+    of that key — the one-to-many cogroup ``cogroup_attach`` (unique
+    right side) cannot express. Both sides bucket by hash(key); inside
+    a bucket the members sort once and each pair row gathers its
+    member range via two searchsorted probes + one np.repeat — output
+    rows are bounded by true expansion size."""
+    carry_names = [f.name for f in carry]
+    wide = {key_col: pa.int64(), **{f.name: f.type for f in carry},
+            "member": pa.int64()}
+
+    def tag(side: int, key_name: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            keys = batch.column(key_name).to_numpy(zero_copy_only=False)
+            cols = {}
+            for name, typ in wide.items():
+                if name in batch.column_names and name != key_col:
+                    cols[name] = batch.column(name)
+                elif name == key_col:
+                    cols[name] = pa.array(keys.astype(np.int64), pa.int64())
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            cols["__side"] = pa.array(np.full(n, side, np.int8))
+            cols["__part"] = pa.array(
+                int_key_buckets(keys.astype(np.int64), num_parts), pa.int32()
+            )
+            return pa.Table.from_pydict(cols)
+
+        return f
+
+    tagged = pairs_ds.map_batches(tag(0, key_col), batch_format="pyarrow").union(
+        members.map_batches(
+            lambda t: tag(1, "key_id")(
+                t.append_column("member", t.column("doc_id"))
+            ),
+            batch_format="pyarrow",
+        )
     )
+
+    def expand(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        p_tbl = group.filter(pa.array(side == 0))
+        m_tbl = group.filter(pa.array(side == 1))
+        empty = {key_col: pa.array([], pa.int64()),
+                 **{c: pa.array([], wide[c]) for c in carry_names}}
+        if p_tbl.num_rows == 0 or m_tbl.num_rows == 0:
+            return pa.Table.from_pydict(empty)
+        mk = m_tbl.column(key_col).to_numpy().astype(np.int64)
+        mv = m_tbl.column("member").to_numpy(zero_copy_only=False)
+        mv = np.asarray(pc.fill_null(m_tbl.column("member"), 0)
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(mk, kind="stable")
+        mk, mv = mk[order], mv[order]
+        pk = p_tbl.column(key_col).to_numpy().astype(np.int64)
+        lo = np.searchsorted(mk, pk, side="left")
+        hi = np.searchsorted(mk, pk, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.Table.from_pydict(empty)
+        # gather indices: per pair row, the contiguous member range
+        offs = np.repeat(np.cumsum(counts) - counts, counts)
+        idx = np.repeat(lo, counts) + (np.arange(total) - offs)
+        out = {key_col: pa.array(mv[idx], pa.int64())}
+        rep_idx = pa.array(np.repeat(np.arange(p_tbl.num_rows), counts),
+                           pa.int64())
+        for c in carry_names:
+            out[c] = p_tbl.column(c).take(rep_idx)
+        return pa.Table.from_pydict(out)
+
+    return tagged.groupby("__part").map_groups(
+        lambda g: expand(g.drop_columns(["__part"])),
+        batch_format="pyarrow",
+    )
+
+
+def edit_distance_pairs(
+    sf_dir: str,
+    k: int = 2,
+    pair_budget: int = 2_000_000,
+    key_budget: int = 5_000_000,
+    num_parts: int | None = None,
+) -> pa.Table:
+    """All (a_id < b_id, dist) document pairs whose derived keys are
+    within Levenshtein distance ``k`` (<= 2; the deletion-neighborhood
+    generator is built for k=2). See module docstring for the stages
+    and tiers.
+    """
+    if k != 2:
+        raise ValueError("edit_distance_pairs is built for k=2")
+    if num_parts is None:
+        num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        keys = derive_keys(did, batch.column("text"))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(did, pa.int64()),
+             "key": pa.array(keys, pa.string())}
+        )
+
+    keys_ds = docs.map_batches(keyed, batch_format="pyarrow")
+
+    # 1. distinct-key collapse in ONE bucketed exchange: each bucket
+    # holds whole key groups (hash(key) partitioning), so it can emit
+    # both the representative rows (key_id = min doc_id, key string)
+    # and the member rows (key_id, doc_id) in a single pass — a
+    # groupby(key) + cogroup back-attach would cost two AllToAlls for
+    # the same result.
+    from .joins import string_key_buckets
+
+    def key_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array(string_key_buckets(batch.column("key"), num_parts),
+                     pa.int32()),
+        )
+
+    def collapse(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id").to_numpy().astype(np.int64)
+        keys = np.asarray(group.column("key").to_numpy(zero_copy_only=False),
+                          dtype=object)
+        uniq, codes = np.unique(keys, return_inverse=True)
+        # min doc_id per key code
+        rep_of = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(rep_of, codes, did)
+        return pa.Table.from_pydict(
+            {"key_id": pa.array(
+                np.concatenate([rep_of, rep_of[codes]]), pa.int64()),
+             "doc_id": pa.array(np.concatenate([rep_of, did]), pa.int64()),
+             "key": pa.array(
+                 uniq.tolist() + [None] * len(did),
+                 pa.string()),
+             "kind": pa.array(
+                 np.r_[np.zeros(len(uniq), np.int8),
+                       np.ones(len(did), np.int8)])}
+        )
+
+    collapsed = (
+        keys_ds.map_batches(key_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: collapse(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+        .materialize()  # reps + members, consumed by three stages
+    )
+    members = collapsed.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 1))
+        .select(["key_id", "doc_id"]),
+        batch_format="pyarrow",
+    )
+
+    # 2. distance-0 pairs: all pairs inside each key's member group
+    def mem_bucket(batch: pa.Table) -> pa.Table:
+        kid = np.asarray(
+            pc.fill_null(batch.column("key_id"), 0)
+            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        return batch.append_column(
+            "bucket", pa.array(int_key_buckets(kid, num_parts), pa.int32())
+        )
+
+    dist0 = (
+        members.map_batches(mem_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _emit_all_pairs(
+                g.drop_columns(["bucket"]), "key_id", "doc_id"
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    dist0_parts = [
+        t.select(["a_id", "b_id"])
+        for t in ray.get(dist0.materialize().to_arrow_refs())
+        if t.num_rows > 0
+    ]
+
+    # 3. SymSpell join over DISTINCT keys only
+    rep_rows = collapsed.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": t.filter(pc.equal(t.column("kind"), 0)).column("key_id"),
+             "key": t.filter(pc.equal(t.column("kind"), 0)).column("key")}
+        ),
+        batch_format="pyarrow",
+    )
+    key_pairs = _symspell_key_pairs(
+        rep_rows, pair_budget, key_budget, num_parts
+    )
+
+    # 4. expand key pairs back to doc pairs (two one-to-many cogroups)
+    if key_pairs.num_rows:
+        kp_ds = ray.data.from_arrow(key_pairs)
+        ex_a = _expand_one_to_many(
+            kp_ds, members, "a_id",
+            [pa.field("b_id", pa.int64()), pa.field("dist", pa.int64())],
+            num_parts,
+        )
+        ex_ab = _expand_one_to_many(
+            ex_a, members, "b_id",
+            [pa.field("a_id", pa.int64()), pa.field("dist", pa.int64())],
+            num_parts,
+        )
+        near_parts = [
+            t for t in ray.get(ex_ab.materialize().to_arrow_refs())
+            if t.num_rows > 0
+        ]
+    else:
+        near_parts = []
+
+    rows_a: list[np.ndarray] = []
+    rows_b: list[np.ndarray] = []
+    rows_d: list[np.ndarray] = []
+    for t in dist0_parts:
+        a = t.column("a_id").to_numpy().astype(np.int64)
+        b = t.column("b_id").to_numpy().astype(np.int64)
+        rows_a.append(np.minimum(a, b))
+        rows_b.append(np.maximum(a, b))
+        rows_d.append(np.zeros(len(a), dtype=np.int64))
+    for t in near_parts:
+        a = t.column("a_id").to_numpy().astype(np.int64)
+        b = t.column("b_id").to_numpy().astype(np.int64)
+        rows_a.append(np.minimum(a, b))
+        rows_b.append(np.maximum(a, b))
+        rows_d.append(t.column("dist").to_numpy().astype(np.int64))
+    if not rows_a:
+        return pa.Table.from_pydict(
+            {"a_id": pa.array([], pa.int64()),
+             "b_id": pa.array([], pa.int64()),
+             "dist": pa.array([], pa.int64())}
+        )
+    return pa.Table.from_pydict(
+        {"a_id": pa.array(np.concatenate(rows_a), pa.int64()),
+         "b_id": pa.array(np.concatenate(rows_b), pa.int64()),
+         "dist": pa.array(np.concatenate(rows_d), pa.int64())}
+    ).sort_by([("a_id", "ascending"), ("b_id", "ascending")])
