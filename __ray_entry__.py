@@ -1414,6 +1414,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact robust aggregates (trimmed + winsorized mean) from
         # int64-cents value counts, no global sort
         "trimmed_stats": _q_trimmed_stats,
+        # entity resolution: connected components over the fuzzy
+        # edit-distance pair set (composition of two verified ops)
+        "fuzzy_components": _q_fuzzy_components,
     }
 
 
@@ -1581,6 +1584,12 @@ def _q_trimmed_stats(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import trimmed_stats
 
     return trimmed_stats(sf_dir)
+
+
+def _q_fuzzy_components(sf_dir: str):
+    from high_performance_docling_ray.pipelines.components import fuzzy_components
+
+    return fuzzy_components(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6294,5 +6303,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(mid_sum + k * lo + k * hi AS DOUBLE) / n / 100.0
                  AS winsorized_mean
         FROM b
+    """
+    # composition: reachability min over the fuzzy oracle's pair set
+    # (the same key CASE as edit_distance_pairs, CTE-substituted)
+    oracles["fuzzy_components"] = """
+        WITH RECURSIVE k AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 5
+                      THEN substr(substr(text, 1, 24), 1, (doc_id % 12) + 1)
+                           || substr(substr(text, 1, 24), (doc_id % 12) + 3)
+                      WHEN doc_id % 17 = 3
+                      THEN substr(substr(text, 1, 24), 1, (doc_id % 10) + 2)
+                           || 'x'
+                           || substr(substr(text, 1, 24), (doc_id % 10) + 3)
+                      ELSE substr(text, 1, 24) END AS key
+          FROM documents),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM k a, k b
+          WHERE a.doc_id < b.doc_id AND levenshtein(a.key, b.key) <= 2),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM p
+                  UNION ALL SELECT b_id, a_id FROM p),
+        reach(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+        FROM reach GROUP BY node ORDER BY 1
     """
     return oracles

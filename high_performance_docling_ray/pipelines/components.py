@@ -73,7 +73,48 @@ def neardup_components(
         ["doc_a", "doc_b"]
     )
     docs = read_documents(sf_dir, ("doc_id",))
+    return components_from_pairs(
+        pairs, docs, pairs_broadcast_budget, max_rounds, _return_parts
+    )
 
+
+def fuzzy_components(
+    sf_dir: str,
+    pairs_broadcast_budget: int = 2_000_000,
+    max_rounds: int = 64,
+) -> ray.data.Dataset | pa.Table:
+    """Entity-resolution composition: connected components over the
+    EDIT-DISTANCE pair set (``fuzzy.edit_distance_pairs`` — char-level
+    near-identical join keys), so each cluster is a fuzzy-duplicate
+    entity. Same label machinery (union-find broadcast / min-label
+    propagation) as ``neardup_components``; the oracle composes by CTE
+    substitution over the fuzzy oracle's pair set."""
+    from .fuzzy import edit_distance_pairs
+
+    kp = edit_distance_pairs(sf_dir)
+    pairs = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_a": kp.column("a_id"), "doc_b": kp.column("b_id")}
+        )
+    )
+    docs = read_documents(sf_dir, ("doc_id",))
+    return components_from_pairs(
+        pairs, docs, pairs_broadcast_budget, max_rounds
+    )
+
+
+def components_from_pairs(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    pairs_broadcast_budget: int = 2_000_000,
+    max_rounds: int = 64,
+    _return_parts: bool = False,
+) -> ray.data.Dataset | pa.Table | tuple:
+    """Shared component-labeling core over any (doc_a, doc_b) edge
+    set: driver union-find + broadcast label map under the pairs
+    budget; distributed MIN-LABEL PROPAGATION (cogroup label attach
+    per round + key-only groupby min, label-sum fixpoint certificate)
+    past it."""
     pair_tbl = _collect_within_budget(pairs, pairs_broadcast_budget)
     if pair_tbl is not None:
         if pair_tbl.num_rows:

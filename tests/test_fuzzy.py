@@ -111,3 +111,26 @@ def test_pairs_tiers_equal_and_planted_distances():
     assert (a.dist == 0).any() and (a.dist > 0).any()
     assert (a.a_id < a.b_id).all()
     assert a.dist.max() <= 2
+
+
+def test_fuzzy_components_tiers_and_structure():
+    import pandas as pd
+
+    from high_performance_docling_ray.pipelines.components import (
+        fuzzy_components,
+    )
+
+    a = pd.DataFrame(fuzzy_components(SF).take_all()).sort_values(
+        "doc_id").reset_index(drop=True)
+    b = pd.DataFrame(
+        fuzzy_components(SF, pairs_broadcast_budget=0).take_all()
+    ).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # every doc labeled; component label is the min member id
+    assert (a.component <= a.doc_id).all()
+    # paired docs share a component
+    pairs = edit_distance_pairs(SF).to_pandas()
+    comp = a.set_index("doc_id").component
+    assert (comp[pairs.a_id].to_numpy() == comp[pairs.b_id].to_numpy()).all()
+    # some non-trivial cluster exists
+    assert (a.component != a.doc_id).any()
