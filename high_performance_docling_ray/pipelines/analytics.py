@@ -918,6 +918,14 @@ def events_dod_growth(
                     dtype=object)
     day_i = tbl.column("day_i").to_numpy().astype(np.int64)
     n = tbl.column("sum(n)").to_numpy().astype(np.int64)
+    if len(n) == 0:  # empty events table: mirror the oracle's 0 rows
+        return pa.Table.from_pydict(
+            {"event_type": pa.array([], pa.string()),
+             "day": pa.array([], pa.timestamp("us")),
+             "n_events": pa.array([], pa.int64()),
+             "prev_events": pa.array([], pa.int64()),
+             "growth": pa.array([], pa.float64())}
+        )
     order = np.lexsort((day_i, et))
     et, day_i, n = et[order], day_i[order], n[order]
     first = np.r_[True, et[1:] != et[:-1]]
@@ -1090,6 +1098,12 @@ def events_value_ranks(
         )
         if t.num_rows > 0
     ]
+    if not parts:
+        return pa.Table.from_pydict(
+            {"event_id": pa.array([], pa.int64()),
+             "cume_dist": pa.array([], pa.float64()),
+             "percent_rank": pa.array([], pa.float64())}
+        )
     return pa.concat_tables(parts).sort_by([("event_id", "ascending")])
 
 

@@ -389,7 +389,7 @@ def _expand_one_to_many(
         if p_tbl.num_rows == 0 or m_tbl.num_rows == 0:
             return pa.Table.from_pydict(empty)
         mk = m_tbl.column(key_col).to_numpy().astype(np.int64)
-        mv = m_tbl.column("member").to_numpy(zero_copy_only=False)
+        # fill_null BEFORE to_numpy: nullable int64 promotes to float64
         mv = np.asarray(pc.fill_null(m_tbl.column("member"), 0)
                         .to_numpy(zero_copy_only=False), dtype=np.int64)
         order = np.argsort(mk, kind="stable")

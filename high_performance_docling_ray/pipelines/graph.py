@@ -750,7 +750,10 @@ def bfs_distances(
     # node-count probe for the tier choice: degree table is O(nodes)
     n_nodes = _degree_table(edges).num_rows
     if n_nodes <= node_budget:
-        dist_map: dict[int, int] = {int(s): 0 for s in seeds}
+        from .relational import _sorted_member_mask
+
+        lab_nodes = np.sort(seeds)                      # labeled, sorted
+        lab_dists = np.zeros(len(lab_nodes), dtype=np.int64)
         frontier = seeds
         for h in range(1, max_hops + 1):
             if len(frontier) == 0:
@@ -768,22 +771,24 @@ def bfs_distances(
                      "n": pa.array(np.ones(len(uniq), dtype=np.int64))}
                 )
 
-            tbl = _combine_partials(
-                edges.map_batches(neigh, batch_format="pyarrow"),
-                ["node"], ["n"],
+            partials = edges.map_batches(neigh, batch_format="pyarrow")
+            tbl = _combine_partials(partials, ["node"], ["n"])
+            if tbl is None:  # block-distinct partials over the budget
+                tbl = pa.Table.from_pylist(
+                    partials.groupby("node").sum("n").take_all()
+                )
+            cand = (
+                tbl.column("node").to_numpy().astype(np.int64)
+                if tbl.num_rows else np.array([], dtype=np.int64)
             )
-            cand = tbl.column("node").to_numpy().astype(np.int64)
-            new = np.array(
-                [c for c in cand if int(c) not in dist_map], dtype=np.int64
-            )
-            for c in new:
-                dist_map[int(c)] = h
+            new = cand[~_sorted_member_mask(lab_nodes, cand)]
+            order = np.argsort(np.r_[lab_nodes, new], kind="stable")
+            lab_dists = np.r_[lab_dists, np.full(len(new), h, np.int64)][order]
+            lab_nodes = np.r_[lab_nodes, new][order]
             frontier = new
-        nodes = np.array(sorted(dist_map), dtype=np.int64)
-        dists = np.array([dist_map[int(x)] for x in nodes], dtype=np.int64)
         return pa.Table.from_pydict(
-            {"node": pa.array(nodes, pa.int64()),
-             "dist": pa.array(dists, pa.int64())}
+            {"node": pa.array(lab_nodes, pa.int64()),
+             "dist": pa.array(lab_dists, pa.int64())}
         )
 
     # over-budget tier: Bellman-Ford sweeps on key-only (node, dist)

@@ -52,12 +52,11 @@ from .relational import (
 )
 
 
+from .analytics import _ts_us  # noqa: E402  (shared us-int64 helper)
+
+
 def _us(date: str) -> int:
     return int(np.datetime64(date, "us").astype(np.int64))
-
-
-def _ts_us(col) -> np.ndarray:
-    return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
 
 
 # -- q8: national market share -----------------------------------------------
@@ -528,6 +527,21 @@ def q21_waiting_suppliers(
         wk, wc = np.unique(winners, return_counts=True)
     else:
         per = partials.groupby(["l_orderkey", "l_suppkey"]).max("ms")
+        # resolve per-order winners in BUCKETED groups (hash(order)%P):
+        # a groupby(l_orderkey).map_groups would pay one Python call
+        # per distinct order (millions when this tier triggers); the
+        # winner kernel already handles multi-order input, so ~4*CPU
+        # vectorized calls suffice — the _edges_dataset discipline
+        from .joins import default_num_buckets, int_key_buckets
+
+        nb = default_num_buckets()
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "bucket",
+                pa.array(int_key_buckets(ok.astype(np.int64), nb), pa.int32()),
+            )
 
         def resolve(group: pa.Table) -> pa.Table:
             w = _q21_winners_from_arrays(
@@ -540,7 +554,14 @@ def q21_waiting_suppliers(
                  "n": pa.array(np.ones(len(w), dtype=np.int64))}
             )
 
-        wins = per.groupby("l_orderkey").map_groups(resolve, batch_format="pyarrow")
+        wins = (
+            per.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(
+                lambda g: resolve(g.drop_columns(["bucket"])),
+                batch_format="pyarrow",
+            )
+        )
         counts = _combine_partials(wins, ["l_suppkey"], ["n"])
         wk = counts.column("l_suppkey").to_numpy().astype(np.int64)
         wc = counts.column("sum(n)").to_numpy().astype(np.int64)
