@@ -216,6 +216,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_dod_growth",
         # fuzzy edit-distance self-join (deletion-neighborhood blowup)
         "edit_distance_pairs",
+        # session-9 batch 2: BFS reachability, distribution windows,
+        # robust aggregates, fuzzy entity clusters
+        "bfs_distances",
+        "events_value_ranks",
+        "trimmed_stats",
+        "fuzzy_components",
     ]
     qs = entrymod.queries()
     for name in bench_keys:
