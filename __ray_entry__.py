@@ -1417,6 +1417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entity resolution: connected components over the fuzzy
         # edit-distance pair set (composition of two verified ops)
         "fuzzy_components": _q_fuzzy_components,
+        # ordered STRING_AGG: per-user event-type path counts
+        "user_event_paths": _q_user_event_paths,
     }
 
 
@@ -1590,6 +1592,12 @@ def _q_fuzzy_components(sf_dir: str):
     from high_performance_docling_ray.pipelines.components import fuzzy_components
 
     return fuzzy_components(sf_dir)
+
+
+def _q_user_event_paths(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import user_event_paths
+
+    return user_event_paths(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6330,5 +6338,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
         SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
         FROM reach GROUP BY node ORDER BY 1
+    """
+    # ordered string aggregation; (ts, event_id) pins tie order
+    oracles["user_event_paths"] = """
+        WITH p AS (
+          SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM events GROUP BY user_id)
+        SELECT path, count(*) AS n_users FROM p
+        GROUP BY path ORDER BY path
     """
     return oracles

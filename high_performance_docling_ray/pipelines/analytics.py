@@ -1181,3 +1181,71 @@ def event_transitions(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
          "n": tbl.column("sum(n)")}
     )
     return out.sort_by([("from_type", "ascending"), ("to_type", "ascending")])
+
+
+# -- ordered string aggregation: per-user event paths --------------------------
+
+def user_event_paths(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Funnel-path analysis — the ordered STRING_AGG shape: each
+    user's time-ordered event-type path (``view>click>...``), counted
+    per distinct path. Same coarse-partition run-scan as
+    event_transitions (one hash(user)%P key-row exchange, one lexsort
+    per partition); the per-partition path build joins type codes per
+    user RUN (work bounded by users, not events), and each partition
+    reduces to (path, n) count partials before the bounded global
+    merge. (ts, event_id) pins tie order on both sides.
+    """
+    num_parts = 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        part = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            num_parts
+        )
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
+
+    _EMPTY = pa.Table.from_pydict(
+        {"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def paths_part(group: pa.Table) -> pa.Table:
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(users):
+            return _EMPTY
+        ts = _ts_us(group.column("ts"))
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = np.asarray(
+            group.column("event_type").to_numpy(zero_copy_only=False),
+            dtype=object,
+        )
+        order = np.lexsort((eid, ts, users))
+        u_s, t_s = users[order], types[order]
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        ends = np.r_[starts[1:], len(u_s)]
+        paths = [">".join(t_s[s:e]) for s, e in zip(starts, ends)]
+        t = pa.Table.from_pydict(
+            {"path": pa.array(paths, pa.string()),
+             "n": pa.array(np.ones(len(paths), dtype=np.int64))}
+        )
+        return t.group_by("path").aggregate([("n", "sum")]).rename_columns(
+            ["path", "n"]
+        )
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: paths_part(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    tbl = _combine_partials(partials, ["path"], ["n"], combine_limit)
+    if tbl is None:
+        tbl = pa.Table.from_pylist(partials.groupby("path").sum("n").take_all())
+    out = pa.Table.from_pydict(
+        {"path": tbl.column("path"), "n_users": tbl.column("sum(n)")}
+    )
+    return out.sort_by([("path", "ascending")])

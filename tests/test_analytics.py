@@ -290,3 +290,19 @@ def test_trimmed_stats_properties():
     plain = cents.sum() / len(cents) / 100.0
     assert abs(t0.trimmed_mean.iloc[0] - plain) < 1e-9
     assert abs(t0.winsorized_mean.iloc[0] - plain) < 1e-9
+
+
+def test_user_event_paths_tiers_and_mass():
+    from high_performance_docling_ray.pipelines.analytics import user_event_paths
+
+    a = user_event_paths(SF)
+    b = user_event_paths(SF, combine_limit=0)
+    _eq(a, b)
+    df = a.to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    # one path per user; path lengths conserve total events
+    assert df.n_users.sum() == ev.user_id.nunique()
+    total_steps = sum((p.count(">") + 1) * n
+                      for p, n in zip(df.path, df.n_users))
+    assert total_steps == len(ev)
