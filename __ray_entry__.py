@@ -1419,6 +1419,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_components": _q_fuzzy_components,
         # ordered STRING_AGG: per-user event-type path counts
         "user_event_paths": _q_user_event_paths,
+        # mergeable-moment statistics: exact Pearson corr/cov and
+        # per-group OLS trend from integer moment partials
+        "price_qty_correlation": _q_price_qty_correlation,
+        "events_trend": _q_events_trend,
     }
 
 
@@ -1598,6 +1602,20 @@ def _q_user_event_paths(sf_dir: str):
     from high_performance_docling_ray.pipelines.analytics import user_event_paths
 
     return user_event_paths(sf_dir)
+
+
+def _q_price_qty_correlation(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import (
+        price_qty_correlation,
+    )
+
+    return price_qty_correlation(sf_dir)
+
+
+def _q_events_trend(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import events_trend
+
+    return events_trend(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6347,5 +6365,50 @@ def oracle_sql() -> dict[str, str]:
           FROM events GROUP BY user_id)
         SELECT path, count(*) AS n_users FROM p
         GROUP BY path ORDER BY path
+    """
+    # mergeable-moment statistics: integer moment sums, closed forms
+    # evaluated with the SAME float op order on both sides (never
+    # DuckDB's own corr()/regr_slope(), whose internal algorithms are
+    # numerically different)
+    oracles["price_qty_correlation"] = """
+        WITH m AS (
+          SELECT count(*) AS n,
+                 sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+                 sum(CAST(round(l_quantity * 100) AS BIGINT)
+                     * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+                 sum(CAST(round(l_quantity * 100) AS BIGINT)
+                     * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+          FROM lineitem)
+        SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 AS corr_qty_price,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0
+                 AS cov_qty_price
+        FROM m
+    """
+    oracles["events_trend"] = """
+        WITH m AS (
+          SELECT event_type, count(*) AS n,
+                 sum(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS sx,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS sy,
+                 sum(CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                     * CAST(round(value * 100) AS BIGINT)) AS sxy,
+                 sum(CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                     * CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS sxx
+          FROM events GROUP BY 1)
+        SELECT event_type,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_per_day,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / 100.0 AS intercept
+        FROM m ORDER BY event_type
     """
     return oracles

@@ -1249,3 +1249,119 @@ def user_event_paths(
         {"path": tbl.column("path"), "n_users": tbl.column("sum(n)")}
     )
     return out.sort_by([("path", "ascending")])
+
+
+# -- mergeable-moment statistics: correlation + per-group OLS trend -----------
+
+def price_qty_correlation(sf_dir: str) -> pa.Table:
+    """Pearson correlation + covariance of (l_quantity,
+    l_extendedprice) — the MERGEABLE-MOMENT pattern at query level:
+    each batch reduces to six integer moments (n, Σx, Σy, Σxy, Σx²,
+    Σy²) in exact cents; the driver folds Python ints (arbitrary
+    precision) and evaluates the closed forms with ONE defined float
+    op order, mirrored verbatim by the oracle (never DuckDB's own
+    corr(), whose internal algorithm is numerically different):
+
+        corr = (n·Σxy − Σx·Σy) / (sqrt(n·Σxx − Σx²)·sqrt(n·Σyy − Σy²))
+        cov  = (n·Σxy − Σx·Σy) / (n·n)            (population, $²)
+    """
+    def moments(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("l_quantity"))
+        y = _cents(batch.column("l_extendedprice"))
+        return pa.Table.from_pydict(
+            {"n": pa.array([len(x)], pa.int64()),
+             "sx": pa.array([int(x.sum())], pa.int64()),
+             "sy": pa.array([int(y.sum())], pa.int64()),
+             "sxy": pa.array([int(np.sum(x * y, dtype=np.int64))], pa.int64()),
+             "sxx": pa.array([int(np.sum(x * x, dtype=np.int64))], pa.int64()),
+             "syy": pa.array([int(np.sum(y * y, dtype=np.int64))], pa.int64())}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    rows = li.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    sx = sum(int(r["sx"]) for r in rows)
+    sy = sum(int(r["sy"]) for r in rows)
+    sxy = sum(int(r["sxy"]) for r in rows)
+    sxx = sum(int(r["sxx"]) for r in rows)
+    syy = sum(int(r["syy"]) for r in rows)
+    num = float(n * sxy - sx * sy)
+    corr = num / (
+        np.sqrt(float(n * sxx - sx * sx)) * np.sqrt(float(n * syy - sy * sy))
+    )
+    cov = num / float(n) / float(n) / 10000.0  # cents² -> $²
+    return pa.Table.from_pydict(
+        {"corr_qty_price": pa.array([corr], pa.float64()),
+         "cov_qty_price": pa.array([cov], pa.float64())}
+    )
+
+
+def events_trend(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
+    """Per-event-type OLS trend of value over time (slope in value
+    units per DAY + intercept at day 0) — grouped mergeable moments:
+    each batch emits per-type integer moment partials over (day index,
+    value cents); one bounded merge; the driver evaluates
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+        intercept = (Σy − slope·Σx) / n
+
+    with the float op order mirrored by the oracle's integer-sum CTE.
+    Day indexing from the epoch keeps x small enough that every
+    product stays far inside int64 at block scale; the driver fold is
+    arbitrary-precision Python ints.
+    """
+    _EMPTY = pa.Table.from_pydict(
+        {"event_type": pa.array([], pa.string()),
+         **{c: pa.array([], pa.int64())
+            for c in ("n", "sx", "sy", "sxy", "sxx")}}
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        day = _ts_us(batch.column("ts")) // _DAY_US
+        val_c = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {"event_type": batch.column("event_type"),
+             "n": pa.array(np.ones(len(day), dtype=np.int64)),
+             "sx": pa.array(day, pa.int64()),
+             "sy": pa.array(val_c, pa.int64()),
+             "sxy": pa.array(day * val_c, pa.int64()),
+             "sxx": pa.array(day * day, pa.int64())}
+        )
+        return t.group_by("event_type").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx")]
+        ).rename_columns(["event_type", "n", "sx", "sy", "sxy", "sxx"])
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    partials = ev.map_batches(moments, batch_format="pyarrow")
+    cols = ["n", "sx", "sy", "sxy", "sxx"]
+    tbl = _combine_partials(partials, ["event_type"], cols, combine_limit)
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby("event_type").sum(cols).take_all()
+        )
+    et = tbl.column("event_type").to_pylist()
+    n = tbl.column("sum(n)").to_numpy().astype(object)
+    sx = tbl.column("sum(sx)").to_numpy().astype(object)
+    sy = tbl.column("sum(sy)").to_numpy().astype(object)
+    sxy = tbl.column("sum(sxy)").to_numpy().astype(object)
+    sxx = tbl.column("sum(sxx)").to_numpy().astype(object)
+    order = np.argsort(np.asarray(et, dtype=object), kind="stable")
+    out_t, out_s, out_i = [], [], []
+    for idx in order:
+        num = float(n[idx] * sxy[idx] - sx[idx] * sy[idx])
+        den = float(n[idx] * sxx[idx] - sx[idx] * sx[idx])
+        slope = num / den / 100.0                      # cents/day -> $/day
+        intercept = (float(sy[idx]) - (num / den) * float(sx[idx])) \
+            / float(n[idx]) / 100.0
+        out_t.append(et[idx])
+        out_s.append(slope)
+        out_i.append(intercept)
+    return pa.Table.from_pydict(
+        {"event_type": pa.array(out_t, pa.string()),
+         "slope_per_day": pa.array(out_s, pa.float64()),
+         "intercept": pa.array(out_i, pa.float64())}
+    )

@@ -306,3 +306,25 @@ def test_user_event_paths_tiers_and_mass():
     total_steps = sum((p.count(">") + 1) * n
                       for p, n in zip(df.path, df.n_users))
     assert total_steps == len(ev)
+
+
+def test_moment_statistics_tiers_and_closed_forms():
+    from high_performance_docling_ray.pipelines.analytics import (
+        events_trend,
+        price_qty_correlation,
+    )
+
+    c = price_qty_correlation(SF).to_pandas()
+    assert -1.0 <= c.corr_qty_price.iloc[0] <= 1.0
+    # closed-form check vs numpy on the full column (same cents basis)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_quantity", "l_extendedprice"]).to_pandas()
+    x = np.rint(li.l_quantity.to_numpy() * 100).astype(np.int64)
+    y = np.rint(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
+    ref = np.corrcoef(x, y)[0, 1]
+    assert abs(c.corr_qty_price.iloc[0] - ref) < 1e-9
+
+    a = events_trend(SF)
+    b = events_trend(SF, combine_limit=0)
+    _eq(a, b)
+    assert a.num_rows == 5  # one row per event type
