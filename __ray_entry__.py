@@ -1423,6 +1423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group OLS trend from integer moment partials
         "price_qty_correlation": _q_price_qty_correlation,
         "events_trend": _q_events_trend,
+        # two-pass exact median + MAD (half-cent integer arithmetic)
+        "mad_stats": _q_mad_stats,
     }
 
 
@@ -1616,6 +1618,12 @@ def _q_events_trend(sf_dir: str):
     from high_performance_docling_ray.pipelines.analytics import events_trend
 
     return events_trend(sf_dir)
+
+
+def _q_mad_stats(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import mad_stats
+
+    return mad_stats(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6410,5 +6418,23 @@ def oracle_sql() -> dict[str, str]:
                   * CAST(sx AS DOUBLE))
                / CAST(n AS DOUBLE) / 100.0 AS intercept
         FROM m ORDER BY event_type
+    """
+    # exact median + MAD: quantile_cont(0.5) as the integer v_lo+v_hi
+    # half-unit trick, deviations at half-cent scale — no float until
+    # the final divides
+    oracles["mad_stats"] = """
+        WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                   FROM lineitem),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+        kk AS (SELECT count(*) AS n FROM c),
+        med2 AS (SELECT (SELECT v FROM r, kk WHERE rn = (n + 1) // 2)
+                      + (SELECT v FROM r, kk WHERE rn = n // 2 + 1) AS m2
+                 FROM kk),
+        d AS (SELECT abs(2 * v - m2) AS dv FROM c, med2),
+        r2 AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn FROM d)
+        SELECT CAST((SELECT m2 FROM med2) AS DOUBLE) / 2.0 / 100.0 AS median,
+               CAST((SELECT dv FROM r2, kk WHERE rn = (n + 1) // 2)
+                    + (SELECT dv FROM r2, kk WHERE rn = n // 2 + 1)
+                    AS DOUBLE) / 2.0 / 2.0 / 100.0 AS mad
     """
     return oracles

@@ -1486,3 +1486,96 @@ def trimmed_stats(
         {"trimmed_mean": pa.array([mid_sum / m / 100.0], pa.float64()),
          "winsorized_mean": pa.array([win_sum / n / 100.0], pa.float64())}
     )
+
+
+def _cents_value_counts(
+    ds: ray.data.Dataset, column: str, combine_limit: int = 2_000_000
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted distinct int64 cents, counts) — the exact-quantile
+    primitive at fixed-point precision (see _sorted_value_counts)."""
+    def local_counts(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(column))
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.Table.from_pydict(
+            {"value_c": pa.array(uniq, pa.int64()),
+             "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    partials = ds.map_batches(local_counts, batch_format="pyarrow")
+    merged = _combine_partials(partials, ["value_c"], ["cnt"], combine_limit)
+    if merged is None:
+        shuffled = partials.groupby("value_c").sum("cnt")
+        merged = pa.concat_tables(
+            [t for t in ray.get(shuffled.materialize().to_arrow_refs())
+             if t.num_rows]
+        )
+    vals = merged.column("value_c").to_numpy().astype(np.int64)
+    cnts = merged.column("sum(cnt)").to_numpy().astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    return vals[order], cnts[order]
+
+
+def _interp_median2(vals: np.ndarray, cnts: np.ndarray) -> int:
+    """TWICE the interpolated median of a sorted value-count table, as
+    an exact integer (the half-unit trick: v_lo + v_hi where the two
+    ranks are the standard quantile_cont(0.5) order statistics)."""
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    lo_rank = (n + 1) // 2       # 1-based
+    hi_rank = n // 2 + 1
+    v_lo = int(vals[int(np.searchsorted(cum, lo_rank))])
+    v_hi = int(vals[int(np.searchsorted(cum, hi_rank))])
+    return v_lo + v_hi
+
+
+def mad_stats(
+    sf_dir: str,
+    table: str = "lineitem",
+    column: str = "l_extendedprice",
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """EXACT median + median absolute deviation of a money column —
+    the two-pass robust-scale statistic, with NO float math until the
+    final divides: pass 1 builds the cents value-count table and takes
+    the interpolated median at HALF-CENT precision (the integer
+    ``v_lo + v_hi`` trick); pass 2 streams again, folding
+    ``|2·x_c − m2|`` half-cent deviations into a second value-count
+    table whose interpolated median (quarter-cent integer) becomes the
+    MAD. Both passes are the O(distinct) exact-quantile exchange.
+    """
+    ds = _read(sf_dir, table, [column])
+    vals, cnts = _cents_value_counts(ds, column, combine_limit)
+    if len(vals) == 0:
+        return pa.Table.from_pydict(
+            {"median": pa.array([], pa.float64()),
+             "mad": pa.array([], pa.float64())}
+        )
+    m2 = _interp_median2(vals, cnts)
+
+    def dev_counts(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(column))
+        dv = np.abs(2 * c - m2)
+        uniq, cnt = np.unique(dv, return_counts=True)
+        return pa.Table.from_pydict(
+            {"value_c": pa.array(uniq, pa.int64()),
+             "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    partials = _read(sf_dir, table, [column]).map_batches(
+        dev_counts, batch_format="pyarrow"
+    )
+    merged = _combine_partials(partials, ["value_c"], ["cnt"], combine_limit)
+    if merged is None:
+        shuffled = partials.groupby("value_c").sum("cnt")
+        merged = pa.concat_tables(
+            [t for t in ray.get(shuffled.materialize().to_arrow_refs())
+             if t.num_rows]
+        )
+    dvals = merged.column("value_c").to_numpy().astype(np.int64)
+    dcnts = merged.column("sum(cnt)").to_numpy().astype(np.int64)
+    dorder = np.argsort(dvals, kind="stable")
+    d2 = _interp_median2(dvals[dorder], dcnts[dorder])
+    return pa.Table.from_pydict(
+        {"median": pa.array([m2 / 2.0 / 100.0], pa.float64()),
+         "mad": pa.array([d2 / 2.0 / 2.0 / 100.0], pa.float64())}
+    )

@@ -328,3 +328,19 @@ def test_moment_statistics_tiers_and_closed_forms():
     b = events_trend(SF, combine_limit=0)
     _eq(a, b)
     assert a.num_rows == 5  # one row per event type
+
+
+def test_mad_stats_tiers_and_reference():
+    from high_performance_docling_ray.pipelines.relational import mad_stats
+
+    a = mad_stats(SF)
+    b = mad_stats(SF, combine_limit=0)
+    _eq(a, b)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_extendedprice"]).to_pandas()
+    cents = np.rint(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
+    med = np.median(cents) / 100.0
+    mad = np.median(np.abs(cents - np.median(cents))) / 100.0
+    df = a.to_pandas()
+    assert abs(df["median"].iloc[0] - med) < 1e-9
+    assert abs(df["mad"].iloc[0] - mad) < 1e-9
