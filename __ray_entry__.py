@@ -1425,6 +1425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend": _q_events_trend,
         # two-pass exact median + MAD (half-cent integer arithmetic)
         "mad_stats": _q_mad_stats,
+        # CMS inner-product join-size (F2) estimation vs the exact
+        # value — the query-planning primitive
+        "selfjoin_size_estimate": _q_selfjoin_size_estimate,
     }
 
 
@@ -1624,6 +1627,14 @@ def _q_mad_stats(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import mad_stats
 
     return mad_stats(sf_dir)
+
+
+def _q_selfjoin_size_estimate(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        selfjoin_size_estimate,
+    )
+
+    return selfjoin_size_estimate(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6436,5 +6447,30 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT dv FROM r2, kk WHERE rn = (n + 1) // 2)
                     + (SELECT dv FROM r2, kk WHERE rn = n // 2 + 1)
                     AS DOUBLE) / 2.0 / 2.0 / 100.0 AS mad
+    """
+    # CMS register rebuild (the cms_token_estimates idiom) + the exact
+    # second frequency moment; estimate = min_j Σ_w reg² (self inner
+    # product)
+    oracles["selfjoin_size_estimate"] = r"""
+        WITH counts AS (
+          SELECT CAST(l_partkey AS VARCHAR) AS token, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1),
+        rows_j AS (
+          SELECT * FROM (VALUES
+            (0, CAST(1609587929392839161 AS HUGEINT)),
+            (1, CAST(2870177450012600261 AS HUGEINT)),
+            (2, CAST(2685821657736338717 AS HUGEINT)),
+            (3, CAST(1983613069789375825 AS HUGEINT))) AS t(j, m)),
+        bucketed AS (
+          SELECT j,
+                 ((CAST(md5_number_upper(token) AS HUGEINT) * m)
+                  % 18446744073709551616) // 18014398509481984 AS b,
+                 cnt
+          FROM counts CROSS JOIN rows_j),
+        sums AS (SELECT j, b, SUM(cnt) AS s FROM bucketed GROUP BY 1, 2),
+        dot AS (SELECT j, SUM(s * s) AS d FROM sums GROUP BY 1)
+        SELECT (SELECT CAST(SUM(cnt * cnt) AS BIGINT) FROM counts)
+                 AS exact_size,
+               (SELECT CAST(MIN(d) AS BIGINT) FROM dot) AS cms_estimate
     """
     return oracles

@@ -1579,3 +1579,77 @@ def mad_stats(
         {"median": pa.array([m2 / 2.0 / 100.0], pa.float64()),
          "mad": pa.array([d2 / 2.0 / 2.0 / 100.0], pa.float64())}
     )
+
+
+def selfjoin_size_estimate(
+    sf_dir: str,
+    table: str = "lineitem",
+    column: str = "l_partkey",
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """Join-cardinality estimation — the query-planning primitive:
+    the SELF-join size on a key (= the second frequency moment
+    F2 = Σ_k c_k², what a planner needs before committing to a
+    shuffle) estimated from a count-min sketch WITHOUT the O(distinct)
+    exchange, alongside the exact value for calibration.
+
+    CMS is LINEAR, so each batch folds its local key counts into a
+    (depth×width) register block and the driver merges by plain
+    summation — constant state per block, any data volume. The
+    estimate is min_j Σ_w reg[j,w]² (the CMS inner-product upper
+    bound, here sketch·itself). The exact column reuses the
+    value-count exchange. Both numbers are bit-reproducible in SQL
+    (the cms_token_estimates register-rebuild idiom).
+    """
+    from ..kernels.sketch import CMS_DEPTH, CMS_WIDTH, cms_add
+
+    ds = _read(sf_dir, table, [column])
+
+    def batch_regs(batch: pa.Table) -> pa.Table:
+        keys = batch.column(column).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(keys.astype(np.int64), return_counts=True)
+        cms = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        cms_add(cms, [str(int(k)) for k in uniq], cnt.astype(np.int64))
+        return pa.Table.from_pydict(
+            {"regs": pa.array([cms.tobytes()], pa.binary()),
+             "value_c": pa.array([0], pa.int64())}  # schema aid only
+        ).select(["regs"])
+
+    reg_rows = ds.map_batches(batch_regs, batch_format="pyarrow").take_all()
+    cms = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for r in reg_rows:
+        cms += np.frombuffer(r["regs"], dtype=np.int64).reshape(
+            CMS_DEPTH, CMS_WIDTH
+        )
+    # estimate: min over rows of the self inner product (python ints —
+    # squares can exceed int64 at corpus scale)
+    est = min(
+        sum(int(v) * int(v) for v in cms[j]) for j in range(CMS_DEPTH)
+    )
+
+    # exact F2 via the value-count exchange
+    def local_counts(batch: pa.Table) -> pa.Table:
+        keys = batch.column(column).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(keys.astype(np.int64), return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()),
+             "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    partials = _read(sf_dir, table, [column]).map_batches(
+        local_counts, batch_format="pyarrow"
+    )
+    merged = _combine_partials(partials, ["key"], ["cnt"], combine_limit)
+    if merged is None:
+        merged = pa.concat_tables(
+            [t for t in ray.get(
+                partials.groupby("key").sum("cnt")
+                .materialize().to_arrow_refs())
+             if t.num_rows]
+        )
+    cnts = merged.column("sum(cnt)").to_numpy().astype(np.int64)
+    exact = int(sum(int(c) * int(c) for c in cnts))
+    return pa.Table.from_pydict(
+        {"exact_size": pa.array([exact], pa.int64()),
+         "cms_estimate": pa.array([est], pa.int64())}
+    )

@@ -344,3 +344,20 @@ def test_mad_stats_tiers_and_reference():
     df = a.to_pandas()
     assert abs(df["median"].iloc[0] - med) < 1e-9
     assert abs(df["mad"].iloc[0] - mad) < 1e-9
+
+
+def test_selfjoin_size_estimate_bounds():
+    from high_performance_docling_ray.pipelines.relational import (
+        selfjoin_size_estimate,
+    )
+
+    t = selfjoin_size_estimate(SF).to_pandas()
+    exact, est = int(t.exact_size.iloc[0]), int(t.cms_estimate.iloc[0])
+    # CMS inner product NEVER underestimates the true F2
+    assert est >= exact
+    # lower bound: F2 >= n (every key contributes at least c>=1 -> c^2>=c)
+    li = pq.ParquetFile(f"{SF}/lineitem.parquet").metadata.num_rows
+    assert exact >= li
+    # determinism
+    t2 = selfjoin_size_estimate(SF).to_pandas()
+    assert t.equals(t2)
