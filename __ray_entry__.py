@@ -1428,6 +1428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CMS inner-product join-size (F2) estimation vs the exact
         # value — the query-planning primitive
         "selfjoin_size_estimate": _q_selfjoin_size_estimate,
+        # exact Gini inequality coefficient from value counts
+        "gini_coefficient": _q_gini_coefficient,
     }
 
 
@@ -1635,6 +1637,14 @@ def _q_selfjoin_size_estimate(sf_dir: str):
     )
 
     return selfjoin_size_estimate(sf_dir)
+
+
+def _q_gini_coefficient(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        gini_coefficient,
+    )
+
+    return gini_coefficient(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6472,5 +6482,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT (SELECT CAST(SUM(cnt * cnt) AS BIGINT) FROM counts)
                  AS exact_size,
                (SELECT CAST(MIN(d) AS BIGINT) FROM dot) AS cms_estimate
+    """
+    # Gini via the tie-invariant mean-difference rank identity
+    oracles["gini_coefficient"] = """
+        WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                   FROM orders),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                     count(*) OVER () AS n
+              FROM c)
+        SELECT CAST(SUM((2 * rn - n - 1) * v) AS DOUBLE)
+               / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)) AS gini
+        FROM r
     """
     return oracles

@@ -1653,3 +1653,35 @@ def selfjoin_size_estimate(
         {"exact_size": pa.array([exact], pa.int64()),
          "cms_estimate": pa.array([est], pa.int64())}
     )
+
+
+def gini_coefficient(
+    sf_dir: str,
+    table: str = "orders",
+    column: str = "o_totalprice",
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """EXACT Gini inequality coefficient of a money column — the
+    mean-difference identity ``G = Σ (2·rn − n − 1)·x / (n·Σx)`` over
+    row_number ranks, which is TIE-INVARIANT (equal values contribute
+    a fixed total regardless of rank assignment within the tie), so it
+    evaluates from the O(distinct) value-count exchange: a tie group
+    spanning ranks a..b contributes ``v·((a+b)·cnt − (n+1)·cnt)`` by
+    the arithmetic series — all exact integers folded as Python ints;
+    ONE mirrored double divide at the end.
+    """
+    ds = _read(sf_dir, table, [column])
+    vals, cnts = _cents_value_counts(ds, column, combine_limit)
+    if len(vals) == 0:
+        return pa.Table.from_pydict({"gini": pa.array([], pa.float64())})
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    total = sum(int(v) * int(c) for v, c in zip(vals, cnts))
+    num = 0
+    prev = 0
+    for v, c, e in zip(vals.tolist(), cnts.tolist(), cum.tolist()):
+        a, b = prev + 1, int(e)          # 1-based rank span of the tie
+        num += int(v) * ((a + b) * int(c) - (n + 1) * int(c))
+        prev = int(e)
+    gini = float(num) / (float(n) * float(total))
+    return pa.Table.from_pydict({"gini": pa.array([gini], pa.float64())})

@@ -361,3 +361,22 @@ def test_selfjoin_size_estimate_bounds():
     # determinism
     t2 = selfjoin_size_estimate(SF).to_pandas()
     assert t.equals(t2)
+
+
+def test_gini_coefficient_bounds_and_closed_form():
+    from high_performance_docling_ray.pipelines.relational import (
+        gini_coefficient,
+    )
+
+    g = gini_coefficient(SF).to_pandas().gini.iloc[0]
+    assert 0.0 <= g < 1.0
+    # numpy reference on the full column
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_totalprice"]).to_pandas()
+    v = np.sort(np.rint(o.o_totalprice.to_numpy() * 100).astype(np.int64))
+    n = len(v)
+    rn = np.arange(1, n + 1)
+    ref = float(np.sum((2 * rn - n - 1) * v)) / (n * v.sum())
+    assert abs(g - ref) < 1e-9
+    b = gini_coefficient(SF, combine_limit=0).to_pandas().gini.iloc[0]
+    assert g == b
