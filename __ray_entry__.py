@@ -1430,6 +1430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selfjoin_size_estimate": _q_selfjoin_size_estimate,
         # exact Gini inequality coefficient from value counts
         "gini_coefficient": _q_gini_coefficient,
+        # GROUPED two-pass exact median + MAD (per-lang robust stats)
+        "lang_median_mad": _q_lang_median_mad,
     }
 
 
@@ -1645,6 +1647,14 @@ def _q_gini_coefficient(sf_dir: str):
     )
 
     return gini_coefficient(sf_dir)
+
+
+def _q_lang_median_mad(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        lang_median_mad,
+    )
+
+    return lang_median_mad(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6493,5 +6503,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(SUM((2 * rn - n - 1) * v) AS DOUBLE)
                / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)) AS gini
         FROM r
+    """
+    # grouped two-pass median + MAD: the mad_stats integer scheme with
+    # PARTITION BY lang rank windows
+    oracles["lang_median_mad"] = """
+        WITH c AS (SELECT lang, n_chars AS v FROM documents),
+        r AS (SELECT lang, v,
+                     row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n FROM c),
+        med2 AS (SELECT lang,
+                        (SELECT v FROM r r2 WHERE r2.lang = g.lang
+                         AND r2.rn = (g.n + 1) // 2)
+                      + (SELECT v FROM r r3 WHERE r3.lang = g.lang
+                         AND r3.rn = g.n // 2 + 1) AS m2
+                 FROM (SELECT DISTINCT lang, n FROM r) g),
+        d AS (SELECT c.lang, abs(2 * c.v - med2.m2) AS dv
+              FROM c JOIN med2
+                ON c.lang IS NOT DISTINCT FROM med2.lang),
+        r2 AS (SELECT lang, dv,
+                      row_number() OVER (PARTITION BY lang ORDER BY dv) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS n FROM d),
+        dm AS (SELECT lang,
+                      (SELECT dv FROM r2 a WHERE a.lang = g.lang
+                       AND a.rn = (g.n + 1) // 2)
+                    + (SELECT dv FROM r2 b WHERE b.lang = g.lang
+                       AND b.rn = g.n // 2 + 1) AS d2
+               FROM (SELECT DISTINCT lang, n FROM r2) g)
+        SELECT med2.lang, CAST(med2.m2 AS DOUBLE) / 2.0 AS median_chars,
+               CAST(dm.d2 AS DOUBLE) / 2.0 / 2.0 AS mad_chars
+        FROM med2 JOIN dm ON med2.lang IS NOT DISTINCT FROM dm.lang
+        ORDER BY med2.lang
     """
     return oracles

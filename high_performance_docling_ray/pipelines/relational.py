@@ -1685,3 +1685,87 @@ def gini_coefficient(
         prev = int(e)
     gini = float(num) / (float(n) * float(total))
     return pa.Table.from_pydict({"gini": pa.array([gini], pa.float64())})
+
+
+def lang_median_mad(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """GROUPED exact median + MAD (documents.n_chars per lang) — the
+    two-pass robust statistic with a group key: pass 1 merges
+    (lang, value, cnt) partials (O(langs × distinct) key rows) and
+    takes each group's interpolated median at half-unit integer
+    precision; pass 2 re-streams with the per-group m2 map broadcast
+    (bounded by |groups|) and folds |2·x − m2| deviations into a
+    second grouped value-count table. No float until the final
+    divides; both medians use the `_interp_median2` rank rule.
+    """
+    from .io import read_parquet_clean
+
+    def counts_of(col_expr):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.Table.from_pydict(
+                    {"lang": pa.array([], pa.string()),
+                     "value_c": pa.array([], pa.int64()),
+                     "cnt": pa.array([], pa.int64())}
+                )
+            v = col_expr(batch)
+            t = pa.Table.from_pydict(
+                {"lang": batch.column("lang"),
+                 "value_c": pa.array(v, pa.int64()),
+                 "cnt": pa.array(np.ones(len(v), dtype=np.int64))}
+            )
+            return t.group_by(["lang", "value_c"]).aggregate(
+                [("cnt", "sum")]
+            ).rename_columns(["lang", "value_c", "cnt"])
+
+        return f
+
+    def merged_counts(fn) -> pa.Table:
+        ds = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+        )
+        partials = ds.map_batches(fn, batch_format="pyarrow")
+        tbl = _combine_partials(
+            partials, ["lang", "value_c"], ["cnt"], combine_limit
+        )
+        if tbl is None:
+            tbl = pa.Table.from_pylist(
+                partials.groupby(["lang", "value_c"]).sum("cnt").take_all()
+            )
+        return tbl
+
+    def per_group_median2(tbl: pa.Table) -> dict:
+        langs = np.asarray(tbl.column("lang").to_numpy(zero_copy_only=False),
+                           dtype=object)
+        vals = tbl.column("value_c").to_numpy().astype(np.int64)
+        cnts = tbl.column("sum(cnt)").to_numpy().astype(np.int64)
+        out = {}
+        for g in sorted({x for x in langs.tolist()}, key=lambda x: (x is None, x)):
+            m = langs == g
+            order = np.argsort(vals[m], kind="stable")
+            out[g] = _interp_median2(vals[m][order], cnts[m][order])
+        return out
+
+    m2_by_lang = per_group_median2(merged_counts(
+        counts_of(lambda b: b.column("n_chars").to_numpy().astype(np.int64))
+    ))
+    m2_ref = ray.put(m2_by_lang)
+
+    def dev_expr(batch: pa.Table) -> np.ndarray:
+        m2 = ray.get(m2_ref)
+        langs = np.asarray(batch.column("lang").to_numpy(zero_copy_only=False),
+                           dtype=object)
+        x = batch.column("n_chars").to_numpy().astype(np.int64)
+        m2v = np.fromiter((m2[g] for g in langs.tolist()), np.int64, len(x))
+        return np.abs(2 * x - m2v)
+
+    d2_by_lang = per_group_median2(merged_counts(counts_of(dev_expr)))
+    out_l = sorted(m2_by_lang, key=lambda x: (x is None, x))
+    return pa.Table.from_pydict(
+        {"lang": pa.array(out_l, pa.string()),
+         "median_chars": pa.array(
+             [m2_by_lang[g] / 2.0 for g in out_l], pa.float64()),
+         "mad_chars": pa.array(
+             [d2_by_lang[g] / 2.0 / 2.0 for g in out_l], pa.float64())}
+    )

@@ -380,3 +380,21 @@ def test_gini_coefficient_bounds_and_closed_form():
     assert abs(g - ref) < 1e-9
     b = gini_coefficient(SF, combine_limit=0).to_pandas().gini.iloc[0]
     assert g == b
+
+
+def test_lang_median_mad_tiers_and_reference():
+    from high_performance_docling_ray.pipelines.relational import (
+        lang_median_mad,
+    )
+
+    a = lang_median_mad(SF)
+    b = lang_median_mad(SF, combine_limit=0)
+    _eq(a, b)
+    df = a.to_pandas().set_index("lang")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["lang", "n_chars"]).to_pandas()
+    for g, grp in docs.groupby("lang"):
+        v = grp.n_chars.to_numpy()
+        assert abs(df.loc[g, "median_chars"] - np.median(v)) < 1e-9
+        assert abs(df.loc[g, "mad_chars"]
+                   - np.median(np.abs(v - np.median(v)))) < 1e-9
