@@ -1432,6 +1432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_coefficient": _q_gini_coefficient,
         # GROUPED two-pass exact median + MAD (per-lang robust stats)
         "lang_median_mad": _q_lang_median_mad,
+        # DENSE_RANK top-k with ties kept (per-priority top values)
+        "top_order_values_with_ties": _q_top_order_values_with_ties,
     }
 
 
@@ -1655,6 +1657,14 @@ def _q_lang_median_mad(sf_dir: str):
     )
 
     return lang_median_mad(sf_dir)
+
+
+def _q_top_order_values_with_ties(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import (
+        top_order_values_with_ties,
+    )
+
+    return top_order_values_with_ties(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6533,5 +6543,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(dm.d2 AS DOUBLE) / 2.0 / 2.0 AS mad_chars
         FROM med2 JOIN dm ON med2.lang IS NOT DISTINCT FROM dm.lang
         ORDER BY med2.lang
+    """
+    # DENSE_RANK keeps every order tied at a qualifying value (a
+    # row_number top-k would silently drop ties)
+    oracles["top_order_values_with_ties"] = """
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice DESC)
+                    AS BIGINT) AS rnk
+        FROM orders
+        QUALIFY rnk <= 3
+        ORDER BY o_orderpriority, rnk, o_orderkey
     """
     return oracles

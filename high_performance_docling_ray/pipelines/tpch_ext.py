@@ -662,3 +662,109 @@ def q22_dormant_customers(
          "numcust": pa.array([r[1] for r in rows], pa.int64()),
          "totacctbal": pa.array([r[2] / 100.0 for r in rows], pa.float64())}
     )
+
+
+# -- dense-rank top-k: highest distinct order values per priority --------------
+
+def top_order_values_with_ties(
+    sf_dir: str, k: int = 3, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Per-priority top-``k`` DISTINCT order totals, KEEPING TIES — the
+    DENSE_RANK window shape (a row_number top-k silently drops tied
+    orders; dense-rank keeps every order at a qualifying value).
+
+    One streamed pass reduces orders to (priority, total_cents, n)
+    value-count partials; the driver picks each group's k-th distinct
+    value boundary (O(groups × distinct) rows) and a second streamed
+    pass emits qualifying orders with their dense rank attached — a
+    pure map against the broadcast boundary/value map.
+    """
+    _EMPTY = pa.Table.from_pydict(
+        {"o_orderpriority": pa.array([], pa.string()),
+         "value_c": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        t = pa.Table.from_pydict(
+            {"o_orderpriority": batch.column("o_orderpriority"),
+             "value_c": pa.array(_cents(batch.column("o_totalprice")),
+                                 pa.int64()),
+             "n": pa.array(np.ones(batch.num_rows, dtype=np.int64))}
+        )
+        return t.group_by(["o_orderpriority", "value_c"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["o_orderpriority", "value_c", "n"])
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    partials = orders.map_batches(counts, batch_format="pyarrow")
+    tbl = _combine_partials(
+        partials, ["o_orderpriority", "value_c"], ["n"], combine_limit
+    )
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby(["o_orderpriority", "value_c"]).sum("n").take_all()
+        )
+    prio = np.asarray(
+        tbl.column("o_orderpriority").to_numpy(zero_copy_only=False),
+        dtype=object)
+    vals = tbl.column("value_c").to_numpy().astype(np.int64)
+    # per group: the top-k distinct values, rank 1 = highest
+    rank_of: dict = {}
+    for g in sorted(set(prio.tolist())):
+        gv = np.unique(vals[prio == g])[::-1][:k]
+        for r, v in enumerate(gv, start=1):
+            rank_of[(g, int(v))] = r
+    rk_ref = ray.put(rank_of)
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        rk = ray.get(rk_ref)
+        p = np.asarray(
+            batch.column("o_orderpriority").to_numpy(zero_copy_only=False),
+            dtype=object)
+        v = _cents(batch.column("o_totalprice"))
+        keep = np.fromiter(
+            ((pp, int(vv)) in rk for pp, vv in zip(p, v)),
+            bool, len(v))
+        if not keep.any():
+            return pa.Table.from_pydict(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "o_orderpriority": pa.array([], pa.string()),
+                 "o_totalprice": pa.array([], pa.float64()),
+                 "rnk": pa.array([], pa.int64())}
+            )
+        ranks = np.fromiter(
+            (rk[(pp, int(vv))] for pp, vv in zip(p[keep], v[keep])),
+            np.int64, int(keep.sum()))
+        return pa.Table.from_pydict(
+            {"o_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+             "o_orderpriority": batch.column("o_orderpriority")
+             .filter(pa.array(keep)),
+             "o_totalprice": batch.column("o_totalprice")
+             .filter(pa.array(keep)),
+             "rnk": pa.array(ranks, pa.int64())}
+        )
+
+    full = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    parts = [
+        t for t in ray.get(
+            full.map_batches(qualify, batch_format="pyarrow")
+            .materialize().to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]
+    if not parts:
+        return pa.Table.from_pydict(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "o_orderpriority": pa.array([], pa.string()),
+             "o_totalprice": pa.array([], pa.float64()),
+             "rnk": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(parts).sort_by(
+        [("o_orderpriority", "ascending"), ("rnk", "ascending"),
+         ("o_orderkey", "ascending")]
+    )

@@ -105,3 +105,26 @@ def test_q22_tiers_equal():
     # dormant candidates exist at this SF with the shipped cutoff
     assert int(a.column("numcust").to_numpy().sum()) > 0
     assert (a.column("totacctbal").to_numpy() > 0).all()
+
+
+def test_top_order_values_with_ties():
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.tpch_ext import (
+        top_order_values_with_ties,
+    )
+
+    a = top_order_values_with_ties(SF)
+    b = top_order_values_with_ties(SF, combine_limit=0)
+    _eq(a, b)
+    df = a.to_pandas()
+    # per priority: exactly <=3 distinct values, ranks dense from 1
+    for g, grp in df.groupby("o_orderpriority"):
+        vals = sorted(grp.o_totalprice.unique(), reverse=True)
+        assert len(vals) <= 3
+        assert sorted(grp.rnk.unique()) == list(range(1, len(vals) + 1))
+        # rank 1 really is the group's global max
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderpriority", "o_totalprice"]
+                          ).to_pandas()
+        assert vals[0] == o.loc[o.o_orderpriority == g, "o_totalprice"].max()
