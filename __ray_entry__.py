@@ -1434,6 +1434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_median_mad": _q_lang_median_mad,
         # DENSE_RANK top-k with ties kept (per-priority top values)
         "top_order_values_with_ties": _q_top_order_values_with_ties,
+        # exact weighted median (revenue-weighted quantity)
+        "weighted_median_qty": _q_weighted_median_qty,
     }
 
 
@@ -1665,6 +1667,14 @@ def _q_top_order_values_with_ties(sf_dir: str):
     )
 
     return top_order_values_with_ties(sf_dir)
+
+
+def _q_weighted_median_qty(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        weighted_median_qty,
+    )
+
+    return weighted_median_qty(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6554,5 +6564,17 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         QUALIFY rnk <= 3
         ORDER BY o_orderpriority, rnk, o_orderkey
+    """
+    # lower weighted median: smallest v with 2·cumweight >= total —
+    # pure integer rule, no float compare
+    oracles["weighted_median_qty"] = """
+        WITH c AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS v,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+                   FROM lineitem),
+        g AS (SELECT v, sum(w) AS gw FROM c GROUP BY 1),
+        r AS (SELECT v, sum(gw) OVER (ORDER BY v) AS cumw,
+                     (SELECT sum(gw) FROM g) AS total FROM g)
+        SELECT CAST(min(v) AS DOUBLE) / 100.0 AS weighted_median_qty
+        FROM r WHERE 2 * cumw >= total
     """
     return oracles

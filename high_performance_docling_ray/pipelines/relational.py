@@ -1769,3 +1769,59 @@ def lang_median_mad(
          "mad_chars": pa.array(
              [d2_by_lang[g] / 2.0 / 2.0 for g in out_l], pa.float64())}
     )
+
+
+def weighted_median_qty(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """EXACT weighted median — the quantity at which half the revenue
+    mass sits at or below (lower weighted median: the smallest value v
+    with ``2·cumweight(v) >= total``, an integer rule with no float
+    compare). One streamed pass reduces lineitem to (qty_cents,
+    weight_cents) partials — O(distinct quantities) on the wire — and
+    the driver scans the cumulative weights once.
+    """
+    _EMPTY = pa.Table.from_pydict(
+        {"value_c": pa.array([], pa.int64()),
+         "w": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        q = _cents(batch.column("l_quantity"))
+        w = _cents(batch.column("l_extendedprice"))
+        t = pa.Table.from_pydict(
+            {"value_c": pa.array(q, pa.int64()),
+             "w": pa.array(w, pa.int64())}
+        )
+        return t.group_by("value_c").aggregate([("w", "sum")]).rename_columns(
+            ["value_c", "w"]
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["value_c"], ["w"], combine_limit)
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby("value_c").sum("w").take_all()
+        )
+    vals = tbl.column("value_c").to_numpy().astype(np.int64)
+    ws = tbl.column("sum(w)").to_numpy().astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, ws = vals[order], ws[order]
+    if len(vals) == 0:
+        return pa.Table.from_pydict(
+            {"weighted_median_qty": pa.array([], pa.float64())}
+        )
+    total = int(sum(int(x) for x in ws))
+    cumw = 0
+    med = int(vals[-1])
+    for v, w in zip(vals.tolist(), ws.tolist()):
+        cumw += int(w)
+        if 2 * cumw >= total:
+            med = int(v)
+            break
+    return pa.Table.from_pydict(
+        {"weighted_median_qty": pa.array([med / 100.0], pa.float64())}
+    )

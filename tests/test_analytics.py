@@ -398,3 +398,22 @@ def test_lang_median_mad_tiers_and_reference():
         assert abs(df.loc[g, "median_chars"] - np.median(v)) < 1e-9
         assert abs(df.loc[g, "mad_chars"]
                    - np.median(np.abs(v - np.median(v)))) < 1e-9
+
+
+def test_weighted_median_tiers_and_reference():
+    from high_performance_docling_ray.pipelines.relational import (
+        weighted_median_qty,
+    )
+
+    a = weighted_median_qty(SF)
+    b = weighted_median_qty(SF, combine_limit=0)
+    _eq(a, b)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_quantity", "l_extendedprice"]).to_pandas()
+    q = np.rint(li.l_quantity.to_numpy() * 100).astype(np.int64)
+    w = np.rint(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
+    order = np.argsort(q, kind="stable")
+    qs, ws = q[order], w[order]
+    cw = np.cumsum(ws)
+    ref = qs[np.searchsorted(2 * cw, cw[-1])] / 100.0
+    assert a.to_pandas().weighted_median_qty.iloc[0] == ref
