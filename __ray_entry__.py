@@ -1436,6 +1436,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_values_with_ties": _q_top_order_values_with_ties,
         # exact weighted median (revenue-weighted quantity)
         "weighted_median_qty": _q_weighted_median_qty,
+        # the final TPC-H shapes over the DERIVED partsupp (distinct
+        # (part,supp) pairs from lineitem; cost = pure fn of the keys,
+        # identical CTE on both sides) — completes all 22 queries
+        "q2_min_cost_supplier": _q_q2_min_cost,       # per-part argmin
+        "q9_nation_profit": _q_q9_profit,             # zero-join profit
+        "q11_important_stock": _q_q11_stock,          # scalar threshold
+        "q16_supplier_part_counts": _q_q16_counts,    # count-distinct
+        "q20_promotion_suppliers": _q_q20_promo,      # correlated half
     }
 
 
@@ -1675,6 +1683,44 @@ def _q_weighted_median_qty(sf_dir: str):
     )
 
     return weighted_median_qty(sf_dir)
+
+
+def _q_q2_min_cost(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import (
+        q2_min_cost_supplier,
+    )
+
+    return q2_min_cost_supplier(sf_dir)
+
+
+def _q_q9_profit(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import q9_nation_profit
+
+    return q9_nation_profit(sf_dir)
+
+
+def _q_q11_stock(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import (
+        q11_important_stock,
+    )
+
+    return q11_important_stock(sf_dir)
+
+
+def _q_q16_counts(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import (
+        q16_supplier_part_counts,
+    )
+
+    return q16_supplier_part_counts(sf_dir)
+
+
+def _q_q20_promo(sf_dir: str):
+    from high_performance_docling_ray.pipelines.tpch_ext import (
+        q20_promotion_suppliers,
+    )
+
+    return q20_promotion_suppliers(sf_dir)
 
 
 def _q_knn_graph(sf_dir: str):
@@ -6576,5 +6622,84 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT sum(gw) FROM g) AS total FROM g)
         SELECT CAST(min(v) AS DOUBLE) / 100.0 AS weighted_median_qty
         FROM r WHERE 2 * cumw >= total
+    """
+    # derived partsupp (the same CTE the Ray side computes): distinct
+    # (part,supp) pairs with ps_availqty = pair count and
+    # ps_cost_c = (pk*31 + sk*17) % 90000 + 10000 — a pure integer
+    # function of the keys, so both sides agree exactly
+    _ps_cte = """ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 count(*) AS ps_availqty,
+                 (l_partkey * 31 + l_suppkey * 17) % 90000 + 10000
+                   AS ps_cost_c
+          FROM lineitem GROUP BY l_partkey, l_suppkey)"""
+    oracles["q2_min_cost_supplier"] = f"""
+        WITH {_ps_cte},
+        s AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'EUROPE'),
+        c AS (SELECT ps.ps_partkey, ps.ps_cost_c, s.s_acctbal, s.s_name,
+                     s.n_name
+              FROM ps JOIN s ON s.s_suppkey = ps.ps_suppkey
+              JOIN part ON p_partkey = ps.ps_partkey AND p_size = 15),
+        m AS (SELECT ps_partkey, min(ps_cost_c) AS mc FROM c GROUP BY 1)
+        SELECT c.s_acctbal, c.s_name, c.n_name, c.ps_partkey AS p_partkey
+        FROM c JOIN m ON m.ps_partkey = c.ps_partkey
+                     AND c.ps_cost_c = m.mc
+        ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p_partkey
+        LIMIT 100
+    """
+    oracles["q9_nation_profit"] = """
+        SELECT n_name AS nation,
+               CAST(year(l_shipdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                        - ((l_partkey * 31 + l_suppkey * 17) % 90000
+                           + 10000)
+                          * CAST(round(l_quantity * 100) AS BIGINT))
+                    AS DOUBLE) / 10000.0 AS sum_profit
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC
+    """
+    oracles["q11_important_stock"] = f"""
+        WITH {_ps_cte},
+        v AS (SELECT ps_partkey, sum(ps_cost_c * ps_availqty) AS value_c
+              FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name = 'NATION_3' GROUP BY 1),
+        t AS (SELECT sum(value_c) AS total FROM v)
+        SELECT ps_partkey, CAST(value_c AS DOUBLE) / 100.0 AS value
+        FROM v, t WHERE value_c * 10000 > total * 10
+        ORDER BY value_c DESC, ps_partkey
+    """
+    oracles["q16_supplier_part_counts"] = f"""
+        WITH {_ps_cte}
+        SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+        GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size
+    """
+    oracles["q20_promotion_suppliers"] = """
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 count(*) AS ps_availqty,
+                 sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                           AND l_shipdate < TIMESTAMP '1997-01-01'
+                          THEN CAST(round(l_quantity * 100) AS BIGINT)
+                          ELSE 0 END) AS qty_win_c
+          FROM lineitem GROUP BY 1, 2)
+        SELECT DISTINCT s_name FROM ps
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3' AND qty_win_c > 0
+          AND 200 * ps_availqty > qty_win_c
+        ORDER BY s_name
     """
     return oracles

@@ -768,3 +768,538 @@ def top_order_values_with_ties(
         [("o_orderpriority", "ascending"), ("rnk", "ascending"),
          ("o_orderkey", "ascending")]
     )
+
+
+# -- derived partsupp: the five remaining TPC-H shapes -------------------------
+#
+# The test schema has no partsupp table, so the classic Q2/Q9/Q11/Q16/
+# Q20 shapes derive one DETERMINISTICALLY from lineitem: a partsupp
+# row per DISTINCT (l_partkey, l_suppkey) pair with
+#   ps_availqty   = count(*)                       (pair frequency)
+#   ps_cost_c     = (pk*31 + sk*17) % 90000 + 10000  (cents, pure fn)
+# Both sides compute the identical integers (the oracle carries the
+# same CTE), so every query below is exactly SQL-mirrorable. The cost
+# being a pure FUNCTION of the keys matters at scale: Q9 needs no
+# join at all (cost evaluates inline per lineitem row), and the pair
+# exchange only runs where availqty is genuinely needed.
+
+def _ps_cost_c(pk: np.ndarray, sk: np.ndarray) -> np.ndarray:
+    return (pk * 31 + sk * 17) % 90000 + 10000
+
+
+def _partsupp_pairs(
+    sf_dir: str,
+    num_parts: int | None = None,
+    qty_window: tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """(ps_partkey, ps_suppkey, ps_availqty[, qty_win_c]) — distinct
+    pair aggregation in ONE bucketed exchange (the _edges_dataset
+    discipline: per-batch np.unique combiner, hash(pk,sk)%P buckets,
+    vectorized per-bucket reduceat — never a per-pair Python call).
+    ``qty_window`` additionally sums l_quantity cents shipped inside
+    [lo_us, hi_us) per pair (for the Q20 shape).
+    """
+    from .joins import default_num_buckets, int_key_buckets
+
+    if num_parts is None:
+        num_parts = default_num_buckets()
+    cols = ["l_partkey", "l_suppkey"]
+    if qty_window is not None:
+        cols += ["l_quantity", "l_shipdate"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        comp = pk * 2_000_003 + sk  # injective for pk,sk < 2e6
+        order = np.argsort(comp, kind="stable")
+        comp_s = comp[order]
+        starts = np.flatnonzero(np.r_[True, comp_s[1:] != comp_s[:-1]])
+        cnt = np.diff(np.r_[starts, len(comp_s)])
+        out = {
+            "ps_partkey": pa.array(pk[order][starts], pa.int64()),
+            "ps_suppkey": pa.array(sk[order][starts], pa.int64()),
+            "ps_availqty": pa.array(cnt.astype(np.int64), pa.int64()),
+        }
+        if qty_window is not None:
+            lo, hi = qty_window
+            ship = _ts_us(batch.column("l_shipdate"))[order]
+            qty_c = _cents(batch.column("l_quantity"))[order]
+            win = ((ship >= lo) & (ship < hi)).astype(np.int64)
+            out["qty_win_c"] = pa.array(
+                np.add.reduceat(qty_c * win, starts), pa.int64()
+            )
+        mixed = (
+            pk[order][starts].astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+            + sk[order][starts].astype(np.uint64)
+        )
+        out["bucket"] = pa.array(
+            int_key_buckets(mixed.view(np.int64), num_parts), pa.int32()
+        )
+        return pa.Table.from_pydict(out)
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        pk = group.column("ps_partkey").to_numpy().astype(np.int64)
+        sk = group.column("ps_suppkey").to_numpy().astype(np.int64)
+        n = group.column("ps_availqty").to_numpy().astype(np.int64)
+        comp = pk * 2_000_003 + sk
+        order = np.argsort(comp, kind="stable")
+        comp_s = comp[order]
+        starts = np.flatnonzero(np.r_[True, comp_s[1:] != comp_s[:-1]])
+        out = {
+            "ps_partkey": pa.array(pk[order][starts], pa.int64()),
+            "ps_suppkey": pa.array(sk[order][starts], pa.int64()),
+            "ps_availqty": pa.array(
+                np.add.reduceat(n[order], starts), pa.int64()),
+        }
+        if "qty_win_c" in group.column_names:
+            q = group.column("qty_win_c").to_numpy().astype(np.int64)
+            out["qty_win_c"] = pa.array(
+                np.add.reduceat(q[order], starts), pa.int64())
+        return pa.Table.from_pydict(out)
+
+    ds = _read(sf_dir, "lineitem", cols)
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: merge_bucket(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q9_nation_profit(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
+    """TPC-H Q9 shape: profit (revenue minus supply cost) by supplier
+    nation and order-year. Because the derived supply cost is a pure
+    function of (partkey, suppkey), it evaluates INLINE per lineitem
+    row — the whole query is one streamed pass with (nation, year)
+    int64-cents partials and ZERO joins (the supplier-nation LUT is
+    the only broadcast).
+    """
+    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _broadcast_parquet(sf_dir, "nation", ["n_nationkey", "n_name"])
+    skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    nkey = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    nname = np.asarray(nat.column("n_name").to_numpy(zero_copy_only=False),
+                       dtype=object)
+    nlut = np.empty(int(nkey.max()) + 1, dtype=object)
+    nlut[nkey] = nname
+    s2n = np.full(int(skey.max()) + 1, -1, dtype=np.int64)
+    s2n[skey] = snat
+    lut_ref = ray.put((s2n, nlut))
+
+    _EMPTY = pa.Table.from_pydict(
+        {"nation": pa.array([], pa.string()),
+         "o_year": pa.array([], pa.int64()),
+         "amount_e4": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s2n_l, nlut_l = ray.get(lut_ref)
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        ok = (sk >= 0) & (sk < len(s2n_l))
+        if not ok.any():
+            return _EMPTY
+        base_c = _cents(batch.column("l_extendedprice"))[ok]
+        disc_c = _cents(batch.column("l_discount"))[ok]
+        qty_c = _cents(batch.column("l_quantity"))[ok]
+        cost_c = _ps_cost_c(pk[ok], sk[ok])
+        amount = base_c * (100 - disc_c) - cost_c * qty_c
+        year = (
+            _ts_us(batch.column("l_shipdate"))[ok]
+            .astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64) + 1970
+        )
+        nid = s2n_l[sk[ok]]
+        t = pa.Table.from_pydict(
+            {"nation": pa.array(
+                np.asarray(nlut_l[nid], dtype=object).tolist(), pa.string()),
+             "o_year": pa.array(year, pa.int64()),
+             "amount_e4": pa.array(amount, pa.int64())}
+        )
+        return t.group_by(["nation", "o_year"]).aggregate(
+            [("amount_e4", "sum")]
+        ).rename_columns(["nation", "o_year", "amount_e4"])
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+         "l_quantity", "l_shipdate"],
+    )
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    tbl = _combine_partials(
+        partials, ["nation", "o_year"], ["amount_e4"], combine_limit
+    )
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby(["nation", "o_year"]).sum("amount_e4").take_all()
+        )
+    amt = tbl.column("sum(amount_e4)").to_numpy().astype(np.float64) / 10000.0
+    out = pa.Table.from_pydict(
+        {"nation": tbl.column("nation"),
+         "o_year": tbl.column("o_year"),
+         "sum_profit": pa.array(amt, pa.float64())}
+    )
+    return out.sort_by(
+        [("nation", "ascending"), ("o_year", "descending")]
+    )
+
+
+def q2_min_cost_supplier(
+    sf_dir: str,
+    region: str = "EUROPE",
+    size: int = 15,
+    k: int = 100,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """TPC-H Q2 shape: for every size-``size`` part, the region
+    supplier(s) offering the MINIMUM derived supply cost (correlated
+    min subquery -> per-part argmin). The pair exchange streams;
+    per-part min-cost partials merge under the budget (groupby
+    fallback); winners (cost == per-part min, ties kept like the SQL
+    join) collect attrs from driver LUTs; classic output order
+    (s_acctbal desc, n_name, s_name, p_partkey) with top-``k``.
+    """
+    part = _broadcast_parquet(sf_dir, "part", ["p_partkey", "p_size"])
+    pkey = part.column("p_partkey").to_numpy().astype(np.int64)
+    psize = part.column("p_size").to_numpy().astype(np.int64)
+    size_keys = np.sort(pkey[psize == size])
+
+    nat = _broadcast_parquet(sf_dir, "nation",
+                             ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _broadcast_parquet(sf_dir, "region", ["r_regionkey", "r_name"])
+    rk = reg.column("r_regionkey").to_numpy().astype(np.int64)
+    rn = reg.column("r_name").to_numpy(zero_copy_only=False)
+    target_region = int(rk[rn == region][0])
+    nkey = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    nreg = nat.column("n_regionkey").to_numpy().astype(np.int64)
+    nname = np.asarray(nat.column("n_name").to_numpy(zero_copy_only=False),
+                       dtype=object)
+    region_nations = set(nkey[nreg == target_region].tolist())
+
+    supp = _broadcast_parquet(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    )
+    skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    in_region_supp = np.zeros(int(skey.max()) + 1, dtype=bool)
+    in_region_supp[skey[np.isin(snat, list(region_nations))]] = True
+    filt_ref = ray.put((size_keys, in_region_supp))
+
+    _EMPTY = pa.Table.from_pydict(
+        {"ps_partkey": pa.array([], pa.int64()),
+         "min_cost": pa.array([], pa.int64())}
+    )
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        sizes, srs = ray.get(filt_ref)
+        pk = batch.column("ps_partkey").to_numpy().astype(np.int64)
+        sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
+        keep = (
+            _sorted_member_mask(sizes, pk)
+            & (sk < len(srs)) & srs[np.minimum(sk, len(srs) - 1)]
+        )
+        if not keep.any():
+            return _EMPTY
+        cost = _ps_cost_c(pk[keep], sk[keep])
+        t = pa.Table.from_pydict(
+            {"ps_partkey": pa.array(pk[keep], pa.int64()),
+             "min_cost": pa.array(cost, pa.int64())}
+        )
+        return t.group_by("ps_partkey").aggregate(
+            [("min_cost", "min")]
+        ).rename_columns(["ps_partkey", "min_cost"])
+
+    pairs = _partsupp_pairs(sf_dir).materialize()
+    partials = pairs.map_batches(min_partial, batch_format="pyarrow")
+    tbl = _combine_partials(
+        partials, ["ps_partkey"], ["min_cost"], combine_limit, agg="min"
+    )
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby("ps_partkey").min("min_cost").take_all()
+        )
+    mp = tbl.column("ps_partkey").to_numpy().astype(np.int64)
+    mc = tbl.column("min(min_cost)").to_numpy().astype(np.int64)
+    order = np.argsort(mp, kind="stable")
+    min_ref = ray.put((mp[order], mc[order]))
+
+    def winners(batch: pa.Table) -> pa.Table:
+        sizes, srs = ray.get(filt_ref)
+        mps, mcs = ray.get(min_ref)
+        pk = batch.column("ps_partkey").to_numpy().astype(np.int64)
+        sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
+        keep = (
+            _sorted_member_mask(sizes, pk)
+            & (sk < len(srs)) & srs[np.minimum(sk, len(srs) - 1)]
+            & _sorted_member_mask(mps, pk)
+        )
+        if not keep.any():
+            return pa.Table.from_pydict(
+                {"p_partkey": pa.array([], pa.int64()),
+                 "s_suppkey": pa.array([], pa.int64())}
+            )
+        pos = np.searchsorted(mps, pk[keep])
+        win = _ps_cost_c(pk[keep], sk[keep]) == mcs[pos]
+        return pa.Table.from_pydict(
+            {"p_partkey": pa.array(pk[keep][win], pa.int64()),
+             "s_suppkey": pa.array(sk[keep][win], pa.int64())}
+        )
+
+    win_parts = [
+        t for t in ray.get(
+            pairs.map_batches(winners, batch_format="pyarrow")
+            .materialize().to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]
+    if not win_parts:
+        return pa.Table.from_pydict(
+            {"s_acctbal": pa.array([], pa.float64()),
+             "s_name": pa.array([], pa.string()),
+             "n_name": pa.array([], pa.string()),
+             "p_partkey": pa.array([], pa.int64())}
+        )
+    w = pa.concat_tables(win_parts)
+    wp = w.column("p_partkey").to_numpy().astype(np.int64)
+    wsup = w.column("s_suppkey").to_numpy().astype(np.int64)
+    sname = np.asarray(supp.column("s_name").to_numpy(zero_copy_only=False),
+                       dtype=object)
+    sbal = supp.column("s_acctbal").to_numpy(zero_copy_only=False)
+    spos = {int(s): i for i, s in enumerate(skey)}
+    rows = [spos[int(s)] for s in wsup]
+    nlut = np.empty(int(nkey.max()) + 1, dtype=object)
+    nlut[nkey] = nname
+    bal = np.asarray([float(sbal[i]) for i in rows])
+    names = np.asarray([str(sname[i]) for i in rows], dtype=object)
+    nats = np.asarray([str(nlut[int(snat[i])]) for i in rows], dtype=object)
+    order = np.lexsort((wp, names, nats, -bal))[:k]
+    return pa.Table.from_pydict(
+        {"s_acctbal": pa.array(bal[order], pa.float64()),
+         "s_name": pa.array(names[order].tolist(), pa.string()),
+         "n_name": pa.array(nats[order].tolist(), pa.string()),
+         "p_partkey": pa.array(wp[order], pa.int64())}
+    )
+
+
+def q11_important_stock(
+    sf_dir: str,
+    nation: str = "NATION_3",
+    fraction_e4: int = 10,  # part share > fraction_e4 / 10^4 of total
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """TPC-H Q11 shape: parts whose stock value at one nation's
+    suppliers exceeds a fraction of the total — the scalar-subquery
+    threshold over a grouped aggregate. Pair rows stream once with a
+    supplier-nation mask; per-part value partials (cost·availqty,
+    exact ints) merge under the budget; the threshold compare is the
+    cross-multiplied integer rule ``value·10^4 > total·fraction_e4``.
+    """
+    nat = _broadcast_parquet(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nkey = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    nname = nat.column("n_name").to_numpy(zero_copy_only=False)
+    target = int(nkey[nname == nation][0])
+    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    in_nation = np.zeros(int(skey.max()) + 1, dtype=bool)
+    in_nation[skey[snat == target]] = True
+    lut_ref = ray.put(in_nation)
+
+    _EMPTY = pa.Table.from_pydict(
+        {"ps_partkey": pa.array([], pa.int64()),
+         "value_c": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        pk = batch.column("ps_partkey").to_numpy().astype(np.int64)
+        sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
+        keep = (sk < len(lut)) & lut[np.minimum(sk, len(lut) - 1)]
+        if not keep.any():
+            return _EMPTY
+        avail = batch.column("ps_availqty").to_numpy().astype(np.int64)[keep]
+        val = _ps_cost_c(pk[keep], sk[keep]) * avail
+        t = pa.Table.from_pydict(
+            {"ps_partkey": pa.array(pk[keep], pa.int64()),
+             "value_c": pa.array(val, pa.int64())}
+        )
+        return t.group_by("ps_partkey").aggregate(
+            [("value_c", "sum")]
+        ).rename_columns(["ps_partkey", "value_c"])
+
+    partials = _partsupp_pairs(sf_dir).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    tbl = _combine_partials(partials, ["ps_partkey"], ["value_c"], combine_limit)
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby("ps_partkey").sum("value_c").take_all()
+        )
+    pk = tbl.column("ps_partkey").to_numpy().astype(np.int64)
+    val = tbl.column("sum(value_c)").to_numpy().astype(np.int64)
+    total = int(sum(int(v) for v in val))
+    keep = val * 10_000 > total * fraction_e4
+    order = np.lexsort((pk[keep], -val[keep]))
+    return pa.Table.from_pydict(
+        {"ps_partkey": pa.array(pk[keep][order], pa.int64()),
+         "value": pa.array(val[keep][order] / 100.0, pa.float64())}
+    )
+
+
+def q16_supplier_part_counts(
+    sf_dir: str,
+    exclude_brand: str = "Brand#1",
+    sizes: tuple[int, ...] = (5, 10, 15, 20, 25, 30, 35, 40),
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """TPC-H Q16 shape (adapted: "customer complaints" suppliers are
+    those with negative account balance): how many DISTINCT suppliers
+    can deliver each (brand, size) bucket, excluding one brand, a size
+    set, and the complaint suppliers. Distinct pair rows stream once
+    against three driver LUTs; block-distinct (brand, size, supplier)
+    triples merge under the budget; the count collapses per group.
+    """
+    part = _broadcast_parquet(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    pkey = part.column("p_partkey").to_numpy().astype(np.int64)
+    pbrand = np.asarray(part.column("p_brand").to_numpy(zero_copy_only=False),
+                        dtype=object)
+    psize = part.column("p_size").to_numpy().astype(np.int64)
+    n = int(pkey.max()) + 1
+    blut = np.empty(n, dtype=object)
+    blut[pkey] = pbrand
+    slut = np.zeros(n, dtype=np.int64)
+    slut[pkey] = psize
+    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    sbal = supp.column("s_acctbal").to_numpy(zero_copy_only=False)
+    bad = np.zeros(int(skey.max()) + 1, dtype=bool)
+    bad[skey[sbal < 0]] = True
+    size_set = np.array(sorted(sizes), dtype=np.int64)
+    lut_ref = ray.put((blut, slut, bad, size_set))
+
+    _EMPTY = pa.Table.from_pydict(
+        {"p_brand": pa.array([], pa.string()),
+         "p_size": pa.array([], pa.int64()),
+         "ps_suppkey": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def triples(batch: pa.Table) -> pa.Table:
+        blut_l, slut_l, bad_l, sset = ray.get(lut_ref)
+        pk = batch.column("ps_partkey").to_numpy().astype(np.int64)
+        sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
+        ok = (pk < len(slut_l)) & (sk < len(bad_l))
+        brand = np.asarray(blut_l[np.minimum(pk, len(blut_l) - 1)],
+                           dtype=object)
+        size = slut_l[np.minimum(pk, len(slut_l) - 1)]
+        keep = (
+            ok
+            & (brand != exclude_brand)
+            & _sorted_member_mask(sset, size)
+            & ~bad_l[np.minimum(sk, len(bad_l) - 1)]
+        )
+        if not keep.any():
+            return _EMPTY
+        return pa.Table.from_pydict(
+            {"p_brand": pa.array(brand[keep].tolist(), pa.string()),
+             "p_size": pa.array(size[keep], pa.int64()),
+             "ps_suppkey": pa.array(sk[keep], pa.int64()),
+             "n": pa.array(np.ones(int(keep.sum()), dtype=np.int64))}
+        )
+
+    partials = _partsupp_pairs(sf_dir).map_batches(
+        triples, batch_format="pyarrow"
+    )
+    tbl = _combine_partials(
+        partials, ["p_brand", "p_size", "ps_suppkey"], ["n"], combine_limit
+    )
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby(["p_brand", "p_size", "ps_suppkey"])
+            .sum("n").take_all()
+        )
+    counted = (
+        tbl.select(["p_brand", "p_size"])
+        .append_column("supplier_cnt",
+                       pa.array(np.ones(tbl.num_rows, dtype=np.int64)))
+        .group_by(["p_brand", "p_size"])
+        .aggregate([("supplier_cnt", "sum")])
+        .rename_columns(["p_brand", "p_size", "supplier_cnt"])
+    )
+    idx = pc.sort_indices(
+        counted,
+        sort_keys=[("supplier_cnt", "descending"), ("p_brand", "ascending"),
+                   ("p_size", "ascending")],
+    )
+    return counted.take(idx)
+
+
+def q20_promotion_suppliers(
+    sf_dir: str,
+    nation: str = "NATION_3",
+    year: str = "1996",
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """TPC-H Q20 shape: suppliers in one nation holding EXCESS stock of
+    some part relative to what they shipped in a year —
+    ``ps_availqty > 0.5 * qty_shipped_in_year``, the correlated
+    half-of-shipments subquery, as the integer rule
+    ``200·avail > qty_year_c``. One pair exchange computes BOTH
+    aggregates (all-time pair count + in-window quantity cents) in the
+    same pass; the qualifying-supplier DISTINCT set is tiny and
+    resolves on the driver.
+    """
+    lo = _us(f"{year}-01-01")
+    hi = _us(f"{int(year) + 1}-01-01")
+    nat = _broadcast_parquet(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nkey = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    nname = nat.column("n_name").to_numpy(zero_copy_only=False)
+    target = int(nkey[nname == nation][0])
+    supp = _broadcast_parquet(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]
+    )
+    skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    in_nation = np.zeros(int(skey.max()) + 1, dtype=bool)
+    in_nation[skey[snat == target]] = True
+    lut_ref = ray.put(in_nation)
+
+    _EMPTY = pa.Table.from_pydict(
+        {"ps_suppkey": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def qualifying(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
+        avail = batch.column("ps_availqty").to_numpy().astype(np.int64)
+        qty_win = batch.column("qty_win_c").to_numpy().astype(np.int64)
+        keep = (
+            (sk < len(lut)) & lut[np.minimum(sk, len(lut) - 1)]
+            & (qty_win > 0)
+            & (200 * avail > qty_win)
+        )
+        if not keep.any():
+            return _EMPTY
+        uniq = np.unique(sk[keep])
+        return pa.Table.from_pydict(
+            {"ps_suppkey": pa.array(uniq, pa.int64()),
+             "n": pa.array(np.ones(len(uniq), dtype=np.int64))}
+        )
+
+    pairs = _partsupp_pairs(sf_dir, qty_window=(lo, hi))
+    partials = pairs.map_batches(qualifying, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["ps_suppkey"], ["n"], combine_limit)
+    if tbl is None:
+        tbl = pa.Table.from_pylist(
+            partials.groupby("ps_suppkey").sum("n").take_all()
+        )
+    wk = np.sort(tbl.column("ps_suppkey").to_numpy().astype(np.int64))
+    sname = np.asarray(supp.column("s_name").to_numpy(zero_copy_only=False),
+                       dtype=object)
+    pos = {int(s): i for i, s in enumerate(skey)}
+    names = sorted(str(sname[pos[int(s)]]) for s in wk)
+    return pa.Table.from_pydict({"s_name": pa.array(names, pa.string())})

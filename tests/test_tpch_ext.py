@@ -128,3 +128,54 @@ def test_top_order_values_with_ties():
                           columns=["o_orderpriority", "o_totalprice"]
                           ).to_pandas()
         assert vals[0] == o.loc[o.o_orderpriority == g, "o_totalprice"].max()
+
+
+def test_q2_tiers_and_argmin():
+    from high_performance_docling_ray.pipelines.tpch_ext import (
+        q2_min_cost_supplier,
+    )
+
+    a = q2_min_cost_supplier(SF)
+    b = q2_min_cost_supplier(SF, combine_limit=0)
+    _eq(a, b)
+    assert a.num_rows > 0
+
+
+def test_q9_profit_tiers():
+    from high_performance_docling_ray.pipelines.tpch_ext import q9_nation_profit
+
+    a = q9_nation_profit(SF)
+    b = q9_nation_profit(SF, combine_limit=0)
+    _eq(a, b)
+    # one row per (present nation, present ship-year)
+    assert a.num_rows > 0
+    assert len(set(zip(a.column("nation").to_pylist(),
+                       a.column("o_year").to_pylist()))) == a.num_rows
+
+
+def test_q11_threshold_and_tiers():
+    from high_performance_docling_ray.pipelines.tpch_ext import (
+        q11_important_stock,
+    )
+
+    a = q11_important_stock(SF)
+    b = q11_important_stock(SF, combine_limit=0)
+    _eq(a, b)
+    v = a.column("value").to_numpy()
+    assert (np.diff(v) <= 1e-9).all()  # descending
+
+
+def test_q16_q20_tiers():
+    from high_performance_docling_ray.pipelines.tpch_ext import (
+        q16_supplier_part_counts,
+        q20_promotion_suppliers,
+    )
+
+    a = q16_supplier_part_counts(SF)
+    b = q16_supplier_part_counts(SF, combine_limit=0)
+    _eq(a, b)
+    assert (a.column("supplier_cnt").to_numpy() > 0).all()
+    c = q20_promotion_suppliers(SF)
+    d = q20_promotion_suppliers(SF, combine_limit=0)
+    _eq(c, d)
+    assert c.num_rows > 0  # NATION_3 qualifies at every SF
