@@ -222,6 +222,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_value_ranks",
         "trimmed_stats",
         "fuzzy_components",
+        # session-9 batch 3: TPC-H completion over derived partsupp
+        # (q9 = zero-join profit scan; q2 = pair exchange + argmin)
+        "q9_nation_profit",
+        "q2_min_cost_supplier",
     ]
     qs = entrymod.queries()
     for name in bench_keys:
