@@ -1109,6 +1109,24 @@ def events_value_ranks(
 
 # -- LEAD window: per-user event-type transition counts ------------------------
 
+def _user_partitioned(sf_dir: str) -> "ray.data.Dataset":
+    """The shared coarse-partition prep for the per-user run-scan
+    queries (event_transitions, user_event_paths): events key rows
+    with a ``part = hash(user) % 2*CPU`` column — ONE place owns the
+    partitioning scheme so the two consumers can never desynchronize."""
+    num_parts = 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        part = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            num_parts
+        )
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
 def event_transitions(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
     """Markov transition counts over per-user event sequences — the
     LEAD window shape (``LEAD(type) OVER (PARTITION BY user ORDER BY
@@ -1120,16 +1138,6 @@ def event_transitions(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
     The (ts, event_id) sort key makes ties deterministic on both
     sides.
     """
-    num_parts = 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        users = batch.column("user_id").to_numpy(zero_copy_only=False)
-        part = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
-            num_parts
-        )
-        return batch.append_column("part", pa.array(part.astype(np.int32)))
-
     _EMPTY = pa.Table.from_pydict(
         {"from_type": pa.array([], pa.string()),
          "to_type": pa.array([], pa.string()),
@@ -1162,7 +1170,7 @@ def event_transitions(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
         )
 
     partials = (
-        ds.map_batches(prep, batch_format="pyarrow")
+        _user_partitioned(sf_dir)
         .groupby("part")
         .map_groups(
             lambda g: trans_part(g.drop_columns(["part"])),
@@ -1197,16 +1205,6 @@ def user_event_paths(
     reduces to (path, n) count partials before the bounded global
     merge. (ts, event_id) pins tie order on both sides.
     """
-    num_parts = 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        users = batch.column("user_id").to_numpy(zero_copy_only=False)
-        part = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
-            num_parts
-        )
-        return batch.append_column("part", pa.array(part.astype(np.int32)))
-
     _EMPTY = pa.Table.from_pydict(
         {"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
     )
@@ -1235,7 +1233,7 @@ def user_event_paths(
         )
 
     partials = (
-        ds.map_batches(prep, batch_format="pyarrow")
+        _user_partitioned(sf_dir)
         .groupby("part")
         .map_groups(
             lambda g: paths_part(g.drop_columns(["part"])),
@@ -1265,21 +1263,40 @@ def price_qty_correlation(sf_dir: str) -> pa.Table:
         corr = (n·Σxy − Σx·Σy) / (sqrt(n·Σxx − Σx²)·sqrt(n·Σyy − Σy²))
         cov  = (n·Σxy − Σx·Σy) / (n·n)            (population, $²)
     """
+    # a product like y_c² reaches 1e14 per row, so a whole-block
+    # np.sum would wrap int64 past ~90k rows (Ray's default batch is
+    # the WHOLE block) — chunk the vectorized partial sums and fold
+    # exact Python ints between chunks
+    def _exact_sum(arr: np.ndarray, chunk: int = 32_768) -> int:
+        return sum(
+            int(np.sum(arr[i: i + chunk], dtype=np.int64))
+            for i in range(0, len(arr), chunk)
+        )
+
     def moments(batch: pa.Table) -> pa.Table:
         x = _cents(batch.column("l_quantity"))
         y = _cents(batch.column("l_extendedprice"))
+        # per-block partials ship as DECIMAL STRINGS: a whole-block
+        # Σy² can itself exceed int64 (measured 2.2e19 at sf0.1), so
+        # no fixed-width column is safe; one short string per block
+        # costs nothing and the driver folds arbitrary-precision ints
         return pa.Table.from_pydict(
             {"n": pa.array([len(x)], pa.int64()),
-             "sx": pa.array([int(x.sum())], pa.int64()),
-             "sy": pa.array([int(y.sum())], pa.int64()),
-             "sxy": pa.array([int(np.sum(x * y, dtype=np.int64))], pa.int64()),
-             "sxx": pa.array([int(np.sum(x * x, dtype=np.int64))], pa.int64()),
-             "syy": pa.array([int(np.sum(y * y, dtype=np.int64))], pa.int64())}
+             "sx": pa.array([str(_exact_sum(x))], pa.string()),
+             "sy": pa.array([str(_exact_sum(y))], pa.string()),
+             "sxy": pa.array([str(_exact_sum(x * y))], pa.string()),
+             "sxx": pa.array([str(_exact_sum(x * x))], pa.string()),
+             "syy": pa.array([str(_exact_sum(y * y))], pa.string())}
         )
 
     li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
     rows = li.map_batches(moments, batch_format="pyarrow").take_all()
     n = sum(int(r["n"]) for r in rows)
+    if n == 0:  # mirror the oracle: aggregates over nothing are NULL
+        return pa.Table.from_pydict(
+            {"corr_qty_price": pa.array([None], pa.float64()),
+             "cov_qty_price": pa.array([None], pa.float64())}
+        )
     sx = sum(int(r["sx"]) for r in rows)
     sy = sum(int(r["sy"]) for r in rows)
     sxy = sum(int(r["sxy"]) for r in rows)
@@ -1320,9 +1337,12 @@ def events_trend(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
         if batch.num_rows == 0:
             return _EMPTY
         day = _ts_us(batch.column("ts")) // _DAY_US
-        val_c = np.rint(
-            batch.column("value").to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
+        # events.value is NOT 2-decimal (NOTES_r3), so exact .5-cent
+        # ties are possible: mirror DuckDB round() (half AWAY from
+        # zero; values are non-negative here), not np.rint's
+        # half-to-even
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        val_c = np.floor(v * 100 + 0.5).astype(np.int64)
         t = pa.Table.from_pydict(
             {"event_type": batch.column("event_type"),
              "n": pa.array(np.ones(len(day), dtype=np.int64)),
@@ -1354,10 +1374,14 @@ def events_trend(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
     for idx in order:
         num = float(n[idx] * sxy[idx] - sx[idx] * sy[idx])
         den = float(n[idx] * sxx[idx] - sx[idx] * sx[idx])
+        out_t.append(et[idx])
+        if den == 0.0:  # one distinct day: DuckDB x/0.0 is NULL
+            out_s.append(None)
+            out_i.append(None)
+            continue
         slope = num / den / 100.0                      # cents/day -> $/day
         intercept = (float(sy[idx]) - (num / den) * float(sx[idx])) \
             / float(n[idx]) / 100.0
-        out_t.append(et[idx])
         out_s.append(slope)
         out_i.append(intercept)
     return pa.Table.from_pydict(

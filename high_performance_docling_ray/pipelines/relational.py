@@ -1425,28 +1425,7 @@ def trimmed_stats(
     partially included by count). One mirrored double divide per
     statistic at the very end.
     """
-    ds = _read(sf_dir, table, [column])
-
-    def local_counts(batch: pa.Table) -> pa.Table:
-        c = _cents(batch.column(column))
-        uniq, cnt = np.unique(c, return_counts=True)
-        return pa.Table.from_pydict(
-            {"value_c": pa.array(uniq, pa.int64()),
-             "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
-        )
-
-    partials = ds.map_batches(local_counts, batch_format="pyarrow")
-    merged = _combine_partials(partials, keys=["value_c"], sum_cols=["cnt"])
-    if merged is None:
-        shuffled = partials.groupby("value_c").sum("cnt")
-        merged = pa.concat_tables(
-            [t for t in ray.get(shuffled.materialize().to_arrow_refs())
-             if t.num_rows]
-        )
-    vals = merged.column("value_c").to_numpy().astype(np.int64)
-    cnts = merged.column("sum(cnt)").to_numpy().astype(np.int64)
-    order = np.argsort(vals, kind="stable")
-    vals, cnts = vals[order], cnts[order]
+    vals, cnts = _cents_value_counts(_read(sf_dir, table, [column]), column)
     cum = np.cumsum(cnts)
     n = int(cum[-1]) if len(cum) else 0
     if n == 0:
@@ -1489,12 +1468,20 @@ def trimmed_stats(
 
 
 def _cents_value_counts(
-    ds: ray.data.Dataset, column: str, combine_limit: int = 2_000_000
+    ds: ray.data.Dataset,
+    column: str,
+    combine_limit: int = 2_000_000,
+    transform=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(sorted distinct int64 cents, counts) — the exact-quantile
-    primitive at fixed-point precision (see _sorted_value_counts)."""
+    primitive at fixed-point precision (see _sorted_value_counts).
+    ``transform`` optionally maps the cents array before counting
+    (e.g. MAD deviations), so every value-count consumer shares ONE
+    merge/fallback path."""
     def local_counts(batch: pa.Table) -> pa.Table:
         c = _cents(batch.column(column))
+        if transform is not None:
+            c = transform(c)
         uniq, cnt = np.unique(c, return_counts=True)
         return pa.Table.from_pydict(
             {"value_c": pa.array(uniq, pa.int64()),
@@ -1552,29 +1539,11 @@ def mad_stats(
         )
     m2 = _interp_median2(vals, cnts)
 
-    def dev_counts(batch: pa.Table) -> pa.Table:
-        c = _cents(batch.column(column))
-        dv = np.abs(2 * c - m2)
-        uniq, cnt = np.unique(dv, return_counts=True)
-        return pa.Table.from_pydict(
-            {"value_c": pa.array(uniq, pa.int64()),
-             "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
-        )
-
-    partials = _read(sf_dir, table, [column]).map_batches(
-        dev_counts, batch_format="pyarrow"
+    dvals, dcnts = _cents_value_counts(
+        _read(sf_dir, table, [column]), column, combine_limit,
+        transform=lambda c: np.abs(2 * c - m2),
     )
-    merged = _combine_partials(partials, ["value_c"], ["cnt"], combine_limit)
-    if merged is None:
-        shuffled = partials.groupby("value_c").sum("cnt")
-        merged = pa.concat_tables(
-            [t for t in ray.get(shuffled.materialize().to_arrow_refs())
-             if t.num_rows]
-        )
-    dvals = merged.column("value_c").to_numpy().astype(np.int64)
-    dcnts = merged.column("sum(cnt)").to_numpy().astype(np.int64)
-    dorder = np.argsort(dvals, kind="stable")
-    d2 = _interp_median2(dvals[dorder], dcnts[dorder])
+    d2 = _interp_median2(dvals, dcnts)
     return pa.Table.from_pydict(
         {"median": pa.array([m2 / 2.0 / 100.0], pa.float64()),
          "mad": pa.array([d2 / 2.0 / 2.0 / 100.0], pa.float64())}
@@ -1611,9 +1580,8 @@ def selfjoin_size_estimate(
         cms = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
         cms_add(cms, [str(int(k)) for k in uniq], cnt.astype(np.int64))
         return pa.Table.from_pydict(
-            {"regs": pa.array([cms.tobytes()], pa.binary()),
-             "value_c": pa.array([0], pa.int64())}  # schema aid only
-        ).select(["regs"])
+            {"regs": pa.array([cms.tobytes()], pa.binary())}
+        )
 
     reg_rows = ds.map_batches(batch_regs, batch_format="pyarrow").take_all()
     cms = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)

@@ -719,15 +719,31 @@ def top_order_values_with_ties(
             rank_of[(g, int(v))] = r
     rk_ref = ray.put(rank_of)
 
+    # qualifying VALUES across all groups: a tiny sorted array, so the
+    # full scan prefilters vectorized and only the handful of
+    # survivors touch the (group, value) -> rank dict
+    qual_vals = np.sort(np.array(
+        sorted({v for (_g, v) in rank_of}), dtype=np.int64))
+
     def qualify(batch: pa.Table) -> pa.Table:
         rk = ray.get(rk_ref)
+        v = _cents(batch.column("o_totalprice"))
+        pre = _sorted_member_mask(qual_vals, v)
+        if not pre.any():
+            return pa.Table.from_pydict(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "o_orderpriority": pa.array([], pa.string()),
+                 "o_totalprice": pa.array([], pa.float64()),
+                 "rnk": pa.array([], pa.int64())}
+            )
         p = np.asarray(
             batch.column("o_orderpriority").to_numpy(zero_copy_only=False),
             dtype=object)
-        v = _cents(batch.column("o_totalprice"))
-        keep = np.fromiter(
-            ((pp, int(vv)) in rk for pp, vv in zip(p, v)),
-            bool, len(v))
+        keep = pre.copy()
+        hit_idx = np.flatnonzero(pre)
+        for i in hit_idx:  # survivors only — bounded by qualifying rows
+            if (p[i], int(v[i])) not in rk:
+                keep[i] = False
         if not keep.any():
             return pa.Table.from_pydict(
                 {"o_orderkey": pa.array([], pa.int64()),
@@ -808,6 +824,16 @@ def _partsupp_pairs(
         cols += ["l_quantity", "l_shipdate"]
 
     def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: np.r_[True, ...] would
+            out = {               # fabricate a phantom run
+                "ps_partkey": pa.array([], pa.int64()),
+                "ps_suppkey": pa.array([], pa.int64()),
+                "ps_availqty": pa.array([], pa.int64()),
+            }
+            if qty_window is not None:
+                out["qty_win_c"] = pa.array([], pa.int64())
+            out["bucket"] = pa.array([], pa.int32())
+            return pa.Table.from_pydict(out)
         pk = batch.column("l_partkey").to_numpy().astype(np.int64)
         sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
         comp = pk * 2_000_003 + sk  # injective for pk,sk < 2e6
@@ -900,6 +926,10 @@ def q9_nation_profit(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
         pk = batch.column("l_partkey").to_numpy().astype(np.int64)
         sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
         ok = (sk >= 0) & (sk < len(s2n_l))
+        # drop suppkeys absent from supplier (the -1 sentinel) exactly
+        # like the oracle's inner join — nlut[-1] would silently credit
+        # the last nation otherwise
+        ok &= s2n_l[np.minimum(np.maximum(sk, 0), len(s2n_l) - 1)] >= 0
         if not ok.any():
             return _EMPTY
         base_c = _cents(batch.column("l_extendedprice"))[ok]

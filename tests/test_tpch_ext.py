@@ -118,15 +118,14 @@ def test_top_order_values_with_ties():
     b = top_order_values_with_ties(SF, combine_limit=0)
     _eq(a, b)
     df = a.to_pandas()
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderpriority", "o_totalprice"]).to_pandas()
     # per priority: exactly <=3 distinct values, ranks dense from 1
     for g, grp in df.groupby("o_orderpriority"):
         vals = sorted(grp.o_totalprice.unique(), reverse=True)
         assert len(vals) <= 3
         assert sorted(grp.rnk.unique()) == list(range(1, len(vals) + 1))
         # rank 1 really is the group's global max
-        o = pq.read_table(f"{SF}/orders.parquet",
-                          columns=["o_orderpriority", "o_totalprice"]
-                          ).to_pandas()
         assert vals[0] == o.loc[o.o_orderpriority == g, "o_totalprice"].max()
 
 
