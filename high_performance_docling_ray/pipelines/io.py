@@ -31,6 +31,25 @@ def read_parquet_clean(path, **kwargs) -> ray.data.Dataset:
     )
 
 
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTER metadata — the budget probe for
+    every broadcast/collect decision. A ``ds.count()`` here would run a
+    full Ray execution (read + count) just to decide a tier; the footer
+    answers in one metadata read (session-8 sharp edge, NOTES_r2).
+    Accepts a single file or a directory of ``*.parquet`` shards."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _export_docs(sf_dir: str, fmt: str, out_dir: str | None = None) -> str:
     """Export the documents table to sharded JSONL or CSV ONCE
     (content-keyed cache + _SUCCESS, the persisted-artifact

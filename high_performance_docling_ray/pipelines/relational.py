@@ -1425,6 +1425,8 @@ def trimmed_stats(
     partially included by count). One mirrored double divide per
     statistic at the very end.
     """
+    if not (0.0 <= alpha < 0.5):  # alpha >= 0.5 trims everything: m = 0
+        raise ValueError(f"alpha must be in [0, 0.5), got {alpha}")
     vals, cnts = _cents_value_counts(_read(sf_dir, table, [column]), column)
     cum = np.cumsum(cnts)
     n = int(cum[-1]) if len(cum) else 0
@@ -1443,13 +1445,22 @@ def trimmed_stats(
             return 0, 0
         lo_idx = int(np.searchsorted(cum, kk))          # first value whose cum >= kk
         below = int(cum[lo_idx - 1]) if lo_idx else 0
-        lo_sum = int(np.sum(vals[:lo_idx] * cnts[:lo_idx], dtype=object) if lo_idx else 0)
+        # cast to object BEFORE the elementwise product: a single value
+        # with a huge count would overflow the int64 product (the
+        # ``total`` computation below already does this)
+        lo_sum = int(
+            np.sum(vals[:lo_idx].astype(object) * cnts[:lo_idx].astype(object))
+            if lo_idx else 0
+        )
         lo_sum += int(vals[lo_idx]) * (kk - below)
         rcum = np.cumsum(cnts[::-1])
         hi_idx = int(np.searchsorted(rcum, kk))
         rabove = int(rcum[hi_idx - 1]) if hi_idx else 0
         hi_vals, hi_cnts = vals[::-1], cnts[::-1]
-        hi_sum = int(np.sum(hi_vals[:hi_idx] * hi_cnts[:hi_idx], dtype=object) if hi_idx else 0)
+        hi_sum = int(
+            np.sum(hi_vals[:hi_idx].astype(object) * hi_cnts[:hi_idx].astype(object))
+            if hi_idx else 0
+        )
         hi_sum += int(hi_vals[hi_idx]) * (kk - rabove)
         return lo_sum, hi_sum
 

@@ -39,6 +39,15 @@ def read_embeddings(sf_dir: str) -> ray.data.Dataset:
     return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
+def embeddings_num_rows(sf_dir: str) -> int:
+    """Corpus vector count from parquet FOOTER metadata — the tier
+    probe. Never spend a full Ray execution (``ds.count()``) on a
+    budget decision (session-8 sharp edge)."""
+    from .io import parquet_num_rows
+
+    return parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+
+
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """list<float> column -> (N, D) float64 without a Python round-trip.
 
@@ -182,7 +191,7 @@ def build_ivf_index(
     # first file's rows — biased, and fixed-size regardless of
     # n_lists). Scales with list count; exact at small corpora.
     target = max(sample_rows, 32 * n_lists)
-    n_total = read_embeddings(sf_dir).count()
+    n_total = embeddings_num_rows(sf_dir)
     sample_src = read_embeddings(sf_dir)
     if n_total > 2 * target:
         frac = min(1.0, 2.0 * target / n_total)
@@ -624,7 +633,7 @@ def embedding_neardup_pairs(
     tier with lossless list-pair pruning, same exact output
     (tier-equality test-pinned). ``embedding_neardup_lsh`` is the
     approximate path with the same output contract."""
-    if read_embeddings(sf_dir).count() > broadcast_budget:
+    if embeddings_num_rows(sf_dir) > broadcast_budget:
         return embedding_neardup_ivf(sf_dir, threshold=threshold)
     ids, nm = _normalized_index(sf_dir)
     idx_ref = ray.put((ids, nm))
@@ -754,7 +763,7 @@ def embedding_neardup_lsh(
         else:
             pair_tbl = merged.select(["vec_id_a", "vec_id_b"])
 
-    n_vectors = read_embeddings(sf_dir).count()
+    n_vectors = embeddings_num_rows(sf_dir)
     if n_vectors > verify_broadcast_budget:
         return _embedding_cogroup_verify(
             sf_dir, ray.data.from_arrow(pair_tbl), threshold

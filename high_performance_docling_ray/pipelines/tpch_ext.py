@@ -19,6 +19,21 @@ Execution follows the house pattern established in ``relational.py`` /
   average outputs divide the two exact integer sums with the SAME
   float op order as the SQL.
 
+int64 headroom bound for the grouped money partials (rev_e4 /
+amount_e4 / total_e4): one scale-1e4 line revenue is < 1e9, so a
+single group's int64 sum stays exact below ~9e9 rows PER GROUP.
+Every grouped aggregate here keys on a bounded domain (year,
+returnflag, priority, nation, supplier, (order, supp) pair) where
+per-group row counts at 10^12 lineitem rows stay orders of magnitude
+under that, EXCEPT per-orderkey sums (q3/q18 shapes in
+relational.py), which are bounded by lines-per-order (~7). Global
+single-scalar reductions (q17/q19) cross the bound first; they
+already accumulate the final total in Python ints (arbitrary
+precision) on the driver — the same discipline
+price_qty_correlation's decimal-string partials follow. If a new
+query ever groups 1e10+ rows into one key, switch its partial to the
+decimal-string pattern.
+
 New distributed shapes covered here (beyond the r2 set):
 
 * Q13 — outer-join count DISTRIBUTION (customers with zero matches
@@ -563,6 +578,11 @@ def q21_waiting_suppliers(
             )
         )
         counts = _combine_partials(wins, ["l_suppkey"], ["n"])
+        if counts is None:  # winner rows (one per qualifying order) can
+            # exceed the combine budget at scale: Ray groupby fallback
+            counts = pa.Table.from_pylist(
+                wins.groupby("l_suppkey").sum("n").take_all()
+            )
         wk = counts.column("l_suppkey").to_numpy().astype(np.int64)
         wc = counts.column("sum(n)").to_numpy().astype(np.int64)
 
@@ -836,11 +856,15 @@ def _partsupp_pairs(
             return pa.Table.from_pydict(out)
         pk = batch.column("l_partkey").to_numpy().astype(np.int64)
         sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
-        comp = pk * 2_000_003 + sk  # injective for pk,sk < 2e6
-        order = np.argsort(comp, kind="stable")
-        comp_s = comp[order]
-        starts = np.flatnonzero(np.r_[True, comp_s[1:] != comp_s[:-1]])
-        cnt = np.diff(np.r_[starts, len(comp_s)])
+        # lexsort on the pair itself — collision-free at ANY key range
+        # (a packed pk*C+sk composite is only injective while sk < C,
+        # a silent-merge hazard at corpus-scale id domains)
+        order = np.lexsort((sk, pk))
+        pk_s, sk_s = pk[order], sk[order]
+        starts = np.flatnonzero(
+            np.r_[True, (pk_s[1:] != pk_s[:-1]) | (sk_s[1:] != sk_s[:-1])]
+        )
+        cnt = np.diff(np.r_[starts, len(pk_s)])
         out = {
             "ps_partkey": pa.array(pk[order][starts], pa.int64()),
             "ps_suppkey": pa.array(sk[order][starts], pa.int64()),
@@ -867,10 +891,11 @@ def _partsupp_pairs(
         pk = group.column("ps_partkey").to_numpy().astype(np.int64)
         sk = group.column("ps_suppkey").to_numpy().astype(np.int64)
         n = group.column("ps_availqty").to_numpy().astype(np.int64)
-        comp = pk * 2_000_003 + sk
-        order = np.argsort(comp, kind="stable")
-        comp_s = comp[order]
-        starts = np.flatnonzero(np.r_[True, comp_s[1:] != comp_s[:-1]])
+        order = np.lexsort((sk, pk))
+        pk_s, sk_s = pk[order], sk[order]
+        starts = np.flatnonzero(
+            np.r_[True, (pk_s[1:] != pk_s[:-1]) | (sk_s[1:] != sk_s[:-1])]
+        )
         out = {
             "ps_partkey": pa.array(pk[order][starts], pa.int64()),
             "ps_suppkey": pa.array(sk[order][starts], pa.int64()),
