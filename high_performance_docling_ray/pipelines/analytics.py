@@ -29,10 +29,14 @@ import ray
 import ray.data
 
 from .relational import (
+    DIM_BROADCAST_BUDGET,
     _broadcast_parquet,
     _cents,
     _combine_partials,
+    _filter_matched,
     _read,
+    _sorted_kv,
+    _sorted_lookup,
     _sorted_member_mask,
 )
 
@@ -86,11 +90,86 @@ def q6_forecast_revenue(sf_dir: str) -> pa.Table:
 
 # -- q4: EXISTS semi-join + priority counts ----------------------------------
 
+def _q4_distributed(sf_dir: str, lo, hi) -> pa.Table:
+    """q4's any-cardinality tier: per-order max-shipdate partials (the
+    EXISTS collapses to ``max(ship) > o_orderdate``) shuffle once by
+    orderkey, the windowed orders attach by ``cogroup_attach``, and the
+    ≤|priorities| count partials combine on the driver. No driver-side
+    read of orders."""
+    from .joins import cogroup_attach
+
+    lo_i = int(lo.astype("datetime64[us]").astype(np.int64))
+    hi_i = int(hi.astype("datetime64[us]").astype(np.int64))
+
+    def order_win(b: pa.Table) -> pa.Table:
+        od = _ts_us(b.column("o_orderdate"))
+        win = (od >= lo_i) & (od < hi_i)
+        t = b.filter(pa.array(win))
+        return pa.Table.from_pydict(
+            {"l_orderkey": t.column("o_orderkey"),
+             "odate_us": pa.array(od[win], pa.int64()),
+             "o_prio": t.column("o_orderpriority")}
+        )
+
+    orders_win = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_win, batch_format="pyarrow")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {"l_orderkey": b.column("l_orderkey"),
+             "ship_us": pa.array(_ts_us(b.column("l_shipdate")), pa.int64())}
+        )
+        return t.group_by("l_orderkey").aggregate(
+            [("ship_us", "max")]
+        ).rename_columns(["l_orderkey", "ship_us"])
+
+    per_order = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .max("ship_us")
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["l_orderkey", "ship_us"])
+
+    att = cogroup_attach(
+        per_order.map_batches(rename, batch_format="pyarrow"), orders_win,
+        key="l_orderkey",
+        left_fields=[pa.field("l_orderkey", pa.int64()),
+                     pa.field("ship_us", pa.int64())],
+        payload_fields=[pa.field("odate_us", pa.int64()),
+                        pa.field("o_prio", pa.string())],
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("odate_us").is_valid())
+        ship = t.column("ship_us").to_numpy().astype(np.int64)
+        od = t.column("odate_us").to_numpy().astype(np.int64)
+        t = t.filter(pa.array(ship > od))
+        out = pa.Table.from_pydict(
+            {"o_orderpriority": t.column("o_prio"),
+             "order_count": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+        return out.group_by("o_orderpriority").aggregate(
+            [("order_count", "sum")]
+        ).rename_columns(["o_orderpriority", "order_count"])
+
+    partials = att.map_batches(count_partial, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["o_orderpriority"], ["order_count"])
+    return pa.Table.from_pydict(
+        {"o_orderpriority": tbl.column("o_orderpriority"),
+         "order_count": tbl.column("sum(order_count)")}
+    ).sort_by([("o_orderpriority", "ascending")])
+
+
 def q4_order_priority(
     sf_dir: str,
     date_lo: str = "1996-01-01",
     date_hi: str = "1996-04-01",
     combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q4 shape (adapted: the schema has no commit/receipt dates,
     so the EXISTS predicate is "some lineitem shipped after the order
@@ -106,8 +185,11 @@ def q4_order_priority(
     """
     lo, hi = _us(date_lo), _us(date_hi)
     orders = _broadcast_parquet(
-        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        budget_rows=build_budget,
     )
+    if orders is None:
+        return _q4_distributed(sf_dir, lo, hi)
     odate = _ts_us(orders.column("o_orderdate"))
     win = (odate >= lo.astype("datetime64[us]").astype(np.int64)) & (
         odate < hi.astype("datetime64[us]").astype(np.int64)
@@ -164,93 +246,220 @@ def q4_order_priority(
 
 # -- q7: two-nation volume by year --------------------------------------------
 
-def q7_nation_volume(
-    sf_dir: str,
-    nation_a: str = "NATION_1",
-    nation_b: str = "NATION_2",
-    combine_limit: int = 2_000_000,
-) -> pa.Table:
-    """TPC-H Q7 shape: shipping volume between two nations by year.
-
-    Three build sides collapse into TWO dense LUTs on the driver —
-    suppkey -> supplier-nation tag (0/1/-1) and orderkey -> customer-
-    nation tag — broadcast once. lineitem streams; a batch reduces to
-    at most 2 × n_years partial rows (direction id × ship-year).
-
-    Scale note: orderkey->tag is the large LUT (like q3's broadcast
-    orders). At 10^12 orders the window filter doesn't shrink it, so
-    the deployment path swaps this LUT for a cogroup_attach of the
-    customer-nation tag onto lineitem by l_orderkey (joins.py) — same
-    partial-agg tail. The broadcast tier is used here because orders
-    ≪ lineitem in every TPC-H-shaped corpus.
-    """
+def _nation_tag_of(sf_dir: str, nation_a: str, nation_b: str) -> np.ndarray:
+    """Dense nationkey -> tag (0 = a, 1 = b, -1 = other). Nation is a
+    FIXED-cardinality table (25 by construction), so the dense LUT is
+    fine; every corpus-scaling domain below uses sorted-key lookups."""
     nation = _broadcast_parquet(sf_dir, "nation", ["n_nationkey", "n_name"])
     n_key = nation.column("n_nationkey").to_numpy().astype(np.int64)
     n_name = nation.column("n_name").to_numpy(zero_copy_only=False)
     tag_of = np.full(int(n_key.max()) + 1, -1, dtype=np.int64)
     tag_of[n_key[n_name == nation_a]] = 0
     tag_of[n_key[n_name == nation_b]] = 1
+    return tag_of
 
-    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    s_key = supp.column("s_suppkey").to_numpy().astype(np.int64)
-    s_nat = supp.column("s_nationkey").to_numpy().astype(np.int64)
-    supp_tag = np.full(int(s_key.max()) + 1, -1, dtype=np.int64)
-    supp_tag[s_key] = tag_of[s_nat]
 
-    cust = _broadcast_parquet(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    c_key = cust.column("c_custkey").to_numpy().astype(np.int64)
-    c_nat = cust.column("c_nationkey").to_numpy().astype(np.int64)
-    cust_tag = np.full(int(c_key.max()) + 1, -1, dtype=np.int64)
-    cust_tag[c_key] = tag_of[c_nat]
+def _q7_distributed_partials(
+    sf_dir: str, tag_of: np.ndarray
+) -> ray.data.Dataset:
+    """q7's any-cardinality tier: customer tags attach to orders by
+    custkey, order tags attach to per-row lineitem prep by orderkey,
+    supplier tags attach by suppkey — three ``cogroup_attach`` passes,
+    no driver-side read of any corpus-scaling table. Emits the same
+    (dir_id, l_year, rev_e4) partials as the broadcast probe."""
+    from .joins import cogroup_attach
 
-    orders = _broadcast_parquet(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    o_key = orders.column("o_orderkey").to_numpy().astype(np.int64)
-    o_cust = orders.column("o_custkey").to_numpy().astype(np.int64)
-    order_tag = np.full(int(o_key.max()) + 1, -1, dtype=np.int64)
-    order_tag[o_key] = cust_tag[o_cust]
-    lut_ref = ray.put((supp_tag, order_tag))
+    tag_ref = ray.put(tag_of)
 
-    _EMPTY = pa.Table.from_pydict(
-        {"dir_id": pa.array([], pa.int64()),
-         "l_year": pa.array([], pa.int64()),
-         "rev_e4": pa.array([], pa.int64())}
+    def cust_tags(b: pa.Table) -> pa.Table:
+        tags = ray.get(tag_ref)
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ct = np.where((cn >= 0) & (cn < len(tags)),
+                      tags[np.clip(cn, 0, max(len(tags) - 1, 0))], -1)
+        keep = ct >= 0
+        t = b.filter(pa.array(keep))
+        return pa.Table.from_pydict(
+            {"o_custkey": t.column("c_custkey"),
+             "ctag": pa.array(ct[keep], pa.int64())}
+        )
+
+    ctag_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_tags, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_att = cogroup_attach(
+        orders, ctag_ds, key="o_custkey",
+        left_fields=[pa.field("o_orderkey", pa.int64()),
+                     pa.field("o_custkey", pa.int64())],
+        payload_fields=[pa.field("ctag", pa.int64())],
     )
 
-    def probe(batch: pa.Table) -> pa.Table:
-        stag_lut, otag_lut = ray.get(lut_ref)
-        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
-        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
-        stag = np.where(
-            (sk >= 0) & (sk < len(stag_lut)),
-            stag_lut[np.clip(sk, 0, max(len(stag_lut) - 1, 0))], -1,
+    def otag_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("ctag").is_valid())
+        return pa.Table.from_pydict(
+            {"l_orderkey": t.column("o_orderkey"),
+             "otag": t.column("ctag")}
         )
-        otag = np.where(
-            (ok >= 0) & (ok < len(otag_lut)),
-            otag_lut[np.clip(ok, 0, max(len(otag_lut) - 1, 0))], -1,
+
+    otag_ds = o_att.map_batches(otag_rows, batch_format="pyarrow")
+
+    def supp_tags(b: pa.Table) -> pa.Table:
+        tags = ray.get(tag_ref)
+        sn = b.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        st = np.where((sn >= 0) & (sn < len(tags)),
+                      tags[np.clip(sn, 0, max(len(tags) - 1, 0))], -1)
+        keep = st >= 0
+        t = b.filter(pa.array(keep))
+        return pa.Table.from_pydict(
+            {"l_suppkey": t.column("s_suppkey"),
+             "stag": pa.array(st[keep], pa.int64())}
         )
-        # cross-nation pairs only: (a-supplier, b-customer) or reverse
-        mask = (stag >= 0) & (otag >= 0) & (stag != otag)
-        if not mask.any():
-            return _EMPTY
-        dir_id = stag[mask]  # 0: a->b, 1: b->a
-        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)[mask]
+
+    stag_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        supp_tags, batch_format="pyarrow"
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy(zero_copy_only=False)
         year = ship.astype("datetime64[Y]").astype(np.int64) + 1970
-        base_c = _cents(batch.column("l_extendedprice"))[mask]
-        disc_c = _cents(batch.column("l_discount"))[mask]
-        t = pa.Table.from_pydict(
-            {"dir_id": pa.array(dir_id, pa.int64()),
+        base_c = _cents(b.column("l_extendedprice"))
+        disc_c = _cents(b.column("l_discount"))
+        return pa.Table.from_pydict(
+            {"l_orderkey": b.column("l_orderkey"),
+             "l_suppkey": b.column("l_suppkey"),
              "l_year": pa.array(year, pa.int64()),
              "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
         )
-        return t.group_by(["dir_id", "l_year"]).aggregate(
-            [("rev_e4", "sum")]
-        ).rename_columns(["dir_id", "l_year", "rev_e4"])
 
     li = _read(
         sf_dir, "lineitem",
         ["l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    li_fields = [
+        pa.field("l_orderkey", pa.int64()), pa.field("l_suppkey", pa.int64()),
+        pa.field("l_year", pa.int64()), pa.field("rev_e4", pa.int64()),
+    ]
+    att1 = _filter_matched(
+        cogroup_attach(li, otag_ds, key="l_orderkey", left_fields=li_fields,
+                       payload_fields=[pa.field("otag", pa.int64())]),
+        "otag", drop=False,
     )
-    partials = li.map_batches(probe, batch_format="pyarrow")
+    att2 = _filter_matched(
+        cogroup_attach(
+            att1, stag_ds, key="l_suppkey",
+            left_fields=li_fields + [pa.field("otag", pa.int64())],
+            payload_fields=[pa.field("stag", pa.int64())],
+        ),
+        "stag", drop=False,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        stag = b.column("stag").to_numpy(zero_copy_only=False).astype(np.int64)
+        otag = b.column("otag").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(stag != otag))
+        out = pa.Table.from_pydict(
+            {"dir_id": t.column("stag"),
+             "l_year": t.column("l_year"),
+             "rev_e4": t.column("rev_e4")}
+        )
+        return out.group_by(["dir_id", "l_year"]).aggregate(
+            [("rev_e4", "sum")]
+        ).rename_columns(["dir_id", "l_year", "rev_e4"])
+
+    return att2.map_batches(partial, batch_format="pyarrow")
+
+
+def q7_nation_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
+) -> pa.Table:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+
+    Under ``build_budget`` the three build sides collapse into TWO
+    sorted-key lookups on the driver — suppkey -> supplier-nation tag
+    (0/1/-1) and orderkey -> customer-nation tag — broadcast once.
+    lineitem streams; a batch reduces to at most 2 × n_years partial
+    rows (direction id × ship-year). Past the budget (orders/customer
+    grow with the corpus) the ``cogroup_attach`` tier
+    (``_q7_distributed_partials``) runs — same partial-agg tail,
+    hash-pinned via the q7_nation_volume_cogroup driver entry.
+    """
+    tag_of = _nation_tag_of(sf_dir, nation_a, nation_b)
+    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
+                              budget_rows=build_budget)
+    cust = (
+        _broadcast_parquet(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                           budget_rows=build_budget)
+        if supp is not None else None
+    )
+    orders = (
+        _broadcast_parquet(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                           budget_rows=build_budget)
+        if cust is not None else None
+    )
+    if supp is None or cust is None or orders is None:
+        partials = _q7_distributed_partials(sf_dir, tag_of)
+    else:
+        def tag_at(nat_keys: np.ndarray) -> np.ndarray:
+            ok = (nat_keys >= 0) & (nat_keys < len(tag_of))
+            return np.where(
+                ok, tag_of[np.clip(nat_keys, 0, max(len(tag_of) - 1, 0))], -1
+            )
+
+        s_key = supp.column("s_suppkey").to_numpy().astype(np.int64)
+        s_nat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+        s_sorted, s_tag = _sorted_kv(s_key, tag_at(s_nat))
+
+        c_key = cust.column("c_custkey").to_numpy().astype(np.int64)
+        c_nat = cust.column("c_nationkey").to_numpy().astype(np.int64)
+        c_sorted, c_tag = _sorted_kv(c_key, tag_at(c_nat))
+
+        o_key = orders.column("o_orderkey").to_numpy().astype(np.int64)
+        o_cust = orders.column("o_custkey").to_numpy().astype(np.int64)
+        # dangling o_custkey -> -1 (drops, like the oracle's inner join)
+        o_sorted, o_tag = _sorted_kv(
+            o_key, _sorted_lookup(c_sorted, c_tag, o_cust, -1)
+        )
+        lut_ref = ray.put((s_sorted, s_tag, o_sorted, o_tag))
+
+        _EMPTY = pa.Table.from_pydict(
+            {"dir_id": pa.array([], pa.int64()),
+             "l_year": pa.array([], pa.int64()),
+             "rev_e4": pa.array([], pa.int64())}
+        )
+
+        def probe(batch: pa.Table) -> pa.Table:
+            sk_s, st_s, ok_s, ot_s = ray.get(lut_ref)
+            sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+            ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+            stag = _sorted_lookup(sk_s, st_s, sk, -1)
+            otag = _sorted_lookup(ok_s, ot_s, ok, -1)
+            # cross-nation pairs only: (a-supplier, b-customer) or reverse
+            mask = (stag >= 0) & (otag >= 0) & (stag != otag)
+            if not mask.any():
+                return _EMPTY
+            dir_id = stag[mask]  # 0: a->b, 1: b->a
+            ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)[mask]
+            year = ship.astype("datetime64[Y]").astype(np.int64) + 1970
+            base_c = _cents(batch.column("l_extendedprice"))[mask]
+            disc_c = _cents(batch.column("l_discount"))[mask]
+            t = pa.Table.from_pydict(
+                {"dir_id": pa.array(dir_id, pa.int64()),
+                 "l_year": pa.array(year, pa.int64()),
+                 "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
+            )
+            return t.group_by(["dir_id", "l_year"]).aggregate(
+                [("rev_e4", "sum")]
+            ).rename_columns(["dir_id", "l_year", "rev_e4"])
+
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        partials = li.map_batches(probe, batch_format="pyarrow")
     tbl = _combine_partials(partials, ["dir_id", "l_year"], ["rev_e4"],
                             combine_limit)
     if tbl is None:
@@ -284,53 +493,114 @@ def q10_returned_items(
     date_hi: str = "1996-10-01",
     k: int = 20,
     combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q10 shape: top-k customers by revenue lost to returns in a
-    quarter. Build side = orders filtered to the window (orderkey ->
-    custkey), broadcast sorted; probe = lineitem with l_returnflag='R';
-    partial agg per custkey; the customer attribute attach happens on
-    the ≤k driver rows (never a distributed join).
+    quarter. Under ``build_budget`` the build side is orders filtered
+    to the window (orderkey -> custkey), broadcast sorted; probe =
+    lineitem with l_returnflag='R'; partial agg per custkey; the
+    customer attribute attach happens on the ≤k driver rows (never a
+    distributed join). Past the budget the window-filtered orders
+    attach by ``cogroup_attach`` and the ≤k customer rows are fetched
+    with a streamed key-filter scan — no driver read of
+    orders/customer (q10_returned_items_cogroup pins the tier).
     """
     lo, hi = _us(date_lo), _us(date_hi)
+    lo_i, hi_i = int(lo.astype(np.int64)), int(hi.astype(np.int64))
     orders = _broadcast_parquet(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        budget_rows=build_budget,
     )
-    odate = _ts_us(orders.column("o_orderdate"))
-    win = (odate >= int(lo.astype(np.int64))) & (odate < int(hi.astype(np.int64)))
-    okey = orders.column("o_orderkey").to_numpy().astype(np.int64)[win]
-    ocust = orders.column("o_custkey").to_numpy().astype(np.int64)[win]
-    order_sort = np.argsort(okey, kind="stable")
-    okey_s, ocust_s = okey[order_sort], ocust[order_sort]
-    build_ref = ray.put((okey_s, ocust_s))
+    if orders is not None:
+        odate = _ts_us(orders.column("o_orderdate"))
+        win = (odate >= lo_i) & (odate < hi_i)
+        okey = orders.column("o_orderkey").to_numpy().astype(np.int64)[win]
+        ocust = orders.column("o_custkey").to_numpy().astype(np.int64)[win]
+        order_sort = np.argsort(okey, kind="stable")
+        okey_s, ocust_s = okey[order_sort], ocust[order_sort]
+        build_ref = ray.put((okey_s, ocust_s))
 
-    _EMPTY = pa.Table.from_pydict(
-        {"c_custkey": pa.array([], pa.int64()),
-         "rev_e4": pa.array([], pa.int64())}
-    )
-
-    def probe(batch: pa.Table) -> pa.Table:
-        keys_s, cust_s = ray.get(build_ref)
-        flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
-        lkey = batch.column("l_orderkey").to_numpy().astype(np.int64)
-        mask = (flag == "R") & _sorted_member_mask(keys_s, lkey)
-        if not mask.any():
-            return _EMPTY
-        ck = cust_s[np.searchsorted(keys_s, lkey[mask])]
-        base_c = _cents(batch.column("l_extendedprice"))[mask]
-        disc_c = _cents(batch.column("l_discount"))[mask]
-        t = pa.Table.from_pydict(
-            {"c_custkey": pa.array(ck, pa.int64()),
-             "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
+        _EMPTY = pa.Table.from_pydict(
+            {"c_custkey": pa.array([], pa.int64()),
+             "rev_e4": pa.array([], pa.int64())}
         )
-        return t.group_by("c_custkey").aggregate(
-            [("rev_e4", "sum")]
-        ).rename_columns(["c_custkey", "rev_e4"])
 
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
-    )
-    partials = li.map_batches(probe, batch_format="pyarrow")
+        def probe(batch: pa.Table) -> pa.Table:
+            keys_s, cust_s = ray.get(build_ref)
+            flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+            lkey = batch.column("l_orderkey").to_numpy().astype(np.int64)
+            mask = (flag == "R") & _sorted_member_mask(keys_s, lkey)
+            if not mask.any():
+                return _EMPTY
+            ck = cust_s[np.searchsorted(keys_s, lkey[mask])]
+            base_c = _cents(batch.column("l_extendedprice"))[mask]
+            disc_c = _cents(batch.column("l_discount"))[mask]
+            t = pa.Table.from_pydict(
+                {"c_custkey": pa.array(ck, pa.int64()),
+                 "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
+            )
+            return t.group_by("c_custkey").aggregate(
+                [("rev_e4", "sum")]
+            ).rename_columns(["c_custkey", "rev_e4"])
+
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        )
+        partials = li.map_batches(probe, batch_format="pyarrow")
+    else:
+        from .joins import cogroup_attach
+
+        def order_win(b: pa.Table) -> pa.Table:
+            od = _ts_us(b.column("o_orderdate"))
+            w = (od >= lo_i) & (od < hi_i)
+            t = b.filter(pa.array(w))
+            return pa.Table.from_pydict(
+                {"l_orderkey": t.column("o_orderkey"),
+                 "o_custkey": t.column("o_custkey")}
+            )
+
+        orders_win = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(order_win, batch_format="pyarrow")
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            flag = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array(flag == "R"))
+            base_c = _cents(t.column("l_extendedprice"))
+            disc_c = _cents(t.column("l_discount"))
+            part = pa.Table.from_pydict(
+                {"l_orderkey": t.column("l_orderkey"),
+                 "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
+            )
+            return part.group_by("l_orderkey").aggregate(
+                [("rev_e4", "sum")]
+            ).rename_columns(["l_orderkey", "rev_e4"])
+
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        ).map_batches(li_prep, batch_format="pyarrow")
+        att = _filter_matched(
+            cogroup_attach(
+                li, orders_win, key="l_orderkey",
+                left_fields=[pa.field("l_orderkey", pa.int64()),
+                             pa.field("rev_e4", pa.int64())],
+                payload_fields=[pa.field("o_custkey", pa.int64())],
+            ),
+            "o_custkey", drop=False,
+        )
+
+        def per_cust(b: pa.Table) -> pa.Table:
+            t = pa.Table.from_pydict(
+                {"c_custkey": b.column("o_custkey").cast(pa.int64()),
+                 "rev_e4": b.column("rev_e4")}
+            )
+            return t.group_by("c_custkey").aggregate(
+                [("rev_e4", "sum")]
+            ).rename_columns(["c_custkey", "rev_e4"])
+
+        partials = att.map_batches(per_cust, batch_format="pyarrow")
     tbl = _combine_partials(partials, ["c_custkey"], ["rev_e4"], combine_limit)
     if tbl is None:
         tbl = pa.Table.from_pylist(
@@ -345,8 +615,37 @@ def q10_returned_items(
     rev = head.column("sum(rev_e4)").to_numpy().astype(np.int64)
 
     cust = _broadcast_parquet(
-        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        budget_rows=build_budget,
     )
+    if cust is None:
+        # stream-filter the ≤k winner customers out of the big table
+        # (winner keys broadcast; one scan, no shuffle)
+        wk_ref = ray.put(np.sort(ck))
+
+        def pick(b: pa.Table) -> pa.Table:
+            keys = ray.get(wk_ref)
+            probe_keys = b.column("c_custkey").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(_sorted_member_mask(keys, probe_keys)))
+
+        parts = [
+            t for t in ray.get(
+                _read(sf_dir, "customer",
+                      ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+                .map_batches(pick, batch_format="pyarrow")
+                .materialize().to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        cust = (
+            pa.concat_tables(parts) if parts
+            else pa.Table.from_pydict(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "c_name": pa.array([], pa.string()),
+                 "c_acctbal": pa.array([], pa.float64()),
+                 "c_nationkey": pa.array([], pa.int32())}
+            )
+        )
     nation = _broadcast_parquet(sf_dir, "nation", ["n_nationkey", "n_name"])
     all_ck = cust.column("c_custkey").to_numpy().astype(np.int64)
     pos = {int(c): i for i, c in enumerate(all_ck)}
@@ -375,50 +674,108 @@ def q10_returned_items(
 # -- q12: priority line counts per return flag --------------------------------
 
 def q12_priority_lines(
-    sf_dir: str, year: str = "1996", combine_limit: int = 2_000_000
+    sf_dir: str, year: str = "1996", combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q12 shape (adapted: no l_shipmode column — the group key is
     l_returnflag): per flag, how many lines shipped that year belong to
     high-priority orders (1-URGENT / 2-HIGH) vs the rest. Build side =
-    orderkey -> is_high bool LUT; probe emits ≤|flags| partial rows.
+    orderkey -> is_high sorted-key lookup under ``build_budget``; past
+    it the year-filtered lineitem attaches the order flag by
+    ``cogroup_attach`` (q12_priority_lines_cogroup pins the tier).
+    Probe emits ≤|flags| partial rows either way.
     """
     lo = _us(f"{year}-01-01")
     hi = _us(f"{int(year) + 1}-01-01")
-    orders = _broadcast_parquet(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    okey = orders.column("o_orderkey").to_numpy().astype(np.int64)
-    oprio = orders.column("o_orderpriority").to_numpy(zero_copy_only=False)
-    high = np.full(int(okey.max()) + 1, -1, dtype=np.int8)
-    high[okey] = np.isin(oprio, ["1-URGENT", "2-HIGH"]).astype(np.int8)
-    lut_ref = ray.put(high)
-
+    orders = _broadcast_parquet(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority"],
+        budget_rows=build_budget,
+    )
     _EMPTY = pa.Table.from_pydict(
         {"l_returnflag": pa.array([], pa.string()),
          "high_line_count": pa.array([], pa.int64()),
          "low_line_count": pa.array([], pa.int64())}
     )
-
-    def probe(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
-        lkey = batch.column("l_orderkey").to_numpy().astype(np.int64)
-        mask = (ship >= lo) & (ship < hi) & (lkey >= 0) & (lkey < len(lut))
-        if not mask.any():
-            return _EMPTY
-        h = lut[lkey[mask]]
-        known = h >= 0
-        flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)[mask][known]
-        h = h[known].astype(np.int64)
-        t = pa.Table.from_pydict(
-            {"l_returnflag": pa.array(flag.tolist(), pa.string()),
-             "high_line_count": pa.array(h, pa.int64()),
-             "low_line_count": pa.array(1 - h, pa.int64())}
+    if orders is not None:
+        okey = orders.column("o_orderkey").to_numpy().astype(np.int64)
+        oprio = orders.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        ok_s, high_s = _sorted_kv(
+            okey, np.isin(oprio, ["1-URGENT", "2-HIGH"]).astype(np.int64)
         )
-        return t.group_by("l_returnflag").aggregate(
-            [("high_line_count", "sum"), ("low_line_count", "sum")]
-        ).rename_columns(["l_returnflag", "high_line_count", "low_line_count"])
+        lut_ref = ray.put((ok_s, high_s))
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_returnflag"])
-    partials = li.map_batches(probe, batch_format="pyarrow")
+        def probe(batch: pa.Table) -> pa.Table:
+            keys_s, high_v = ray.get(lut_ref)
+            ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+            lkey = batch.column("l_orderkey").to_numpy().astype(np.int64)
+            mask = (ship >= lo) & (ship < hi)
+            if not mask.any():
+                return _EMPTY
+            h = _sorted_lookup(keys_s, high_v, lkey[mask], -1)
+            known = h >= 0
+            flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)[mask][known]
+            h = h[known]
+            t = pa.Table.from_pydict(
+                {"l_returnflag": pa.array(flag.tolist(), pa.string()),
+                 "high_line_count": pa.array(h, pa.int64()),
+                 "low_line_count": pa.array(1 - h, pa.int64())}
+            )
+            return t.group_by("l_returnflag").aggregate(
+                [("high_line_count", "sum"), ("low_line_count", "sum")]
+            ).rename_columns(["l_returnflag", "high_line_count", "low_line_count"])
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_returnflag"])
+        partials = li.map_batches(probe, batch_format="pyarrow")
+    else:
+        from .joins import cogroup_attach
+
+        def order_flags(b: pa.Table) -> pa.Table:
+            oprio = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {"l_orderkey": b.column("o_orderkey"),
+                 "is_high": pa.array(
+                     np.isin(oprio, ["1-URGENT", "2-HIGH"]).astype(np.int64),
+                     pa.int64())}
+            )
+
+        flags_ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+                         ).map_batches(order_flags, batch_format="pyarrow")
+
+        def li_win(b: pa.Table) -> pa.Table:
+            ship = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array((ship >= lo) & (ship < hi)))
+            return pa.Table.from_pydict(
+                {"l_orderkey": t.column("l_orderkey"),
+                 "l_returnflag": t.column("l_returnflag")}
+            )
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_shipdate", "l_returnflag"]
+                   ).map_batches(li_win, batch_format="pyarrow")
+        att = _filter_matched(
+            cogroup_attach(
+                li, flags_ds, key="l_orderkey",
+                left_fields=[pa.field("l_orderkey", pa.int64()),
+                             pa.field("l_returnflag", pa.string())],
+                payload_fields=[pa.field("is_high", pa.int64())],
+            ),
+            "is_high", drop=False,
+        )
+
+        def count_partial(b: pa.Table) -> pa.Table:
+            h = b.column("is_high").to_numpy(zero_copy_only=False).astype(np.int64)
+            t = pa.Table.from_pydict(
+                {"l_returnflag": b.column("l_returnflag"),
+                 "high_line_count": pa.array(h, pa.int64()),
+                 "low_line_count": pa.array(1 - h, pa.int64())}
+            )
+            return t.group_by("l_returnflag").aggregate(
+                [("high_line_count", "sum"), ("low_line_count", "sum")]
+            ).rename_columns(
+                ["l_returnflag", "high_line_count", "low_line_count"]
+            )
+
+        partials = att.map_batches(count_partial, batch_format="pyarrow")
     tbl = _combine_partials(
         partials, ["l_returnflag"], ["high_line_count", "low_line_count"],
         combine_limit,
@@ -441,46 +798,100 @@ def q12_priority_lines(
 # -- q14: promo revenue share --------------------------------------------------
 
 def q14_promo_revenue(
-    sf_dir: str, date_lo: str = "1996-09-01", date_hi: str = "1996-10-01"
+    sf_dir: str, date_lo: str = "1996-09-01", date_hi: str = "1996-10-01",
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q14 shape: share of one month's revenue from PROMO parts.
-    Build side = partkey -> is_promo bit LUT; each batch reduces to two
-    int64 partials (promo_e4, total_e4) summed as Python ints on the
-    driver; ONE float divide at the very end (bit-stable vs the oracle's
-    DOUBLE divide of two exact DECIMAL sums).
+    Build side = partkey -> is_promo sorted-key lookup under
+    ``build_budget``; past it (part grows with the corpus) the
+    month-filtered lineitem attaches the flag by ``cogroup_attach``
+    (q14_promo_revenue_cogroup pins the tier). Each batch reduces to
+    two int64 partials (promo_e4, total_e4) summed as Python ints on
+    the driver; ONE float divide at the very end (bit-stable vs the
+    oracle's DOUBLE divide of two exact DECIMAL sums).
     """
     lo, hi = _us(date_lo), _us(date_hi)
-    part = _broadcast_parquet(sf_dir, "part", ["p_partkey", "p_type"])
-    pkey = part.column("p_partkey").to_numpy().astype(np.int64)
-    ptype = part.column("p_type").to_numpy(zero_copy_only=False)
-    promo = np.full(int(pkey.max()) + 1, -1, dtype=np.int8)
-    promo[pkey] = (ptype == "PROMO").astype(np.int8)
-    lut_ref = ray.put(promo)
+    part = _broadcast_parquet(sf_dir, "part", ["p_partkey", "p_type"],
+                              budget_rows=build_budget)
+    if part is not None:
+        pkey = part.column("p_partkey").to_numpy().astype(np.int64)
+        ptype = part.column("p_type").to_numpy(zero_copy_only=False)
+        pk_s, promo_s = _sorted_kv(pkey, (ptype == "PROMO").astype(np.int64))
+        lut_ref = ray.put((pk_s, promo_s))
 
-    def probe(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
-        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
-        mask = (ship >= lo) & (ship < hi) & (pk >= 0) & (pk < len(lut))
-        flag = np.where(mask, lut[np.clip(pk, 0, max(len(lut) - 1, 0))], -1)
-        keep = flag >= 0
-        base_c = _cents(batch.column("l_extendedprice"))[keep]
-        disc_c = _cents(batch.column("l_discount"))[keep]
-        rev = base_c * (100 - disc_c)
-        return pa.Table.from_pydict(
-            {
-                "promo_e4": pa.array(
-                    [int(np.sum(rev[flag[keep] == 1], dtype=np.int64))], pa.int64()
-                ),
-                "total_e4": pa.array([int(np.sum(rev, dtype=np.int64))], pa.int64()),
-            }
+        def probe(batch: pa.Table) -> pa.Table:
+            keys_s, promo_v = ray.get(lut_ref)
+            ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+            pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+            mask = (ship >= lo) & (ship < hi)
+            flag = np.where(mask, _sorted_lookup(keys_s, promo_v, pk, -1), -1)
+            keep = flag >= 0
+            base_c = _cents(batch.column("l_extendedprice"))[keep]
+            disc_c = _cents(batch.column("l_discount"))[keep]
+            rev = base_c * (100 - disc_c)
+            return pa.Table.from_pydict(
+                {
+                    "promo_e4": pa.array(
+                        [int(np.sum(rev[flag[keep] == 1], dtype=np.int64))], pa.int64()
+                    ),
+                    "total_e4": pa.array([int(np.sum(rev, dtype=np.int64))], pa.int64()),
+                }
+            )
+
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        partials_ds = li.map_batches(probe, batch_format="pyarrow")
+    else:
+        from .joins import cogroup_attach
+
+        def part_flags(b: pa.Table) -> pa.Table:
+            ptype = b.column("p_type").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {"l_partkey": b.column("p_partkey"),
+                 "is_promo": pa.array((ptype == "PROMO").astype(np.int64),
+                                      pa.int64())}
+            )
+
+        flags_ds = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+            part_flags, batch_format="pyarrow"
         )
 
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
-    )
-    parts = li.map_batches(probe, batch_format="pyarrow").take_all()
+        def li_win(b: pa.Table) -> pa.Table:
+            ship = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array((ship >= lo) & (ship < hi)))
+            base_c = _cents(t.column("l_extendedprice"))
+            disc_c = _cents(t.column("l_discount"))
+            return pa.Table.from_pydict(
+                {"l_partkey": t.column("l_partkey"),
+                 "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
+            )
+
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ).map_batches(li_win, batch_format="pyarrow")
+        att = _filter_matched(
+            cogroup_attach(
+                li, flags_ds, key="l_partkey",
+                left_fields=[pa.field("l_partkey", pa.int64()),
+                             pa.field("rev_e4", pa.int64())],
+                payload_fields=[pa.field("is_promo", pa.int64())],
+            ),
+            "is_promo", drop=False,
+        )
+
+        def scalar_partial(b: pa.Table) -> pa.Table:
+            rev = b.column("rev_e4").to_numpy(zero_copy_only=False).astype(np.int64)
+            promo = b.column("is_promo").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_pydict(
+                {"promo_e4": pa.array([int(np.sum(rev * (promo == 1)))], pa.int64()),
+                 "total_e4": pa.array([int(np.sum(rev))], pa.int64())}
+            )
+
+        partials_ds = att.map_batches(scalar_partial, batch_format="pyarrow")
+    parts = partials_ds.take_all()
     promo_sum = sum(int(r["promo_e4"]) for r in parts)
     total_sum = sum(int(r["total_e4"]) for r in parts)
     share = 100.0 * ((promo_sum / 10000.0) / (total_sum / 10000.0)) if total_sum else 0.0
@@ -517,12 +928,17 @@ def revenue_rollup(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
     n_reg = nation.column("n_regionkey").to_numpy().astype(np.int64)
     s_key = supp.column("s_suppkey").to_numpy().astype(np.int64)
     s_nat = supp.column("s_nationkey").to_numpy().astype(np.int64)
-    # suppkey -> dense nation index (position in the nation table)
+    # suppkey -> dense nation index (position in the nation table);
+    # the nation side stays dense (fixed 25 keys) but the supplier side
+    # is a corpus-scaling domain -> sorted-key lookup
     nid_of_nkey = np.full(int(n_key.max()) + 1, -1, dtype=np.int64)
     nid_of_nkey[n_key] = np.arange(len(n_key))
-    supp_nid = np.full(int(s_key.max()) + 1, -1, dtype=np.int64)
-    supp_nid[s_key] = nid_of_nkey[s_nat]
-    lut_ref = ray.put(supp_nid)
+    nat_ok = (s_nat >= 0) & (s_nat < len(nid_of_nkey))
+    nid_vals = np.where(
+        nat_ok, nid_of_nkey[np.clip(s_nat, 0, max(len(nid_of_nkey) - 1, 0))], -1
+    )
+    s_sorted, s_nid = _sorted_kv(s_key, nid_vals)
+    lut_ref = ray.put((s_sorted, s_nid))
     n_nations = len(n_key)
 
     _EMPTY = pa.Table.from_pydict(
@@ -530,12 +946,11 @@ def revenue_rollup(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
     )
 
     def probe(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        if len(lut) == 0 or batch.num_rows == 0:
+        keys_s, nid_s = ray.get(lut_ref)
+        if len(keys_s) == 0 or batch.num_rows == 0:
             return _EMPTY
         sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
-        valid = (sk >= 0) & (sk < len(lut))
-        nid = np.where(valid, lut[np.clip(sk, 0, max(len(lut) - 1, 0))], -1)
+        nid = _sorted_lookup(keys_s, nid_s, sk, -1)
         ok = nid >= 0
         base_c = _cents(batch.column("l_extendedprice"))[ok]
         disc_c = _cents(batch.column("l_discount"))[ok]
