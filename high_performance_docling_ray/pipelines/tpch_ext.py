@@ -59,10 +59,14 @@ import ray
 import ray.data
 
 from .relational import (
+    DIM_BROADCAST_BUDGET,
     _broadcast_parquet,
     _cents,
     _combine_partials,
+    _filter_matched,
     _read,
+    _sorted_kv,
+    _sorted_lookup,
     _sorted_member_mask,
 )
 
@@ -76,12 +80,132 @@ def _us(date: str) -> int:
 
 # -- q8: national market share -----------------------------------------------
 
+def _q8_distributed_partials(
+    sf_dir: str, lo: int, hi: int,
+    region_nations: set, target_nation: int,
+) -> ray.data.Dataset:
+    """q8's any-cardinality tier: region customers attach to windowed
+    orders by custkey (semi-join), order years attach to lineitem by
+    orderkey, the target-nation supplier flag attaches by suppkey as a
+    LEFT join (unmatched suppliers count in the total, matching the
+    broadcast probe) — three ``cogroup_attach`` passes, no driver read
+    of customer/orders/supplier."""
+    from .joins import cogroup_attach
+
+    nat_arr = np.sort(np.array(sorted(region_nations), dtype=np.int64))
+
+    def cust_keys(b: pa.Table) -> pa.Table:
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(_sorted_member_mask(nat_arr, cn)))
+        return pa.Table.from_pydict(
+            {"o_custkey": t.column("c_custkey"),
+             "c_ok": pa.array(np.ones(t.num_rows, np.int8), pa.int8())}
+        )
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_keys, batch_format="pyarrow"
+    )
+
+    def order_win(b: pa.Table) -> pa.Table:
+        od = _ts_us(b.column("o_orderdate"))
+        w = (od >= lo) & (od < hi)
+        t = b.filter(pa.array(w))
+        yr = (
+            od[w].astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64) + 1970
+        )
+        return pa.Table.from_pydict(
+            {"o_orderkey": t.column("o_orderkey"),
+             "o_custkey": t.column("o_custkey"),
+             "o_year": pa.array(yr, pa.int64())}
+        )
+
+    orders_win = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_win, batch_format="pyarrow")
+    o_att = _filter_matched(
+        cogroup_attach(
+            orders_win, cust_ds, key="o_custkey",
+            left_fields=[pa.field("o_orderkey", pa.int64()),
+                         pa.field("o_custkey", pa.int64()),
+                         pa.field("o_year", pa.int64())],
+            payload_fields=[pa.field("c_ok", pa.int8())],
+        ),
+        "c_ok",
+    )
+
+    def to_year_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"l_orderkey": b.column("o_orderkey"),
+             "o_year": b.column("o_year")}
+        )
+
+    year_ds = o_att.map_batches(to_year_rows, batch_format="pyarrow")
+
+    def supp_flags(b: pa.Table) -> pa.Table:
+        sn = b.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(sn == target_nation))
+        return pa.Table.from_pydict(
+            {"l_suppkey": t.column("s_suppkey"),
+             "is_t": pa.array(np.ones(t.num_rows, np.int8), pa.int8())}
+        )
+
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        supp_flags, batch_format="pyarrow"
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        base_c = _cents(b.column("l_extendedprice"))
+        disc_c = _cents(b.column("l_discount"))
+        return pa.Table.from_pydict(
+            {"l_orderkey": b.column("l_orderkey"),
+             "l_suppkey": b.column("l_suppkey"),
+             "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    li_fields = [pa.field("l_orderkey", pa.int64()),
+                 pa.field("l_suppkey", pa.int64()),
+                 pa.field("rev_e4", pa.int64())]
+    att1 = _filter_matched(
+        cogroup_attach(li, year_ds, key="l_orderkey", left_fields=li_fields,
+                       payload_fields=[pa.field("o_year", pa.int64())]),
+        "o_year", drop=False,
+    )
+    att2 = cogroup_attach(  # LEFT: unmatched supplier -> not target
+        att1, supp_ds, key="l_suppkey",
+        left_fields=li_fields + [pa.field("o_year", pa.int64())],
+        payload_fields=[pa.field("is_t", pa.int8())],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = b.column("rev_e4").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_t = np.asarray(
+            pc.fill_null(b.column("is_t"), 0).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        t = pa.Table.from_pydict(
+            {"o_year": b.column("o_year"),
+             "total_e4": pa.array(rev, pa.int64()),
+             "nation_e4": pa.array(rev * is_t, pa.int64())}
+        )
+        return t.group_by("o_year").aggregate(
+            [("total_e4", "sum"), ("nation_e4", "sum")]
+        ).rename_columns(["o_year", "total_e4", "nation_e4"])
+
+    return att2.map_batches(partial, batch_format="pyarrow")
+
+
 def q8_market_share(
     sf_dir: str,
     region: str = "ASIA",
     nation: str = "NATION_7",
     year_lo: int = 1996,
     year_hi: int = 1998,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q8 shape (adapted: no partsupp/p_type join — every part
     qualifies): per order-year, the revenue share delivered by
@@ -106,67 +230,80 @@ def q8_market_share(
     region_nations = set(nkey[nregion == target_region].tolist())
     target_nation = int(nkey[nname == nation][0])
 
-    cust = _broadcast_parquet(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    ckey = cust.column("c_custkey").to_numpy().astype(np.int64)
-    cnat = cust.column("c_nationkey").to_numpy().astype(np.int64)
-    in_region_cust = ckey[np.isin(cnat, list(region_nations))]
-    in_region_cust.sort()
-
-    orders = _broadcast_parquet(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    cust = _broadcast_parquet(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                              budget_rows=build_budget)
+    orders = (
+        _broadcast_parquet(sf_dir, "orders",
+                           ["o_orderkey", "o_custkey", "o_orderdate"],
+                           budget_rows=build_budget)
+        if cust is not None else None
     )
-    odate = _ts_us(orders.column("o_orderdate"))
-    okey = orders.column("o_orderkey").to_numpy().astype(np.int64)
-    ocust = orders.column("o_custkey").to_numpy().astype(np.int64)
-    win = (
-        (odate >= lo)
-        & (odate < hi)
-        & _sorted_member_mask(in_region_cust, ocust)
+    supp = (
+        _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
+                           budget_rows=build_budget)
+        if orders is not None else None
     )
-    okey, odate = okey[win], odate[win]
-    oyear = odate.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64) + 1970
-    order_sort = np.argsort(okey, kind="stable")
-    okey_s, oyear_s = okey[order_sort], oyear[order_sort]
-
-    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
-    snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
-    s_target = np.zeros(int(skey.max()) + 1, dtype=bool)
-    s_target[skey[snat == target_nation]] = True
-    build_ref = ray.put((okey_s, oyear_s, s_target))
-
-    _EMPTY = pa.Table.from_pydict(
-        {"o_year": pa.array([], pa.int64()),
-         "total_e4": pa.array([], pa.int64()),
-         "nation_e4": pa.array([], pa.int64())}
-    )
-
-    def probe(batch: pa.Table) -> pa.Table:
-        keys_s, year_s, target = ray.get(build_ref)
-        lkey = batch.column("l_orderkey").to_numpy().astype(np.int64)
-        mask = _sorted_member_mask(keys_s, lkey)
-        if not mask.any():
-            return _EMPTY
-        yr = year_s[np.searchsorted(keys_s, lkey[mask])]
-        lsupp = batch.column("l_suppkey").to_numpy().astype(np.int64)[mask]
-        base_c = _cents(batch.column("l_extendedprice"))[mask]
-        disc_c = _cents(batch.column("l_discount"))[mask]
-        rev = base_c * (100 - disc_c)
-        is_t = (lsupp < len(target)) & target[np.minimum(lsupp, len(target) - 1)]
-        t = pa.Table.from_pydict(
-            {"o_year": pa.array(yr, pa.int64()),
-             "total_e4": pa.array(rev, pa.int64()),
-             "nation_e4": pa.array(np.where(is_t, rev, 0), pa.int64())}
+    if cust is None or orders is None or supp is None:
+        partials = _q8_distributed_partials(
+            sf_dir, lo, hi, region_nations, target_nation
         )
-        return t.group_by("o_year").aggregate(
-            [("total_e4", "sum"), ("nation_e4", "sum")]
-        ).rename_columns(["o_year", "total_e4", "nation_e4"])
+    else:
+        ckey = cust.column("c_custkey").to_numpy().astype(np.int64)
+        cnat = cust.column("c_nationkey").to_numpy().astype(np.int64)
+        in_region_cust = ckey[np.isin(cnat, list(region_nations))]
+        in_region_cust.sort()
 
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    )
-    partials = li.map_batches(probe, batch_format="pyarrow")
+        odate = _ts_us(orders.column("o_orderdate"))
+        okey = orders.column("o_orderkey").to_numpy().astype(np.int64)
+        ocust = orders.column("o_custkey").to_numpy().astype(np.int64)
+        win = (
+            (odate >= lo)
+            & (odate < hi)
+            & _sorted_member_mask(in_region_cust, ocust)
+        )
+        okey, odate = okey[win], odate[win]
+        oyear = odate.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64) + 1970
+        order_sort = np.argsort(okey, kind="stable")
+        okey_s, oyear_s = okey[order_sort], oyear[order_sort]
+
+        skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
+        snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+        # sorted target-supplier key set (not a dense max-id LUT)
+        s_target_keys = np.sort(skey[snat == target_nation])
+        build_ref = ray.put((okey_s, oyear_s, s_target_keys))
+
+        _EMPTY = pa.Table.from_pydict(
+            {"o_year": pa.array([], pa.int64()),
+             "total_e4": pa.array([], pa.int64()),
+             "nation_e4": pa.array([], pa.int64())}
+        )
+
+        def probe(batch: pa.Table) -> pa.Table:
+            keys_s, year_s, target_keys = ray.get(build_ref)
+            lkey = batch.column("l_orderkey").to_numpy().astype(np.int64)
+            mask = _sorted_member_mask(keys_s, lkey)
+            if not mask.any():
+                return _EMPTY
+            yr = year_s[np.searchsorted(keys_s, lkey[mask])]
+            lsupp = batch.column("l_suppkey").to_numpy().astype(np.int64)[mask]
+            base_c = _cents(batch.column("l_extendedprice"))[mask]
+            disc_c = _cents(batch.column("l_discount"))[mask]
+            rev = base_c * (100 - disc_c)
+            is_t = _sorted_member_mask(target_keys, lsupp)
+            t = pa.Table.from_pydict(
+                {"o_year": pa.array(yr, pa.int64()),
+                 "total_e4": pa.array(rev, pa.int64()),
+                 "nation_e4": pa.array(np.where(is_t, rev, 0), pa.int64())}
+            )
+            return t.group_by("o_year").aggregate(
+                [("total_e4", "sum"), ("nation_e4", "sum")]
+            ).rename_columns(["o_year", "total_e4", "nation_e4"])
+
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        partials = li.map_batches(probe, batch_format="pyarrow")
     # <=|years| keys: always fits the driver combine
     tbl = _combine_partials(partials, ["o_year"], ["total_e4", "nation_e4"])
     yr = tbl.column("o_year").to_numpy().astype(np.int64)
@@ -184,10 +321,40 @@ def q8_market_share(
 
 # -- q13: customer order-count distribution -----------------------------------
 
+def _count_histogram(
+    ds: ray.data.Dataset, col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """DISTRIBUTED value-count histogram of an int64 column: per-block
+    ``np.unique`` partials combine into <=|distinct values| driver rows
+    (VERDICT r3 wrong-list #3 — never ``take_all`` the grouped rows to
+    bincount on the driver). Returns (values, frequencies) sorted by
+    value."""
+
+    def block_counts(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, freq = np.unique(v, return_counts=True)
+        return pa.Table.from_pydict(
+            {"c_val": pa.array(vals, pa.int64()),
+             "c_freq": pa.array(freq.astype(np.int64), pa.int64())}
+        )
+
+    partials = ds.map_batches(block_counts, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["c_val"], ["c_freq"])
+    if tbl is None:  # pathological distinct-count blowup: shuffle path
+        tbl = pa.Table.from_pylist(
+            partials.groupby("c_val").sum("c_freq").take_all()
+        )
+    vals = tbl.column("c_val").to_numpy().astype(np.int64)
+    freq = tbl.column("sum(c_freq)").to_numpy().astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    return vals[order], freq[order]
+
+
 def q13_customer_distribution(
     sf_dir: str,
     priority: str = "1-URGENT",
     combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q13 shape (adapted: no o_comment — the join-side filter is
     ``o_orderpriority = priority``): the distribution of per-customer
@@ -199,44 +366,91 @@ def q13_customer_distribution(
     dangling o_custkey cannot inflate a bucket). The distribution
     itself is a driver bincount over <=n_customers counts.
     """
-    cust = _broadcast_parquet(sf_dir, "customer", ["c_custkey"])
-    ckey_s = np.sort(cust.column("c_custkey").to_numpy().astype(np.int64))
-    ck_ref = ray.put(ckey_s)
+    from .io import parquet_num_rows
+
+    # c_custkey is the table's primary key, so the zero bucket's
+    # denominator is the FOOTER row count — no driver read needed
+    n_customers = parquet_num_rows(f"{sf_dir}/customer.parquet")
+    cust = _broadcast_parquet(sf_dir, "customer", ["c_custkey"],
+                              budget_rows=build_budget)
 
     _EMPTY = pa.Table.from_pydict(
         {"c_custkey": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
     )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ck_ref)
-        prio = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
-        ocust = batch.column("o_custkey").to_numpy().astype(np.int64)
-        mask = (prio == priority) & _sorted_member_mask(keys, ocust)
-        if not mask.any():
-            return _EMPTY
-        t = pa.Table.from_pydict(
-            {"c_custkey": pa.array(ocust[mask], pa.int64()),
-             "n": pa.array(np.ones(int(mask.sum()), dtype=np.int64))}
-        )
-        return t.group_by("c_custkey").aggregate([("n", "sum")]).rename_columns(
-            ["c_custkey", "n"]
-        )
+    def make_partial(ck_ref):
+        def partial(batch: pa.Table) -> pa.Table:
+            prio = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+            ocust = batch.column("o_custkey").to_numpy().astype(np.int64)
+            mask = prio == priority
+            if ck_ref is not None:
+                mask &= _sorted_member_mask(ray.get(ck_ref), ocust)
+            if not mask.any():
+                return _EMPTY
+            t = pa.Table.from_pydict(
+                {"c_custkey": pa.array(ocust[mask], pa.int64()),
+                 "n": pa.array(np.ones(int(mask.sum()), dtype=np.int64))}
+            )
+            return t.group_by("c_custkey").aggregate([("n", "sum")]).rename_columns(
+                ["c_custkey", "n"]
+            )
+
+        return partial
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    partials = orders.map_batches(partial, batch_format="pyarrow")
-    tbl = _combine_partials(partials, ["c_custkey"], ["n"], combine_limit)
-    if tbl is None:
-        tbl = pa.Table.from_pylist(partials.groupby("c_custkey").sum("n").take_all())
-    counts = tbl.column("sum(n)").to_numpy().astype(np.int64)
-    matched = tbl.num_rows
-    zero_bucket = len(ckey_s) - matched
-    dist = np.bincount(counts) if len(counts) else np.zeros(1, dtype=np.int64)
-    dist = dist.astype(np.int64)
-    if len(dist) == 0:
-        dist = np.zeros(1, dtype=np.int64)
-    dist[0] = zero_bucket
-    c_count = np.flatnonzero(dist > 0).astype(np.int64)
-    custdist = dist[c_count]
+    if cust is not None:
+        ckey_s = np.sort(cust.column("c_custkey").to_numpy().astype(np.int64))
+        partials = orders.map_batches(
+            make_partial(ray.put(ckey_s)), batch_format="pyarrow"
+        )
+        tbl = _combine_partials(partials, ["c_custkey"], ["n"], combine_limit)
+        if tbl is not None:
+            counts = tbl.column("sum(n)").to_numpy().astype(np.int64)
+            matched = tbl.num_rows
+            c_vals, c_freq = np.unique(counts, return_counts=True)
+        else:
+            # over the combine budget: the count histogram reduces
+            # DISTRIBUTED — per-block value counts over the grouped
+            # per-customer sums; only <=|distinct counts| rows land on
+            # the driver (never the per-customer rows themselves)
+            grouped = partials.groupby("c_custkey").sum("n")
+            c_vals, c_freq = _count_histogram(grouped, "sum(n)")
+            matched = int(c_freq.sum())
+    else:
+        # customer over budget: membership is a cogroup semi-join of
+        # the per-customer counts against the customer key set
+        from .joins import cogroup_attach
+
+        partials = orders.map_batches(make_partial(None), batch_format="pyarrow")
+        grouped = partials.groupby("c_custkey").sum("n")
+
+        def cust_marker(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"c_custkey": b.column("c_custkey"),
+                 "is_cust": pa.array(np.ones(b.num_rows, np.int8), pa.int8())}
+            )
+
+        matched_ds = _filter_matched(
+            cogroup_attach(
+                grouped,
+                _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+                    cust_marker, batch_format="pyarrow"
+                ),
+                key="c_custkey",
+                left_fields=[pa.field("c_custkey", pa.int64()),
+                             pa.field("sum(n)", pa.int64())],
+                payload_fields=[pa.field("is_cust", pa.int8())],
+            ),
+            "is_cust",
+        )
+        c_vals, c_freq = _count_histogram(matched_ds, "sum(n)")
+        matched = int(c_freq.sum())
+
+    zero_bucket = n_customers - matched
+    c_count = np.r_[np.int64(0), c_vals.astype(np.int64)]
+    custdist = np.r_[np.int64(zero_bucket), c_freq.astype(np.int64)]
+    keep = custdist > 0
+    c_count, custdist = c_count[keep], custdist[keep]
     order = np.lexsort((-c_count, -custdist))
     return pa.Table.from_pydict(
         {"c_count": pa.array(c_count[order], pa.int64()),
@@ -246,11 +460,50 @@ def q13_customer_distribution(
 
 # -- q15: top supplier by quarterly revenue -----------------------------------
 
+def _supplier_names(
+    sf_dir: str, want_keys: np.ndarray, build_budget: int,
+) -> list[str]:
+    """s_name for a SORTED small key array. Under ``build_budget`` the
+    supplier projection is read driver-direct; past it the winner keys
+    broadcast into a streamed filter scan (no driver read of the
+    corpus-scaling table)."""
+    stbl = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_name"],
+                              budget_rows=build_budget)
+    if stbl is None:
+        wk_ref = ray.put(np.sort(np.asarray(want_keys, dtype=np.int64)))
+
+        def pick(b: pa.Table) -> pa.Table:
+            keys = ray.get(wk_ref)
+            sk = b.column("s_suppkey").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(_sorted_member_mask(keys, sk)))
+
+        parts = [
+            t for t in ray.get(
+                _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+                .map_batches(pick, batch_format="pyarrow")
+                .materialize().to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        stbl = (
+            pa.concat_tables(parts) if parts
+            else pa.Table.from_pydict(
+                {"s_suppkey": pa.array([], pa.int64()),
+                 "s_name": pa.array([], pa.string())}
+            )
+        )
+    skey = stbl.column("s_suppkey").to_numpy().astype(np.int64)
+    sname = stbl.column("s_name").to_numpy(zero_copy_only=False)
+    pos = {int(k): i for i, k in enumerate(skey)}
+    return [str(sname[pos[int(k)]]) for k in want_keys]
+
+
 def q15_top_supplier(
     sf_dir: str,
     date_lo: str = "1996-01-01",
     date_hi: str = "1996-04-01",
     combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q15 shape: supplier(s) whose quarter revenue equals the
     global maximum (the view + scalar-max subquery collapses to one
@@ -302,11 +555,7 @@ def q15_top_supplier(
     wk, wr = supp[winners], rev[winners]
     order = np.argsort(wk, kind="stable")
     wk, wr = wk[order], wr[order]
-    stbl = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_name"])
-    skey = stbl.column("s_suppkey").to_numpy().astype(np.int64)
-    sname = stbl.column("s_name").to_numpy(zero_copy_only=False)
-    pos = {int(k): i for i, k in enumerate(skey)}
-    names = [str(sname[pos[int(k)]]) for k in wk]
+    names = _supplier_names(sf_dir, wk, build_budget)
     return pa.Table.from_pydict(
         {"s_suppkey": pa.array(wk, pa.int64()),
          "s_name": pa.array(names, pa.string()),
@@ -316,10 +565,99 @@ def q15_top_supplier(
 
 # -- q17: small-quantity-order revenue ----------------------------------------
 
+def _q17_distributed(sf_dir: str, brand: str) -> pa.Table:
+    """q17's any-cardinality tier: the brand filter and the per-part
+    (sum, count) stats both attach to lineitem by ``cogroup_attach``
+    (part grows with the corpus, so neither the brand key set nor the
+    stats table may land on the driver). Same cross-multiplied integer
+    predicate, same scalar tail."""
+    from .joins import cogroup_attach
+
+    def brand_parts(b: pa.Table) -> pa.Table:
+        pb = b.column("p_brand").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(pb == brand))
+        return pa.Table.from_pydict(
+            {"l_partkey": t.column("p_partkey"),
+             "bk": pa.array(np.ones(t.num_rows, np.int8), pa.int8())}
+        )
+
+    brand_ds = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        brand_parts, batch_format="pyarrow"
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {"l_partkey": b.column("l_partkey"),
+             "sq": pa.array(_cents(b.column("l_quantity")), pa.int64()),
+             "cnt": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+        return t.group_by("l_partkey").aggregate(
+            [("sq", "sum"), ("cnt", "sum")]
+        ).rename_columns(["l_partkey", "sq", "cnt"])
+
+    pass1 = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+        li_partial, batch_format="pyarrow"
+    )
+    brand_stats = _filter_matched(
+        cogroup_attach(
+            pass1, brand_ds, key="l_partkey",
+            left_fields=[pa.field("l_partkey", pa.int64()),
+                         pa.field("sq", pa.int64()),
+                         pa.field("cnt", pa.int64())],
+            payload_fields=[pa.field("bk", pa.int8())],
+        ),
+        "bk",
+    ).groupby("l_partkey").sum(["sq", "cnt"])
+
+    def stats_rows(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["l_partkey", "sq", "cnt"])
+
+    stats_ds = brand_stats.map_batches(stats_rows, batch_format="pyarrow")
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"l_partkey": b.column("l_partkey"),
+             "qty_c": pa.array(_cents(b.column("l_quantity")), pa.int64()),
+             "base_c": pa.array(_cents(b.column("l_extendedprice")), pa.int64())}
+        )
+
+    li2 = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(li_rows, batch_format="pyarrow")
+    att = _filter_matched(
+        cogroup_attach(
+            li2, stats_ds, key="l_partkey",
+            left_fields=[pa.field("l_partkey", pa.int64()),
+                         pa.field("qty_c", pa.int64()),
+                         pa.field("base_c", pa.int64())],
+            payload_fields=[pa.field("sq", pa.int64()),
+                            pa.field("cnt", pa.int64())],
+        ),
+        "sq", drop=False,
+    )
+
+    def scalar(b: pa.Table) -> pa.Table:
+        qty_c = b.column("qty_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = b.column("sq").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        small = qty_c * 5 * cnt < sq
+        base_c = b.column("base_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"rev_c": pa.array([int(base_c[small].sum())], pa.int64())}
+        )
+
+    parts = att.map_batches(scalar, batch_format="pyarrow").take_all()
+    total_c = sum(int(r["rev_c"]) for r in parts)
+    return pa.Table.from_pydict(
+        {"avg_yearly": pa.array([total_c / 100.0 / 7.0], pa.float64())}
+    )
+
+
 def q17_small_quantity_revenue(
     sf_dir: str,
     brand: str = "Brand#13",
     combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q17 shape (adapted: no p_container — the part filter is
     brand only): yearly-average revenue lost if small-quantity orders
@@ -332,7 +670,10 @@ def q17_small_quantity_revenue(
     (exactly ``qty < 0.2 * avg`` with zero float math — the oracle
     mirrors the same integers) and reduces to one scalar.
     """
-    part = _broadcast_parquet(sf_dir, "part", ["p_partkey", "p_brand"])
+    part = _broadcast_parquet(sf_dir, "part", ["p_partkey", "p_brand"],
+                              budget_rows=build_budget)
+    if part is None:
+        return _q17_distributed(sf_dir, brand)
     pkey = part.column("p_partkey").to_numpy().astype(np.int64)
     pbrand = part.column("p_brand").to_numpy(zero_copy_only=False)
     brand_keys = np.sort(pkey[pbrand == brand])
@@ -407,50 +748,117 @@ _Q19_BRANCHES = (
 )
 
 
-def q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
+def q19_disjunctive_revenue(
+    sf_dir: str, build_budget: int = DIM_BROADCAST_BUDGET
+) -> pa.Table:
     """TPC-H Q19 shape (adapted: no shipmode/shipinstruct — branches
     filter on brand + size + quantity band only): revenue under a
     disjunction of three conjunctive part/line predicates, pushed into
-    ONE lineitem scan. Part attributes come from two dense driver LUTs
-    (brand id, size) so each branch is a pure vectorized mask.
+    ONE lineitem scan. Part attributes come from a sorted-key lookup
+    (brand id, size) under ``build_budget``; past it the qualifying
+    part attrs attach by ``cogroup_attach`` — only parts carrying one
+    of the three branch brands ever shuffle.
     """
-    part = _broadcast_parquet(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
-    pkey = part.column("p_partkey").to_numpy().astype(np.int64)
-    pbrand = part.column("p_brand").to_numpy(zero_copy_only=False)
-    psize = part.column("p_size").to_numpy().astype(np.int64)
-    n = int(pkey.max()) + 1
     brand_names = sorted({b for b, *_ in _Q19_BRANCHES})
     bid = {b: i for i, b in enumerate(brand_names)}
-    brand_lut = np.full(n, -1, dtype=np.int8)
-    size_lut = np.zeros(n, dtype=np.int64)
-    for name, i in bid.items():
-        brand_lut[pkey[pbrand == name]] = i
-    size_lut[pkey] = psize
     branches = [
         (bid[b], slo, shi, qlo, qhi) for b, slo, shi, qlo, qhi in _Q19_BRANCHES
     ]
-    lut_ref = ray.put((brand_lut, size_lut, branches))
 
-    def partial(batch: pa.Table) -> pa.Table:
-        blut, slut, brs = ray.get(lut_ref)
-        lpart = batch.column("l_partkey").to_numpy().astype(np.int64)
-        ok = (lpart >= 0) & (lpart < len(blut))
-        b = np.where(ok, blut[np.minimum(lpart, len(blut) - 1)], -1)
-        s = np.where(ok, slut[np.minimum(lpart, len(slut) - 1)], 0)
-        qty_c = _cents(batch.column("l_quantity"))
-        mask = np.zeros(len(lpart), dtype=bool)
-        for bi, slo, shi, qlo, qhi in brs:
-            mask |= (b == bi) & (s >= slo) & (s <= shi) & (qty_c >= qlo) & (qty_c <= qhi)
-        base_c = _cents(batch.column("l_extendedprice"))[mask]
-        disc_c = _cents(batch.column("l_discount"))[mask]
-        rev = int(np.sum(base_c * (100 - disc_c), dtype=np.int64))
-        return pa.Table.from_pydict({"rev_e4": pa.array([rev], pa.int64())})
+    def branch_mask(b_ids, sizes, qty_c):
+        mask = np.zeros(len(b_ids), dtype=bool)
+        for bi, slo, shi, qlo, qhi in branches:
+            mask |= (
+                (b_ids == bi) & (sizes >= slo) & (sizes <= shi)
+                & (qty_c >= qlo) & (qty_c <= qhi)
+            )
+        return mask
 
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
-    )
-    parts = li.map_batches(partial, batch_format="pyarrow").take_all()
+    part = _broadcast_parquet(sf_dir, "part",
+                              ["p_partkey", "p_brand", "p_size"],
+                              budget_rows=build_budget)
+    if part is not None:
+        pkey = part.column("p_partkey").to_numpy().astype(np.int64)
+        pbrand = part.column("p_brand").to_numpy(zero_copy_only=False)
+        psize = part.column("p_size").to_numpy().astype(np.int64)
+        b_vals = np.full(len(pkey), -1, dtype=np.int64)
+        for name, i in bid.items():
+            b_vals[pbrand == name] = i
+        pk_s, bv_s, sz_s = _sorted_kv(pkey, b_vals, psize)
+        lut_ref = ray.put((pk_s, bv_s, sz_s))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            keys_s, bv, sz = ray.get(lut_ref)
+            lpart = batch.column("l_partkey").to_numpy().astype(np.int64)
+            b = _sorted_lookup(keys_s, bv, lpart, -1)
+            s = _sorted_lookup(keys_s, sz, lpart, 0)
+            qty_c = _cents(batch.column("l_quantity"))
+            mask = branch_mask(b, s, qty_c)
+            base_c = _cents(batch.column("l_extendedprice"))[mask]
+            disc_c = _cents(batch.column("l_discount"))[mask]
+            rev = int(np.sum(base_c * (100 - disc_c), dtype=np.int64))
+            return pa.Table.from_pydict({"rev_e4": pa.array([rev], pa.int64())})
+
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        parts = li.map_batches(partial, batch_format="pyarrow").take_all()
+    else:
+        from .joins import cogroup_attach
+
+        def part_attrs(b: pa.Table) -> pa.Table:
+            pb = b.column("p_brand").to_numpy(zero_copy_only=False)
+            bv = np.full(b.num_rows, -1, dtype=np.int64)
+            for name, i in bid.items():
+                bv[pb == name] = i
+            keep = bv >= 0  # parts outside the branch brands never match
+            t = b.filter(pa.array(keep))
+            return pa.Table.from_pydict(
+                {"l_partkey": t.column("p_partkey"),
+                 "b_id": pa.array(bv[keep], pa.int64()),
+                 "p_size": t.column("p_size").cast(pa.int64())}
+            )
+
+        attrs_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+                         ).map_batches(part_attrs, batch_format="pyarrow")
+
+        def li_rows(b: pa.Table) -> pa.Table:
+            base_c = _cents(b.column("l_extendedprice"))
+            disc_c = _cents(b.column("l_discount"))
+            return pa.Table.from_pydict(
+                {"l_partkey": b.column("l_partkey"),
+                 "qty_c": pa.array(_cents(b.column("l_quantity")), pa.int64()),
+                 "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
+            )
+
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ).map_batches(li_rows, batch_format="pyarrow")
+        att = _filter_matched(
+            cogroup_attach(
+                li, attrs_ds, key="l_partkey",
+                left_fields=[pa.field("l_partkey", pa.int64()),
+                             pa.field("qty_c", pa.int64()),
+                             pa.field("rev_e4", pa.int64())],
+                payload_fields=[pa.field("b_id", pa.int64()),
+                                pa.field("p_size", pa.int64())],
+            ),
+            "b_id", drop=False,
+        )
+
+        def scalar(b: pa.Table) -> pa.Table:
+            bids = b.column("b_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            sz = b.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+            qty = b.column("qty_c").to_numpy(zero_copy_only=False).astype(np.int64)
+            rev = b.column("rev_e4").to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = branch_mask(bids, sz, qty)
+            return pa.Table.from_pydict(
+                {"rev_e4": pa.array([int(rev[mask].sum())], pa.int64())}
+            )
+
+        parts = att.map_batches(scalar, batch_format="pyarrow").take_all()
     total = sum(int(r["rev_e4"]) for r in parts)
     return pa.Table.from_pydict(
         {"revenue": pa.array([total / 10000.0], pa.float64())}
@@ -484,6 +892,7 @@ def q21_waiting_suppliers(
     sf_dir: str,
     k: int = 10,
     combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q21 shape (adapted: no commit/receipt dates — "kept the
     order waiting" becomes "was the STRICTLY last supplier to ship a
@@ -498,25 +907,19 @@ def q21_waiting_suppliers(
     runs inside ``groupby(l_orderkey).map_groups`` — tier equality is
     test-pinned. The final per-supplier count is <=|suppliers| rows.
     """
-    orders = _broadcast_parquet(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-    okey = orders.column("o_orderkey").to_numpy().astype(np.int64)
-    ostat = orders.column("o_orderstatus").to_numpy(zero_copy_only=False)
-    f_lut = np.zeros(int(okey.max()) + 1, dtype=bool)
-    f_lut[okey[ostat == "F"]] = True
-    lut_ref = ray.put(f_lut)
-
+    orders = _broadcast_parquet(sf_dir, "orders",
+                                ["o_orderkey", "o_orderstatus"],
+                                budget_rows=build_budget)
     _EMPTY = pa.Table.from_pydict(
         {"l_orderkey": pa.array([], pa.int64()),
          "l_suppkey": pa.array([], pa.int64()),
          "ms": pa.array([], pa.int64())}
     )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        lkey = batch.column("l_orderkey").to_numpy().astype(np.int64)
-        mask = (lkey >= 0) & (lkey < len(lut)) & lut[np.minimum(lkey, len(lut) - 1)]
+    def li_partial(batch: pa.Table, mask: np.ndarray) -> pa.Table:
         if not mask.any():
             return _EMPTY
+        lkey = batch.column("l_orderkey").to_numpy().astype(np.int64)
         t = pa.Table.from_pydict(
             {"l_orderkey": pa.array(lkey[mask], pa.int64()),
              "l_suppkey": pa.array(
@@ -529,7 +932,55 @@ def q21_waiting_suppliers(
         ).rename_columns(["l_orderkey", "l_suppkey", "ms"])
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
-    partials = li.map_batches(partial, batch_format="pyarrow")
+    if orders is not None:
+        okey = orders.column("o_orderkey").to_numpy().astype(np.int64)
+        ostat = orders.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        # sorted F-order key set (not a dense max-id LUT)
+        f_keys = np.sort(okey[ostat == "F"])
+        lut_ref = ray.put(f_keys)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            keys = ray.get(lut_ref)
+            lkey = batch.column("l_orderkey").to_numpy().astype(np.int64)
+            return li_partial(batch, _sorted_member_mask(keys, lkey))
+
+        partials = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        # orders over budget: the status-'F' marker attaches by cogroup
+        from .joins import cogroup_attach
+
+        def f_orders(b: pa.Table) -> pa.Table:
+            st = b.column("o_orderstatus").to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array(st == "F"))
+            return pa.Table.from_pydict(
+                {"l_orderkey": t.column("o_orderkey"),
+                 "is_f": pa.array(np.ones(t.num_rows, np.int8), pa.int8())}
+            )
+
+        f_ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]
+                     ).map_batches(f_orders, batch_format="pyarrow")
+
+        def li_pairs(b: pa.Table) -> pa.Table:
+            return li_partial(b, np.ones(b.num_rows, dtype=bool))
+
+        pairs = li.map_batches(li_pairs, batch_format="pyarrow")
+        att = _filter_matched(
+            cogroup_attach(
+                pairs, f_ds, key="l_orderkey",
+                left_fields=[pa.field("l_orderkey", pa.int64()),
+                             pa.field("l_suppkey", pa.int64()),
+                             pa.field("ms", pa.int64())],
+                payload_fields=[pa.field("is_f", pa.int8())],
+            ),
+            "is_f",
+        )
+
+        def regroup(b: pa.Table) -> pa.Table:
+            return b.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+                [("ms", "max")]
+            ).rename_columns(["l_orderkey", "l_suppkey", "ms"])
+
+        partials = att.map_batches(regroup, batch_format="pyarrow")
     tbl = _combine_partials(
         partials, ["l_orderkey", "l_suppkey"], ["ms"], combine_limit, agg="max"
     )
@@ -586,11 +1037,15 @@ def q21_waiting_suppliers(
         wk = counts.column("l_suppkey").to_numpy().astype(np.int64)
         wc = counts.column("sum(n)").to_numpy().astype(np.int64)
 
-    stbl = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_name"])
-    skey = stbl.column("s_suppkey").to_numpy().astype(np.int64)
-    sname = stbl.column("s_name").to_numpy(zero_copy_only=False)
-    pos = {int(s): i for i, s in enumerate(skey)}
-    names = np.array([str(sname[pos[int(s)]]) for s in wk], dtype=object)
+    # prune to count-candidates BEFORE the name fetch: top-k by
+    # (numwait desc, s_name asc) needs names only for suppliers whose
+    # count reaches the k-th largest count (with multiplicity) — names
+    # never promote a lower count past a higher one
+    if len(wc) > k:
+        kth = np.partition(wc, len(wc) - k)[len(wc) - k]
+        cand = wc >= kth
+        wk, wc = wk[cand], wc[cand]
+    names = np.array(_supplier_names(sf_dir, wk, build_budget), dtype=object)
     order = np.lexsort((names, -wc))[:k]
     return pa.Table.from_pydict(
         {"s_name": pa.array(names[order].tolist(), pa.string()),
@@ -605,6 +1060,7 @@ def q22_dormant_customers(
     nations: tuple[str, ...] = ("NATION_2", "NATION_7", "NATION_12"),
     cutoff: str = "2001-01-01",
     combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q22 shape (adapted: no c_phone — the "country code" group
     is the customer's nation, and "never ordered" becomes "no order
@@ -628,8 +1084,11 @@ def q22_dormant_customers(
     name_of = {int(k): str(v) for k, v in zip(nkey[sel], nname[sel])}
 
     cust = _broadcast_parquet(
-        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"],
+        budget_rows=build_budget,
     )
+    if cust is None:
+        return _q22_distributed(sf_dir, cut, nat_keys, name_of, combine_limit)
     ckey = cust.column("c_custkey").to_numpy().astype(np.int64)
     cnat = cust.column("c_nationkey").to_numpy().astype(np.int64)
     bal_c = _cents(cust.column("c_acctbal"))
@@ -677,6 +1136,110 @@ def q22_dormant_customers(
             continue
         rows.append((name_of[k], int(m.sum()), int(d_bal[m].sum())))
     rows.sort(key=lambda r: r[0])
+    return pa.Table.from_pydict(
+        {"n_name": pa.array([r[0] for r in rows], pa.string()),
+         "numcust": pa.array([r[1] for r in rows], pa.int64()),
+         "totacctbal": pa.array([r[2] / 100.0 for r in rows], pa.float64())}
+    )
+
+
+def _q22_distributed(
+    sf_dir: str, cut: int, nat_keys: set, name_of: dict,
+    combine_limit: int,
+) -> pa.Table:
+    """q22's any-cardinality tier. The positive-balance average is two
+    streamed scalars (sum, count); the candidate filter re-streams
+    customer with those scalars broadcast; the anti-join against
+    "ordered since cutoff" keys is a ``cogroup_attach`` + null-filter;
+    the per-nation rollup is a ≤|nations| partial combine. No driver
+    read of customer, and the seen-key set never lands on the driver
+    (VERDICT r3 wrong-list #3 second shape)."""
+    from .joins import cogroup_attach
+
+    nat_arr = np.sort(np.array(sorted(nat_keys), dtype=np.int64))
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = _cents(b.column("c_acctbal"))
+        m = _sorted_member_mask(nat_arr, cn) & (bal > 0)
+        return pa.Table.from_pydict(
+            {"sum_c": pa.array([int(bal[m].sum())], pa.int64()),
+             "n_pos": pa.array([int(m.sum())], pa.int64())}
+        )
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    scalars = _read(sf_dir, "customer", cust_cols).map_batches(
+        bal_partial, batch_format="pyarrow"
+    ).take_all()
+    sum_c = sum(int(r["sum_c"]) for r in scalars)
+    n_pos = sum(int(r["n_pos"]) for r in scalars)
+
+    def cand_rows(b: pa.Table) -> pa.Table:
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = _cents(b.column("c_acctbal"))
+        m = _sorted_member_mask(nat_arr, cn) & (bal * n_pos > sum_c)
+        t = b.filter(pa.array(m))
+        return pa.Table.from_pydict(
+            {"c_custkey": t.column("c_custkey"),
+             "c_nationkey": pa.array(cn[m], pa.int64()),
+             "bal_c": pa.array(bal[m], pa.int64())}
+        )
+
+    cand_ds = _read(sf_dir, "customer", cust_cols).map_batches(
+        cand_rows, batch_format="pyarrow"
+    )
+
+    def seen_keys(b: pa.Table) -> pa.Table:
+        odate = _ts_us(b.column("o_orderdate"))
+        ocust = b.column("o_custkey").to_numpy().astype(np.int64)
+        uniq = np.unique(ocust[odate >= cut])
+        return pa.Table.from_pydict(
+            {"c_custkey": pa.array(uniq, pa.int64()),
+             "n": pa.array(np.ones(len(uniq), dtype=np.int64))}
+        )
+
+    seen_ds = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(seen_keys, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .sum("n")
+    )
+
+    def seen_marker(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"c_custkey": b.column("c_custkey"),
+             "seen": pa.array(np.ones(b.num_rows, np.int8), pa.int8())}
+        )
+
+    att = cogroup_attach(
+        cand_ds,
+        seen_ds.map_batches(seen_marker, batch_format="pyarrow"),
+        key="c_custkey",
+        left_fields=[pa.field("c_custkey", pa.int64()),
+                     pa.field("c_nationkey", pa.int64()),
+                     pa.field("bal_c", pa.int64())],
+        payload_fields=[pa.field("seen", pa.int8())],
+    )
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("seen").is_null())  # ANTI: dormant only
+        out = pa.Table.from_pydict(
+            {"nkey": t.column("c_nationkey"),
+             "numcust": pa.array(np.ones(t.num_rows, np.int64)),
+             "bal_c": t.column("bal_c")}
+        )
+        return out.group_by("nkey").aggregate(
+            [("numcust", "sum"), ("bal_c", "sum")]
+        ).rename_columns(["nkey", "numcust", "bal_c"])
+
+    partials = att.map_batches(nation_partial, batch_format="pyarrow")
+    tbl = _combine_partials(partials, ["nkey"], ["numcust", "bal_c"])
+    nk = tbl.column("nkey").to_numpy().astype(np.int64)
+    nc = tbl.column("sum(numcust)").to_numpy().astype(np.int64)
+    nb = tbl.column("sum(bal_c)").to_numpy().astype(np.int64)
+    rows = sorted(
+        (name_of[int(k)], int(c), int(b)) for k, c, b in zip(nk, nc, nb)
+    )
     return pa.Table.from_pydict(
         {"n_name": pa.array([r[0] for r in rows], pa.string()),
          "numcust": pa.array([r[1] for r in rows], pa.int64()),
@@ -919,7 +1482,10 @@ def _partsupp_pairs(
     )
 
 
-def q9_nation_profit(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
+def q9_nation_profit(
+    sf_dir: str, combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
+) -> pa.Table:
     """TPC-H Q9 shape: profit (revenue minus supply cost) by supplier
     nation and order-year. Because the derived supply cost is a pure
     function of (partkey, suppkey), it evaluates INLINE per lineitem
@@ -927,36 +1493,26 @@ def q9_nation_profit(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
     int64-cents partials and ZERO joins (the supplier-nation LUT is
     the only broadcast).
     """
-    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     nat = _broadcast_parquet(sf_dir, "nation", ["n_nationkey", "n_name"])
-    skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
-    snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
     nkey = nat.column("n_nationkey").to_numpy().astype(np.int64)
     nname = np.asarray(nat.column("n_name").to_numpy(zero_copy_only=False),
                        dtype=object)
     nlut = np.empty(int(nkey.max()) + 1, dtype=object)
     nlut[nkey] = nname
-    s2n = np.full(int(skey.max()) + 1, -1, dtype=np.int64)
-    s2n[skey] = snat
-    lut_ref = ray.put((s2n, nlut))
+    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
+                              budget_rows=build_budget)
 
     _EMPTY = pa.Table.from_pydict(
         {"nation": pa.array([], pa.string()),
          "o_year": pa.array([], pa.int64()),
          "amount_e4": pa.array([], pa.int64())}
     )
+    li_cols = ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+               "l_quantity", "l_shipdate"]
 
-    def partial(batch: pa.Table) -> pa.Table:
-        s2n_l, nlut_l = ray.get(lut_ref)
+    def amount_year(batch: pa.Table, ok: np.ndarray):
         pk = batch.column("l_partkey").to_numpy().astype(np.int64)
         sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
-        ok = (sk >= 0) & (sk < len(s2n_l))
-        # drop suppkeys absent from supplier (the -1 sentinel) exactly
-        # like the oracle's inner join — nlut[-1] would silently credit
-        # the last nation otherwise
-        ok &= s2n_l[np.minimum(np.maximum(sk, 0), len(s2n_l) - 1)] >= 0
-        if not ok.any():
-            return _EMPTY
         base_c = _cents(batch.column("l_extendedprice"))[ok]
         disc_c = _cents(batch.column("l_discount"))[ok]
         qty_c = _cents(batch.column("l_quantity"))[ok]
@@ -967,23 +1523,95 @@ def q9_nation_profit(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
             .astype("datetime64[us]").astype("datetime64[Y]")
             .astype(np.int64) + 1970
         )
-        nid = s2n_l[sk[ok]]
-        t = pa.Table.from_pydict(
-            {"nation": pa.array(
-                np.asarray(nlut_l[nid], dtype=object).tolist(), pa.string()),
-             "o_year": pa.array(year, pa.int64()),
-             "amount_e4": pa.array(amount, pa.int64())}
-        )
-        return t.group_by(["nation", "o_year"]).aggregate(
-            [("amount_e4", "sum")]
-        ).rename_columns(["nation", "o_year", "amount_e4"])
+        return amount, year
 
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
-         "l_quantity", "l_shipdate"],
-    )
-    partials = li.map_batches(partial, batch_format="pyarrow")
+    if supp is not None:
+        skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
+        snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+        # suppkey -> nationkey as a sorted-key lookup (supplier is a
+        # corpus-scaling sparse domain); nation's dense LUT stays
+        sk_s, snat_s = _sorted_kv(skey, snat)
+        lut_ref = ray.put((sk_s, snat_s, nlut))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            sk_sorted, snat_sorted, nlut_l = ray.get(lut_ref)
+            sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+            # unknown suppkeys -> -1, dropping exactly like the
+            # oracle's inner join
+            nid = _sorted_lookup(sk_sorted, snat_sorted, sk, -1)
+            ok = (nid >= 0) & (nid < len(nlut_l))
+            if not ok.any():
+                return _EMPTY
+            amount, year = amount_year(batch, ok)
+            t = pa.Table.from_pydict(
+                {"nation": pa.array(
+                    np.asarray(nlut_l[nid[ok]], dtype=object).tolist(),
+                    pa.string()),
+                 "o_year": pa.array(year, pa.int64()),
+                 "amount_e4": pa.array(amount, pa.int64())}
+            )
+            return t.group_by(["nation", "o_year"]).aggregate(
+                [("amount_e4", "sum")]
+            ).rename_columns(["nation", "o_year", "amount_e4"])
+
+        partials = _read(sf_dir, "lineitem", li_cols).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    else:
+        # supplier over budget: per-(suppkey, year) amount partials
+        # shuffle once, then the nation name attaches by cogroup
+        from .joins import cogroup_attach
+
+        def supp_nation(b: pa.Table) -> pa.Table:
+            sn = b.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            ok = (sn >= 0) & (sn < len(nlut))
+            t = b.filter(pa.array(ok))
+            names = np.asarray(nlut[sn[ok]], dtype=object)
+            return pa.Table.from_pydict(
+                {"l_suppkey": t.column("s_suppkey"),
+                 "nation": pa.array(names.tolist(), pa.string())}
+            )
+
+        supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+                        ).map_batches(supp_nation, batch_format="pyarrow")
+
+        def sy_partial(batch: pa.Table) -> pa.Table:
+            ok = np.ones(batch.num_rows, dtype=bool)
+            amount, year = amount_year(batch, ok)
+            t = pa.Table.from_pydict(
+                {"l_suppkey": batch.column("l_suppkey"),
+                 "o_year": pa.array(year, pa.int64()),
+                 "amount_e4": pa.array(amount, pa.int64())}
+            )
+            return t.group_by(["l_suppkey", "o_year"]).aggregate(
+                [("amount_e4", "sum")]
+            ).rename_columns(["l_suppkey", "o_year", "amount_e4"])
+
+        sy = _read(sf_dir, "lineitem", li_cols).map_batches(
+            sy_partial, batch_format="pyarrow"
+        )
+        att = _filter_matched(
+            cogroup_attach(
+                sy, supp_ds, key="l_suppkey",
+                left_fields=[pa.field("l_suppkey", pa.int64()),
+                             pa.field("o_year", pa.int64()),
+                             pa.field("amount_e4", pa.int64())],
+                payload_fields=[pa.field("nation", pa.string())],
+            ),
+            "nation", drop=False,
+        )
+
+        def nation_partial(b: pa.Table) -> pa.Table:
+            t = pa.Table.from_pydict(
+                {"nation": b.column("nation"),
+                 "o_year": b.column("o_year"),
+                 "amount_e4": b.column("amount_e4")}
+            )
+            return t.group_by(["nation", "o_year"]).aggregate(
+                [("amount_e4", "sum")]
+            ).rename_columns(["nation", "o_year", "amount_e4"])
+
+        partials = att.map_batches(nation_partial, batch_format="pyarrow")
     tbl = _combine_partials(
         partials, ["nation", "o_year"], ["amount_e4"], combine_limit
     )
@@ -1008,20 +1636,18 @@ def q2_min_cost_supplier(
     size: int = 15,
     k: int = 100,
     combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q2 shape: for every size-``size`` part, the region
     supplier(s) offering the MINIMUM derived supply cost (correlated
     min subquery -> per-part argmin). The pair exchange streams;
     per-part min-cost partials merge under the budget (groupby
     fallback); winners (cost == per-part min, ties kept like the SQL
-    join) collect attrs from driver LUTs; classic output order
-    (s_acctbal desc, n_name, s_name, p_partkey) with top-``k``.
+    join) collect attrs from driver lookups; classic output order
+    (s_acctbal desc, n_name, s_name, p_partkey) with top-``k``. Past
+    ``build_budget`` (part/supplier grow with the corpus) the fully
+    distributed cogroup tier ``_q2_distributed`` runs instead.
     """
-    part = _broadcast_parquet(sf_dir, "part", ["p_partkey", "p_size"])
-    pkey = part.column("p_partkey").to_numpy().astype(np.int64)
-    psize = part.column("p_size").to_numpy().astype(np.int64)
-    size_keys = np.sort(pkey[psize == size])
-
     nat = _broadcast_parquet(sf_dir, "nation",
                              ["n_nationkey", "n_name", "n_regionkey"])
     reg = _broadcast_parquet(sf_dir, "region", ["r_regionkey", "r_name"])
@@ -1033,15 +1659,32 @@ def q2_min_cost_supplier(
     nname = np.asarray(nat.column("n_name").to_numpy(zero_copy_only=False),
                        dtype=object)
     region_nations = set(nkey[nreg == target_region].tolist())
+    nlut = np.empty(int(nkey.max()) + 1, dtype=object)
+    nlut[nkey] = nname
 
-    supp = _broadcast_parquet(
-        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    part = _broadcast_parquet(sf_dir, "part", ["p_partkey", "p_size"],
+                              budget_rows=build_budget)
+    supp = (
+        _broadcast_parquet(
+            sf_dir, "supplier",
+            ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+            budget_rows=build_budget,
+        )
+        if part is not None else None
     )
+    if part is None or supp is None:
+        return _q2_distributed(
+            sf_dir, size, region_nations, nlut, k, combine_limit
+        )
+    pkey = part.column("p_partkey").to_numpy().astype(np.int64)
+    psize = part.column("p_size").to_numpy().astype(np.int64)
+    size_keys = np.sort(pkey[psize == size])
+
     skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
     snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
-    in_region_supp = np.zeros(int(skey.max()) + 1, dtype=bool)
-    in_region_supp[skey[np.isin(snat, list(region_nations))]] = True
-    filt_ref = ray.put((size_keys, in_region_supp))
+    # sorted in-region supplier key set (not a dense max-id LUT)
+    region_supp = np.sort(skey[np.isin(snat, list(region_nations))])
+    filt_ref = ray.put((size_keys, region_supp))
 
     _EMPTY = pa.Table.from_pydict(
         {"ps_partkey": pa.array([], pa.int64()),
@@ -1052,10 +1695,7 @@ def q2_min_cost_supplier(
         sizes, srs = ray.get(filt_ref)
         pk = batch.column("ps_partkey").to_numpy().astype(np.int64)
         sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
-        keep = (
-            _sorted_member_mask(sizes, pk)
-            & (sk < len(srs)) & srs[np.minimum(sk, len(srs) - 1)]
-        )
+        keep = _sorted_member_mask(sizes, pk) & _sorted_member_mask(srs, sk)
         if not keep.any():
             return _EMPTY
         cost = _ps_cost_c(pk[keep], sk[keep])
@@ -1088,7 +1728,7 @@ def q2_min_cost_supplier(
         sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
         keep = (
             _sorted_member_mask(sizes, pk)
-            & (sk < len(srs)) & srs[np.minimum(sk, len(srs) - 1)]
+            & _sorted_member_mask(srs, sk)
             & _sorted_member_mask(mps, pk)
         )
         if not keep.any():
@@ -1111,12 +1751,7 @@ def q2_min_cost_supplier(
         if t.num_rows > 0
     ]
     if not win_parts:
-        return pa.Table.from_pydict(
-            {"s_acctbal": pa.array([], pa.float64()),
-             "s_name": pa.array([], pa.string()),
-             "n_name": pa.array([], pa.string()),
-             "p_partkey": pa.array([], pa.int64())}
-        )
+        return _Q2_EMPTY
     w = pa.concat_tables(win_parts)
     wp = w.column("p_partkey").to_numpy().astype(np.int64)
     wsup = w.column("s_suppkey").to_numpy().astype(np.int64)
@@ -1125,8 +1760,6 @@ def q2_min_cost_supplier(
     sbal = supp.column("s_acctbal").to_numpy(zero_copy_only=False)
     spos = {int(s): i for i, s in enumerate(skey)}
     rows = [spos[int(s)] for s in wsup]
-    nlut = np.empty(int(nkey.max()) + 1, dtype=object)
-    nlut[nkey] = nname
     bal = np.asarray([float(sbal[i]) for i in rows])
     names = np.asarray([str(sname[i]) for i in rows], dtype=object)
     nats = np.asarray([str(nlut[int(snat[i])]) for i in rows], dtype=object)
@@ -1139,11 +1772,168 @@ def q2_min_cost_supplier(
     )
 
 
+_Q2_EMPTY = pa.Table.from_pydict(
+    {"s_acctbal": pa.array([], pa.float64()),
+     "s_name": pa.array([], pa.string()),
+     "n_name": pa.array([], pa.string()),
+     "p_partkey": pa.array([], pa.int64())}
+)
+
+
+def _q2_distributed(
+    sf_dir: str, size: int, region_nations: set, nlut: np.ndarray,
+    k: int, combine_limit: int,
+) -> pa.Table:
+    """q2's any-cardinality tier: the size-part and region-supplier
+    filters, the per-part min attach, and the supplier-attribute attach
+    are all ``cogroup_attach`` passes over the streamed pair exchange;
+    the top-k resolves with per-block heads + a driver merge. Nothing
+    driver-side ever scales with part/supplier cardinality except the
+    ≤k output."""
+    from .joins import cogroup_attach
+
+    nat_arr = np.sort(np.array(sorted(region_nations), dtype=np.int64))
+
+    def size_parts(b: pa.Table) -> pa.Table:
+        ps = b.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(ps == size))
+        return pa.Table.from_pydict(
+            {"ps_partkey": t.column("p_partkey"),
+             "sz_ok": pa.array(np.ones(t.num_rows, np.int8), pa.int8())}
+        )
+
+    size_ds = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        size_parts, batch_format="pyarrow"
+    )
+
+    def region_supp_rows(b: pa.Table) -> pa.Table:
+        sn = b.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(_sorted_member_mask(nat_arr, sn)))
+        return pa.Table.from_pydict(
+            {"ps_suppkey": t.column("s_suppkey"),
+             "sr_ok": pa.array(np.ones(t.num_rows, np.int8), pa.int8())}
+        )
+
+    rsupp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+                     ).map_batches(region_supp_rows, batch_format="pyarrow")
+
+    pair_key_fields = [pa.field("ps_partkey", pa.int64()),
+                       pa.field("ps_suppkey", pa.int64())]
+
+    def drop_avail(b: pa.Table) -> pa.Table:
+        return b.select(["ps_partkey", "ps_suppkey"])
+
+    pairs = _partsupp_pairs(sf_dir).map_batches(
+        drop_avail, batch_format="pyarrow"
+    )
+    f1 = _filter_matched(
+        cogroup_attach(pairs, size_ds, key="ps_partkey",
+                       left_fields=pair_key_fields,
+                       payload_fields=[pa.field("sz_ok", pa.int8())]),
+        "sz_ok",
+    )
+    filt = _filter_matched(
+        cogroup_attach(f1, rsupp_ds, key="ps_suppkey",
+                       left_fields=pair_key_fields,
+                       payload_fields=[pa.field("sr_ok", pa.int8())]),
+        "sr_ok",
+    ).materialize()
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        pk = b.column("ps_partkey").to_numpy().astype(np.int64)
+        sk = b.column("ps_suppkey").to_numpy().astype(np.int64)
+        t = pa.Table.from_pydict(
+            {"ps_partkey": pa.array(pk, pa.int64()),
+             "min_cost": pa.array(_ps_cost_c(pk, sk), pa.int64())}
+        )
+        return t.group_by("ps_partkey").aggregate(
+            [("min_cost", "min")]
+        ).rename_columns(["ps_partkey", "min_cost"])
+
+    mins = (
+        filt.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("ps_partkey")
+        .min("min_cost")
+        .map_batches(
+            lambda b: b.rename_columns(["ps_partkey", "min_cost"]),
+            batch_format="pyarrow",
+        )
+    )
+    w_att = _filter_matched(
+        cogroup_attach(filt, mins, key="ps_partkey",
+                       left_fields=pair_key_fields,
+                       payload_fields=[pa.field("min_cost", pa.int64())]),
+        "min_cost", drop=False,
+    )
+
+    def pick_winners(b: pa.Table) -> pa.Table:
+        pk = b.column("ps_partkey").to_numpy().astype(np.int64)
+        sk = b.column("ps_suppkey").to_numpy().astype(np.int64)
+        mc = b.column("min_cost").to_numpy(zero_copy_only=False).astype(np.int64)
+        win = _ps_cost_c(pk, sk) == mc
+        return pa.Table.from_pydict(
+            {"ps_suppkey": pa.array(sk[win], pa.int64()),
+             "p_partkey": pa.array(pk[win], pa.int64())}
+        )
+
+    winners = w_att.map_batches(pick_winners, batch_format="pyarrow")
+
+    def supp_attrs(b: pa.Table) -> pa.Table:
+        sn = b.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (sn >= 0) & (sn < len(nlut))
+        t = b.filter(pa.array(ok))
+        nm = np.asarray(nlut[sn[ok]], dtype=object)
+        return pa.Table.from_pydict(
+            {"ps_suppkey": t.column("s_suppkey"),
+             "s_name": t.column("s_name"),
+             "n_name": pa.array(nm.tolist(), pa.string()),
+             "s_acctbal": t.column("s_acctbal")}
+        )
+
+    attrs_ds = _read(
+        sf_dir, "supplier",
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).map_batches(supp_attrs, batch_format="pyarrow")
+    enriched = _filter_matched(
+        cogroup_attach(
+            winners, attrs_ds, key="ps_suppkey",
+            left_fields=[pa.field("ps_suppkey", pa.int64()),
+                         pa.field("p_partkey", pa.int64())],
+            payload_fields=[pa.field("s_name", pa.string()),
+                            pa.field("n_name", pa.string()),
+                            pa.field("s_acctbal", pa.float64())],
+        ),
+        "s_name", drop=False,
+    )
+
+    sort_keys = [("s_acctbal", "descending"), ("n_name", "ascending"),
+                 ("s_name", "ascending"), ("p_partkey", "ascending")]
+    out_cols = ["s_acctbal", "s_name", "n_name", "p_partkey"]
+
+    def local_head(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=sort_keys)[:k]
+        return b.take(idx).select(out_cols)
+
+    heads = [
+        t for t in ray.get(
+            enriched.map_batches(local_head, batch_format="pyarrow")
+            .materialize().to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not heads:
+        return _Q2_EMPTY
+    merged = pa.concat_tables(heads)
+    idx = pc.sort_indices(merged, sort_keys=sort_keys)[:k]
+    return merged.take(idx).select(out_cols)
+
+
 def q11_important_stock(
     sf_dir: str,
     nation: str = "NATION_3",
     fraction_e4: int = 10,  # part share > fraction_e4 / 10^4 of total
     combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q11 shape: parts whose stock value at one nation's
     suppliers exceeds a fraction of the total — the scalar-subquery
@@ -1156,25 +1946,19 @@ def q11_important_stock(
     nkey = nat.column("n_nationkey").to_numpy().astype(np.int64)
     nname = nat.column("n_name").to_numpy(zero_copy_only=False)
     target = int(nkey[nname == nation][0])
-    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
-    snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
-    in_nation = np.zeros(int(skey.max()) + 1, dtype=bool)
-    in_nation[skey[snat == target]] = True
-    lut_ref = ray.put(in_nation)
+    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
+                              budget_rows=build_budget)
 
     _EMPTY = pa.Table.from_pydict(
         {"ps_partkey": pa.array([], pa.int64()),
          "value_c": pa.array([], pa.int64())}
     )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        pk = batch.column("ps_partkey").to_numpy().astype(np.int64)
-        sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
-        keep = (sk < len(lut)) & lut[np.minimum(sk, len(lut) - 1)]
+    def value_partial(batch: pa.Table, keep: np.ndarray) -> pa.Table:
         if not keep.any():
             return _EMPTY
+        pk = batch.column("ps_partkey").to_numpy().astype(np.int64)
+        sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
         avail = batch.column("ps_availqty").to_numpy().astype(np.int64)[keep]
         val = _ps_cost_c(pk[keep], sk[keep]) * avail
         t = pa.Table.from_pydict(
@@ -1185,22 +1969,86 @@ def q11_important_stock(
             [("value_c", "sum")]
         ).rename_columns(["ps_partkey", "value_c"])
 
-    partials = _partsupp_pairs(sf_dir).map_batches(
-        partial, batch_format="pyarrow"
-    )
-    tbl = _combine_partials(partials, ["ps_partkey"], ["value_c"], combine_limit)
-    if tbl is None:
-        tbl = pa.Table.from_pylist(
-            partials.groupby("ps_partkey").sum("value_c").take_all()
+    if supp is not None:
+        skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
+        snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+        # sorted in-nation supplier key set (not a dense max-id LUT)
+        nat_supp = np.sort(skey[snat == target])
+        lut_ref = ray.put(nat_supp)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            keys = ray.get(lut_ref)
+            sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
+            return value_partial(batch, _sorted_member_mask(keys, sk))
+
+        partials = _partsupp_pairs(sf_dir).map_batches(
+            partial, batch_format="pyarrow"
         )
-    pk = tbl.column("ps_partkey").to_numpy().astype(np.int64)
-    val = tbl.column("sum(value_c)").to_numpy().astype(np.int64)
-    total = int(sum(int(v) for v in val))
-    keep = val * 10_000 > total * fraction_e4
-    order = np.lexsort((pk[keep], -val[keep]))
+    else:
+        # supplier over budget: in-nation marker attaches by cogroup
+        from .joins import cogroup_attach
+
+        def nat_supp_rows(b: pa.Table) -> pa.Table:
+            sn = b.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            t = b.filter(pa.array(sn == target))
+            return pa.Table.from_pydict(
+                {"ps_suppkey": t.column("s_suppkey"),
+                 "in_nat": pa.array(np.ones(t.num_rows, np.int8), pa.int8())}
+            )
+
+        supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+                        ).map_batches(nat_supp_rows, batch_format="pyarrow")
+        att = _filter_matched(
+            cogroup_attach(
+                _partsupp_pairs(sf_dir), supp_ds, key="ps_suppkey",
+                left_fields=[pa.field("ps_partkey", pa.int64()),
+                             pa.field("ps_suppkey", pa.int64()),
+                             pa.field("ps_availqty", pa.int64())],
+                payload_fields=[pa.field("in_nat", pa.int8())],
+            ),
+            "in_nat",
+        )
+        partials = att.map_batches(
+            lambda b: value_partial(b, np.ones(b.num_rows, dtype=bool)),
+            batch_format="pyarrow",
+        )
+    tbl = _combine_partials(partials, ["ps_partkey"], ["value_c"], combine_limit)
+    if tbl is not None:
+        pk = tbl.column("ps_partkey").to_numpy().astype(np.int64)
+        val = tbl.column("sum(value_c)").to_numpy().astype(np.int64)
+        total = int(sum(int(v) for v in val))
+        keep = val * 10_000 > total * fraction_e4
+        pk, val = pk[keep], val[keep]
+    else:
+        # over the combine budget: the per-part values stay DISTRIBUTED
+        # — the grand total reduces via block partials and only the
+        # threshold-qualifying rows (the query's actual output) collect
+        grouped = partials.groupby("ps_partkey").sum("value_c")
+
+        def total_partial(b: pa.Table) -> pa.Table:
+            v = b.column("sum(value_c)").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {"t": pa.array([int(v.astype(np.int64).sum())], pa.int64())}
+            )
+
+        total = sum(
+            int(r["t"])
+            for r in grouped.map_batches(
+                total_partial, batch_format="pyarrow"
+            ).take_all()
+        )
+
+        def qualify(b: pa.Table) -> pa.Table:
+            v = b.column("sum(value_c)").to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(v * 10_000 > total * fraction_e4))
+
+        rows = grouped.map_batches(qualify, batch_format="pyarrow").take_all()
+        pk = np.array([r["ps_partkey"] for r in rows], np.int64)
+        val = np.array([r["sum(value_c)"] for r in rows], np.int64)
+    order = np.lexsort((pk, -val))
     return pa.Table.from_pydict(
-        {"ps_partkey": pa.array(pk[keep][order], pa.int64()),
-         "value": pa.array(val[keep][order] / 100.0, pa.float64())}
+        {"ps_partkey": pa.array(pk[order], pa.int64()),
+         "value": pa.array(val[order] / 100.0, pa.float64())}
     )
 
 
@@ -1209,6 +2057,7 @@ def q16_supplier_part_counts(
     exclude_brand: str = "Brand#1",
     sizes: tuple[int, ...] = (5, 10, 15, 20, 25, 30, 35, 40),
     combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q16 shape (adapted: "customer complaints" suppliers are
     those with negative account balance): how many DISTINCT suppliers
@@ -1217,23 +2066,14 @@ def q16_supplier_part_counts(
     against three driver LUTs; block-distinct (brand, size, supplier)
     triples merge under the budget; the count collapses per group.
     """
-    part = _broadcast_parquet(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
-    pkey = part.column("p_partkey").to_numpy().astype(np.int64)
-    pbrand = np.asarray(part.column("p_brand").to_numpy(zero_copy_only=False),
-                        dtype=object)
-    psize = part.column("p_size").to_numpy().astype(np.int64)
-    n = int(pkey.max()) + 1
-    blut = np.empty(n, dtype=object)
-    blut[pkey] = pbrand
-    slut = np.zeros(n, dtype=np.int64)
-    slut[pkey] = psize
-    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
-    skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
-    sbal = supp.column("s_acctbal").to_numpy(zero_copy_only=False)
-    bad = np.zeros(int(skey.max()) + 1, dtype=bool)
-    bad[skey[sbal < 0]] = True
     size_set = np.array(sorted(sizes), dtype=np.int64)
-    lut_ref = ray.put((blut, slut, bad, size_set))
+    part = _broadcast_parquet(sf_dir, "part", ["p_partkey", "p_brand", "p_size"],
+                              budget_rows=build_budget)
+    supp = (
+        _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_acctbal"],
+                           budget_rows=build_budget)
+        if part is not None else None
+    )
 
     _EMPTY = pa.Table.from_pydict(
         {"p_brand": pa.array([], pa.string()),
@@ -1242,48 +2082,142 @@ def q16_supplier_part_counts(
          "n": pa.array([], pa.int64())}
     )
 
-    def triples(batch: pa.Table) -> pa.Table:
-        blut_l, slut_l, bad_l, sset = ray.get(lut_ref)
-        pk = batch.column("ps_partkey").to_numpy().astype(np.int64)
-        sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
-        ok = (pk < len(slut_l)) & (sk < len(bad_l))
-        brand = np.asarray(blut_l[np.minimum(pk, len(blut_l) - 1)],
-                           dtype=object)
-        size = slut_l[np.minimum(pk, len(slut_l) - 1)]
-        keep = (
-            ok
-            & (brand != exclude_brand)
-            & _sorted_member_mask(sset, size)
-            & ~bad_l[np.minimum(sk, len(bad_l) - 1)]
+    if part is not None and supp is not None:
+        pkey = part.column("p_partkey").to_numpy().astype(np.int64)
+        pbrand = np.asarray(part.column("p_brand").to_numpy(zero_copy_only=False),
+                            dtype=object)
+        psize = part.column("p_size").to_numpy().astype(np.int64)
+        # pre-filter the qualifying parts on the driver, then ship ONE
+        # sorted (key -> brand, size) lookup — sparse-domain safe
+        pq_keep = (pbrand != exclude_brand) & _sorted_member_mask(size_set, psize)
+        pk_s, brand_s, size_s = _sorted_kv(
+            pkey[pq_keep], pbrand[pq_keep], psize[pq_keep]
         )
-        if not keep.any():
-            return _EMPTY
-        return pa.Table.from_pydict(
-            {"p_brand": pa.array(brand[keep].tolist(), pa.string()),
-             "p_size": pa.array(size[keep], pa.int64()),
-             "ps_suppkey": pa.array(sk[keep], pa.int64()),
-             "n": pa.array(np.ones(int(keep.sum()), dtype=np.int64))}
+        skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
+        sbal = supp.column("s_acctbal").to_numpy(zero_copy_only=False)
+        bad_keys = np.sort(skey[sbal < 0])
+        lut_ref = ray.put((pk_s, brand_s, size_s, bad_keys))
+
+        def triples(batch: pa.Table) -> pa.Table:
+            pk_sorted, brands, sizes_v, bad_s = ray.get(lut_ref)
+            pk = batch.column("ps_partkey").to_numpy().astype(np.int64)
+            sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
+            keep = (
+                _sorted_member_mask(pk_sorted, pk)
+                & ~_sorted_member_mask(bad_s, sk)
+            )
+            if not keep.any():
+                return _EMPTY
+            pos = np.searchsorted(pk_sorted, pk[keep])
+            return pa.Table.from_pydict(
+                {"p_brand": pa.array(
+                    np.asarray(brands[pos], dtype=object).tolist(), pa.string()),
+                 "p_size": pa.array(sizes_v[pos], pa.int64()),
+                 "ps_suppkey": pa.array(sk[keep], pa.int64()),
+                 "n": pa.array(np.ones(int(keep.sum()), dtype=np.int64))}
+            )
+
+        partials = _partsupp_pairs(sf_dir).map_batches(
+            triples, batch_format="pyarrow"
+        )
+    else:
+        # part/supplier over budget: qualifying part attrs and the
+        # complaint-supplier marker attach by cogroup
+        from .joins import cogroup_attach
+
+        def part_attrs(b: pa.Table) -> pa.Table:
+            pb = np.asarray(b.column("p_brand").to_numpy(zero_copy_only=False),
+                            dtype=object)
+            ps = b.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = (pb != exclude_brand) & _sorted_member_mask(size_set, ps)
+            t = b.filter(pa.array(keep))
+            return pa.Table.from_pydict(
+                {"ps_partkey": t.column("p_partkey"),
+                 "p_brand": t.column("p_brand"),
+                 "p_size": t.column("p_size").cast(pa.int64())}
+            )
+
+        attrs_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+                         ).map_batches(part_attrs, batch_format="pyarrow")
+
+        def bad_rows(b: pa.Table) -> pa.Table:
+            sb = b.column("s_acctbal").to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array(sb < 0))
+            return pa.Table.from_pydict(
+                {"ps_suppkey": t.column("s_suppkey"),
+                 "bad": pa.array(np.ones(t.num_rows, np.int8), pa.int8())}
+            )
+
+        bad_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]
+                       ).map_batches(bad_rows, batch_format="pyarrow")
+        pair_fields = [pa.field("ps_partkey", pa.int64()),
+                       pa.field("ps_suppkey", pa.int64()),
+                       pa.field("ps_availqty", pa.int64())]
+        att1 = _filter_matched(
+            cogroup_attach(
+                _partsupp_pairs(sf_dir), attrs_ds, key="ps_partkey",
+                left_fields=pair_fields,
+                payload_fields=[pa.field("p_brand", pa.string()),
+                                pa.field("p_size", pa.int64())],
+            ),
+            "p_brand", drop=False,
+        )
+        att2 = cogroup_attach(  # LEFT: keep rows whose supplier is OK
+            att1, bad_ds, key="ps_suppkey",
+            left_fields=pair_fields + [pa.field("p_brand", pa.string()),
+                                       pa.field("p_size", pa.int64())],
+            payload_fields=[pa.field("bad", pa.int8())],
         )
 
-    partials = _partsupp_pairs(sf_dir).map_batches(
-        triples, batch_format="pyarrow"
-    )
+        def triple_rows(b: pa.Table) -> pa.Table:
+            t = b.filter(b.column("bad").is_null())
+            if t.num_rows == 0:
+                return _EMPTY
+            return pa.Table.from_pydict(
+                {"p_brand": t.column("p_brand"),
+                 "p_size": t.column("p_size"),
+                 "ps_suppkey": t.column("ps_suppkey"),
+                 "n": pa.array(np.ones(t.num_rows, np.int64))}
+            )
+
+        partials = att2.map_batches(triple_rows, batch_format="pyarrow")
     tbl = _combine_partials(
         partials, ["p_brand", "p_size", "ps_suppkey"], ["n"], combine_limit
     )
-    if tbl is None:
-        tbl = pa.Table.from_pylist(
-            partials.groupby(["p_brand", "p_size", "ps_suppkey"])
-            .sum("n").take_all()
+    if tbl is not None:
+        counted = (
+            tbl.select(["p_brand", "p_size"])
+            .append_column("supplier_cnt",
+                           pa.array(np.ones(tbl.num_rows, dtype=np.int64)))
+            .group_by(["p_brand", "p_size"])
+            .aggregate([("supplier_cnt", "sum")])
+            .rename_columns(["p_brand", "p_size", "supplier_cnt"])
         )
-    counted = (
-        tbl.select(["p_brand", "p_size"])
-        .append_column("supplier_cnt",
-                       pa.array(np.ones(tbl.num_rows, dtype=np.int64)))
-        .group_by(["p_brand", "p_size"])
-        .aggregate([("supplier_cnt", "sum")])
-        .rename_columns(["p_brand", "p_size", "supplier_cnt"])
-    )
+    else:
+        # over the combine budget: the distinct triples stay
+        # DISTRIBUTED — dedup by Ray groupby, then ≤|brand × size|
+        # count partials combine on the driver
+        distinct = partials.groupby(["p_brand", "p_size", "ps_suppkey"]).sum("n")
+
+        def count_partial(b: pa.Table) -> pa.Table:
+            t = pa.Table.from_pydict(
+                {"p_brand": b.column("p_brand"),
+                 "p_size": b.column("p_size"),
+                 "supplier_cnt": pa.array(np.ones(b.num_rows, np.int64))}
+            )
+            return t.group_by(["p_brand", "p_size"]).aggregate(
+                [("supplier_cnt", "sum")]
+            ).rename_columns(["p_brand", "p_size", "supplier_cnt"])
+
+        merged = _combine_partials(
+            distinct.map_batches(count_partial, batch_format="pyarrow"),
+            ["p_brand", "p_size"], ["supplier_cnt"],
+        )
+        counted = pa.Table.from_pydict(
+            {"p_brand": merged.column("p_brand"),
+             "p_size": merged.column("p_size"),
+             "supplier_cnt": merged.column("sum(supplier_cnt)")}
+        )
     idx = pc.sort_indices(
         counted,
         sort_keys=[("supplier_cnt", "descending"), ("p_brand", "ascending"),
@@ -1297,6 +2231,7 @@ def q20_promotion_suppliers(
     nation: str = "NATION_3",
     year: str = "1996",
     combine_limit: int = 2_000_000,
+    build_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """TPC-H Q20 shape: suppliers in one nation holding EXCESS stock of
     some part relative to what they shipped in a year —
@@ -1314,31 +2249,24 @@ def q20_promotion_suppliers(
     nname = nat.column("n_name").to_numpy(zero_copy_only=False)
     target = int(nkey[nname == nation][0])
     supp = _broadcast_parquet(
-        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"],
+        budget_rows=build_budget,
     )
-    skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
-    snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
-    in_nation = np.zeros(int(skey.max()) + 1, dtype=bool)
-    in_nation[skey[snat == target]] = True
-    lut_ref = ray.put(in_nation)
 
     _EMPTY = pa.Table.from_pydict(
         {"ps_suppkey": pa.array([], pa.int64()),
          "n": pa.array([], pa.int64())}
     )
 
-    def qualifying(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
+    def excess_mask(batch: pa.Table) -> np.ndarray:
         avail = batch.column("ps_availqty").to_numpy().astype(np.int64)
         qty_win = batch.column("qty_win_c").to_numpy().astype(np.int64)
-        keep = (
-            (sk < len(lut)) & lut[np.minimum(sk, len(lut) - 1)]
-            & (qty_win > 0)
-            & (200 * avail > qty_win)
-        )
+        return (qty_win > 0) & (200 * avail > qty_win)
+
+    def distinct_supp(batch: pa.Table, keep: np.ndarray) -> pa.Table:
         if not keep.any():
             return _EMPTY
+        sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
         uniq = np.unique(sk[keep])
         return pa.Table.from_pydict(
             {"ps_suppkey": pa.array(uniq, pa.int64()),
@@ -1346,15 +2274,55 @@ def q20_promotion_suppliers(
         )
 
     pairs = _partsupp_pairs(sf_dir, qty_window=(lo, hi))
-    partials = pairs.map_batches(qualifying, batch_format="pyarrow")
+    if supp is not None:
+        skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
+        snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+        # sorted in-nation key set (not a dense max-id LUT)
+        nat_keys_s = np.sort(skey[snat == target])
+        lut_ref = ray.put(nat_keys_s)
+
+        def qualifying(batch: pa.Table) -> pa.Table:
+            keys = ray.get(lut_ref)
+            sk = batch.column("ps_suppkey").to_numpy().astype(np.int64)
+            return distinct_supp(
+                batch, _sorted_member_mask(keys, sk) & excess_mask(batch)
+            )
+
+        partials = pairs.map_batches(qualifying, batch_format="pyarrow")
+    else:
+        # supplier over budget: the in-nation marker attaches by cogroup
+        from .joins import cogroup_attach
+
+        def nat_supp_rows(b: pa.Table) -> pa.Table:
+            sn = b.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            t = b.filter(pa.array(sn == target))
+            return pa.Table.from_pydict(
+                {"ps_suppkey": t.column("s_suppkey"),
+                 "in_nat": pa.array(np.ones(t.num_rows, np.int8), pa.int8())}
+            )
+
+        supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+                        ).map_batches(nat_supp_rows, batch_format="pyarrow")
+        att = _filter_matched(
+            cogroup_attach(
+                pairs, supp_ds, key="ps_suppkey",
+                left_fields=[pa.field("ps_partkey", pa.int64()),
+                             pa.field("ps_suppkey", pa.int64()),
+                             pa.field("ps_availqty", pa.int64()),
+                             pa.field("qty_win_c", pa.int64())],
+                payload_fields=[pa.field("in_nat", pa.int8())],
+            ),
+            "in_nat",
+        )
+        partials = att.map_batches(
+            lambda b: distinct_supp(b, excess_mask(b)),
+            batch_format="pyarrow",
+        )
     tbl = _combine_partials(partials, ["ps_suppkey"], ["n"], combine_limit)
     if tbl is None:
         tbl = pa.Table.from_pylist(
             partials.groupby("ps_suppkey").sum("n").take_all()
         )
     wk = np.sort(tbl.column("ps_suppkey").to_numpy().astype(np.int64))
-    sname = np.asarray(supp.column("s_name").to_numpy(zero_copy_only=False),
-                       dtype=object)
-    pos = {int(s): i for i, s in enumerate(skey)}
-    names = sorted(str(sname[pos[int(s)]]) for s in wk)
+    names = sorted(_supplier_names(sf_dir, wk, build_budget))
     return pa.Table.from_pydict({"s_name": pa.array(names, pa.string())})
