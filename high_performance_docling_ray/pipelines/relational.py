@@ -143,6 +143,27 @@ def _filter_matched(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def to_table_or_sink(
+    ds: ray.data.Dataset,
+    sort_keys: list[tuple[str, str]],
+    sink_dir: str | None = None,
+) -> pa.Table | str:
+    """Result delivery for USER-LEVEL outputs (one row per user / key).
+
+    Default: collect + sort into an in-memory Table — the query-API
+    contract, fine at the gate where the result is result-sized. At
+    deployment scale a per-user table is itself corpus-sized, so
+    ``sink_dir`` streams the result to sharded parquet instead
+    (resumable, never lands on the driver) and returns the directory;
+    readers get the same rows, just unsorted across shards
+    (test-pinned equal after a read-back sort)."""
+    if sink_dir is not None:
+        ds.write_parquet(sink_dir)
+        return sink_dir
+    tbl = pa.Table.from_pylist(ds.take_all())
+    return tbl.sort_by(sort_keys) if tbl.num_rows else tbl
+
+
 def _combine_partials(
     partials: ray.data.Dataset,
     keys: list[str],
@@ -864,7 +885,10 @@ def events_hourly(sf_dir: str) -> pa.Table:
     return out.sort_by([("hour", "ascending"), ("event_type", "ascending")])
 
 
-def sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pa.Table:
+def sessionize(
+    sf_dir: str, gap_us: int = SESSION_GAP_US,
+    sink_dir: str | None = None,
+) -> pa.Table | str:
     """Per-user session count, 30-min gap rule.
 
     The stateful-per-key window Ray Data lacks as a primitive
@@ -925,8 +949,7 @@ def sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pa.Table:
             batch_format="pyarrow",
         )
     )
-    tbl = pa.Table.from_pylist(out.take_all())
-    return tbl.sort_by([("user_id", "ascending")])
+    return to_table_or_sink(out, [("user_id", "ascending")], sink_dir)
 
 
 def range_join_events(
@@ -934,7 +957,8 @@ def range_join_events(
     window_min: int = 60,
     left_type: str = "purchase",
     right_type: str = "click",
-) -> pa.Table:
+    sink_dir: str | None = None,
+) -> pa.Table | str:
     """RANGE (interval) join: every ``right_type`` event of the same
     user within ``[ts - window, ts]`` of each ``left_type`` event.
 
@@ -1030,8 +1054,13 @@ def range_join_events(
             batch_format="pyarrow",
         )
     )
-    tbl = pa.Table.from_pylist(out.take_all())
-    if tbl.num_rows == 0:
+    res = to_table_or_sink(
+        out, [("event_id", "ascending"), ("click_event_id", "ascending")],
+        sink_dir,
+    )
+    if isinstance(res, str):
+        return res
+    if res.num_rows == 0:
         return range_group(
             pa.Table.from_pydict(
                 {
@@ -1042,15 +1071,14 @@ def range_join_events(
                 }
             )
         )
-    return tbl.sort_by(
-        [("event_id", "ascending"), ("click_event_id", "ascending")]
-    )
+    return res
 
 
 # -- as-of join: the canonical "operator Ray Data lacks" -----------------------
 
 def asof_join_events(sf_dir: str, left_type: str = "purchase",
-                     right_type: str = "click") -> pa.Table:
+                     right_type: str = "click",
+                     sink_dir: str | None = None) -> pa.Table | str:
     """For each ``left_type`` event, the latest ``right_type`` event of
     the same user at or before it (ASOF LEFT JOIN semantics).
 
@@ -1133,8 +1161,7 @@ def asof_join_events(sf_dir: str, left_type: str = "purchase",
             batch_format="pyarrow",
         )
     )
-    tbl = pa.Table.from_pylist(out.take_all())
-    return tbl.sort_by([("event_id", "ascending")])
+    return to_table_or_sink(out, [("event_id", "ascending")], sink_dir)
 
 
 # -- sliding-window aggregate -------------------------------------------------

@@ -85,3 +85,21 @@ def test_broadcast_budget_probe(tmp_path):
                               budget_rows=n - 1) is None
     tbl = _broadcast_parquet(SF, "orders", ["o_orderkey"], budget_rows=n)
     assert tbl is not None and tbl.num_rows == n
+
+
+def test_to_table_or_sink_pinned_equal(ray_session, tmp_path):
+    """The write_parquet sink path delivers the same rows as the
+    driver-collect contract (read-back + sort == collected table)."""
+    import pyarrow as pa
+
+    from high_performance_docling_ray.pipelines.io import read_parquet_clean
+    from high_performance_docling_ray.pipelines.relational import sessionize
+
+    tbl = sessionize(SF)
+    out_dir = str(tmp_path / "sessions")
+    path = sessionize(SF, sink_dir=out_dir)
+    assert path == out_dir
+    back = pa.Table.from_pylist(
+        read_parquet_clean(out_dir).take_all()
+    ).sort_by([("user_id", "ascending")])
+    assert back.select(tbl.column_names).equals(tbl)
