@@ -627,8 +627,12 @@ def tfidf_topk(
     from .dedup import _collect_within_budget
     from .joins import cogroup_attach
 
+    from .io import parquet_num_rows
+
     docs = read_documents(sf_dir, ("doc_id", "text"))
-    n_docs = docs.count()
+    # corpus row count from the parquet FOOTER — no Ray execution
+    # spent on a scalar probe (session-8 sharp edge)
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
 
     def partial_df(batch: pa.Table) -> pa.Table:
         flat, doc_idx, _ = _tokenize(batch.column("text"))

@@ -1680,6 +1680,21 @@ def trimmed_stats(
     k = int(np.floor(alpha * n))
     m = n - 2 * k
 
+    def exact_dot(v: np.ndarray, c: np.ndarray) -> int:
+        """Exact sum(v*c). int64 fast path when the elementwise product
+        provably cannot overflow (max|v| * max(c) bound); arbitrary-
+        precision object math only when a hot value's count pushes a
+        single product past int64 — correctness without paying the
+        object-dtype tax on every call."""
+        if len(v) == 0:
+            return 0
+        vmax = int(np.abs(v).max())
+        cmax = int(c.max())
+        # |sum| <= len * vmax * cmax: demand that worst case < 2^62
+        if vmax == 0 or (cmax and vmax * cmax * len(v) < 2**62):
+            return int(np.sum(v * c, dtype=np.int64))
+        return int(np.sum(v.astype(object) * c.astype(object)))
+
     def tail_sums(kk: int) -> tuple[int, int]:
         """(sum of the kk smallest, sum of the kk largest) — exact ints
         with boundary values partially counted."""
@@ -1687,26 +1702,17 @@ def trimmed_stats(
             return 0, 0
         lo_idx = int(np.searchsorted(cum, kk))          # first value whose cum >= kk
         below = int(cum[lo_idx - 1]) if lo_idx else 0
-        # cast to object BEFORE the elementwise product: a single value
-        # with a huge count would overflow the int64 product (the
-        # ``total`` computation below already does this)
-        lo_sum = int(
-            np.sum(vals[:lo_idx].astype(object) * cnts[:lo_idx].astype(object))
-            if lo_idx else 0
-        )
+        lo_sum = exact_dot(vals[:lo_idx], cnts[:lo_idx])
         lo_sum += int(vals[lo_idx]) * (kk - below)
         rcum = np.cumsum(cnts[::-1])
         hi_idx = int(np.searchsorted(rcum, kk))
         rabove = int(rcum[hi_idx - 1]) if hi_idx else 0
         hi_vals, hi_cnts = vals[::-1], cnts[::-1]
-        hi_sum = int(
-            np.sum(hi_vals[:hi_idx].astype(object) * hi_cnts[:hi_idx].astype(object))
-            if hi_idx else 0
-        )
+        hi_sum = exact_dot(hi_vals[:hi_idx], hi_cnts[:hi_idx])
         hi_sum += int(hi_vals[hi_idx]) * (kk - rabove)
         return lo_sum, hi_sum
 
-    total = int(np.sum(vals.astype(object) * cnts.astype(object)))
+    total = exact_dot(vals, cnts)
     lo_sum, hi_sum = tail_sums(k)
     mid_sum = total - lo_sum - hi_sum
     # winsorize: the k trimmed rows on each side are REPLACED by the
