@@ -460,6 +460,17 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(sf_dir, k=20)
 
 
+def _q_frequent_ngrams(sf_dir: str):
+    """Exact phi-heavy-hitter 3-grams via mergeable Misra-Gries block
+    summaries (<= cap+1 rows per block, any gram-domain size) + an
+    exact candidate-only verify pass — driver sees <= 2/phi + 1 rows."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        frequent_ngrams,
+    )
+
+    return frequent_ngrams(sf_dir, phi=0.0002, n=3)
+
+
 def _q_cms_estimates(sf_dir: str):
     """Count-min-sketch point estimates (md5-salted buckets, bit-exact
     reproducible in SQL) for a fixed probe set incl. an absent token."""
@@ -1256,6 +1267,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "postings_lookup": _q_postings_lookup,
         "phrase_lookup": _q_phrase_lookup,
         "top_tokens": _q_top_tokens,
+        "frequent_ngrams": _q_frequent_ngrams,
         "cms_token_estimates": _q_cms_estimates,
         "quantize_embeddings": _q_quantize_embeddings,
         "sample_per_group": _q_sample_per_group,
@@ -3141,6 +3153,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM tok GROUP BY token
         ORDER BY cnt DESC, token LIMIT 20
+    """
+    oracles["frequent_ngrams"] = r"""
+        WITH t AS (
+          SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                 AS gram
+          FROM t, UNNEST(range(1, len(toks) - 1)) AS r(i)
+          WHERE len(toks) >= 3
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM g)
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g, tot
+        GROUP BY gram, n
+        HAVING COUNT(*) >= 0.0002 * n
+        ORDER BY cnt DESC, gram
     """
     # count-min sketch rebuilt from exact counts: salted md5 buckets,
     # per-(row, bucket) sums, min over rows; absent tokens hit empty

@@ -388,6 +388,174 @@ def top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
     )
 
 
+def frequent_ngrams(
+    sf_dir: str, phi: float = 0.0002, n: int = 3
+) -> pa.Table:
+    """EXACT phi-heavy-hitter word n-grams: every within-doc word
+    ``n``-gram whose corpus occurrence count is >= ``phi`` * total
+    n-gram count, with its exact count (ties by gram ascending).
+
+    Scale shape — two streaming passes, NO vocabulary-wide exchange:
+
+    1. **Candidate pass (Misra-Gries partials).** Each block compresses
+       its exact local gram counts to capacity ``c = ceil(2/phi)`` by
+       subtracting the (c+1)-th largest local count from every counter
+       and dropping the non-positive ones — the classic MG summary,
+       computable in one ``np.partition`` because the block's counts
+       are already exact. Summaries are MERGEABLE (Agarwal et al.,
+       "Mergeable Summaries", PODS'12): summing them under-counts any
+       gram by at most sum_b n_b/(c+1) <= N*phi/2, so every true heavy
+       hitter keeps a merged estimate >= phi*N/2, and because the
+       estimates sum to <= N the estimate-filtered candidate set has
+       at most 2/phi entries REGARDLESS of corpus size, block count,
+       or gram-domain cardinality. Each block also emits one sentinel
+       row (gram = "" — impossible for a real gram, ``_tokenize``
+       drops empty tokens) carrying its exact local gram total, so the
+       global N rides the same small exchange. Contrast with
+       ``top_tokens``: its partials are one row per DISTINCT token per
+       block — fine for a bounded word vocabulary, unbounded for the
+       open-ended n-gram domain this profiles.
+    2. **Exact verify pass.** Re-count ONLY the candidates (a
+       ``pc.is_in`` mask per batch, bincount partials, one gram-keyed
+       groupby over <= 2/phi keys) and keep exact count >= phi*N.
+       False positives die here; false negatives cannot exist by the
+       pass-1 bound — so the output is exact at every scale, including
+       when truncation bites (test-pinned with a capacity small enough
+       to force per-block decrements).
+
+    The boilerplate-phrase detector a 100-TB corpus profile needs:
+    the driver never sees more than 2/phi + 1 rows.
+    """
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    cap = int(np.ceil(2.0 / phi))
+
+    def block_grams(batch: pa.Table) -> pa.Array | None:
+        """Within-doc word n-grams of a (doc_id, text) batch, corpus
+        order, or None when the batch holds no full window (same
+        doc-boundary mask as substring.py's dup-window builder)."""
+        flat, doc_idx, _ = _tokenize(batch.column("text"))
+        total = len(flat)
+        if total < n:
+            return None
+        starts = np.flatnonzero(doc_idx[: total - n + 1] == doc_idx[n - 1 :])
+        if not len(starts):
+            return None
+        parts = [flat.take(pa.array(starts + k)) for k in range(n)]
+        return pc.binary_join_element_wise(*parts, " ")
+
+    empty = pa.Table.from_pydict(
+        {"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def mg_summary(batch: pa.Table) -> pa.Table:
+        grams = block_grams(batch)
+        if grams is None:
+            return pa.Table.from_pydict(
+                {"gram": pa.array([""], pa.string()),
+                 "cnt": pa.array([0], pa.int64())}
+            )
+        codes_arr = pc.dictionary_encode(grams)
+        codes = np.asarray(
+            codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+        cnt = np.bincount(codes).astype(np.int64)
+        dictionary = codes_arr.dictionary
+        if len(cnt) > cap:
+            # the (cap+1)-th largest local count is the MG decrement:
+            # (cap+1)*dec <= sum(top cap+1 counts) <= block gram total,
+            # so per-block error <= n_b/(cap+1)
+            dec = np.partition(cnt, len(cnt) - cap - 1)[len(cnt) - cap - 1]
+            keep = np.flatnonzero(cnt > dec)
+            dictionary = dictionary.take(pa.array(keep))
+            cnt = cnt[keep] - dec
+        gram_col = pa.concat_arrays(
+            [dictionary.cast(pa.string()), pa.array([""], pa.string())]
+        )
+        cnt_col = np.concatenate([cnt, [len(grams)]])
+        return pa.Table.from_pydict(
+            {"gram": gram_col, "cnt": pa.array(cnt_col, pa.int64())}
+        )
+
+    summaries = (
+        read_documents(sf_dir, ("doc_id", "text"))
+        .map_batches(mg_summary, batch_format="pyarrow")
+        .groupby("gram")
+        .sum("cnt")
+        .materialize()
+    )
+    agg = "sum(cnt)"
+
+    def only_sentinel(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("gram"), ""))
+
+    sentinel = summaries.map_batches(
+        only_sentinel, batch_format="pyarrow"
+    ).take_all()
+    n_total = int(sentinel[0][agg]) if sentinel else 0
+    if n_total == 0:
+        return empty
+
+    est_floor = phi * n_total / 2.0
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(batch.column("gram"), ""),
+            pc.greater_equal(
+                pc.cast(batch.column(agg), pa.float64()),
+                pa.scalar(est_floor, pa.float64()),
+            ),
+        )
+        return batch.filter(keep)
+
+    cand_rows = summaries.map_batches(
+        survivors, batch_format="pyarrow"
+    ).take_all()
+    if not cand_rows:
+        return empty
+    cand_arr = pa.array([r["gram"] for r in cand_rows], pa.string())
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        grams = block_grams(batch)
+        if grams is None:
+            return empty
+        hits = grams.filter(pc.is_in(grams, value_set=cand_arr))
+        if not len(hits):
+            return empty
+        codes_arr = pc.dictionary_encode(hits)
+        codes = np.asarray(
+            codes_arr.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+        return pa.Table.from_pydict(
+            {
+                "gram": codes_arr.dictionary.cast(pa.string()),
+                "cnt": pa.array(np.bincount(codes), pa.int64()),
+            }
+        )
+
+    exact = (
+        read_documents(sf_dir, ("doc_id", "text"))
+        .map_batches(count_candidates, batch_format="pyarrow")
+        .groupby("gram")
+        .sum("cnt")
+        .take_all()
+    )
+    grams_out = [r["gram"] for r in exact]
+    cnts_out = np.array([int(r[agg]) for r in exact], np.int64)
+    keep = cnts_out >= phi * n_total
+    tbl = pa.Table.from_pydict(
+        {
+            "gram": pa.array(
+                [g for g, k in zip(grams_out, keep) if k], pa.string()
+            ),
+            "cnt": pa.array(cnts_out[keep], pa.int64()),
+        }
+    )
+    return tbl.sort_by([("cnt", "descending"), ("gram", "ascending")])
+
+
 def doc_tf_rows(batch: pa.Table) -> pa.Table:
     """(doc_id, text) batch -> one (doc_id, token, tf) row per distinct
     token per doc — the shared per-batch term-frequency combiner used

@@ -371,3 +371,93 @@ def test_phrase_lookup_pruned_and_absent(tmp_path):
         string_key_buckets(pa.array(["y", "z"], pa.string()), 16).tolist()
     )
     assert qb <= all_buckets
+
+
+def _freq_ngram_oracle(sf_dir, phi, n=3):
+    import duckdb
+
+    assert n == 3
+    return (
+        duckdb.connect()
+        .execute(
+            rf"""
+        WITH t AS (
+          SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ),
+        g AS (
+          SELECT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                 AS gram
+          FROM t, UNNEST(range(1, len(toks) - 1)) AS r(i)
+          WHERE len(toks) >= 3
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM g)
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g, tot
+        GROUP BY gram, n
+        HAVING COUNT(*) >= {phi} * n
+        ORDER BY cnt DESC, gram
+        """
+        )
+        .arrow()
+    )
+
+
+def test_frequent_ngrams_matches_exact(ray_session):
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        frequent_ngrams,
+    )
+
+    got = frequent_ngrams(SF, phi=0.0002)
+    want = _freq_ngram_oracle(SF, 0.0002)
+    assert got.num_rows > 0
+    assert got.equals(want.cast(got.schema))
+
+
+def test_frequent_ngrams_exact_under_forced_truncation(
+    ray_session, tmp_path
+):
+    """phi large enough that cap = ceil(2/phi) is far below the
+    distinct-gram count of every batch, so the Misra-Gries decrement
+    actually fires (dec > 0) in pass 1 — and the candidate-verify
+    pass still recovers the EXACT heavy-hitter set. 2500 docs spans
+    multiple map_batches batches, exercising the summary merge."""
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(2500):
+        # unique filler grams per doc + a planted hot phrase in 1/3
+        filler = " ".join(f"u{i}x{j}" for j in range(8))
+        if i % 3 == 0:
+            texts.append(filler + " hot hot hot hot")
+        else:
+            texts.append(filler)
+    # shuffle so hot docs spread over batches
+    order = rng.permutation(len(texts))
+    sf = _write_docs(tmp_path, [texts[k] for k in order])
+
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        frequent_ngrams,
+    )
+
+    phi = 0.01  # cap = 200 << ~8k distinct grams per 1024-doc batch
+    got = frequent_ngrams(sf, phi=phi)
+    want = _freq_ngram_oracle(sf, phi)
+    assert want.num_rows > 0  # the planted phrase must survive
+    assert got.equals(want.cast(got.schema))
+
+
+def test_frequent_ngrams_edges(ray_session, tmp_path):
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        frequent_ngrams,
+    )
+
+    # all docs shorter than n -> zero grams -> empty with stable schema
+    sf = _write_docs(tmp_path, ["a b", "", "x"])
+    out = frequent_ngrams(sf, phi=0.1)
+    assert out.num_rows == 0
+    assert out.column_names == ["gram", "cnt"]
+    with pytest.raises(ValueError):
+        frequent_ngrams(sf, phi=0.0)
+    with pytest.raises(ValueError):
+        frequent_ngrams(sf, phi=0.1, n=0)

@@ -28,6 +28,7 @@ QUERIES = [
     "language_id",
     "fingerprint_rolling",
     "ngram_jaccard_pairs",
+    "frequent_ngrams",
     "embedding_neardup_pairs",
     "range_join_events",
     "topk_events_per_type",
