@@ -1228,7 +1228,7 @@ _PRIORITY_50 = [
     "decontaminate", "clean_corpus", "pack_sequences",
     "quality_classifier", "bitext_mine", "pagerank", "triangle_count",
     "bfs_distances", "neardup_components", "token_counts",
-    "language_id", "quality_scores", "redact_pii", "repetition_signals",
+    "language_id", "quality_scores", "redact_pii", "frequent_ngrams",
     "q1_pricing_summary", "q3_top_orders",
     "q3_top_orders_cogroup", "q18_big_orders_cogroup",
     "q13_order_distribution_cogroup", "q21_waiting_suppliers_cogroup",

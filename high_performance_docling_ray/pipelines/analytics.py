@@ -90,7 +90,7 @@ def q6_forecast_revenue(sf_dir: str) -> pa.Table:
 
 # -- q4: EXISTS semi-join + priority counts ----------------------------------
 
-def _q4_distributed(sf_dir: str, lo, hi) -> pa.Table:
+def _q4_distributed(sf_dir: str, lo, hi, combine_limit: int = 2_000_000) -> pa.Table:
     """q4's any-cardinality tier: per-order max-shipdate partials (the
     EXISTS collapses to ``max(ship) > o_orderdate``) shuffle once by
     orderkey, the windowed orders attach by ``cogroup_attach``, and the
@@ -157,7 +157,13 @@ def _q4_distributed(sf_dir: str, lo, hi) -> pa.Table:
         ).rename_columns(["o_orderpriority", "order_count"])
 
     partials = att.map_batches(count_partial, batch_format="pyarrow")
-    tbl = _combine_partials(partials, ["o_orderpriority"], ["order_count"])
+    tbl = _combine_partials(partials, ["o_orderpriority"], ["order_count"],
+                            combine_limit)
+    if tbl is None:  # 5 priorities x blocks can pass the budget at
+        # extreme block counts: any-cardinality shuffle fallback
+        tbl = pa.Table.from_pylist(
+            partials.groupby("o_orderpriority").sum("order_count").take_all()
+        )
     return pa.Table.from_pydict(
         {"o_orderpriority": tbl.column("o_orderpriority"),
          "order_count": tbl.column("sum(order_count)")}
@@ -189,7 +195,7 @@ def q4_order_priority(
         budget_rows=build_budget,
     )
     if orders is None:
-        return _q4_distributed(sf_dir, lo, hi)
+        return _q4_distributed(sf_dir, lo, hi, combine_limit)
     odate = _ts_us(orders.column("o_orderdate"))
     win = (odate >= lo.astype("datetime64[us]").astype(np.int64)) & (
         odate < hi.astype("datetime64[us]").astype(np.int64)
@@ -1198,6 +1204,7 @@ def event_type_warmup(
     window_s: int = 86400,
     n_salts: int | None = None,
     salted: bool = True,
+    combine_limit: int = 2_000_000,
 ) -> pa.Table:
     """Row-level enrichment join by a LOW-CARDINALITY key where EVERY
     key is hot: attach each event type's first-seen timestamp to every
@@ -1239,7 +1246,13 @@ def event_type_warmup(
 
     partials = ev.map_batches(first_partial, batch_format="pyarrow")
     # <=|event types| keys: always fits the driver combine
-    dim = _combine_partials(partials, ["event_type"], ["first_ts"], agg="min")
+    dim = _combine_partials(partials, ["event_type"], ["first_ts"],
+                            combine_limit, agg="min")
+    if dim is None:  # event-type partials scale with block count:
+        # any-cardinality shuffle fallback
+        dim = pa.Table.from_pylist(
+            partials.groupby("event_type").min("first_ts").take_all()
+        )
     dim = pa.Table.from_pydict(
         {"event_type": dim.column("event_type"),
          "first_ts": dim.column("min(first_ts)")}

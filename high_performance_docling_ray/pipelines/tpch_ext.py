@@ -206,6 +206,7 @@ def q8_market_share(
     year_lo: int = 1996,
     year_hi: int = 1998,
     build_budget: int = DIM_BROADCAST_BUDGET,
+    combine_limit: int = 2_000_000,
 ) -> pa.Table:
     """TPC-H Q8 shape (adapted: no partsupp/p_type join — every part
     qualifies): per order-year, the revenue share delivered by
@@ -305,7 +306,13 @@ def q8_market_share(
         )
         partials = li.map_batches(probe, batch_format="pyarrow")
     # <=|years| keys: always fits the driver combine
-    tbl = _combine_partials(partials, ["o_year"], ["total_e4", "nation_e4"])
+    tbl = _combine_partials(partials, ["o_year"], ["total_e4", "nation_e4"],
+                            combine_limit)
+    if tbl is None:  # 2 years x blocks can pass the budget at extreme
+        # block counts: any-cardinality shuffle fallback
+        tbl = pa.Table.from_pylist(
+            partials.groupby("o_year").sum(["total_e4", "nation_e4"]).take_all()
+        )
     yr = tbl.column("o_year").to_numpy().astype(np.int64)
     tot = tbl.column("sum(total_e4)").to_numpy().astype(np.int64)
     natv = tbl.column("sum(nation_e4)").to_numpy().astype(np.int64)
@@ -1233,7 +1240,13 @@ def _q22_distributed(
         ).rename_columns(["nkey", "numcust", "bal_c"])
 
     partials = att.map_batches(nation_partial, batch_format="pyarrow")
-    tbl = _combine_partials(partials, ["nkey"], ["numcust", "bal_c"])
+    tbl = _combine_partials(partials, ["nkey"], ["numcust", "bal_c"],
+                            combine_limit)
+    if tbl is None:  # country-code partials scale with block count:
+        # any-cardinality shuffle fallback
+        tbl = pa.Table.from_pylist(
+            partials.groupby("nkey").sum(["numcust", "bal_c"]).take_all()
+        )
     nk = tbl.column("nkey").to_numpy().astype(np.int64)
     nc = tbl.column("sum(numcust)").to_numpy().astype(np.int64)
     nb = tbl.column("sum(bal_c)").to_numpy().astype(np.int64)
@@ -2209,10 +2222,17 @@ def q16_supplier_part_counts(
                 [("supplier_cnt", "sum")]
             ).rename_columns(["p_brand", "p_size", "supplier_cnt"])
 
+        cnt_parts = distinct.map_batches(count_partial, batch_format="pyarrow")
         merged = _combine_partials(
-            distinct.map_batches(count_partial, batch_format="pyarrow"),
-            ["p_brand", "p_size"], ["supplier_cnt"],
+            cnt_parts, ["p_brand", "p_size"], ["supplier_cnt"], combine_limit,
         )
+        if merged is None:  # brand x size partials scale with block
+            # count: any-cardinality shuffle fallback
+            merged = pa.Table.from_pylist(
+                cnt_parts.groupby(["p_brand", "p_size"])
+                .sum("supplier_cnt")
+                .take_all()
+            )
         counted = pa.Table.from_pydict(
             {"p_brand": merged.column("p_brand"),
              "p_size": merged.column("p_size"),
