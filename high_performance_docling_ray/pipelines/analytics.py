@@ -157,6 +157,9 @@ def _q4_distributed(sf_dir: str, lo, hi, combine_limit: int = 2_000_000) -> pa.T
         ).rename_columns(["o_orderpriority", "order_count"])
 
     partials = att.map_batches(count_partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["o_orderpriority"], ["order_count"],
                             combine_limit)
     if tbl is None:  # 5 priorities x blocks can pass the budget at
@@ -229,6 +232,9 @@ def q4_order_priority(
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
     partials = li.map_batches(probe, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["o_orderkey"], ["n"], combine_limit)
     if tbl is None:  # over budget: any-cardinality shuffle
         tbl = pa.Table.from_pylist(
@@ -466,6 +472,9 @@ def q7_nation_volume(
             ["l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
         )
         partials = li.map_batches(probe, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["dir_id", "l_year"], ["rev_e4"],
                             combine_limit)
     if tbl is None:
@@ -607,6 +616,9 @@ def q10_returned_items(
             ).rename_columns(["c_custkey", "rev_e4"])
 
         partials = att.map_batches(per_cust, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["c_custkey"], ["rev_e4"], combine_limit)
     if tbl is None:
         tbl = pa.Table.from_pylist(
@@ -782,6 +794,9 @@ def q12_priority_lines(
             )
 
         partials = att.map_batches(count_partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(
         partials, ["l_returnflag"], ["high_line_count", "low_line_count"],
         combine_limit,
@@ -971,6 +986,9 @@ def revenue_rollup(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
     partials = li.map_batches(probe, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["nid"], ["rev_e4"], combine_limit)
     if tbl is None:
         tbl = pa.Table.from_pylist(
@@ -1076,6 +1094,9 @@ def funnel_analysis(
         .map_groups(depth, batch_format="pyarrow")
         .map_batches(depth_hist, batch_format="pyarrow")
     )
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    hists = hists.materialize()
     tbl = _combine_partials(hists, ["depth"], ["n"], combine_limit)
     if tbl is None:  # over budget (n_steps+1 keys — only under a forced 0)
         tbl = pa.Table.from_pylist(
@@ -1126,6 +1147,9 @@ def retention_cohorts(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
         )
 
     partials = ds.map_batches(first_partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     firsts = _combine_partials(partials, ["user_id"], ["day"],
                                combine_limit, agg="min")
     if firsts is None:  # any-cardinality fallback
@@ -1168,6 +1192,9 @@ def retention_cohorts(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
         )
 
     trips = ds.map_batches(triple_partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    trips = trips.materialize()
     tbl = _combine_partials(
         trips, ["cohort_day", "day_offset", "user_id"], ["n"], combine_limit
     )
@@ -1246,6 +1273,9 @@ def event_type_warmup(
 
     partials = ev.map_batches(first_partial, batch_format="pyarrow")
     # <=|event types| keys: always fits the driver combine
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     dim = _combine_partials(partials, ["event_type"], ["first_ts"],
                             combine_limit, agg="min")
     if dim is None:  # event-type partials scale with block count:
@@ -1337,6 +1367,9 @@ def events_dod_growth(
 
     ev = _read(sf_dir, "events", ["event_type", "ts"])
     partials = ev.map_batches(partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["event_type", "day_i"], ["n"], combine_limit)
     if tbl is None:
         tbl = pa.Table.from_pylist(
@@ -1406,6 +1439,9 @@ def events_cube(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
 
     ev = _read(sf_dir, "events", ["event_type", "ts"])
     partials = ev.map_batches(partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["event_type", "dow"], ["n"], combine_limit)
     if tbl is None:
         tbl = pa.Table.from_pylist(
@@ -1477,6 +1513,9 @@ def events_value_ranks(
 
     ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
     partials = ev.map_batches(counts, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["event_type", "value"], ["n"],
                             combine_limit)
     if tbl is None:
@@ -1605,6 +1644,9 @@ def event_transitions(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
             batch_format="pyarrow",
         )
     )
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["from_type", "to_type"], ["n"],
                             combine_limit)
     if tbl is None:
@@ -1668,6 +1710,9 @@ def user_event_paths(
             batch_format="pyarrow",
         )
     )
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["path"], ["n"], combine_limit)
     if tbl is None:
         tbl = pa.Table.from_pylist(partials.groupby("path").sum("n").take_all())
@@ -1786,6 +1831,9 @@ def events_trend(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
     ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
     partials = ev.map_batches(moments, batch_format="pyarrow")
     cols = ["n", "sx", "sy", "sxy", "sxx"]
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["event_type"], cols, combine_limit)
     if tbl is None:
         tbl = pa.Table.from_pylist(

@@ -488,6 +488,13 @@ def frequent_ngrams(
     )
     agg = "sum(cnt)"
 
+    # Two cheap filter passes over the SAME materialized blocks, on
+    # purpose: the candidate floor (phi*N/2) needs N first, and folding
+    # both into one pass would require shipping each block's top-2/phi
+    # rows to the driver — (2/phi) x blocks rows, block-count-scaled —
+    # where these two passes each return a bounded row count (1, then
+    # <= 2/phi). Filter tasks over materialized blocks re-run nothing.
+
     def only_sentinel(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch.column("gram"), ""))
 

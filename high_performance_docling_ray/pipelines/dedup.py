@@ -291,6 +291,9 @@ def minhash_candidate_pairs(
         # A pair can surface from several bands: dedup on (doc_a, doc_b)
         from .relational import _combine_partials
 
+        # materialize once: the None fallback's groupby then reuses
+        # these blocks instead of re-running the upstream DAG
+        cand = cand.materialize()
         merged = _combine_partials(cand, ["doc_a", "doc_b"], [], agg="max")
         if merged is None:
             # pairs exceed even the driver combine budget: stay
@@ -640,6 +643,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     )
     from .relational import _combine_partials
 
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    pairs = pairs.materialize()
     merged = _combine_partials(pairs, ["doc_a", "doc_b"], ["hamming"], agg="min")
     if merged is None:
         deduped = pairs.groupby(["doc_a", "doc_b"]).min("hamming")
@@ -1027,6 +1033,9 @@ def ngram_jaccard_pairs(
         )
         from .relational import _combine_partials
 
+        # materialize once: the None fallback's groupby then reuses
+        # these blocks instead of re-running the upstream DAG
+        cand = cand.materialize()
         merged = _combine_partials(cand, ["doc_a", "doc_b"], [], agg="max")
         if merged is None:
             pair_tbl = pa.Table.from_pylist(

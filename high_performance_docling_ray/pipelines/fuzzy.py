@@ -247,6 +247,9 @@ def _symspell_key_pairs(
     )
     from .relational import _combine_partials
 
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    cand = cand.materialize()
     pairs = _combine_partials(cand, ["a_id", "b_id"], ["n"], pair_budget)
     if pairs is None:
         pairs_ds = cand.groupby(["a_id", "b_id"]).sum("n")

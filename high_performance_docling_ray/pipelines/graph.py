@@ -772,6 +772,9 @@ def bfs_distances(
                 )
 
             partials = edges.map_batches(neigh, batch_format="pyarrow")
+            # materialize once: the None fallback's groupby then reuses
+            # these blocks instead of re-running the upstream DAG
+            partials = partials.materialize()
             tbl = _combine_partials(partials, ["node"], ["n"])
             if tbl is None:  # block-distinct partials over the budget
                 tbl = pa.Table.from_pylist(

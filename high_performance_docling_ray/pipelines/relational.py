@@ -105,9 +105,19 @@ _DENSE_LOOKUP_FACTOR = 4
 _DENSE_BUILD_AMORTIZE = 32
 
 
-def _dense_domain(sorted_keys: np.ndarray, n_probe: int) -> int:
-    """Return ``max_id`` when the dense LUT path applies, else -1."""
-    if not np.issubdtype(sorted_keys.dtype, np.integer) or len(sorted_keys) == 0:
+def _dense_domain(
+    sorted_keys: np.ndarray, probe: np.ndarray
+) -> int:
+    """Return ``max_id`` when the dense LUT path applies, else -1.
+    Both sides must be integer dtypes: a float probe (e.g. a key column
+    that picked up a NaN from a null) cannot index a LUT — searchsorted
+    handles it with its usual no-match semantics."""
+    n_probe = len(probe)
+    if (
+        not np.issubdtype(sorted_keys.dtype, np.integer)
+        or not np.issubdtype(probe.dtype, np.integer)
+        or len(sorted_keys) == 0
+    ):
         return -1
     lo, hi = int(sorted_keys[0]), int(sorted_keys[-1])
     if (
@@ -126,7 +136,8 @@ def _sorted_member_mask(sorted_keys: np.ndarray, probe: np.ndarray) -> np.ndarra
     ``_dense_domain``) — identical results, ~10x fewer probe cycles."""
     if len(sorted_keys) == 0:
         return np.zeros(len(probe), dtype=bool)
-    hi = _dense_domain(sorted_keys, len(probe))
+    probe = np.asarray(probe)
+    hi = _dense_domain(sorted_keys, probe)
     if hi >= 0:
         lut = np.zeros(hi + 1, dtype=bool)
         lut[sorted_keys] = True
@@ -154,9 +165,15 @@ def _sorted_lookup(
     semantics under duplicate keys), ~10x faster probes."""
     if len(sorted_keys) == 0:
         return np.full(len(probe), default, dtype=vals.dtype if len(vals) else None)
-    hi = _dense_domain(sorted_keys, len(probe))
+    probe = np.asarray(probe)
+    hi = _dense_domain(sorted_keys, probe)
     if hi >= 0:
-        dtype = np.promote_types(vals.dtype, np.asarray(default).dtype)
+        # EXACTLY the searchsorted path's result dtype (np.where with a
+        # weak scalar default), so compact and sparse domains can never
+        # yield different schemas for the same call
+        dtype = np.where(
+            np.ones(1, bool), np.empty(1, vals.dtype), default
+        ).dtype
         lut = np.full(hi + 1, default, dtype=dtype)
         lut[sorted_keys[::-1]] = vals[::-1]
         safe = (probe >= 0) & (probe <= hi)
@@ -286,6 +303,9 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
     )
     sums = ["qty_c_sum", "base_c_sum", "dp_e4_sum", "disc_c_sum", "n_sum"]
     partials = ds.map_batches(_q1_partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, _Q1_KEYS, sums)
     if tbl is None:  # partials over the combine budget: shuffle path
         combined = partials.groupby(_Q1_KEYS).sum(sums)
@@ -542,6 +562,9 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
     partials = li.map_batches(probe, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["rid"], ["rev_e4"])
     if tbl is None:  # over the combine budget: Ray groupby shuffle
         tbl = pa.Table.from_pylist(
@@ -659,6 +682,9 @@ def _sorted_value_counts(
         )
 
     partials = ds.map_batches(local_counts, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     merged = _combine_partials(partials, keys=["value"], sum_cols=["cnt"])
     if merged is None:
         # over-limit distinct set: Ray groupby shuffle, then the final
@@ -910,6 +936,9 @@ def events_hourly(sf_dir: str) -> pa.Table:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["hour", "event_type"], ["value_c", "n"])
     if tbl is None:  # over the combine budget: Ray groupby shuffle
         agg = partials.groupby(["hour", "event_type"]).sum(["value_c", "n"])
@@ -1254,6 +1283,9 @@ def events_sliding_window(
         )
 
     partials = ds.map_batches(expand, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(
         partials, ["window_start", "event_type"], ["value_c", "n"]
     )
@@ -1311,6 +1343,9 @@ def props_extract(sf_dir: str) -> pa.Table:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["event_type"], ["sum_k", "n"])
     if tbl is None:  # over the combine budget: Ray groupby shuffle
         agg = partials.groupby("event_type").sum(["sum_k", "n"])
@@ -1791,6 +1826,9 @@ def _cents_value_counts(
         )
 
     partials = ds.map_batches(local_counts, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     merged = _combine_partials(partials, ["value_c"], ["cnt"], combine_limit)
     if merged is None:
         shuffled = partials.groupby("value_c").sum("cnt")
@@ -1909,6 +1947,9 @@ def selfjoin_size_estimate(
     partials = _read(sf_dir, table, [column]).map_batches(
         local_counts, batch_format="pyarrow"
     )
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     merged = _combine_partials(partials, ["key"], ["cnt"], combine_limit)
     if merged is None:
         merged = pa.concat_tables(
@@ -1996,6 +2037,9 @@ def lang_median_mad(
             f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
         )
         partials = ds.map_batches(fn, batch_format="pyarrow")
+        # materialize once: the None fallback's groupby then reuses
+        # these blocks instead of re-running the upstream DAG
+        partials = partials.materialize()
         tbl = _combine_partials(
             partials, ["lang", "value_c"], ["cnt"], combine_limit
         )
@@ -2071,6 +2115,9 @@ def weighted_median_qty(
 
     li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
     partials = li.map_batches(partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["value_c"], ["w"], combine_limit)
     if tbl is None:
         tbl = pa.Table.from_pylist(

@@ -755,6 +755,9 @@ def embedding_neardup_lsh(
         )
         from .relational import _combine_partials
 
+        # materialize once: the None fallback's groupby then reuses
+        # these blocks instead of re-running the upstream DAG
+        cand = cand.materialize()
         merged = _combine_partials(cand, ["vec_id_a", "vec_id_b"], [], agg="max")
         if merged is None:
             pair_tbl = pa.Table.from_pylist(

@@ -359,6 +359,9 @@ def lang_stats(sf_dir: str):
 
     from .relational import _combine_partials
 
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["lang"], ["sum_chars", "n_docs"])
     if tbl is None:  # over the combine budget: Ray groupby shuffle
         combined = partials.groupby("lang").sum(["sum_chars", "n_docs"])
@@ -1431,6 +1434,9 @@ def quality_threshold_filter(
         )
 
     partials = scores.map_batches(local_counts, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     merged = _combine_partials(
         partials, keys=["value"], sum_cols=["cnt"],
         combine_limit=distinct_limit,

@@ -306,6 +306,9 @@ def q8_market_share(
         )
         partials = li.map_batches(probe, batch_format="pyarrow")
     # <=|years| keys: always fits the driver combine
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["o_year"], ["total_e4", "nation_e4"],
                             combine_limit)
     if tbl is None:  # 2 years x blocks can pass the budget at extreme
@@ -346,6 +349,9 @@ def _count_histogram(
         )
 
     partials = ds.map_batches(block_counts, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["c_val"], ["c_freq"])
     if tbl is None:  # pathological distinct-count blowup: shuffle path
         tbl = pa.Table.from_pylist(
@@ -545,6 +551,9 @@ def q15_top_supplier(
         ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
     )
     partials = li.map_batches(partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["l_suppkey"], ["rev_e4"], combine_limit)
     if tbl is None:
         tbl = pa.Table.from_pylist(
@@ -712,6 +721,9 @@ def q17_small_quantity_revenue(
     partials = _read(sf_dir, "lineitem", li_cols1).map_batches(
         pass1, batch_format="pyarrow"
     )
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     stats = _combine_partials(partials, ["l_partkey"], ["sq", "cnt"], combine_limit)
     if stats is None:
         stats = pa.Table.from_pylist(
@@ -1035,6 +1047,9 @@ def q21_waiting_suppliers(
                 batch_format="pyarrow",
             )
         )
+        # materialize once: the None fallback's groupby then reuses
+        # these blocks instead of re-running the upstream DAG
+        wins = wins.materialize()
         counts = _combine_partials(wins, ["l_suppkey"], ["n"])
         if counts is None:  # winner rows (one per qualifying order) can
             # exceed the combine budget at scale: Ray groupby fallback
@@ -1128,6 +1143,9 @@ def q22_dormant_customers(
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
     partials = orders.map_batches(seen_partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["c_custkey"], ["n"], combine_limit)
     if tbl is None:
         tbl = pa.Table.from_pylist(partials.groupby("c_custkey").sum("n").take_all())
@@ -1240,6 +1258,9 @@ def _q22_distributed(
         ).rename_columns(["nkey", "numcust", "bal_c"])
 
     partials = att.map_batches(nation_partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["nkey"], ["numcust", "bal_c"],
                             combine_limit)
     if tbl is None:  # country-code partials scale with block count:
@@ -1296,6 +1317,9 @@ def top_order_values_with_ties(
 
     orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
     partials = orders.map_batches(counts, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(
         partials, ["o_orderpriority", "value_c"], ["n"], combine_limit
     )
@@ -1625,6 +1649,9 @@ def q9_nation_profit(
             ).rename_columns(["nation", "o_year", "amount_e4"])
 
         partials = att.map_batches(nation_partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(
         partials, ["nation", "o_year"], ["amount_e4"], combine_limit
     )
@@ -1722,6 +1749,9 @@ def q2_min_cost_supplier(
 
     pairs = _partsupp_pairs(sf_dir).materialize()
     partials = pairs.map_batches(min_partial, batch_format="pyarrow")
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(
         partials, ["ps_partkey"], ["min_cost"], combine_limit, agg="min"
     )
@@ -2223,6 +2253,9 @@ def q16_supplier_part_counts(
             ).rename_columns(["p_brand", "p_size", "supplier_cnt"])
 
         cnt_parts = distinct.map_batches(count_partial, batch_format="pyarrow")
+        # materialize once: the None fallback's groupby then reuses
+        # these blocks instead of re-running the upstream DAG
+        cnt_parts = cnt_parts.materialize()
         merged = _combine_partials(
             cnt_parts, ["p_brand", "p_size"], ["supplier_cnt"], combine_limit,
         )
@@ -2338,6 +2371,9 @@ def q20_promotion_suppliers(
             lambda b: distinct_supp(b, excess_mask(b)),
             batch_format="pyarrow",
         )
+    # materialize once: the None fallback's groupby then reuses
+    # these blocks instead of re-running the upstream DAG
+    partials = partials.materialize()
     tbl = _combine_partials(partials, ["ps_suppkey"], ["n"], combine_limit)
     if tbl is None:
         tbl = pa.Table.from_pylist(
