@@ -129,6 +129,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "segment_dedup",
         "tfidf_topk",
         "top_tokens",
+        "frequent_ngrams",
         # round-3 LM-training filters
         "decontaminate",
         "unigram_logprob",
