@@ -964,6 +964,14 @@ def _q_sliding_window(sf_dir: str):
     return events_sliding_window(sf_dir)
 
 
+def _q_events_moving_avg(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        events_moving_avg,
+    )
+
+    return events_moving_avg(sf_dir)
+
+
 def _q_range_join(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import (
         range_join_events,
@@ -1337,6 +1345,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join,
         "events_sliding_window": _q_sliding_window,
+        "events_moving_avg": _q_events_moving_avg,
         # graph analytics (link-graph shape over the lineitem bipartite)
         "pagerank": _q_pagerank,
         "pagerank_cogroup": _q_pagerank_cogroup,
@@ -2989,6 +2998,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events e CROSS JOIN range(4) k
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # ROWS-frame window: op order mirrors the Ray kernel's
+        # left-assoc (value + lag1) + lag2 add and the 1+flag+flag
+        # count, so the hash matches bit-for-bit, not just at 6dp
+        "events_moving_avg": """
+            SELECT event_id,
+                   (value
+                    + COALESCE(LAG(value, 1) OVER w, 0)
+                    + COALESCE(LAG(value, 2) OVER w, 0))
+                   / (1 + CAST(LAG(value, 1) OVER w IS NOT NULL AS INT)
+                        + CAST(LAG(value, 2) OVER w IS NOT NULL AS INT))
+                       AS mov_avg,
+                   CAST(1 + CAST(LAG(value, 1) OVER w IS NOT NULL AS INT)
+                          + CAST(LAG(value, 2) OVER w IS NOT NULL AS INT)
+                        AS BIGINT) AS n_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
         """,
         "asof_join_events": """
             SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts

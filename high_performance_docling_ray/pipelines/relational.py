@@ -1310,6 +1310,85 @@ def events_sliding_window(
     )
 
 
+def events_moving_avg(
+    sf_dir: str, window_rows: int = 3, sink_dir: str | None = None
+) -> pa.Table | str:
+    """Per-key ROWS-frame moving average — ``AVG(value) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN w-1
+    PRECEDING AND CURRENT ROW)`` — the per-row-output window shape Ray
+    Data lacks (``events_sliding_window`` covers the per-WINDOW
+    aggregate; this one keeps one output row per input row).
+
+    Same coarse-partition + key-runs composition as ``sessionize``:
+    one ``hash(user_id) % P`` exchange co-locates each user, then a
+    single vectorized pass over the lexsorted partition computes ALL
+    users' windows with ``window_rows - 1`` shifted adds (run
+    boundaries masked) — no cumsum (so no accumulator overflow at any
+    partition length) and no per-key Python call. Float op order is
+    the left-assoc ``v + lag1 + ... + lag_{w-1}`` mirrored verbatim by
+    the oracle's COALESCE(LAG(...)) chain, so the result is
+    bit-identical, not just 6dp-close.
+
+    Scale: output is row-per-event and never lands on the driver when
+    ``sink_dir`` is given (streamed sharded parquet); the default
+    in-memory Table return is the query-API contract for the gate.
+    """
+    num_parts = 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        part = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            num_parts
+        )
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
+
+    _EMPTY = pa.Table.from_pydict(
+        {"event_id": pa.array([], pa.int64()),
+         "mov_avg": pa.array([], pa.float64()),
+         "n_window": pa.array([], pa.int64())}
+    )
+
+    def window_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if not n:
+            return _EMPTY
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        eids = group.column("event_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = group.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        order = np.lexsort((eids, ts, users))
+        users, eids, vals = users[order], eids[order], vals[order]
+        # left-assoc add of the j-back value wherever the run reaches
+        # back j rows (users[i-j] == users[i]); same-op-order as the
+        # oracle's value + COALESCE(LAG(value, j), 0) chain
+        s = vals.copy()
+        cnt = np.ones(n, dtype=np.int64)
+        reach = np.ones(n, dtype=bool)  # run extends j rows back
+        for j in range(1, window_rows):
+            reach[j:] &= users[j:] == users[:-j]
+            reach[:j] = False
+            s[j:] = np.where(reach[j:], s[j:] + vals[:-j], s[j:])
+            cnt[j:] += reach[j:]
+        return pa.Table.from_pydict(
+            {"event_id": pa.array(eids, pa.int64()),
+             "mov_avg": pa.array(s / cnt, pa.float64()),
+             "n_window": pa.array(cnt, pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: window_part(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    return to_table_or_sink(out, [("event_id", "ascending")], sink_dir)
+
+
 def props_extract(sf_dir: str) -> pa.Table:
     """Semi-structured extraction: pull the numeric ``k`` field out of
     the JSON ``props`` string column with ONE vectorized regex
