@@ -964,6 +964,24 @@ def _q_sliding_window(sf_dir: str):
     return events_sliding_window(sf_dir)
 
 
+def _q_bloom_semi_join(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        bloom_semi_join,
+    )
+
+    return bloom_semi_join(sf_dir)
+
+
+def _q_bloom_semi_join_exactonly(sf_dir: str):
+    """Same DAG minus the bloom prefilter — the no-filter tier the
+    driver hash-gates against the shared oracle."""
+    from high_performance_docling_ray.pipelines.relational import (
+        bloom_semi_join,
+    )
+
+    return bloom_semi_join(sf_dir, use_bloom=False)
+
+
 def _q_events_moving_avg(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import (
         events_moving_avg,
@@ -1346,6 +1364,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": _q_range_join,
         "events_sliding_window": _q_sliding_window,
         "events_moving_avg": _q_events_moving_avg,
+        "bloom_semi_join": _q_bloom_semi_join,
+        "bloom_semi_join_exactonly": _q_bloom_semi_join_exactonly,
         # graph analytics (link-graph shape over the lineitem bipartite)
         "pagerank": _q_pagerank,
         "pagerank_cogroup": _q_pagerank_cogroup,
@@ -2998,6 +3018,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events e CROSS JOIN range(4) k
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Bloom-pushdown semi-join: the filter is internal (exact
+        # verify removes false positives), so the oracle is the plain
+        # semi-join aggregate; the exactonly entry shares it
+        "bloom_semi_join": """
+            SELECT l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY 1 ORDER BY 1
         """,
         # ROWS-frame window: op order mirrors the Ray kernel's
         # left-assoc (value + lag1) + lag2 add and the 1+flag+flag
@@ -6841,4 +6874,5 @@ def oracle_sql() -> dict[str, str]:
     for name, (_module, _fn, oracle_name) in _COGROUP_TIERS.items():
         if oracle_name in oracles:
             oracles[name] = oracles[oracle_name]
+    oracles["bloom_semi_join_exactonly"] = oracles["bloom_semi_join"]
     return oracles

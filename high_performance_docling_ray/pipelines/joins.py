@@ -211,3 +211,88 @@ def cogroup_attach(
         lambda g: join_part(g.drop_columns(["__part"])),
         batch_format="pyarrow",
     )
+
+
+# -- int-key Bloom filter (semi-join pushdown) ------------------------------
+#
+# The classic 100-TB join optimization: build a bit-packed Bloom filter
+# over the (filtered) dim keys, broadcast the ~MB bitmap instead of the
+# key list, and pre-filter the fact side in a pure map BEFORE the
+# key-only exchange — the exchange then carries only true matches plus
+# a fill**k sliver of false positives, which an exact cogroup verify
+# removes. Correctness never depends on the filter (no false
+# negatives + exact verify), so sizing is purely a perf knob.
+#
+# Hashing is multiplicative high-bit mixing straight on the int64 key
+# (the `cms_buckets` scheme minus the md5 — these bits never reach
+# output or oracle, so the hash choice is free and stays fully
+# vectorized).
+
+_BLOOM_INT_MULTS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0xD6E8FEB86659FD93,
+)
+
+
+def _int_bloom_positions(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(k, n) bit positions for int64 keys; ``m`` must be a power of
+    two. High-bit mixing keeps the k rows pairwise-decorrelated."""
+    shift = np.uint64(64 - (int(m) - 1).bit_length())
+    h = keys.astype(np.uint64)
+    return np.stack(
+        [((h * np.uint64(_BLOOM_INT_MULTS[j])) >> shift) for j in range(k)]
+    )
+
+
+def int_bloom_build(keys: np.ndarray, m: int, k: int = 4) -> np.ndarray:
+    """Bit-packed (uint64[m/64]) Bloom bitmap of ``keys`` — mergeable
+    by bitwise OR (union of partials == partial of the union)."""
+    bits = np.zeros(m >> 6, dtype=np.uint64)
+    if len(keys):
+        pos = _int_bloom_positions(keys, m, k)
+        np.bitwise_or.at(
+            bits, (pos >> 6).ravel(),
+            np.uint64(1) << (pos.ravel() & np.uint64(63)),
+        )
+    return bits
+
+
+def int_bloom_query(bits: np.ndarray, keys: np.ndarray, k: int = 4) -> np.ndarray:
+    """Membership mask: True iff ALL k positions are set. No false
+    negatives; false positives ~= fill_fraction**k."""
+    if len(keys) == 0:
+        return np.empty(0, dtype=bool)
+    pos = _int_bloom_positions(keys, len(bits) << 6, k)
+    got = (bits[pos >> 6] >> (pos & np.uint64(63))) & np.uint64(1)
+    return got.all(axis=0)
+
+
+def bloom_or_reduce(ds: ray.data.Dataset, m: int) -> np.ndarray:
+    """OR-merge per-block bitmap partials (one binary row per block)
+    into the final bitmap WITHOUT landing every partial on the driver:
+    a fan-in tree of small ``ray.remote`` OR tasks (the one register
+    merge Dataset aggregation can't express — OR is not a sum), depth
+    log_F(blocks), so the driver holds O(F) bitmaps at any moment."""
+    fan = 32
+
+    @ray.remote
+    def _or(*tbls) -> pa.Table:
+        acc = np.zeros(m >> 6, dtype=np.uint64)
+        for t in tbls:
+            for buf in t.column("bits"):
+                acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+        return pa.Table.from_pydict({"bits": pa.array([acc.tobytes()])})
+
+    refs = [r for r in ds.to_arrow_refs()]
+    while len(refs) > 1:
+        refs = [
+            _or.remote(*refs[i: i + fan]) for i in range(0, len(refs), fan)
+        ]
+    acc = np.zeros(m >> 6, dtype=np.uint64)
+    if refs:
+        t = ray.get(refs[0])
+        for buf in t.column("bits"):
+            acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+    return acc

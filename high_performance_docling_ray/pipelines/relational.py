@@ -1389,6 +1389,150 @@ def events_moving_avg(
     return to_table_or_sink(out, [("event_id", "ascending")], sink_dir)
 
 
+def bloom_semi_join(
+    sf_dir: str,
+    priority: str = "1-URGENT",
+    use_bloom: bool = True,
+    bloom_bits_per_key: int = 16,
+    bloom_max_bits: int = 1 << 27,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """Semi-join-aggregate with BLOOM-FILTER PUSHDOWN — per
+    linestatus totals of lineitems whose order is ``priority``.
+
+    The classic big-join pre-filter at 100 TB: the probe side is never
+    broadcast-joined and never ships non-matching rows into the
+    exchange. Three stages, all bounded:
+
+    1. **Build**: urgent orderkeys reduce per block to a bit-packed
+       Bloom bitmap (``joins.int_bloom_build``, mergeable by OR);
+       partials fold in a log-depth ``ray.remote`` OR tree (OR is the
+       one register merge a Dataset aggregation can't express). The
+       bitmap is sized from the orders parquet FOOTER row count (no
+       execution) at ``bloom_bits_per_key`` bits/key, capped at
+       ``bloom_max_bits`` (16 MiB packed) — past the cap the fill
+       fraction rises and the filter passes more false positives, but
+       NEVER breaks correctness (no false negatives + exact verify),
+       so the cap degrades throughput gracefully instead of gating.
+    2. **Probe**: one pure map over lineitem keeps bloom-passing rows
+       and pre-aggregates them to (l_orderkey, l_linestatus) partial
+       rows — the exchange that follows carries true matches plus a
+       ``fill**k`` sliver of false positives, pre-combined.
+    3. **Verify + final**: an exact key-only ``cogroup_attach``
+       against the urgent keys drops the false positives (orderkeys
+       are unique per order, the cogroup contract), then the usual
+       bounded combine (Ray-groupby fallback past ``combine_limit``)
+       folds to the few linestatus rows.
+
+    ``use_bloom=False`` runs the identical DAG minus the prefilter —
+    the tier-equality pin and the honest baseline for measuring the
+    filter's exchange savings.
+    """
+    from .io import parquet_num_rows
+    from .joins import bloom_or_reduce, cogroup_attach, int_bloom_build, int_bloom_query
+
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(
+            pc.fill_null(batch.column("o_orderpriority"), ""), priority
+        )
+        return batch.filter(mask).select(["o_orderkey"])
+
+    key_ds = urgent.map_batches(keys_only, batch_format="pyarrow")
+    # one build-side scan serves both the bloom build and the verify
+    key_ds = key_ds.materialize()
+
+    bits_ref = None
+    if use_bloom:
+        n_upper = max(1, parquet_num_rows(f"{sf_dir}/orders.parquet"))
+        m = 1 << min(
+            int(bloom_max_bits).bit_length() - 1,
+            max(10, (bloom_bits_per_key * n_upper - 1).bit_length()),
+        )
+
+        def bloom_partial(batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {"bits": pa.array([int_bloom_build(keys, m).tobytes()])}
+            )
+
+        bitmap = bloom_or_reduce(
+            key_ds.map_batches(bloom_partial, batch_format="pyarrow"), m
+        )
+        bits_ref = ray.put(bitmap)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_quantity"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        if bits_ref is not None:
+            mask = int_bloom_query(ray.get(bits_ref), keys)
+            batch = batch.filter(pa.array(mask))
+        qty_c = _cents(batch.column("l_quantity"))
+        t = pa.Table.from_pydict(
+            {"l_orderkey": batch.column("l_orderkey"),
+             "l_linestatus": batch.column("l_linestatus"),
+             "qty_c": pa.array(qty_c, pa.int64()),
+             "n": pa.array(np.ones(batch.num_rows, dtype=np.int64))}
+        )
+        return t.group_by(["l_orderkey", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("n", "sum")]
+        ).rename_columns(["l_orderkey", "l_linestatus", "qty_c", "n"])
+
+    survivors = li.map_batches(probe, batch_format="pyarrow")
+    flagged = key_ds.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"l_orderkey": b.column("o_orderkey"),
+             "flag": pa.array(np.ones(b.num_rows, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    verified = cogroup_attach(
+        survivors,
+        flagged,
+        key="l_orderkey",
+        left_fields=[
+            pa.field("l_orderkey", pa.int64()),
+            pa.field("l_linestatus", pa.string()),
+            pa.field("qty_c", pa.int64()),
+            pa.field("n", pa.int64()),
+        ],
+        payload_fields=[pa.field("flag", pa.int64())],
+    )
+
+    def keep_matched(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(pc.fill_null(batch.column("flag"), 0), 1)
+        kept = batch.filter(mask)
+        t = pa.Table.from_pydict(
+            {"l_linestatus": kept.column("l_linestatus"),
+             "qty_c": kept.column("qty_c"),
+             "n": kept.column("n")}
+        )
+        return t.group_by(["l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("n", "sum")]
+        ).rename_columns(["l_linestatus", "qty_c", "n"])
+
+    partials = verified.map_batches(keep_matched, batch_format="pyarrow")
+    partials = partials.materialize()
+    tbl = _combine_partials(
+        partials, ["l_linestatus"], ["qty_c", "n"], combine_limit
+    )
+    if tbl is None:  # over the combine budget: Ray groupby shuffle
+        tbl = pa.Table.from_pylist(
+            partials.groupby("l_linestatus").sum(["qty_c", "n"]).take_all()
+        )
+    out = pa.Table.from_pydict(
+        {"l_linestatus": tbl.column("l_linestatus"),
+         "sum_qty": pa.array(
+             tbl.column("sum(qty_c)").to_numpy().astype(np.int64) / 100.0,
+             pa.float64(),
+         ),
+         "n_items": pc.cast(tbl.column("sum(n)"), pa.int64())}
+    )
+    return out.sort_by([("l_linestatus", "ascending")])
+
+
 def props_extract(sf_dir: str) -> pa.Table:
     """Semi-structured extraction: pull the numeric ``k`` field out of
     the JSON ``props`` string column with ONE vectorized regex

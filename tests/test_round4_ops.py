@@ -72,6 +72,52 @@ def test_moving_avg_window_sizes(tmp_path):
     assert wide["mov_avg"].tolist() == [3.0, 4.5, 6.0]
 
 
+def test_bloom_semi_join_tiers_equal():
+    """Bloom prefilter on == off == over-combine-budget fallback; the
+    filter is a pure exchange-volume optimization."""
+    from high_performance_docling_ray.pipelines.relational import (
+        bloom_semi_join,
+    )
+
+    a = bloom_semi_join(SF).to_pandas()
+    b = bloom_semi_join(SF, use_bloom=False).to_pandas()
+    c = bloom_semi_join(SF, combine_limit=0).to_pandas()
+    assert a.equals(b) and a.equals(c)
+    assert len(a) > 0 and (a["n_items"] > 0).all()
+
+
+def test_bloom_semi_join_tiny_bitmap_still_exact():
+    """Force a saturated bitmap (64 bits for hundreds of keys) so the
+    prefilter passes nearly everything — the exact verify must still
+    produce the identical answer."""
+    from high_performance_docling_ray.pipelines.relational import (
+        bloom_semi_join,
+    )
+
+    exact = bloom_semi_join(SF, use_bloom=False).to_pandas()
+    tiny = bloom_semi_join(
+        SF, bloom_bits_per_key=1, bloom_max_bits=1 << 10
+    ).to_pandas()
+    assert tiny.equals(exact)
+
+
+def test_int_bloom_no_false_negatives_and_filters():
+    from high_performance_docling_ray.pipelines.joins import (
+        int_bloom_build,
+        int_bloom_query,
+    )
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(10**9, size=5000, replace=False).astype(np.int64)
+    bits = int_bloom_build(members, 1 << 17)
+    assert int_bloom_query(bits, members).all()
+    probe = rng.choice(10**9, size=20000, replace=False).astype(np.int64)
+    non = np.setdiff1d(probe, members)
+    fp_rate = int_bloom_query(bits, non).mean()
+    # 16+ bits/key at k=4 -> well under 1% false positives
+    assert fp_rate < 0.01
+
+
 def test_moving_avg_sink_roundtrip(tmp_path):
     """sink_dir streams the same rows to sharded parquet."""
     import pandas as pd
