@@ -964,6 +964,14 @@ def _q_sliding_window(sf_dir: str):
     return events_sliding_window(sf_dir)
 
 
+def _q_sorted_neighborhood_pairs(sf_dir: str):
+    from high_performance_docling_ray.pipelines.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(sf_dir)
+
+
 def _q_bloom_semi_join(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import (
         bloom_semi_join,
@@ -1366,6 +1374,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": _q_events_moving_avg,
         "bloom_semi_join": _q_bloom_semi_join,
         "bloom_semi_join_exactonly": _q_bloom_semi_join_exactonly,
+        "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
         # graph analytics (link-graph shape over the lineitem bipartite)
         "pagerank": _q_pagerank,
         "pagerank_cogroup": _q_pagerank_cogroup,
@@ -3018,6 +3027,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events e CROSS JOIN range(4) k
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # sorted-neighborhood blocking: dense global ranks over the
+        # (16-char prefix, doc_id) lexicographic order, pairs within a
+        # 3-row window of that order
+        "sorted_neighborhood_pairs": """
+            WITH r AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY substr(coalesce(text, ''), 1, 16), doc_id
+                     ) AS rn
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS dist
+            FROM r a JOIN r b
+              ON b.rn > a.rn AND b.rn <= a.rn + 3
+            ORDER BY 1, 3
         """,
         # Bloom-pushdown semi-join: the filter is internal (exact
         # verify removes false positives), so the oracle is the plain

@@ -1098,3 +1098,176 @@ def ngram_jaccard_pairs(
     return ray.data.from_arrow(pair_tbl).map_batches(
         verify, batch_format="pyarrow"
     )
+
+
+# -- sorted-neighborhood blocking -------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    sf_dir: str, window: int = 3, prefix_chars: int = 16,
+    pair_block: int = 4096,
+) -> ray.data.Dataset:
+    """Sorted-neighborhood candidate generation — the record-linkage
+    blocking strategy the pair-family lacks: order the corpus by a
+    lexicographic blocking key (here the first ``prefix_chars`` of the
+    text, doc_id tiebreak) and emit every pair within ``window``
+    positions of the GLOBAL order. Near-identical records sort
+    adjacent, so a w-row window finds them with O(n·w) candidates
+    instead of the O(n²) cross join.
+
+    Distributed as two bounded exchanges, no global sort operator:
+
+    1. **Ranks** (the ``shuffle_ranks`` two-level prefix-sum shape,
+       generalized to a STRING key): the first two BYTES of the key
+       give an ORDER-PRESERVING coarse bucket (zero-padded byte
+       compare == UTF-8 byte order == code-point order, so bucket
+       order is consistent with the full lexicographic order); bucket
+       counts cumsum on the driver (<= 65 536 rows by construction),
+       then each bucket lexsorts (key, doc_id) locally and adds its
+       offset. Key skew lands a heavy bucket in ONE vectorized task —
+       acceptable because only (doc_id, 16-char key) rows ride the
+       exchange, never text.
+    2. **Windowed self-join on dense ranks**: every row goes to pair
+       block ``rank // pair_block`` (plus the previous block when
+       ``rank % pair_block < window`` — the halo replica), and inside
+       a block the pairs are pure position arithmetic since global
+       ranks are dense. Each pair materializes exactly once (in the
+       left row's block). Output streams as a Dataset.
+    """
+    if window >= pair_block:
+        raise ValueError("window must be < pair_block")
+    docs = read_documents(sf_dir, ("doc_id", "text"))
+
+    def _first2_bytes(key: pa.Array) -> np.ndarray:
+        """Vectorized ``byte0*256 + byte1`` (zero-padded) straight off
+        the Arrow string buffers — no per-row Python."""
+        buf = key.cast(pa.binary())
+        off = np.frombuffer(buf.buffers()[1], dtype=np.int32)[
+            buf.offset: buf.offset + len(buf) + 1
+        ].astype(np.int64)
+        data_buf = buf.buffers()[2]
+        data = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.zeros(0, np.uint8)
+        )
+        lens = np.diff(off)
+        starts = off[:-1]
+        b0 = np.zeros(len(buf), np.int64)
+        b1 = np.zeros(len(buf), np.int64)
+        nz = lens > 0
+        b0[nz] = data[starts[nz]]
+        n2 = lens > 1
+        b1[n2] = data[starts[n2] + 1]
+        return b0 * 256 + b1
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column("text"), "")
+        key = pc.utf8_slice_codeunits(txt, 0, prefix_chars)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "key": key,
+             "bucket": pa.array(_first2_bytes(key), pa.int64())}
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(
+            batch.column("bucket").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.Table.from_pydict(
+            {"bucket": pa.array(uniq, pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            keyed_ds.map_batches(bucket_counts, batch_format="pyarrow")
+            .groupby("bucket")
+            .sum("n")
+            .sort("bucket")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    _EMPTY_PAIRS = pa.Table.from_pydict(
+        {"doc_a": pa.array([], pa.int64()),
+         "doc_b": pa.array([], pa.int64()),
+         "dist": pa.array([], pa.int64())}
+    )
+    if not parts:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
+    cnt_tbl = pa.concat_tables(parts)
+    buckets = cnt_tbl.column("bucket").to_numpy(zero_copy_only=False)
+    counts = cnt_tbl.column("sum(n)").to_numpy(zero_copy_only=False)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    offset_ref = ray.put(dict(zip(buckets.tolist(), offsets.tolist())))
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = np.asarray(
+            group.column("key").to_numpy(zero_copy_only=False), dtype=object
+        )
+        b = int(group.column("bucket")[0].as_py())
+        order = np.lexsort((ids, keys))  # (key, doc_id) ascending
+        ranks = np.empty(len(ids), np.int64)
+        ranks[order] = ray.get(offset_ref)[b] + np.arange(
+            len(ids), dtype=np.int64
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "rank": pa.array(ranks, pa.int64())}
+        )
+
+    ranked = keyed_ds.groupby("bucket").map_groups(
+        rank_bucket, batch_format="pyarrow"
+    )
+
+    def to_pair_blocks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rn = batch.column("rank").to_numpy(zero_copy_only=False)
+        blk = rn // pair_block
+        halo = (rn % pair_block < window) & (blk > 0)
+        out_ids = np.concatenate([ids, ids[halo]])
+        out_rn = np.concatenate([rn, rn[halo]])
+        out_blk = np.concatenate([blk, blk[halo] - 1])
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out_ids, pa.int64()),
+             "rank": pa.array(out_rn, pa.int64()),
+             "pblk": pa.array(out_blk, pa.int64())}
+        )
+
+    def pair_block_fn(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        rn = group.column("rank").to_numpy(zero_copy_only=False)
+        beta = int(group.column("pblk")[0].as_py())
+        order = np.argsort(rn, kind="stable")
+        ids, rn = ids[order], rn[order]
+        own = rn < (beta + 1) * pair_block  # left rows owned by block
+        das, dbs, ds_ = [], [], []
+        n = len(rn)
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            keep = own[:-d]  # ranks dense => rn[i+d] - rn[i] == d
+            das.append(ids[:-d][keep])
+            dbs.append(ids[d:][keep])
+            ds_.append(np.full(int(keep.sum()), d, dtype=np.int64))
+        if not das:
+            return _EMPTY_PAIRS
+        return pa.Table.from_pydict(
+            {"doc_a": pa.array(np.concatenate(das), pa.int64()),
+             "doc_b": pa.array(np.concatenate(dbs), pa.int64()),
+             "dist": pa.array(np.concatenate(ds_), pa.int64())}
+        )
+
+    return (
+        ranked.map_batches(to_pair_blocks, batch_format="pyarrow")
+        .groupby("pblk")
+        .map_groups(pair_block_fn, batch_format="pyarrow")
+    )

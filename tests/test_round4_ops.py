@@ -118,6 +118,49 @@ def test_int_bloom_no_false_negatives_and_filters():
     assert fp_rate < 0.01
 
 
+def _snp_table(ds):
+    import pandas as pd
+
+    df = ds.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return df
+
+
+def test_sorted_neighborhood_halo_boundaries():
+    """A tiny pair_block forces halo replication at every block edge;
+    the pair set must be identical to the one-block run."""
+    from high_performance_docling_ray.pipelines.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    big = _snp_table(sorted_neighborhood_pairs(SF, pair_block=1 << 20))
+    tiny = _snp_table(sorted_neighborhood_pairs(SF, pair_block=8))
+    assert big.equals(tiny)
+    # n docs in global order -> exactly w*n - w*(w+1)/2 pairs
+    n = big["doc_a"].nunique() + 1  # only the last rank never leads a pair
+    assert len(big) == 3 * n - 6
+
+
+def test_sorted_neighborhood_identical_keys(tmp_path):
+    """All-identical blocking keys: order falls back to doc_id and
+    every adjacent id pair appears once per distance."""
+    from high_performance_docling_ray.pipelines.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([5, 1, 9, 3], pa.int64()),
+             "text": pa.array(["same prefix here!"] * 4)}
+        ),
+        d / "documents.parquet",
+    )
+    out = _snp_table(sorted_neighborhood_pairs(str(d), window=2))
+    got = set(map(tuple, out[["doc_a", "doc_b", "dist"]].values.tolist()))
+    assert got == {(1, 3, 1), (3, 5, 1), (5, 9, 1), (1, 5, 2), (3, 9, 2)}
+
+
 def test_moving_avg_sink_roundtrip(tmp_path):
     """sink_dir streams the same rows to sharded parquet."""
     import pandas as pd
