@@ -964,6 +964,14 @@ def _q_sliding_window(sf_dir: str):
     return events_sliding_window(sf_dir)
 
 
+def _q_pareto_orders(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        pareto_orders,
+    )
+
+    return pareto_orders(sf_dir)
+
+
 def _q_sorted_neighborhood_pairs(sf_dir: str):
     from high_performance_docling_ray.pipelines.dedup import (
         sorted_neighborhood_pairs,
@@ -1375,6 +1383,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "bloom_semi_join_exactonly": _q_bloom_semi_join_exactonly,
         "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
+        "pareto_orders": _q_pareto_orders,
         # graph analytics (link-graph shape over the lineitem bipartite)
         "pagerank": _q_pagerank,
         "pagerank_cogroup": _q_pagerank_cogroup,
@@ -3027,6 +3036,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events e CROSS JOIN range(4) k
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # 2-D skyline: strict dominance in both dims (equal-date or
+        # equal-price rows never dominate each other)
+        "pareto_orders": """
+            SELECT a.o_orderkey, a.o_orderdate, a.o_totalprice
+            FROM orders a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders b
+              WHERE b.o_totalprice > a.o_totalprice
+                AND b.o_orderdate > a.o_orderdate)
+            ORDER BY a.o_orderdate, a.o_orderkey
         """,
         # sorted-neighborhood blocking: dense global ranks over the
         # (16-char prefix, doc_id) lexicographic order, pairs within a

@@ -1533,6 +1533,95 @@ def bloom_semi_join(
     return out.sort_by([("l_linestatus", "ascending")])
 
 
+def _skyline_kernel(
+    keys: np.ndarray, dates: np.ndarray, prices: np.ndarray
+) -> np.ndarray:
+    """Indices of the 2-D PARETO FRONT maximizing (date, price):
+    a row is dominated iff some other row is STRICTLY greater in both.
+    One lexsort (date desc) + a run-wise cummax: a row survives iff no
+    strictly-later date carries a strictly higher price. Date ties
+    share a run, so equal-date rows never dominate each other and
+    exact (date, price) duplicates all survive — mirroring the
+    NOT EXISTS (b.price > a.price AND b.date > a.date) oracle."""
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, np.int64)
+    order = np.lexsort((keys, -prices, -dates))
+    d, p = dates[order], prices[order]
+    starts = np.r_[True, d[1:] != d[:-1]]
+    run_id = np.cumsum(starts) - 1
+    run_max = np.maximum.reduceat(p, np.flatnonzero(starts))
+    best_before = np.concatenate(
+        ([-np.inf], np.maximum.accumulate(run_max)[:-1].astype(np.float64))
+    )
+    keep = p >= best_before[run_id]
+    return order[keep]
+
+
+def pareto_orders(
+    sf_dir: str, merge_budget: int = 2_000_000, max_passes: int = 4
+) -> pa.Table:
+    """Skyline query: the Pareto front of orders maximizing
+    (o_orderdate, o_totalprice) — no other order is strictly later AND
+    strictly more expensive.
+
+    The skyline operator has the ideal distributed algebra: a LOCAL
+    skyline pass only ever removes dominated rows and can never remove
+    a global skyline member, so ``skyline(union of local skylines) ==
+    skyline(all)`` — partials are mergeable and idempotent, exactly
+    like sketch registers. Shape: one ``map_batches`` local pass (on
+    random data a block's skyline is ~O(log n) rows), then the driver
+    merges the surviving rows with the same kernel. Adversarial
+    (perfectly anti-correlated) data can make partials large, so the
+    merge is budget-gated: past ``merge_budget`` the survivors
+    repartition to fewer blocks and take another LOCAL pass (each pass
+    strictly shrinks unless the true skyline itself exceeds the
+    budget, in which case the answer is legitimately that large and
+    lands after ``max_passes``).
+    """
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        dates = (
+            batch.column("o_orderdate")
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        prices = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        idx = _skyline_kernel(keys, dates, prices)
+        return batch.take(pa.array(idx, pa.int64()))
+
+    surv = ds.map_batches(local, batch_format="pyarrow").materialize()
+    passes = 0
+    while surv.count() > merge_budget and passes < max_passes:
+        nblocks = max(1, surv.num_blocks() // 4)
+        surv = (
+            surv.repartition(nblocks)
+            .map_batches(local, batch_format="pyarrow")
+            .materialize()
+        )
+        passes += 1
+    tbl = pa.Table.from_pylist(surv.take_all())
+    if tbl.num_rows == 0:
+        return pa.Table.from_pydict(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.timestamp("us")),
+             "o_totalprice": pa.array([], pa.float64())}
+        )
+    tbl = tbl.select(["o_orderkey", "o_orderdate", "o_totalprice"])
+    keys = tbl.column("o_orderkey").to_numpy(zero_copy_only=False)
+    dates = (
+        tbl.column("o_orderdate").to_numpy().astype("datetime64[us]").astype(np.int64)
+    )
+    prices = tbl.column("o_totalprice").to_numpy(zero_copy_only=False)
+    idx = _skyline_kernel(keys, dates, prices)
+    return tbl.take(pa.array(np.sort(idx), pa.int64())).sort_by(
+        [("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
+    )
+
+
 def props_extract(sf_dir: str) -> pa.Table:
     """Semi-structured extraction: pull the numeric ``k`` field out of
     the JSON ``props`` string column with ONE vectorized regex

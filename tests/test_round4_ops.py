@@ -161,6 +161,52 @@ def test_sorted_neighborhood_identical_keys(tmp_path):
     assert got == {(1, 3, 1), (3, 5, 1), (5, 9, 1), (1, 5, 2), (3, 9, 2)}
 
 
+def test_pareto_orders_closed_form(tmp_path):
+    """Strict-dominance semantics: date ties never dominate each
+    other; exact (date, price) duplicates all survive; an interior
+    point falls to a strictly-greater-in-both competitor."""
+    from high_performance_docling_ray.pipelines.relational import (
+        pareto_orders,
+    )
+
+    base = np.datetime64("2024-01-01", "us")
+    day = np.timedelta64(86400_000_000, "us")
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "o_orderdate": pa.array(
+                [base, base + day, base + day, base + 2 * day,
+                 base + 2 * day, base]
+            ),
+            # 1: (d0,100) dominated by 4 (d2,150); 2&3 tie date d1 at
+            # 200 (both kept: nothing later beats 200); 4 (d2,150) and
+            # 5 (d2,150) are exact duplicates on the front; 6 (d0,300)
+            # highest price overall -> kept
+            "o_totalprice": pa.array(
+                [100.0, 200.0, 200.0, 150.0, 150.0, 300.0], pa.float64()
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "orders.parquet")
+    out = pareto_orders(str(d)).to_pandas()
+    assert sorted(out["o_orderkey"].tolist()) == [2, 3, 4, 5, 6]
+
+
+def test_pareto_orders_multipass_tier_equal():
+    """merge_budget=0 forces the repartition + re-pass tier; the front
+    is identical (local passes never remove skyline members)."""
+    from high_performance_docling_ray.pipelines.relational import (
+        pareto_orders,
+    )
+
+    a = pareto_orders(SF).to_pandas()
+    b = pareto_orders(SF, merge_budget=0, max_passes=2).to_pandas()
+    assert a.equals(b)
+    assert len(a) > 0
+
+
 def test_moving_avg_sink_roundtrip(tmp_path):
     """sink_dir streams the same rows to sharded parquet."""
     import pandas as pd
