@@ -988,14 +988,43 @@ def _q_bloom_semi_join(sf_dir: str):
     return bloom_semi_join(sf_dir)
 
 
-def _q_bloom_semi_join_exactonly(sf_dir: str):
-    """Same DAG minus the bloom prefilter — the no-filter tier the
-    driver hash-gates against the shared oracle."""
+def _q_bloom_semi_join_cogroup(sf_dir: str):
+    """Forced any-cardinality tier: bloom prefilter + exact cogroup
+    verify (the broadcast fast path disabled)."""
     from high_performance_docling_ray.pipelines.relational import (
         bloom_semi_join,
     )
 
-    return bloom_semi_join(sf_dir, use_bloom=False)
+    return bloom_semi_join(sf_dir, verify_budget=0)
+
+
+def _q_bloom_semi_join_exactonly(sf_dir: str):
+    """Cogroup tier minus the bloom prefilter — the no-filter baseline
+    the driver hash-gates against the shared oracle."""
+    from high_performance_docling_ray.pipelines.relational import (
+        bloom_semi_join,
+    )
+
+    return bloom_semi_join(sf_dir, verify_budget=0, use_bloom=False)
+
+
+def _q_events_moving_avg_grouped(sf_dir: str):
+    """Forced any-cardinality tier: hash(user) partition exchange."""
+    from high_performance_docling_ray.pipelines.relational import (
+        events_moving_avg,
+    )
+
+    return events_moving_avg(sf_dir, driver_budget=0)
+
+
+def _q_sorted_neighborhood_pairs_grouped(sf_dir: str):
+    """Forced any-cardinality tier: two-level string-key ranks +
+    halo-replicated pair blocks."""
+    from high_performance_docling_ray.pipelines.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(sf_dir, driver_budget=0)
 
 
 def _q_events_moving_avg(sf_dir: str):
@@ -1381,8 +1410,11 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": _q_sliding_window,
         "events_moving_avg": _q_events_moving_avg,
         "bloom_semi_join": _q_bloom_semi_join,
+        "bloom_semi_join_cogroup": _q_bloom_semi_join_cogroup,
         "bloom_semi_join_exactonly": _q_bloom_semi_join_exactonly,
         "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
+        "sorted_neighborhood_pairs_grouped": _q_sorted_neighborhood_pairs_grouped,
+        "events_moving_avg_grouped": _q_events_moving_avg_grouped,
         "pareto_orders": _q_pareto_orders,
         # graph analytics (link-graph shape over the lineitem bipartite)
         "pagerank": _q_pagerank,
@@ -6919,5 +6951,10 @@ def oracle_sql() -> dict[str, str]:
     for name, (_module, _fn, oracle_name) in _COGROUP_TIERS.items():
         if oracle_name in oracles:
             oracles[name] = oracles[oracle_name]
+    oracles["bloom_semi_join_cogroup"] = oracles["bloom_semi_join"]
     oracles["bloom_semi_join_exactonly"] = oracles["bloom_semi_join"]
+    oracles["events_moving_avg_grouped"] = oracles["events_moving_avg"]
+    oracles["sorted_neighborhood_pairs_grouped"] = oracles[
+        "sorted_neighborhood_pairs"
+    ]
     return oracles

@@ -1105,8 +1105,8 @@ def ngram_jaccard_pairs(
 
 def sorted_neighborhood_pairs(
     sf_dir: str, window: int = 3, prefix_chars: int = 16,
-    pair_block: int = 4096,
-) -> ray.data.Dataset:
+    pair_block: int = 4096, driver_budget: int = 2_000_000,
+) -> ray.data.Dataset | pa.Table:
     """Sorted-neighborhood candidate generation — the record-linkage
     blocking strategy the pair-family lacks: order the corpus by a
     lexicographic blocking key (here the first ``prefix_chars`` of the
@@ -1173,6 +1173,49 @@ def sorted_neighborhood_pairs(
         )
 
     keyed_ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    # footer-probe budget gate: the exchange rows are (doc_id, 16-char
+    # key) only, so within budget ONE driver lexsort replaces the two
+    # Ray groupbys whose fixed cost dwarfs a <=2M-row sort; past it
+    # the two-level rank + halo'd pair blocks run at any cardinality
+    # (tier equality pytest-pinned, forced tier its own driver entry).
+    from .io import parquet_num_rows
+
+    if driver_budget and parquet_num_rows(
+        f"{sf_dir}/documents.parquet"
+    ) <= driver_budget:
+        tables = [t for t in ray.get(keyed_ds.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return pa.Table.from_pydict(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "dist": pa.array([], pa.int64())}
+            )
+        whole = pa.concat_tables(tables).combine_chunks()
+        ids = whole.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = np.asarray(
+            whole.column("key").to_numpy(zero_copy_only=False), dtype=object
+        )
+        order = np.lexsort((ids, keys))
+        sids = ids[order]
+        das, dbs, ds_ = [], [], []
+        for d in range(1, window + 1):
+            if len(sids) <= d:
+                break
+            das.append(sids[:-d])
+            dbs.append(sids[d:])
+            ds_.append(np.full(len(sids) - d, d, dtype=np.int64))
+        if not das:
+            return pa.Table.from_pydict(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "dist": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pydict(
+            {"doc_a": pa.array(np.concatenate(das), pa.int64()),
+             "doc_b": pa.array(np.concatenate(dbs), pa.int64()),
+             "dist": pa.array(np.concatenate(ds_), pa.int64())}
+        )
 
     def bucket_counts(batch: pa.Table) -> pa.Table:
         uniq, cnt = np.unique(

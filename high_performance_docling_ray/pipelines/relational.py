@@ -220,8 +220,16 @@ def to_table_or_sink(
     if sink_dir is not None:
         ds.write_parquet(sink_dir)
         return sink_dir
-    tbl = pa.Table.from_pylist(ds.take_all())
-    return tbl.sort_by(sort_keys) if tbl.num_rows else tbl
+    all_tables = ray.get(ds.to_arrow_refs())
+    tables = [t for t in all_tables if t.num_rows]
+    if not tables:
+        # keep the (already computed) empty schema; never re-execute
+        return all_tables[0] if all_tables else pa.table({})
+    first = tables[0].column_names
+    tbl = pa.concat_tables(
+        [t.select(first) for t in tables]
+    ).combine_chunks()
+    return tbl.sort_by(sort_keys)
 
 
 def _combine_partials(
@@ -1311,7 +1319,10 @@ def events_sliding_window(
 
 
 def events_moving_avg(
-    sf_dir: str, window_rows: int = 3, sink_dir: str | None = None
+    sf_dir: str,
+    window_rows: int = 3,
+    sink_dir: str | None = None,
+    driver_budget: int = 2_000_000,
 ) -> pa.Table | str:
     """Per-key ROWS-frame moving average — ``AVG(value) OVER
     (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN w-1
@@ -1333,6 +1344,8 @@ def events_moving_avg(
     ``sink_dir`` is given (streamed sharded parquet); the default
     in-memory Table return is the query-API contract for the gate.
     """
+    from .io import parquet_num_rows
+
     num_parts = 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
@@ -1378,6 +1391,29 @@ def events_moving_avg(
              "n_window": pa.array(cnt, pa.int64())}
         )
 
+    # footer-probe budget gate (the house tier convention): within
+    # budget ONE driver pass over the concatenated blocks replaces the
+    # Ray groupby exchange, whose fixed cost dwarfs a <=2M-row window;
+    # past it (or when sinking) the hash(user) partition runs at any
+    # cardinality. Tier equality is pytest-pinned and the forced
+    # grouped tier is its own driver entry.
+    if (
+        sink_dir is None
+        and driver_budget
+        and parquet_num_rows(f"{sf_dir}/events.parquet") <= driver_budget
+    ):
+        tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        whole = (
+            pa.concat_tables(tables).combine_chunks()
+            if tables
+            else pa.Table.from_pydict(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "ts": pa.array([], pa.timestamp("us")),
+                 "value": pa.array([], pa.float64())}
+            )
+        )
+        return window_part(whole).sort_by([("event_id", "ascending")])
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("part")
@@ -1396,6 +1432,7 @@ def bloom_semi_join(
     bloom_bits_per_key: int = 16,
     bloom_max_bits: int = 1 << 27,
     combine_limit: int = 2_000_000,
+    verify_budget: int = DIM_BROADCAST_BUDGET,
 ) -> pa.Table:
     """Semi-join-aggregate with BLOOM-FILTER PUSHDOWN — per
     linestatus totals of lineitems whose order is ``priority``.
@@ -1426,7 +1463,12 @@ def bloom_semi_join(
 
     ``use_bloom=False`` runs the identical DAG minus the prefilter —
     the tier-equality pin and the honest baseline for measuring the
-    filter's exchange savings.
+    filter's exchange savings. When the orders FOOTER row count fits
+    ``verify_budget`` the verify is instead an exact broadcast
+    (sorted-key searchsorted membership inside the probe map — zero
+    exchanges, the small-dim fast path; the bloom adds nothing there
+    and is skipped); ``verify_budget=0`` forces the bloom+cogroup tier
+    that works at any build-side cardinality.
     """
     from .io import parquet_num_rows
     from .joins import bloom_or_reduce, cogroup_attach, int_bloom_build, int_bloom_query
@@ -1442,10 +1484,25 @@ def bloom_semi_join(
     key_ds = urgent.map_batches(keys_only, batch_format="pyarrow")
     # one build-side scan serves both the bloom build and the verify
     key_ds = key_ds.materialize()
+    n_upper = max(1, parquet_num_rows(f"{sf_dir}/orders.parquet"))
+    broadcast_tier = bool(verify_budget) and n_upper <= verify_budget
 
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_quantity"])
+
+    keys_ref = None
     bits_ref = None
-    if use_bloom:
-        n_upper = max(1, parquet_num_rows(f"{sf_dir}/orders.parquet"))
+    if broadcast_tier:
+        key_tables = [t for t in ray.get(key_ds.to_arrow_refs()) if t.num_rows]
+        sorted_keys = np.sort(
+            np.concatenate(
+                [t.column("o_orderkey").to_numpy(zero_copy_only=False)
+                 for t in key_tables]
+            )
+            if key_tables
+            else np.empty(0, np.int64)
+        )
+        keys_ref = ray.put(sorted_keys)
+    elif use_bloom:
         m = 1 << min(
             int(bloom_max_bits).bit_length() - 1,
             max(10, (bloom_bits_per_key * n_upper - 1).bit_length()),
@@ -1462,11 +1519,12 @@ def bloom_semi_join(
         )
         bits_ref = ray.put(bitmap)
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_quantity"])
-
     def probe(batch: pa.Table) -> pa.Table:
         keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-        if bits_ref is not None:
+        if keys_ref is not None:  # broadcast tier: exact membership
+            mask = _sorted_member_mask(ray.get(keys_ref), keys)
+            batch = batch.filter(pa.array(mask))
+        elif bits_ref is not None:  # distributed tier: bloom prefilter
             mask = int_bloom_query(ray.get(bits_ref), keys)
             batch = batch.filter(pa.array(mask))
         qty_c = _cents(batch.column("l_quantity"))
@@ -1481,39 +1539,52 @@ def bloom_semi_join(
         ).rename_columns(["l_orderkey", "l_linestatus", "qty_c", "n"])
 
     survivors = li.map_batches(probe, batch_format="pyarrow")
-    flagged = key_ds.map_batches(
-        lambda b: pa.Table.from_pydict(
-            {"l_orderkey": b.column("o_orderkey"),
-             "flag": pa.array(np.ones(b.num_rows, dtype=np.int64))}
-        ),
-        batch_format="pyarrow",
-    )
-    verified = cogroup_attach(
-        survivors,
-        flagged,
-        key="l_orderkey",
-        left_fields=[
-            pa.field("l_orderkey", pa.int64()),
-            pa.field("l_linestatus", pa.string()),
-            pa.field("qty_c", pa.int64()),
-            pa.field("n", pa.int64()),
-        ],
-        payload_fields=[pa.field("flag", pa.int64())],
-    )
-
-    def keep_matched(batch: pa.Table) -> pa.Table:
-        mask = pc.equal(pc.fill_null(batch.column("flag"), 0), 1)
-        kept = batch.filter(mask)
-        t = pa.Table.from_pydict(
-            {"l_linestatus": kept.column("l_linestatus"),
-             "qty_c": kept.column("qty_c"),
-             "n": kept.column("n")}
+    if broadcast_tier:
+        # already exact; drop the key and fold straight to linestatus
+        verified_partials = survivors.map_batches(
+            lambda b: b.drop_columns(["l_orderkey"])
+            .group_by(["l_linestatus"])
+            .aggregate([("qty_c", "sum"), ("n", "sum")])
+            .rename_columns(["l_linestatus", "qty_c", "n"]),
+            batch_format="pyarrow",
         )
-        return t.group_by(["l_linestatus"]).aggregate(
-            [("qty_c", "sum"), ("n", "sum")]
-        ).rename_columns(["l_linestatus", "qty_c", "n"])
+    else:
+        flagged = key_ds.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"l_orderkey": b.column("o_orderkey"),
+                 "flag": pa.array(np.ones(b.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        verified = cogroup_attach(
+            survivors,
+            flagged,
+            key="l_orderkey",
+            left_fields=[
+                pa.field("l_orderkey", pa.int64()),
+                pa.field("l_linestatus", pa.string()),
+                pa.field("qty_c", pa.int64()),
+                pa.field("n", pa.int64()),
+            ],
+            payload_fields=[pa.field("flag", pa.int64())],
+        )
 
-    partials = verified.map_batches(keep_matched, batch_format="pyarrow")
+        def keep_matched(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(pc.fill_null(batch.column("flag"), 0), 1)
+            kept = batch.filter(mask)
+            t = pa.Table.from_pydict(
+                {"l_linestatus": kept.column("l_linestatus"),
+                 "qty_c": kept.column("qty_c"),
+                 "n": kept.column("n")}
+            )
+            return t.group_by(["l_linestatus"]).aggregate(
+                [("qty_c", "sum"), ("n", "sum")]
+            ).rename_columns(["l_linestatus", "qty_c", "n"])
+
+        verified_partials = verified.map_batches(
+            keep_matched, batch_format="pyarrow"
+        )
+    partials = verified_partials
     partials = partials.materialize()
     tbl = _combine_partials(
         partials, ["l_linestatus"], ["qty_c", "n"], combine_limit

@@ -44,7 +44,10 @@ def test_moving_avg_closed_form(tmp_path):
         users=[1, 1, 1, 2, 1],  # eid 13 (user 1, ts 1000) ties eid 11
         vals=[1.0, 2.0, 4.0, 7.0, 8.0],
     )
-    out = events_moving_avg(sf).to_pandas().set_index("event_id")
+    grouped = events_moving_avg(sf, driver_budget=0).to_pandas()
+    driver = events_moving_avg(sf).to_pandas()
+    assert driver.equals(grouped)  # tier equality
+    out = driver.set_index("event_id")
     # user 1 order: (ts, event_id) = (0,10),(1000,11),(1000,13),(2000,12)
     assert out.loc[10, "mov_avg"] == 1.0 and out.loc[10, "n_window"] == 1
     assert out.loc[11, "mov_avg"] == (1.0 + 2.0) / 2
@@ -79,10 +82,11 @@ def test_bloom_semi_join_tiers_equal():
         bloom_semi_join,
     )
 
-    a = bloom_semi_join(SF).to_pandas()
-    b = bloom_semi_join(SF, use_bloom=False).to_pandas()
-    c = bloom_semi_join(SF, combine_limit=0).to_pandas()
-    assert a.equals(b) and a.equals(c)
+    a = bloom_semi_join(SF).to_pandas()  # broadcast verify tier
+    b = bloom_semi_join(SF, verify_budget=0).to_pandas()  # bloom+cogroup
+    c = bloom_semi_join(SF, verify_budget=0, use_bloom=False).to_pandas()
+    d = bloom_semi_join(SF, combine_limit=0).to_pandas()
+    assert a.equals(b) and a.equals(c) and a.equals(d)
     assert len(a) > 0 and (a["n_items"] > 0).all()
 
 
@@ -94,9 +98,9 @@ def test_bloom_semi_join_tiny_bitmap_still_exact():
         bloom_semi_join,
     )
 
-    exact = bloom_semi_join(SF, use_bloom=False).to_pandas()
+    exact = bloom_semi_join(SF).to_pandas()
     tiny = bloom_semi_join(
-        SF, bloom_bits_per_key=1, bloom_max_bits=1 << 10
+        SF, verify_budget=0, bloom_bits_per_key=1, bloom_max_bits=1 << 10
     ).to_pandas()
     assert tiny.equals(exact)
 
@@ -132,9 +136,14 @@ def test_sorted_neighborhood_halo_boundaries():
         sorted_neighborhood_pairs,
     )
 
-    big = _snp_table(sorted_neighborhood_pairs(SF, pair_block=1 << 20))
-    tiny = _snp_table(sorted_neighborhood_pairs(SF, pair_block=8))
-    assert big.equals(tiny)
+    big = _snp_table(sorted_neighborhood_pairs(SF))  # driver tier
+    wide = _snp_table(
+        sorted_neighborhood_pairs(SF, driver_budget=0, pair_block=1 << 20)
+    )
+    tiny = _snp_table(
+        sorted_neighborhood_pairs(SF, driver_budget=0, pair_block=8)
+    )
+    assert big.equals(tiny) and big.equals(wide)
     # n docs in global order -> exactly w*n - w*(w+1)/2 pairs
     n = big["doc_a"].nunique() + 1  # only the last rank never leads a pair
     assert len(big) == 3 * n - 6
@@ -156,9 +165,12 @@ def test_sorted_neighborhood_identical_keys(tmp_path):
         ),
         d / "documents.parquet",
     )
-    out = _snp_table(sorted_neighborhood_pairs(str(d), window=2))
-    got = set(map(tuple, out[["doc_a", "doc_b", "dist"]].values.tolist()))
-    assert got == {(1, 3, 1), (3, 5, 1), (5, 9, 1), (1, 5, 2), (3, 9, 2)}
+    for budget in (2_000_000, 0):  # both tiers
+        out = _snp_table(
+            sorted_neighborhood_pairs(str(d), window=2, driver_budget=budget)
+        )
+        got = set(map(tuple, out[["doc_a", "doc_b", "dist"]].values.tolist()))
+        assert got == {(1, 3, 1), (3, 5, 1), (5, 9, 1), (1, 5, 2), (3, 9, 2)}
 
 
 def test_pareto_orders_closed_form(tmp_path):
