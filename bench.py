@@ -130,6 +130,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "tfidf_topk",
         "top_tokens",
         "frequent_ngrams",
+        # round-4 session-3 operators
+        "events_moving_avg",
+        "bloom_semi_join",
+        "sorted_neighborhood_pairs",
+        "pareto_orders",
         # round-3 LM-training filters
         "decontaminate",
         "unigram_logprob",
