@@ -1035,6 +1035,112 @@ def _q_events_moving_avg(sf_dir: str):
     return events_moving_avg(sf_dir)
 
 
+def _q_ntile_orders(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import ntile_orders
+
+    return ntile_orders(sf_dir)
+
+
+def _q_ntile_orders_grouped(sf_dir: str):
+    """Forced any-cardinality tier: order-preserving float-bit buckets
+    + two-level prefix-sum ranks (boundary buckets only re-ranked),
+    with the bucket combine ALSO forced through the Ray groupby."""
+    from high_performance_docling_ray.pipelines.seqstats import ntile_orders
+
+    return ntile_orders(sf_dir, driver_budget=0, combine_limit=0)
+
+
+def _q_mode_event_type(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        mode_event_type,
+    )
+
+    return mode_event_type(sf_dir)
+
+
+def _q_mode_event_type_grouped(sf_dir: str):
+    """Forced any-cardinality tier: hash(user) partition over the
+    mergeable (user, event_type, n) count partials."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        mode_event_type,
+    )
+
+    return mode_event_type(sf_dir, combine_limit=0)
+
+
+def _q_event_entropy(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import event_entropy
+
+    return event_entropy(sf_dir)
+
+
+def _q_event_entropy_grouped(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import event_entropy
+
+    return event_entropy(sf_dir, combine_limit=0)
+
+
+def _q_interval_merge(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import interval_merge
+
+    return interval_merge(sf_dir)
+
+
+def _q_interval_merge_grouped(sf_dir: str):
+    """Forced any-cardinality tier: hash(user) partition exchange."""
+    from high_performance_docling_ray.pipelines.seqstats import interval_merge
+
+    return interval_merge(sf_dir, driver_budget=0)
+
+
+def _q_lag1_autocorr(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import lag1_autocorr
+
+    return lag1_autocorr(sf_dir)
+
+
+def _q_lag1_autocorr_grouped(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import lag1_autocorr
+
+    return lag1_autocorr(sf_dir, driver_budget=0)
+
+
+def _q_rolling_distinct_users(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        rolling_distinct_users,
+    )
+
+    return rolling_distinct_users(sf_dir)
+
+
+def _q_rolling_distinct_users_grouped(sf_dir: str):
+    """Forced any-cardinality tier: delta rows fold through the Ray
+    groupby instead of the driver combine."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        rolling_distinct_users,
+    )
+
+    return rolling_distinct_users(sf_dir, combine_limit=0)
+
+
+def _q_ngram_containment(sf_dir: str):
+    from high_performance_docling_ray.pipelines.dedup import (
+        ngram_containment_pairs,
+    )
+
+    return ngram_containment_pairs(sf_dir, threshold=0.4)
+
+
+def _q_ngram_containment_distributed(sf_dir: str):
+    """Forced any-cardinality tier: coarse shingle-partition shuffle +
+    Ray keyed intersection count."""
+    from high_performance_docling_ray.pipelines.dedup import (
+        ngram_containment_pairs,
+    )
+
+    return ngram_containment_pairs(sf_dir, threshold=0.4, driver_budget=0)
+
+
 def _q_range_join(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import (
         range_join_events,
@@ -1416,6 +1522,21 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs_grouped": _q_sorted_neighborhood_pairs_grouped,
         "events_moving_avg_grouped": _q_events_moving_avg_grouped,
         "pareto_orders": _q_pareto_orders,
+        # per-key sequence & distribution statistics (seqstats.py)
+        "ntile_orders": _q_ntile_orders,
+        "ntile_orders_grouped": _q_ntile_orders_grouped,
+        "mode_event_type": _q_mode_event_type,
+        "mode_event_type_grouped": _q_mode_event_type_grouped,
+        "event_entropy": _q_event_entropy,
+        "event_entropy_grouped": _q_event_entropy_grouped,
+        "interval_merge": _q_interval_merge,
+        "interval_merge_grouped": _q_interval_merge_grouped,
+        "lag1_autocorr": _q_lag1_autocorr,
+        "lag1_autocorr_grouped": _q_lag1_autocorr_grouped,
+        "rolling_distinct_users": _q_rolling_distinct_users,
+        "rolling_distinct_users_grouped": _q_rolling_distinct_users_grouped,
+        "ngram_containment_pairs": _q_ngram_containment,
+        "ngram_containment_pairs_distributed": _q_ngram_containment_distributed,
         # graph analytics (link-graph shape over the lineitem bipartite)
         "pagerank": _q_pagerank,
         "pagerank_cogroup": _q_pagerank_cogroup,
@@ -3126,6 +3247,135 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY event_id
+        """,
+        # global NTILE folded to per-tile aggregates; the exact-cents
+        # DECIMAL sum mirrors the Ray side's int64 fixed-point partials
+        "ntile_orders": """
+            WITH t AS (SELECT o_totalprice,
+                              NTILE(10) OVER (ORDER BY o_totalprice,
+                                              o_orderkey) AS tile
+                       FROM orders)
+            SELECT tile, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_price,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price
+            FROM t GROUP BY tile ORDER BY tile
+        """,
+        "mode_event_type": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT user_id, event_type, n,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY n DESC, event_type)
+                             AS rn
+                  FROM c)
+            SELECT user_id, event_type AS mode_event, n AS n_mode
+            FROM r WHERE rn = 1 ORDER BY user_id
+        """,
+        "event_entropy": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT user_id, SUM(n) AS total FROM c GROUP BY 1)
+            SELECT c.user_id, CAST(t.total AS BIGINT) AS n_events,
+                   -SUM((c.n / t.total) * LN(c.n / t.total)) AS entropy
+            FROM c JOIN t ON c.user_id = t.user_id
+            GROUP BY c.user_id, t.total ORDER BY c.user_id
+        """,
+        # gaps-and-islands interval union; durations are pure-integer
+        # (event_id % 3600 + 1 seconds) so covered_us is exact
+        "interval_merge": """
+            WITH iv AS (SELECT user_id, ts AS s,
+                               ts + ((event_id % 3600 + 1)
+                                     * INTERVAL 1 SECOND) AS e
+                        FROM events),
+            m AS (SELECT user_id, s, e,
+                         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS max_prev
+                  FROM iv),
+            g AS (SELECT user_id, s, e,
+                         SUM(CASE WHEN max_prev IS NULL OR s > max_prev
+                                  THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+                  FROM m),
+            isl AS (SELECT user_id, island, MIN(s) AS is_, MAX(e) AS ie
+                    FROM g GROUP BY 1, 2)
+            SELECT user_id, COUNT(*) AS n_intervals,
+                   CAST(SUM(epoch_us(ie) - epoch_us(is_)) AS BIGINT)
+                       AS covered_us
+            FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        # exact sliding-window distinct via per-user coverage islands +
+        # delta prefix scan; the oracle is the naive window join
+        "rolling_distinct_users": """
+            WITH eh AS (SELECT DISTINCT user_id,
+                               date_trunc('hour', ts) AS h
+                        FROM events),
+            hours AS (SELECT DISTINCT h FROM eh)
+            SELECT hours.h AS hour,
+                   CAST(COUNT(DISTINCT eh.user_id) AS BIGINT) AS n_users
+            FROM hours JOIN eh
+              ON eh.h BETWEEN hours.h - INTERVAL 23 HOUR AND hours.h
+            GROUP BY hours.h ORDER BY hour
+        """,
+        # asymmetric containment |A∩B| / min(|A|,|B|) — the
+        # partial-duplicate detector; same shingle CTE as the Jaccard
+        # oracle, NO length-ratio prefilter (subset pairs are the point)
+        "ngram_containment_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)),
+                                                       '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2]))
+                END AS sh
+              FROM toks
+            ),
+            ne AS (SELECT doc_id, sh, len(sh) AS L FROM sh
+                   WHERE len(sh) > 0)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / least(a.L, b.L) AS containment
+            FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / least(a.L, b.L) >= 0.4
+        """,
+        # lag-1 Pearson autocorr from explicit pair sums; the CASE
+        # guard mirrors the Ray kernel's (m>0, vx>0, vy>0) validity
+        "lag1_autocorr": """
+            WITH s AS (SELECT user_id, value,
+                              LAG(value) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                                  AS prev
+                       FROM events),
+            a AS (SELECT user_id,
+                         COUNT(prev) AS m,
+                         SUM(prev) FILTER (WHERE prev IS NOT NULL) AS sx,
+                         SUM(value) FILTER (WHERE prev IS NOT NULL) AS sy,
+                         SUM(prev * prev) AS sxx,
+                         SUM(value * value) FILTER (WHERE prev IS NOT NULL)
+                             AS syy,
+                         SUM(prev * value) AS sxy
+                  FROM s GROUP BY user_id)
+            SELECT user_id, CAST(m AS BIGINT) AS n_pairs,
+                   CASE WHEN m > 0 AND (m * sxx - sx * sx) > 0
+                             AND (m * syy - sy * sy) > 0
+                        THEN (m * sxy - sx * sy)
+                             / sqrt((m * sxx - sx * sx)
+                                    * (m * syy - sy * sy))
+                        ELSE NULL END AS lag1_corr
+            FROM a ORDER BY user_id
         """,
         "asof_join_events": """
             SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
@@ -6954,6 +7204,17 @@ def oracle_sql() -> dict[str, str]:
     oracles["bloom_semi_join_cogroup"] = oracles["bloom_semi_join"]
     oracles["bloom_semi_join_exactonly"] = oracles["bloom_semi_join"]
     oracles["events_moving_avg_grouped"] = oracles["events_moving_avg"]
+    oracles["ntile_orders_grouped"] = oracles["ntile_orders"]
+    oracles["mode_event_type_grouped"] = oracles["mode_event_type"]
+    oracles["event_entropy_grouped"] = oracles["event_entropy"]
+    oracles["interval_merge_grouped"] = oracles["interval_merge"]
+    oracles["lag1_autocorr_grouped"] = oracles["lag1_autocorr"]
+    oracles["rolling_distinct_users_grouped"] = oracles[
+        "rolling_distinct_users"
+    ]
+    oracles["ngram_containment_pairs_distributed"] = oracles[
+        "ngram_containment_pairs"
+    ]
     oracles["sorted_neighborhood_pairs_grouped"] = oracles[
         "sorted_neighborhood_pairs"
     ]

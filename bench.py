@@ -135,6 +135,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "bloom_semi_join",
         "sorted_neighborhood_pairs",
         "pareto_orders",
+        # round-4 session-4: per-key sequence & distribution stats
+        "ntile_orders",
+        "mode_event_type",
+        "event_entropy",
+        "interval_merge",
+        "lag1_autocorr",
+        "rolling_distinct_users",
+        "ngram_containment_pairs",
         # round-3 LM-training filters
         "decontaminate",
         "unigram_logprob",

@@ -1100,6 +1100,115 @@ def ngram_jaccard_pairs(
     )
 
 
+_EMPTY_CONTAINMENT = pa.Table.from_pydict(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "containment": pa.array([], pa.float64()),
+    }
+)
+
+
+def _finalize_containment(counted: pa.Table, threshold: float) -> pa.Table:
+    """(doc_a, doc_b, sa, sb, inter) -> filtered max-containment pairs:
+    ``inter / min(sa, sb)`` — 1.0 exactly when the smaller shingle set
+    is a subset of the larger."""
+    if counted.num_rows == 0:
+        return _EMPTY_CONTAINMENT
+    inter = counted.column("inter").to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    sa = counted.column("sa").to_numpy(zero_copy_only=False).astype(np.float64)
+    sb = counted.column("sb").to_numpy(zero_copy_only=False).astype(np.float64)
+    cont = inter / np.minimum(sa, sb)
+    keep = cont >= threshold
+    return pa.Table.from_pydict(
+        {
+            "doc_a": counted.column("doc_a").filter(pa.array(keep)),
+            "doc_b": counted.column("doc_b").filter(pa.array(keep)),
+            "containment": pa.array(cont[keep], pa.float64()),
+        }
+    )
+
+
+def ngram_containment_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    driver_budget: int = 2_000_000,
+) -> ray.data.Dataset:
+    """EXACT asymmetric n-gram CONTAINMENT pairs: ``|A ∩ B| /
+    min(|A|, |B|) >= threshold`` over non-empty shingle sets — the
+    partial-duplicate / quote / near-superset detector Jaccard misses
+    (a page embedded verbatim inside a 10× larger one has Jaccard
+    ~0.1 but containment 1.0; the standard pretraining-dedup
+    complement to ``ngram_jaccard_pairs``).
+
+    Same exact pair-count composition as the Jaccard op (the run
+    count of a co-occurring pair IS |A ∩ B|), minus the length-ratio
+    prefilter — containment must NOT size-prune, since the tiny-subset
+    pair is exactly the signal (``threshold=0.0`` at emission). Tiers:
+    driver pair-count within ``driver_budget`` posting rows, else the
+    coarse shingle-partition shuffle + Ray keyed count that runs at
+    any corpus size. No prefix tier: PPJoin's prefix bound is a
+    Jaccard inequality and is unsound for containment.
+    """
+    ds = read_documents(sf_dir)
+
+    def full_rows(batch: pa.Table) -> pa.Table:
+        return _prefix_rows(batch, 0.0, ngram)  # t=0: whole set
+
+    posting = ds.map_batches(full_rows, batch_format="pyarrow")
+    landed = _collect_within_budget(posting, driver_budget)
+    if landed is not None and landed.num_rows:
+        emitted = _emit_pairs_with_sizes(landed, 0.0)
+        if emitted is not None:
+            if emitted.num_rows == 0:
+                return ray.data.from_arrow(_EMPTY_CONTAINMENT)
+            counted = (
+                emitted.group_by(["doc_a", "doc_b", "sa", "sb"])
+                .aggregate([("doc_a", "count")])
+                .rename_columns(["doc_a", "doc_b", "sa", "sb", "inter"])
+            )
+            return ray.data.from_arrow(
+                _finalize_containment(counted, threshold)
+            )
+    if landed is not None and not landed.num_rows:
+        return ray.data.from_arrow(_EMPTY_CONTAINMENT)
+
+    num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+        part = (sh % np.uint64(num_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def emit_part(group: pa.Table) -> pa.Table:
+        out = _emit_pairs_with_sizes(group.drop_columns(["part"]), 0.0)
+        if out is None:
+            raise ValueError(
+                "hot-shingle pair blowup: containment has no prefix "
+                "tier; pre-filter stopword shingles upstream"
+            )
+        return out
+
+    counted_ds = (
+        posting.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(emit_part, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b", "sa", "sb"])
+        .count()
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return _finalize_containment(
+            batch.rename_columns(["doc_a", "doc_b", "sa", "sb", "inter"]),
+            threshold,
+        )
+
+    return counted_ds.map_batches(finalize, batch_format="pyarrow")
+
+
 # -- sorted-neighborhood blocking -------------------------------------------
 
 

@@ -1,0 +1,875 @@
+"""Per-key sequence & distribution statistics over the events/orders
+tables — the ordered-window / per-entity-profile shapes a training-data
+pipeline runs next to dedup (per-user behavior profiling, global
+quantile tiling for stratified exports, coverage-interval accounting).
+
+Five operators, all on the house tier convention (NOTES_r4): a
+driver/combine fast path gated by a parquet-FOOTER row probe or the
+standard ``combine_limit`` partial budget, and a distributed fallback
+(coarse ``hash(key) % P`` co-partition + one vectorized pass per
+partition — never a per-distinct-key Python call) registered as its own
+forced ``*_grouped`` driver entry sharing the base oracle.
+
+- ``ntile_orders``      — global NTILE(k) over (o_totalprice,
+  o_orderkey) via order-preserving float-bit buckets + a two-level
+  prefix sum (the ``shuffle_ranks`` shape generalized to doubles);
+  only the <= k-1 tile-BOUNDARY buckets ever need per-row ranks.
+- ``mode_event_type``   — per-user modal event_type (tie -> smallest),
+  over mergeable (user, event_type, n) count partials.
+- ``event_entropy``     — per-user Shannon entropy of the event_type
+  distribution, same partials.
+- ``interval_merge``    — per-user union of overlapping time intervals
+  (gaps-and-islands; segmented running max inside one sorted pass).
+- ``lag1_autocorr``     — per-user lag-1 Pearson autocorrelation of
+  ``value`` in (ts, event_id) order, from per-run pair sums.
+
+Reference anchor: the reference engine's per-document ordered passes
+(reading_order assembly, page_seq sorts) are the same
+co-partition-then-scan shape; these operators lift it to corpus-scale
+entity keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .relational import _cents, _combine_partials, _read, to_table_or_sink
+
+__all__ = [
+    "ntile_orders",
+    "mode_event_type",
+    "event_entropy",
+    "interval_merge",
+    "lag1_autocorr",
+    "rolling_distinct_users",
+]
+
+
+def _num_parts() -> int:
+    return 2 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def _user_part(users: np.ndarray, num_parts: int) -> np.ndarray:
+    part = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+        num_parts
+    )
+    return part.astype(np.int32)
+
+
+# -- global NTILE over a double column ---------------------------------------
+
+
+def _monotone_bits(vals: np.ndarray) -> np.ndarray:
+    """IEEE-754 total-order transform: uint64 keys whose unsigned order
+    equals the doubles' numeric order (negatives flipped, positives
+    offset past them). No NaN handling — parquet reads are null-clean."""
+    u = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
+    neg = (u >> np.uint64(63)).astype(bool)
+    return np.where(neg, ~u, u | np.uint64(1 << 63))
+
+
+def _tile_of(ranks: np.ndarray, n: int, k: int) -> np.ndarray:
+    """0-based NTILE bucket for 0-based global ranks: the first
+    ``n % k`` tiles take ``n // k + 1`` rows, the rest ``n // k`` —
+    exactly SQL NTILE's row distribution."""
+    size, rem = divmod(int(n), int(k))
+    cut = rem * (size + 1)
+    lo = ranks // (size + 1)
+    hi = rem + (ranks - cut) // max(size, 1)
+    return np.where(ranks < cut, lo, hi).astype(np.int64)
+
+
+_NTILE_SCHEMA = {
+    "tile": pa.int64(),
+    "n_orders": pa.int64(),
+    "sum_price": pa.float64(),
+    "min_price": pa.float64(),
+    "max_price": pa.float64(),
+}
+
+
+def _ntile_fold(
+    tiles: np.ndarray,
+    n: np.ndarray,
+    cents: np.ndarray,
+    pmin: np.ndarray,
+    pmax: np.ndarray,
+) -> pa.Table:
+    """Final per-tile fold of (tile, n, cents, min, max) partial rows
+    (tiny: <= k whole-bucket rows + <= k boundary rows per tile)."""
+    order = np.argsort(tiles, kind="stable")
+    tiles, n, cents = tiles[order], n[order], cents[order]
+    pmin, pmax = pmin[order], pmax[order]
+    starts = np.concatenate(([0], np.nonzero(tiles[1:] != tiles[:-1])[0] + 1))
+    ends = np.concatenate((starts[1:], [len(tiles)]))
+    out_n = np.add.reduceat(n, starts)
+    out_c = np.add.reduceat(cents, starts)
+    out_min = np.minimum.reduceat(pmin, starts)
+    out_max = np.maximum.reduceat(pmax, starts)
+    del ends
+    return pa.Table.from_pydict(
+        {
+            "tile": pa.array(tiles[starts] + 1, pa.int64()),
+            "n_orders": pa.array(out_n, pa.int64()),
+            "sum_price": pa.array(out_c / 100.0, pa.float64()),
+            "min_price": pa.array(out_min, pa.float64()),
+            "max_price": pa.array(out_max, pa.float64()),
+        }
+    ).sort_by([("tile", "ascending")])
+
+
+def ntile_orders(
+    sf_dir: str,
+    tiles: int = 10,
+    bucket_bits: int = 20,
+    driver_budget: int = 2_000_000,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """Per-NTILE aggregates of orders by ``(o_totalprice, o_orderkey)``
+    — ``NTILE(tiles) OVER (ORDER BY price, key)`` folded to one row per
+    tile (count, exact-cents sum, min, max).
+
+    A global NTILE normally needs a global sort; here the
+    ORDER-PRESERVING top ``bucket_bits`` bits of the price's IEEE
+    total-order key give a coarse range partition for free (the
+    ``shuffle_ranks`` two-level prefix-sum shape, generalized from
+    uniform hash keys to doubles): per-block per-bucket (n, cents,
+    min, max) partials -> one bounded combine (<= 2^bucket_bits rows;
+    Ray groupby fallback past ``combine_limit``) -> driver cumsum gives
+    every bucket's global rank span. A bucket whose span lies inside
+    one tile folds straight from its stage-1 aggregate; only the
+    <= tiles-1 buckets STRADDLING a tile boundary are re-read for
+    per-row ranks (one filtered scan, <= tiles-1 groups). Heavy ties
+    at a boundary price concentrate that bucket's re-rank in one group
+    — the documented skew cost; every other row is never ranked.
+
+    Under ``driver_budget`` (orders FOOTER row count) the whole rank
+    pass runs as ONE driver lexsort instead — the house fast tier;
+    ``ntile_orders_grouped`` forces the distributed path.
+    """
+    from .io import parquet_num_rows
+
+    if tiles < 1:
+        raise ValueError("tiles must be >= 1")
+    total = parquet_num_rows(f"{sf_dir}/orders.parquet")
+    if total == 0:
+        return pa.Table.from_pydict(
+            {c: pa.array([], t) for c, t in _NTILE_SCHEMA.items()}
+        )
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    if driver_budget and total <= driver_budget:
+        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        whole = pa.concat_tables(parts).combine_chunks()
+        price = whole.column("o_totalprice").to_numpy(zero_copy_only=False)
+        okey = whole.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, price))
+        price = price[order]
+        t = _tile_of(np.arange(len(price), dtype=np.int64), len(price), tiles)
+        starts = np.concatenate(([0], np.nonzero(t[1:] != t[:-1])[0] + 1))
+        ends = np.concatenate((starts[1:], [len(t)]))
+        cents = _cents(whole.column("o_totalprice"))[order]
+        return pa.Table.from_pydict(
+            {
+                "tile": pa.array(t[starts] + 1, pa.int64()),
+                "n_orders": pa.array(ends - starts, pa.int64()),
+                "sum_price": pa.array(
+                    np.add.reduceat(cents, starts) / 100.0, pa.float64()
+                ),
+                "min_price": pa.array(price[starts], pa.float64()),
+                "max_price": pa.array(price[ends - 1], pa.float64()),
+            }
+        )
+
+    shift = np.uint64(64 - bucket_bits)
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        bucket = (_monotone_bits(price) >> shift).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "n": pa.array(np.ones(len(price), dtype=np.int64)),
+                "c": pa.array(_cents(batch.column("o_totalprice")), pa.int64()),
+                "p": pa.array(price, pa.float64()),
+                "q": pa.array(price, pa.float64()),
+            }
+        )
+        out = t.group_by("bucket").aggregate(
+            [("n", "sum"), ("c", "sum"), ("p", "min"), ("q", "max")]
+        )
+        return out.rename_columns(["bucket", "n", "c", "pmin", "pmax"])
+
+    partials = ds.map_batches(bucket_partial, batch_format="pyarrow")
+    # rebind: the over-budget fallback groupby must reuse these blocks,
+    # not re-run the read (NOTES_r4 materialize sharp edge)
+    partials = partials.materialize()
+    refs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    cat = pa.concat_tables(refs) if refs else None
+    if cat is not None and cat.num_rows <= combine_limit:
+        merged = (
+            cat.group_by("bucket")
+            .aggregate(
+                [("n", "sum"), ("c", "sum"), ("pmin", "min"), ("pmax", "max")]
+            )
+            .rename_columns(["bucket", "n", "c", "pmin", "pmax"])
+        )
+    else:
+        # the exchange that works at any block count x bucket count
+        from ray.data.aggregate import Max, Min, Sum
+
+        grouped = partials.groupby("bucket").aggregate(
+            Sum("n"), Sum("c"), Min("pmin"), Max("pmax")
+        )
+        rows = [t for t in ray.get(grouped.to_arrow_refs()) if t.num_rows]
+        merged = (
+            pa.concat_tables(rows)
+            .rename_columns(["bucket", "n", "c", "pmin", "pmax"])
+        )
+    merged = merged.sort_by([("bucket", "ascending")])
+    b = merged.column("bucket").to_numpy(zero_copy_only=False)
+    cnt = merged.column("n").to_numpy(zero_copy_only=False)
+    cents = merged.column("c").to_numpy(zero_copy_only=False)
+    pmin = merged.column("pmin").to_numpy(zero_copy_only=False)
+    pmax = merged.column("pmax").to_numpy(zero_copy_only=False)
+    offs = np.cumsum(cnt) - cnt
+    n_total = int(cnt.sum())
+    t_lo = _tile_of(offs, n_total, tiles)
+    t_hi = _tile_of(offs + cnt - 1, n_total, tiles)
+    whole_mask = t_lo == t_hi
+
+    acc = [
+        (t_lo[whole_mask], cnt[whole_mask], cents[whole_mask],
+         pmin[whole_mask], pmax[whole_mask])
+    ]
+    bd = ~whole_mask
+    if bd.any():
+        bd_buckets = np.sort(b[bd])
+        off_map = dict(zip(b[bd].tolist(), offs[bd].tolist()))
+
+        def keep_boundary(batch: pa.Table) -> pa.Table:
+            price = batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False
+            )
+            bucket = (_monotone_bits(price) >> shift).astype(np.int64)
+            ix = np.searchsorted(bd_buckets, bucket)
+            ix[ix == len(bd_buckets)] = 0
+            mask = bd_buckets[ix] == bucket
+            out = batch.filter(pa.array(mask))
+            return out.append_column(
+                "bucket", pa.array(bucket[mask], pa.int64())
+            )
+
+        def rank_bucket(group: pa.Table) -> pa.Table:
+            price = group.column("o_totalprice").to_numpy(
+                zero_copy_only=False
+            )
+            okey = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+            off = off_map[int(group.column("bucket")[0].as_py())]
+            order = np.lexsort((okey, price))
+            price = price[order]
+            cents_g = _cents(group.column("o_totalprice"))[order]
+            ranks = off + np.arange(len(price), dtype=np.int64)
+            tl = _tile_of(ranks, n_total, tiles)
+            starts = np.concatenate(
+                ([0], np.nonzero(tl[1:] != tl[:-1])[0] + 1)
+            )
+            ends = np.concatenate((starts[1:], [len(tl)]))
+            return pa.Table.from_pydict(
+                {
+                    "tile0": pa.array(tl[starts], pa.int64()),
+                    "n": pa.array(ends - starts, pa.int64()),
+                    "c": pa.array(np.add.reduceat(cents_g, starts), pa.int64()),
+                    "pmin": pa.array(price[starts], pa.float64()),
+                    "pmax": pa.array(price[ends - 1], pa.float64()),
+                }
+            )
+
+        bd_rows = [
+            t
+            for t in ray.get(
+                ds.map_batches(keep_boundary, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(rank_bucket, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        if bd_rows:
+            bt = pa.concat_tables(bd_rows)
+            acc.append(
+                tuple(
+                    bt.column(c).to_numpy(zero_copy_only=False)
+                    for c in ["tile0", "n", "c", "pmin", "pmax"]
+                )
+            )
+    return _ntile_fold(
+        np.concatenate([a[0] for a in acc]),
+        np.concatenate([a[1] for a in acc]),
+        np.concatenate([a[2] for a in acc]),
+        np.concatenate([a[3] for a in acc]),
+        np.concatenate([a[4] for a in acc]),
+    )
+
+
+# -- per-user event_type count partials (shared by mode + entropy) -----------
+
+
+def _type_count_partial(batch: pa.Table) -> pa.Table:
+    t = pa.Table.from_pydict(
+        {
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        }
+    )
+    return (
+        t.group_by(["user_id", "event_type"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["user_id", "event_type", "n"])
+    )
+
+
+def _merged_runs(group: pa.Table):
+    """Merge duplicate (user, event_type) partial rows and return
+    ``(users, codes, uniq_types, counts, user_run_starts, run_ends)``
+    with rows sorted by (user, event_type-lex)."""
+    users = group.column("user_id").to_numpy(zero_copy_only=False)
+    types = group.column("event_type").to_numpy(zero_copy_only=False)
+    n = group.column("n").to_numpy(zero_copy_only=False)
+    uniq, codes = np.unique(types, return_inverse=True)
+    order = np.lexsort((codes, users))
+    users, codes, n = users[order], codes[order], n[order]
+    change = np.concatenate(
+        (
+            [True],
+            (users[1:] != users[:-1]) | (codes[1:] != codes[:-1]),
+        )
+    )
+    starts = np.nonzero(change)[0]
+    m_users = users[starts]
+    m_codes = codes[starts]
+    m_n = np.add.reduceat(n, starts)
+    u_starts = np.concatenate(
+        ([0], np.nonzero(m_users[1:] != m_users[:-1])[0] + 1)
+    )
+    u_ends = np.concatenate((u_starts[1:], [len(m_users)]))
+    return m_users, m_codes, uniq, m_n, u_starts, u_ends
+
+
+_MODE_EMPTY = pa.Table.from_pydict(
+    {
+        "user_id": pa.array([], pa.int64()),
+        "mode_event": pa.array([], pa.string()),
+        "n_mode": pa.array([], pa.int64()),
+    }
+)
+
+
+def _mode_kernel(group: pa.Table) -> pa.Table:
+    if not group.num_rows:
+        return _MODE_EMPTY
+    users, codes, uniq, n, u_starts, _ = _merged_runs(group)
+    order = np.lexsort((codes, -n, users))
+    su = users[order]
+    firsts = np.concatenate(([0], np.nonzero(su[1:] != su[:-1])[0] + 1))
+    pick = order[firsts]
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array(users[pick], pa.int64()),
+            "mode_event": pa.array(uniq[codes[pick]]),
+            "n_mode": pa.array(n[pick], pa.int64()),
+        }
+    )
+
+
+_ENTROPY_EMPTY = pa.Table.from_pydict(
+    {
+        "user_id": pa.array([], pa.int64()),
+        "n_events": pa.array([], pa.int64()),
+        "entropy": pa.array([], pa.float64()),
+    }
+)
+
+
+def _entropy_kernel(group: pa.Table) -> pa.Table:
+    if not group.num_rows:
+        return _ENTROPY_EMPTY
+    users, _codes, _uniq, n, u_starts, u_ends = _merged_runs(group)
+    totals = np.add.reduceat(n, u_starts)
+    rep = np.repeat(totals, u_ends - u_starts)
+    p = n / rep
+    terms = -p * np.log(p)
+    # reduceat, NOT a prefix-sum difference: each user's sum must be
+    # computed over ONLY its own rows so the float result is identical
+    # whatever other users share the partition (tier-equality pin)
+    ent = np.add.reduceat(terms, u_starts)
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array(users[u_starts], pa.int64()),
+            "n_events": pa.array(totals, pa.int64()),
+            "entropy": pa.array(ent, pa.float64()),
+        }
+    )
+
+
+def _per_user_from_counts(
+    sf_dir: str, kernel, empty: pa.Table, combine_limit: int
+) -> pa.Table:
+    """Shared driver for mode/entropy: mergeable (user, event_type, n)
+    count partials -> bounded driver combine (house ``combine_limit``
+    gate) -> vectorized kernel; past the budget ONE coarse
+    ``hash(user) % P`` exchange of the count partials (already reduced
+    to distinct (user, type) pairs per block — never raw events) runs
+    the same kernel per partition at any user cardinality."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    partials = ds.map_batches(_type_count_partial, batch_format="pyarrow")
+    partials = partials.materialize()
+    tbl = _combine_partials(
+        partials, ["user_id", "event_type"], ["n"], combine_limit
+    )
+    if tbl is not None:
+        if not tbl.num_rows:
+            return empty
+        merged = tbl.rename_columns(["user_id", "event_type", "n"])
+        return kernel(merged).sort_by([("user_id", "ascending")])
+    num_parts = _num_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(_user_part(users, num_parts))
+        )
+
+    out = (
+        partials.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: kernel(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    res = to_table_or_sink(out, [("user_id", "ascending")], None)
+    return res if res.num_rows else empty
+
+
+def mode_event_type(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Per-user modal event_type (ties -> lexicographically smallest
+    type), with its count. Exact at any scale: the (user, event_type)
+    count partial is mergeable, so raw events reduce inside the scan
+    and only distinct pairs ride any exchange."""
+    return _per_user_from_counts(
+        sf_dir, _mode_kernel, _MODE_EMPTY, combine_limit
+    )
+
+
+def event_entropy(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Per-user Shannon entropy (nats) of the event_type distribution
+    — the per-entity behavioral-diversity signal (same partial exchange
+    as ``mode_event_type``)."""
+    return _per_user_from_counts(
+        sf_dir, _entropy_kernel, _ENTROPY_EMPTY, combine_limit
+    )
+
+
+# -- per-user interval union (gaps-and-islands) -------------------------------
+
+_IV_EMPTY = pa.Table.from_pydict(
+    {
+        "user_id": pa.array([], pa.int64()),
+        "n_intervals": pa.array([], pa.int64()),
+        "covered_us": pa.array([], pa.int64()),
+    }
+)
+
+
+def interval_merge(
+    sf_dir: str, dur_mod: int = 3600, driver_budget: int = 2_000_000,
+    sink_dir: str | None = None,
+) -> pa.Table | str:
+    """Per-user UNION of overlapping/touching time intervals — each
+    event spans ``[ts, ts + (event_id % dur_mod + 1) sec]`` (a
+    deterministic pure-integer duration) — returning the merged
+    interval count and total covered microseconds per user. The
+    classic coverage/gaps-and-islands operator (session coverage,
+    crawl-window accounting).
+
+    One sorted pass per co-partition: lexsort by (user, start, end),
+    segmented running max of ``end`` (pandas groupby.cummax — C-speed,
+    no per-key Python), island starts where ``start > max(prev ends)``,
+    then pure-int64 reduceat folds islands to users. Driver fast tier
+    under the events FOOTER row probe; ``interval_merge_grouped``
+    forces the ``hash(user) % P`` exchange.
+    """
+    from .io import parquet_num_rows
+
+    num_parts = _num_parts()
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def merge_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if not n:
+            return _IV_EMPTY
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        eids = group.column("event_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        )
+        s = ts
+        e = ts + (eids % dur_mod + 1) * 1_000_000
+        order = np.lexsort((e, s, users))
+        users, s, e = users[order], s[order], e[order]
+        run_start = np.concatenate(([True], users[1:] != users[:-1]))
+        run_id = np.cumsum(run_start) - 1
+        cm = (
+            pd.Series(e).groupby(run_id).cummax().to_numpy()
+        )  # segmented running max, C-speed
+        prev_cm = np.empty(n, dtype=np.int64)
+        prev_cm[0] = 0
+        prev_cm[1:] = cm[:-1]
+        new_island = run_start | (s > prev_cm)
+        isl_starts = np.nonzero(new_island)[0]
+        isl_ends = np.concatenate((isl_starts[1:], [n])) - 1
+        isl_user = users[isl_starts]
+        covered = cm[isl_ends] - s[isl_starts]
+        u_starts = np.concatenate(
+            ([0], np.nonzero(isl_user[1:] != isl_user[:-1])[0] + 1)
+        )
+        u_ends = np.concatenate((u_starts[1:], [len(isl_user)]))
+        cs = np.concatenate(([0], np.cumsum(covered)))
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(isl_user[u_starts], pa.int64()),
+                "n_intervals": pa.array(u_ends - u_starts, pa.int64()),
+                "covered_us": pa.array(
+                    cs[u_ends] - cs[u_starts], pa.int64()
+                ),
+            }
+        )
+
+    if (
+        sink_dir is None
+        and driver_budget
+        and parquet_num_rows(f"{sf_dir}/events.parquet") <= driver_budget
+    ):
+        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return _IV_EMPTY
+        whole = pa.concat_tables(parts).combine_chunks()
+        return merge_part(whole).sort_by([("user_id", "ascending")])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(_user_part(users, num_parts))
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: merge_part(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    return to_table_or_sink(out, [("user_id", "ascending")], sink_dir)
+
+
+# -- per-user lag-1 autocorrelation -------------------------------------------
+
+_AC_EMPTY = pa.Table.from_pydict(
+    {
+        "user_id": pa.array([], pa.int64()),
+        "n_pairs": pa.array([], pa.int64()),
+        "lag1_corr": pa.array([], pa.float64()),
+    }
+)
+
+
+def lag1_autocorr(
+    sf_dir: str, driver_budget: int = 2_000_000,
+    sink_dir: str | None = None,
+) -> pa.Table | str:
+    """Per-user lag-1 Pearson autocorrelation of ``value`` in
+    (ts, event_id) order — corr(v_t, v_{t-1}) over each user's
+    consecutive pairs; NULL (NaN) when either pair variance is zero
+    (single pair, constant values) exactly like the SQL CASE guard.
+
+    Per co-partition: one lexsort, drop each run's first row to form
+    the (prev, cur) pair arrays, then per-user sums of x, y, x², y²,
+    xy via prefix-sum differences — corr closes in five reductions, no
+    per-key Python. Driver fast tier under the events FOOTER probe;
+    ``lag1_autocorr_grouped`` forces the exchange.
+    """
+    from .io import parquet_num_rows
+
+    num_parts = _num_parts()
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def corr_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if not n:
+            return _AC_EMPTY
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        eids = group.column("event_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        )
+        vals = group.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        order = np.lexsort((eids, ts, users))
+        users, vals = users[order], vals[order]
+        run_start = np.concatenate(([True], users[1:] != users[:-1]))
+        starts = np.nonzero(run_start)[0]
+        ends = np.concatenate((starts[1:], [n]))
+        # pair rows: every non-run-start position i pairs (v[i-1], v[i])
+        pair_mask = ~run_start
+        x = vals[np.nonzero(pair_mask)[0] - 1]
+        y = vals[pair_mask]
+        # per-user pair-segment bounds in the packed pair arrays
+        m = ends - starts - 1  # pairs per user
+        p_starts = np.cumsum(m) - m
+        has = m > 0
+
+        def seg_sum(a: np.ndarray) -> np.ndarray:
+            # reduceat over ONLY pair-having users: each user's sum is
+            # computed over its own rows alone, so the float result is
+            # tier-independent (empty segments would make reduceat
+            # return a neighbor's element instead of 0)
+            out = np.zeros(len(m), dtype=np.float64)
+            if len(a):
+                out[has] = np.add.reduceat(a, p_starts[has])
+            return out
+
+        sx, sy = seg_sum(x), seg_sum(y)
+        sxx, syy, sxy = seg_sum(x * x), seg_sum(y * y), seg_sum(x * y)
+        mf = m.astype(np.float64)
+        vx = mf * sxx - sx * sx
+        vy = mf * syy - sy * sy
+        valid = (m > 0) & (vx > 0) & (vy > 0)
+        corr = np.full(len(m), np.nan)
+        corr[valid] = (mf * sxy - sx * sy)[valid] / np.sqrt(
+            (vx * vy)[valid]
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(users[starts], pa.int64()),
+                "n_pairs": pa.array(m, pa.int64()),
+                "lag1_corr": pa.array(corr, pa.float64()),
+            }
+        )
+
+    if (
+        sink_dir is None
+        and driver_budget
+        and parquet_num_rows(f"{sf_dir}/events.parquet") <= driver_budget
+    ):
+        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return _AC_EMPTY
+        whole = pa.concat_tables(parts).combine_chunks()
+        return corr_part(whole).sort_by([("user_id", "ascending")])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(_user_part(users, num_parts))
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: corr_part(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    return to_table_or_sink(out, [("user_id", "ascending")], sink_dir)
+
+
+# -- exact sliding-window distinct count --------------------------------------
+
+_RD_EMPTY = pa.Table.from_pydict(
+    {
+        "hour": pa.array([], pa.timestamp("us")),
+        "n_users": pa.array([], pa.int64()),
+    }
+)
+
+_HOUR_US = 3_600_000_000
+
+
+def rolling_distinct_users(
+    sf_dir: str,
+    window_hours: int = 24,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """EXACT rolling distinct: for every hour with >= 1 event, the
+    number of DISTINCT users active in the trailing ``window_hours``
+    window — the sliding-window cardinality a naive plan computes with
+    an |hours| x window x users self-join and HLL only approximates.
+
+    Linear-work exact composition: a user active at hour ``h``
+    contributes to windows ``[h, h + W - 1]``, so each user's
+    contribution is the UNION of those ranges — per-user interval
+    islands (the ``interval_merge`` kernel on the discrete hour axis:
+    merge while the gap between active hours is <= W). Each island
+    becomes TWO delta rows ``(start, +1), (end + 1, -1)``; summed
+    deltas prefix-scan to the exact distinct count at EVERY hour with
+    no distinct-aggregation anywhere. Stages, all bounded:
+
+    1. per-block distinct (user, hour) pairs (pure map, pre-combined);
+    2. ONE ``hash(user) % P`` co-partition; per partition one lexsort
+       merges duplicates, forms islands, and pre-sums delta rows by
+       hour — the exchange carries distinct pairs, the output
+       <= 2 islands per user, pre-aggregated to <= |hour domain| rows;
+    3. delta rows combine under the house ``combine_limit`` gate (Ray
+       ``groupby(hour).sum`` fallback), then ONE driver cumsum over the
+       hour domain — bounded by the TIME RANGE (a decade is ~9e4
+       hours), not the corpus size — evaluates the scan at the active
+       hours.
+    """
+    num_parts = _num_parts()
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    w = int(window_hours)
+    if w < 1:
+        raise ValueError("window_hours must be >= 1")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        hours = (
+            batch.column("ts").to_numpy().astype("datetime64[us]").astype(
+                np.int64
+            )
+            // _HOUR_US
+        )
+        order = np.lexsort((hours, users))
+        users, hours = users[order], hours[order]
+        keep = np.concatenate(
+            ([True], (users[1:] != users[:-1]) | (hours[1:] != hours[:-1]))
+        )
+        users, hours = users[keep], hours[keep]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "hour": pa.array(hours, pa.int64()),
+                "part": pa.array(_user_part(users, num_parts)),
+            }
+        )
+
+    def deltas(group: pa.Table) -> pa.Table:
+        if not group.num_rows:
+            return pa.Table.from_pydict(
+                {"h": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        hours = group.column("hour").to_numpy(zero_copy_only=False)
+        order = np.lexsort((hours, users))
+        users, hours = users[order], hours[order]
+        keep = np.concatenate(
+            ([True], (users[1:] != users[:-1]) | (hours[1:] != hours[:-1]))
+        )
+        users, hours = users[keep], hours[keep]
+        same_user = np.concatenate(([False], users[1:] == users[:-1]))
+        # a new island when the previous active hour's window no longer
+        # reaches this one: hours[i] > hours[i-1] + w  (coverage ranges
+        # [h, h+w-1] overlap or touch while the gap is <= w)
+        new_island = ~same_user | (
+            np.concatenate(([0], np.diff(hours))) > w
+        )
+        isl_starts = np.nonzero(new_island)[0]
+        isl_ends = np.concatenate((isl_starts[1:], [len(hours)])) - 1
+        start_h = hours[isl_starts]
+        end_h = hours[isl_ends] + w  # first hour PAST the coverage
+        h = np.concatenate((start_h, end_h))
+        d = np.concatenate(
+            (
+                np.ones(len(start_h), dtype=np.int64),
+                -np.ones(len(end_h), dtype=np.int64),
+            )
+        )
+        t = pa.Table.from_pydict(
+            {"h": pa.array(h, pa.int64()), "d": pa.array(d, pa.int64())}
+        )
+        return (
+            t.group_by("h").aggregate([("d", "sum")])
+            .rename_columns(["h", "d"])
+        )
+
+    delta_ds = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: deltas(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    delta_ds = delta_ds.materialize()
+    merged = _combine_partials(delta_ds, ["h"], ["d"], combine_limit)
+    if merged is None:
+        rows = [
+            t
+            for t in ray.get(
+                delta_ds.groupby("h").sum("d").to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        merged = pa.concat_tables(rows).rename_columns(["h", "sum(d)"])
+    if not merged.num_rows:
+        return _RD_EMPTY
+    merged = merged.sort_by([("h", "ascending")])
+    dh = merged.column("h").to_numpy(zero_copy_only=False)
+    counts = np.cumsum(
+        merged.column("sum(d)").to_numpy(zero_copy_only=False)
+    )
+
+    # active hours: bounded by the time range; one distinct partial +
+    # the same combine gate
+    def hour_partial(batch: pa.Table) -> pa.Table:
+        hours = np.unique(
+            batch.column("ts").to_numpy().astype("datetime64[us]").astype(
+                np.int64
+            )
+            // _HOUR_US
+        )
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(hours, pa.int64()),
+                "n": pa.array(np.ones(len(hours), dtype=np.int64)),
+            }
+        )
+
+    hours_partials = _read(sf_dir, "events", ["ts"]).map_batches(
+        hour_partial, batch_format="pyarrow"
+    )
+    hours_partials = hours_partials.materialize()
+    hrs = _combine_partials(hours_partials, ["h"], ["n"], combine_limit)
+    if hrs is None:
+        rows = [
+            t
+            for t in ray.get(
+                hours_partials.groupby("h").sum("n").to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        hrs = pa.concat_tables(rows).rename_columns(["h", "sum(n)"])
+    active = np.sort(hrs.column("h").to_numpy(zero_copy_only=False))
+    # scan value at hour h = cumsum at the last delta hour <= h
+    ix = np.searchsorted(dh, active, side="right") - 1
+    n_users = np.where(ix >= 0, counts[np.maximum(ix, 0)], 0)
+    return pa.Table.from_pydict(
+        {
+            "hour": pa.array(
+                (active * _HOUR_US).astype("datetime64[us]")
+            ),
+            "n_users": pa.array(n_users, pa.int64()),
+        }
+    )

@@ -1,0 +1,327 @@
+"""Round-4 session-4 operators (seqstats.py): global NTILE fold,
+per-user mode / entropy / interval union / lag-1 autocorrelation.
+Closed-form pins + tier equality; oracle agreement is driver-gate
+verified (tools/check_correctness.py, all tiers MATCH at sf0.001 and
+sf0.01)."""
+
+import math
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+from high_performance_docling_ray.pipelines.seqstats import (  # noqa: E402
+    event_entropy,
+    interval_merge,
+    lag1_autocorr,
+    mode_event_type,
+    ntile_orders,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_orders(d, okeys, prices):
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(okeys, pa.int64()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    return str(d)
+
+
+def _write_events(d, eids, ts_us, users, types=None, vals=None):
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    cols = {
+        "event_id": pa.array(eids, pa.int64()),
+        "ts": pa.array([base + np.timedelta64(t, "us") for t in ts_us]),
+        "user_id": pa.array(users, pa.int64()),
+    }
+    if types is not None:
+        cols["event_type"] = pa.array(types, pa.string())
+    if vals is not None:
+        cols["value"] = pa.array(vals, pa.float64())
+    d.mkdir(exist_ok=True)
+    pq.write_table(pa.table(cols), d / "events.parquet")
+    return str(d)
+
+
+def test_ntile_closed_form(tmp_path):
+    """7 rows, 3 tiles -> sizes 3,2,2 by (price, orderkey); the price
+    tie at 10.0 resolves by orderkey so key 5 lands in tile 1."""
+    sf = _write_orders(
+        tmp_path / "sf",
+        okeys=[1, 2, 3, 4, 5, 6, 7],
+        prices=[10.0, 30.0, 20.0, 50.0, 10.0, 40.0, 60.0],
+    )
+    out = ntile_orders(sf, tiles=3).to_pandas()
+    # sorted: (10,1),(10,5),(20,3) | (30,2),(40,6) | (50,4),(60,7)
+    assert out["tile"].tolist() == [1, 2, 3]
+    assert out["n_orders"].tolist() == [3, 2, 2]
+    assert out["sum_price"].tolist() == [40.0, 70.0, 110.0]
+    assert out["min_price"].tolist() == [10.0, 30.0, 50.0]
+    assert out["max_price"].tolist() == [20.0, 40.0, 60.0]
+
+
+def test_ntile_tier_equality(tmp_path):
+    """driver == distributed == distributed-with-forced-Ray-combine,
+    including a price tie straddling a tile boundary."""
+    rng = np.random.default_rng(7)
+    prices = np.round(rng.uniform(1, 1000, 500), 2)
+    prices[100:200] = 123.45  # heavy tie across boundaries
+    sf = _write_orders(
+        tmp_path / "sf", okeys=list(range(500)), prices=prices.tolist()
+    )
+    a = ntile_orders(sf, tiles=7).to_pandas()
+    b = ntile_orders(sf, tiles=7, driver_budget=0).to_pandas()
+    c = ntile_orders(
+        sf, tiles=7, driver_budget=0, combine_limit=0
+    ).to_pandas()
+    assert a.equals(b) and a.equals(c)
+    assert a["n_orders"].sum() == 500
+
+
+def test_ntile_more_tiles_than_rows(tmp_path):
+    """NTILE(k) with n < k: the first n tiles get one row each."""
+    sf = _write_orders(tmp_path / "sf", okeys=[1, 2], prices=[5.0, 3.0])
+    out = ntile_orders(sf, tiles=10).to_pandas()
+    assert out["tile"].tolist() == [1, 2]
+    assert out["min_price"].tolist() == [3.0, 5.0]
+    grouped = ntile_orders(sf, tiles=10, driver_budget=0).to_pandas()
+    assert out.equals(grouped)
+
+
+def test_mode_tie_break_and_tiers(tmp_path):
+    """User 1: click x2 beats view x1; user 2: 1-1 tie -> lexic.
+    smallest ('click' < 'view')."""
+    sf = _write_events(
+        tmp_path / "sf",
+        eids=[1, 2, 3, 4, 5],
+        ts_us=[0, 1, 2, 3, 4],
+        users=[1, 1, 1, 2, 2],
+        types=["click", "view", "click", "view", "click"],
+    )
+    out = mode_event_type(sf).to_pandas()
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["mode_event"].tolist() == ["click", "click"]
+    assert out["n_mode"].tolist() == [2, 1]
+    grouped = mode_event_type(sf, combine_limit=0).to_pandas()
+    assert out.equals(grouped)
+
+
+def test_entropy_closed_form(tmp_path):
+    """Single-type user -> 0; uniform two-type user -> ln 2."""
+    sf = _write_events(
+        tmp_path / "sf",
+        eids=[1, 2, 3, 4],
+        ts_us=[0, 1, 2, 3],
+        users=[1, 1, 2, 2],
+        types=["view", "view", "click", "view"],
+    )
+    out = event_entropy(sf).to_pandas().set_index("user_id")
+    assert out.loc[1, "entropy"] == 0.0 and out.loc[1, "n_events"] == 2
+    assert abs(out.loc[2, "entropy"] - math.log(2)) < 1e-12
+    grouped = event_entropy(sf, combine_limit=0).to_pandas()
+    assert out.reset_index().equals(grouped)
+
+
+def test_interval_merge_closed_form(tmp_path):
+    """event_id %3600+1 gives the duration in seconds. User 1:
+    [0,2s] + [1s,3s] overlap -> one island [0,3s]; [10s,11s] disjoint.
+    Touching intervals ([0,2s] then [2s,3s]) merge (s > prev is
+    strict)."""
+    sf = _write_events(
+        tmp_path / "sf",
+        eids=[1, 1, 0, 1],  # durations 2s, 2s, 1s, 2s
+        ts_us=[0, 1_000_000, 10_000_000, 0],
+        users=[1, 1, 1, 2],
+    )
+    out = interval_merge(sf).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_intervals"] == 2
+    assert out.loc[1, "covered_us"] == 3_000_000 + 1_000_000
+    assert out.loc[2, "n_intervals"] == 1
+    assert out.loc[2, "covered_us"] == 2_000_000
+    grouped = interval_merge(sf, driver_budget=0).to_pandas()
+    assert out.reset_index().equals(grouped)
+
+
+def test_interval_merge_touching(tmp_path):
+    """start == previous end merges (closed intervals)."""
+    sf = _write_events(
+        tmp_path / "sf",
+        eids=[1, 1],  # 2s each
+        ts_us=[0, 2_000_000],
+        users=[9, 9],
+    )
+    out = interval_merge(sf).to_pandas()
+    assert out["n_intervals"].tolist() == [1]
+    assert out["covered_us"].tolist() == [4_000_000]
+
+
+def test_autocorr_closed_form(tmp_path):
+    """Linear sequence -> corr exactly 1; single event -> 0 pairs,
+    NaN; one pair -> NaN (zero variance guard)."""
+    sf = _write_events(
+        tmp_path / "sf",
+        eids=[1, 2, 3, 4, 5, 6, 7],
+        ts_us=[0, 1, 2, 3, 0, 0, 1],
+        users=[1, 1, 1, 1, 2, 3, 3],
+        types=None,
+        vals=[1.0, 2.0, 3.0, 4.0, 5.0, 1.0, 9.0],
+    )
+    out = lag1_autocorr(sf).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_pairs"] == 3
+    assert abs(out.loc[1, "lag1_corr"] - 1.0) < 1e-12
+    assert out.loc[2, "n_pairs"] == 0 and np.isnan(out.loc[2, "lag1_corr"])
+    assert out.loc[3, "n_pairs"] == 1 and np.isnan(out.loc[3, "lag1_corr"])
+    grouped = lag1_autocorr(sf, driver_budget=0).to_pandas()
+    assert out.reset_index().equals(grouped)
+
+
+def test_seqstats_sf0001_tier_equality():
+    """All five ops pin driver == forced-distributed on the real
+    sf0.001 tables (parallelism-independence)."""
+    assert (
+        ntile_orders(SF).to_pandas().equals(
+            ntile_orders(SF, driver_budget=0, combine_limit=0).to_pandas()
+        )
+    )
+    assert (
+        mode_event_type(SF).to_pandas().equals(
+            mode_event_type(SF, combine_limit=0).to_pandas()
+        )
+    )
+    assert (
+        event_entropy(SF).to_pandas().equals(
+            event_entropy(SF, combine_limit=0).to_pandas()
+        )
+    )
+    assert (
+        interval_merge(SF).to_pandas().equals(
+            interval_merge(SF, driver_budget=0).to_pandas()
+        )
+    )
+    assert (
+        lag1_autocorr(SF).to_pandas().equals(
+            lag1_autocorr(SF, driver_budget=0).to_pandas()
+        )
+    )
+
+
+def test_interval_merge_sink_roundtrip(tmp_path):
+    """sink_dir streams per-user rows to sharded parquet; read-back
+    equals the in-memory table."""
+    tbl = interval_merge(SF).to_pandas()
+    sink = tmp_path / "iv_out"
+    path = interval_merge(SF, driver_budget=0, sink_dir=str(sink))
+    assert path == str(sink)
+    back = (
+        pq.read_table(str(sink))
+        .to_pandas()
+        .sort_values("user_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert back.equals(tbl)
+
+
+def _write_docs(d, ids, texts):
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_rolling_distinct_closed_form(tmp_path):
+    """W=2: user 1 active at hours 0,1 covers [0,2]; user 2 at hour 1
+    covers [1,2]; hour 1 sees both. A far-away hour only its own."""
+    H = 3_600_000_000
+    sf = _write_events(
+        tmp_path / "sf",
+        eids=[1, 2, 3, 4],
+        ts_us=[0, 1 * H, 1 * H + 5, 9 * H],
+        users=[1, 1, 2, 2],
+    )
+    from high_performance_docling_ray.pipelines.seqstats import (
+        rolling_distinct_users,
+    )
+
+    out = rolling_distinct_users(sf, window_hours=2).to_pandas()
+    base_h = (
+        np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64) // H
+    )
+    hours = out["hour"].astype("int64") // H - base_h
+    got = dict(zip(hours.tolist(), out["n_users"].tolist()))
+    assert got == {0: 1, 1: 2, 9: 1}
+    grouped = rolling_distinct_users(
+        sf, window_hours=2, combine_limit=0
+    ).to_pandas()
+    assert out.equals(grouped)
+
+
+def test_rolling_distinct_tier_equality_sf0001():
+    from high_performance_docling_ray.pipelines.seqstats import (
+        rolling_distinct_users,
+    )
+
+    a = rolling_distinct_users(SF).to_pandas()
+    b = rolling_distinct_users(SF, combine_limit=0).to_pandas()
+    assert len(a) > 0 and a.equals(b)
+
+
+def test_containment_subset_pair(tmp_path):
+    """Doc 1's shingle set is a strict subset of doc 2's ->
+    containment exactly 1.0 while Jaccard is well below it."""
+    sf = _write_docs(
+        tmp_path / "sf",
+        ids=[1, 2],
+        texts=[
+            "a b c d e f",
+            "x y a b c d e f z w q r s t u v",
+        ],
+    )
+    from high_performance_docling_ray.pipelines.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    out = ngram_containment_pairs(sf, threshold=0.9).to_pandas()
+    assert out["doc_a"].tolist() == [1]
+    assert out["doc_b"].tolist() == [2]
+    assert out["containment"].tolist() == [1.0]
+    jac = ngram_jaccard_pairs(sf, threshold=0.9).to_pandas()
+    assert len(jac) == 0  # the pair Jaccard misses by construction
+
+
+def test_containment_tier_equality_sf0001():
+    from high_performance_docling_ray.pipelines.dedup import (
+        ngram_containment_pairs,
+    )
+
+    a = (
+        ngram_containment_pairs(SF, threshold=0.4)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ngram_containment_pairs(SF, threshold=0.4, driver_budget=0)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0 and a.equals(b)
