@@ -417,25 +417,29 @@ def _entropy_kernel(group: pa.Table) -> pa.Table:
 
 
 def _per_user_from_counts(
-    sf_dir: str, kernel, empty: pa.Table, combine_limit: int
-) -> pa.Table:
+    sf_dir: str, kernel, empty: pa.Table, combine_limit: int,
+    sink_dir: str | None = None,
+) -> pa.Table | str:
     """Shared driver for mode/entropy: mergeable (user, event_type, n)
     count partials -> bounded driver combine (house ``combine_limit``
     gate) -> vectorized kernel; past the budget ONE coarse
     ``hash(user) % P`` exchange of the count partials (already reduced
     to distinct (user, type) pairs per block — never raw events) runs
-    the same kernel per partition at any user cardinality."""
+    the same kernel per partition at any user cardinality. Per-user
+    output is itself corpus-sized at deployment scale, so ``sink_dir``
+    streams it to sharded parquet (forces the distributed tier)."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
     partials = ds.map_batches(_type_count_partial, batch_format="pyarrow")
     partials = partials.materialize()
-    tbl = _combine_partials(
-        partials, ["user_id", "event_type"], ["n"], combine_limit
-    )
-    if tbl is not None:
-        if not tbl.num_rows:
-            return empty
-        merged = tbl.rename_columns(["user_id", "event_type", "n"])
-        return kernel(merged).sort_by([("user_id", "ascending")])
+    if sink_dir is None:
+        tbl = _combine_partials(
+            partials, ["user_id", "event_type"], ["n"], combine_limit
+        )
+        if tbl is not None:
+            if not tbl.num_rows:
+                return empty
+            merged = tbl.rename_columns(["user_id", "event_type", "n"])
+            return kernel(merged).sort_by([("user_id", "ascending")])
     num_parts = _num_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -452,30 +456,34 @@ def _per_user_from_counts(
             batch_format="pyarrow",
         )
     )
-    res = to_table_or_sink(out, [("user_id", "ascending")], None)
+    res = to_table_or_sink(out, [("user_id", "ascending")], sink_dir)
+    if isinstance(res, str):
+        return res
     return res if res.num_rows else empty
 
 
 def mode_event_type(
-    sf_dir: str, combine_limit: int = 2_000_000
-) -> pa.Table:
+    sf_dir: str, combine_limit: int = 2_000_000,
+    sink_dir: str | None = None,
+) -> pa.Table | str:
     """Per-user modal event_type (ties -> lexicographically smallest
     type), with its count. Exact at any scale: the (user, event_type)
     count partial is mergeable, so raw events reduce inside the scan
     and only distinct pairs ride any exchange."""
     return _per_user_from_counts(
-        sf_dir, _mode_kernel, _MODE_EMPTY, combine_limit
+        sf_dir, _mode_kernel, _MODE_EMPTY, combine_limit, sink_dir
     )
 
 
 def event_entropy(
-    sf_dir: str, combine_limit: int = 2_000_000
-) -> pa.Table:
+    sf_dir: str, combine_limit: int = 2_000_000,
+    sink_dir: str | None = None,
+) -> pa.Table | str:
     """Per-user Shannon entropy (nats) of the event_type distribution
     — the per-entity behavioral-diversity signal (same partial exchange
     as ``mode_event_type``)."""
     return _per_user_from_counts(
-        sf_dir, _entropy_kernel, _ENTROPY_EMPTY, combine_limit
+        sf_dir, _entropy_kernel, _ENTROPY_EMPTY, combine_limit, sink_dir
     )
 
 

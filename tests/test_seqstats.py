@@ -325,3 +325,25 @@ def test_containment_tier_equality_sf0001():
         .reset_index(drop=True)
     )
     assert len(a) > 0 and a.equals(b)
+
+
+def test_mode_entropy_sink_roundtrip(tmp_path):
+    """sink_dir streams per-user rows to sharded parquet (forcing the
+    distributed tier); read-back equals the in-memory table."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        event_entropy,
+        mode_event_type,
+    )
+
+    for fn, name in [(mode_event_type, "mode"), (event_entropy, "ent")]:
+        tbl = fn(SF).to_pandas()
+        sink = tmp_path / name
+        path = fn(SF, sink_dir=str(sink))
+        assert path == str(sink)
+        back = (
+            pq.read_table(str(sink))
+            .to_pandas()
+            .sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        assert back.equals(tbl)
