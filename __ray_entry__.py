@@ -1141,6 +1141,42 @@ def _q_ngram_containment_distributed(sf_dir: str):
     return ngram_containment_pairs(sf_dir, threshold=0.4, driver_budget=0)
 
 
+def _q_user_value_deciles(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_value_deciles,
+    )
+
+    return user_value_deciles(sf_dir)
+
+
+def _q_user_value_deciles_grouped(sf_dir: str):
+    """Forced any-cardinality tier: Ray groupby per-user totals + the
+    distributed bucket-rank fold."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_value_deciles,
+    )
+
+    return user_value_deciles(sf_dir, combine_limit=0)
+
+
+def _q_spearman_user_metrics(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        spearman_user_metrics,
+    )
+
+    return spearman_user_metrics(sf_dir)
+
+
+def _q_spearman_user_metrics_grouped(sf_dir: str):
+    """Forced any-cardinality tier: every combine (per-user partials,
+    x-count map, bucket counts) through the Ray groupby."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        spearman_user_metrics,
+    )
+
+    return spearman_user_metrics(sf_dir, combine_limit=0)
+
+
 def _q_range_join(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import (
         range_join_events,
@@ -1537,6 +1573,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "rolling_distinct_users_grouped": _q_rolling_distinct_users_grouped,
         "ngram_containment_pairs": _q_ngram_containment,
         "ngram_containment_pairs_distributed": _q_ngram_containment_distributed,
+        "user_value_deciles": _q_user_value_deciles,
+        "user_value_deciles_grouped": _q_user_value_deciles_grouped,
+        "spearman_user_metrics": _q_spearman_user_metrics,
+        "spearman_user_metrics_grouped": _q_spearman_user_metrics_grouped,
         # graph analytics (link-graph shape over the lineitem bipartite)
         "pagerank": _q_pagerank,
         "pagerank_cogroup": _q_pagerank_cogroup,
@@ -3350,6 +3390,48 @@ def oracle_sql() -> dict[str, str]:
             FROM ne a JOIN ne b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / least(a.L, b.L) >= 0.4
+        """,
+        # NTILE over a derived per-user aggregate (contribution
+        # deciles); DECIMAL totals order == the Ray side's int64 cents
+        "user_value_deciles": """
+            WITH u AS (SELECT user_id,
+                              SUM(CAST(value AS DECIMAL(18,2))) AS total
+                       FROM events GROUP BY 1),
+            t AS (SELECT user_id, total,
+                         NTILE(10) OVER (ORDER BY total, user_id) AS tile
+                  FROM u)
+            SELECT tile, COUNT(*) AS n_users,
+                   CAST(SUM(total) AS DOUBLE) AS sum_total,
+                   CAST(MIN(total) AS DOUBLE) AS min_total,
+                   CAST(MAX(total) AS DOUBLE) AS max_total
+            FROM t GROUP BY tile ORDER BY tile
+        """,
+        # exact Spearman with average-rank ties; RANK() + (tiecount-1)/2
+        # IS the average rank, and the zero-variance CASE mirrors the
+        # Ray side's NaN guard
+        "spearman_user_metrics": """
+            WITH u AS (SELECT user_id, COUNT(*) AS x,
+                              SUM(CAST(value AS DECIMAL(18,2))) AS y
+                       FROM events GROUP BY 1),
+            r AS (SELECT
+                    RANK() OVER (ORDER BY x)
+                      + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS ra,
+                    RANK() OVER (ORDER BY y)
+                      + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS rb
+                  FROM u)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CASE WHEN (COUNT(*) * SUM(ra * ra)
+                              - SUM(ra) * SUM(ra)) > 0
+                             AND (COUNT(*) * SUM(rb * rb)
+                                  - SUM(rb) * SUM(rb)) > 0
+                        THEN (COUNT(*) * SUM(ra * rb)
+                              - SUM(ra) * SUM(rb))
+                             / sqrt((COUNT(*) * SUM(ra * ra)
+                                     - SUM(ra) * SUM(ra))
+                                    * (COUNT(*) * SUM(rb * rb)
+                                       - SUM(rb) * SUM(rb)))
+                        ELSE NULL END AS spearman_rho
+            FROM r
         """,
         # lag-1 Pearson autocorr from explicit pair sums; the CASE
         # guard mirrors the Ray kernel's (m>0, vx>0, vy>0) validity
@@ -7214,6 +7296,10 @@ def oracle_sql() -> dict[str, str]:
     ]
     oracles["ngram_containment_pairs_distributed"] = oracles[
         "ngram_containment_pairs"
+    ]
+    oracles["user_value_deciles_grouped"] = oracles["user_value_deciles"]
+    oracles["spearman_user_metrics_grouped"] = oracles[
+        "spearman_user_metrics"
     ]
     oracles["sorted_neighborhood_pairs_grouped"] = oracles[
         "sorted_neighborhood_pairs"

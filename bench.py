@@ -143,6 +143,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "lag1_autocorr",
         "rolling_distinct_users",
         "ngram_containment_pairs",
+        "user_value_deciles",
+        "spearman_user_metrics",
         # round-3 LM-training filters
         "decontaminate",
         "unigram_logprob",

@@ -3,7 +3,7 @@ tables — the ordered-window / per-entity-profile shapes a training-data
 pipeline runs next to dedup (per-user behavior profiling, global
 quantile tiling for stratified exports, coverage-interval accounting).
 
-Five operators, all on the house tier convention (NOTES_r4): a
+Every operator follows the house tier convention (NOTES_r4): a
 driver/combine fast path gated by a parquet-FOOTER row probe or the
 standard ``combine_limit`` partial budget, and a distributed fallback
 (coarse ``hash(key) % P`` co-partition + one vectorized pass per
@@ -22,6 +22,13 @@ forced ``*_grouped`` driver entry sharing the base oracle.
   (gaps-and-islands; segmented running max inside one sorted pass).
 - ``lag1_autocorr``     — per-user lag-1 Pearson autocorrelation of
   ``value`` in (ts, event_id) order, from per-run pair sums.
+- ``rolling_distinct_users`` — EXACT sliding-window distinct counts
+  via per-user coverage islands reduced to ±1 delta rows.
+- ``user_value_deciles`` — NTILE over a DERIVED per-user aggregate
+  (contribution/LTV deciles) on the shared ``_ntile_cents`` core.
+- ``spearman_user_metrics`` — exact Spearman (average-rank ties)
+  between two per-user metrics with no global sort; rank vectors
+  reduce to six sums inside the bucket pass and never materialize.
 
 Reference anchor: the reference engine's per-document ordered passes
 (reading_order assembly, page_seq sorts) are the same
@@ -45,6 +52,8 @@ __all__ = [
     "interval_merge",
     "lag1_autocorr",
     "rolling_distinct_users",
+    "user_value_deciles",
+    "spearman_user_metrics",
 ]
 
 
@@ -95,28 +104,27 @@ def _ntile_fold(
     tiles: np.ndarray,
     n: np.ndarray,
     cents: np.ndarray,
-    pmin: np.ndarray,
-    pmax: np.ndarray,
+    cmin: np.ndarray,
+    cmax: np.ndarray,
 ) -> pa.Table:
-    """Final per-tile fold of (tile, n, cents, min, max) partial rows
-    (tiny: <= k whole-bucket rows + <= k boundary rows per tile)."""
+    """Final per-tile fold of (tile, n, Σcents, min-cents, max-cents)
+    partial rows (tiny: <= k whole-bucket rows + <= k boundary rows per
+    tile); cent columns divide back to value units on output."""
     order = np.argsort(tiles, kind="stable")
     tiles, n, cents = tiles[order], n[order], cents[order]
-    pmin, pmax = pmin[order], pmax[order]
+    cmin, cmax = cmin[order], cmax[order]
     starts = np.concatenate(([0], np.nonzero(tiles[1:] != tiles[:-1])[0] + 1))
-    ends = np.concatenate((starts[1:], [len(tiles)]))
     out_n = np.add.reduceat(n, starts)
     out_c = np.add.reduceat(cents, starts)
-    out_min = np.minimum.reduceat(pmin, starts)
-    out_max = np.maximum.reduceat(pmax, starts)
-    del ends
+    out_min = np.minimum.reduceat(cmin, starts)
+    out_max = np.maximum.reduceat(cmax, starts)
     return pa.Table.from_pydict(
         {
             "tile": pa.array(tiles[starts] + 1, pa.int64()),
-            "n_orders": pa.array(out_n, pa.int64()),
-            "sum_price": pa.array(out_c / 100.0, pa.float64()),
-            "min_price": pa.array(out_min, pa.float64()),
-            "max_price": pa.array(out_max, pa.float64()),
+            "n": pa.array(out_n, pa.int64()),
+            "sum_val": pa.array(out_c / 100.0, pa.float64()),
+            "min_val": pa.array(out_min / 100.0, pa.float64()),
+            "max_val": pa.array(out_max / 100.0, pa.float64()),
         }
     ).sort_by([("tile", "ascending")])
 
@@ -184,18 +192,51 @@ def ntile_orders(
             }
         )
 
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "k": batch.column("o_orderkey").cast(pa.int64()),
+                "c": pa.array(_cents(batch.column("o_totalprice")), pa.int64()),
+            }
+        )
+
+    folded = _ntile_cents(
+        ds.map_batches(to_pairs, batch_format="pyarrow"),
+        tiles, bucket_bits, combine_limit,
+    )
+    return folded.rename_columns(list(_NTILE_SCHEMA))
+
+
+def _ntile_cents(
+    pairs: ray.data.Dataset, tiles: int, bucket_bits: int,
+    combine_limit: int,
+) -> pa.Table:
+    """Distributed NTILE fold over a (k: int64 id, c: int64 cents)
+    dataset — the shared two-level prefix-sum core: order-preserving
+    float-bit buckets of c (int64 cents are exact in float64 below
+    2^53), per-block per-bucket (n, Σc, min, max) partials, ONE bounded
+    combine (Ray groupby(Sum/Min/Max) fallback past ``combine_limit``),
+    driver cumsum for bucket rank spans, and a per-row re-rank of ONLY
+    the ≤ tiles−1 tile-boundary buckets (ties in c share a bucket, so
+    the (c, k) order is total within each group). Output columns
+    (tile, n, sum_val, min_val, max_val) with the cent sums/extrema
+    already divided back to value units."""
     shift = np.uint64(64 - bucket_bits)
 
+    def _buckets_of(cents: np.ndarray) -> np.ndarray:
+        return (
+            _monotone_bits(cents.astype(np.float64)) >> shift
+        ).astype(np.int64)
+
     def bucket_partial(batch: pa.Table) -> pa.Table:
-        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
-        bucket = (_monotone_bits(price) >> shift).astype(np.int64)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
         t = pa.Table.from_pydict(
             {
-                "bucket": pa.array(bucket, pa.int64()),
-                "n": pa.array(np.ones(len(price), dtype=np.int64)),
-                "c": pa.array(_cents(batch.column("o_totalprice")), pa.int64()),
-                "p": pa.array(price, pa.float64()),
-                "q": pa.array(price, pa.float64()),
+                "bucket": pa.array(_buckets_of(c), pa.int64()),
+                "n": pa.array(np.ones(len(c), dtype=np.int64)),
+                "c": pa.array(c, pa.int64()),
+                "p": pa.array(c, pa.int64()),
+                "q": pa.array(c, pa.int64()),
             }
         )
         out = t.group_by("bucket").aggregate(
@@ -203,13 +244,26 @@ def ntile_orders(
         )
         return out.rename_columns(["bucket", "n", "c", "pmin", "pmax"])
 
-    partials = ds.map_batches(bucket_partial, batch_format="pyarrow")
     # rebind: the over-budget fallback groupby must reuse these blocks,
-    # not re-run the read (NOTES_r4 materialize sharp edge)
-    partials = partials.materialize()
+    # not re-run the read (NOTES_r4 materialize sharp edge); pairs is
+    # also scanned again for the boundary re-rank
+    pairs = pairs.materialize()
+    partials = pairs.map_batches(
+        bucket_partial, batch_format="pyarrow"
+    ).materialize()
     refs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
     cat = pa.concat_tables(refs) if refs else None
-    if cat is not None and cat.num_rows <= combine_limit:
+    if cat is None:
+        return pa.Table.from_pydict(
+            {
+                "tile": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_val": pa.array([], pa.float64()),
+                "min_val": pa.array([], pa.float64()),
+                "max_val": pa.array([], pa.float64()),
+            }
+        )
+    if cat.num_rows <= combine_limit:
         merged = (
             cat.group_by("bucket")
             .aggregate(
@@ -251,10 +305,8 @@ def ntile_orders(
         off_map = dict(zip(b[bd].tolist(), offs[bd].tolist()))
 
         def keep_boundary(batch: pa.Table) -> pa.Table:
-            price = batch.column("o_totalprice").to_numpy(
-                zero_copy_only=False
-            )
-            bucket = (_monotone_bits(price) >> shift).astype(np.int64)
+            c = batch.column("c").to_numpy(zero_copy_only=False)
+            bucket = _buckets_of(c)
             ix = np.searchsorted(bd_buckets, bucket)
             ix[ix == len(bd_buckets)] = 0
             mask = bd_buckets[ix] == bucket
@@ -264,15 +316,12 @@ def ntile_orders(
             )
 
         def rank_bucket(group: pa.Table) -> pa.Table:
-            price = group.column("o_totalprice").to_numpy(
-                zero_copy_only=False
-            )
-            okey = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+            c = group.column("c").to_numpy(zero_copy_only=False)
+            k = group.column("k").to_numpy(zero_copy_only=False)
             off = off_map[int(group.column("bucket")[0].as_py())]
-            order = np.lexsort((okey, price))
-            price = price[order]
-            cents_g = _cents(group.column("o_totalprice"))[order]
-            ranks = off + np.arange(len(price), dtype=np.int64)
+            order = np.lexsort((k, c))
+            c = c[order]
+            ranks = off + np.arange(len(c), dtype=np.int64)
             tl = _tile_of(ranks, n_total, tiles)
             starts = np.concatenate(
                 ([0], np.nonzero(tl[1:] != tl[:-1])[0] + 1)
@@ -282,16 +331,16 @@ def ntile_orders(
                 {
                     "tile0": pa.array(tl[starts], pa.int64()),
                     "n": pa.array(ends - starts, pa.int64()),
-                    "c": pa.array(np.add.reduceat(cents_g, starts), pa.int64()),
-                    "pmin": pa.array(price[starts], pa.float64()),
-                    "pmax": pa.array(price[ends - 1], pa.float64()),
+                    "c": pa.array(np.add.reduceat(c, starts), pa.int64()),
+                    "pmin": pa.array(c[starts], pa.int64()),
+                    "pmax": pa.array(c[ends - 1], pa.int64()),
                 }
             )
 
         bd_rows = [
             t
             for t in ray.get(
-                ds.map_batches(keep_boundary, batch_format="pyarrow")
+                pairs.map_batches(keep_boundary, batch_format="pyarrow")
                 .groupby("bucket")
                 .map_groups(rank_bucket, batch_format="pyarrow")
                 .to_arrow_refs()
@@ -310,8 +359,8 @@ def ntile_orders(
         np.concatenate([a[0] for a in acc]),
         np.concatenate([a[1] for a in acc]),
         np.concatenate([a[2] for a in acc]),
-        np.concatenate([a[3] for a in acc]),
-        np.concatenate([a[4] for a in acc]),
+        np.concatenate([a[3].astype(np.int64) for a in acc]),
+        np.concatenate([a[4].astype(np.int64) for a in acc]),
     )
 
 
@@ -879,5 +928,319 @@ def rolling_distinct_users(
                 (active * _HOUR_US).astype("datetime64[us]")
             ),
             "n_users": pa.array(n_users, pa.int64()),
+        }
+    )
+
+
+# -- NTILE over a DERIVED per-user aggregate -----------------------------------
+
+_UVD_SCHEMA = ["tile", "n_users", "sum_total", "min_total", "max_total"]
+
+
+def user_value_deciles(
+    sf_dir: str,
+    tiles: int = 10,
+    bucket_bits: int = 20,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """Contribution deciles: per-user total ``value`` -> global
+    NTILE(tiles) of USERS by (total, user_id) -> per-tile count /
+    exact-cents sum / min / max of the totals. The LTV-decile shape —
+    the rank input is itself the output of a distributed aggregation,
+    so there is no parquet footer to probe; the budget gates live on
+    the aggregate instead.
+
+    Two stages, both bounded: mergeable (user, Σcents) partials (raw
+    events reduce inside the scan) with the house combine gate (Ray
+    ``groupby(user).sum`` past ``combine_limit``), then the shared
+    ``_ntile_cents`` two-level prefix-sum core over the derived
+    (user, cents) pairs — under the budget the whole fold runs as one
+    driver lexsort; past it only tile-boundary buckets are ranked.
+    """
+    if tiles < 1:
+        raise ValueError("tiles must be >= 1")
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "k": batch.column("user_id").cast(pa.int64()),
+                "c": pa.array(_cents(batch.column("value")), pa.int64()),
+            }
+        )
+        return (
+            t.group_by("k").aggregate([("c", "sum")])
+            .rename_columns(["k", "c"])
+        )
+
+    partials = ds.map_batches(
+        total_partial, batch_format="pyarrow"
+    ).materialize()
+    tbl = _combine_partials(partials, ["k"], ["c"], combine_limit)
+    if tbl is not None:
+        if not tbl.num_rows:
+            return pa.Table.from_pydict(
+                {
+                    "tile": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                    "sum_total": pa.array([], pa.float64()),
+                    "min_total": pa.array([], pa.float64()),
+                    "max_total": pa.array([], pa.float64()),
+                }
+            )
+        users = tbl.column("k").to_numpy(zero_copy_only=False)
+        cents = tbl.column("sum(c)").to_numpy(zero_copy_only=False)
+        order = np.lexsort((users, cents))
+        cents = cents[order]
+        t = _tile_of(
+            np.arange(len(cents), dtype=np.int64), len(cents), tiles
+        )
+        starts = np.concatenate(([0], np.nonzero(t[1:] != t[:-1])[0] + 1))
+        ends = np.concatenate((starts[1:], [len(t)]))
+        return pa.Table.from_pydict(
+            {
+                "tile": pa.array(t[starts] + 1, pa.int64()),
+                "n_users": pa.array(ends - starts, pa.int64()),
+                "sum_total": pa.array(
+                    np.add.reduceat(cents, starts) / 100.0, pa.float64()
+                ),
+                "min_total": pa.array(cents[starts] / 100.0, pa.float64()),
+                "max_total": pa.array(
+                    cents[ends - 1] / 100.0, pa.float64()
+                ),
+            }
+        )
+    # over budget: the per-user totals stay distributed end-to-end
+    pair_rows = [
+        t
+        for t in ray.get(
+            partials.groupby("k").sum("c").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    pairs = ray.data.from_arrow(
+        [t.rename_columns(["k", "c"]) for t in pair_rows]
+        or [pa.Table.from_pydict(
+            {"k": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+        )]
+    )
+    folded = _ntile_cents(pairs, tiles, bucket_bits, combine_limit)
+    return folded.rename_columns(_UVD_SCHEMA)
+
+
+# -- exact Spearman rank correlation at corpus key cardinality ----------------
+
+
+def spearman_user_metrics(
+    sf_dir: str,
+    bucket_bits: int = 20,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """EXACT Spearman rank correlation (average-rank ties) between two
+    per-user metrics — activity (event count) vs monetary total
+    (Σ value) — across ALL users, with no global sort: the
+    does-activity-track-spend question at 10^9-entity scale.
+
+    Composition (every stage bounded):
+
+    1. mergeable (user, n, Σcents) partials reduce raw events inside
+       the scan; the house combine gate merges them (Ray
+       ``groupby(user)`` fallback past ``combine_limit``).
+    2. x-ranks (event counts): DISTINCT count values are few — a
+       (x, freq) count exchange + one driver cumsum gives the
+       average-rank map ``avg_rank(x) = (#smaller) + (freq+1)/2``,
+       broadcast once (budget-gated on the distinct-value count).
+    3. y-ranks (cent totals): the ``shuffle_ranks`` two-level shape on
+       the order-preserving float-bit buckets of c — per-bucket counts
+       cumsum to global offsets; ONE ``groupby(bucket)`` pass assigns
+       every user's average rank locally (ties in c share a bucket, so
+       a tie run never straddles groups) and immediately reduces to
+       the six Spearman sums (Σra, Σrb, Σra², Σrb², Σra·rb, n) — rank
+       VECTORS never land anywhere.
+    4. rho closes from the six sums; zero rank variance -> NULL,
+       mirrored by the oracle's CASE.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def um_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "k": batch.column("user_id").cast(pa.int64()),
+                "n": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+                "c": pa.array(_cents(batch.column("value")), pa.int64()),
+            }
+        )
+        return (
+            t.group_by("k").aggregate([("n", "sum"), ("c", "sum")])
+            .rename_columns(["k", "n", "c"])
+        )
+
+    partials = ds.map_batches(
+        um_partial, batch_format="pyarrow"
+    ).materialize()
+    merged = _combine_partials(partials, ["k"], ["n", "c"], combine_limit)
+    if merged is not None:
+        users_tbl = merged.rename_columns(["k", "n", "c"])
+        pairs = ray.data.from_arrow(users_tbl)
+    else:
+        rows = [
+            t
+            for t in ray.get(
+                partials.groupby("k").sum(["n", "c"]).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        pairs = ray.data.from_arrow(
+            [t.rename_columns(["k", "n", "c"]) for t in rows]
+            or [pa.Table.from_pydict(
+                {"k": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )]
+        )
+    pairs = pairs.materialize()
+
+    _EMPTY = pa.Table.from_pydict(
+        {
+            "n_users": pa.array([], pa.int64()),
+            "spearman_rho": pa.array([], pa.float64()),
+        }
+    )
+
+    # -- stage 2: average-rank map for x = event count ------------------
+    def x_counts(batch: pa.Table) -> pa.Table:
+        x, f = np.unique(
+            batch.column("n").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.Table.from_pydict(
+            {
+                "x": pa.array(x, pa.int64()),
+                "f": pa.array(f.astype(np.int64), pa.int64()),
+            }
+        )
+
+    xc_partials = pairs.map_batches(
+        x_counts, batch_format="pyarrow"
+    ).materialize()
+    xc = _combine_partials(xc_partials, ["x"], ["f"], combine_limit)
+    if xc is None:
+        rows = [
+            t
+            for t in ray.get(
+                xc_partials.groupby("x").sum("f").to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        xc = pa.concat_tables(rows).rename_columns(["x", "sum(f)"])
+    if not xc.num_rows:
+        return _EMPTY
+    xc = xc.sort_by([("x", "ascending")])
+    xv = xc.column("x").to_numpy(zero_copy_only=False)
+    xf = xc.column("sum(f)").to_numpy(zero_copy_only=False)
+    n_total = int(xf.sum())
+    smaller = np.cumsum(xf) - xf
+    x_rank = smaller + (xf + 1) / 2.0  # 1-based average ranks
+    x_map_ref = ray.put((xv, x_rank))
+
+    # -- stage 3: bucket offsets for y = cent totals ---------------------
+    shift = np.uint64(64 - bucket_bits)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        bucket = (
+            _monotone_bits(c.astype(np.float64)) >> shift
+        ).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    keyed = pairs.map_batches(add_bucket, batch_format="pyarrow")
+    keyed = keyed.materialize()
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        b, f = np.unique(
+            batch.column("bucket").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "f": pa.array(f.astype(np.int64), pa.int64()),
+            }
+        )
+
+    bc_partials = keyed.map_batches(
+        bucket_counts, batch_format="pyarrow"
+    ).materialize()
+    bc = _combine_partials(bc_partials, ["bucket"], ["f"], combine_limit)
+    if bc is None:
+        rows = [
+            t
+            for t in ray.get(
+                bc_partials.groupby("bucket").sum("f").to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        bc = pa.concat_tables(rows).rename_columns(["bucket", "sum(f)"])
+    bc = bc.sort_by([("bucket", "ascending")])
+    bb = bc.column("bucket").to_numpy(zero_copy_only=False)
+    bf = bc.column("sum(f)").to_numpy(zero_copy_only=False)
+    boffs = np.cumsum(bf) - bf
+    off_ref = ray.put(dict(zip(bb.tolist(), boffs.tolist())))
+
+    def sums_bucket(group: pa.Table) -> pa.Table:
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        x = group.column("n").to_numpy(zero_copy_only=False)
+        off = ray.get(off_ref)[int(group.column("bucket")[0].as_py())]
+        order = np.argsort(c, kind="stable")
+        c, x = c[order], x[order]
+        m = len(c)
+        # average ranks within the tie runs of c (global, 1-based)
+        starts = np.concatenate(([0], np.nonzero(c[1:] != c[:-1])[0] + 1))
+        run_len = np.diff(np.concatenate((starts, [m])))
+        run_avg = off + starts + (run_len + 1) / 2.0  # off+starts is 0-based
+        rb = np.repeat(run_avg, run_len)
+        xv_b, xr_b = ray.get(x_map_ref)
+        ra = xr_b[np.searchsorted(xv_b, x)]
+        return pa.Table.from_pydict(
+            {
+                "sra": pa.array([float(ra.sum())]),
+                "srb": pa.array([float(rb.sum())]),
+                "sraa": pa.array([float((ra * ra).sum())]),
+                "srbb": pa.array([float((rb * rb).sum())]),
+                "srab": pa.array([float((ra * rb).sum())]),
+                "m": pa.array([int(m)], pa.int64()),
+            }
+        )
+
+    sum_rows = [
+        t
+        for t in ray.get(
+            keyed.groupby("bucket")
+            .map_groups(sums_bucket, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    st = pa.concat_tables(sum_rows)
+    sra = float(np.sum(st.column("sra").to_numpy(zero_copy_only=False)))
+    srb = float(np.sum(st.column("srb").to_numpy(zero_copy_only=False)))
+    sraa = float(np.sum(st.column("sraa").to_numpy(zero_copy_only=False)))
+    srbb = float(np.sum(st.column("srbb").to_numpy(zero_copy_only=False)))
+    srab = float(np.sum(st.column("srab").to_numpy(zero_copy_only=False)))
+    m = int(np.sum(st.column("m").to_numpy(zero_copy_only=False)))
+    assert m == n_total
+    va = m * sraa - sra * sra
+    vb = m * srbb - srb * srb
+    rho = (
+        (m * srab - sra * srb) / np.sqrt(va * vb)
+        if va > 0 and vb > 0
+        else float("nan")
+    )
+    return pa.Table.from_pydict(
+        {
+            "n_users": pa.array([m], pa.int64()),
+            "spearman_rho": pa.array([rho], pa.float64()),
         }
     )

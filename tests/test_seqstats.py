@@ -347,3 +347,102 @@ def test_mode_entropy_sink_roundtrip(tmp_path):
             .reset_index(drop=True)
         )
         assert back.equals(tbl)
+
+
+def test_user_value_deciles_closed_form(tmp_path):
+    """Totals: u1=3.00, u2=1.00, u3=2.00 -> 3 tiles of one user each
+    ordered by total; a total tie resolves by user_id."""
+    sf = _write_events(
+        tmp_path / "sf",
+        eids=[1, 2, 3, 4],
+        ts_us=[0, 1, 2, 3],
+        users=[1, 1, 2, 3],
+        vals=[1.0, 2.0, 1.0, 2.0],
+    )
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_value_deciles,
+    )
+
+    out = user_value_deciles(sf, tiles=3).to_pandas()
+    assert out["tile"].tolist() == [1, 2, 3]
+    assert out["n_users"].tolist() == [1, 1, 1]
+    assert out["min_total"].tolist() == [1.0, 2.0, 3.0]
+    assert out["sum_total"].tolist() == [1.0, 2.0, 3.0]
+    grouped = user_value_deciles(sf, tiles=3, combine_limit=0).to_pandas()
+    assert out.equals(grouped)
+
+
+def test_user_value_deciles_tiers_sf0001():
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_value_deciles,
+    )
+
+    a = user_value_deciles(SF).to_pandas()
+    b = user_value_deciles(SF, combine_limit=0).to_pandas()
+    assert len(a) > 0 and a.equals(b)
+    assert (a["min_total"] <= a["max_total"]).all()
+    # deciles are ordered by construction
+    assert (a["min_total"].to_numpy()[1:] >= a["max_total"].to_numpy()[:-1]).all()
+
+
+def test_spearman_closed_forms(tmp_path):
+    """Monotone-agreeing metrics -> rho exactly 1; then a perfect
+    reversal -> rho exactly -1 (no ties in either metric)."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        spearman_user_metrics,
+    )
+
+    # user 1: 3 events of total 6.0; user 2: 2 events total 3.0;
+    # user 3: 1 event total 1.0 -> x and y agree in order: rho = 1
+    sf = _write_events(
+        tmp_path / "up",
+        eids=[1, 2, 3, 4, 5, 6],
+        ts_us=[0, 1, 2, 3, 4, 5],
+        users=[1, 1, 1, 2, 2, 3],
+        vals=[2.0, 2.0, 2.0, 1.5, 1.5, 1.0],
+    )
+    out = spearman_user_metrics(sf).to_pandas()
+    assert out["n_users"].tolist() == [3]
+    assert abs(out["spearman_rho"][0] - 1.0) < 1e-12
+    # reversal: more events -> smaller total: rho = -1
+    sf2 = _write_events(
+        tmp_path / "down",
+        eids=[1, 2, 3, 4, 5, 6],
+        ts_us=[0, 1, 2, 3, 4, 5],
+        users=[1, 1, 1, 2, 2, 3],
+        vals=[0.1, 0.1, 0.1, 1.0, 1.0, 9.0],
+    )
+    out2 = spearman_user_metrics(sf2).to_pandas()
+    assert abs(out2["spearman_rho"][0] + 1.0) < 1e-12
+
+
+def test_spearman_all_tied_is_null(tmp_path):
+    """Identical (x, y) for every user -> zero rank variance -> NaN
+    (the oracle's CASE -> NULL)."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        spearman_user_metrics,
+    )
+
+    sf = _write_events(
+        tmp_path / "sf",
+        eids=[1, 2],
+        ts_us=[0, 1],
+        users=[1, 2],
+        vals=[5.0, 5.0],
+    )
+    out = spearman_user_metrics(sf).to_pandas()
+    assert out["n_users"].tolist() == [2]
+    assert np.isnan(out["spearman_rho"][0])
+
+
+def test_spearman_tiers_close_sf0001():
+    """Tier results agree to float tolerance (per-bucket ra summation
+    order may differ across tiers; the oracle gate rounds to 6dp)."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        spearman_user_metrics,
+    )
+
+    a = spearman_user_metrics(SF).to_pandas()
+    b = spearman_user_metrics(SF, combine_limit=0).to_pandas()
+    assert a["n_users"].tolist() == b["n_users"].tolist()
+    assert abs(a["spearman_rho"][0] - b["spearman_rho"][0]) < 1e-9
