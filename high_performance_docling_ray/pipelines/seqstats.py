@@ -1046,10 +1046,13 @@ def spearman_user_metrics(
     1. mergeable (user, n, Σcents) partials reduce raw events inside
        the scan; the house combine gate merges them (Ray
        ``groupby(user)`` fallback past ``combine_limit``).
-    2. x-ranks (event counts): DISTINCT count values are few — a
-       (x, freq) count exchange + one driver cumsum gives the
-       average-rank map ``avg_rank(x) = (#smaller) + (freq+1)/2``,
-       broadcast once (budget-gated on the distinct-value count).
+    2. x-ranks (event counts): DISTINCT count values are provably few
+       — the distinct values of a count metric satisfy
+       ``n_d (n_d + 1) / 2 <= total events`` (each distinct value v
+       needs at least v events), so ``n_d <= sqrt(2 N)`` — ~1.4M at
+       10^12 events. A (x, freq) count exchange + one driver cumsum
+       gives the average-rank map ``avg_rank(x) = (#smaller) +
+       (freq+1)/2``, broadcast once (combine gate on the exchange).
     3. y-ranks (cent totals): the ``shuffle_ranks`` two-level shape on
        the order-preserving float-bit buckets of c — per-bucket counts
        cumsum to global offsets; ONE ``groupby(bucket)`` pass assigns
