@@ -1114,13 +1114,14 @@ def _q_rolling_distinct_users(sf_dir: str):
 
 
 def _q_rolling_distinct_users_grouped(sf_dir: str):
-    """Forced any-cardinality tier: delta rows fold through the Ray
-    groupby instead of the driver combine."""
+    """Forced any-cardinality tier: the hash(user) island exchange with
+    the delta fold through the Ray groupby instead of the driver
+    combine."""
     from high_performance_docling_ray.pipelines.seqstats import (
         rolling_distinct_users,
     )
 
-    return rolling_distinct_users(sf_dir, combine_limit=0)
+    return rolling_distinct_users(sf_dir, driver_budget=0, combine_limit=0)
 
 
 def _q_ngram_containment(sf_dir: str):

@@ -953,42 +953,12 @@ def ngram_jaccard_pairs(
         ):
             df_precomputed = df_probe
         else:
-            # distributed pair-count: one coarse shuffle + keyed count
-            def add_part(batch: pa.Table) -> pa.Table:
-                sh = batch.column("shingle").to_numpy(zero_copy_only=False)
-                part = (sh % np.uint64(num_parts)).astype(np.int32)
-                return batch.append_column(
-                    "part", pa.array(part, pa.int32())
-                )
-
-            def emit_part(group: pa.Table) -> pa.Table:
-                out = _emit_pairs_with_sizes(
-                    group.drop_columns(["part"]), threshold
-                )
-                if out is None:  # backstop: the df probe bounds this
-                    raise ValueError(
-                        "hot-shingle pair blowup past the df probe: "
-                        "rerun with strategy='prefix'"
-                    )
-                return out
-
-            counted_ds = (
-                posting.map_batches(add_part, batch_format="pyarrow")
-                .groupby("part")
-                .map_groups(emit_part, batch_format="pyarrow")
-                .groupby(["doc_a", "doc_b", "sa", "sb"])
-                .count()
+            return _distributed_pair_count(
+                posting, num_parts, threshold,
+                lambda counted: _finalize_jaccard(counted, threshold),
+                "hot-shingle pair blowup past the df probe: rerun "
+                "with strategy='prefix'",
             )
-
-            def finalize(batch: pa.Table) -> pa.Table:
-                return _finalize_jaccard(
-                    batch.rename_columns(
-                        ["doc_a", "doc_b", "sa", "sb", "inter"]
-                    ),
-                    threshold,
-                )
-
-            return counted_ds.map_batches(finalize, batch_format="pyarrow")
 
     # strategy="prefix" (or the auto-switch): df-ordered candidates +
     # broadcast verify
@@ -1100,6 +1070,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def _distributed_pair_count(
+    posting: ray.data.Dataset, num_parts: int, emit_threshold: float,
+    finalize_fn, blowup_msg: str,
+) -> ray.data.Dataset:
+    """The shared any-cardinality exact pair-count tier (Jaccard AND
+    containment): one coarse shingle-partition shuffle of the posting
+    rows, vectorized within-run pair emission per partition (length
+    prefilter at ``emit_threshold``; 0.0 disables it), a Ray keyed
+    count of (doc_a, doc_b, sa, sb) — the run count IS |A ∩ B| — and
+    the caller's finalize kernel."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+        part = (sh % np.uint64(num_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def emit_part(group: pa.Table) -> pa.Table:
+        out = _emit_pairs_with_sizes(
+            group.drop_columns(["part"]), emit_threshold
+        )
+        if out is None:  # backstop: callers probe df before this tier
+            raise ValueError(blowup_msg)
+        return out
+
+    counted_ds = (
+        posting.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(emit_part, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b", "sa", "sb"])
+        .count()
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return finalize_fn(
+            batch.rename_columns(["doc_a", "doc_b", "sa", "sb", "inter"])
+        )
+
+    return counted_ds.map_batches(finalize, batch_format="pyarrow")
+
+
 _EMPTY_CONTAINMENT = pa.Table.from_pydict(
     {
         "doc_a": pa.array([], pa.int64()),
@@ -1136,6 +1146,7 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     ngram: int = 3,
     driver_budget: int = 2_000_000,
+    hot_emit_cap: int = 50_000_000,
 ) -> ray.data.Dataset:
     """EXACT asymmetric n-gram CONTAINMENT pairs: ``|A ∩ B| /
     min(|A|, |B|) >= threshold`` over non-empty shingle sets — the
@@ -1149,9 +1160,12 @@ def ngram_containment_pairs(
     prefilter — containment must NOT size-prune, since the tiny-subset
     pair is exactly the signal (``threshold=0.0`` at emission). Tiers:
     driver pair-count within ``driver_budget`` posting rows, else the
-    coarse shingle-partition shuffle + Ray keyed count that runs at
-    any corpus size. No prefix tier: PPJoin's prefix bound is a
-    Jaccard inequality and is unsound for containment.
+    shared ``_distributed_pair_count`` shuffle that runs at any corpus
+    size — guarded by the SAME cheap document-frequency probe as the
+    Jaccard op so a hot-shingle corpus fails fast BEFORE the shuffle
+    is paid. No prefix tier exists to reroute to: PPJoin's prefix
+    bound is a Jaccard inequality and is unsound for containment, so
+    the probe raises with remediation instead.
     """
     ds = read_documents(sf_dir)
 
@@ -1177,36 +1191,27 @@ def ngram_containment_pairs(
         return ray.data.from_arrow(_EMPTY_CONTAINMENT)
 
     num_parts = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        sh = batch.column("shingle").to_numpy(zero_copy_only=False)
-        part = (sh % np.uint64(num_parts)).astype(np.int32)
-        return batch.append_column("part", pa.array(part, pa.int32()))
-
-    def emit_part(group: pa.Table) -> pa.Table:
-        out = _emit_pairs_with_sizes(group.drop_columns(["part"]), 0.0)
-        if out is None:
-            raise ValueError(
-                "hot-shingle pair blowup: containment has no prefix "
-                "tier; pre-filter stopword shingles upstream"
-            )
-        return out
-
-    counted_ds = (
-        posting.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(emit_part, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b", "sa", "sb"])
-        .count()
+    # fail FAST on hot-shingle blowup — before the posting shuffle is
+    # paid (the jaccard op's probe discipline; it reroutes to PPJoin,
+    # containment can only refuse with remediation)
+    hot_msg = (
+        "hot-shingle pair blowup: containment has no sound prefix "
+        "tier; pre-filter stopword shingles upstream or raise "
+        "hot_emit_cap"
     )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        return _finalize_containment(
-            batch.rename_columns(["doc_a", "doc_b", "sa", "sb", "inter"]),
-            threshold,
-        )
-
-    return counted_ds.map_batches(finalize, batch_format="pyarrow")
+    dfc = _shingle_df(ds, ngram)[1]
+    max_df = int(dfc.max()) if dfc.size else 0
+    total_emit = float((dfc.astype(np.float64) ** 2).sum()) / 2.0
+    if (
+        max_df * (max_df - 1) // 2 > hot_emit_cap
+        or total_emit > float(num_parts) * hot_emit_cap
+    ):
+        raise ValueError(hot_msg)
+    return _distributed_pair_count(
+        posting, num_parts, 0.0,
+        lambda counted: _finalize_containment(counted, threshold),
+        hot_msg,
+    )
 
 
 # -- sorted-neighborhood blocking -------------------------------------------

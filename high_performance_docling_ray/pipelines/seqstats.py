@@ -68,6 +68,16 @@ def _user_part(users: np.ndarray, num_parts: int) -> np.ndarray:
     return part.astype(np.int32)
 
 
+def _stamp_user_part(batch: pa.Table, num_parts: int) -> pa.Table:
+    """Append the coarse ``hash(user_id) % P`` co-partition column —
+    the one partition stamp every per-user exchange in this module
+    shares."""
+    users = batch.column("user_id").to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "part", pa.array(_user_part(users, num_parts))
+    )
+
+
 # -- global NTILE over a double column ---------------------------------------
 
 
@@ -491,14 +501,11 @@ def _per_user_from_counts(
             return kernel(merged).sort_by([("user_id", "ascending")])
     num_parts = _num_parts()
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        users = batch.column("user_id").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "part", pa.array(_user_part(users, num_parts))
-        )
-
     out = (
-        partials.map_batches(add_part, batch_format="pyarrow")
+        partials.map_batches(
+            lambda b: _stamp_user_part(b, num_parts),
+            batch_format="pyarrow",
+        )
         .groupby("part")
         .map_groups(
             lambda g: kernel(g.drop_columns(["part"])),
@@ -622,14 +629,11 @@ def interval_merge(
         whole = pa.concat_tables(parts).combine_chunks()
         return merge_part(whole).sort_by([("user_id", "ascending")])
 
-    def prep(batch: pa.Table) -> pa.Table:
-        users = batch.column("user_id").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "part", pa.array(_user_part(users, num_parts))
-        )
-
     out = (
-        ds.map_batches(prep, batch_format="pyarrow")
+        ds.map_batches(
+            lambda b: _stamp_user_part(b, num_parts),
+            batch_format="pyarrow",
+        )
         .groupby("part")
         .map_groups(
             lambda g: merge_part(g.drop_columns(["part"])),
@@ -735,14 +739,11 @@ def lag1_autocorr(
         whole = pa.concat_tables(parts).combine_chunks()
         return corr_part(whole).sort_by([("user_id", "ascending")])
 
-    def prep(batch: pa.Table) -> pa.Table:
-        users = batch.column("user_id").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "part", pa.array(_user_part(users, num_parts))
-        )
-
     out = (
-        ds.map_batches(prep, batch_format="pyarrow")
+        ds.map_batches(
+            lambda b: _stamp_user_part(b, num_parts),
+            batch_format="pyarrow",
+        )
         .groupby("part")
         .map_groups(
             lambda g: corr_part(g.drop_columns(["part"])),
@@ -767,6 +768,7 @@ _HOUR_US = 3_600_000_000
 def rolling_distinct_users(
     sf_dir: str,
     window_hours: int = 24,
+    driver_budget: int = 2_000_000,
     combine_limit: int = 2_000_000,
 ) -> pa.Table:
     """EXACT rolling distinct: for every hour with >= 1 event, the
@@ -781,19 +783,25 @@ def rolling_distinct_users(
     merge while the gap between active hours is <= W). Each island
     becomes TWO delta rows ``(start, +1), (end + 1, -1)``; summed
     deltas prefix-scan to the exact distinct count at EVERY hour with
-    no distinct-aggregation anywhere. Stages, all bounded:
+    no distinct-aggregation anywhere. ONE scan of events serves both
+    the islands and the active-hour set (the hour-presence flag rides
+    the same delta exchange). Stages, all bounded:
 
     1. per-block distinct (user, hour) pairs (pure map, pre-combined);
     2. ONE ``hash(user) % P`` co-partition; per partition one lexsort
-       merges duplicates, forms islands, and pre-sums delta rows by
-       hour — the exchange carries distinct pairs, the output
-       <= 2 islands per user, pre-aggregated to <= |hour domain| rows;
-    3. delta rows combine under the house ``combine_limit`` gate (Ray
+       merges duplicates, forms islands, and pre-sums
+       (hour, delta, hour-present) rows — <= 2 islands per user,
+       pre-aggregated to <= |hour domain| rows;
+    3. the rows combine under the house ``combine_limit`` gate (Ray
        ``groupby(hour).sum`` fallback), then ONE driver cumsum over the
        hour domain — bounded by the TIME RANGE (a decade is ~9e4
        hours), not the corpus size — evaluates the scan at the active
-       hours.
+       hours. Under ``driver_budget`` (events FOOTER row count) the
+       whole pass runs on the driver; ``rolling_distinct_users_grouped``
+       forces the exchange.
     """
+    from .io import parquet_num_rows
+
     num_parts = _num_parts()
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     w = int(window_hours)
@@ -822,11 +830,20 @@ def rolling_distinct_users(
             }
         )
 
+    _D_EMPTY = pa.Table.from_pydict(
+        {
+            "h": pa.array([], pa.int64()),
+            "d": pa.array([], pa.int64()),
+            "f": pa.array([], pa.int64()),
+        }
+    )
+
     def deltas(group: pa.Table) -> pa.Table:
+        """(user, hour) rows -> summed (h, d, f): d = island coverage
+        deltas, f = hour-presence flags (f > 0 after the global sum
+        marks an hour with >= 1 event)."""
         if not group.num_rows:
-            return pa.Table.from_pydict(
-                {"h": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
-            )
+            return _D_EMPTY
         users = group.column("user_id").to_numpy(zero_copy_only=False)
         hours = group.column("hour").to_numpy(zero_copy_only=False)
         order = np.lexsort((hours, users))
@@ -846,82 +863,85 @@ def rolling_distinct_users(
         isl_ends = np.concatenate((isl_starts[1:], [len(hours)])) - 1
         start_h = hours[isl_starts]
         end_h = hours[isl_ends] + w  # first hour PAST the coverage
-        h = np.concatenate((start_h, end_h))
+        h = np.concatenate((start_h, end_h, hours))
         d = np.concatenate(
             (
                 np.ones(len(start_h), dtype=np.int64),
                 -np.ones(len(end_h), dtype=np.int64),
+                np.zeros(len(hours), dtype=np.int64),
+            )
+        )
+        f = np.concatenate(
+            (
+                np.zeros(len(start_h) + len(end_h), dtype=np.int64),
+                np.ones(len(hours), dtype=np.int64),
             )
         )
         t = pa.Table.from_pydict(
-            {"h": pa.array(h, pa.int64()), "d": pa.array(d, pa.int64())}
+            {
+                "h": pa.array(h, pa.int64()),
+                "d": pa.array(d, pa.int64()),
+                "f": pa.array(f, pa.int64()),
+            }
         )
         return (
-            t.group_by("h").aggregate([("d", "sum")])
-            .rename_columns(["h", "d"])
+            t.group_by("h").aggregate([("d", "sum"), ("f", "sum")])
+            .rename_columns(["h", "d", "f"])
         )
 
-    delta_ds = (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: deltas(g.drop_columns(["part"])),
-            batch_format="pyarrow",
-        )
-    )
-    delta_ds = delta_ds.materialize()
-    merged = _combine_partials(delta_ds, ["h"], ["d"], combine_limit)
-    if merged is None:
-        rows = [
-            t
-            for t in ray.get(
-                delta_ds.groupby("h").sum("d").to_arrow_refs()
-            )
-            if t.num_rows
-        ]
-        merged = pa.concat_tables(rows).rename_columns(["h", "sum(d)"])
-    if not merged.num_rows:
-        return _RD_EMPTY
-    merged = merged.sort_by([("h", "ascending")])
-    dh = merged.column("h").to_numpy(zero_copy_only=False)
-    counts = np.cumsum(
-        merged.column("sum(d)").to_numpy(zero_copy_only=False)
-    )
-
-    # active hours: bounded by the time range; one distinct partial +
-    # the same combine gate
-    def hour_partial(batch: pa.Table) -> pa.Table:
-        hours = np.unique(
-            batch.column("ts").to_numpy().astype("datetime64[us]").astype(
+    if (
+        driver_budget
+        and parquet_num_rows(f"{sf_dir}/events.parquet") <= driver_budget
+    ):
+        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return _RD_EMPTY
+        whole = pa.concat_tables(parts).combine_chunks()
+        hours = (
+            whole.column("ts").to_numpy().astype("datetime64[us]").astype(
                 np.int64
             )
             // _HOUR_US
         )
-        return pa.Table.from_pydict(
+        raw = pa.Table.from_pydict(
             {
-                "h": pa.array(hours, pa.int64()),
-                "n": pa.array(np.ones(len(hours), dtype=np.int64)),
+                "user_id": whole.column("user_id").cast(pa.int64()),
+                "hour": pa.array(hours, pa.int64()),
             }
         )
-
-    hours_partials = _read(sf_dir, "events", ["ts"]).map_batches(
-        hour_partial, batch_format="pyarrow"
-    )
-    hours_partials = hours_partials.materialize()
-    hrs = _combine_partials(hours_partials, ["h"], ["n"], combine_limit)
-    if hrs is None:
-        rows = [
-            t
-            for t in ray.get(
-                hours_partials.groupby("h").sum("n").to_arrow_refs()
+        merged = deltas(raw)
+    else:
+        delta_ds = (
+            ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda g: deltas(g.drop_columns(["part"])),
+                batch_format="pyarrow",
             )
-            if t.num_rows
-        ]
-        hrs = pa.concat_tables(rows).rename_columns(["h", "sum(n)"])
-    active = np.sort(hrs.column("h").to_numpy(zero_copy_only=False))
-    # scan value at hour h = cumsum at the last delta hour <= h
+        )
+        delta_ds = delta_ds.materialize()
+        merged = _combine_partials(delta_ds, ["h"], ["d", "f"], combine_limit)
+        if merged is None:
+            rows = [
+                t
+                for t in ray.get(
+                    delta_ds.groupby("h").sum(["d", "f"]).to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+            merged = pa.concat_tables(rows)
+        merged = merged.rename_columns(["h", "d", "f"])
+    if not merged.num_rows:
+        return _RD_EMPTY
+    merged = merged.sort_by([("h", "ascending")])
+    dh = merged.column("h").to_numpy(zero_copy_only=False)
+    counts = np.cumsum(merged.column("d").to_numpy(zero_copy_only=False))
+    present = merged.column("f").to_numpy(zero_copy_only=False) > 0
+    active = dh[present]
+    # scan value at hour h = cumsum at the last delta hour <= h; every
+    # active hour IS a delta hour (an island starts or continues there)
     ix = np.searchsorted(dh, active, side="right") - 1
-    n_users = np.where(ix >= 0, counts[np.maximum(ix, 0)], 0)
+    n_users = counts[ix]
     return pa.Table.from_pydict(
         {
             "hour": pa.array(
@@ -1044,8 +1064,10 @@ def spearman_user_metrics(
     Composition (every stage bounded):
 
     1. mergeable (user, n, Σcents) partials reduce raw events inside
-       the scan; the house combine gate merges them (Ray
-       ``groupby(user)`` fallback past ``combine_limit``).
+       the scan; under the house combine gate the per-user table is
+       already on the driver and TWO argsorts close rho immediately
+       (the driver fast tier — no further exchange); past the budget
+       the Ray ``groupby(user)`` fallback feeds stages 2-4.
     2. x-ranks (event counts): DISTINCT count values are provably few
        — the distinct values of a count metric satisfy
        ``n_d (n_d + 1) / 2 <= total events`` (each distinct value v
@@ -1080,37 +1102,77 @@ def spearman_user_metrics(
             .rename_columns(["k", "n", "c"])
         )
 
-    partials = ds.map_batches(
-        um_partial, batch_format="pyarrow"
-    ).materialize()
-    merged = _combine_partials(partials, ["k"], ["n", "c"], combine_limit)
-    if merged is not None:
-        users_tbl = merged.rename_columns(["k", "n", "c"])
-        pairs = ray.data.from_arrow(users_tbl)
-    else:
-        rows = [
-            t
-            for t in ray.get(
-                partials.groupby("k").sum(["n", "c"]).to_arrow_refs()
-            )
-            if t.num_rows
-        ]
-        pairs = ray.data.from_arrow(
-            [t.rename_columns(["k", "n", "c"]) for t in rows]
-            or [pa.Table.from_pydict(
-                {"k": pa.array([], pa.int64()),
-                 "n": pa.array([], pa.int64()),
-                 "c": pa.array([], pa.int64())}
-            )]
-        )
-    pairs = pairs.materialize()
-
     _EMPTY = pa.Table.from_pydict(
         {
             "n_users": pa.array([], pa.int64()),
             "spearman_rho": pa.array([], pa.float64()),
         }
     )
+
+    def _rho_row(m, sra, srb, sraa, srbb, srab) -> pa.Table:
+        va = m * sraa - sra * sra
+        vb = m * srbb - srb * srb
+        rho = (
+            (m * srab - sra * srb) / np.sqrt(va * vb)
+            if va > 0 and vb > 0
+            else float("nan")
+        )
+        return pa.Table.from_pydict(
+            {
+                "n_users": pa.array([int(m)], pa.int64()),
+                "spearman_rho": pa.array([rho], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        um_partial, batch_format="pyarrow"
+    ).materialize()
+    merged = _combine_partials(partials, ["k"], ["n", "c"], combine_limit)
+    if merged is not None:
+        # driver fast tier: the per-user table is already here — two
+        # argsorts close rho without any further exchange (Ray groupby
+        # fixed cost dwarfs a <=2M-row rank pass, the house rule)
+        if not merged.num_rows:
+            return _EMPTY
+
+        def _avg_ranks(v: np.ndarray) -> np.ndarray:
+            order = np.argsort(v, kind="stable")
+            sv = v[order]
+            starts = np.concatenate(
+                ([0], np.nonzero(sv[1:] != sv[:-1])[0] + 1)
+            )
+            run_len = np.diff(np.concatenate((starts, [len(sv)])))
+            run_avg = starts + (run_len + 1) / 2.0  # 1-based
+            r = np.empty(len(v), dtype=np.float64)
+            r[order] = np.repeat(run_avg, run_len)
+            return r
+
+        ra = _avg_ranks(
+            merged.column("sum(n)").to_numpy(zero_copy_only=False)
+        )
+        rb = _avg_ranks(
+            merged.column("sum(c)").to_numpy(zero_copy_only=False)
+        )
+        return _rho_row(
+            len(ra), ra.sum(), rb.sum(), (ra * ra).sum(),
+            (rb * rb).sum(), (ra * rb).sum(),
+        )
+    rows = [
+        t
+        for t in ray.get(
+            partials.groupby("k").sum(["n", "c"]).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    pairs = ray.data.from_arrow(
+        [t.rename_columns(["k", "n", "c"]) for t in rows]
+        or [pa.Table.from_pydict(
+            {"k": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "c": pa.array([], pa.int64())}
+        )]
+    )
+    pairs = pairs.materialize()
 
     # -- stage 2: average-rank map for x = event count ------------------
     def x_counts(batch: pa.Table) -> pa.Table:
@@ -1234,16 +1296,4 @@ def spearman_user_metrics(
     srab = float(np.sum(st.column("srab").to_numpy(zero_copy_only=False)))
     m = int(np.sum(st.column("m").to_numpy(zero_copy_only=False)))
     assert m == n_total
-    va = m * sraa - sra * sra
-    vb = m * srbb - srb * srb
-    rho = (
-        (m * srab - sra * srb) / np.sqrt(va * vb)
-        if va > 0 and vb > 0
-        else float("nan")
-    )
-    return pa.Table.from_pydict(
-        {
-            "n_users": pa.array([m], pa.int64()),
-            "spearman_rho": pa.array([rho], pa.float64()),
-        }
-    )
+    return _rho_row(m, sra, srb, sraa, srbb, srab)

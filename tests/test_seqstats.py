@@ -268,7 +268,7 @@ def test_rolling_distinct_closed_form(tmp_path):
     got = dict(zip(hours.tolist(), out["n_users"].tolist()))
     assert got == {0: 1, 1: 2, 9: 1}
     grouped = rolling_distinct_users(
-        sf, window_hours=2, combine_limit=0
+        sf, window_hours=2, driver_budget=0, combine_limit=0
     ).to_pandas()
     assert out.equals(grouped)
 
@@ -279,7 +279,9 @@ def test_rolling_distinct_tier_equality_sf0001():
     )
 
     a = rolling_distinct_users(SF).to_pandas()
-    b = rolling_distinct_users(SF, combine_limit=0).to_pandas()
+    b = rolling_distinct_users(
+        SF, driver_budget=0, combine_limit=0
+    ).to_pandas()
     assert len(a) > 0 and a.equals(b)
 
 
