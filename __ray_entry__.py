@@ -1178,6 +1178,25 @@ def _q_spearman_user_metrics_grouped(sf_dir: str):
     return spearman_user_metrics(sf_dir, combine_limit=0)
 
 
+def _q_kendall_user_metrics(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        kendall_user_metrics,
+    )
+
+    return kendall_user_metrics(sf_dir)
+
+
+def _q_kendall_user_metrics_grouped(sf_dir: str):
+    """Forced any-cardinality tier: the 2-D grid decomposition — cross
+    pairs from the cell matrix, same-bucket pairs from the two
+    inversion-counter exchanges."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        kendall_user_metrics,
+    )
+
+    return kendall_user_metrics(sf_dir, combine_limit=0)
+
+
 def _q_range_join(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import (
         range_join_events,
@@ -1578,6 +1597,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "user_value_deciles_grouped": _q_user_value_deciles_grouped,
         "spearman_user_metrics": _q_spearman_user_metrics,
         "spearman_user_metrics_grouped": _q_spearman_user_metrics_grouped,
+        "kendall_user_metrics": _q_kendall_user_metrics,
+        "kendall_user_metrics_grouped": _q_kendall_user_metrics_grouped,
         # graph analytics (link-graph shape over the lineitem bipartite)
         "pagerank": _q_pagerank,
         "pagerank_cogroup": _q_pagerank_cogroup,
@@ -3433,6 +3454,40 @@ def oracle_sql() -> dict[str, str]:
                                        - SUM(rb) * SUM(rb)))
                         ELSE NULL END AS spearman_rho
             FROM r
+        """,
+        # exact Kendall tau-b; the oracle enumerates pairs (fine at
+        # gate scale), the Ray side never does — P derives from
+        # n0 - n1 - n2 + n3 - Q, so (P-Q)/sqrt((n0-n1)(n0-n2)) is the
+        # same tau-b both sides
+        "kendall_user_metrics": """
+            WITH u AS (SELECT user_id, COUNT(*) AS x,
+                              SUM(CAST(value AS DECIMAL(18,2))) AS y
+                       FROM events GROUP BY 1),
+            pr AS (SELECT a.x xa, a.y ya, b.x xb, b.y yb
+                   FROM u a JOIN u b ON a.user_id < b.user_id),
+            s AS (SELECT
+                    CAST(SUM(CASE WHEN (xa < xb AND ya < yb)
+                                    OR (xa > xb AND ya > yb)
+                                  THEN 1 ELSE 0 END) AS DOUBLE) AS P,
+                    CAST(SUM(CASE WHEN (xa < xb AND ya > yb)
+                                    OR (xa > xb AND ya < yb)
+                                  THEN 1 ELSE 0 END) AS DOUBLE) AS Q
+                  FROM pr),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM u),
+            tx AS (SELECT COALESCE(SUM(f * (f - 1) / 2.0), 0) AS n1
+                   FROM (SELECT CAST(COUNT(*) AS DOUBLE) f
+                         FROM u GROUP BY x)),
+            ty AS (SELECT COALESCE(SUM(f * (f - 1) / 2.0), 0) AS n2
+                   FROM (SELECT CAST(COUNT(*) AS DOUBLE) f
+                         FROM u GROUP BY y))
+            SELECT CAST(n.m AS BIGINT) AS n_users,
+                   CASE WHEN (n.m * (n.m - 1) / 2.0 - tx.n1) > 0
+                             AND (n.m * (n.m - 1) / 2.0 - ty.n2) > 0
+                        THEN (s.P - s.Q)
+                             / sqrt((n.m * (n.m - 1) / 2.0 - tx.n1)
+                                    * (n.m * (n.m - 1) / 2.0 - ty.n2))
+                        ELSE NULL END AS kendall_tau
+            FROM s, n, tx, ty
         """,
         # lag-1 Pearson autocorr from explicit pair sums; the CASE
         # guard mirrors the Ray kernel's (m>0, vx>0, vy>0) validity
@@ -7301,6 +7356,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["user_value_deciles_grouped"] = oracles["user_value_deciles"]
     oracles["spearman_user_metrics_grouped"] = oracles[
         "spearman_user_metrics"
+    ]
+    oracles["kendall_user_metrics_grouped"] = oracles[
+        "kendall_user_metrics"
     ]
     oracles["sorted_neighborhood_pairs_grouped"] = oracles[
         "sorted_neighborhood_pairs"

@@ -145,6 +145,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "ngram_containment_pairs",
         "user_value_deciles",
         "spearman_user_metrics",
+        "kendall_user_metrics",
         # round-3 LM-training filters
         "decontaminate",
         "unigram_logprob",

@@ -41,6 +41,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from .relational import _cents, _combine_partials, _read, to_table_or_sink
@@ -54,6 +55,7 @@ __all__ = [
     "rolling_distinct_users",
     "user_value_deciles",
     "spearman_user_metrics",
+    "kendall_user_metrics",
 ]
 
 
@@ -1297,3 +1299,371 @@ def spearman_user_metrics(
     m = int(np.sum(st.column("m").to_numpy(zero_copy_only=False)))
     assert m == n_total
     return _rho_row(m, sra, srb, sraa, srbb, srab)
+
+
+# -- exact Kendall tau-b at corpus key cardinality -----------------------------
+
+
+def _strict_inversions(x: np.ndarray, y: np.ndarray) -> int:
+    """EXACT count of pairs with ``x_i < x_j AND y_i > y_j`` — the
+    discordant-pair count — in O(n log^2 n) with NO per-run Python:
+    lexsort by (x, y) (equal-x pairs then sit y-ascending and can never
+    count; equal-y pairs fail the strict >), then bottom-up merge
+    passes where every pass counts ALL run pairs at once via the
+    pair-offset trick: values offset by ``pair_id * (n+1)`` keep each
+    pair's left half a contiguous sorted window of one global array, so
+    one ``searchsorted`` answers every right element's
+    greater-than-count simultaneously."""
+    n = len(x)
+    if n < 2:
+        return 0
+    order = np.lexsort((y, x))
+    seq = y[order]
+    cur = np.unique(seq, return_inverse=True)[1].astype(np.int64)
+    if n >= (1 << 31):  # pair_id * (n+1) must fit int64
+        raise ValueError("per-partition inversion count limited to 2^31 rows")
+    total = 0
+    idx = np.arange(n, dtype=np.int64)
+    big = np.int64(n + 1)
+    run = 1
+    while run < n:
+        pair_id = idx // (2 * run)
+        is_right = (idx % (2 * run)) >= run
+        off = pair_id * big
+        left_vals = cur[~is_right] + off[~is_right]
+        right_vals = cur[is_right] + off[is_right]
+        if len(right_vals):
+            # (#left <= v) globally, then strip earlier pairs' lefts
+            cnt_le = np.searchsorted(left_vals, right_vals, side="right")
+            left_counts = np.bincount(
+                pair_id[~is_right], minlength=int(pair_id[-1]) + 1
+            )
+            left_prefix = np.cumsum(left_counts) - left_counts
+            rp = pair_id[is_right]
+            gt = left_counts[rp] - (cnt_le - left_prefix[rp])
+            total += int(gt.sum())
+        # merge each 2*run block: offsets dominate, so one global sort
+        # of (offset + value) sorts every block in place
+        cur = np.sort(cur + off, kind="stable") - off
+        run *= 2
+    return total
+
+
+def _tie_pair_count(vals: np.ndarray) -> int:
+    """Sum over distinct values of f*(f-1)/2 — the tie-pair count."""
+    _, f = np.unique(vals, return_counts=True)
+    f = f.astype(object)
+    return int((f * (f - 1) // 2).sum()) if len(f) else 0
+
+
+def _joint_tie_pair_count(x: np.ndarray, y: np.ndarray) -> int:
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    change = np.concatenate(
+        ([True], (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1]))
+    )
+    starts = np.nonzero(change)[0]
+    f = np.diff(np.concatenate((starts, [len(xs)]))).astype(object)
+    return int((f * (f - 1) // 2).sum()) if len(f) else 0
+
+
+def kendall_user_metrics(
+    sf_dir: str,
+    grid_bits: int = 10,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """EXACT Kendall tau-b (tie-corrected) between per-user activity
+    (event count) and monetary total (Σ value) — the O(n²)-pairs rank
+    statistic, computed at corpus key cardinality with NO pair
+    enumeration and NO global sort.
+
+    Every unordered user pair is discordant, concordant, or tied;
+    tau-b needs the discordant count Q and the tie counts. Q
+    decomposes EXACTLY over an order-preserving 2-D grid (the
+    float-bit bucket transform on both metrics, ``grid_bits`` per
+    axis; ties never straddle a bucket):
+
+    - both buckets differ → the grid-count MATRIX answers in bulk:
+      ``Q_cross = Σ g[bx1,by1]·g[bx2,by2]`` over ``bx1<bx2, by1>by2``,
+      one suffix-prefix sweep over ≤ 2^(2·grid_bits) cells;
+    - same x-bucket → counted exactly inside ONE ``groupby(bx)`` pass
+      (vectorized merge-pass inversion counter, O(m log² m) per
+      partition) — which also yields the x-tie and joint-tie counts
+      (ties live wholly inside one bucket);
+    - same y-bucket, different x-bucket → ONE ``groupby(by)`` pass:
+      (all-pairs local count) − (same-bx local count via the
+      segment-offset variant) — plus the y-tie count.
+
+    The driver fast tier (per-user partials under ``combine_limit``)
+    runs the counter once on the driver; ``kendall_user_metrics_grouped``
+    forces the grid + two-exchange decomposition. Tie/pair totals use
+    exact integer math (object dtype past int64); the final ratio is
+    the only float.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def um_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "k": batch.column("user_id").cast(pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "c": pa.array(_cents(batch.column("value")), pa.int64()),
+            }
+        )
+        return (
+            t.group_by("k").aggregate([("n", "sum"), ("c", "sum")])
+            .rename_columns(["k", "n", "c"])
+        )
+
+    _EMPTY = pa.Table.from_pydict(
+        {
+            "n_users": pa.array([], pa.int64()),
+            "kendall_tau": pa.array([], pa.float64()),
+        }
+    )
+
+    def _tau_row(m: int, q: int, n1: int, n2: int, n3: int) -> pa.Table:
+        n0 = m * (m - 1) // 2  # Python ints: exact at any m
+        p = n0 - n1 - n2 + n3 - q
+        da, db = n0 - n1, n0 - n2
+        tau = (
+            float(p - q) / float(np.sqrt(float(da) * float(db)))
+            if da > 0 and db > 0
+            else float("nan")
+        )
+        return pa.Table.from_pydict(
+            {
+                "n_users": pa.array([m], pa.int64()),
+                "kendall_tau": pa.array([tau], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        um_partial, batch_format="pyarrow"
+    ).materialize()
+    merged = _combine_partials(partials, ["k"], ["n", "c"], combine_limit)
+    if merged is not None:
+        if not merged.num_rows:
+            return _EMPTY
+        x = merged.column("sum(n)").to_numpy(zero_copy_only=False)
+        y = merged.column("sum(c)").to_numpy(zero_copy_only=False)
+        return _tau_row(
+            len(x),
+            _strict_inversions(x, y),
+            _tie_pair_count(x),
+            _tie_pair_count(y),
+            _joint_tie_pair_count(x, y),
+        )
+
+    rows = [
+        t
+        for t in ray.get(partials.groupby("k").sum(["n", "c"]).to_arrow_refs())
+        if t.num_rows
+    ]
+    if not rows:
+        return _EMPTY
+    pairs = ray.data.from_arrow(
+        [t.rename_columns(["k", "n", "c"]) for t in rows]
+    ).materialize()
+
+    # RANGE-SCALED buckets, not raw top bits: both metrics occupy a
+    # narrow band of the IEEE key space (event counts share one
+    # exponent octave), where top-bits bucketing collapses to a single
+    # bucket and degenerates pass A into one giant partition. A
+    # min/max pre-pass scales the occupied key range across 2^grid_bits
+    # buckets; float rounding of a monotone map stays monotone, and
+    # equal values still share a bucket (the tie-locality invariant).
+    def key_range(batch: pa.Table) -> pa.Table:
+        kx = _monotone_bits(
+            batch.column("n").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+        )
+        ky = _monotone_bits(
+            batch.column("c").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+        )
+        return pa.Table.from_pydict(
+            {
+                "xlo": pa.array([int(kx.min())], pa.uint64()),
+                "xhi": pa.array([int(kx.max())], pa.uint64()),
+                "ylo": pa.array([int(ky.min())], pa.uint64()),
+                "yhi": pa.array([int(ky.max())], pa.uint64()),
+            }
+        )
+
+    rng_rows = [
+        t
+        for t in ray.get(
+            pairs.map_batches(key_range, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    rt = pa.concat_tables(rng_rows)
+    xlo = int(pc.min(rt.column("xlo")).as_py())
+    xhi = int(pc.max(rt.column("xhi")).as_py())
+    ylo = int(pc.min(rt.column("ylo")).as_py())
+    yhi = int(pc.max(rt.column("yhi")).as_py())
+    n_buckets = 1 << grid_bits
+
+    def _range_bucket(keys: np.ndarray, lo: int, hi: int) -> np.ndarray:
+        if hi == lo:
+            return np.zeros(len(keys), dtype=np.int64)
+        scaled = (keys - np.uint64(lo)).astype(np.float64) * (
+            float(n_buckets) / float(hi - lo + 1)
+        )
+        return np.minimum(
+            scaled.astype(np.int64), np.int64(n_buckets - 1)
+        )
+
+    def add_grid(batch: pa.Table) -> pa.Table:
+        xv = batch.column("n").to_numpy(zero_copy_only=False)
+        cv = batch.column("c").to_numpy(zero_copy_only=False)
+        bx = _range_bucket(
+            _monotone_bits(xv.astype(np.float64)), xlo, xhi
+        )
+        by = _range_bucket(
+            _monotone_bits(cv.astype(np.float64)), ylo, yhi
+        )
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array(xv, pa.int64()),
+                "c": pa.array(cv, pa.int64()),
+                "bx": pa.array(bx, pa.int64()),
+                "by": pa.array(by, pa.int64()),
+            }
+        )
+
+    gridded = pairs.map_batches(add_grid, batch_format="pyarrow")
+    gridded = gridded.materialize()
+
+    # grid-count matrix (≤ 2^(2·grid_bits) cells, mergeable partials)
+    def cell_counts(batch: pa.Table) -> pa.Table:
+        bx = batch.column("bx").to_numpy(zero_copy_only=False)
+        by = batch.column("by").to_numpy(zero_copy_only=False)
+        key = (bx << np.int64(grid_bits + 1)) | by
+        uk, f = np.unique(key, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "cell": pa.array(uk, pa.int64()),
+                "f": pa.array(f.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cc_partials = gridded.map_batches(
+        cell_counts, batch_format="pyarrow"
+    ).materialize()
+    cc = _combine_partials(cc_partials, ["cell"], ["f"], combine_limit)
+    if cc is None:
+        crows = [
+            t
+            for t in ray.get(
+                cc_partials.groupby("cell").sum("f").to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        cc = pa.concat_tables(crows).rename_columns(["cell", "sum(f)"])
+    cells = cc.column("cell").to_numpy(zero_copy_only=False)
+    cf = cc.column("sum(f)").to_numpy(zero_copy_only=False)
+    bx_c = cells >> np.int64(grid_bits + 1)
+    by_c = cells & np.int64((1 << (grid_bits + 1)) - 1)
+    ux, ix = np.unique(bx_c, return_inverse=True)
+    uy, iy = np.unique(by_c, return_inverse=True)
+    m_total = int(cf.sum())
+    # int64 cell products are exact while n < 3e9 (g1*suffix ≤ n²);
+    # past that float64 still holds tau to far better than 6dp
+    gdt = np.int64 if m_total < (1 << 31) else np.float64
+    G = np.zeros((len(ux), len(uy)), dtype=gdt)
+    G[ix, iy] = cf
+    # S[i, j] = Σ_{i' > i, j' < j} G[i', j']  (strictly later x-bucket,
+    # strictly earlier y-bucket) — suffix over rows, prefix over cols
+    row_suffix = np.cumsum(G[::-1, :], axis=0)[::-1, :]
+    later = np.zeros_like(G)
+    later[:-1, :] = row_suffix[1:, :]
+    S = np.zeros_like(G)
+    S[:, 1:] = np.cumsum(later, axis=1)[:, :-1]
+    q_cross = int((G.astype(object) * S.astype(object)).sum())
+
+    _PART_EMPTY = pa.Table.from_pydict(
+        {
+            "q": pa.array([], pa.int64()),
+            "n1": pa.array([], pa.int64()),
+            "n3": pa.array([], pa.int64()),
+        }
+    )
+
+    def pass_a(group: pa.Table) -> pa.Table:
+        if not group.num_rows:
+            return _PART_EMPTY
+        x = group.column("n").to_numpy(zero_copy_only=False)
+        y = group.column("c").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "q": pa.array([_strict_inversions(x, y)], pa.int64()),
+                "n1": pa.array([_tie_pair_count(x)], pa.int64()),
+                "n3": pa.array([_joint_tie_pair_count(x, y)], pa.int64()),
+            }
+        )
+
+    def pass_b(group: pa.Table) -> pa.Table:
+        if not group.num_rows:
+            return pa.Table.from_pydict(
+                {"q": pa.array([], pa.int64()), "n2": pa.array([], pa.int64())}
+            )
+        x = group.column("n").to_numpy(zero_copy_only=False)
+        y = group.column("c").to_numpy(zero_copy_only=False)
+        bx = group.column("bx").to_numpy(zero_copy_only=False)
+        q_all = _strict_inversions(x, y)
+        # same-bx pairs only: dense-rank x and y, offset both by the
+        # bx segment so cross-segment pairs can never sort adjacent as
+        # (x <) nor count as (y >)
+        n = len(x)
+        xr = np.unique(x, return_inverse=True)[1].astype(np.int64)
+        yr = np.unique(y, return_inverse=True)[1].astype(np.int64)
+        br = np.unique(bx, return_inverse=True)[1].astype(np.int64)
+        big = np.int64(n + 1)
+        q_same = _strict_inversions(br * big + xr, br * big + yr)
+        return pa.Table.from_pydict(
+            {
+                "q": pa.array([q_all - q_same], pa.int64()),
+                "n2": pa.array([_tie_pair_count(y)], pa.int64()),
+            }
+        )
+
+    a_rows = [
+        t
+        for t in ray.get(
+            gridded.groupby("bx")
+            .map_groups(pass_a, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    b_rows = [
+        t
+        for t in ray.get(
+            gridded.groupby("by")
+            .map_groups(pass_b, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    at = pa.concat_tables(a_rows) if a_rows else _PART_EMPTY
+    bt = (
+        pa.concat_tables(b_rows)
+        if b_rows
+        else pa.Table.from_pydict(
+            {"q": pa.array([], pa.int64()), "n2": pa.array([], pa.int64())}
+        )
+    )
+
+    def _isum(tbl: pa.Table, col: str) -> int:
+        arr = tbl.column(col).to_numpy(zero_copy_only=False)
+        return int(arr.astype(object).sum()) if len(arr) else 0
+
+    q = q_cross + _isum(at, "q") + _isum(bt, "q")
+    return _tau_row(
+        m_total, q, _isum(at, "n1"), _isum(bt, "n2"), _isum(at, "n3")
+    )

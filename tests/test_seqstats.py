@@ -448,3 +448,76 @@ def test_spearman_tiers_close_sf0001():
     b = spearman_user_metrics(SF, combine_limit=0).to_pandas()
     assert a["n_users"].tolist() == b["n_users"].tolist()
     assert abs(a["spearman_rho"][0] - b["spearman_rho"][0]) < 1e-9
+
+
+def test_inversion_counter_fuzz():
+    """The merge-pass inversion counter is exact vs brute force over
+    randomized (x, y) with heavy ties."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        _strict_inversions,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(120):
+        n = int(rng.integers(0, 50))
+        x = rng.integers(0, 6, n).astype(np.int64)
+        y = rng.integers(0, 6, n).astype(np.int64)
+        brute = sum(
+            1
+            for i in range(n)
+            for j in range(n)
+            if x[i] < x[j] and y[i] > y[j]
+        )
+        assert _strict_inversions(x, y) == brute
+
+
+def test_kendall_closed_forms(tmp_path):
+    """Perfect agreement -> tau exactly 1; perfect reversal -> -1;
+    all-tied x -> NaN (zero denominator guard)."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        kendall_user_metrics,
+    )
+
+    sf = _write_events(
+        tmp_path / "up",
+        eids=[1, 2, 3, 4, 5, 6],
+        ts_us=[0, 1, 2, 3, 4, 5],
+        users=[1, 1, 1, 2, 2, 3],
+        vals=[2.0, 2.0, 2.0, 1.5, 1.5, 1.0],
+    )
+    out = kendall_user_metrics(sf).to_pandas()
+    assert out["n_users"].tolist() == [3]
+    assert abs(out["kendall_tau"][0] - 1.0) < 1e-12
+    sf2 = _write_events(
+        tmp_path / "down",
+        eids=[1, 2, 3, 4, 5, 6],
+        ts_us=[0, 1, 2, 3, 4, 5],
+        users=[1, 1, 1, 2, 2, 3],
+        vals=[0.1, 0.1, 0.1, 1.0, 1.0, 9.0],
+    )
+    out2 = kendall_user_metrics(sf2).to_pandas()
+    assert abs(out2["kendall_tau"][0] + 1.0) < 1e-12
+    sf3 = _write_events(
+        tmp_path / "tied",
+        eids=[1, 2],
+        ts_us=[0, 1],
+        users=[1, 2],
+        vals=[3.0, 7.0],
+    )  # both users have x = 1 event -> n0 - n1 = 0
+    out3 = kendall_user_metrics(sf3).to_pandas()
+    assert np.isnan(out3["kendall_tau"][0])
+
+
+def test_kendall_tiers_equal_sf0001():
+    """Grid decomposition == driver counter exactly (Q and the tie
+    counts are integers; the only float is the final ratio)."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        kendall_user_metrics,
+    )
+
+    a = kendall_user_metrics(SF).to_pandas()
+    b = kendall_user_metrics(SF, combine_limit=0).to_pandas()
+    assert a.equals(b)
+    # coarse grids exercise bigger same-bucket partitions; still exact
+    c = kendall_user_metrics(SF, combine_limit=0, grid_bits=2).to_pandas()
+    assert a.equals(c)
