@@ -1448,20 +1448,22 @@ _COGROUP_TIERS: dict[str, tuple[str, str, str]] = {
 # distributed-tier TPC-H entries so the gate records the
 # highest-signal evidence (VERDICT r3 next-round #6).
 _PRIORITY_50 = [
-    "extract_pages", "extract_docs_text", "extract_synth_corpus",
+    "extract_pages", "extract_docs_text",
     "extract_pdf_docs", "extract_pdf_ocr", "extract_pdf_ocr_cogroup",
     "extract_pdf_tables", "extract_pdf_enriched", "extract_confidence",
     "extract_list_markers",
     "exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
-    "ngram_jaccard_pairs", "segment_dedup", "substring_dedup",
+    "ngram_jaccard_pairs", "ngram_containment_pairs", "segment_dedup",
+    "substring_dedup",
     "edit_distance_pairs", "fuzzy_components", "incremental_dedup",
     "embedding_neardup_pairs", "embedding_neardup_ivf",
     "knn_brute_cosine", "knn_ivf_fullprobe", "knn_graph",
     "kmeans_clusters", "semdedup", "tfidf_topk", "bm25_topk",
     "decontaminate", "clean_corpus", "pack_sequences",
     "quality_classifier", "bitext_mine", "pagerank", "triangle_count",
-    "bfs_distances", "neardup_components", "token_counts",
-    "language_id", "quality_scores", "redact_pii", "frequent_ngrams",
+    "bfs_distances", "neardup_components",
+    "kendall_user_metrics", "spearman_user_metrics",
+    "rolling_distinct_users", "interval_merge", "frequent_ngrams",
     "q1_pricing_summary", "q3_top_orders",
     "q3_top_orders_cogroup", "q18_big_orders_cogroup",
     "q13_order_distribution_cogroup", "q21_waiting_suppliers_cogroup",
