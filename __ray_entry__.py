@@ -1197,6 +1197,56 @@ def _q_kendall_user_metrics_grouped(sf_dir: str):
     return kendall_user_metrics(sf_dir, combine_limit=0)
 
 
+def _q_mannwhitney_value(sf_dir: str):
+    from high_performance_docling_ray.pipelines.hypotests import (
+        mannwhitney_value,
+    )
+
+    return mannwhitney_value(sf_dir)
+
+
+def _q_mannwhitney_value_grouped(sf_dir: str):
+    """Forced any-cardinality tier: Ray groupby(v) count merge + the
+    range-scaled value-bucket rank pass."""
+    from high_performance_docling_ray.pipelines.hypotests import (
+        mannwhitney_value,
+    )
+
+    return mannwhitney_value(sf_dir, combine_limit=0)
+
+
+def _q_welch_ttest_value(sf_dir: str):
+    from high_performance_docling_ray.pipelines.hypotests import (
+        welch_ttest_value,
+    )
+
+    return welch_ttest_value(sf_dir)
+
+
+def _q_welch_ttest_value_grouped(sf_dir: str):
+    from high_performance_docling_ray.pipelines.hypotests import (
+        welch_ttest_value,
+    )
+
+    return welch_ttest_value(sf_dir, combine_limit=0)
+
+
+def _q_contingency_stats(sf_dir: str):
+    from high_performance_docling_ray.pipelines.hypotests import (
+        contingency_stats,
+    )
+
+    return contingency_stats(sf_dir)
+
+
+def _q_contingency_stats_grouped(sf_dir: str):
+    from high_performance_docling_ray.pipelines.hypotests import (
+        contingency_stats,
+    )
+
+    return contingency_stats(sf_dir, combine_limit=0)
+
+
 def _q_range_join(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import (
         range_join_events,
@@ -1463,11 +1513,11 @@ _PRIORITY_50 = [
     "quality_classifier", "bitext_mine", "pagerank", "triangle_count",
     "bfs_distances", "neardup_components",
     "kendall_user_metrics", "spearman_user_metrics",
+    "mannwhitney_value", "contingency_stats",
     "rolling_distinct_users", "interval_merge", "frequent_ngrams",
     "q1_pricing_summary", "q3_top_orders",
     "q3_top_orders_cogroup", "q18_big_orders_cogroup",
     "q13_order_distribution_cogroup", "q21_waiting_suppliers_cogroup",
-    "q2_min_cost_supplier_cogroup", "q9_nation_profit_cogroup",
 ]
 
 
@@ -1601,6 +1651,13 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "spearman_user_metrics_grouped": _q_spearman_user_metrics_grouped,
         "kendall_user_metrics": _q_kendall_user_metrics,
         "kendall_user_metrics_grouped": _q_kendall_user_metrics_grouped,
+        # two-sample / two-axis hypothesis tests
+        "mannwhitney_value": _q_mannwhitney_value,
+        "mannwhitney_value_grouped": _q_mannwhitney_value_grouped,
+        "welch_ttest_value": _q_welch_ttest_value,
+        "welch_ttest_value_grouped": _q_welch_ttest_value_grouped,
+        "contingency_stats": _q_contingency_stats,
+        "contingency_stats_grouped": _q_contingency_stats_grouped,
         # graph analytics (link-graph shape over the lineitem bipartite)
         "pagerank": _q_pagerank,
         "pagerank_cogroup": _q_pagerank_cogroup,
@@ -3490,6 +3547,136 @@ def oracle_sql() -> dict[str, str]:
                                     * (n.m * (n.m - 1) / 2.0 - ty.n2))
                         ELSE NULL END AS kendall_tau
             FROM s, n, tx, ty
+        """,
+        # exact tie-corrected Mann-Whitney U / rank-sum z; RANK() +
+        # (tiecount-1)/2 IS the average rank; tie term Στ³−τ in DOUBLE
+        # and every closing expression mirrors the Ray side's float
+        # order so both round identically
+        "mannwhitney_value": """
+            WITH e AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                     CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END AS ga
+              FROM events WHERE event_type IN ('purchase', 'click')
+            ),
+            r AS (SELECT ga,
+                         RANK() OVER (ORDER BY v)
+                           + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0
+                             AS rnk
+                  FROM e),
+            agg AS (SELECT CAST(SUM(ga) AS BIGINT) AS n1,
+                           CAST(SUM(1 - ga) AS BIGINT) AS n2,
+                           SUM(CASE WHEN ga = 1 THEN rnk
+                                    ELSE 0 END) AS r1
+                    FROM r),
+            tie AS (SELECT COALESCE(
+                             SUM(CAST(c AS DOUBLE) * c * c - c), 0
+                           ) AS ties
+                    FROM (SELECT COUNT(*) AS c FROM e GROUP BY v)),
+            f AS (SELECT n1, n2, r1, ties,
+                         r1 - n1 * (n1 + 1) / 2.0 AS u1,
+                         n1 + n2 AS n
+                  FROM agg CROSS JOIN tie)
+            SELECT n1 AS n_a, n2 AS n_b,
+                   CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                        ELSE round(u1, 6) END AS u_stat,
+                   CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 THEN NULL
+                        WHEN (n1 * n2 / 12.0)
+                             * ((n + 1) - ties
+                                / (CAST(n AS DOUBLE) * (n - 1))) <= 0
+                             THEN NULL
+                        ELSE round((u1 - n1 * n2 / 2.0)
+                             / sqrt((n1 * n2 / 12.0)
+                                    * ((n + 1) - ties
+                                       / (CAST(n AS DOUBLE)
+                                          * (n - 1)))), 6)
+                   END AS z_score
+            FROM f
+        """,
+        # Welch's t from the exact-integer cents moments; variance via
+        # (Σc² − (Σc)²/n)/(n−1) mirrors the Ray side bit-for-bit
+        "welch_ttest_value": """
+            WITH e AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                     CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END AS ga
+              FROM events WHERE event_type IN ('purchase', 'click')
+            ),
+            m AS (SELECT ga, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(c) AS BIGINT) AS s,
+                         CAST(SUM(c * c) AS BIGINT) AS q
+                  FROM e GROUP BY ga),
+            w AS (SELECT
+                    COALESCE(MAX(CASE WHEN ga = 1 THEN n END), 0) AS n1,
+                    COALESCE(MAX(CASE WHEN ga = 1 THEN s END), 0) AS s1,
+                    COALESCE(MAX(CASE WHEN ga = 1 THEN q END), 0) AS q1,
+                    COALESCE(MAX(CASE WHEN ga = 0 THEN n END), 0) AS n2,
+                    COALESCE(MAX(CASE WHEN ga = 0 THEN s END), 0) AS s2,
+                    COALESCE(MAX(CASE WHEN ga = 0 THEN q END), 0) AS q2
+                  FROM m),
+            v AS (SELECT n1, n2,
+                         CASE WHEN n1 > 0
+                              THEN s1 / (100.0 * n1) END AS m1,
+                         CASE WHEN n2 > 0
+                              THEN s2 / (100.0 * n2) END AS m2,
+                         CASE WHEN n1 > 1
+                              THEN (q1 - s1 * s1 / n1) / (n1 - 1)
+                                   / 10000.0 END AS v1,
+                         CASE WHEN n2 > 1
+                              THEN (q2 - s2 * s2 / n2) / (n2 - 1)
+                                   / 10000.0 END AS v2
+                  FROM w)
+            SELECT n1 AS n_a, n2 AS n_b,
+                   round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
+                   CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL
+                             AND v1 / n1 + v2 / n2 > 0
+                        THEN round((m1 - m2)
+                             / sqrt(v1 / n1 + v2 / n2), 6)
+                   END AS t_stat,
+                   CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL
+                             AND v1 / n1 + v2 / n2 > 0
+                        THEN round((v1 / n1 + v2 / n2)
+                                   * (v1 / n1 + v2 / n2)
+                             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6)
+                   END AS welch_df
+            FROM v
+        """,
+        # chi² over the FULL grid from observed cells only:
+        # Σ_obs((f−e)²/e − e) + n is exact because an empty cell
+        # contributes (0−e)²/e = e; MI takes 0 from empty cells
+        "contingency_stats": """
+            WITH c AS (SELECT event_type AS a,
+                              EXTRACT(hour FROM ts) AS b,
+                              CAST(COUNT(*) AS DOUBLE) AS f
+                       FROM events GROUP BY 1, 2),
+            ra AS (SELECT a, SUM(f) AS fa FROM c GROUP BY 1),
+            cb AS (SELECT b, SUM(f) AS fb FROM c GROUP BY 1),
+            n AS (SELECT SUM(f) AS nn FROM c),
+            dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                             FROM ra) AS r,
+                            (SELECT CAST(COUNT(*) AS BIGINT)
+                             FROM cb) AS cc),
+            cell AS (SELECT c.f, ra.fa * cb.fb / n.nn AS e,
+                            ra.fa, cb.fb, n.nn
+                     FROM c JOIN ra USING (a) JOIN cb USING (b)
+                     CROSS JOIN n),
+            s AS (SELECT MAX(nn) AS nn,
+                         SUM((f - e) * (f - e) / e - e)
+                           + MAX(nn) AS chi2,
+                         SUM(f / nn * ln(f * nn / (fa * fb))) AS mi
+                  FROM cell)
+            SELECT CAST(nn AS BIGINT) AS n, r AS r_levels,
+                   cc AS c_levels,
+                   CAST((r - 1) * (cc - 1) AS BIGINT) AS dof,
+                   round(chi2, 6) AS chi2,
+                   CASE WHEN least(r, cc) > 1 AND chi2 > 0
+                        THEN round(sqrt(chi2
+                                        / (nn * (least(r, cc) - 1))), 6)
+                        WHEN least(r, cc) > 1 THEN 0.0
+                   END AS cramers_v,
+                   round(mi, 6) AS mutual_info
+            FROM s CROSS JOIN dims
         """,
         # lag-1 Pearson autocorr from explicit pair sums; the CASE
         # guard mirrors the Ray kernel's (m>0, vx>0, vy>0) validity
@@ -7362,6 +7549,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["kendall_user_metrics_grouped"] = oracles[
         "kendall_user_metrics"
     ]
+    oracles["mannwhitney_value_grouped"] = oracles["mannwhitney_value"]
+    oracles["welch_ttest_value_grouped"] = oracles["welch_ttest_value"]
+    oracles["contingency_stats_grouped"] = oracles["contingency_stats"]
     oracles["sorted_neighborhood_pairs_grouped"] = oracles[
         "sorted_neighborhood_pairs"
     ]

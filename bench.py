@@ -146,6 +146,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "user_value_deciles",
         "spearman_user_metrics",
         "kendall_user_metrics",
+        "mannwhitney_value",
+        "welch_ttest_value",
+        "contingency_stats",
         # round-3 LM-training filters
         "decontaminate",
         "unigram_logprob",
