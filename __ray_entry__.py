@@ -1197,6 +1197,35 @@ def _q_kendall_user_metrics_grouped(sf_dir: str):
     return kendall_user_metrics(sf_dir, combine_limit=0)
 
 
+def _q_sparse_cosine_pairs(sf_dir: str):
+    from high_performance_docling_ray.pipelines.sparse_sim import (
+        sparse_cosine_pairs,
+    )
+
+    return sparse_cosine_pairs(sf_dir)
+
+
+def _q_sparse_cosine_pairs_distributed(sf_dir: str):
+    """Forced any-cardinality tier: distributed df attach (cogroup by
+    token + per-doc normalize) AND the token-partition pair-sum
+    shuffle — no broadcast anywhere."""
+    from high_performance_docling_ray.pipelines.sparse_sim import (
+        sparse_cosine_pairs,
+    )
+
+    return sparse_cosine_pairs(sf_dir, driver_budget=0, df_budget=0)
+
+
+def _q_sparse_cosine_pairs_prefix(sf_dir: str):
+    """All-Pairs prefix-filter strategy (recall exactly 1) + exact
+    candidate-only verify — the hot-token reroute target."""
+    from high_performance_docling_ray.pipelines.sparse_sim import (
+        sparse_cosine_pairs,
+    )
+
+    return sparse_cosine_pairs(sf_dir, strategy="prefix")
+
+
 def _q_mannwhitney_value(sf_dir: str):
     from high_performance_docling_ray.pipelines.hypotests import (
         mannwhitney_value,
@@ -1507,7 +1536,7 @@ _PRIORITY_50 = [
     "substring_dedup",
     "edit_distance_pairs", "fuzzy_components", "incremental_dedup",
     "embedding_neardup_pairs", "embedding_neardup_ivf",
-    "knn_brute_cosine", "knn_ivf_fullprobe", "knn_graph",
+    "knn_brute_cosine", "sparse_cosine_pairs", "knn_graph",
     "kmeans_clusters", "semdedup", "tfidf_topk", "bm25_topk",
     "decontaminate", "clean_corpus", "pack_sequences",
     "quality_classifier", "bitext_mine", "pagerank", "triangle_count",
@@ -1651,6 +1680,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "spearman_user_metrics_grouped": _q_spearman_user_metrics_grouped,
         "kendall_user_metrics": _q_kendall_user_metrics,
         "kendall_user_metrics_grouped": _q_kendall_user_metrics_grouped,
+        # sparse all-pairs similarity (APSS)
+        "sparse_cosine_pairs": _q_sparse_cosine_pairs,
+        "sparse_cosine_pairs_distributed": _q_sparse_cosine_pairs_distributed,
+        "sparse_cosine_pairs_prefix": _q_sparse_cosine_pairs_prefix,
         # two-sample / two-axis hypothesis tests
         "mannwhitney_value": _q_mannwhitney_value,
         "mannwhitney_value_grouped": _q_mannwhitney_value_grouped,
@@ -3547,6 +3580,37 @@ def oracle_sql() -> dict[str, str]:
                                     * (n.m * (n.m - 1) / 2.0 - ty.n2))
                         ELSE NULL END AS kendall_tau
             FROM s, n, tx, ty
+        """,
+        # exact tf-idf all-pairs cosine; the postings self-join IS the
+        # dot product of unit vectors (w = tf·ln(N/df), L2-normalized,
+        # zero-norm docs dropped by nrm > 0 like the Ray side)
+        "sparse_cosine_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '') AS toks
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            tf AS (SELECT doc_id, token,
+                          CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            w AS (SELECT doc_id, token,
+                         tf * ln(CAST(n.n AS DOUBLE) / df) AS w
+                  FROM tf JOIN df USING (token) CROSS JOIN n),
+            nm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm
+                   FROM w GROUP BY 1),
+            u AS (SELECT w.doc_id, token, w / nrm AS w
+                  FROM w JOIN nm USING (doc_id) WHERE nrm > 0),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         SUM(a.w * b.w) AS cosine
+                  FROM u a JOIN u b USING (token)
+                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b, round(cosine, 6) AS cosine
+            FROM p WHERE cosine >= 0.9
         """,
         # exact tie-corrected Mann-Whitney U / rank-sum z; RANK() +
         # (tiecount-1)/2 IS the average rank; tie term Στ³−τ in DOUBLE
@@ -7549,6 +7613,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["kendall_user_metrics_grouped"] = oracles[
         "kendall_user_metrics"
     ]
+    oracles["sparse_cosine_pairs_distributed"] = oracles[
+        "sparse_cosine_pairs"
+    ]
+    oracles["sparse_cosine_pairs_prefix"] = oracles["sparse_cosine_pairs"]
     oracles["mannwhitney_value_grouped"] = oracles["mannwhitney_value"]
     oracles["welch_ttest_value_grouped"] = oracles["welch_ttest_value"]
     oracles["contingency_stats_grouped"] = oracles["contingency_stats"]

@@ -149,6 +149,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "mannwhitney_value",
         "welch_ttest_value",
         "contingency_stats",
+        "sparse_cosine_pairs",
         # round-3 LM-training filters
         "decontaminate",
         "unigram_logprob",
