@@ -1206,14 +1206,30 @@ def _q_sparse_cosine_pairs(sf_dir: str):
 
 
 def _q_sparse_cosine_pairs_distributed(sf_dir: str):
-    """Forced any-cardinality tier: distributed df attach (cogroup by
-    token + per-doc normalize) AND the token-partition pair-sum
-    shuffle — no broadcast anywhere."""
+    """Forced any-cardinality SPARSE tier: distributed df attach
+    (cogroup by token + per-doc normalize) AND the token-partition
+    pair-sum shuffle — no broadcast anywhere (dense reroute disabled
+    so the sparse exchanges are what the gate hashes)."""
     from high_performance_docling_ray.pipelines.sparse_sim import (
         sparse_cosine_pairs,
     )
 
-    return sparse_cosine_pairs(sf_dir, driver_budget=0, df_budget=0)
+    return sparse_cosine_pairs(
+        sf_dir, driver_budget=0, df_budget=0, dense_vocab_budget=0
+    )
+
+
+def _q_sparse_cosine_pairs_dense_sharded(sf_dir: str):
+    """Forced dense block-pair-store tier: the tiny cell budget pushes
+    the dense matmul off the driver onto the persisted hash-blocked
+    store with one task per block pair."""
+    from high_performance_docling_ray.pipelines.sparse_sim import (
+        sparse_cosine_pairs,
+    )
+
+    return sparse_cosine_pairs(
+        sf_dir, strategy="dense", dense_cell_budget=10_000
+    )
 
 
 def _q_sparse_cosine_pairs_prefix(sf_dir: str):
@@ -1684,6 +1700,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "sparse_cosine_pairs": _q_sparse_cosine_pairs,
         "sparse_cosine_pairs_distributed": _q_sparse_cosine_pairs_distributed,
         "sparse_cosine_pairs_prefix": _q_sparse_cosine_pairs_prefix,
+        "sparse_cosine_pairs_dense_sharded": (
+            _q_sparse_cosine_pairs_dense_sharded
+        ),
         # two-sample / two-axis hypothesis tests
         "mannwhitney_value": _q_mannwhitney_value,
         "mannwhitney_value_grouped": _q_mannwhitney_value_grouped,
@@ -7617,6 +7636,9 @@ def oracle_sql() -> dict[str, str]:
         "sparse_cosine_pairs"
     ]
     oracles["sparse_cosine_pairs_prefix"] = oracles["sparse_cosine_pairs"]
+    oracles["sparse_cosine_pairs_dense_sharded"] = oracles[
+        "sparse_cosine_pairs"
+    ]
     oracles["mannwhitney_value_grouped"] = oracles["mannwhitney_value"]
     oracles["welch_ttest_value_grouped"] = oracles["welch_ttest_value"]
     oracles["contingency_stats_grouped"] = oracles["contingency_stats"]

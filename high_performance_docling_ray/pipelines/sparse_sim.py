@@ -26,6 +26,17 @@ Three exact strategies (identical output, pinned in tests):
   enumeration); candidates verify against a broadcast of
   candidate-only vectors (bounded by the candidate count, not the
   corpus).
+* DENSE reroute (``auto`` when the vocabulary fits
+  ``dense_vocab_budget``, or ``strategy="dense"``): a tiny vocabulary
+  makes EVERY token hot (df ~ N/|V|), so any postings-driven plan —
+  pair-sum or prefix — degenerates toward the N² pair set through
+  per-token run enumeration. The right algorithm is then a dense
+  block matmul: each doc is a |V|-dim unit vector and tiled
+  ``A @ B.T`` tiles bound memory while the quadratic flops run at BLAS
+  speed. Driver tier under ``dense_cell_budget`` matrix cells;
+  past it, dense rows persist once to a hash-blocked parquet store
+  (the ``embedding_neardup_ivf`` shape, similarity.py:376) and each
+  block PAIR is one independent task reading only its two blocks.
 
 Weights: w = tf · ln(N/df) (the ``tfidf_topk`` formula), L2-normalized
 per doc; zero-norm (empty) docs drop like the oracle's ``nrm > 0``.
@@ -224,6 +235,238 @@ def _emit_pair_products(tbl: pa.Table, emit_cap: int) -> pa.Table | None:
     )
 
 
+def _tiled_pairs(
+    aid: np.ndarray,
+    amat: np.ndarray,
+    bid: np.ndarray,
+    bmat: np.ndarray,
+    threshold: float,
+    self_block: bool,
+    tile_cells: int = 16_000_000,
+) -> list[pa.Table]:
+    """All qualifying cosine pairs between two dense unit-row sets via
+    row-tiled matmul — the sims buffer never exceeds ``tile_cells``
+    floats regardless of block size. ``self_block`` emits the strict
+    upper triangle of one set (ids must be sorted ascending there);
+    cross blocks emit (min, max)-ordered pairs."""
+    outs: list[pa.Table] = []
+    if not len(aid) or not len(bid):
+        return outs
+    step = max(1, tile_cells // max(len(bid), 1))
+    for i0 in range(0, len(aid), step):
+        i1 = min(len(aid), i0 + step)
+        sims = amat[i0:i1] @ bmat.T
+        ri, ci = np.nonzero(sims >= threshold)
+        if not len(ri):
+            continue
+        cos = sims[ri, ci]
+        gi = ri + i0
+        if self_block:
+            keep = ci > gi
+            a, b, cos = aid[gi[keep]], bid[ci[keep]], cos[keep]
+        else:
+            a, b = aid[gi], bid[ci]
+            keep = a != b
+            a, b, cos = (
+                np.minimum(a[keep], b[keep]),
+                np.maximum(a[keep], b[keep]),
+                cos[keep],
+            )
+        if not len(a):
+            continue
+        outs.append(
+            pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array(a, pa.int64()),
+                    "doc_b": pa.array(b, pa.int64()),
+                    "cosine": pa.array(np.round(cos, 6), pa.float64()),
+                }
+            )
+        )
+    return outs
+
+
+def _dense_all_pairs(
+    docs: ray.data.Dataset,
+    df_tbl: pa.Table,
+    n_docs: int,
+    threshold: float,
+    cell_budget: int,
+    sf_dir: str,
+) -> ray.data.Dataset:
+    """Dense tier of :func:`sparse_cosine_pairs` — see the module
+    docstring. Vocabulary-bounded state (token→column map + idf
+    vector) broadcasts once; docs map to unit rows; all-pairs cosine
+    is a tiled block matmul, on the driver under ``cell_budget``
+    matrix cells, else over a persisted hash-blocked parquet store
+    with one task per block pair."""
+    toks = df_tbl.column("token").to_pylist()
+    vocab = len(toks)
+    idf = np.log(
+        float(n_docs)
+        / df_tbl.column("df").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+    )
+    maps_ref = ray.put((dict(zip(toks, range(vocab))), idf))
+    empty_rows = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "vec": pa.array(
+                [], pa.list_(pa.float64(), vocab)
+            ),
+        }
+    )
+
+    def dense_rows(batch: pa.Table) -> pa.Table:
+        tok2col, idfv = ray.get(maps_ref)
+        dids, btoks, tf = _doc_tf(batch)
+        if not len(dids):
+            return empty_rows
+        cols = pd.Series(btoks, dtype=object).map(tok2col).to_numpy(
+            np.int64
+        )
+        w = tf.astype(np.float64) * idfv[cols]
+        new_doc = np.concatenate(([True], dids[1:] != dids[:-1]))
+        seg = np.flatnonzero(new_doc)
+        counts = np.diff(np.append(seg, len(w)))
+        norms = np.sqrt(np.add.reduceat(w * w, seg))
+        docpos = np.repeat(np.arange(len(seg)), counts)
+        mat = np.zeros((len(seg), vocab), np.float64)
+        mat[docpos, cols] = w
+        keep = norms > 0
+        mat = mat[keep] / norms[keep, None]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(dids[seg][keep], pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), pa.float64()), vocab
+                ),
+            }
+        )
+
+    dense = docs.map_batches(dense_rows, batch_format="pyarrow")
+
+    def _mat_of(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        vec = tbl.column("vec").combine_chunks()
+        mat = vec.values.to_numpy(zero_copy_only=False).reshape(
+            -1, vocab
+        )
+        order = np.argsort(ids, kind="mergesort")
+        return ids[order], np.ascontiguousarray(mat[order])
+
+    if n_docs * vocab <= cell_budget:
+        tabs = [
+            t
+            for t in ray.get(dense.materialize().to_arrow_refs())
+            if t.num_rows
+        ]
+        if not tabs:
+            return ray.data.from_arrow(_EMPTY_COSINE)
+        ids, mat = _mat_of(pa.concat_tables(tabs))
+        outs = _tiled_pairs(ids, mat, ids, mat, threshold, True)
+        return ray.data.from_arrow(
+            pa.concat_tables(outs) if outs else _EMPTY_COSINE
+        )
+
+    # over the driver cell budget: persist hash-blocked dense rows
+    # once, then one independent task per block pair (each task holds
+    # two blocks of <= per_block cells + one tile buffer)
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    per_block = max(vocab, cell_budget // 4)
+    docs_per_block = max(1, per_block // vocab)
+    n_blocks = max(2, -(-n_docs // docs_per_block))
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        content_tag = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content_tag = "unknown"
+    tag = hashlib.md5(
+        f"{src}:{content_tag}:{vocab}:{n_blocks}:densecos".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/graft_densecos/{tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
+
+        def stamp_block(batch: pa.Table) -> pa.Table:
+            ids = (
+                batch.column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            blk = (ids * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
+                n_blocks
+            )
+            return batch.append_column(
+                "block_id", pa.array(blk.astype(np.int32), pa.int32())
+            )
+
+        dense.map_batches(
+            stamp_block, batch_format="pyarrow"
+        ).write_parquet(
+            os.path.join(out_dir, "blocks"), partition_cols=["block_id"]
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    def _load_block(b: int) -> tuple[np.ndarray, np.ndarray] | None:
+        paths = sorted(
+            glob.glob(
+                os.path.join(
+                    out_dir, "blocks", f"block_id={b}", "*.parquet"
+                )
+            )
+        )
+        if not paths:
+            return None
+        return _mat_of(
+            pq.read_table(paths, columns=["doc_id", "vec"])
+        )
+
+    def pair_task(batch: pa.Table) -> pa.Table:
+        outs: list[pa.Table] = []
+        for row in batch.to_pylist():  # batch_size=1: one block pair
+            b1, b2 = row["b1"], row["b2"]
+            a = _load_block(b1)
+            if a is None:
+                continue
+            if b1 == b2:
+                outs.extend(
+                    _tiled_pairs(a[0], a[1], a[0], a[1], threshold, True)
+                )
+                continue
+            b = _load_block(b2)
+            if b is None:
+                continue
+            outs.extend(
+                _tiled_pairs(a[0], a[1], b[0], b[1], threshold, False)
+            )
+        return pa.concat_tables(outs) if outs else _EMPTY_COSINE
+
+    pairs = [
+        {"b1": i, "b2": j}
+        for i in range(n_blocks)
+        for j in range(i, n_blocks)
+    ]
+    src_ds = ray.data.from_items(
+        pairs, override_num_blocks=max(1, len(pairs))
+    )
+    return src_ds.map_batches(
+        pair_task, batch_size=1, batch_format="pyarrow"
+    )
+
+
 def _finalize_cosine(counted: pa.Table, threshold: float) -> pa.Table:
     if counted.num_rows == 0:
         return _EMPTY_COSINE
@@ -245,20 +488,40 @@ def sparse_cosine_pairs(
     driver_budget: int = 2_000_000,
     df_budget: int = 2_000_000,
     hot_emit_cap: int = 50_000_000,
+    dense_vocab_budget: int = 4096,
+    dense_cell_budget: int = 200_000_000,
 ) -> ray.data.Dataset:
     """EXACT all-pairs tf-idf cosine ≥ threshold over non-empty docs:
     (doc_a, doc_b, cosine) with cosine rounded to 6dp (each tier's
     float-add order differs by partitioning; dots agree to ~1e-15,
     far inside the rounding).
 
-    See the module docstring for the three strategies; ``auto`` picks
-    driver pair-sum under ``driver_budget`` posting rows, else probes
-    Σdf² and either runs the distributed pair-sum or reroutes to the
-    prefix strategy on hot-token blowup.
+    See the module docstring for the strategies; ``auto`` reroutes to
+    the DENSE block matmul when the vocabulary fits
+    ``dense_vocab_budget`` (a tiny vocabulary makes every token hot and
+    any postings plan ~quadratic in emissions), else picks driver
+    pair-sum under ``driver_budget`` posting rows, else probes Σdf²
+    and either runs the distributed pair-sum or reroutes to the prefix
+    strategy on hot-token blowup.
     """
     docs = read_documents(sf_dir)
     n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
     df_tbl = _token_df(docs)
+
+    if df_tbl.num_rows == 0:
+        return ray.data.from_arrow(_EMPTY_COSINE)
+    if strategy == "dense" and df_tbl.num_rows > dense_vocab_budget:
+        raise ValueError(
+            "strategy='dense' needs vocabulary <= dense_vocab_budget "
+            f"({df_tbl.num_rows} > {dense_vocab_budget}); use 'auto'"
+        )
+    if (
+        strategy == "dense"
+        or (strategy == "auto" and df_tbl.num_rows <= dense_vocab_budget)
+    ):
+        return _dense_all_pairs(
+            docs, df_tbl, n_docs, threshold, dense_cell_budget, sf_dir
+        )
 
     df_map_ref = None
     if df_tbl.num_rows <= df_budget:

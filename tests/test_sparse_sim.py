@@ -54,13 +54,29 @@ def test_closed_form_identical_and_disjoint(tmp_path):
 
 
 def test_tier_equality():
-    """driver == fully distributed (df cogroup + pair-sum shuffle) ==
-    All-Pairs prefix, at 6dp canon."""
+    """dense driver (the auto route on this tiny-vocab corpus) ==
+    sparse driver pair-sum == fully distributed sparse (df cogroup +
+    pair-sum shuffle) == All-Pairs prefix == dense block-pair store,
+    at 6dp canon."""
     base = _canon(sparse_cosine_pairs(SF))
     assert base.equals(
-        _canon(sparse_cosine_pairs(SF, driver_budget=0, df_budget=0))
+        _canon(sparse_cosine_pairs(SF, dense_vocab_budget=0))
+    )
+    assert base.equals(
+        _canon(
+            sparse_cosine_pairs(
+                SF, driver_budget=0, df_budget=0, dense_vocab_budget=0
+            )
+        )
     )
     assert base.equals(_canon(sparse_cosine_pairs(SF, strategy="prefix")))
+    assert base.equals(
+        _canon(
+            sparse_cosine_pairs(
+                SF, strategy="dense", dense_cell_budget=10_000
+            )
+        )
+    )
     assert len(base) > 0  # the fixture corpus has qualifying pairs
 
 
@@ -83,7 +99,11 @@ def test_stopword_prefix_pruning_and_hot_reroute(tmp_path):
     # stays at 1 partner per rare-token posting (40 total)
     rerouted = _canon(
         sparse_cosine_pairs(
-            sf, threshold=0.9, driver_budget=0, hot_emit_cap=100
+            sf,
+            threshold=0.9,
+            driver_budget=0,
+            hot_emit_cap=100,
+            dense_vocab_budget=0,  # pin the SPARSE reroute, not dense
         )
     )
     assert rerouted.equals(expect)
