@@ -99,14 +99,42 @@ def _doc_tf(batch: pa.Table):
     return doc_ids[doc_idx[firsts]], toks, counts
 
 
-def _token_df(docs: ray.data.Dataset, combine_limit: int = 2_000_000):
-    """Document frequency per token: per-batch distinct-(doc, token)
-    partials, merged with the house combine gate (Ray groupby("token")
-    fallback past it — vocabulary is the bound either way). Returns a
-    (token, df) pyarrow table."""
+_EMPTY_TF = pa.Table.from_pydict(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "token": pa.array([], pa.string()),
+        "tf": pa.array([], pa.int64()),
+    }
+)
+
+
+def _tf_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, token, tf) rows — one per distinct (doc, token). The
+    docs table is one row per doc, so every (doc, token) pair surfaces
+    exactly once GLOBALLY; downstream consumers may therefore count
+    rows per token for df. Tokenization happens here ONCE — df, the
+    postings tiers and the dense tier all reuse the materialized rows."""
+    dids, toks, tf = _doc_tf(batch)
+    if not len(dids):
+        return _EMPTY_TF
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(dids, pa.int64()),
+            "token": pa.array(toks, pa.string()),
+            "tf": pa.array(tf, pa.int64()),
+        }
+    )
+
+
+def _token_df(tf_ds: ray.data.Dataset, combine_limit: int = 2_000_000):
+    """Document frequency per token from the materialized tf rows:
+    per-batch token counts (each (doc, token) row is globally unique,
+    so row counts ARE document frequencies), merged with the house
+    combine gate (Ray groupby("token") fallback past it — vocabulary
+    is the bound either way). Returns a (token, df) pyarrow table."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        _, toks, _ = _doc_tf(batch)
+        toks = batch.column("token").to_numpy(zero_copy_only=False)
         if not len(toks):
             return pa.Table.from_pydict(
                 {"token": pa.array([], pa.string()),
@@ -122,7 +150,7 @@ def _token_df(docs: ray.data.Dataset, combine_limit: int = 2_000_000):
 
     from .relational import _combine_partials
 
-    partials = docs.map_batches(
+    partials = tf_ds.map_batches(
         partial, batch_format="pyarrow"
     ).materialize()
     merged = _combine_partials(partials, ["token"], ["n"], combine_limit)
@@ -287,7 +315,7 @@ def _tiled_pairs(
 
 
 def _dense_all_pairs(
-    docs: ray.data.Dataset,
+    tf_ds: ray.data.Dataset,
     df_tbl: pa.Table,
     n_docs: int,
     threshold: float,
@@ -296,10 +324,18 @@ def _dense_all_pairs(
 ) -> ray.data.Dataset:
     """Dense tier of :func:`sparse_cosine_pairs` — see the module
     docstring. Vocabulary-bounded state (token→column map + idf
-    vector) broadcasts once; docs map to unit rows; all-pairs cosine
-    is a tiled block matmul, on the driver under ``cell_budget``
-    matrix cells, else over a persisted hash-blocked parquet store
-    with one task per block pair."""
+    vector) broadcasts once; the materialized tf rows (tokenized ONCE
+    upstream) scatter into dense w rows; all-pairs cosine is a tiled
+    block matmul, on the driver under ``cell_budget`` matrix cells,
+    else over a persisted hash-blocked parquet store with one task per
+    block pair.
+
+    Batching may split a doc's tf rows across batches, so each batch
+    emits UNNORMALIZED per-doc partial w rows; duplicates are summed
+    (doc-sorted ``np.add.reduceat`` over rows) and L2-normalized at
+    the combine point — on the driver, or inside each block (a doc's
+    partials share its hash block by construction). Exact under any
+    re-chunking."""
     toks = df_tbl.column("token").to_pylist()
     vocab = len(toks)
     idf = np.log(
@@ -320,41 +356,50 @@ def _dense_all_pairs(
 
     def dense_rows(batch: pa.Table) -> pa.Table:
         tok2col, idfv = ray.get(maps_ref)
-        dids, btoks, tf = _doc_tf(batch)
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         if not len(dids):
             return empty_rows
+        btoks = batch.column("token").to_numpy(zero_copy_only=False)
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
         cols = pd.Series(btoks, dtype=object).map(tok2col).to_numpy(
             np.int64
         )
         w = tf.astype(np.float64) * idfv[cols]
-        new_doc = np.concatenate(([True], dids[1:] != dids[:-1]))
-        seg = np.flatnonzero(new_doc)
-        counts = np.diff(np.append(seg, len(w)))
-        norms = np.sqrt(np.add.reduceat(w * w, seg))
-        docpos = np.repeat(np.arange(len(seg)), counts)
-        mat = np.zeros((len(seg), vocab), np.float64)
+        uids, docpos = np.unique(dids, return_inverse=True)
+        mat = np.zeros((len(uids), vocab), np.float64)
+        # (doc, token) rows are globally unique -> direct scatter
         mat[docpos, cols] = w
-        keep = norms > 0
-        mat = mat[keep] / norms[keep, None]
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(dids[seg][keep], pa.int64()),
+                "doc_id": pa.array(uids, pa.int64()),
                 "vec": pa.FixedSizeListArray.from_arrays(
                     pa.array(mat.ravel(), pa.float64()), vocab
                 ),
             }
         )
 
-    dense = docs.map_batches(dense_rows, batch_format="pyarrow")
+    dense = tf_ds.map_batches(dense_rows, batch_format="pyarrow")
 
     def _mat_of(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """doc-sorted (ids, unit rows): sums split-doc partial rows,
+        drops zero-norm docs, L2-normalizes."""
         ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
         vec = tbl.column("vec").combine_chunks()
         mat = vec.values.to_numpy(zero_copy_only=False).reshape(
             -1, vocab
         )
         order = np.argsort(ids, kind="mergesort")
-        return ids[order], np.ascontiguousarray(mat[order])
+        ids, mat = ids[order], mat[order]
+        new = np.concatenate(([True], ids[1:] != ids[:-1]))
+        seg = np.flatnonzero(new)
+        if len(seg) != len(ids):  # split-doc partials present
+            mat = np.add.reduceat(mat, seg, axis=0)
+            ids = ids[seg]
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        keep = norms > 0
+        return ids[keep], np.ascontiguousarray(
+            mat[keep] / norms[keep, None]
+        )
 
     if n_docs * vocab <= cell_budget:
         tabs = [
@@ -506,7 +551,12 @@ def sparse_cosine_pairs(
     """
     docs = read_documents(sf_dir)
     n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
-    df_tbl = _token_df(docs)
+    # tokenize ONCE: df, the dense tier and the df-cogroup tier all
+    # consume these materialized rows instead of re-tokenizing
+    tf_ds = docs.map_batches(
+        _tf_rows, batch_format="pyarrow"
+    ).materialize()
+    df_tbl = _token_df(tf_ds)
 
     if df_tbl.num_rows == 0:
         return ray.data.from_arrow(_EMPTY_COSINE)
@@ -520,7 +570,7 @@ def sparse_cosine_pairs(
         or (strategy == "auto" and df_tbl.num_rows <= dense_vocab_budget)
     ):
         return _dense_all_pairs(
-            docs, df_tbl, n_docs, threshold, dense_cell_budget, sf_dir
+            tf_ds, df_tbl, n_docs, threshold, dense_cell_budget, sf_dir
         )
 
     df_map_ref = None
@@ -569,21 +619,13 @@ def sparse_cosine_pairs(
         )
     else:
         # df table past the broadcast budget: attach df by token, then
-        # normalize per doc — fully distributed, two exchanges
+        # normalize per doc — fully distributed, two exchanges (the
+        # materialized tf rows are reused; map_groups regroups by doc,
+        # so tf-row batch boundaries don't matter here)
         from .joins import cogroup_attach
 
-        def tf_rows(batch: pa.Table) -> pa.Table:
-            dids, toks, tf = _doc_tf(batch)
-            return pa.Table.from_pydict(
-                {
-                    "doc_id": pa.array(dids, pa.int64()),
-                    "token": pa.array(toks, pa.string()),
-                    "tf": pa.array(tf, pa.int64()),
-                }
-            )
-
         joined = cogroup_attach(
-            docs.map_batches(tf_rows, batch_format="pyarrow"),
+            tf_ds,
             ray.data.from_arrow(df_tbl),
             key="token",
             left_fields=[
