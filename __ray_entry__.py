@@ -1093,6 +1093,19 @@ def _q_interval_merge_grouped(sf_dir: str):
     return interval_merge(sf_dir, driver_budget=0)
 
 
+def _q_user_drawdown(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import user_drawdown
+
+    return user_drawdown(sf_dir)
+
+
+def _q_user_drawdown_grouped(sf_dir: str):
+    """Forced any-cardinality tier: hash(user) % P co-partition."""
+    from high_performance_docling_ray.pipelines.seqstats import user_drawdown
+
+    return user_drawdown(sf_dir, driver_budget=0)
+
+
 def _q_lag1_autocorr(sf_dir: str):
     from high_performance_docling_ray.pipelines.seqstats import lag1_autocorr
 
@@ -1258,6 +1271,24 @@ def _q_mannwhitney_value_grouped(sf_dir: str):
     )
 
     return mannwhitney_value(sf_dir, combine_limit=0)
+
+
+def _q_ks_two_sample(sf_dir: str):
+    from high_performance_docling_ray.pipelines.hypotests import (
+        ks_two_sample,
+    )
+
+    return ks_two_sample(sf_dir)
+
+
+def _q_ks_two_sample_grouped(sf_dir: str):
+    """Forced any-cardinality tier: Ray groupby(v) count merge + the
+    range-scaled value-bucket CDF pass."""
+    from high_performance_docling_ray.pipelines.hypotests import (
+        ks_two_sample,
+    )
+
+    return ks_two_sample(sf_dir, combine_limit=0)
 
 
 def _q_welch_ttest_value(sf_dir: str):
@@ -1686,6 +1717,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "interval_merge_grouped": _q_interval_merge_grouped,
         "lag1_autocorr": _q_lag1_autocorr,
         "lag1_autocorr_grouped": _q_lag1_autocorr_grouped,
+        "user_drawdown": _q_user_drawdown,
+        "user_drawdown_grouped": _q_user_drawdown_grouped,
         "rolling_distinct_users": _q_rolling_distinct_users,
         "rolling_distinct_users_grouped": _q_rolling_distinct_users_grouped,
         "ngram_containment_pairs": _q_ngram_containment,
@@ -1706,6 +1739,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # two-sample / two-axis hypothesis tests
         "mannwhitney_value": _q_mannwhitney_value,
         "mannwhitney_value_grouped": _q_mannwhitney_value_grouped,
+        "ks_two_sample": _q_ks_two_sample,
+        "ks_two_sample_grouped": _q_ks_two_sample_grouped,
         "welch_ttest_value": _q_welch_ttest_value,
         "welch_ttest_value_grouped": _q_welch_ttest_value_grouped,
         "contingency_stats": _q_contingency_stats,
@@ -1750,6 +1785,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # outlink extraction + domain link graph
         "extract_links": _q_extract_links,
         "link_domain_graph": _q_link_domain_graph,
+        "cocitation_pairs": _q_cocitation_pairs,
+        "cocitation_pairs_grouped": _q_cocitation_pairs_grouped,
         "domain_pagerank": _q_domain_pagerank,
         "anchor_text_stats": _q_anchor_text_stats,
         "crawl_frontier": _q_crawl_frontier,
@@ -2419,6 +2456,19 @@ def _q_link_domain_graph(sf_dir: str):
     from high_performance_docling_ray.pipelines.links import link_domain_graph
 
     return link_domain_graph(sf_dir)
+
+
+def _q_cocitation_pairs(sf_dir: str):
+    from high_performance_docling_ray.pipelines.links import cocitation_pairs
+
+    return cocitation_pairs(sf_dir)
+
+
+def _q_cocitation_pairs_grouped(sf_dir: str):
+    """Forced any-cardinality tier: Ray groupby(pair).sum exchange."""
+    from high_performance_docling_ray.pipelines.links import cocitation_pairs
+
+    return cocitation_pairs(sf_dir, combine_limit=0)
 
 
 def _q_domain_pagerank(sf_dir: str):
@@ -3676,6 +3726,43 @@ def oracle_sql() -> dict[str, str]:
                    END AS z_score
             FROM f
         """,
+        # two-sample KS: the max ECDF gap is decided in INTEGER
+        # arithmetic (d_num = max|ca*n2 - cb*n1| over inclusive
+        # cumulative distinct-value counts) so ties can't flip the
+        # argmax; d/ks close in DOUBLE with the Ray side's op order
+        "ks_two_sample": """
+            WITH e AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                     CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END AS ga
+              FROM events WHERE event_type IN ('purchase', 'click')
+            ),
+            vc AS (SELECT v, CAST(SUM(ga) AS BIGINT) AS fa,
+                          CAST(SUM(1 - ga) AS BIGINT) AS fb
+                   FROM e GROUP BY v),
+            n AS (SELECT CAST(COALESCE(SUM(fa), 0) AS BIGINT) AS n1,
+                         CAST(COALESCE(SUM(fb), 0) AS BIGINT) AS n2
+                  FROM vc),
+            c AS (SELECT CAST(SUM(fa) OVER (ORDER BY v) AS BIGINT) AS ca,
+                         CAST(SUM(fb) OVER (ORDER BY v) AS BIGINT) AS cb
+                  FROM vc),
+            m AS (SELECT CAST(COALESCE(
+                           MAX(ABS(ca * n2 - cb * n1)), 0
+                         ) AS BIGINT) AS d_num
+                  FROM c CROSS JOIN n)
+            SELECT n1 AS n_a, n2 AS n_b, d_num,
+                   CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                        ELSE round(CAST(d_num AS DOUBLE)
+                                   / (CAST(n1 AS DOUBLE) * n2), 6)
+                   END AS d_stat,
+                   CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                        ELSE round(
+                          sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))
+                          * (CAST(d_num AS DOUBLE)
+                             / (CAST(n1 AS DOUBLE) * n2)), 6)
+                   END AS ks_stat
+            FROM m CROSS JOIN n
+        """,
         # Welch's t from the exact-integer cents moments; variance via
         # (Σc² − (Σc)²/n)/(n−1) mirrors the Ray side bit-for-bit
         "welch_ttest_value": """
@@ -3763,6 +3850,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         # lag-1 Pearson autocorr from explicit pair sums; the CASE
         # guard mirrors the Ray kernel's (m>0, vx>0, vy>0) validity
+        # per-user running-balance scan statistics — every output is
+        # exact int64 cents (segmented cumsum/cummax on the Ray side,
+        # windowed SUM/MAX here), so the hash needs no float mirroring
+        "user_drawdown": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+            ),
+            r AS (
+              SELECT user_id, event_id, ts, c,
+                     CAST(SUM(c) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+              FROM e
+            ),
+            p AS (
+              SELECT user_id, c, run,
+                     CAST(MAX(run) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+              FROM r
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(c) AS BIGINT) AS final_cents,
+                   CAST(MAX(run) AS BIGINT) AS peak_cents,
+                   CAST(MAX(peak - run) AS BIGINT)
+                     AS max_drawdown_cents
+            FROM p GROUP BY user_id ORDER BY user_id
+        """,
         "lag1_autocorr": """
             WITH s AS (SELECT user_id, value,
                               LAG(value) OVER (PARTITION BY user_id
@@ -5202,6 +5320,42 @@ def oracle_sql() -> dict[str, str]:
                          5 FROM base
         UNION ALL SELECT url, '/contact', host || '/contact', 6 FROM base
     """
+    # Co-citation pairs over the planted link structure: the oracle
+    # reconstructs each page's 6 resolved targets as closed forms of
+    # doc_id (extract_links style), self-joins within page, and
+    # mirrors the hub cap + min_shared filter. Pair order is binary
+    # string order on BOTH sides.
+    oracles["cocitation_pairs"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 'https://site' || (doc_id % 5) || '.example' AS host,
+                 'https://site' || (doc_id % 5) || '.example/d/'
+                   || doc_id AS url,
+                 (doc_id * 31 + 17) % 100000 AS t1,
+                 (doc_id * 7 + 3) % 97 AS t2,
+                 doc_id % 7 AS m, doc_id % 13 AS r
+          FROM documents
+        ),
+        l AS (
+          SELECT url, host || '/n0' AS t FROM base
+          UNION ALL SELECT url, host || '/n1' FROM base
+          UNION ALL SELECT url, 'https://docs.example/' || t1 FROM base
+          UNION ALL SELECT url, host || '/d/' || t2 FROM base
+          UNION ALL SELECT url,
+                    'https://ext' || m || '.example/p/' || r FROM base
+          UNION ALL SELECT url, host || '/contact' FROM base
+        ),
+        d AS (SELECT DISTINCT url, t FROM l),
+        ok AS (SELECT url FROM d GROUP BY url
+               HAVING COUNT(*) BETWEEN 2 AND 64),
+        p AS (SELECT a.t AS ta, b.t AS tb
+              FROM d a JOIN d b ON a.url = b.url AND a.t < b.t
+              JOIN ok ON ok.url = a.url)
+        SELECT ta AS target_a, tb AS target_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """
+    oracles["cocitation_pairs_grouped"] = oracles["cocitation_pairs"]
     oracles["link_domain_graph"] = """
         WITH e AS (
           SELECT 'site' || (doc_id % 5) || '.example' AS src_domain,
@@ -7619,6 +7773,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["event_entropy_grouped"] = oracles["event_entropy"]
     oracles["interval_merge_grouped"] = oracles["interval_merge"]
     oracles["lag1_autocorr_grouped"] = oracles["lag1_autocorr"]
+    oracles["user_drawdown_grouped"] = oracles["user_drawdown"]
     oracles["rolling_distinct_users_grouped"] = oracles[
         "rolling_distinct_users"
     ]
@@ -7640,6 +7795,7 @@ def oracle_sql() -> dict[str, str]:
         "sparse_cosine_pairs"
     ]
     oracles["mannwhitney_value_grouped"] = oracles["mannwhitney_value"]
+    oracles["ks_two_sample_grouped"] = oracles["ks_two_sample"]
     oracles["welch_ttest_value_grouped"] = oracles["welch_ttest_value"]
     oracles["contingency_stats_grouped"] = oracles["contingency_stats"]
     oracles["sorted_neighborhood_pairs_grouped"] = oracles[

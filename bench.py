@@ -147,9 +147,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "spearman_user_metrics",
         "kendall_user_metrics",
         "mannwhitney_value",
+        "ks_two_sample",
         "welch_ttest_value",
         "contingency_stats",
         "sparse_cosine_pairs",
+        # round-4 session-6: KS / drawdown / co-citation
+        "user_drawdown",
+        "cocitation_pairs",
         # round-3 LM-training filters
         "decontaminate",
         "unigram_logprob",

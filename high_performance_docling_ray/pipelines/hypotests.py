@@ -8,6 +8,10 @@ from cohort B's; are two categorical axes independent):
   are the sufficient statistic, so the exchange is bounded by DISTINCT
   values, never by rows (the nonparametric test that is robust where
   ``welch_ttest_value`` assumes finite variance).
+- ``ks_two_sample`` — EXACT two-sample Kolmogorov-Smirnov D over the
+  same distinct-value sufficient statistic; the max ECDF gap is
+  decided in INTEGER arithmetic (max |ca·n_b − cb·n_a|), so ties and
+  float rounding can never flip the argmax.
 - ``welch_ttest_value`` — Welch's unequal-variance t from mergeable
   (n, Σcents, Σcents²) moment partials; two partial rows per block,
   one scalar exchange.
@@ -51,6 +55,7 @@ from .relational import _cents, _combine_partials, _read
 
 __all__ = [
     "mannwhitney_value",
+    "ks_two_sample",
     "welch_ttest_value",
     "contingency_stats",
 ]
@@ -112,6 +117,49 @@ def _mw_rank_sums(
     return r1, ties, int(fa.sum()), int(fb.sum())
 
 
+_EMPTY_VC = pa.Table.from_pydict(
+    {
+        "v": pa.array([], pa.int64()),
+        "fa": pa.array([], pa.int64()),
+        "fb": pa.array([], pa.int64()),
+    }
+)
+
+
+def _cohort_vc_partials(
+    sf_dir: str, type_a: str, type_b: str
+) -> ray.data.Dataset:
+    """Mergeable (cents, f_a, f_b) distinct-value count partials over
+    the two event-type cohorts — the shared sufficient statistic of
+    the rank/ECDF two-sample tests (Mann-Whitney AND
+    Kolmogorov-Smirnov): every downstream exchange is bounded by
+    DISTINCT values, never by rows."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, type_a), pc.equal(et, type_b))
+        sub = batch.filter(pc.fill_null(keep, False))
+        if sub.num_rows == 0:
+            return _EMPTY_VC
+        v = _cents(sub.column("value"))
+        isa = pc.equal(sub.column("event_type"), type_a).to_numpy(
+            zero_copy_only=False
+        )
+        uv, inv = np.unique(v, return_inverse=True)
+        fa = np.bincount(inv, weights=isa).astype(np.int64)
+        fb = np.bincount(inv, weights=~isa).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "v": pa.array(uv, pa.int64()),
+                "fa": pa.array(fa, pa.int64()),
+                "fb": pa.array(fb, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(vc_partial, batch_format="pyarrow").materialize()
+
+
 def mannwhitney_value(
     sf_dir: str,
     type_a: str = "purchase",
@@ -136,40 +184,7 @@ def mannwhitney_value(
        scalars — rank vectors never materialize (the spearman stage-3
        shape over values instead of users).
     """
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    empty_vc = pa.Table.from_pydict(
-        {
-            "v": pa.array([], pa.int64()),
-            "fa": pa.array([], pa.int64()),
-            "fb": pa.array([], pa.int64()),
-        }
-    )
-
-    def vc_partial(batch: pa.Table) -> pa.Table:
-        et = batch.column("event_type")
-        keep = pc.or_(pc.equal(et, type_a), pc.equal(et, type_b))
-        sub = batch.filter(pc.fill_null(keep, False))
-        if sub.num_rows == 0:
-            return empty_vc
-        v = _cents(sub.column("value"))
-        isa = pc.equal(sub.column("event_type"), type_a).to_numpy(
-            zero_copy_only=False
-        )
-        uv, inv = np.unique(v, return_inverse=True)
-        fa = np.bincount(inv, weights=isa).astype(np.int64)
-        fb = np.bincount(inv, weights=~isa).astype(np.int64)
-        return pa.Table.from_pydict(
-            {
-                "v": pa.array(uv, pa.int64()),
-                "fa": pa.array(fa, pa.int64()),
-                "fb": pa.array(fb, pa.int64()),
-            }
-        )
-
-    partials = ds.map_batches(
-        vc_partial, batch_format="pyarrow"
-    ).materialize()
+    partials = _cohort_vc_partials(sf_dir, type_a, type_b)
     merged = _combine_partials(partials, ["v"], ["fa", "fb"], combine_limit)
     if merged is not None:
         if not merged.num_rows:
@@ -296,6 +311,226 @@ def mannwhitney_value(
         int(np.sum(st.column("n2").to_numpy(zero_copy_only=False))),
         float(np.sum(st.column("r1").to_numpy(zero_copy_only=False))),
         float(np.sum(st.column("ties").to_numpy(zero_copy_only=False))),
+    )
+
+
+# -- Kolmogorov-Smirnov two-sample D ------------------------------------------
+
+
+def _ks_row(n1: int, n2: int, d_num: int) -> pa.Table:
+    """Close D and the asymptotic KS statistic sqrt(n1*n2/(n1+n2))*D
+    from the exact integer numerator M = max|ca*n2 - cb*n1| (so
+    d = M / (n1*n2) with no float max over candidates — the max is
+    decided in integer arithmetic, tie-proof). Float expression order
+    mirrors the oracle SQL."""
+    if n1 == 0 or n2 == 0:
+        d = None
+        ks = None
+    else:
+        d_raw = float(d_num) / (float(n1) * float(n2))
+        ks = round(
+            math.sqrt(float(n1) * float(n2) / (n1 + n2)) * d_raw, 6
+        )
+        d = round(d_raw, 6)
+    return pa.Table.from_pydict(
+        {
+            "n_a": pa.array([int(n1)], pa.int64()),
+            "n_b": pa.array([int(n2)], pa.int64()),
+            "d_num": pa.array([int(d_num)], pa.int64()),
+            "d_stat": pa.array([d], pa.float64()),
+            "ks_stat": pa.array([ks], pa.float64()),
+        }
+    )
+
+
+def _ks_bucket_max(
+    v: np.ndarray,
+    fa: np.ndarray,
+    fb: np.ndarray,
+    offa: int,
+    offb: int,
+    n1: int,
+    n2: int,
+) -> int:
+    """max |ca*n2 - cb*n1| over this value range's distinct points,
+    with (offa, offb) the cohort counts in earlier global positions.
+    Exact: int64 while n1*n2 < 2^62 (~2.1e9 rows per cohort), object
+    ints past that — the numerator bound IS n1*n2."""
+    if not len(v):
+        return 0
+    order = np.argsort(v, kind="stable")
+    ca = offa + np.cumsum(fa[order])
+    cb = offb + np.cumsum(fb[order])
+    if n1 * n2 < 2**62:
+        return int(np.abs(ca * n2 - cb * n1).max())
+    return int(
+        max(abs(int(a) * n2 - int(b) * n1) for a, b in zip(ca, cb))
+    )
+
+
+def ks_two_sample(
+    sf_dir: str,
+    type_a: str = "purchase",
+    type_b: str = "click",
+    bucket_bits: int = 16,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """EXACT two-sample Kolmogorov-Smirnov D between the ``value``
+    distributions of two event-type cohorts — the distribution-SHAPE
+    test completing the two-sample family (``mannwhitney_value``
+    detects location shift, ``welch_ttest_value`` mean difference; KS
+    detects ANY ECDF divergence).
+
+    D = sup_v |F_a(v) − F_b(v)| is attained at an observed jump, so
+    the distinct-value (cents, f_a, f_b) counts are again the
+    sufficient statistic and the comparison is decided in INTEGER
+    arithmetic: maximize |ca·n_b − cb·n_a| over inclusive cumulative
+    counts, divide once at close. Composition (every exchange bounded
+    by DISTINCT values):
+
+    1. under the combine gate the distinct-value table lands on the
+       driver; one sorted cumsum pass closes the max.
+    2. past the budget: Ray ``groupby(v)`` merges counts, range-scaled
+       integer buckets (a tie run never splits), per-bucket
+       (Σf_a, Σf_b) totals cumsum to per-bucket CDF offsets, and ONE
+       ``groupby(bucket)`` pass reduces each bucket to its local
+       integer max — CDF vectors never materialize (the
+       ``mannwhitney_value`` distributed shape with two prefix
+       offsets instead of one rank offset).
+    """
+    partials = _cohort_vc_partials(sf_dir, type_a, type_b)
+    merged = _combine_partials(partials, ["v"], ["fa", "fb"], combine_limit)
+    if merged is not None:
+        if not merged.num_rows:
+            return _ks_row(0, 0, 0)
+        fa = merged.column("sum(fa)").to_numpy(zero_copy_only=False)
+        fb = merged.column("sum(fb)").to_numpy(zero_copy_only=False)
+        n1, n2 = int(fa.sum()), int(fb.sum())
+        m = _ks_bucket_max(
+            merged.column("v").to_numpy(zero_copy_only=False),
+            fa, fb, 0, 0, n1, n2,
+        )
+        return _ks_row(n1, n2, m)
+
+    # -- distributed tier: distinct-value merge + bucketed CDF pass ------
+    vc = partials.groupby("v").sum(["fa", "fb"])
+    vc = vc.map_batches(
+        lambda b: b.rename_columns(["v", "fa", "fb"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        if not len(v):
+            return pa.Table.from_pydict(
+                {"lo": pa.array([], pa.int64()),
+                 "hi": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pydict(
+            {
+                "lo": pa.array([int(v.min())], pa.int64()),
+                "hi": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    mm = [
+        t
+        for t in ray.get(
+            vc.map_batches(minmax_partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not mm:
+        return _ks_row(0, 0, 0)
+    mm_t = pa.concat_tables(mm)
+    lo = int(pc.min(mm_t.column("lo")).as_py())
+    hi = int(pc.max(mm_t.column("hi")).as_py())
+    nb = 1 << bucket_bits
+    width = max(1, (hi - lo) // nb + 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        bucket = (v - lo) // width
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    keyed = vc.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    def bucket_totals(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        fa = batch.column("fa").to_numpy(zero_copy_only=False)
+        fb = batch.column("fb").to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        ta = np.bincount(inv, weights=fa).astype(np.int64)
+        tb = np.bincount(inv, weights=fb).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(ub, pa.int64()),
+                "ta": pa.array(ta, pa.int64()),
+                "tb": pa.array(tb, pa.int64()),
+            }
+        )
+
+    bt_partials = keyed.map_batches(
+        bucket_totals, batch_format="pyarrow"
+    ).materialize()
+    bt = _combine_partials(
+        bt_partials, ["bucket"], ["ta", "tb"], combine_limit
+    )
+    if bt is None:
+        rows = [
+            t
+            for t in ray.get(
+                bt_partials.groupby("bucket")
+                .sum(["ta", "tb"])
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        bt = pa.concat_tables(rows).rename_columns(
+            ["bucket", "sum(ta)", "sum(tb)"]
+        )
+    bt = bt.sort_by([("bucket", "ascending")])
+    bb = bt.column("bucket").to_numpy(zero_copy_only=False)
+    ta = bt.column("sum(ta)").to_numpy(zero_copy_only=False)
+    tb = bt.column("sum(tb)").to_numpy(zero_copy_only=False)
+    n1, n2 = int(ta.sum()), int(tb.sum())
+    offa = np.cumsum(ta) - ta
+    offb = np.cumsum(tb) - tb
+    off_ref = ray.put(
+        {
+            int(b): (int(a), int(c))
+            for b, a, c in zip(bb.tolist(), offa.tolist(), offb.tolist())
+        }
+    )
+
+    def bucket_max(group: pa.Table) -> pa.Table:
+        oa, ob = ray.get(off_ref)[int(group.column("bucket")[0].as_py())]
+        m = _ks_bucket_max(
+            group.column("v").to_numpy(zero_copy_only=False),
+            group.column("fa").to_numpy(zero_copy_only=False),
+            group.column("fb").to_numpy(zero_copy_only=False),
+            oa, ob, n1, n2,
+        )
+        return pa.Table.from_pydict({"m": pa.array([m], pa.int64())})
+
+    rows = [
+        t
+        for t in ray.get(
+            keyed.groupby("bucket")
+            .map_groups(bucket_max, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not rows:
+        return _ks_row(0, 0, 0)
+    st = pa.concat_tables(rows)
+    return _ks_row(
+        n1, n2, int(st.column("m").to_numpy(zero_copy_only=False).max())
     )
 
 

@@ -131,6 +131,122 @@ def link_domain_graph(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+_COCIT_EMPTY = pa.Table.from_pydict(
+    {
+        "target_a": pa.array([], pa.string()),
+        "target_b": pa.array([], pa.string()),
+        "n_shared": pa.array([], pa.int64()),
+    }
+)
+
+
+def cocitation_pairs(
+    sf_dir: str,
+    min_shared: int = 2,
+    max_out_degree: int = 64,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """CO-CITATION pairs over the page link graph: pairs of resolved
+    target urls cited together by at least ``min_shared`` source pages
+    — the classic related-pages / seed-expansion signal (Small 1973;
+    the link-based sibling of the content-based near-dup family).
+
+    Scale shape: a page is a ROW, so its distinct targets are already
+    co-located — pair emission is per page with NO exchange, bounded
+    by C(out_degree, 2). Hub pages past ``max_out_degree`` distinct
+    targets are dropped whole (the standard co-citation hub guard —
+    a 10^4-link portal page would emit 10^8 pairs and its co-citations
+    are navigational noise anyway; the oracle mirrors the cap). Pair
+    counts are mergeable (ta, tb, n) partials: per-batch Counter
+    pre-combine, then the house combine gate — driver merge under
+    ``combine_limit`` partial rows, Ray ``groupby(pair).sum`` past it
+    (``cocitation_pairs_grouped`` forces the exchange). The
+    ``min_shared`` filter runs BEFORE any collect, so the driver only
+    ever holds true co-citation pairs.
+    """
+    from collections import Counter
+
+    from .relational import _combine_partials
+
+    ds = pages_with_links(sf_dir)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        counts: Counter = Counter()
+        for u, h in zip(urls, htmls):
+            if h is None or u is None:
+                continue
+            body = h.decode("utf-8", "replace")
+            targets = sorted(
+                {
+                    urllib.parse.urljoin(u, m.group(1))
+                    for m in _HREF.finditer(body)
+                }
+            )
+            k = len(targets)
+            if k < 2 or k > max_out_degree:
+                continue
+            for i in range(k - 1):
+                for j in range(i + 1, k):
+                    counts[(targets[i], targets[j])] += 1
+        if not counts:
+            return _COCIT_EMPTY.rename_columns(["ta", "tb", "n"])
+        items = list(counts.items())
+        return pa.Table.from_pydict(
+            {
+                "ta": pa.array([p[0] for p, _ in items], pa.string()),
+                "tb": pa.array([p[1] for p, _ in items], pa.string()),
+                "n": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        pair_partial, batch_format="pyarrow"
+    ).materialize()
+    merged = _combine_partials(partials, ["ta", "tb"], ["n"], combine_limit)
+    if merged is not None:
+        if not merged.num_rows:
+            return _COCIT_EMPTY
+        n = merged.column("sum(n)")
+        keep = pc.greater_equal(n, min_shared)
+        out = merged.filter(keep).rename_columns(["ta", "tb", "n"])
+        return pa.Table.from_pydict(
+            {
+                "target_a": out.column("ta"),
+                "target_b": out.column("tb"),
+                "n_shared": pc.cast(out.column("n"), pa.int64()),
+            }
+        ).sort_by([("target_a", "ascending"), ("target_b", "ascending")])
+
+    grouped = partials.groupby(["ta", "tb"]).sum("n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("sum(n)"), min_shared)
+        out = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {
+                "target_a": out.column("ta"),
+                "target_b": out.column("tb"),
+                "n_shared": pc.cast(out.column("sum(n)"), pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            grouped.map_batches(finish, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return _COCIT_EMPTY
+    return pa.concat_tables(parts).sort_by(
+        [("target_a", "ascending"), ("target_b", "ascending")]
+    )
+
+
 def domain_pagerank(
     sf_dir: str, iterations: int = 3, damping: float = 0.85
 ) -> pa.Table:

@@ -169,3 +169,58 @@ def test_contingency_tier_equality():
     assert contingency_stats(SF).equals(
         contingency_stats(SF, combine_limit=0)
     )
+
+
+def test_ks_closed_form(tmp_path):
+    """a=[1,2,3] vs b=[2,4]: inclusive CDF counts ca=[1,2,3,3],
+    cb=[0,1,1,2] -> max|ca*2 - cb*3| = 3 at v=3 -> D = 3/6 = 0.5,
+    ks = sqrt(6/5)*0.5 = 0.547723."""
+    from high_performance_docling_ray.pipelines.hypotests import (
+        ks_two_sample,
+    )
+
+    sf = _write_events(
+        tmp_path / "ks",
+        ["purchase", "purchase", "purchase", "click", "click"],
+        [1.0, 2.0, 3.0, 2.0, 4.0],
+    )
+    out = ks_two_sample(sf).to_pydict()
+    assert out == {
+        "n_a": [3],
+        "n_b": [2],
+        "d_num": [3],
+        "d_stat": [0.5],
+        "ks_stat": [0.547723],
+    }
+
+
+def test_ks_identical_and_empty_cohort(tmp_path):
+    """Identical samples -> D = 0 exactly; a missing cohort -> NULL
+    stats with n_b = 0."""
+    from high_performance_docling_ray.pipelines.hypotests import (
+        ks_two_sample,
+    )
+
+    sf = _write_events(
+        tmp_path / "ks0",
+        ["purchase", "click", "purchase", "click"],
+        [5.0, 5.0, 7.0, 7.0],
+    )
+    out = ks_two_sample(sf).to_pydict()
+    assert out["d_num"] == [0] and out["d_stat"] == [0.0]
+    out2 = ks_two_sample(sf, type_b="signup").to_pydict()
+    assert out2["n_b"] == [0]
+    assert out2["d_stat"] == [None] and out2["ks_stat"] == [None]
+
+
+def test_ks_tier_equality():
+    """Driver combine == forced bucket tier (the max is decided in
+    integer arithmetic, so equality is exact), including a 2-bit
+    bucket width that forces the multi-bucket offset path."""
+    from high_performance_docling_ray.pipelines.hypotests import (
+        ks_two_sample,
+    )
+
+    base = ks_two_sample(SF)
+    assert base.equals(ks_two_sample(SF, combine_limit=0))
+    assert base.equals(ks_two_sample(SF, combine_limit=0, bucket_bits=2))

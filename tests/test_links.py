@@ -193,3 +193,43 @@ def test_robots_filter_enforces_each_planted_rule():
     assert any("/contact" in u for u in removed)
     assert any("/d/" in u and u.split("/")[2].startswith("site") for u in removed)
     assert any(u.split("/")[2].startswith("ext") for u in removed)
+
+
+def test_cocitation_pairs_planted_structure_and_tiers():
+    """Every pair respects binary target order and min_shared; the
+    always-together trio (/n0, /n1, /contact) of each site co-cites
+    exactly site_page_count times; tiers agree exactly."""
+    from high_performance_docling_ray.pipelines.links import (
+        cocitation_pairs,
+    )
+
+    base = cocitation_pairs(SF)
+    df = base.to_pandas()
+    assert (df["target_a"] < df["target_b"]).all()
+    assert (df["n_shared"] >= 2).all()
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    # site0 pages are doc_id % 5 == 0
+    site0_pages = sum(1 for d in range(n_docs) if d % 5 == 0)
+    host = "https://site0.example"
+    trio = df[
+        (df["target_a"] == host + "/contact")
+        & (df["target_b"] == host + "/n0")
+    ]
+    assert trio["n_shared"].tolist() == [site0_pages]
+    # forced distributed tier is exactly equal
+    grouped = cocitation_pairs(SF, combine_limit=0)
+    assert base.equals(grouped)
+
+
+def test_cocitation_hub_cap_drops_pages_whole():
+    """max_out_degree below the planted 6 distinct targets drops every
+    page, so no pairs survive — the hub guard is all-or-nothing per
+    page (mirrored by the oracle's HAVING BETWEEN)."""
+    from high_performance_docling_ray.pipelines.links import (
+        cocitation_pairs,
+    )
+
+    out = cocitation_pairs(SF, max_out_degree=5)
+    assert out.num_rows == 0

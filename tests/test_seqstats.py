@@ -521,3 +521,70 @@ def test_kendall_tiers_equal_sf0001():
     # coarse grids exercise bigger same-bucket partitions; still exact
     c = kendall_user_metrics(SF, combine_limit=0, grid_bits=2).to_pandas()
     assert a.equals(c)
+
+
+def test_user_drawdown_closed_form(tmp_path):
+    """User 1 values [5, -3, 4, -10]: running balance
+    [500, 200, 600, -400] cents, peaks [500, 500, 600, 600] ->
+    final -400, peak 600, max drawdown 1000 (peak 600 to -400)."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_drawdown,
+    )
+
+    sf = _write_events(
+        tmp_path / "dd",
+        eids=[1, 2, 3, 4],
+        ts_us=[10, 20, 30, 40],
+        users=[1, 1, 1, 1],
+        vals=[5.0, -3.0, 4.0, -10.0],
+    )
+    out = user_drawdown(sf).to_pydict()
+    assert out == {
+        "user_id": [1],
+        "n_events": [4],
+        "final_cents": [-400],
+        "peak_cents": [600],
+        "max_drawdown_cents": [1000],
+    }
+
+
+def test_user_drawdown_ts_tie_resolves_by_event_id(tmp_path):
+    """Two events share a timestamp: event_id order decides the scan
+    order, so the drawdown sees +, - (not -, +)."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_drawdown,
+    )
+
+    sf = _write_events(
+        tmp_path / "ddt",
+        eids=[2, 1],
+        ts_us=[10, 10],
+        users=[7, 7],
+        vals=[-4.0, 9.0],  # scan order by eid: +9 then -4
+    )
+    out = user_drawdown(sf).to_pydict()
+    assert out["peak_cents"] == [900]
+    assert out["max_drawdown_cents"] == [400]
+    assert out["final_cents"] == [500]
+
+
+def test_user_drawdown_tier_equality_and_sink(tmp_path):
+    """Driver tier == forced hash(user) co-partition tier (all-int64
+    outputs, so equality is exact); sink read-back pins the parquet
+    variant."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_drawdown,
+    )
+
+    tbl = user_drawdown(SF).to_pandas()
+    assert user_drawdown(SF, driver_budget=0).to_pandas().equals(tbl)
+    sink = tmp_path / "dd_sink"
+    path = user_drawdown(SF, driver_budget=0, sink_dir=str(sink))
+    assert path == str(sink)
+    back = (
+        pq.read_table(str(sink))
+        .to_pandas()
+        .sort_values("user_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert back.equals(tbl)
