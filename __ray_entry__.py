@@ -1837,6 +1837,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # exact triangle counting (degree-ordered compact-forward);
         # _cogroup forces the no-broadcast wedge-and-close tier
         "triangle_count": _q_triangle_count,
+        "clustering_coefficient": _q_clustering_coefficient,
+        "clustering_coefficient_cogroup": (
+            _q_clustering_coefficient_cogroup
+        ),
         "triangle_count_cogroup": _q_triangle_count_cogroup,
         # TPC-H q18 shape: HAVING-filtered winner set before any join
         "q18_big_orders": _q_q18_big_orders,
@@ -2310,6 +2314,24 @@ def _q_triangle_count_cogroup(sf_dir: str):
     from high_performance_docling_ray.pipelines.graph import triangle_count
 
     return triangle_count(sf_dir, adj_broadcast_budget=0)
+
+
+def _q_clustering_coefficient(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import (
+        clustering_coefficient,
+    )
+
+    return clustering_coefficient(sf_dir)
+
+
+def _q_clustering_coefficient_cogroup(sf_dir: str):
+    """Forced any-cardinality tier: apex-carrying wedge closure +
+    groupby(node).sum — no adjacency broadcast."""
+    from high_performance_docling_ray.pipelines.graph import (
+        clustering_coefficient,
+    )
+
+    return clustering_coefficient(sf_dir, adj_broadcast_budget=0)
 
 
 def _q_dataset_fingerprint(sf_dir: str):
@@ -6894,6 +6916,47 @@ def oracle_sql() -> dict[str, str]:
                   JOIN e0 c ON c.u = a.v AND c.v = b.v) AS n_triangles
     """
     oracles["triangle_count_cogroup"] = oracles["triangle_count"]
+    # per-node local clustering coefficient over the same contracted
+    # graph: the triple self-join enumerates each triangle once
+    # (a<b<c via the two-smaller-join pattern), UNION ALL credits all
+    # three corners, coeff closes in the same float op order
+    oracles["clustering_coefficient"] = """
+        WITH e0 AS (
+          SELECT DISTINCT least(l_suppkey % 40, l_partkey % 40) AS u,
+                          greatest(l_suppkey % 40, l_partkey % 40) AS v
+          FROM lineitem WHERE l_suppkey % 40 <> l_partkey % 40
+        ),
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+          ) GROUP BY node
+        ),
+        tri AS (
+          SELECT a.u AS x, a.v AS y, b.v AS z
+          FROM e0 a
+            JOIN e0 b ON b.u = a.u AND b.v > a.v
+            JOIN e0 c ON c.u = a.v AND c.v = b.v
+        ),
+        pern AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+          ) GROUP BY node
+        )
+        SELECT d.node, d.deg,
+               CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.deg >= 2
+                    THEN round(2.0 * CAST(COALESCE(p.t, 0) AS DOUBLE)
+                               / (CAST(d.deg AS DOUBLE)
+                                  * (d.deg - 1.0)), 6)
+                    ELSE NULL END AS clustering_coeff
+        FROM deg d LEFT JOIN pern p ON p.node = d.node
+        ORDER BY d.node
+    """
+    oracles["clustering_coefficient_cogroup"] = oracles[
+        "clustering_coefficient"
+    ]
     oracles["q18_big_orders"] = """
         WITH big AS (
           SELECT l_orderkey,

@@ -215,6 +215,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "paragraph_langs",
         "dataset_fingerprint",
         "triangle_count",
+        "clustering_coefficient",
         "q18_big_orders",
         "late_event_stats",
         "partition_skew_report",

@@ -716,6 +716,326 @@ def _triangles_distributed(
     return sum(r["t"] for r in parts)
 
 
+def clustering_coefficient(
+    sf_dir: str, adj_broadcast_budget: int = 50_000_000
+) -> pa.Table:
+    """Per-node LOCAL clustering coefficient — triangles_at(v) /
+    C(deg(v), 2) — the community-density profile crawl analyses read
+    next to the global ``triangle_count`` (Watts-Strogatz 1998's local
+    metric; a spam-farm clique scores ~1, a hub ~0).
+
+    Same compact-forward machinery as ``triangle_count`` with the
+    count ATTRIBUTED to all three corners of every found triangle
+    (integer bincounts — exact by construction):
+
+    - IN-BUDGET: oriented CSR rides ``ray.put``; each edge block's
+      matched wedges emit (corner, 1) bincount partials — O(distinct
+      nodes per block) rows, driver-combined (the per-node output is
+      the query's contract anyway).
+    - DISTRIBUTED (forced by budget=0): the wedge rows additionally
+      CARRY their apex through the closure exchange; a closed wedge
+      credits apex + both endpoints, per-bucket (node, t) partials
+      close with one ``groupby(node).sum``. Degrees attach by the
+      same two ``cogroup_attach`` joins.
+
+    coeff = 2·t / (deg·(deg−1)) closes in the oracle's float op order;
+    deg < 2 → NULL (no pair to close).
+    """
+    edges = _tri_edges(sf_dir).materialize()
+    deg_tbl = _tri_degree(edges)
+    nodes = deg_tbl.column("node").to_numpy(zero_copy_only=False)
+    degs = deg_tbl.column("deg").to_numpy(zero_copy_only=False)
+    n_edges = edges.count()
+
+    if n_edges <= adj_broadcast_budget:
+        deg_lut = np.zeros(int(nodes.max()) + 1 if len(nodes) else 1,
+                           np.int64)
+        deg_lut[nodes] = degs
+        parts = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        et = pa.concat_tables(parts)
+        u = et.column("u").to_numpy(zero_copy_only=False)
+        v = et.column("v").to_numpy(zero_copy_only=False)
+        a, b = _orient(u, v, deg_lut)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.searchsorted(a, np.arange(len(deg_lut)))
+        ends = np.searchsorted(a, np.arange(len(deg_lut)) + 1)
+        dag_keys = np.sort(a * np.int64(1 << 32) + b)
+        csr_ref = ray.put((starts, ends, b, dag_keys, deg_lut))
+
+        def tri_corners(batch: pa.Table) -> pa.Table:
+            starts_, ends_, nbrs, keys, lut = ray.get(csr_ref)
+            ua = batch.column("u").to_numpy(zero_copy_only=False)
+            va = batch.column("v").to_numpy(zero_copy_only=False)
+            aa, bb = _orient(ua, va, lut)
+            la = ends_[aa] - starts_[aa]
+            total_len = int(la.sum())
+            empty = pa.Table.from_pydict(
+                {"node": pa.array([], pa.int64()),
+                 "t": pa.array([], pa.int64())}
+            )
+            if total_len == 0:
+                return empty
+            base = np.repeat(starts_[aa], la)
+            local = np.arange(total_len) - np.repeat(
+                np.cumsum(la) - la, la
+            )
+            nx = nbrs[base + local]
+            q = np.repeat(bb, la) * np.int64(1 << 32) + nx
+            pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+            hit = keys[pos] == q
+            if not hit.any():
+                return empty
+            corners = np.concatenate(
+                [np.repeat(aa, la)[hit], np.repeat(bb, la)[hit], nx[hit]]
+            )
+            un, cnt = np.unique(corners, return_counts=True)
+            return pa.Table.from_pydict(
+                {
+                    "node": pa.array(un, pa.int64()),
+                    "t": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        tparts = [
+            t
+            for t in ray.get(
+                edges.map_batches(tri_corners, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        tri_n: dict[int, int] = {}
+        if tparts:
+            tt = pa.concat_tables(tparts)
+            nn = tt.column("node").to_numpy(zero_copy_only=False)
+            tc = tt.column("t").to_numpy(zero_copy_only=False)
+            un, inv = np.unique(nn, return_inverse=True)
+            sums = np.zeros(len(un), np.int64)
+            np.add.at(sums, inv, tc)
+            tri_n = dict(zip(un.tolist(), sums.tolist()))
+    else:
+        tri_n = _per_node_triangles_distributed(edges, deg_tbl)
+
+    order = np.argsort(nodes, kind="stable")
+    nodes_s, degs_s = nodes[order], degs[order]
+    tri_arr = np.array(
+        [tri_n.get(int(n), 0) for n in nodes_s], dtype=np.int64
+    )
+    coeff = [
+        round(2.0 * float(t) / (float(d) * (d - 1.0)), 6)
+        if d >= 2
+        else None
+        for t, d in zip(tri_arr.tolist(), degs_s.tolist())
+    ]
+    return pa.Table.from_pydict(
+        {
+            "node": pa.array(nodes_s, pa.int64()),
+            "deg": pa.array(degs_s, pa.int64()),
+            "n_triangles": pa.array(tri_arr, pa.int64()),
+            "clustering_coeff": pa.array(coeff, pa.float64()),
+        }
+    )
+
+
+def _per_node_triangles_distributed(
+    edges: ray.data.Dataset, deg_tbl: pa.Table
+) -> dict[int, int]:
+    """Per-corner triangle counts without any broadcast: the
+    ``_triangles_distributed`` wedge-and-close shape, with the apex
+    carried through the closure exchange so a closed wedge credits
+    all three corners; (node, t) partials close with one
+    ``groupby(node).sum``."""
+    from .joins import cogroup_attach, default_num_buckets, int_key_buckets
+
+    deg_ds = ray.data.from_arrow(deg_tbl)
+
+    def rename_for(key: str, out: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns([key, out])
+
+        return f
+
+    with_du = cogroup_attach(
+        edges,
+        deg_ds.map_batches(rename_for("u", "du"), batch_format="pyarrow"),
+        key="u",
+        left_fields=[pa.field("u", pa.int64()), pa.field("v", pa.int64())],
+        payload_fields=[pa.field("du", pa.int64())],
+    )
+    with_both = cogroup_attach(
+        with_du,
+        deg_ds.map_batches(rename_for("v", "dv"), batch_format="pyarrow"),
+        key="v",
+        left_fields=[
+            pa.field("u", pa.int64()),
+            pa.field("v", pa.int64()),
+            pa.field("du", pa.int64()),
+        ],
+        payload_fields=[pa.field("dv", pa.int64())],
+    )
+
+    num_parts = default_num_buckets()
+
+    def oriented(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        du = pc.fill_null(batch.column("du"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        dv = pc.fill_null(batch.column("dv"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(u_first, u, v)
+        b = np.where(u_first, v, u)
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "bucket": pa.array(
+                    int_key_buckets(a, num_parts), pa.int32()
+                ),
+            }
+        )
+
+    dag = with_both.map_batches(oriented, batch_format="pyarrow")
+
+    def wedges_with_apex(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], a[1:] != a[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(a)]])
+        w1, w2, apx = [], [], []
+        for s, e in zip(starts, ends):
+            nb = b[s:e]
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            w1.append(nb[i])
+            w2.append(nb[j])
+            apx.append(np.full(len(i), a[s], np.int64))
+        if not w1:
+            return pa.Table.from_pydict(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "apex": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int8()),
+                }
+            )
+        x = np.concatenate(w1)
+        y = np.concatenate(w2)
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array(lo, pa.int64()),
+                "b": pa.array(hi, pa.int64()),
+                "apex": pa.array(np.concatenate(apx), pa.int64()),
+                "is_edge": pa.array(
+                    np.zeros(len(lo), np.int8), pa.int8()
+                ),
+            }
+        )
+
+    wedge_rows = dag.groupby("bucket").map_groups(
+        lambda g: wedges_with_apex(g.drop_columns(["bucket"])),
+        batch_format="pyarrow",
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "a": batch.column("u"),
+                "b": batch.column("v"),
+                "apex": pa.array(
+                    np.full(batch.num_rows, -1, np.int64), pa.int64()
+                ),
+                "is_edge": pa.array(
+                    np.ones(batch.num_rows, np.int8), pa.int8()
+                ),
+            }
+        )
+
+    tagged = wedge_rows.union(
+        edges.map_batches(edge_rows, batch_format="pyarrow")
+    )
+
+    def close_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket",
+            pa.array(
+                int_key_buckets(
+                    (
+                        a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                        + b.astype(np.uint64)
+                    ).view(np.int64),
+                    num_parts,
+                ),
+                pa.int32(),
+            ),
+        )
+
+    def corner_partials(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        apex = group.column("apex").to_numpy(zero_copy_only=False)
+        tag = group.column("is_edge").to_numpy(zero_copy_only=False)
+        key = a.astype(np.int64) * np.int64(1 << 32) + b
+        ek = np.unique(key[tag == 1])
+        wmask = tag == 0
+        empty = pa.Table.from_pydict(
+            {"node": pa.array([], pa.int64()),
+             "t": pa.array([], pa.int64())}
+        )
+        if len(ek) == 0 or not wmask.any():
+            return empty
+        wk = key[wmask]
+        pos = np.minimum(np.searchsorted(ek, wk), len(ek) - 1)
+        hit = ek[pos] == wk
+        if not hit.any():
+            return empty
+        corners = np.concatenate(
+            [apex[wmask][hit], a[wmask][hit], b[wmask][hit]]
+        )
+        un, cnt = np.unique(corners, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(un, pa.int64()),
+                "t": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counted = (
+        tagged.map_batches(close_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: corner_partials(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .sum("t")
+    )
+    rows = [t for t in ray.get(counted.to_arrow_refs()) if t.num_rows]
+    if not rows:
+        return {}
+    tt = pa.concat_tables(rows)
+    return dict(
+        zip(
+            tt.column("node").to_numpy(zero_copy_only=False).tolist(),
+            tt.column("sum(t)").to_numpy(zero_copy_only=False).tolist(),
+        )
+    )
+
+
 def bfs_distances(
     sf_dir: str,
     seed_nation: int = 3,

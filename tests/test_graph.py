@@ -86,3 +86,57 @@ def test_bfs_distances_tiers_and_structure():
     sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
     seeds = set(2 * sup.loc[sup.s_nationkey == 3, "s_suppkey"])
     assert set(a.loc[a.dist == 0, "node"]) == seeds
+
+
+def _write_lineitem(d, pairs):
+    import pyarrow.parquet as pq
+
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "l_suppkey": pa.array([s for s, _ in pairs], pa.int64()),
+                "l_partkey": pa.array([p for _, p in pairs], pa.int64()),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    return str(d)
+
+
+def test_clustering_coefficient_closed_form(tmp_path):
+    """Planted triangle {0,1,2} plus pendant 3 on node 2: coefficients
+    1.0, 1.0, 1/3, NULL (deg<2), in both tiers."""
+    from high_performance_docling_ray.pipelines.graph import (
+        clustering_coefficient,
+    )
+
+    sf = _write_lineitem(
+        tmp_path / "cc", [(0, 1), (1, 2), (2, 0), (2, 3), (0, 1)]
+    )
+    for budget in (50_000_000, 0):
+        out = clustering_coefficient(
+            sf, adj_broadcast_budget=budget
+        ).to_pydict()
+        assert out == {
+            "node": [0, 1, 2, 3],
+            "deg": [2, 2, 3, 1],
+            "n_triangles": [1, 1, 1, 0],
+            "clustering_coeff": [1.0, 1.0, 0.333333, None],
+        }
+
+
+def test_clustering_coefficient_tiers_and_triangle_consistency():
+    """CSR tier == forced wedge-closure tier on the sf0.001 graph, and
+    the per-corner counts sum to exactly 3x the global triangle
+    count (every triangle credits three corners)."""
+    from high_performance_docling_ray.pipelines.graph import (
+        clustering_coefficient,
+        triangle_count,
+    )
+
+    a = clustering_coefficient(SF)
+    b = clustering_coefficient(SF, adj_broadcast_budget=0)
+    assert a.equals(b)
+    total = triangle_count(SF).column("n_triangles")[0].as_py()
+    assert sum(a.column("n_triangles").to_pylist()) == 3 * total
