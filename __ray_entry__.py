@@ -1848,6 +1848,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "late_event_stats": _q_late_event_stats,
         # would-be shuffle balance per candidate partition key
         "partition_skew_report": _q_partition_skew_report,
+        "zorder_layout": _q_zorder_layout,
+        "zorder_layout_grouped": _q_zorder_layout_grouped,
         # perceptual-hash image dedup (stub decode; real dHash + the
         # key-only dedup shape) — rows-only like the other multimodal
         # stub-model pipelines; planted-dup recall is test-pinned
@@ -2332,6 +2334,23 @@ def _q_clustering_coefficient_cogroup(sf_dir: str):
     )
 
     return clustering_coefficient(sf_dir, adj_broadcast_budget=0)
+
+
+def _q_zorder_layout(sf_dir: str):
+    from high_performance_docling_ray.pipelines.profiling import (
+        zorder_layout,
+    )
+
+    return zorder_layout(sf_dir)
+
+
+def _q_zorder_layout_grouped(sf_dir: str):
+    """Forced any-cardinality tier: Ray groupby(zpart).aggregate."""
+    from high_performance_docling_ray.pipelines.profiling import (
+        zorder_layout,
+    )
+
+    return zorder_layout(sf_dir, combine_limit=0)
 
 
 def _q_dataset_fingerprint(sf_dir: str):
@@ -6957,6 +6976,33 @@ def oracle_sql() -> dict[str, str]:
     oracles["clustering_coefficient_cogroup"] = oracles[
         "clustering_coefficient"
     ]
+    # Z-order layout plan: the Morton interleave is spelled out term
+    # by term (bit j of xq at 2j, of yq at 2j+1) — identical bit
+    # algebra to profiling._interleave_bits; quantization is integer
+    # floor division over the occupied band on both sides, so every
+    # reported stat is an exact int64
+    _z_terms = " + ".join(
+        f"(((xq >> {j}) & 1) << {2 * j})"
+        f" + (((yq >> {j}) & 1) << {2 * j + 1})"
+        for j in range(8)
+    )
+    oracles["zorder_layout"] = f"""
+        WITH b AS (SELECT user_id AS x,
+                          CAST(round(value * 100) AS BIGINT) AS y
+                   FROM events),
+        mm AS (SELECT MIN(x) AS minx, MAX(x) AS maxx,
+                      MIN(y) AS miny, MAX(y) AS maxy FROM b),
+        q AS (SELECT x, y,
+                     (x - minx) * 256 // (maxx - minx + 1) AS xq,
+                     (y - miny) * 256 // (maxy - miny + 1) AS yq
+              FROM b CROSS JOIN mm),
+        z AS (SELECT x, y, ({_z_terms}) >> 10 AS zpart FROM q)
+        SELECT zpart, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(x) AS min_user, MAX(x) AS max_user,
+               MIN(y) AS min_cents, MAX(y) AS max_cents
+        FROM z GROUP BY zpart ORDER BY zpart
+    """
+    oracles["zorder_layout_grouped"] = oracles["zorder_layout"]
     oracles["q18_big_orders"] = """
         WITH big AS (
           SELECT l_orderkey,

@@ -154,6 +154,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # round-4 session-6: KS / drawdown / co-citation
         "user_drawdown",
         "cocitation_pairs",
+        "zorder_layout",
         # round-3 LM-training filters
         "decontaminate",
         "unigram_logprob",

@@ -70,3 +70,62 @@ def test_column_profile_null_semantics(tmp_path):
     assert la["min_str"] is None or pd.isna(la["min_str"])
     assert pd.isna(la["avg_len"])
     assert out.loc["n_chars"]["min_str"] == "0"
+
+
+def _write_events_xy(d, users, vals):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    n = len(users)
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([base] * n),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(["click"] * n, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    return str(d)
+
+
+def test_zorder_closed_form(tmp_path):
+    """2x2 corner grid: ranges [0,1] quantize to {0, 128}; the Morton
+    interleave puts bit 7 of x at 14 and of y at 15, so the four
+    corners land in partitions 0 / 16 / 32 / 48 exactly."""
+    from high_performance_docling_ray.pipelines.profiling import (
+        zorder_layout,
+    )
+
+    sf = _write_events_xy(
+        tmp_path / "zo", [0, 1, 0, 1], [0.00, 0.00, 0.01, 0.01]
+    )
+    out = zorder_layout(sf).to_pydict()
+    assert out["zpart"] == [0, 16, 32, 48]
+    assert out["n_rows"] == [1, 1, 1, 1]
+    assert out["min_user"] == [0, 1, 0, 1]
+    assert out["min_cents"] == [0, 0, 1, 1]
+
+
+def test_zorder_tiers_and_mass(tmp_path):
+    """Driver mixed-agg combine == forced Ray groupby aggregate
+    (all-int64 output, exact); partition row counts account for every
+    event; constant columns collapse to one partition."""
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.profiling import (
+        zorder_layout,
+    )
+
+    base = zorder_layout(SF)
+    assert base.equals(zorder_layout(SF, combine_limit=0))
+    n_events = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    assert sum(base.column("n_rows").to_pylist()) == n_events
+    sf = _write_events_xy(tmp_path / "zc", [7, 7, 7], [5.0, 5.0, 5.0])
+    one = zorder_layout(sf).to_pydict()
+    assert one["zpart"] == [0] and one["n_rows"] == [3]
