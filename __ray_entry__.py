@@ -1788,6 +1788,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "cocitation_pairs": _q_cocitation_pairs,
         "cocitation_pairs_grouped": _q_cocitation_pairs_grouped,
         "domain_pagerank": _q_domain_pagerank,
+        "domain_hits": _q_domain_hits,
         "anchor_text_stats": _q_anchor_text_stats,
         "crawl_frontier": _q_crawl_frontier,
         "frontier_prioritized": _q_frontier_prioritized,
@@ -2516,6 +2517,12 @@ def _q_domain_pagerank(sf_dir: str):
     from high_performance_docling_ray.pipelines.links import domain_pagerank
 
     return domain_pagerank(sf_dir)
+
+
+def _q_domain_hits(sf_dir: str):
+    from high_performance_docling_ray.pipelines.links import domain_hits
+
+    return domain_hits(sf_dir)
 
 
 def _q_anchor_text_stats(sf_dir: str):
@@ -5476,6 +5483,50 @@ def oracle_sql() -> dict[str, str]:
     oracles["domain_pagerank"] = (
         _dpr_ctes
         + "\nSELECT node AS domain, round(r, 6) AS pagerank FROM r3"
+    )
+    # HITS over the same closed-form domain edge aggregate: 3 weighted
+    # half-sweep pairs with L1 normalization, unrolled like the
+    # pagerank CTEs; nodes with no inlinks keep authority 0 via the
+    # LEFT JOIN COALESCE
+    _hits_sweeps = []
+    for _k in range(1, 4):
+        _prev_h = f"h{_k - 1}" if _k > 1 else "h0"
+        _hits_sweeps.append(
+            f"""
+        a{_k}r AS MATERIALIZED (SELECT nd.node, COALESCE(t.s, 0) AS v
+               FROM nd LEFT JOIN (
+                 SELECT e.dst_domain AS node,
+                        SUM(h.v * e.n_links) AS s
+                 FROM e JOIN {_prev_h} h ON h.node = e.src_domain
+                 GROUP BY 1
+               ) t ON t.node = nd.node),
+        a{_k} AS MATERIALIZED (SELECT node,
+                     CASE WHEN (SELECT SUM(v) FROM a{_k}r) > 0
+                          THEN v / (SELECT SUM(v) FROM a{_k}r)
+                          ELSE v END AS v
+              FROM a{_k}r),
+        h{_k}r AS MATERIALIZED (SELECT nd.node, COALESCE(t.s, 0) AS v
+               FROM nd LEFT JOIN (
+                 SELECT e.src_domain AS node,
+                        SUM(a.v * e.n_links) AS s
+                 FROM e JOIN a{_k} a ON a.node = e.dst_domain
+                 GROUP BY 1
+               ) t ON t.node = nd.node),
+        h{_k} AS MATERIALIZED (SELECT node,
+                     CASE WHEN (SELECT SUM(v) FROM h{_k}r) > 0
+                          THEN v / (SELECT SUM(v) FROM h{_k}r)
+                          ELSE v END AS v
+              FROM h{_k}r)"""
+        )
+    oracles["domain_hits"] = (
+        _dpr_ctes
+        + ",\n        h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn)"
+        + " AS v FROM nd),"
+        + ",".join(_hits_sweeps)
+        + """
+        SELECT h3.node AS domain, round(h3.v, 6) AS hub,
+               round(a3.v, 6) AS authority
+        FROM h3 JOIN a3 ON a3.node = h3.node"""
     )
     # Anchor texts aggregated per destination domain — the planted
     # anchors (home/about/ref one/ref two/src/contact) are closed

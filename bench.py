@@ -193,6 +193,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "extract_links",
         "link_domain_graph",
         "domain_pagerank",
+        "domain_hits",
         "crawl_frontier",
         # session-7 additions: page-metadata family, archive formats,
         # host-scoped boilerplate, incremental decontamination

@@ -233,3 +233,22 @@ def test_cocitation_hub_cap_drops_pages_whole():
 
     out = cocitation_pairs(SF, max_out_degree=5)
     assert out.num_rows == 0
+
+
+def test_domain_hits_hub_authority_split():
+    """Pure-sink domains (docs.example, ext*) have hub exactly 0 (no
+    outlinks) but positive authority; site domains have positive hubs;
+    both vectors are L1-normalized after the final sweep."""
+    from high_performance_docling_ray.pipelines.links import domain_hits
+
+    t = domain_hits(SF).to_pandas().set_index("domain")
+    assert abs(t["hub"].sum() - 1.0) < 1e-5
+    assert abs(t["authority"].sum() - 1.0) < 1e-5
+    sinks = [d for d in t.index if d.startswith(("docs.", "ext"))]
+    sites = [d for d in t.index if d.startswith("site")]
+    assert sinks and sites
+    assert (t.loc[sinks, "hub"] == 0.0).all()
+    assert (t.loc[sinks, "authority"] > 0).all()
+    assert (t.loc[sites, "hub"] > 0).all()
+    # deterministic: a second run is bit-identical
+    assert domain_hits(SF).to_pandas().set_index("domain").equals(t)
