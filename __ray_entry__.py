@@ -1093,6 +1093,23 @@ def _q_interval_merge_grouped(sf_dir: str):
     return interval_merge(sf_dir, driver_budget=0)
 
 
+def _q_activity_streaks(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        activity_streaks,
+    )
+
+    return activity_streaks(sf_dir)
+
+
+def _q_activity_streaks_grouped(sf_dir: str):
+    """Forced any-cardinality tier: hash(user) % P co-partition."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        activity_streaks,
+    )
+
+    return activity_streaks(sf_dir, driver_budget=0)
+
+
 def _q_user_drawdown(sf_dir: str):
     from high_performance_docling_ray.pipelines.seqstats import user_drawdown
 
@@ -1719,6 +1736,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "lag1_autocorr_grouped": _q_lag1_autocorr_grouped,
         "user_drawdown": _q_user_drawdown,
         "user_drawdown_grouped": _q_user_drawdown_grouped,
+        "activity_streaks": _q_activity_streaks,
+        "activity_streaks_grouped": _q_activity_streaks_grouped,
         "rolling_distinct_users": _q_rolling_distinct_users,
         "rolling_distinct_users_grouped": _q_rolling_distinct_users_grouped,
         "ngram_containment_pairs": _q_ngram_containment,
@@ -1838,6 +1857,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # exact triangle counting (degree-ordered compact-forward);
         # _cogroup forces the no-broadcast wedge-and-close tier
         "triangle_count": _q_triangle_count,
+        "degree_assortativity": _q_degree_assortativity,
         "clustering_coefficient": _q_clustering_coefficient,
         "clustering_coefficient_cogroup": (
             _q_clustering_coefficient_cogroup
@@ -2317,6 +2337,14 @@ def _q_triangle_count_cogroup(sf_dir: str):
     from high_performance_docling_ray.pipelines.graph import triangle_count
 
     return triangle_count(sf_dir, adj_broadcast_budget=0)
+
+
+def _q_degree_assortativity(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import (
+        degree_assortativity,
+    )
+
+    return degree_assortativity(sf_dir)
 
 
 def _q_clustering_coefficient(sf_dir: str):
@@ -3898,6 +3926,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # lag-1 Pearson autocorr from explicit pair sums; the CASE
         # guard mirrors the Ray kernel's (m>0, vx>0, vy>0) validity
+        # per-user activity streaks: the gaps-and-islands grp trick
+        # (epoch-day − row_number is constant within a consecutive
+        # run); all-integer output so the hash needs no float care
+        "activity_streaks": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     datediff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS day
+              FROM events
+            ),
+            g AS (
+              SELECT user_id, day,
+                     day - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day) AS grp
+              FROM d
+            ),
+            s AS (SELECT user_id, grp, COUNT(*) AS len
+                  FROM g GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(SUM(len) AS BIGINT) AS n_active_days,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
         # per-user running-balance scan statistics — every output is
         # exact int64 cents (segmented cumsum/cummax on the Ray side,
         # windowed SUM/MAX here), so the hash needs no float mirroring
@@ -7027,6 +7078,48 @@ def oracle_sql() -> dict[str, str]:
     oracles["clustering_coefficient_cogroup"] = oracles[
         "clustering_coefficient"
     ]
+    # degree assortativity: exact int64 moment sums over both edge
+    # orientations; the Pearson close mirrors the Ray side's float
+    # op order term for term
+    oracles["degree_assortativity"] = """
+        WITH e0 AS (
+          SELECT DISTINCT least(l_suppkey % 40, l_partkey % 40) AS u,
+                          greatest(l_suppkey % 40, l_partkey % 40) AS v
+          FROM lineitem WHERE l_suppkey % 40 <> l_partkey % 40
+        ),
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+          ) GROUP BY node
+        ),
+        p AS (
+          SELECT d1.deg AS x, d2.deg AS y
+          FROM e0 JOIN deg d1 ON d1.node = e0.u
+                  JOIN deg d2 ON d2.node = e0.v
+          UNION ALL
+          SELECT d2.deg, d1.deg
+          FROM e0 JOIN deg d1 ON d1.node = e0.u
+                  JOIN deg d2 ON d2.node = e0.v
+        ),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM p
+        )
+        SELECT n AS n_edge_ends,
+               CASE WHEN n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)),
+                         6)
+                    ELSE NULL END AS assortativity
+        FROM m
+    """
     # Z-order layout plan: the Morton interleave is spelled out term
     # by term (bit j of xq at 2j, of yq at 2j+1) — identical bit
     # algebra to profiling._interleave_bits; quantization is integer
@@ -7934,6 +8027,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["interval_merge_grouped"] = oracles["interval_merge"]
     oracles["lag1_autocorr_grouped"] = oracles["lag1_autocorr"]
     oracles["user_drawdown_grouped"] = oracles["user_drawdown"]
+    oracles["activity_streaks_grouped"] = oracles["activity_streaks"]
     oracles["rolling_distinct_users_grouped"] = oracles[
         "rolling_distinct_users"
     ]

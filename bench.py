@@ -155,6 +155,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "user_drawdown",
         "cocitation_pairs",
         "zorder_layout",
+        "activity_streaks",
+        "degree_assortativity",
+        "domain_hits",
         # round-3 LM-training filters
         "decontaminate",
         "unigram_logprob",
@@ -193,7 +196,6 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "extract_links",
         "link_domain_graph",
         "domain_pagerank",
-        "domain_hits",
         "crawl_frontier",
         # session-7 additions: page-metadata family, archive formats,
         # host-scoped boilerplate, incremental decontamination

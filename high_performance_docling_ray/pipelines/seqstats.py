@@ -56,6 +56,7 @@ __all__ = [
     "event_entropy",
     "interval_merge",
     "lag1_autocorr",
+    "activity_streaks",
     "user_drawdown",
     "rolling_distinct_users",
     "user_value_deciles",
@@ -747,6 +748,98 @@ def user_drawdown(
         .groupby("part")
         .map_groups(
             lambda g: dd_part(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    return to_table_or_sink(out, [("user_id", "ascending")], sink_dir)
+
+
+# -- per-user activity streaks -------------------------------------------------
+
+_ST_EMPTY = pa.Table.from_pydict(
+    {
+        "user_id": pa.array([], pa.int64()),
+        "n_active_days": pa.array([], pa.int64()),
+        "longest_streak": pa.array([], pa.int64()),
+    }
+)
+
+
+def activity_streaks(
+    sf_dir: str, driver_budget: int = 2_000_000,
+    sink_dir: str | None = None,
+) -> pa.Table | str:
+    """Per-user activity streaks — distinct active DAYS and the
+    longest run of CONSECUTIVE days (the engagement/retention profile
+    read next to ``sessionize`` and the cohort matrix; the classic
+    gaps-and-islands over the day grid instead of raw timestamps).
+
+    All-integer composition (epoch-day = ts // 86_400_000_000 µs):
+    per co-partition, one lexsort over (user, day), vectorized
+    distinct, island starts where the day step ≠ 1, run lengths by
+    boundary differencing, per-user max via int64 reduceat — exact by
+    construction, no float anywhere. Driver fast tier under the
+    events FOOTER probe; ``activity_streaks_grouped`` forces the
+    ``hash(user) % P`` exchange (a user's rows co-locate, so within-
+    group distinct IS global distinct).
+    """
+    from .io import parquet_num_rows
+
+    num_parts = _num_parts()
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def streak_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if not n:
+            return _ST_EMPTY
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        day = (
+            group.column("ts").to_numpy().astype("datetime64[us]")
+            .astype(np.int64) // 86_400_000_000
+        )
+        pair = np.stack([users, day], axis=1)
+        pair = np.unique(pair, axis=0)  # sorted by (user, day)
+        users, day = pair[:, 0], pair[:, 1]
+        m = len(users)
+        user_start = np.concatenate(([True], users[1:] != users[:-1]))
+        run_start = user_start | np.concatenate(
+            ([True], (day[1:] - day[:-1]) != 1)
+        )
+        run_idx = np.flatnonzero(run_start)
+        run_len = np.diff(np.concatenate((run_idx, [m])))
+        run_user_start = user_start[run_idx]
+        u_starts = np.flatnonzero(run_user_start)
+        seg_starts = np.flatnonzero(user_start)
+        seg_lens = np.diff(np.concatenate((seg_starts, [m])))
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(users[seg_starts], pa.int64()),
+                "n_active_days": pa.array(seg_lens, pa.int64()),
+                "longest_streak": pa.array(
+                    np.maximum.reduceat(run_len, u_starts), pa.int64()
+                ),
+            }
+        )
+
+    if (
+        sink_dir is None
+        and driver_budget
+        and parquet_num_rows(f"{sf_dir}/events.parquet") <= driver_budget
+    ):
+        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return _ST_EMPTY
+        whole = pa.concat_tables(parts).combine_chunks()
+        return streak_part(whole).sort_by([("user_id", "ascending")])
+
+    out = (
+        ds.map_batches(
+            lambda b: _stamp_user_part(b, num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: streak_part(g.drop_columns(["part"])),
             batch_format="pyarrow",
         )
     )

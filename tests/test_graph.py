@@ -140,3 +140,19 @@ def test_clustering_coefficient_tiers_and_triangle_consistency():
     assert a.equals(b)
     total = triangle_count(SF).column("n_triangles")[0].as_py()
     assert sum(a.column("n_triangles").to_pylist()) == 3 * total
+
+
+def test_degree_assortativity_closed_forms(tmp_path):
+    """Star S3 (hub 0 - leaves 1,2,3): all edges pair deg 3 with deg 1
+    -> r = -1 exactly. Triangle K3: all degrees equal -> zero variance
+    -> NULL."""
+    from high_performance_docling_ray.pipelines.graph import (
+        degree_assortativity,
+    )
+
+    star = _write_lineitem(tmp_path / "star", [(0, 1), (0, 2), (0, 3)])
+    out = degree_assortativity(star).to_pydict()
+    assert out == {"n_edge_ends": [6], "assortativity": [-1.0]}
+    k3 = _write_lineitem(tmp_path / "k3", [(0, 1), (1, 2), (2, 0)])
+    out = degree_assortativity(k3).to_pydict()
+    assert out == {"n_edge_ends": [6], "assortativity": [None]}

@@ -588,3 +588,37 @@ def test_user_drawdown_tier_equality_and_sink(tmp_path):
         .reset_index(drop=True)
     )
     assert back.equals(tbl)
+
+
+def test_activity_streaks_closed_form(tmp_path):
+    """User 1 active on days {0,1,2, 5,6, 9}: 6 active days, longest
+    streak 3; duplicate events within a day count once."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        activity_streaks,
+    )
+
+    day = 86_400_000_000
+    sf = _write_events(
+        tmp_path / "st",
+        eids=list(range(8)),
+        ts_us=[0, day // 2, day, 2 * day, 5 * day, 6 * day, 9 * day,
+               9 * day + 7],
+        users=[1] * 8,
+    )
+    out = activity_streaks(sf).to_pydict()
+    assert out == {
+        "user_id": [1],
+        "n_active_days": [6],
+        "longest_streak": [3],
+    }
+
+
+def test_activity_streaks_tier_equality():
+    """Driver tier == forced hash(user) co-partition (all-int64)."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        activity_streaks,
+    )
+
+    base = activity_streaks(SF)
+    assert base.equals(activity_streaks(SF, driver_budget=0))
+    assert base.num_rows > 0
