@@ -1135,6 +1135,30 @@ def _q_lag1_autocorr_grouped(sf_dir: str):
     return lag1_autocorr(sf_dir, driver_budget=0)
 
 
+def _q_kcore_nodes(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import kcore_nodes
+
+    return kcore_nodes(sf_dir)
+
+
+def _q_kcore_nodes_cogroup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import kcore_nodes
+
+    return kcore_nodes(sf_dir, node_broadcast_budget=0)
+
+
+def _q_user_value_trend(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import user_value_trend
+
+    return user_value_trend(sf_dir)
+
+
+def _q_user_value_trend_grouped(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import user_value_trend
+
+    return user_value_trend(sf_dir, driver_budget=0)
+
+
 def _q_rolling_distinct_users(sf_dir: str):
     from high_performance_docling_ray.pipelines.seqstats import (
         rolling_distinct_users,
@@ -1734,6 +1758,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "interval_merge_grouped": _q_interval_merge_grouped,
         "lag1_autocorr": _q_lag1_autocorr,
         "lag1_autocorr_grouped": _q_lag1_autocorr_grouped,
+        "user_value_trend": _q_user_value_trend,
+        "user_value_trend_grouped": _q_user_value_trend_grouped,
+        "kcore_nodes": _q_kcore_nodes,
+        "kcore_nodes_cogroup": _q_kcore_nodes_cogroup,
         "user_drawdown": _q_user_drawdown,
         "user_drawdown_grouped": _q_user_drawdown_grouped,
         "activity_streaks": _q_activity_streaks,
@@ -4002,6 +4030,70 @@ def oracle_sql() -> dict[str, str]:
                              / sqrt((m * sxx - sx * sx)
                                     * (m * syy - sy * sy))
                         ELSE NULL END AS lag1_corr
+            FROM a ORDER BY user_id
+        """,
+        "kcore_nodes": """
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT 2 * l_suppkey AS src, 2 * l_partkey + 1 AS dst
+              FROM lineitem
+            ),
+            es AS (SELECT src, dst FROM e0
+                   UNION ALL SELECT dst AS src, src AS dst FROM e0),
+            peel(i, v) AS (
+              SELECT 0, src FROM es GROUP BY src
+              UNION
+              SELECT * FROM (
+                WITH cur AS (SELECT v FROM peel WHERE v >= 0),
+                deg AS (
+                  SELECT s.src AS v, COUNT(*) AS d
+                  FROM es s JOIN cur c1 ON s.src = c1.v
+                            JOIN cur c2 ON s.dst = c2.v
+                  GROUP BY s.src
+                ),
+                nxt AS (SELECT v FROM deg WHERE d >= 10),
+                step AS (
+                  SELECT v FROM nxt
+                  UNION ALL
+                  SELECT -1 WHERE NOT EXISTS (SELECT 1 FROM nxt)
+                )
+                SELECT (SELECT MAX(i) FROM peel) + 1 AS i, v
+                FROM step
+                WHERE (SELECT COUNT(*) FROM nxt) < (SELECT COUNT(*) FROM cur)
+              )
+            ),
+            core AS (SELECT v FROM peel
+                     WHERE i = (SELECT MAX(i) FROM peel) AND v >= 0)
+            SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+            FROM es s JOIN core c1 ON s.src = c1.v
+                      JOIN core c2 ON s.dst = c2.v
+            GROUP BY s.src ORDER BY node
+        """,
+        "user_value_trend": """
+            WITH s AS (SELECT user_id, value,
+                              CAST(ROW_NUMBER() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS DOUBLE) AS rn
+                       FROM events),
+            a AS (SELECT user_id,
+                         COUNT(*) AS n,
+                         SUM(rn) AS sx, SUM(value) AS sy,
+                         SUM(rn * rn) AS sxx,
+                         SUM(value * value) AS syy,
+                         SUM(rn * value) AS sxy
+                  FROM s GROUP BY user_id)
+            SELECT user_id, CAST(n AS BIGINT) AS n_events,
+                   CASE WHEN n >= 2
+                        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                        ELSE NULL END AS slope,
+                   CASE WHEN n >= 2
+                        THEN (sy - (n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx) * sx) / n
+                        ELSE NULL END AS intercept,
+                   CASE WHEN n >= 2 AND (n * syy - sy * sy) > 0
+                        THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                             / ((n * sxx - sx * sx)
+                                * (n * syy - sy * sy))
+                        ELSE NULL END AS r2
             FROM a ORDER BY user_id
         """,
         "asof_join_events": """
@@ -8026,6 +8118,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["event_entropy_grouped"] = oracles["event_entropy"]
     oracles["interval_merge_grouped"] = oracles["interval_merge"]
     oracles["lag1_autocorr_grouped"] = oracles["lag1_autocorr"]
+    oracles["user_value_trend_grouped"] = oracles["user_value_trend"]
+    oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]
     oracles["user_drawdown_grouped"] = oracles["user_drawdown"]
     oracles["activity_streaks_grouped"] = oracles["activity_streaks"]
     oracles["rolling_distinct_users_grouped"] = oracles[

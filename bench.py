@@ -158,6 +158,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "activity_streaks",
         "degree_assortativity",
         "domain_hits",
+        # round-4 session-7: trend regression + k-core peel
+        "user_value_trend",
+        "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",
         "unigram_logprob",

@@ -1240,3 +1240,199 @@ def bfs_distances(
     ]
     out = pa.concat_tables(parts)
     return out.sort_by([("node", "ascending")])
+
+
+# -- k-core decomposition (iterative peeling) ----------------------------------
+
+_KC_EMPTY = pa.Table.from_pydict(
+    {"node": pa.array([], pa.int64()), "core_deg": pa.array([], pa.int64())}
+)
+
+
+def kcore_nodes(
+    sf_dir: str,
+    k: int = 10,
+    node_broadcast_budget: int = 2_000_000,
+    max_rounds: int = 64,
+    edges: ray.data.Dataset | None = None,
+) -> pa.Table:
+    """Nodes of the k-core of the symmetrised bipartite link graph
+    (same edge derivation as :func:`pagerank`), with each survivor's
+    degree INSIDE the core — the spam/quality prune a crawl frontier
+    runs before ranking (low-core pages are link-farm leaves; the
+    dense core is where PageRank mass concentrates).
+
+    Iterative peeling to the exact fixpoint: each round recomputes
+    degrees over the edges whose BOTH endpoints are still alive, then
+    drops nodes under ``k``. Rounds are driver-sequenced but all the
+    edge work is distributed:
+
+    - **in budget** (node count under ``node_broadcast_budget``): the
+      alive set rides ``ray.put`` as ONE sorted int64 array; each
+      round is one map over edge blocks (membership via two
+      searchsorteds, sparse (src, n) degree partials) combined on the
+      driver with np.add.at — the pagerank register-sweep shape, no
+      AllToAll per round.
+    - **past it**: the alive set stays a Dataset; membership is two
+      key-only ``cogroup_attach`` semi-joins (src then dst) and the
+      degree close is a pre-combined ``groupby(src).sum`` — O(nodes)
+      never pins the driver. Fixpoint detection compares materialized
+      counts (metadata, no extra pass).
+
+    Both tiers stop only at the true fixpoint (new set == old set);
+    ``max_rounds`` is a convergence certificate — exceeding it raises
+    instead of returning a half-peeled set. A k-core peel removes >= 1
+    node per non-final round, so the bound only trips on a bug.
+    """
+    if edges is None:
+        edges = _edges_dataset(sf_dir).materialize()
+    deg_tbl = _degree_table(edges)
+    nodes = deg_tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(nodes) == 0:
+        return _KC_EMPTY
+    degs = deg_tbl.column("count()").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+
+    if len(nodes) <= node_broadcast_budget:
+        alive = nodes[degs >= k]
+        for _ in range(max_rounds):
+            if len(alive) == 0:
+                return _KC_EMPTY
+            alive_ref = ray.put(alive)
+
+            def partial(batch: pa.Table) -> pa.Table:
+                a = ray.get(alive_ref)
+                src = batch.column("src").to_numpy(zero_copy_only=False)
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                si = np.searchsorted(a, src)
+                di = np.searchsorted(a, dst)
+                m = (
+                    (si < len(a)) & (di < len(a))
+                )
+                m[m] &= (a[si[m]] == src[m]) & (a[di[m]] == dst[m])
+                uniq, cnt = np.unique(src[m], return_counts=True)
+                return pa.Table.from_pydict(
+                    {
+                        "src": pa.array(uniq, pa.int64()),
+                        "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                    }
+                )
+
+            parts = [
+                t
+                for t in ray.get(
+                    edges.map_batches(partial, batch_format="pyarrow")
+                    .materialize()
+                    .to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+            deg = np.zeros(len(alive), np.int64)
+            for t in parts:
+                s = t.column("src").to_numpy(zero_copy_only=False)
+                c = t.column("n").to_numpy(zero_copy_only=False)
+                np.add.at(deg, np.searchsorted(alive, s), c)
+            keep = deg >= k
+            if keep.all():
+                return pa.Table.from_pydict(
+                    {
+                        "node": pa.array(alive, pa.int64()),
+                        "core_deg": pa.array(deg, pa.int64()),
+                    }
+                )
+            alive = alive[keep]
+        raise RuntimeError(
+            f"kcore_nodes: no fixpoint after {max_rounds} rounds"
+        )
+
+    # -- over-budget tier: the alive set never touches the driver --------
+    from .joins import cogroup_attach
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(src, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def close_degrees(eds: ray.data.Dataset) -> ray.data.Dataset:
+        return (
+            eds.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("src")
+            .sum("n")
+            .map_batches(
+                lambda t: t.rename_columns(["src", "n"]),
+                batch_format="pyarrow",
+            )
+        )
+
+    def keep_at_least_k(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("n"), k))
+        return t.select(["src"])
+
+    alive_ds = (
+        close_degrees(edges)
+        .map_batches(keep_at_least_k, batch_format="pyarrow")
+        .materialize()
+    )
+    n_alive = alive_ds.count()
+    cur_edges = edges
+    for _ in range(max_rounds):
+        if n_alive == 0:
+            return _KC_EMPTY
+        flag = alive_ds.map_batches(
+            lambda t: t.append_column(
+                "m", pa.array(np.ones(t.num_rows, np.int8), pa.int8())
+            ),
+            batch_format="pyarrow",
+        )
+        half = cogroup_attach(
+            cur_edges,
+            flag,
+            "src",
+            [pa.field("src", pa.int64()), pa.field("dst", pa.int64())],
+            [pa.field("m", pa.int8())],
+        ).map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("m"))).select(
+                ["src", "dst"]
+            ),
+            batch_format="pyarrow",
+        )
+        flag_dst = flag.map_batches(
+            lambda t: t.rename_columns(["dst", "m"]), batch_format="pyarrow"
+        )
+        filtered = cogroup_attach(
+            half,
+            flag_dst,
+            "dst",
+            [pa.field("src", pa.int64()), pa.field("dst", pa.int64())],
+            [pa.field("m", pa.int8())],
+        ).map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("m"))).select(
+                ["src", "dst"]
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        deg_ds = close_degrees(filtered).materialize()
+        next_alive = deg_ds.map_batches(
+            keep_at_least_k, batch_format="pyarrow"
+        ).materialize()
+        n_next = next_alive.count()
+        if n_next == n_alive:
+            parts = [
+                t
+                for t in ray.get(deg_ds.to_arrow_refs())
+                if t.num_rows
+            ]
+            if not parts:
+                return _KC_EMPTY
+            out = pa.concat_tables(parts).rename_columns(
+                ["node", "core_deg"]
+            )
+            return out.sort_by([("node", "ascending")])
+        alive_ds, n_alive, cur_edges = next_alive, n_next, filtered
+    raise RuntimeError(f"kcore_nodes: no fixpoint after {max_rounds} rounds")

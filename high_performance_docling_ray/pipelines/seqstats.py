@@ -33,6 +33,11 @@ forced ``*_grouped`` driver entry sharing the base oracle.
 - ``spearman_user_metrics`` — exact Spearman (average-rank ties)
   between two per-user metrics with no global sort; rank vectors
   reduce to six sums inside the bucket pass and never materialize.
+- ``user_value_trend``  — per-user OLS regression of ``value`` on the
+  event's per-user time rank (slope / intercept / r²): the drift
+  detector for per-entity metric series. x is the rank 1..n, so
+  Σx and Σx² close EXACTLY from n alone (n(n+1)/2, n(n+1)(2n+1)/6);
+  only the three y-carrying sums are float reduceat segments.
 
 Reference anchor: the reference engine's per-document ordered passes
 (reading_order assembly, page_seq sorts) are the same
@@ -62,6 +67,7 @@ __all__ = [
     "user_value_deciles",
     "spearman_user_metrics",
     "kendall_user_metrics",
+    "user_value_trend",
 ]
 
 
@@ -950,6 +956,124 @@ def lag1_autocorr(
         .groupby("part")
         .map_groups(
             lambda g: corr_part(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    return to_table_or_sink(out, [("user_id", "ascending")], sink_dir)
+
+
+# -- per-user OLS trend (value vs time rank) -----------------------------------
+
+_TR_EMPTY = pa.Table.from_pydict(
+    {
+        "user_id": pa.array([], pa.int64()),
+        "n_events": pa.array([], pa.int64()),
+        "slope": pa.array([], pa.float64()),
+        "intercept": pa.array([], pa.float64()),
+        "r2": pa.array([], pa.float64()),
+    }
+)
+
+
+def user_value_trend(
+    sf_dir: str, driver_budget: int = 2_000_000,
+    sink_dir: str | None = None,
+) -> pa.Table | str:
+    """Per-user OLS regression of ``value`` on the event's per-user
+    rank in (ts, event_id) order — the per-entity drift detector
+    (is this user's metric trending up or down, and how linearly).
+
+    x = rank 1..n is exact by construction: Σx = n(n+1)/2 and
+    Σx² = n(n+1)(2n+1)/6 close in integer math from n alone, so the
+    x-side variance has ZERO cancellation error at any n. Only Σy,
+    Σy², Σxy are float — each a per-user reduceat segment sum
+    (tier-independent; see the NOTES_r4 prefix-sum-differences edge).
+    slope/intercept need n >= 2 (x-variance > 0 exactly then); r²
+    additionally needs y-variance > 0, mirrored by the SQL CASE.
+
+    Driver fast tier under the events FOOTER probe;
+    ``user_value_trend_grouped`` forces the co-partition exchange.
+    """
+    from .io import parquet_num_rows
+
+    num_parts = _num_parts()
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def trend_part(group: pa.Table) -> pa.Table:
+        n_rows = group.num_rows
+        if not n_rows:
+            return _TR_EMPTY
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        eids = group.column("event_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        )
+        vals = group.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        order = np.lexsort((eids, ts, users))
+        users, vals = users[order], vals[order]
+        run_start = np.concatenate(([True], users[1:] != users[:-1]))
+        starts = np.nonzero(run_start)[0]
+        ends = np.concatenate((starts[1:], [n_rows]))
+        m = ends - starts  # events per user (>= 1 by construction)
+        # per-row rank within its user's run: 1..m
+        ranks = (np.arange(n_rows) - np.repeat(starts, m) + 1).astype(
+            np.float64
+        )
+
+        def seg_sum(a: np.ndarray) -> np.ndarray:
+            # every segment is non-empty here (m >= 1), so plain
+            # reduceat is safe and each user's sum is computed over
+            # its own rows alone (tier-independent float order)
+            return np.add.reduceat(a, starts)
+
+        sy = seg_sum(vals)
+        syy = seg_sum(vals * vals)
+        sxy = seg_sum(ranks * vals)
+        mf = m.astype(np.float64)
+        sx = mf * (mf + 1.0) / 2.0
+        sxx = mf * (mf + 1.0) * (2.0 * mf + 1.0) / 6.0
+        dx = mf * sxx - sx * sx  # > 0 exactly iff m >= 2
+        dy = mf * syy - sy * sy
+        num = mf * sxy - sx * sy
+        slope = np.full(len(m), np.nan)
+        intercept = np.full(len(m), np.nan)
+        r2 = np.full(len(m), np.nan)
+        fit = m >= 2
+        slope[fit] = num[fit] / dx[fit]
+        intercept[fit] = (sy[fit] - slope[fit] * sx[fit]) / mf[fit]
+        rok = fit & (dy > 0)
+        r2[rok] = (num[rok] * num[rok]) / (dx[rok] * dy[rok])
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(users[starts], pa.int64()),
+                "n_events": pa.array(m, pa.int64()),
+                "slope": pa.array(slope, pa.float64()),
+                "intercept": pa.array(intercept, pa.float64()),
+                "r2": pa.array(r2, pa.float64()),
+            }
+        )
+
+    if (
+        sink_dir is None
+        and driver_budget
+        and parquet_num_rows(f"{sf_dir}/events.parquet") <= driver_budget
+    ):
+        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return _TR_EMPTY
+        whole = pa.concat_tables(parts).combine_chunks()
+        return trend_part(whole).sort_by([("user_id", "ascending")])
+
+    out = (
+        ds.map_batches(
+            lambda b: _stamp_user_part(b, num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: trend_part(g.drop_columns(["part"])),
             batch_format="pyarrow",
         )
     )

@@ -156,3 +156,57 @@ def test_degree_assortativity_closed_forms(tmp_path):
     k3 = _write_lineitem(tmp_path / "k3", [(0, 1), (1, 2), (2, 0)])
     out = degree_assortativity(k3).to_pydict()
     assert out == {"n_edge_ends": [6], "assortativity": [None]}
+
+
+def _edge_ds(pairs):
+    """Symmetrised edge Dataset from undirected (u, v) pairs."""
+    import ray
+
+    src = [u for u, v in pairs] + [v for u, v in pairs]
+    dst = [v for u, v in pairs] + [u for u, v in pairs]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+    )
+
+
+def test_kcore_multi_round_cascade():
+    """Path 0-1-2-3-4-5 hanging off triangle 5-6-7 with k=2: the path
+    peels one endpoint per round (0, then 1, then 2, ...) — a genuine
+    multi-round cascade — and the triangle survives as the exact
+    2-core with every core degree 2. Both tiers."""
+    from high_performance_docling_ray.pipelines.graph import kcore_nodes
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 5)]
+    for budget in (2_000_000, 0):
+        out = kcore_nodes(
+            "unused", k=2, node_broadcast_budget=budget,
+            edges=_edge_ds(pairs).materialize(),
+        )
+        assert out.column("node").to_pylist() == [5, 6, 7]
+        assert out.column("core_deg").to_pylist() == [2, 2, 2]
+
+
+def test_kcore_empty_core():
+    from high_performance_docling_ray.pipelines.graph import kcore_nodes
+
+    # a tree has no 2-core
+    pairs = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    for budget in (2_000_000, 0):
+        out = kcore_nodes(
+            "unused", k=2, node_broadcast_budget=budget,
+            edges=_edge_ds(pairs).materialize(),
+        )
+        assert out.num_rows == 0
+
+
+def test_kcore_tier_equality_sf0001():
+    from high_performance_docling_ray.pipelines.graph import kcore_nodes
+
+    a = kcore_nodes(SF)
+    b = kcore_nodes(SF, node_broadcast_budget=0)
+    assert a.num_rows > 0 and a.equals(b)

@@ -622,3 +622,43 @@ def test_activity_streaks_tier_equality():
     base = activity_streaks(SF)
     assert base.equals(activity_streaks(SF, driver_budget=0))
     assert base.num_rows > 0
+
+
+def test_user_value_trend_closed_form(tmp_path):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_value_trend,
+    )
+
+    # user 1: perfectly linear y = 2x + 1 -> slope 2, intercept 3
+    #   (intercept here is vs rank 1..n: y = 2*rn + 3 for rn=1.. wait:
+    #    ranks 1,2,3 with y = 5,7,9 -> slope 2, intercept 3, r2 = 1)
+    # user 2: single event -> NULLs
+    # user 3: constant y -> slope 0, r2 NULL (zero y-variance)
+    sf = _write_events(
+        tmp_path / "t",
+        eids=[1, 2, 3, 4, 5, 6, 7],
+        ts_us=[0, 10, 20, 0, 0, 10, 20],
+        users=[1, 1, 1, 2, 3, 3, 3],
+        vals=[5.0, 7.0, 9.0, 4.0, 2.5, 2.5, 2.5],
+    )
+    out = user_value_trend(sf).to_pandas().set_index("user_id")
+    assert abs(out.loc[1, "slope"] - 2.0) < 1e-12
+    assert abs(out.loc[1, "intercept"] - 3.0) < 1e-12
+    assert abs(out.loc[1, "r2"] - 1.0) < 1e-12
+    assert out.loc[2, "n_events"] == 1 and np.isnan(out.loc[2, "slope"])
+    assert abs(out.loc[3, "slope"]) < 1e-12
+    assert np.isnan(out.loc[3, "r2"])
+    grouped = user_value_trend(sf, driver_budget=0).to_pandas()
+    assert grouped.set_index("user_id").equals(out)
+
+
+def test_user_value_trend_tiers_sf0001():
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_value_trend,
+    )
+
+    assert (
+        user_value_trend(SF).to_pandas().equals(
+            user_value_trend(SF, driver_budget=0).to_pandas()
+        )
+    )
