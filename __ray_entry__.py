@@ -1147,6 +1147,18 @@ def _q_kcore_nodes_cogroup(sf_dir: str):
     return kcore_nodes(sf_dir, node_broadcast_budget=0)
 
 
+def _q_weighted_sssp(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import weighted_sssp
+
+    return weighted_sssp(sf_dir)
+
+
+def _q_weighted_sssp_cogroup(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import weighted_sssp
+
+    return weighted_sssp(sf_dir, node_budget=0)
+
+
 def _q_user_value_trend(sf_dir: str):
     from high_performance_docling_ray.pipelines.seqstats import user_value_trend
 
@@ -1762,6 +1774,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trend_grouped": _q_user_value_trend_grouped,
         "kcore_nodes": _q_kcore_nodes,
         "kcore_nodes_cogroup": _q_kcore_nodes_cogroup,
+        "weighted_sssp": _q_weighted_sssp,
+        "weighted_sssp_cogroup": _q_weighted_sssp_cogroup,
         "user_drawdown": _q_user_drawdown,
         "user_drawdown_grouped": _q_user_drawdown_grouped,
         "activity_streaks": _q_activity_streaks,
@@ -4067,6 +4081,36 @@ def oracle_sql() -> dict[str, str]:
             FROM es s JOIN core c1 ON s.src = c1.v
                       JOIN core c2 ON s.dst = c2.v
             GROUP BY s.src ORDER BY node
+        """,
+        "weighted_sssp": """
+            WITH RECURSIVE ew AS (
+              SELECT 2 * l_suppkey AS src, 2 * l_partkey + 1 AS dst,
+                     CAST(MIN(l_quantity) AS BIGINT) AS w
+              FROM lineitem GROUP BY 1, 2
+            ),
+            es AS (SELECT src, dst, w FROM ew
+                   UNION ALL SELECT dst AS src, src AS dst, w FROM ew),
+            seeds AS (SELECT 2 * s_suppkey AS v FROM supplier
+                      WHERE s_nationkey = 3),
+            sweep(i, v, d) AS (
+              SELECT 0, v, CAST(0 AS BIGINT) FROM seeds
+              UNION
+              SELECT * FROM (
+                WITH cur AS (SELECT v, d FROM sweep)
+                SELECT (SELECT MAX(i) FROM sweep) + 1 AS i, v, MIN(d) AS d
+                FROM (
+                  SELECT v, d FROM cur
+                  UNION ALL
+                  SELECT e.dst AS v, c.d + e.w AS d
+                  FROM es e JOIN cur c ON e.src = c.v
+                )
+                GROUP BY v
+                HAVING (SELECT MAX(i) FROM sweep) < 4
+              )
+            )
+            SELECT v AS node, d AS dist FROM sweep
+            WHERE i = (SELECT MAX(i) FROM sweep)
+            ORDER BY node
         """,
         "user_value_trend": """
             WITH s AS (SELECT user_id, value,
@@ -8120,6 +8164,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["lag1_autocorr_grouped"] = oracles["lag1_autocorr"]
     oracles["user_value_trend_grouped"] = oracles["user_value_trend"]
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]
+    oracles["weighted_sssp_cogroup"] = oracles["weighted_sssp"]
     oracles["user_drawdown_grouped"] = oracles["user_drawdown"]
     oracles["activity_streaks_grouped"] = oracles["activity_streaks"]
     oracles["rolling_distinct_users_grouped"] = oracles[

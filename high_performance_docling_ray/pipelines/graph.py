@@ -1436,3 +1436,222 @@ def kcore_nodes(
             return out.sort_by([("node", "ascending")])
         alive_ds, n_alive, cur_edges = next_alive, n_next, filtered
     raise RuntimeError(f"kcore_nodes: no fixpoint after {max_rounds} rounds")
+
+
+# -- weighted single-source shortest paths (bounded Bellman-Ford) --------------
+
+
+def _weighted_edges_dataset(sf_dir: str) -> ray.data.Dataset:
+    """Distinct symmetrised edges with an int64 weight = MIN(l_quantity)
+    over the pair's lineitem occurrences. Same node ids as
+    :func:`_edges_dataset`; per-batch local min partials combine under
+    one bucketed groupby (the _edges_dataset distinct discipline with
+    a min carried through)."""
+    from .io import read_parquet_clean
+    from .joins import default_num_buckets, int_key_buckets
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_quantity"],
+    )
+    num_parts = default_num_buckets()
+
+    def pair_min(batch: pa.Table) -> pa.Table:
+        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        src, dst = 2 * s, 2 * p + 1
+        key = np.stack([src, dst], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, q)
+        mixed = uniq[:, 0].astype(np.uint64) * np.uint64(
+            0xC2B2AE3D27D4EB4F
+        ) + uniq[:, 1].astype(np.uint64)
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(uniq[:, 0], pa.int64()),
+                "dst": pa.array(uniq[:, 1], pa.int64()),
+                "w": pa.array(mins, pa.int64()),
+                "bucket": pa.array(
+                    int_key_buckets(mixed.view(np.int64), num_parts)
+                ),
+            }
+        )
+
+    def min_in_bucket(group: pa.Table) -> pa.Table:
+        s = group.column("src").to_numpy(zero_copy_only=False)
+        d = group.column("dst").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        key = np.stack([s, d], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, w)
+        # symmetrise here: both orientations share the pair's min
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(
+                    np.concatenate([uniq[:, 0], uniq[:, 1]]), pa.int64()
+                ),
+                "dst": pa.array(
+                    np.concatenate([uniq[:, 1], uniq[:, 0]]), pa.int64()
+                ),
+                "w": pa.array(np.concatenate([mins, mins]), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pair_min, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(min_in_bucket, batch_format="pyarrow")
+    )
+
+
+def weighted_sssp(
+    sf_dir: str,
+    seed_nation: int = 3,
+    max_sweeps: int = 4,
+    node_budget: int = 2_000_000,
+    edges: ray.data.Dataset | None = None,
+) -> pa.Table:
+    """Bounded-sweep Bellman-Ford over the MIN(l_quantity)-weighted
+    symmetrised graph: after ``max_sweeps`` synchronous relaxation
+    sweeps every node holds the exact cheapest distance among paths of
+    <= max_sweeps edges from the seed set (suppliers of
+    ``seed_nation``) — the weighted generalization of
+    :func:`bfs_distances` (crawl cost radius, toll-weighted citation
+    distance). dist_{i+1}(v) = min(dist_i(v), min_{(u,v,w)} dist_i(u)+w),
+    all int64 — exact, no float order anywhere.
+
+    In budget the labeled (node, dist) state lives on the driver and a
+    sweep is ONE streamed pass over weighted edge blocks emitting
+    block-local (dst, min cand) register partials (lexsort-free
+    np.minimum.at on batch-local codes) combined driver-side with one
+    np.minimum.at. Past ``node_budget`` the SAME sweeps run as the
+    bfs cogroup tier with the weight carried: cogroup_attach of dists
+    by src + relax + groupby(node).min. Tier equality is test-pinned;
+    the oracle is the recursive-CTE relaxation with the identical
+    sweep bound.
+    """
+    from .relational import _broadcast_parquet
+
+    supp = _broadcast_parquet(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    skey = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    snat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    seeds = np.sort(2 * skey[snat == seed_nation])
+    if edges is None:
+        edges = _weighted_edges_dataset(sf_dir).materialize()
+
+    n_nodes = _degree_table(edges).num_rows
+    if n_nodes <= node_budget:
+        lab_nodes = seeds.copy()
+        lab_dists = np.zeros(len(lab_nodes), dtype=np.int64)
+        for _ in range(max_sweeps):
+            ref = ray.put((lab_nodes, lab_dists))
+
+            def relax_partial(batch: pa.Table) -> pa.Table:
+                nodes_a, dists_a = ray.get(ref)
+                src = batch.column("src").to_numpy(zero_copy_only=False)
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                w = batch.column("w").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(nodes_a, src)
+                m = pos < len(nodes_a)
+                m[m] &= nodes_a[pos[m]] == src[m]
+                cand_d = dists_a[pos[m]] + w[m]
+                uniq, inv = np.unique(dst[m], return_inverse=True)
+                mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(mins, inv, cand_d)
+                return pa.Table.from_pydict(
+                    {
+                        "node": pa.array(uniq, pa.int64()),
+                        "d": pa.array(mins, pa.int64()),
+                    }
+                )
+
+            parts = [
+                t
+                for t in ray.get(
+                    edges.map_batches(relax_partial, batch_format="pyarrow")
+                    .materialize()
+                    .to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+            if parts:
+                cand = pa.concat_tables(parts)
+                cn = cand.column("node").to_numpy(zero_copy_only=False)
+                cd = cand.column("d").to_numpy(zero_copy_only=False)
+            else:
+                cn = np.array([], np.int64)
+                cd = np.array([], np.int64)
+            merged = np.union1d(lab_nodes, cn)
+            dists = np.full(len(merged), np.iinfo(np.int64).max, np.int64)
+            dists[np.searchsorted(merged, lab_nodes)] = lab_dists
+            np.minimum.at(dists, np.searchsorted(merged, cn), cd)
+            if np.array_equal(merged, lab_nodes) and np.array_equal(
+                dists, lab_dists
+            ):
+                break  # fixpoint before the sweep bound — sweeps are no-ops now
+            lab_nodes, lab_dists = merged, dists
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(lab_nodes, pa.int64()),
+                "dist": pa.array(lab_dists, pa.int64()),
+            }
+        )
+
+    # over-budget tier: the bfs cogroup sweeps with the weight carried
+    from .joins import cogroup_attach
+
+    labeled = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "node": pa.array(seeds, pa.int64()),
+                "dist": pa.array(np.zeros(len(seeds), dtype=np.int64)),
+            }
+        )
+    )
+    for _ in range(max_sweeps):
+        srcd = labeled.map_batches(
+            lambda t: t.rename_columns(["src", "sdist"]),
+            batch_format="pyarrow",
+        )
+        cand = cogroup_attach(
+            edges,
+            srcd,
+            "src",
+            [
+                pa.field("src", pa.int64()),
+                pa.field("dst", pa.int64()),
+                pa.field("w", pa.int64()),
+            ],
+            [pa.field("sdist", pa.int64())],
+        )
+
+        def relax(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.is_valid(batch.column("sdist")))
+            d = np.asarray(
+                pc.fill_null(t.column("sdist"), 0).to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=np.int64,
+            )
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "node": t.column("dst"),
+                    "dist": pa.array(d + w, pa.int64()),
+                }
+            )
+
+        cand_rows = cand.map_batches(relax, batch_format="pyarrow")
+        labeled = labeled.union(cand_rows).groupby("node").min("dist")
+        labeled = labeled.map_batches(
+            lambda t: t.rename_columns(["node", "dist"]),
+            batch_format="pyarrow",
+        ).materialize()
+    parts = [t for t in ray.get(labeled.to_arrow_refs()) if t.num_rows]
+    out = pa.concat_tables(parts)
+    return out.sort_by([("node", "ascending")])

@@ -210,3 +210,86 @@ def test_kcore_tier_equality_sf0001():
     a = kcore_nodes(SF)
     b = kcore_nodes(SF, node_broadcast_budget=0)
     assert a.num_rows > 0 and a.equals(b)
+
+
+def _write_weighted(d, rows):
+    """rows: (l_suppkey, l_partkey, l_quantity) triples; also writes a
+    supplier table putting every referenced supplier in nation 3."""
+    import pyarrow.parquet as pq
+
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_quantity": pa.array(
+                    [float(r[2]) for r in rows], pa.float64()
+                ),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    return str(d)
+
+
+def _write_suppliers(d, sup_nation):
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([s for s, _ in sup_nation], pa.int64()),
+                "s_nationkey": pa.array(
+                    [n for _, n in sup_nation], pa.int64()
+                ),
+            }
+        ),
+        d / "supplier.parquet",
+    )
+
+
+def test_weighted_sssp_relaxation_beats_direct_edge(tmp_path):
+    """Seed s0. Direct edge s0-p0 costs 10, but s0-p1-s1-p0 costs 3:
+    a true weighted relaxation must find 3 where BFS-style hop counting
+    would stop at the direct edge. Bounded sweeps: with max_sweeps=1
+    the answer IS the direct 10. Both tiers."""
+    from high_performance_docling_ray.pipelines.graph import weighted_sssp
+
+    d = tmp_path / "w"
+    sf = _write_weighted(
+        d, [(0, 0, 10), (0, 1, 1), (1, 1, 1), (1, 0, 1)]
+    )
+    _write_suppliers(d, [(0, 3), (1, 7)])
+    # nodes: s0=0, s1=2, p0=1, p1=3
+    for budget in (2_000_000, 0):
+        out = weighted_sssp(sf, max_sweeps=4, node_budget=budget)
+        got = dict(zip(out.column("node").to_pylist(),
+                       out.column("dist").to_pylist()))
+        assert got == {0: 0, 3: 1, 2: 2, 1: 3}
+    one = weighted_sssp(sf, max_sweeps=1)
+    got = dict(zip(one.column("node").to_pylist(),
+                   one.column("dist").to_pylist()))
+    assert got == {0: 0, 1: 10, 3: 1}
+
+
+def test_weighted_sssp_min_weight_dedup(tmp_path):
+    """Repeated (supp, part) lineitems keep the MIN quantity as the
+    edge weight."""
+    from high_performance_docling_ray.pipelines.graph import weighted_sssp
+
+    d = tmp_path / "m"
+    sf = _write_weighted(d, [(0, 0, 7), (0, 0, 2), (0, 0, 9)])
+    _write_suppliers(d, [(0, 3)])
+    out = weighted_sssp(sf, max_sweeps=2)
+    got = dict(zip(out.column("node").to_pylist(),
+                   out.column("dist").to_pylist()))
+    assert got == {0: 0, 1: 2}
+
+
+def test_weighted_sssp_tier_equality_sf0001():
+    from high_performance_docling_ray.pipelines.graph import weighted_sssp
+
+    a = weighted_sssp(SF)
+    b = weighted_sssp(SF, node_budget=0)
+    assert a.num_rows > 0 and a.equals(b)
