@@ -1147,6 +1147,12 @@ def _q_kcore_nodes_cogroup(sf_dir: str):
     return kcore_nodes(sf_dir, node_broadcast_budget=0)
 
 
+def _q_rrf_fusion(sf_dir: str):
+    from high_performance_docling_ray.pipelines.similarity import rrf_fusion
+
+    return rrf_fusion(sf_dir)
+
+
 def _q_weighted_sssp(sf_dir: str):
     from high_performance_docling_ray.pipelines.graph import weighted_sssp
 
@@ -1776,6 +1782,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes_cogroup": _q_kcore_nodes_cogroup,
         "weighted_sssp": _q_weighted_sssp,
         "weighted_sssp_cogroup": _q_weighted_sssp_cogroup,
+        "rrf_fusion": _q_rrf_fusion,
         "user_drawdown": _q_user_drawdown,
         "user_drawdown_grouped": _q_user_drawdown_grouped,
         "activity_streaks": _q_activity_streaks,
@@ -4081,6 +4088,67 @@ def oracle_sql() -> dict[str, str]:
             FROM es s JOIN core c1 ON s.src = c1.v
                       JOIN core c2 ON s.dst = c2.v
             GROUP BY s.src ORDER BY node
+        """,
+        "rrf_fusion": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+            st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            qt AS (SELECT * FROM (VALUES ('table'), ('hash'), ('sort'),
+                                  ('window')) q(token)),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM tok JOIN qt USING (token) GROUP BY 1, 2),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            s AS (
+              SELECT tf.doc_id,
+                     SUM(ln(1 + ((SELECT n FROM st) - df.df + 0.5)
+                                / (df.df + 0.5))
+                         * tf.tf * (1.2 + 1)
+                         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                           / (SELECT avgdl FROM st)))
+                     ) AS score
+              FROM tf JOIN df USING (token)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              GROUP BY 1
+            ),
+            lex AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY round(score, 6) DESC,
+                                        doc_id) AS ra
+              FROM s
+              QUALIFY ra <= 20
+            ),
+            den AS (
+              SELECT vec_id AS doc_id,
+                     row_number() OVER (
+                       ORDER BY round(list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[])
+                          FROM embeddings WHERE vec_id = 0)), 6) DESC,
+                       vec_id) AS rb
+              FROM embeddings
+              QUALIFY rb <= 20
+            ),
+            f AS (
+              SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+                     lex.ra, den.rb
+              FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+            )
+            SELECT doc_id,
+                   round(COALESCE(1.0 / (60 + ra), 0)
+                         + COALESCE(1.0 / (60 + rb), 0), 6) AS rrf_score,
+                   ra AS bm25_rank, rb AS cosine_rank
+            FROM f
+            QUALIFY row_number() OVER (
+              ORDER BY round(COALESCE(1.0 / (60 + ra), 0)
+                             + COALESCE(1.0 / (60 + rb), 0), 6) DESC,
+                       doc_id) <= 10
+            ORDER BY rrf_score DESC, doc_id
         """,
         "weighted_sssp": """
             WITH RECURSIVE ew AS (

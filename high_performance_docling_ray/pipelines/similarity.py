@@ -1142,3 +1142,77 @@ def knn_graph(
         )
 
     return read_embeddings(sf_dir).map_batches(block, batch_format="pyarrow")
+
+
+# -- reciprocal-rank fusion (hybrid lexical + dense retrieval) -----------------
+
+
+def rrf_fusion(
+    sf_dir: str,
+    query: np.ndarray | list | None = None,
+    k_each: int = 20,
+    k_out: int = 10,
+    rrf_k: int = 60,
+) -> pa.Table:
+    """Hybrid retrieval: fuse the BM25 lexical top-``k_each`` (fixed
+    query tokens, :func:`corpus_clean.bm25_topk`) with the dense
+    cosine top-``k_each`` (query = vec 0's embedding by default,
+    :func:`knn_brute`) by reciprocal-rank fusion
+    (Cormack/Clarke/Buettcher 2009):
+
+        rrf(d) = Σ_lists 1 / (rrf_k + rank_list(d))
+
+    vec_id is the document's doc_id (the embeddings table is the
+    documents' embedding column). Both candidate lists rank by their
+    6dp-ROUNDED score with doc_id tie-break — exactly the oracle's
+    ROW_NUMBER — so the integer ranks (and therefore the fused floats)
+    are bit-identical to SQL by construction. Docs absent from a list
+    contribute nothing for it (the standard top-k RRF contract).
+
+    Scale shape: both retrieval legs are the existing distributed
+    pipelines (register-partial BM25, per-block top-k cosine); the
+    fusion itself touches <= 2*k_each rows on the driver —
+    contract-bounded like every top-k in this repo.
+    """
+    from .corpus_clean import bm25_topk
+
+    if query is None:
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+        pos = int(np.nonzero(ids == 0)[0][0]) if (ids == 0).any() else 0
+        query = emb.column("embedding").to_pylist()[pos]
+
+    lex = bm25_topk(sf_dir, k=k_each)
+    den = knn_brute(sf_dir, np.asarray(query, np.float64), k=k_each)
+
+    def ranked(tbl: pa.Table, id_col: str, score_col: str) -> dict[int, int]:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        sc = tbl.column(score_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc))  # score desc, id asc
+        return {int(ids[i]): r + 1 for r, i in enumerate(order)}
+
+    ra = ranked(lex, "doc_id", "score")
+    rb = ranked(den, "vec_id", "cosine")
+    all_ids = sorted(set(ra) | set(rb))
+    rows = []
+    for d in all_ids:
+        a = ra.get(d)
+        b = rb.get(d)
+        s = (1.0 / (rrf_k + a) if a is not None else 0.0) + (
+            1.0 / (rrf_k + b) if b is not None else 0.0
+        )
+        rows.append((d, round(s, 6), a, b))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k_out]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rrf_score": pa.array([r[1] for r in rows], pa.float64()),
+            "bm25_rank": pa.array([r[2] for r in rows], pa.int64()),
+            "cosine_rank": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

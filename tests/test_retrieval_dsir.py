@@ -75,3 +75,59 @@ def test_importance_resample_topk():
         u = (h + 0.5) / float(1 << 64)
         expect = round(w[row["doc_id"]] - np.log(-np.log(u)), 6)
         assert abs(expect - row["gumbel_key"]) < 1e-9
+
+
+def test_rrf_fusion_closed_form(tmp_path):
+    """3-doc corpus: doc 0 tops BOTH lists -> rrf 2/61; doc 1 second in
+    both -> 2/62; doc 2 only in the dense list at rank 3 -> 1/63."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.similarity import rrf_fusion
+
+    d = tmp_path / "rrf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["table hash join", "table scan", "nothing here"],
+                    pa.string(),
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    out = rrf_fusion(str(d)).to_pandas().set_index("doc_id")
+    assert list(out.index) == [0, 1, 2]
+    assert abs(out.loc[0, "rrf_score"] - round(2 / 61, 6)) < 1e-9
+    assert abs(out.loc[1, "rrf_score"] - round(2 / 62, 6)) < 1e-9
+    assert abs(out.loc[2, "rrf_score"] - round(1 / 63, 6)) < 1e-9
+    assert out.loc[0, "bm25_rank"] == 1 and out.loc[0, "cosine_rank"] == 1
+    # doc 2 never matched a query token: null lexical rank
+    assert np.isnan(out.loc[2, "bm25_rank"]) or out.loc[2, "bm25_rank"] is None
+
+
+def test_rrf_fusion_sf0001_topped_by_query_doc():
+    """vec 0 IS the dense query, so doc 0 holds dense rank 1 and must
+    appear in the fused top-10 unless 10 docs out-fuse a rank-1 leg."""
+    from high_performance_docling_ray.pipelines.similarity import rrf_fusion
+
+    out = rrf_fusion(SF).to_pandas()
+    assert len(out) == 10
+    assert (out["rrf_score"].to_numpy()[:-1]
+            >= out["rrf_score"].to_numpy()[1:] - 1e-12).all()
+    assert 0 in set(out["doc_id"])
