@@ -1147,6 +1147,18 @@ def _q_kcore_nodes_cogroup(sf_dir: str):
     return kcore_nodes(sf_dir, node_broadcast_budget=0)
 
 
+def _q_butterfly_count(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import butterfly_count
+
+    return butterfly_count(sf_dir)
+
+
+def _q_butterfly_count_grouped(sf_dir: str):
+    from high_performance_docling_ray.pipelines.graph import butterfly_count
+
+    return butterfly_count(sf_dir, combine_limit=0)
+
+
 def _q_rrf_fusion(sf_dir: str):
     from high_performance_docling_ray.pipelines.similarity import rrf_fusion
 
@@ -1783,6 +1795,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sssp": _q_weighted_sssp,
         "weighted_sssp_cogroup": _q_weighted_sssp_cogroup,
         "rrf_fusion": _q_rrf_fusion,
+        "butterfly_count": _q_butterfly_count,
+        "butterfly_count_grouped": _q_butterfly_count_grouped,
         "user_drawdown": _q_user_drawdown,
         "user_drawdown_grouped": _q_user_drawdown_grouped,
         "activity_streaks": _q_activity_streaks,
@@ -4088,6 +4102,20 @@ def oracle_sql() -> dict[str, str]:
             FROM es s JOIN core c1 ON s.src = c1.v
                       JOIN core c2 ON s.dst = c2.v
             GROUP BY s.src ORDER BY node
+        """,
+        "butterfly_count": """
+            WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                        FROM lineitem),
+            keep AS (SELECT p FROM e0 GROUP BY p
+                     HAVING COUNT(*) BETWEEN 2 AND 4096),
+            e1 AS (SELECT s, p FROM e0 JOIN keep USING (p)),
+            cd AS (SELECT a.s AS u, b.s AS v
+                   FROM e1 a JOIN e1 b ON a.p = b.p AND a.s < b.s),
+            pc2 AS (SELECT u, v, COUNT(*) AS c FROM cd GROUP BY 1, 2)
+            SELECT CAST((SELECT COUNT(*) FROM keep) AS BIGINT) AS n_parts,
+                   CAST((SELECT COUNT(*) FROM pc2) AS BIGINT) AS n_copairs,
+                   CAST(COALESCE((SELECT SUM(c * (c - 1) // 2) FROM pc2),
+                                 0) AS BIGINT) AS n_butterflies
         """,
         "rrf_fusion": """
             WITH t AS (
@@ -8233,6 +8261,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["user_value_trend_grouped"] = oracles["user_value_trend"]
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]
     oracles["weighted_sssp_cogroup"] = oracles["weighted_sssp"]
+    oracles["butterfly_count_grouped"] = oracles["butterfly_count"]
     oracles["user_drawdown_grouped"] = oracles["user_drawdown"]
     oracles["activity_streaks_grouped"] = oracles["activity_streaks"]
     oracles["rolling_distinct_users_grouped"] = oracles[

@@ -1655,3 +1655,170 @@ def weighted_sssp(
     parts = [t for t in ray.get(labeled.to_arrow_refs()) if t.num_rows]
     out = pa.concat_tables(parts)
     return out.sort_by([("node", "ascending")])
+
+
+# -- butterfly counting (bipartite 4-cycles) -----------------------------------
+
+_BF_SCHEMA = {
+    "n_parts": pa.int64(),
+    "n_copairs": pa.int64(),
+    "n_butterflies": pa.int64(),
+}
+
+
+def butterfly_count(
+    sf_dir: str,
+    max_part_degree: int = 4096,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """Exact butterfly (2x2 biclique / 4-cycle) count of the bipartite
+    supplier-part graph — THE bipartite density primitive (bipartite
+    graphs have no triangles, so clustering structure lives in
+    butterflies): n_butterflies = Σ_pairs C(codeg(u,v), 2) where
+    codeg(u, v) = parts shared by suppliers u < v.
+
+    Scale shape: a part's supplier set is co-located by ONE
+    hash(part)-bucketed exchange of the distinct (s, p) rows, pair
+    emission is vectorized ACROSS part runs (the repeat/arange block
+    trick, no per-part Python), bounded by C(part_degree, 2); hub
+    parts past ``max_part_degree`` distinct suppliers drop WHOLE (the
+    cocitation hub-guard contract, mirrored by the oracle's HAVING —
+    at web scale a vocabulary-hub part would alone emit ~d²/2 pairs).
+    Pair counts pre-combine per group as packed u*2^32+v keys (domain
+    asserted) and close under the house combine gate — past
+    ``combine_limit`` a Ray groupby(pk).sum merges and the three
+    output scalars reduce from per-block partials, so NOTHING
+    unbounded lands on the driver. All-int64 exact (headroom: codeg
+    ≤ |parts|, so c(c-1)/2 < 2^63 needs |parts| < 4.3e9 — documented).
+    Kept-part counts ride the same exchange as sentinel pk = -1 rows
+    (the frequent_ngrams trick).
+    """
+    from .io import read_parquet_clean
+    from .joins import default_num_buckets, int_key_buckets
+    from .relational import _combine_partials
+
+    num_parts = default_num_buckets()
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        key = np.unique(np.stack([p, s], axis=1), axis=0)
+        return pa.Table.from_pydict(
+            {
+                "p": pa.array(key[:, 0], pa.int64()),
+                "s": pa.array(key[:, 1], pa.int64()),
+                "bucket": pa.array(int_key_buckets(key[:, 0], num_parts)),
+            }
+        )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        p = group.column("p").to_numpy(zero_copy_only=False)
+        s = group.column("s").to_numpy(zero_copy_only=False)
+        key = np.unique(np.stack([p, s], axis=1), axis=0)  # global distinct
+        p, s = key[:, 0], key[:, 1]
+        if (s < 0).any() or (s >= 1 << 31).any():
+            raise ValueError("butterfly_count: suppkey outside packable domain")
+        new_run = np.concatenate(([True], p[1:] != p[:-1]))
+        run_start_idx = np.nonzero(new_run)[0]
+        run_len = np.diff(np.r_[run_start_idx, len(p)])
+        keep_run = (run_len >= 2) & (run_len <= max_part_degree)
+        n_kept_parts = int(keep_run.sum())
+        # drop hub/singleton parts WHOLE before emission
+        keep_row = np.repeat(keep_run, run_len)
+        p, s = p[keep_row], s[keep_row]
+        out_pk = [np.array([-1], np.int64)]
+        out_n = [np.array([n_kept_parts], np.int64)]
+        n = len(p)
+        if n:
+            new_run = np.concatenate(([True], p[1:] != p[:-1]))
+            run_start_idx = np.nonzero(new_run)[0]
+            run_id = np.cumsum(new_run) - 1
+            starts = run_start_idx[run_id]
+            pos = np.arange(n, dtype=np.int64) - starts
+            total = int(pos.sum())
+            if total:
+                jj = np.repeat(np.arange(n, dtype=np.int64), pos)
+                block_off = np.cumsum(pos) - pos
+                ii = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(block_off, pos)
+                    + np.repeat(starts, pos)
+                )
+                u, v = s[ii], s[jj]  # s sorted within run -> u < v
+                pk = (u << np.int64(32)) | v
+                uniq, cnt = np.unique(pk, return_counts=True)
+                out_pk.append(uniq)
+                out_n.append(cnt.astype(np.int64))
+        return pa.Table.from_pydict(
+            {
+                "pk": pa.array(np.concatenate(out_pk), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pairs_in_bucket(g.sort_by([("p", "ascending"),
+                                                 ("s", "ascending")])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def close(pk: np.ndarray, cnt: np.ndarray) -> pa.Table:
+        sent = pk == -1
+        c = cnt[~sent]
+        return pa.Table.from_pydict(
+            {
+                "n_parts": pa.array([int(cnt[sent].sum())], pa.int64()),
+                "n_copairs": pa.array([int((~sent).sum())], pa.int64()),
+                "n_butterflies": pa.array(
+                    [int((c * (c - 1) // 2).sum())], pa.int64()
+                ),
+            }
+        )
+
+    tbl = _combine_partials(partials, ["pk"], ["n"], combine_limit=combine_limit)
+    if tbl is not None:
+        return close(
+            tbl.column("pk").to_numpy(zero_copy_only=False),
+            tbl.column("sum(n)").to_numpy(zero_copy_only=False),
+        )
+
+    # over-budget: keyed merge + per-block scalar partials — three
+    # int64s to the driver, never the pair table
+    merged = partials.groupby("pk").sum("n").materialize()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        cnt = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        return close(pk, cnt)
+
+    parts = [
+        t
+        for t in ray.get(
+            merged.map_batches(stats_partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.Table.from_pydict(
+            {k: pa.array([0], t) for k, t in _BF_SCHEMA.items()}
+        )
+    allp = pa.concat_tables(parts)
+    return pa.Table.from_pydict(
+        {
+            k: pa.array(
+                [int(allp.column(k).to_numpy(zero_copy_only=False).sum())],
+                pa.int64(),
+            )
+            for k in _BF_SCHEMA
+        }
+    )

@@ -293,3 +293,48 @@ def test_weighted_sssp_tier_equality_sf0001():
     a = weighted_sssp(SF)
     b = weighted_sssp(SF, node_budget=0)
     assert a.num_rows > 0 and a.equals(b)
+
+
+def test_butterfly_closed_form(tmp_path):
+    """K_{2,2} (2 suppliers x 2 parts, all 4 edges) is exactly one
+    butterfly; adding a third part shared by both suppliers makes
+    codeg=3 -> C(3,2)=3 butterflies. Repeated lineitems collapse.
+    Both tiers."""
+    from high_performance_docling_ray.pipelines.graph import butterfly_count
+
+    d = tmp_path / "b1"
+    sf = _write_lineitem(
+        d, [(0, 0), (0, 1), (1, 0), (1, 1), (0, 0), (1, 1)]
+    )
+    for limit in (2_000_000, 0):
+        out = butterfly_count(sf, combine_limit=limit).to_pydict()
+        assert out == {
+            "n_parts": [2], "n_copairs": [1], "n_butterflies": [1],
+        }
+    d2 = tmp_path / "b2"
+    sf2 = _write_lineitem(
+        d2, [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)]
+    )
+    out = butterfly_count(sf2).to_pydict()
+    assert out == {"n_parts": [3], "n_copairs": [1], "n_butterflies": [3]}
+
+
+def test_butterfly_hub_guard(tmp_path):
+    """A part with degree above the cap drops WHOLE: K_{2,2} plus a
+    hub part touching both suppliers counts only the K_{2,2} butterfly
+    when the cap excludes the hub... the cap is on the part's supplier
+    degree, so cap=2 keeps everything here; cap=1 keeps nothing."""
+    from high_performance_docling_ray.pipelines.graph import butterfly_count
+
+    d = tmp_path / "h"
+    sf = _write_lineitem(d, [(0, 0), (0, 1), (1, 0), (1, 1)])
+    out = butterfly_count(sf, max_part_degree=1).to_pydict()
+    assert out == {"n_parts": [0], "n_copairs": [0], "n_butterflies": [0]}
+
+
+def test_butterfly_tier_equality_sf0001():
+    from high_performance_docling_ray.pipelines.graph import butterfly_count
+
+    a = butterfly_count(SF)
+    b = butterfly_count(SF, combine_limit=0)
+    assert a.equals(b) and a.column("n_butterflies")[0].as_py() > 0
