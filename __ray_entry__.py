@@ -1147,6 +1147,22 @@ def _q_kcore_nodes_cogroup(sf_dir: str):
     return kcore_nodes(sf_dir, node_broadcast_budget=0)
 
 
+def _q_frequent_item_pairs(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import (
+        frequent_item_pairs,
+    )
+
+    return frequent_item_pairs(sf_dir)
+
+
+def _q_frequent_item_pairs_grouped(sf_dir: str):
+    from high_performance_docling_ray.pipelines.analytics import (
+        frequent_item_pairs,
+    )
+
+    return frequent_item_pairs(sf_dir, combine_limit=0)
+
+
 def _q_butterfly_count(sf_dir: str):
     from high_performance_docling_ray.pipelines.graph import butterfly_count
 
@@ -1797,6 +1813,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": _q_rrf_fusion,
         "butterfly_count": _q_butterfly_count,
         "butterfly_count_grouped": _q_butterfly_count_grouped,
+        "frequent_item_pairs": _q_frequent_item_pairs,
+        "frequent_item_pairs_grouped": _q_frequent_item_pairs_grouped,
         "user_drawdown": _q_user_drawdown,
         "user_drawdown_grouped": _q_user_drawdown_grouped,
         "activity_streaks": _q_activity_streaks,
@@ -4102,6 +4120,19 @@ def oracle_sql() -> dict[str, str]:
             FROM es s JOIN core c1 ON s.src = c1.v
                       JOIN core c2 ON s.dst = c2.v
             GROUP BY s.src ORDER BY node
+        """,
+        "frequent_item_pairs": """
+            WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            keep AS (SELECT o FROM e0 GROUP BY o
+                     HAVING COUNT(*) BETWEEN 2 AND 4096),
+            e1 AS (SELECT o, p FROM e0 JOIN keep USING (o)),
+            cd AS (SELECT a.p AS pa, b.p AS pb
+                   FROM e1 a JOIN e1 b ON a.o = b.o AND a.p < b.p),
+            pc2 AS (SELECT pa, pb, COUNT(*) AS support FROM cd GROUP BY 1, 2)
+            SELECT pa AS part_a, pb AS part_b,
+                   CAST(support AS BIGINT) AS support
+            FROM pc2 WHERE support >= 2 ORDER BY part_a, part_b
         """,
         "butterfly_count": """
             WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
@@ -8262,6 +8293,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]
     oracles["weighted_sssp_cogroup"] = oracles["weighted_sssp"]
     oracles["butterfly_count_grouped"] = oracles["butterfly_count"]
+    oracles["frequent_item_pairs_grouped"] = oracles["frequent_item_pairs"]
     oracles["user_drawdown_grouped"] = oracles["user_drawdown"]
     oracles["activity_streaks_grouped"] = oracles["activity_streaks"]
     oracles["rolling_distinct_users_grouped"] = oracles[

@@ -1865,3 +1865,165 @@ def events_trend(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
          "slope_per_day": pa.array(out_s, pa.float64()),
          "intercept": pa.array(out_i, pa.float64())}
     )
+
+
+# -- market-basket frequent pair mining ----------------------------------------
+
+_FIP_EMPTY = pa.Table.from_pydict(
+    {
+        "part_a": pa.array([], pa.int64()),
+        "part_b": pa.array([], pa.int64()),
+        "support": pa.array([], pa.int64()),
+    }
+)
+
+
+def frequent_item_pairs(
+    sf_dir: str,
+    min_support: int = 2,
+    max_basket: int = 4096,
+    combine_limit: int = 2_000_000,
+) -> pa.Table:
+    """Frequent part PAIRS across order baskets (the Apriori level-2
+    candidate set / association-rule numerator): (part_a < part_b,
+    support = orders containing both), support >= ``min_support``.
+
+    The butterfly_count machinery pointed at baskets: an order's
+    distinct parts co-locate in ONE hash(order)-bucketed exchange,
+    pair emission is vectorized across basket runs (repeat/arange),
+    mega-baskets past ``max_basket`` distinct parts drop WHOLE
+    (mirrored by the oracle's HAVING; a d-item basket alone emits
+    C(d,2) pairs). Packed pair counts pre-combine per group; under
+    ``combine_limit`` the driver merges and thresholds, past it a Ray
+    groupby(pk).sum merges and the threshold filters DISTRIBUTED — the
+    driver only ever holds qualifying pairs (true output size), the
+    ngram_jaccard contract.
+    """
+    from .io import read_parquet_clean
+    from .joins import default_num_buckets, int_key_buckets
+
+    num_parts = default_num_buckets()
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        key = np.unique(np.stack([o, p], axis=1), axis=0)
+        return pa.Table.from_pydict(
+            {
+                "o": pa.array(key[:, 0], pa.int64()),
+                "p": pa.array(key[:, 1], pa.int64()),
+                "bucket": pa.array(int_key_buckets(key[:, 0], num_parts)),
+            }
+        )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        o = group.column("o").to_numpy(zero_copy_only=False)
+        p = group.column("p").to_numpy(zero_copy_only=False)
+        key = np.unique(np.stack([o, p], axis=1), axis=0)
+        o, p = key[:, 0], key[:, 1]
+        if len(p) and ((p < 0).any() or (p >= 1 << 31).any()):
+            raise ValueError(
+                "frequent_item_pairs: partkey outside packable domain"
+            )
+        empty = pa.Table.from_pydict(
+            {"pk": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        n = len(o)
+        if not n:
+            return empty
+        new_run = np.concatenate(([True], o[1:] != o[:-1]))
+        run_start_idx = np.nonzero(new_run)[0]
+        run_len = np.diff(np.r_[run_start_idx, n])
+        keep_run = (run_len >= 2) & (run_len <= max_basket)
+        keep_row = np.repeat(keep_run, run_len)
+        o, p = o[keep_row], p[keep_row]
+        n = len(o)
+        if not n:
+            return empty
+        new_run = np.concatenate(([True], o[1:] != o[:-1]))
+        run_start_idx = np.nonzero(new_run)[0]
+        run_id = np.cumsum(new_run) - 1
+        starts = run_start_idx[run_id]
+        pos = np.arange(n, dtype=np.int64) - starts
+        total = int(pos.sum())
+        if not total:
+            return empty
+        jj = np.repeat(np.arange(n, dtype=np.int64), pos)
+        block_off = np.cumsum(pos) - pos
+        ii = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(block_off, pos)
+            + np.repeat(starts, pos)
+        )
+        u, v = p[ii], p[jj]  # p sorted within run -> u < v
+        pk = (u << np.int64(32)) | v
+        uniq, cnt = np.unique(pk, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "pk": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pairs_in_bucket(
+                g.sort_by([("o", "ascending"), ("p", "ascending")])
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def unpack(pk: np.ndarray, cnt: np.ndarray) -> pa.Table:
+        keep = cnt >= min_support
+        pk, cnt = pk[keep], cnt[keep]
+        order = np.argsort(pk, kind="stable")  # (a, b) lexicographic
+        pk, cnt = pk[order], cnt[order]
+        return pa.Table.from_pydict(
+            {
+                "part_a": pa.array(pk >> np.int64(32), pa.int64()),
+                "part_b": pa.array(pk & np.int64(0xFFFFFFFF), pa.int64()),
+                "support": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    tbl = _combine_partials(
+        partials, ["pk"], ["n"], combine_limit=combine_limit
+    )
+    if tbl is not None:
+        return unpack(
+            tbl.column("pk").to_numpy(zero_copy_only=False),
+            tbl.column("sum(n)").to_numpy(zero_copy_only=False),
+        )
+
+    # over-budget: keyed merge + DISTRIBUTED threshold — only
+    # qualifying pairs (true output size) reach the driver
+    merged = partials.groupby("pk").sum("n")
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("sum(n)"), min_support)
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            merged.map_batches(thresh, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return _FIP_EMPTY
+    allq = pa.concat_tables(parts)
+    return unpack(
+        allq.column("pk").to_numpy(zero_copy_only=False),
+        allq.column("sum(n)").to_numpy(zero_copy_only=False),
+    )

@@ -417,3 +417,45 @@ def test_weighted_median_tiers_and_reference():
     cw = np.cumsum(ws)
     ref = qs[np.searchsorted(2 * cw, cw[-1])] / 100.0
     assert a.to_pandas().weighted_median_qty.iloc[0] == ref
+
+
+def test_frequent_item_pairs_closed_form(tmp_path):
+    """Orders {1: (a,b,c), 2: (a,b), 3: (a,b)} -> (a,b) support 3,
+    (a,c)/(b,c) support 1 (below min_support 2). Duplicated lineitems
+    collapse; a basket over the cap drops whole. Both tiers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.analytics import (
+        frequent_item_pairs,
+    )
+
+    d = tmp_path / "fip"
+    d.mkdir()
+    rows = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10),
+            (3, 11), (3, 10)]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+                "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    for limit in (2_000_000, 0):
+        out = frequent_item_pairs(str(d), combine_limit=limit).to_pydict()
+        assert out == {"part_a": [10], "part_b": [11], "support": [3]}
+    # cap=2 drops order 1 whole; (10,11) still supported by orders 2+3
+    out = frequent_item_pairs(str(d), max_basket=2).to_pydict()
+    assert out == {"part_a": [10], "part_b": [11], "support": [2]}
+
+
+def test_frequent_item_pairs_tier_equality_sf0001():
+    from high_performance_docling_ray.pipelines.analytics import (
+        frequent_item_pairs,
+    )
+
+    a = frequent_item_pairs("/root/testdata/sf0.001")
+    b = frequent_item_pairs("/root/testdata/sf0.001", combine_limit=0)
+    assert a.num_rows > 0 and a.equals(b)
