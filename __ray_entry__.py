@@ -1671,13 +1671,13 @@ _PRIORITY_50 = [
     "edit_distance_pairs", "fuzzy_components", "incremental_dedup",
     "embedding_neardup_pairs", "embedding_neardup_ivf",
     "knn_brute_cosine", "sparse_cosine_pairs", "knn_graph",
-    "kmeans_clusters", "semdedup", "tfidf_topk", "bm25_topk",
+    "kmeans_clusters", "semdedup", "tfidf_topk", "rrf_fusion",
     "decontaminate", "clean_corpus", "pack_sequences",
     "quality_classifier", "bitext_mine", "pagerank", "triangle_count",
-    "bfs_distances", "neardup_components",
+    "weighted_sssp_cogroup", "neardup_components",
     "kendall_user_metrics", "spearman_user_metrics",
-    "mannwhitney_value", "contingency_stats",
-    "rolling_distinct_users", "interval_merge", "frequent_ngrams",
+    "mannwhitney_value", "butterfly_count_grouped",
+    "rolling_distinct_users", "kcore_nodes_cogroup", "frequent_ngrams",
     "q1_pricing_summary", "q3_top_orders",
     "q3_top_orders_cogroup", "q18_big_orders_cogroup",
     "q13_order_distribution_cogroup", "q21_waiting_suppliers_cogroup",
