@@ -1205,6 +1205,19 @@ def _q_user_value_trend_grouped(sf_dir: str):
     return user_value_trend(sf_dir, driver_budget=0)
 
 
+def _q_theil_sen_trend(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import theil_sen_trend
+
+    return theil_sen_trend(sf_dir)
+
+
+def _q_theil_sen_trend_grouped(sf_dir: str):
+    """Forced any-cardinality tier: hash(user) co-partition exchange."""
+    from high_performance_docling_ray.pipelines.seqstats import theil_sen_trend
+
+    return theil_sen_trend(sf_dir, driver_budget=0)
+
+
 def _q_rolling_distinct_users(sf_dir: str):
     from high_performance_docling_ray.pipelines.seqstats import (
         rolling_distinct_users,
@@ -1806,6 +1819,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "lag1_autocorr_grouped": _q_lag1_autocorr_grouped,
         "user_value_trend": _q_user_value_trend,
         "user_value_trend_grouped": _q_user_value_trend_grouped,
+        "theil_sen_trend": _q_theil_sen_trend,
+        "theil_sen_trend_grouped": _q_theil_sen_trend_grouped,
         "kcore_nodes": _q_kcore_nodes,
         "kcore_nodes_cogroup": _q_kcore_nodes_cogroup,
         "weighted_sssp": _q_weighted_sssp,
@@ -4266,6 +4281,21 @@ def oracle_sql() -> dict[str, str]:
                                 * (n * syy - sy * sy))
                         ELSE NULL END AS r2
             FROM a ORDER BY user_id
+        """,
+        # Theil–Sen: median of all strictly-increasing-ts pairwise
+        # slopes; epoch_us difference FIRST then one divide, mirroring
+        # the Ray kernel's exact double op order
+        "theil_sen_trend": """
+            WITH p AS (
+              SELECT e1.user_id AS user_id,
+                     (e2.value - e1.value) /
+                     ((epoch_us(e2.ts) - epoch_us(e1.ts))
+                      / 3600000000.0) AS slope
+              FROM events e1 JOIN events e2
+                ON e1.user_id = e2.user_id AND e2.ts > e1.ts)
+            SELECT user_id, COUNT(*) AS n_pairs,
+                   median(slope) AS slope_per_hour
+            FROM p GROUP BY 1 ORDER BY 1
         """,
         "asof_join_events": """
             SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
@@ -8290,6 +8320,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["interval_merge_grouped"] = oracles["interval_merge"]
     oracles["lag1_autocorr_grouped"] = oracles["lag1_autocorr"]
     oracles["user_value_trend_grouped"] = oracles["user_value_trend"]
+    oracles["theil_sen_trend_grouped"] = oracles["theil_sen_trend"]
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]
     oracles["weighted_sssp_cogroup"] = oracles["weighted_sssp"]
     oracles["butterfly_count_grouped"] = oracles["butterfly_count"]

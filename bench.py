@@ -160,6 +160,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "domain_hits",
         # round-4 session-7: trend regression + k-core peel
         "user_value_trend",
+        "theil_sen_trend",
         "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",

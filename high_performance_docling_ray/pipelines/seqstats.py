@@ -68,6 +68,7 @@ __all__ = [
     "spearman_user_metrics",
     "kendall_user_metrics",
     "user_value_trend",
+    "theil_sen_trend",
 ]
 
 
@@ -1992,3 +1993,140 @@ def kendall_user_metrics(
     return _tau_row(
         m_total, q, _isum(at, "n1"), _isum(bt, "n2"), _isum(at, "n3")
     )
+
+
+# -- Theil–Sen robust trend ---------------------------------------------------
+
+_TS_EMPTY = pa.Table.from_pydict(
+    {
+        "user_id": pa.array([], pa.int64()),
+        "n_pairs": pa.array([], pa.int64()),
+        "slope_per_hour": pa.array([], pa.float64()),
+    }
+)
+
+_US_PER_HOUR = 3_600_000_000.0
+
+
+def theil_sen_trend(
+    sf_dir: str, driver_budget: int = 2_000_000,
+    hot_pair_cap: int = 20_000_000,
+    sink_dir: str | None = None,
+) -> pa.Table | str:
+    """Per-user Theil–Sen slope of ``value`` over time — the MEDIAN of
+    all pairwise slopes ``(v_j - v_i) / Δhours`` across event pairs
+    with strictly increasing ``ts``. The robust complement to
+    ``user_value_trend``'s OLS: a single outlier event moves OLS
+    arbitrarily but shifts the pairwise-slope median by at most one
+    order statistic (breakdown point ~29%).
+
+    Pair enumeration is O(k²) per user but fully vectorized across
+    ALL users in a partition (no per-key Python): each row at local
+    position l in its user run is the RIGHT element of exactly l
+    pairs, so ``np.repeat`` of the row index by l plus one global
+    ramp materializes every (i, j) index pair in two allocations.
+    Same-``ts`` pairs are excluded AFTER enumeration (they carry no
+    slope and the SQL mirror's ``e2.ts > e1.ts`` join drops them).
+    The slope is computed exactly as the oracle does —
+    ``(v_j - v_i) / ((us_j - us_i) / US_PER_HOUR)`` with the int64
+    microsecond difference taken first — so the doubles are
+    bit-identical and the per-user median (sorted segment middle,
+    even-count midpoint average == SQL ``quantile_cont(0.5)``) picks
+    identical elements.
+
+    Scale: pair volume is Σ m_u(m_u-1)/2 — quadratic in the HOT
+    user's event count, so each partition pass refuses past
+    ``hot_pair_cap`` emitted pairs with remediation (subsample the
+    hot entity upstream or raise the cap) rather than silently
+    OOMing; for the benchmark event table m_u is O(100). Driver fast
+    tier under the events FOOTER probe; ``theil_sen_trend_grouped``
+    forces the co-partition exchange.
+    """
+    from .io import parquet_num_rows
+
+    num_parts = _num_parts()
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def sen_part(group: pa.Table) -> pa.Table:
+        n_rows = group.num_rows
+        if not n_rows:
+            return _TS_EMPTY
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        eids = group.column("event_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        )
+        vals = group.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        order = np.lexsort((eids, ts, users))
+        users, ts, vals = users[order], ts[order], vals[order]
+        run_start = np.concatenate(([True], users[1:] != users[:-1]))
+        starts = np.nonzero(run_start)[0]
+        m = np.diff(np.append(starts, n_rows))
+        # local position 0..m-1 within each run == pairs this row closes
+        local = np.arange(n_rows) - np.repeat(starts, m)
+        total_pairs = int(local.sum())
+        if total_pairs > hot_pair_cap:
+            raise ValueError(
+                "theil_sen_trend: pairwise-slope emission "
+                f"({total_pairs}) exceeds hot_pair_cap ({hot_pair_cap}); "
+                "subsample hot users upstream or raise the cap"
+            )
+        if not total_pairs:
+            return _TS_EMPTY
+        j_idx = np.repeat(np.arange(n_rows), local)
+        csum = np.cumsum(local) - local
+        ramp = np.arange(total_pairs) - np.repeat(csum, local)
+        i_idx = np.repeat(np.repeat(starts, m), local) + ramp
+        dus = ts[j_idx] - ts[i_idx]
+        keep = dus > 0  # strictly increasing ts, like the SQL join
+        if not keep.any():
+            return _TS_EMPTY
+        i_idx, j_idx, dus = i_idx[keep], j_idx[keep], dus[keep]
+        slopes = (vals[j_idx] - vals[i_idx]) / (
+            dus.astype(np.float64) / _US_PER_HOUR
+        )
+        pu = users[j_idx]
+        sorder = np.lexsort((slopes, pu))
+        pu, slopes = pu[sorder], slopes[sorder]
+        p_start = np.concatenate(([True], pu[1:] != pu[:-1]))
+        offs = np.nonzero(p_start)[0]
+        cnt = np.diff(np.append(offs, len(pu)))
+        mid = offs + cnt // 2
+        med = np.where(
+            cnt % 2 == 1,
+            slopes[mid],
+            (slopes[np.maximum(mid - 1, 0)] + slopes[mid]) / 2.0,
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(pu[offs], pa.int64()),
+                "n_pairs": pa.array(cnt, pa.int64()),
+                "slope_per_hour": pa.array(med, pa.float64()),
+            }
+        )
+
+    if (
+        sink_dir is None
+        and driver_budget
+        and parquet_num_rows(f"{sf_dir}/events.parquet") <= driver_budget
+    ):
+        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return _TS_EMPTY
+        whole = pa.concat_tables(parts).combine_chunks()
+        return sen_part(whole).sort_by([("user_id", "ascending")])
+
+    out = (
+        ds.map_batches(
+            lambda b: _stamp_user_part(b, num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: sen_part(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    return to_table_or_sink(out, [("user_id", "ascending")], sink_dir)

@@ -662,3 +662,60 @@ def test_user_value_trend_tiers_sf0001():
             user_value_trend(SF, driver_budget=0).to_pandas()
         )
     )
+
+
+def test_theil_sen_closed_form(tmp_path):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        theil_sen_trend,
+    )
+
+    hour = 3_600_000_000
+    # user 1: values 0,2,6 at hours 0,1,2 -> pair slopes {2,3,4}/hr,
+    #   median 3 (odd count)
+    # user 2: two events at the SAME ts -> zero qualifying pairs ->
+    #   absent from the output (mirrors the SQL e2.ts > e1.ts join)
+    # user 3: 0,1,2,100 at hours 0..3 -> slopes
+    #   {1,1,1,100/3,49.5,98}; even count 6 -> (1 + 100/3)/2
+    sf = _write_events(
+        tmp_path / "t",
+        eids=[1, 2, 3, 4, 5, 6, 7, 8, 9],
+        ts_us=[0, hour, 2 * hour, 5, 5, 0, hour, 2 * hour, 3 * hour],
+        users=[1, 1, 1, 2, 2, 3, 3, 3, 3],
+        vals=[0.0, 2.0, 6.0, 1.0, 9.0, 0.0, 1.0, 2.0, 100.0],
+    )
+    out = theil_sen_trend(sf).to_pandas().set_index("user_id")
+    assert sorted(out.index) == [1, 3]
+    assert out.loc[1, "n_pairs"] == 3
+    assert abs(out.loc[1, "slope_per_hour"] - 3.0) < 1e-12
+    assert out.loc[3, "n_pairs"] == 6
+    assert abs(out.loc[3, "slope_per_hour"] - (1.0 + 100.0 / 3.0) / 2) < 1e-12
+    grouped = theil_sen_trend(sf, driver_budget=0).to_pandas()
+    assert grouped.set_index("user_id").equals(out)
+
+
+def test_theil_sen_hot_pair_cap(tmp_path):
+    import pytest
+
+    from high_performance_docling_ray.pipelines.seqstats import (
+        theil_sen_trend,
+    )
+
+    sf = _write_events(
+        tmp_path / "t",
+        eids=list(range(10)),
+        ts_us=[i * 1000 for i in range(10)],
+        users=[7] * 10,
+        vals=[float(i) for i in range(10)],
+    )
+    with pytest.raises(ValueError, match="hot_pair_cap"):
+        theil_sen_trend(sf, hot_pair_cap=2)
+
+
+def test_theil_sen_tiers_sf0001():
+    from high_performance_docling_ray.pipelines.seqstats import (
+        theil_sen_trend,
+    )
+
+    base = theil_sen_trend(SF).to_pandas()
+    assert len(base) > 0
+    assert base.equals(theil_sen_trend(SF, driver_budget=0).to_pandas())
