@@ -2018,6 +2018,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # exact edit-distance<=2 fuzzy self-join (SymSpell deletion
         # neighborhoods with an O(1) algebraic delete-hash)
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "jaro_winkler_pairs": _q_jaro_winkler_pairs,
+        "jaro_winkler_pairs_grouped": _q_jaro_winkler_pairs_grouped,
         # interpolated exact quantiles (quantile_cont sibling of the
         # value-count exact_quantiles — no global sort)
         "exact_quantiles_cont": _q_exact_quantiles_cont,
@@ -2192,6 +2194,19 @@ def _q_edit_distance_pairs(sf_dir: str):
     from high_performance_docling_ray.pipelines.fuzzy import edit_distance_pairs
 
     return edit_distance_pairs(sf_dir)
+
+
+def _q_jaro_winkler_pairs(sf_dir: str):
+    from high_performance_docling_ray.pipelines.fuzzy import jaro_winkler_pairs
+
+    return jaro_winkler_pairs(sf_dir)
+
+
+def _q_jaro_winkler_pairs_grouped(sf_dir: str):
+    """Forced any-cardinality tier: per-prefix-block groupby exchange."""
+    from high_performance_docling_ray.pipelines.fuzzy import jaro_winkler_pairs
+
+    return jaro_winkler_pairs(sf_dir, driver_budget=0)
 
 
 def _q_exact_quantiles_cont(sf_dir: str):
@@ -7888,6 +7903,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.doc_id < b.doc_id AND levenshtein(a.key, b.key) <= 2
         ORDER BY 1, 2
     """
+    # Jaro–Winkler blocked self-join: same derived-key CASE; blocking
+    # mirrored in the join predicate; the Ray kernel is byte-level
+    # bit-identical to DuckDB's jaro_winkler_similarity
+    oracles["jaro_winkler_pairs"] = """
+        WITH k AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 5
+                      THEN substr(substr(text, 1, 24), 1, (doc_id % 12) + 1)
+                           || substr(substr(text, 1, 24), (doc_id % 12) + 3)
+                      WHEN doc_id % 17 = 3
+                      THEN substr(substr(text, 1, 24), 1, (doc_id % 10) + 2)
+                           || 'x'
+                           || substr(substr(text, 1, 24), (doc_id % 10) + 3)
+                      ELSE substr(text, 1, 24) END AS key
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               jaro_winkler_similarity(a.key, b.key) AS jw
+        FROM k a JOIN k b
+          ON substr(a.key, 1, 2) = substr(b.key, 1, 2)
+         AND a.doc_id < b.doc_id
+        WHERE jaro_winkler_similarity(a.key, b.key) >= 0.9
+        ORDER BY 1, 2
+    """
+    oracles["jaro_winkler_pairs_grouped"] = oracles["jaro_winkler_pairs"]
     oracles["exact_quantiles_cont"] = """
         SELECT CAST(q AS DOUBLE) AS q, CAST(value AS DOUBLE) AS value
         FROM (

@@ -161,6 +161,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # round-4 session-7: trend regression + k-core peel
         "user_value_trend",
         "theil_sen_trend",
+        "jaro_winkler_pairs",
         "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",

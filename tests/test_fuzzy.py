@@ -134,3 +134,136 @@ def test_fuzzy_components_tiers_and_structure():
     assert (comp[pairs.a_id].to_numpy() == comp[pairs.b_id].to_numpy()).all()
     # some non-trivial cluster exists
     assert (a.component != a.doc_id).any()
+
+
+def test_jw_kernel_matches_duckdb():
+    """The strongest pin: the vectorized byte-level JW kernel is
+    bit-identical to DuckDB's jaro_winkler_similarity over random +
+    adversarial pairs (tiny alphabet forces transpositions and window
+    clashes; multi-byte UTF-8 forces the bytes-not-chars convention;
+    empties force the 0.0 edge)."""
+    import random
+
+    import duckdb
+
+    from high_performance_docling_ray.pipelines.fuzzy import (
+        _byte_matrix,
+        _jw_pairs,
+    )
+
+    rng = random.Random(42)
+    cases = [("", ""), ("", "abc"), ("a", "a"), ("ab", "ba"),
+             ("café x", "cafe x"), ("martha", "marhta")]
+    for _ in range(1500):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 12)))
+        cases.append((a, b))
+    for _ in range(500):
+        a = "".join(rng.choice("abcdefgé日 ") for _ in range(rng.randint(8, 28)))
+        lb = list(a)
+        for _ in range(rng.randint(0, 3)):
+            p = rng.randrange(max(1, len(lb)))
+            op = rng.choice("sdit")
+            if op == "s" and lb:
+                lb[p] = rng.choice("abcd")
+            elif op == "d" and lb:
+                del lb[p]
+            elif op == "i":
+                lb.insert(p, rng.choice("abcd"))
+            elif len(lb) > 1:
+                q = min(p + 1, len(lb) - 1)
+                lb[p], lb[q] = lb[q], lb[p]
+        cases.append((a, "".join(lb)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, a VARCHAR, b VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, a, b) for i, (a, b) in enumerate(cases)],
+    )
+    exp = np.array([r[0] for r in con.execute(
+        "SELECT jaro_winkler_similarity(a, b) FROM t ORDER BY i"
+    ).fetchall()])
+    uniq = sorted({s for ab in cases for s in ab})
+    kidx = {k: i for i, k in enumerate(uniq)}
+    mat, lk = _byte_matrix(uniq)
+    u = np.array([kidx[a] for a, _ in cases])
+    v = np.array([kidx[b] for _, b in cases])
+    got = _jw_pairs(mat, lk, u, v)
+    assert np.abs(got - exp).max() == 0.0
+
+
+def _write_docs(d, doc_ids, texts):
+    import pyarrow.parquet as pq
+
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_jw_pairs_clique_and_blocking(tmp_path):
+    """Same-key cliques expand to C(g,2) pairs at exactly 1.0; docs in
+    different 2-char blocks never pair; empty-text keys score 0.0 and
+    are excluded at any positive threshold."""
+    from high_performance_docling_ray.pipelines.fuzzy import (
+        jaro_winkler_pairs,
+    )
+
+    base = "the quick brown fox jumps over"
+    # doc_ids chosen OFF the planted-edit residues (%13 != 5, %17 != 3)
+    sf = _write_docs(
+        tmp_path / "d",
+        [1, 2, 4, 6, 7, 9],
+        [base, base, base,              # clique of 3 identical keys
+         "zz completely different txt",  # other block
+         "th" + "x" * 22,               # same block, dissimilar tail
+         ""],                            # empty key
+    )
+    out = jaro_winkler_pairs(sf, threshold=0.9)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert pairs == {(1, 2), (1, 4), (2, 4)}
+    assert (out.jw == 1.0).all()
+    grouped = jaro_winkler_pairs(sf, threshold=0.9, driver_budget=0)
+    gdf = grouped.to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    assert gdf.equals(out.sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+def test_jw_hot_pair_cap(tmp_path):
+    import pytest
+
+    from high_performance_docling_ray.pipelines.fuzzy import (
+        jaro_winkler_pairs,
+    )
+
+    # 8 distinct keys in one block -> 28 candidate pairs > cap 5
+    sf = _write_docs(
+        tmp_path / "d",
+        [1, 2, 4, 6, 7, 9, 11, 12],
+        ["qq tail %d unique here ok" % i for i in range(8)],
+    )
+    with pytest.raises(ValueError, match="hot_pair_cap"):
+        jaro_winkler_pairs(sf, hot_pair_cap=5)
+
+
+def test_jw_pairs_tiers_sf0001():
+    from high_performance_docling_ray.pipelines.fuzzy import (
+        jaro_winkler_pairs,
+    )
+
+    drv = jaro_winkler_pairs(SF)
+    drv = drv.to_pandas() if hasattr(drv, "to_pandas") else drv
+    drv = drv.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    grp = (
+        jaro_winkler_pairs(SF, driver_budget=0)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(drv) > 0
+    assert grp.equals(drv)
