@@ -1984,6 +1984,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # _sharded forces the out-of-core shard-streaming tier
         "knn_graph": _q_knn_graph,
         "knn_graph_sharded": _q_knn_graph_sharded,
+        "hard_negatives": _q_hard_negatives,
+        "hard_negatives_sharded": _q_hard_negatives_sharded,
         # TPC-H relational widening (pipelines/analytics.py): the
         # remaining classic query shapes the schema can express
         "q4_order_priority": _q_q4_order_priority,   # EXISTS semi-join
@@ -2369,6 +2371,23 @@ def _q_knn_graph_sharded(sf_dir: str):
     from high_performance_docling_ray.pipelines.similarity import knn_graph
 
     return knn_graph(sf_dir, broadcast_budget=0)
+
+
+def _q_hard_negatives(sf_dir: str):
+    from high_performance_docling_ray.pipelines.similarity import (
+        hard_negatives,
+    )
+
+    return hard_negatives(sf_dir)
+
+
+def _q_hard_negatives_sharded(sf_dir: str):
+    """Forced out-of-core tier: labeled shard-store streaming merge."""
+    from high_performance_docling_ray.pipelines.similarity import (
+        hard_negatives,
+    )
+
+    return hard_negatives(sf_dir, broadcast_budget=0)
 
 
 def _q_events_gap_fill(sf_dir: str):
@@ -7606,6 +7625,22 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rnk <= 5
     """
     oracles["knn_graph_sharded"] = oracles["knn_graph"]
+    # hard-negative mining: top-1 different-label cosine neighbor;
+    # rounding to 6dp happens BEFORE rank selection on both sides so
+    # the tie-break is deterministic and identical
+    oracles["hard_negatives"] = """
+        WITH n AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        s AS (SELECT a.vec_id, b.vec_id AS neg_id,
+                     round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+              FROM n a JOIN n b ON a.label <> b.label)
+        SELECT vec_id, neg_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, neg_id) AS rn
+          FROM s) WHERE rn = 1 ORDER BY vec_id
+    """
+    oracles["hard_negatives_sharded"] = oracles["hard_negatives"]
     # TPC-H widening family (pipelines/analytics.py). Money sums use
     # DECIMAL casts (exact 2-decimal data) mirrored by int64-cents
     # arithmetic on the Ray side; count aggregates use count(CASE...)

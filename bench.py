@@ -162,6 +162,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "user_value_trend",
         "theil_sen_trend",
         "jaro_winkler_pairs",
+        "hard_negatives",
         "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",

@@ -1216,3 +1216,170 @@ def rrf_fusion(
             "cosine_rank": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+# -- hard-negative mining ------------------------------------------------------
+
+_HN_EMPTY = pa.Table.from_pydict(
+    {
+        "vec_id": pa.array([], pa.int64()),
+        "neg_id": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }
+)
+
+
+def _hardneg_store(sf_dir: str) -> str:
+    """Normalized + LABELED shard store for the out-of-core
+    hard-negative tier (content-keyed cache + _SUCCESS, the knn-store
+    convention) — the kNN store minus nothing, plus the label column
+    the different-label mask needs. At 10^12 rows neither the matrix
+    NOR the label vector is broadcastable, so labels ride the shards."""
+    import hashlib
+    import os
+    import shutil
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        content_tag = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content_tag = "unknown"
+    tag = hashlib.md5(
+        f"{src}:hardneg:v1:{content_tag}".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/graft_hardneg/{tag}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def norm_batch(b: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(b)
+        labs = b.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int32
+        )
+        order = np.argsort(ids, kind="stable")
+        nm = _normalize(mat)[order]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "label": pa.array(labs[order], pa.int32()),
+                "nemb": pa.array(list(nm), pa.list_(pa.float64())),
+            }
+        )
+
+    read_embeddings(sf_dir).map_batches(
+        norm_batch, batch_format="pyarrow"
+    ).write_parquet(out_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def _store_matrix_labeled(
+    path: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    labs = t.column("label").to_numpy(zero_copy_only=False).astype(np.int32)
+    col = t.column("nemb").combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return ids, labs, np.asarray(flat, np.float64).reshape(len(col), -1)
+
+
+def hard_negatives(
+    sf_dir: str, broadcast_budget: int = 2_000_000
+) -> ray.data.Dataset:
+    """Hard-negative mining for contrastive training: for every
+    vector, its single most-similar neighbor with a DIFFERENT label
+    (cosine top-1 under the different-label mask) — the standard
+    negative-sampling pass a contrastive/embedding-training pipeline
+    runs over the corpus after labeling/clustering. Vectors whose
+    label is the only one in the corpus drop (no negative exists),
+    mirroring the oracle's inner join.
+
+    Cosines round to 6dp BEFORE the (cosine DESC, neg_id ASC)
+    selection so the argmax tie-break matches the oracle's
+    ``row_number() OVER (ORDER BY round(cos, 6) DESC, neg_id)``
+    exactly (the knn_brute convention). In-budget: the normalized
+    matrix + label vector ride ``ray.put`` once, one blocked matmul
+    per streaming batch. Past the budget: each batch streams the
+    persisted LABELED shard store (labels are corpus-sized too —
+    never driver-pinned) with a running best-(cos, id) merge, which
+    is associative, so shard order can't change the answer;
+    ``hard_negatives_sharded`` forces this tier against the shared
+    oracle."""
+    in_budget = embeddings_num_rows(sf_dir) <= broadcast_budget
+    if in_budget:
+        ids_all, nm = _normalized_index(sf_dir)
+        import pyarrow.parquet as _pq
+
+        lab_tbl = _pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+        )
+        lids = lab_tbl.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        labs_all = lab_tbl.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int32)
+        labs_all = labs_all[np.argsort(lids, kind="stable")][
+            np.searchsorted(np.sort(lids), ids_all)
+        ]
+        ref = ray.put((ids_all, labs_all, nm))
+        files = None
+    else:
+        from .bitext import _store_files
+
+        ref = None
+        files = _store_files(_hardneg_store(sf_dir))
+
+    def shard_best(
+        bmat: np.ndarray, blabs: np.ndarray,
+        oids: np.ndarray, olabs: np.ndarray, omat: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        sims = np.round(bmat @ omat.T, 6)
+        sims[blabs[:, None] == olabs[None, :]] = -np.inf
+        mx = sims.max(axis=1) if sims.shape[1] else np.full(
+            len(bmat), -np.inf
+        )
+        cand = sims == mx[:, None]
+        nid = np.where(cand, oids[None, :], np.iinfo(np.int64).max).min(
+            axis=1
+        )
+        return mx, nid
+
+    def block(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _HN_EMPTY
+        bids, mat = _batch_matrix(batch)
+        blabs = batch.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int32)
+        bmat = _normalize(mat)
+        best_c = np.full(len(bids), -np.inf)
+        best_i = np.full(len(bids), np.iinfo(np.int64).max, np.int64)
+        if files is None:
+            oids, olabs, omat = ray.get(ref)
+            best_c, best_i = shard_best(bmat, blabs, oids, olabs, omat)
+        else:
+            for path in files:
+                oids, olabs, omat = _store_matrix_labeled(path)
+                mx, nid = shard_best(bmat, blabs, oids, olabs, omat)
+                upd = (mx > best_c) | ((mx == best_c) & (nid < best_i))
+                best_c[upd] = mx[upd]
+                best_i[upd] = nid[upd]
+        keep = best_c > -np.inf
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(bids[keep], pa.int64()),
+                "neg_id": pa.array(best_i[keep], pa.int64()),
+                "cosine": pa.array(best_c[keep], pa.float64()),
+            }
+        )
+
+    return read_embeddings(sf_dir).map_batches(
+        block, batch_format="pyarrow"
+    )
