@@ -1218,6 +1218,40 @@ def _q_theil_sen_trend_grouped(sf_dir: str):
     return theil_sen_trend(sf_dir, driver_budget=0)
 
 
+def _q_user_burstiness(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_burstiness,
+    )
+
+    return user_burstiness(sf_dir)
+
+
+def _q_user_burstiness_grouped(sf_dir: str):
+    """Forced any-cardinality tier: hash(user) co-partition exchange."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_burstiness,
+    )
+
+    return user_burstiness(sf_dir, driver_budget=0)
+
+
+def _q_psi_source_drift(sf_dir: str):
+    from high_performance_docling_ray.pipelines.hypotests import (
+        psi_source_drift,
+    )
+
+    return psi_source_drift(sf_dir)
+
+
+def _q_psi_source_drift_grouped(sf_dir: str):
+    """Forced any-cardinality tier: Ray groupby cell-count exchange."""
+    from high_performance_docling_ray.pipelines.hypotests import (
+        psi_source_drift,
+    )
+
+    return psi_source_drift(sf_dir, combine_limit=0)
+
+
 def _q_rolling_distinct_users(sf_dir: str):
     from high_performance_docling_ray.pipelines.seqstats import (
         rolling_distinct_users,
@@ -1821,6 +1855,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trend_grouped": _q_user_value_trend_grouped,
         "theil_sen_trend": _q_theil_sen_trend,
         "theil_sen_trend_grouped": _q_theil_sen_trend_grouped,
+        "user_burstiness": _q_user_burstiness,
+        "user_burstiness_grouped": _q_user_burstiness_grouped,
+        "psi_source_drift": _q_psi_source_drift,
+        "psi_source_drift_grouped": _q_psi_source_drift_grouped,
         "kcore_nodes": _q_kcore_nodes,
         "kcore_nodes_cogroup": _q_kcore_nodes_cogroup,
         "weighted_sssp": _q_weighted_sssp,
@@ -4315,6 +4353,61 @@ def oracle_sql() -> dict[str, str]:
                                 * (n * syy - sy * sy))
                         ELSE NULL END AS r2
             FROM a ORDER BY user_id
+        """,
+        # inter-arrival burstiness: exact µs LAG gaps -> per-user
+        # moment sums; GREATEST clamp and the x/0 NULL mirror the
+        # kernel's max(var, 0) and nan-on-zero-denominator
+        "user_burstiness": """
+            WITH g AS (
+              SELECT user_id,
+                     (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id)))
+                     / 3600000000.0 AS gap
+              FROM events),
+            a AS (SELECT user_id, COUNT(gap) AS n, SUM(gap) AS s,
+                         SUM(gap * gap) AS ss
+                  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+            SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+                   s / n AS mean_gap_hours,
+                   sqrt(greatest(ss / n - (s / n) * (s / n), 0))
+                       AS std_gap_hours,
+                   CASE WHEN sqrt(greatest(ss / n - (s / n) * (s / n), 0))
+                             + s / n = 0
+                        THEN NULL
+                        ELSE (sqrt(greatest(ss / n - (s / n) * (s / n), 0))
+                              - s / n)
+                             / (sqrt(greatest(ss / n - (s / n) * (s / n),
+                                              0)) + s / n)
+                   END AS burstiness
+            FROM a ORDER BY 1
+        """,
+        # PSI drift: floor(log2) buckets (exact at the power-of-two
+        # floor boundaries on both engines), Laplace-smoothed
+        # proportions over the corpus bucket set via COALESCE cross join
+        "psi_source_drift": """
+            WITH b AS (SELECT source,
+                              CAST(floor(log2(CAST(n_chars AS DOUBLE) + 1))
+                                   AS BIGINT) AS bucket
+                       FROM documents),
+            sb AS (SELECT source, bucket, CAST(COUNT(*) AS DOUBLE) AS c
+                   FROM b GROUP BY 1, 2),
+            tb AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS ct
+                   FROM b GROUP BY 1),
+            ns AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+                   FROM b GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM b),
+            nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM tb),
+            g AS (SELECT ns.source, ns.n, tb.ct, tot.nt, nb.k,
+                         COALESCE(sb.c, 0) AS c
+                  FROM ns CROSS JOIN tb CROSS JOIN tot CROSS JOIN nb
+                  LEFT JOIN sb ON sb.source = ns.source
+                              AND sb.bucket = tb.bucket)
+            SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+                   round(SUM(((c + 0.5) / (n + 0.5 * k)
+                              - (ct + 0.5) / (nt + 0.5 * k))
+                         * ln(((c + 0.5) / (n + 0.5 * k))
+                              / ((ct + 0.5) / (nt + 0.5 * k)))), 6) AS psi
+            FROM g GROUP BY 1 ORDER BY 1
         """,
         # Theil–Sen: median of all strictly-increasing-ts pairwise
         # slopes; epoch_us difference FIRST then one divide, mirroring
@@ -8395,6 +8488,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["lag1_autocorr_grouped"] = oracles["lag1_autocorr"]
     oracles["user_value_trend_grouped"] = oracles["user_value_trend"]
     oracles["theil_sen_trend_grouped"] = oracles["theil_sen_trend"]
+    oracles["user_burstiness_grouped"] = oracles["user_burstiness"]
+    oracles["psi_source_drift_grouped"] = oracles["psi_source_drift"]
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]
     oracles["weighted_sssp_cogroup"] = oracles["weighted_sssp"]
     oracles["butterfly_count_grouped"] = oracles["butterfly_count"]

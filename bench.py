@@ -163,6 +163,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "theil_sen_trend",
         "jaro_winkler_pairs",
         "hard_negatives",
+        "user_burstiness",
+        "psi_source_drift",
         "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",

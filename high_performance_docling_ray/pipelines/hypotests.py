@@ -759,3 +759,109 @@ def contingency_stats(
             "mutual_info": pa.array([round(mi, 6)], pa.float64()),
         }
     )
+
+
+# -- population stability index (distribution drift) --------------------------
+
+_PSI_EMPTY = pa.Table.from_pydict(
+    {
+        "source": pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+        "psi": pa.array([], pa.float64()),
+    }
+)
+
+
+def psi_source_drift(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Population Stability Index of each source's ``n_chars``
+    distribution against the whole corpus — the standard drift /
+    mix-shift monitor a training-data pipeline runs per ingest batch
+    (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 action).
+
+    Buckets are ``floor(log2(n_chars + 1))`` — deterministic on BOTH
+    engines because log2 is exactly correct at powers of two (the
+    only places the floor has a boundary), unlike ln(x)/ln(2) whose
+    last-ulp error flips buckets. Proportions are Laplace-smoothed
+    ``(c + 0.5) / (n + 0.5·B)`` over the CORPUS bucket set B, so
+    sources missing a bucket contribute finite terms, mirrored
+    exactly by the oracle's COALESCE(c, 0) cross join. The exchange
+    is (source, bucket, count) partials — bounded by the categorical
+    product, never rows; the final PSI fold is sources × ≤ ~40
+    buckets on the driver (contract-bounded).
+    ``psi_source_drift_grouped`` forces the Ray groupby exchange.
+    """
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        t = pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "bucket": pa.array(
+                    np.floor(np.log2(nc + 1.0)).astype(np.int64)
+                ),
+                "f": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["source", "bucket"]).aggregate([("f", "sum")])
+            .rename_columns(["source", "bucket", "f"])
+        )
+
+    partials = ds.map_batches(
+        cell_partial, batch_format="pyarrow"
+    ).materialize()
+    cells = _combine_partials(
+        partials, ["source", "bucket"], ["f"], combine_limit
+    )
+    if cells is None:
+        rows = [
+            t
+            for t in ray.get(
+                partials.groupby(["source", "bucket"]).sum("f")
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        cells = pa.concat_tables(rows).rename_columns(
+            ["source", "bucket", "sum(f)"]
+        )
+    if not cells.num_rows:
+        return _PSI_EMPTY
+    f = cells.column("sum(f)").to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    src = cells.column("source").combine_chunks()
+    s_codes = pc.dictionary_encode(src).indices.to_numpy(
+        zero_copy_only=False
+    )
+    s_names = pc.dictionary_encode(src).dictionary.to_pylist()
+    buckets, b_codes = np.unique(
+        cells.column("bucket").to_numpy(zero_copy_only=False),
+        return_inverse=True,
+    )
+    n_src, n_b = len(s_names), len(buckets)
+    grid = np.zeros((n_src, n_b), np.float64)
+    np.add.at(grid, (s_codes, b_codes), f)
+    n_s = grid.sum(axis=1)
+    ct = grid.sum(axis=0)
+    nt = float(ct.sum())
+    k = float(n_b)
+    ps = (grid + 0.5) / (n_s[:, None] + 0.5 * k)
+    pr = (ct[None, :] + 0.5) / (nt + 0.5 * k)
+    psi = ((ps - pr) * np.log(ps / pr)).sum(axis=1)
+    order = np.argsort(np.asarray(s_names, dtype=object), kind="stable")
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array(
+                [s_names[i] for i in order], pa.string()
+            ),
+            "n_docs": pa.array(
+                n_s[order].astype(np.int64), pa.int64()
+            ),
+            "psi": pa.array(np.round(psi[order], 6), pa.float64()),
+        }
+    )

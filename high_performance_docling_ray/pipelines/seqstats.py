@@ -69,6 +69,7 @@ __all__ = [
     "kendall_user_metrics",
     "user_value_trend",
     "theil_sen_trend",
+    "user_burstiness",
 ]
 
 
@@ -2126,6 +2127,116 @@ def theil_sen_trend(
         .groupby("part")
         .map_groups(
             lambda g: sen_part(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    return to_table_or_sink(out, [("user_id", "ascending")], sink_dir)
+
+
+# -- inter-arrival burstiness --------------------------------------------------
+
+_BU_EMPTY = pa.Table.from_pydict(
+    {
+        "user_id": pa.array([], pa.int64()),
+        "n_gaps": pa.array([], pa.int64()),
+        "mean_gap_hours": pa.array([], pa.float64()),
+        "std_gap_hours": pa.array([], pa.float64()),
+        "burstiness": pa.array([], pa.float64()),
+    }
+)
+
+
+def user_burstiness(
+    sf_dir: str, driver_budget: int = 2_000_000,
+    sink_dir: str | None = None,
+) -> pa.Table | str:
+    """Per-user inter-arrival burstiness of the event stream: gaps
+    between consecutive events (hours, in (ts, event_id) order), their
+    mean and population std, and Goh–Barabási burstiness
+    ``B = (σ − μ) / (σ + μ)`` — B→−1 periodic, 0 Poisson, →1 bursty.
+    The temporal-regularity profile bots/scrapers fail (B ≈ −1) and
+    humans don't; runs next to ``lag1_autocorr`` in the per-entity
+    profile family.
+
+    Gaps are exact int64 µs differences divided once by 3.6e9
+    (bit-identical to the oracle's ``epoch_us`` LAG arithmetic); the
+    per-user Σg and Σg² fold with reduceat (segment-independent float
+    order, the NOTES_r4 edge); σ = sqrt(max(Σg²/n − μ², 0)) with the
+    clamp mirrored by GREATEST; an all-zero-gap user has σ + μ = 0
+    and yields NULL burstiness exactly like DuckDB's x/0. Users with
+    one event drop (no gap), mirroring the WHERE gap IS NOT NULL.
+    Driver fast tier under the events FOOTER probe;
+    ``user_burstiness_grouped`` forces the co-partition exchange."""
+    from .io import parquet_num_rows
+
+    num_parts = _num_parts()
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def burst_part(group: pa.Table) -> pa.Table:
+        n_rows = group.num_rows
+        if not n_rows:
+            return _BU_EMPTY
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        eids = group.column("event_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        )
+        order = np.lexsort((eids, ts, users))
+        users, ts = users[order], ts[order]
+        run_start = np.concatenate(([True], users[1:] != users[:-1]))
+        starts = np.nonzero(run_start)[0]
+        m = np.diff(np.append(starts, n_rows))
+        keep_u = m >= 2
+        if not keep_u.any():
+            return _BU_EMPTY
+        # consecutive gaps within runs: diff of the sorted ts, with the
+        # cross-user seams masked out
+        d = np.diff(ts).astype(np.float64) / _US_PER_HOUR
+        seam = np.zeros(n_rows - 1, bool)
+        seam[starts[1:] - 1] = True
+        gstarts = starts[keep_u] - np.searchsorted(
+            starts, starts[keep_u]
+        )  # gap-array offset: each earlier run start removes one slot
+        gaps = d[~seam]
+        n = (m[keep_u] - 1).astype(np.int64)
+        s = np.add.reduceat(gaps, gstarts)
+        ss = np.add.reduceat(gaps * gaps, gstarts)
+        nf = n.astype(np.float64)
+        mean = s / nf
+        var = ss / nf - mean * mean
+        std = np.sqrt(np.maximum(var, 0.0))
+        denom = std + mean
+        with np.errstate(divide="ignore", invalid="ignore"):
+            burst = np.where(denom == 0.0, np.nan, (std - mean) / denom)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(users[starts[keep_u]], pa.int64()),
+                "n_gaps": pa.array(n, pa.int64()),
+                "mean_gap_hours": pa.array(mean, pa.float64()),
+                "std_gap_hours": pa.array(std, pa.float64()),
+                "burstiness": pa.array(burst, pa.float64()),
+            }
+        )
+
+    if (
+        sink_dir is None
+        and driver_budget
+        and parquet_num_rows(f"{sf_dir}/events.parquet") <= driver_budget
+    ):
+        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return _BU_EMPTY
+        whole = pa.concat_tables(parts).combine_chunks()
+        return burst_part(whole).sort_by([("user_id", "ascending")])
+
+    out = (
+        ds.map_batches(
+            lambda b: _stamp_user_part(b, num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: burst_part(g.drop_columns(["part"])),
             batch_format="pyarrow",
         )
     )

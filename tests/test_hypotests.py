@@ -224,3 +224,72 @@ def test_ks_tier_equality():
     base = ks_two_sample(SF)
     assert base.equals(ks_two_sample(SF, combine_limit=0))
     assert base.equals(ks_two_sample(SF, combine_limit=0, bucket_bits=2))
+
+
+def test_psi_closed_form(tmp_path):
+    """Two sources with identical distributions -> identical PSI;
+    smoothed-proportion arithmetic checked against a hand fold."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.hypotests import (
+        psi_source_drift,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # buckets: floor(log2(n+1)): 7->3, 100->6
+    rows = [("a", 7), ("a", 100), ("b", 7), ("b", 100)]
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "n_chars": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = psi_source_drift(str(d)).to_pandas().set_index("source")
+    # both sources match the corpus mix exactly; smoothing keeps the
+    # terms finite but symmetric: ps == pr -> psi == 0
+    assert abs(out.loc["a", "psi"]) < 1e-12
+    assert abs(out.loc["b", "psi"]) < 1e-12
+    assert (out.n_docs == 2).all()
+    # skewed source: all docs in one bucket
+    rows2 = rows + [("c", 7), ("c", 7)]
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array([r[0] for r in rows2], pa.string()),
+                "n_chars": pa.array([r[1] for r in rows2], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out2 = psi_source_drift(str(d)).to_pandas().set_index("source")
+    # hand fold for source c: B=2, n_c=2, corpus: bucket3 ct=4, bucket6 ct=2, nt=6
+    ps3, ps6 = (2 + 0.5) / (2 + 1.0), (0 + 0.5) / (2 + 1.0)
+    pr3, pr6 = (4 + 0.5) / (6 + 1.0), (2 + 0.5) / (6 + 1.0)
+    want = (ps3 - pr3) * math.log(ps3 / pr3) + (ps6 - pr6) * math.log(
+        ps6 / pr6
+    )
+    assert abs(out2.loc["c", "psi"] - round(want, 6)) < 1e-9
+    assert psi_source_drift(str(d), combine_limit=0).to_pandas().equals(
+        out2.reset_index()[["source", "n_docs", "psi"]]
+    )
+
+
+def test_psi_tiers_sf0001():
+    from high_performance_docling_ray.pipelines.hypotests import (
+        psi_source_drift,
+    )
+
+    base = psi_source_drift("/root/testdata/sf0.001").to_pandas()
+    assert len(base) > 0
+    assert base.equals(
+        psi_source_drift(
+            "/root/testdata/sf0.001", combine_limit=0
+        ).to_pandas()
+    )

@@ -719,3 +719,47 @@ def test_theil_sen_tiers_sf0001():
     base = theil_sen_trend(SF).to_pandas()
     assert len(base) > 0
     assert base.equals(theil_sen_trend(SF, driver_budget=0).to_pandas())
+
+
+def test_burstiness_closed_form(tmp_path):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_burstiness,
+    )
+
+    hour = 3_600_000_000
+    # user 1: perfectly periodic (gaps 1,1,1 h) -> std 0, B = -1
+    # user 2: single event -> dropped
+    # user 3: gaps 1h and 3h -> mean 2, std 1, B = -1/3
+    # user 5: two events at the SAME ts -> one zero gap ->
+    #   mean=std=0 -> burstiness NULL (the x/0 mirror)
+    sf = _write_events(
+        tmp_path / "t",
+        eids=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+        ts_us=[0, hour, 2 * hour, 3 * hour, 0,
+               0, hour, 4 * hour, 5, 5],
+        users=[1, 1, 1, 1, 2, 3, 3, 3, 5, 5],
+        vals=None,
+    )
+    out = user_burstiness(sf).to_pandas().set_index("user_id")
+    assert sorted(out.index) == [1, 3, 5]
+    assert out.loc[1, "n_gaps"] == 3
+    assert abs(out.loc[1, "std_gap_hours"]) < 1e-12
+    assert abs(out.loc[1, "burstiness"] + 1.0) < 1e-12
+    assert abs(out.loc[3, "mean_gap_hours"] - 2.0) < 1e-12
+    assert abs(out.loc[3, "std_gap_hours"] - 1.0) < 1e-12
+    assert abs(out.loc[3, "burstiness"] + 1.0 / 3.0) < 1e-12
+    assert np.isnan(out.loc[5, "burstiness"])
+    grouped = user_burstiness(sf, driver_budget=0).to_pandas()
+    assert grouped.set_index("user_id").sort_index().equals(
+        out.sort_index()
+    )
+
+
+def test_burstiness_tiers_sf0001():
+    from high_performance_docling_ray.pipelines.seqstats import (
+        user_burstiness,
+    )
+
+    base = user_burstiness(SF).to_pandas()
+    assert len(base) > 0
+    assert base.equals(user_burstiness(SF, driver_budget=0).to_pandas())
