@@ -1218,6 +1218,31 @@ def _q_theil_sen_trend_grouped(sf_dir: str):
     return theil_sen_trend(sf_dir, driver_budget=0)
 
 
+def _q_benford_digits(sf_dir: str):
+    from high_performance_docling_ray.pipelines.profiling import (
+        benford_digits,
+    )
+
+    return benford_digits(sf_dir)
+
+
+def _q_benford_digits_grouped(sf_dir: str):
+    """Forced any-cardinality tier: Ray groupby digit-count exchange."""
+    from high_performance_docling_ray.pipelines.profiling import (
+        benford_digits,
+    )
+
+    return benford_digits(sf_dir, combine_limit=0)
+
+
+def _q_zipf_slope(sf_dir: str):
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        zipf_slope,
+    )
+
+    return zipf_slope(sf_dir)
+
+
 def _q_user_burstiness(sf_dir: str):
     from high_performance_docling_ray.pipelines.seqstats import (
         user_burstiness,
@@ -1857,6 +1882,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_trend_grouped": _q_theil_sen_trend_grouped,
         "user_burstiness": _q_user_burstiness,
         "user_burstiness_grouped": _q_user_burstiness_grouped,
+        "benford_digits": _q_benford_digits,
+        "benford_digits_grouped": _q_benford_digits_grouped,
+        "zipf_slope": _q_zipf_slope,
         "psi_source_drift": _q_psi_source_drift,
         "psi_source_drift_grouped": _q_psi_source_drift_grouped,
         "kcore_nodes": _q_kcore_nodes,
@@ -4353,6 +4381,57 @@ def oracle_sql() -> dict[str, str]:
                                 * (n * syy - sy * sy))
                         ELSE NULL END AS r2
             FROM a ORDER BY user_id
+        """,
+        # Benford audit: exact cents (round(x·100) == the house _cents
+        # fixed-point on 2-decimal data), leading digit by string on
+        # the SQL side / divide-loop on the Ray side
+        "benford_digits": """
+            WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS cents
+                       FROM orders WHERE round(o_totalprice * 100) > 0),
+            d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                              AS BIGINT) AS digit FROM c),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM d)
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   COUNT(*) / (SELECT total FROM n) AS observed_p,
+                   log10(1 + 1.0 / digit) AS benford_p
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        # Zipf head fit: the top_tokens CTE + ln-ln OLS with the exact
+        # n·Σxy − ΣxΣy formula shape the Ray fold uses
+        "zipf_slope": r"""
+            WITH t AS (
+              SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            tok AS (SELECT unnest(toks) AS token FROM t),
+            c AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok
+                  GROUP BY token ORDER BY cnt DESC, token LIMIT 100),
+            r AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC,
+                                                    token)
+                                 AS DOUBLE)) AS x,
+                         ln(cnt) AS y FROM c),
+            a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+                         SUM(y) AS sy, SUM(x * x) AS sxx,
+                         SUM(y * y) AS syy, SUM(x * y) AS sxy
+                  FROM r)
+            SELECT CAST(n AS BIGINT) AS n_tokens,
+                   CASE WHEN n >= 2
+                        THEN round((n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx), 6)
+                        ELSE NULL END AS slope,
+                   CASE WHEN n >= 2
+                        THEN round((sy - (n * sxy - sx * sy)
+                                         / (n * sxx - sx * sx) * sx) / n,
+                                   6)
+                        ELSE NULL END AS intercept,
+                   CASE WHEN n >= 2 AND (n * syy - sy * sy) > 0
+                        THEN round((n * sxy - sx * sy)
+                                   * (n * sxy - sx * sy)
+                                   / ((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy)), 6)
+                        ELSE NULL END AS r2
+            FROM a
         """,
         # inter-arrival burstiness: exact µs LAG gaps -> per-user
         # moment sums; GREATEST clamp and the x/0 NULL mirror the
@@ -8489,6 +8568,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["user_value_trend_grouped"] = oracles["user_value_trend"]
     oracles["theil_sen_trend_grouped"] = oracles["theil_sen_trend"]
     oracles["user_burstiness_grouped"] = oracles["user_burstiness"]
+    oracles["benford_digits_grouped"] = oracles["benford_digits"]
     oracles["psi_source_drift_grouped"] = oracles["psi_source_drift"]
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]
     oracles["weighted_sssp_cogroup"] = oracles["weighted_sssp"]

@@ -165,6 +165,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "hard_negatives",
         "user_burstiness",
         "psi_source_drift",
+        "benford_digits",
+        "zipf_slope",
         "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",

@@ -1433,3 +1433,55 @@ def pmi_pairs(
             "pmi": pa.array(np.round(pmi[order], 6), pa.float64()),
         }
     )
+
+
+def zipf_slope(sf_dir: str, k: int = 100) -> pa.Table:
+    """Zipf fit over the corpus vocabulary head: OLS of ln(count) on
+    ln(rank) across the exact top-``k`` tokens (ties by token asc, the
+    ``top_tokens`` order) — the one-number corpus-health check a
+    curation run uses to spot template/boilerplate-dominated crawls
+    (natural language ~ −1; flatter means synthetic repetition,
+    steeper means a few templates drown the tail).
+
+    Composition: the distributed exact heavy-hitter pass
+    (``top_tokens`` — distinct-per-block partials, token-keyed
+    groupby, per-block top-k merge) already bounds what reaches the
+    driver at k × #blocks rows; the OLS fold here is k rows of driver
+    arithmetic with the oracle's exact formula shape (n·Σxy − ΣxΣy
+    over n·Σx² − (Σx)²). Fewer than 2 distinct tokens → NULL fit,
+    mirrored by the SQL CASE."""
+    top = top_tokens(sf_dir, k)
+    n_tok = top.num_rows
+    if n_tok < 2:
+        return pa.Table.from_pydict(
+            {
+                "n_tokens": pa.array([n_tok], pa.int64()),
+                "slope": pa.array([None], pa.float64()),
+                "intercept": pa.array([None], pa.float64()),
+                "r2": pa.array([None], pa.float64()),
+            }
+        )
+    cnt = top.column("cnt").to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    x = np.log(np.arange(1, n_tok + 1, dtype=np.float64))
+    y = np.log(cnt)
+    n = float(n_tok)
+    sx, sy = x.sum(), y.sum()
+    sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = num / dx
+    intercept = (sy - slope * sx) / n
+    r2 = (num * num) / (dx * dy) if dy > 0 else None
+    return pa.Table.from_pydict(
+        {
+            "n_tokens": pa.array([n_tok], pa.int64()),
+            "slope": pa.array([round(slope, 6)], pa.float64()),
+            "intercept": pa.array([round(intercept, 6)], pa.float64()),
+            "r2": pa.array(
+                [None if r2 is None else round(r2, 6)], pa.float64()
+            ),
+        }
+    )

@@ -591,3 +591,87 @@ def zorder_layout(
         .rename_columns(out_names)
         .sort_by([("zpart", "ascending")])
     )
+
+
+# -- Benford first-digit audit -------------------------------------------------
+
+_BF_EMPTY = pa.Table.from_pydict(
+    {
+        "digit": pa.array([], pa.int64()),
+        "n_orders": pa.array([], pa.int64()),
+        "observed_p": pa.array([], pa.float64()),
+        "benford_p": pa.array([], pa.float64()),
+    }
+)
+
+
+def benford_digits(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Benford first-significant-digit audit over ``o_totalprice`` —
+    the fraud/synthetic-data smell test a corpus-ingest QA pass runs
+    on every money-like column (natural multiplicative data follows
+    P(d) = log10(1 + 1/d); fabricated or truncated feeds don't).
+
+    Exactness: prices become exact int64 cents (the house `_cents`
+    fixed-point, identical to the oracle's ``round(x·100)`` on
+    2-decimal data); the leading digit falls out of a vectorized
+    divide-by-10 loop (≤ 12 iterations, no string round-trip); zero
+    cents drop on both sides. The exchange is ≤ 9 count rows per
+    block, merged under the standard combine budget with the Ray
+    groupby fallback; ``benford_digits_grouped`` forces that tier.
+    """
+    from .relational import _cents, _combine_partials, _read
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def digit_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("o_totalprice"))
+        cents = cents[cents > 0]
+        d = cents.copy()
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        cnt = np.bincount(d, minlength=10)[1:10]
+        nz = np.nonzero(cnt)[0]
+        return pa.Table.from_pydict(
+            {
+                "digit": pa.array((nz + 1).astype(np.int64), pa.int64()),
+                "f": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        digit_partial, batch_format="pyarrow"
+    ).materialize()
+    cells = _combine_partials(partials, ["digit"], ["f"], combine_limit)
+    if cells is None:
+        rows = [
+            t
+            for t in ray.get(
+                partials.groupby("digit").sum("f").to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        cells = pa.concat_tables(rows).rename_columns(["digit", "sum(f)"])
+    if not cells.num_rows:
+        return _BF_EMPTY
+    dig = cells.column("digit").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    f = cells.column("sum(f)").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    order = np.argsort(dig, kind="stable")
+    dig, f = dig[order], f[order]
+    total = float(f.sum())
+    return pa.Table.from_pydict(
+        {
+            "digit": pa.array(dig, pa.int64()),
+            "n_orders": pa.array(f, pa.int64()),
+            "observed_p": pa.array(f / total, pa.float64()),
+            "benford_p": pa.array(
+                np.log10(1.0 + 1.0 / dig.astype(np.float64)), pa.float64()
+            ),
+        }
+    )

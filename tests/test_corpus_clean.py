@@ -461,3 +461,49 @@ def test_frequent_ngrams_edges(ray_session, tmp_path):
         frequent_ngrams(sf, phi=0.0)
     with pytest.raises(ValueError):
         frequent_ngrams(sf, phi=0.1, n=0)
+
+
+def test_zipf_slope_closed_form(tmp_path):
+    """Exact powers-of-two counts: token 'a' x4, 'b' x2, 'c' x1 gives
+    y = ln(4),ln(2),ln(1) over x = ln(1),ln(2),ln(3) — slope from the
+    hand OLS; a 1-token corpus yields the NULL-fit row."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        zipf_slope,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["a a a a b b c"], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = zipf_slope(str(d)).to_pandas()
+    assert out.n_tokens[0] == 3
+    x = np.log(np.array([1.0, 2.0, 3.0]))
+    y = np.log(np.array([4.0, 2.0, 1.0]))
+    n = 3.0
+    num = n * (x * y).sum() - x.sum() * y.sum()
+    dx = n * (x * x).sum() - x.sum() ** 2
+    assert abs(out.slope[0] - round(num / dx, 6)) < 1e-9
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["solo"], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out1 = zipf_slope(str(d)).to_pandas()
+    assert out1.n_tokens[0] == 1 and math.isnan(out1.slope[0])

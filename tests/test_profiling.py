@@ -129,3 +129,41 @@ def test_zorder_tiers_and_mass(tmp_path):
     sf = _write_events_xy(tmp_path / "zc", [7, 7, 7], [5.0, 5.0, 5.0])
     one = zorder_layout(sf).to_pydict()
     assert one["zpart"] == [0] and one["n_rows"] == [3]
+
+
+def test_benford_closed_form(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.profiling import (
+        benford_digits,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # cents: 123, 19, 1, 950000, 0 (dropped), 0.07->7
+    prices = [1.23, 0.19, 0.01, 9500.00, 0.0, 0.07]
+    pq.write_table(
+        pa.table({"o_totalprice": pa.array(prices, pa.float64())}),
+        d / "orders.parquet",
+    )
+    out = benford_digits(str(d)).to_pandas().set_index("digit")
+    assert sorted(out.index) == [1, 7, 9]
+    assert out.loc[1, "n_orders"] == 3  # 123, 19->1, 1
+    assert out.loc[9, "n_orders"] == 1
+    assert abs(out.loc[1, "observed_p"] - 3 / 5) < 1e-12
+    assert abs(out.loc[1, "benford_p"] - np.log10(2.0)) < 1e-12
+    grouped = benford_digits(str(d), combine_limit=0).to_pandas()
+    assert grouped.set_index("digit").equals(out)
+
+
+def test_benford_tiers_sf0001():
+    from high_performance_docling_ray.pipelines.profiling import (
+        benford_digits,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = benford_digits(sf).to_pandas()
+    assert len(a) > 0
+    assert a.equals(benford_digits(sf, combine_limit=0).to_pandas())
