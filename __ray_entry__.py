@@ -1218,6 +1218,23 @@ def _q_theil_sen_trend_grouped(sf_dir: str):
     return theil_sen_trend(sf_dir, driver_budget=0)
 
 
+def _q_user_type_pivot(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        user_type_pivot,
+    )
+
+    return user_type_pivot(sf_dir)
+
+
+def _q_user_type_pivot_grouped(sf_dir: str):
+    """Forced any-cardinality tier: Ray groupby-sum wide exchange."""
+    from high_performance_docling_ray.pipelines.relational import (
+        user_type_pivot,
+    )
+
+    return user_type_pivot(sf_dir, combine_limit=0)
+
+
 def _q_benford_digits(sf_dir: str):
     from high_performance_docling_ray.pipelines.profiling import (
         benford_digits,
@@ -1885,6 +1902,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "benford_digits": _q_benford_digits,
         "benford_digits_grouped": _q_benford_digits_grouped,
         "zipf_slope": _q_zipf_slope,
+        "user_type_pivot": _q_user_type_pivot,
+        "user_type_pivot_grouped": _q_user_type_pivot_grouped,
         "psi_source_drift": _q_psi_source_drift,
         "psi_source_drift_grouped": _q_psi_source_drift_grouped,
         "kcore_nodes": _q_kcore_nodes,
@@ -4381,6 +4400,22 @@ def oracle_sql() -> dict[str, str]:
                                 * (n * syy - sy * sy))
                         ELSE NULL END AS r2
             FROM a ORDER BY user_id
+        """,
+        # PIVOT: wide conditional aggregation; pivot columns are schema
+        "user_type_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click')
+                       AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'error')
+                       AS n_error,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup')
+                       AS n_signup,
+                   COUNT(*) FILTER (WHERE event_type = 'view')
+                       AS n_view,
+                   COUNT(*) AS n_total
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         # Benford audit: exact cents (round(x·100) == the house _cents
         # fixed-point on 2-decimal data), leading digit by string on
@@ -8569,6 +8604,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["theil_sen_trend_grouped"] = oracles["theil_sen_trend"]
     oracles["user_burstiness_grouped"] = oracles["user_burstiness"]
     oracles["benford_digits_grouped"] = oracles["benford_digits"]
+    oracles["user_type_pivot_grouped"] = oracles["user_type_pivot"]
     oracles["psi_source_drift_grouped"] = oracles["psi_source_drift"]
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]
     oracles["weighted_sssp_cogroup"] = oracles["weighted_sssp"]

@@ -167,6 +167,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "psi_source_drift",
         "benford_digits",
         "zipf_slope",
+        "user_type_pivot",
         "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",

@@ -2525,3 +2525,70 @@ def weighted_median_qty(
     return pa.Table.from_pydict(
         {"weighted_median_qty": pa.array([med / 100.0], pa.float64())}
     )
+
+
+# -- wide conditional aggregation (SQL PIVOT shape) ---------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+_PIVOT_COLS = [f"n_{t}" for t in _PIVOT_TYPES] + ["n_total"]
+
+
+def user_type_pivot(
+    sf_dir: str, combine_limit: int = 2_000_000,
+    sink_dir: str | None = None,
+) -> pa.Table | ray.data.Dataset | str:
+    """Per-user event counts PIVOTED wide — one row per user, one
+    column per event type plus the total (the SQL ``PIVOT`` /
+    conditional-aggregation shape the long-format family lacks; the
+    standard feature-vector layout ML feature stores export). The
+    pivot column set is schema, fixed in advance by definition — types
+    outside it still count toward ``n_total`` on both sides.
+
+    One pass, no wide shuffle in the fast path: per-batch (user,
+    6 counts) partials via unique+bincount (one row per distinct user
+    per block), merged under the standard combine budget; past it the
+    Ray groupby-sum exchange runs at any user cardinality
+    (``user_type_pivot_grouped`` forces it; sink variant streams the
+    per-user rows to parquet at deployment scale)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pivot_partial(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        types = np.asarray(
+            batch.column("event_type").to_numpy(zero_copy_only=False),
+            dtype=object,
+        )
+        uu, inv = np.unique(users, return_inverse=True)
+        cols = {"user_id": pa.array(uu.astype(np.int64), pa.int64())}
+        for t in _PIVOT_TYPES:
+            cols[f"n_{t}"] = pa.array(
+                np.bincount(
+                    inv, weights=(types == t).astype(np.float64),
+                    minlength=len(uu),
+                ).astype(np.int64),
+                pa.int64(),
+            )
+        cols["n_total"] = pa.array(
+            np.bincount(inv, minlength=len(uu)).astype(np.int64),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(cols)
+
+    partials = ds.map_batches(
+        pivot_partial, batch_format="pyarrow"
+    ).materialize()
+    merged = _combine_partials(
+        partials, ["user_id"], _PIVOT_COLS, combine_limit
+    )
+    if merged is not None:
+        out = merged.rename_columns(["user_id"] + _PIVOT_COLS)
+        return out.sort_by([("user_id", "ascending")])
+    wide = (
+        partials.groupby("user_id")
+        .sum(_PIVOT_COLS)
+        .map_batches(
+            lambda b: b.rename_columns(["user_id"] + _PIVOT_COLS),
+            batch_format="pyarrow",
+        )
+    )
+    return to_table_or_sink(wide, [("user_id", "ascending")], sink_dir)

@@ -233,3 +233,51 @@ def test_moving_avg_sink_roundtrip(tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(back, tbl)
+
+
+def test_user_type_pivot_closed_form(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.relational import (
+        user_type_pivot,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    base = np.datetime64("2024-01-01", "us")
+    types = ["click", "click", "view", "weird", "purchase"]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "ts": pa.array([base] * 5),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = user_type_pivot(str(d))
+    out = (out.to_pandas() if hasattr(out, "to_pandas") else out).set_index(
+        "user_id"
+    )
+    assert out.loc[1, "n_click"] == 2
+    assert out.loc[1, "n_view"] == 1
+    # unknown type counts toward the total only
+    assert out.loc[1, "n_total"] == 4
+    assert out.loc[2, "n_purchase"] == 1 and out.loc[2, "n_total"] == 1
+    grouped = user_type_pivot(str(d), combine_limit=0).to_pandas()
+    assert grouped.set_index("user_id").equals(out)
+
+
+def test_user_type_pivot_tiers_sf0001():
+    from high_performance_docling_ray.pipelines.relational import (
+        user_type_pivot,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = user_type_pivot(sf)
+    a = a.to_pandas() if hasattr(a, "to_pandas") else a
+    b = user_type_pivot(sf, combine_limit=0).to_pandas()
+    assert len(a) > 0 and a.equals(b)
