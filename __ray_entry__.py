@@ -1235,6 +1235,24 @@ def _q_user_type_pivot_grouped(sf_dir: str):
     return user_type_pivot(sf_dir, combine_limit=0)
 
 
+def _q_feature_correlations(sf_dir: str):
+    from high_performance_docling_ray.pipelines.relational import (
+        feature_correlations,
+    )
+
+    return feature_correlations(sf_dir)
+
+
+def _q_feature_correlations_grouped(sf_dir: str):
+    """Forced tier: the pivot stage's Ray groupby exchange feeds the
+    block moment partials."""
+    from high_performance_docling_ray.pipelines.relational import (
+        feature_correlations,
+    )
+
+    return feature_correlations(sf_dir, combine_limit=0)
+
+
 def _q_benford_digits(sf_dir: str):
     from high_performance_docling_ray.pipelines.profiling import (
         benford_digits,
@@ -1904,6 +1922,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": _q_zipf_slope,
         "user_type_pivot": _q_user_type_pivot,
         "user_type_pivot_grouped": _q_user_type_pivot_grouped,
+        "feature_correlations": _q_feature_correlations,
+        "feature_correlations_grouped": _q_feature_correlations_grouped,
         "psi_source_drift": _q_psi_source_drift,
         "psi_source_drift_grouped": _q_psi_source_drift_grouped,
         "kcore_nodes": _q_kcore_nodes,
@@ -4400,6 +4420,55 @@ def oracle_sql() -> dict[str, str]:
                                 * (n * syy - sy * sy))
                         ELSE NULL END AS r2
             FROM a ORDER BY user_id
+        """,
+        # feature correlation matrix over the pivot: all sums are
+        # INTEGER-exact on both sides, so the single final divide
+        # rounds identically
+        "feature_correlations": """
+            WITH p AS (
+              SELECT user_id,
+                     COUNT(*) FILTER (WHERE event_type = 'click')
+                         AS n_click,
+                     COUNT(*) FILTER (WHERE event_type = 'error')
+                         AS n_error,
+                     COUNT(*) FILTER (WHERE event_type = 'purchase')
+                         AS n_purchase,
+                     COUNT(*) FILTER (WHERE event_type = 'signup')
+                         AS n_signup,
+                     COUNT(*) FILTER (WHERE event_type = 'view')
+                         AS n_view,
+                     COUNT(*) AS n_total
+              FROM events GROUP BY 1),
+            u AS (SELECT * FROM (VALUES
+                    ('n_click', 1), ('n_error', 2), ('n_purchase', 3),
+                    ('n_signup', 4), ('n_view', 5), ('n_total', 6))
+                  f(name, i)),
+            long AS (
+              SELECT user_id, f.name, f.i,
+                     CASE f.i WHEN 1 THEN n_click WHEN 2 THEN n_error
+                              WHEN 3 THEN n_purchase
+                              WHEN 4 THEN n_signup
+                              WHEN 5 THEN n_view ELSE n_total END AS v
+              FROM p CROSS JOIN u f),
+            pairs AS (
+              SELECT a.name AS feat_a, b.name AS feat_b,
+                     CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(a.v) AS DOUBLE) AS sx,
+                     CAST(SUM(b.v) AS DOUBLE) AS sy,
+                     CAST(SUM(a.v * a.v) AS DOUBLE) AS sxx,
+                     CAST(SUM(b.v * b.v) AS DOUBLE) AS syy,
+                     CAST(SUM(a.v * b.v) AS DOUBLE) AS sxy
+              FROM long a JOIN long b
+                ON a.user_id = b.user_id AND a.i < b.i
+              GROUP BY 1, 2)
+            SELECT feat_a, feat_b, CAST(n AS BIGINT) AS n_users,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0
+                        THEN round((n * sxy - sx * sy)
+                                   / sqrt((n * sxx - sx * sx)
+                                          * (n * syy - sy * sy)), 6)
+                        ELSE NULL END AS corr
+            FROM pairs ORDER BY 1, 2
         """,
         # PIVOT: wide conditional aggregation; pivot columns are schema
         "user_type_pivot": """
@@ -8605,6 +8674,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["user_burstiness_grouped"] = oracles["user_burstiness"]
     oracles["benford_digits_grouped"] = oracles["benford_digits"]
     oracles["user_type_pivot_grouped"] = oracles["user_type_pivot"]
+    oracles["feature_correlations_grouped"] = oracles[
+        "feature_correlations"
+    ]
     oracles["psi_source_drift_grouped"] = oracles["psi_source_drift"]
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]
     oracles["weighted_sssp_cogroup"] = oracles["weighted_sssp"]

@@ -168,6 +168,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "benford_digits",
         "zipf_slope",
         "user_type_pivot",
+        "feature_correlations",
         "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",

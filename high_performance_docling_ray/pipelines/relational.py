@@ -33,6 +33,8 @@ All column names match the oracle SQL in ``__ray_entry__.oracle_sql``.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -2592,3 +2594,88 @@ def user_type_pivot(
         )
     )
     return to_table_or_sink(wide, [("user_id", "ascending")], sink_dir)
+
+
+def feature_correlations(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Pearson correlation matrix over the per-user pivot features
+    (all 15 unordered pairs of the five type counts + total) — the
+    feature-redundancy screen an ML feature store runs before
+    training (|r| ~ 1 columns are dropped or merged).
+
+    Composition: the ``user_type_pivot`` stage supplies complete
+    per-user rows (its own two tiers decide the exchange); this stage
+    folds them to one (Σx, Σx², Σxy) moment row per block — ALL
+    INTEGER and exact (per-user counts are small; the int64 headroom
+    bound is 10^12 users × count² ≲ 10^16 per pair, documented), so
+    both engines round identically at the single final divide. Zero
+    variance ⇒ NULL, mirrored by the SQL CASE."""
+    feats = _PIVOT_COLS  # n_click .. n_view, n_total
+    piv = user_type_pivot(sf_dir, combine_limit=combine_limit)
+
+    def moments_of(tbl: pa.Table) -> np.ndarray:
+        cols = np.stack(
+            [
+                tbl.column(c).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                for c in feats
+            ],
+            axis=1,
+        )
+        k = len(feats)
+        row = np.zeros(1 + k + k * k, np.int64)
+        row[0] = cols.shape[0]
+        row[1: 1 + k] = cols.sum(axis=0)
+        row[1 + k:] = (cols.T @ cols).ravel()
+        return row
+
+    if isinstance(piv, pa.Table):
+        total = moments_of(piv)
+    else:
+        def moment_partial(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"m": pa.array([moments_of(batch).tolist()],
+                               pa.list_(pa.int64()))}
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                piv.map_batches(moment_partial, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        k = len(feats)
+        total = np.zeros(1 + k + k * k, np.int64)
+        for t in parts:
+            for rowvals in t.column("m").to_pylist():
+                total += np.asarray(rowvals, np.int64)
+    k = len(feats)
+    n = float(total[0])
+    s = total[1: 1 + k].astype(np.float64)
+    ss = total[1 + k:].reshape(k, k).astype(np.float64)
+    ia, ib, corr = [], [], []
+    for a in range(k):
+        for b in range(a + 1, k):
+            dx = n * ss[a, a] - s[a] * s[a]
+            dy = n * ss[b, b] - s[b] * s[b]
+            num = n * ss[a, b] - s[a] * s[b]
+            ia.append(feats[a])
+            ib.append(feats[b])
+            corr.append(
+                round(num / math.sqrt(dx * dy), 6)
+                if dx > 0 and dy > 0
+                else None
+            )
+    return pa.Table.from_pydict(
+        {
+            "feat_a": pa.array(ia, pa.string()),
+            "feat_b": pa.array(ib, pa.string()),
+            "n_users": pa.array([int(n)] * len(ia), pa.int64()),
+            "corr": pa.array(corr, pa.float64()),
+        }
+    )

@@ -281,3 +281,43 @@ def test_user_type_pivot_tiers_sf0001():
     a = a.to_pandas() if hasattr(a, "to_pandas") else a
     b = user_type_pivot(sf, combine_limit=0).to_pandas()
     assert len(a) > 0 and a.equals(b)
+
+
+def test_feature_correlations_closed_form(tmp_path):
+    """Two users with click == view counts -> corr(n_click, n_view)
+    exactly 1; click vs error anti-varying -> -1."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.relational import (
+        feature_correlations,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    base = np.datetime64("2024-01-01", "us")
+    rows = (
+        [(1, "click")] * 1 + [(1, "view")] * 1 + [(1, "error")] * 3
+        + [(2, "click")] * 3 + [(2, "view")] * 3 + [(2, "error")] * 1
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([base] * len(rows)),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = feature_correlations(str(d)).to_pandas().set_index(
+        ["feat_a", "feat_b"]
+    )
+    assert abs(out.loc[("n_click", "n_view"), "corr"] - 1.0) < 1e-9
+    assert abs(out.loc[("n_click", "n_error"), "corr"] + 1.0) < 1e-9
+    # n_purchase is all-zero -> zero variance -> NULL
+    assert np.isnan(out.loc[("n_click", "n_purchase"), "corr"])
+    assert (out.n_users == 2).all()
+    grouped = feature_correlations(str(d), combine_limit=0).to_pandas()
+    assert grouped.set_index(["feat_a", "feat_b"]).equals(out)
