@@ -1235,6 +1235,40 @@ def _q_user_type_pivot_grouped(sf_dir: str):
     return user_type_pivot(sf_dir, combine_limit=0)
 
 
+def _q_dup_clique_histogram(sf_dir: str):
+    from high_performance_docling_ray.pipelines.dedup import (
+        dup_clique_histogram,
+    )
+
+    return dup_clique_histogram(sf_dir)
+
+
+def _q_dup_clique_histogram_grouped(sf_dir: str):
+    """Forced any-cardinality tier: both Ray groupby exchanges."""
+    from high_performance_docling_ray.pipelines.dedup import (
+        dup_clique_histogram,
+    )
+
+    return dup_clique_histogram(sf_dir, combine_limit=0)
+
+
+def _q_value_concentration(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        value_concentration,
+    )
+
+    return value_concentration(sf_dir)
+
+
+def _q_value_concentration_grouped(sf_dir: str):
+    """Forced tier: the percentile stage's distributed _ntile_cents."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        value_concentration,
+    )
+
+    return value_concentration(sf_dir, combine_limit=0)
+
+
 def _q_feature_correlations(sf_dir: str):
     from high_performance_docling_ray.pipelines.relational import (
         feature_correlations,
@@ -1782,9 +1816,9 @@ _PRIORITY_50 = [
     "decontaminate", "clean_corpus", "pack_sequences",
     "quality_classifier", "bitext_mine", "pagerank", "triangle_count",
     "weighted_sssp_cogroup", "neardup_components",
-    "kendall_user_metrics", "spearman_user_metrics",
-    "mannwhitney_value", "butterfly_count_grouped",
-    "rolling_distinct_users", "kcore_nodes_cogroup", "frequent_ngrams",
+    "kendall_user_metrics", "theil_sen_trend",
+    "psi_source_drift", "jaro_winkler_pairs",
+    "hard_negatives", "kcore_nodes_cogroup", "frequent_ngrams",
     "q1_pricing_summary", "q3_top_orders",
     "q3_top_orders_cogroup", "q18_big_orders_cogroup",
     "q13_order_distribution_cogroup", "q21_waiting_suppliers_cogroup",
@@ -1924,6 +1958,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "user_type_pivot_grouped": _q_user_type_pivot_grouped,
         "feature_correlations": _q_feature_correlations,
         "feature_correlations_grouped": _q_feature_correlations_grouped,
+        "dup_clique_histogram": _q_dup_clique_histogram,
+        "dup_clique_histogram_grouped": _q_dup_clique_histogram_grouped,
+        "value_concentration": _q_value_concentration,
+        "value_concentration_grouped": _q_value_concentration_grouped,
         "psi_source_drift": _q_psi_source_drift,
         "psi_source_drift_grouped": _q_psi_source_drift_grouped,
         "kcore_nodes": _q_kcore_nodes,
@@ -4420,6 +4458,33 @@ def oracle_sql() -> dict[str, str]:
                                 * (n * syy - sy * sy))
                         ELSE NULL END AS r2
             FROM a ORDER BY user_id
+        """,
+        # clique-size histogram: GROUP BY text == the md5 key grouping
+        # under the house collision-free assumption; NULL folds to ''
+        "dup_clique_histogram": """
+            WITH c AS (SELECT COUNT(*) AS clique_size FROM documents
+                       GROUP BY COALESCE(text, ''))
+            SELECT clique_size, CAST(COUNT(*) AS BIGINT) AS n_cliques
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        # concentration: NTILE(100) percentile semantics shared with
+        # the deciles core; SUM FILTER over missing tiles -> NULL
+        "value_concentration": """
+            WITH tot AS (SELECT user_id,
+                                CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                                     AS DOUBLE) AS total
+                         FROM events GROUP BY 1),
+            r AS (SELECT total,
+                         NTILE(100) OVER (ORDER BY total, user_id) AS tile
+                  FROM tot)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) FILTER (WHERE tile = 100) AS BIGINT)
+                       AS top1_users,
+                   round(SUM(total) FILTER (WHERE tile = 100)
+                         / SUM(total), 6) AS top1_share,
+                   round(SUM(total) FILTER (WHERE tile > 90)
+                         / SUM(total), 6) AS top10_share
+            FROM r
         """,
         # feature correlation matrix over the pivot: all sums are
         # INTEGER-exact on both sides, so the single final divide
@@ -8677,6 +8742,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["feature_correlations_grouped"] = oracles[
         "feature_correlations"
     ]
+    oracles["dup_clique_histogram_grouped"] = oracles[
+        "dup_clique_histogram"
+    ]
+    oracles["value_concentration_grouped"] = oracles["value_concentration"]
     oracles["psi_source_drift_grouped"] = oracles["psi_source_drift"]
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]
     oracles["weighted_sssp_cogroup"] = oracles["weighted_sssp"]

@@ -169,6 +169,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "zipf_slope",
         "user_type_pivot",
         "feature_correlations",
+        "dup_clique_histogram",
+        "value_concentration",
         "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",

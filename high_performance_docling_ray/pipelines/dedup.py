@@ -1428,3 +1428,100 @@ def sorted_neighborhood_pairs(
         .groupby("pblk")
         .map_groups(pair_block_fn, batch_format="pyarrow")
     )
+
+
+# -- duplicate-clique size histogram ------------------------------------------
+
+_DCH_EMPTY = pa.Table.from_pydict(
+    {
+        "clique_size": pa.array([], pa.int64()),
+        "n_cliques": pa.array([], pa.int64()),
+    }
+)
+
+
+def dup_clique_histogram(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Exact-duplicate CLIQUE-SIZE histogram: how many distinct texts
+    occur once, twice, ... — the first diagnostic a dedup run prints
+    (a heavy tail of large cliques means boilerplate; the 1-bucket is
+    the unique mass). Two bounded reductions, neither holding rows:
+
+    1. (hash64(text), n) count partials per block (the dedup family's
+       collision-free md5 key; null text folds to '' on both sides),
+       merged under the combine budget with the Ray
+       ``groupby(h).sum`` fallback — the exchange is bounded by
+       DISTINCT texts.
+    2. A bincount of the clique sizes: per-block (size, n_cliques)
+       partials over the grouped output, second combine (bounded by
+       the largest clique, ~dozens of distinct sizes), same fallback.
+
+    ``dup_clique_histogram_grouped`` forces both fallback exchanges.
+    """
+    from ..kernels.sketch import hash64_strings
+    from .relational import _combine_partials
+
+    ds = read_documents(sf_dir, ("doc_id", "text"))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column("text"), "")
+        h = hash64_strings(txt).astype(np.int64)  # view: sign-safe key
+        uu, cnt = np.unique(h, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(uu, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        count_partial, batch_format="pyarrow"
+    ).materialize()
+    merged = _combine_partials(partials, ["h"], ["n"], combine_limit)
+
+    def hist_of(counts: np.ndarray) -> pa.Table:
+        if not len(counts):
+            return _DCH_EMPTY
+        sizes, n_cliques = np.unique(counts, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "clique_size": pa.array(sizes.astype(np.int64), pa.int64()),
+                "n_cliques": pa.array(
+                    n_cliques.astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    if merged is not None:
+        return hist_of(
+            merged.column("sum(n)").to_numpy(zero_copy_only=False)
+        )
+    grouped = partials.groupby("h").sum("n")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = hist_of(batch.column("sum(n)").to_numpy(zero_copy_only=False))
+        return t.rename_columns(["clique_size", "m"])
+
+    hist_parts = grouped.map_batches(
+        hist_partial, batch_format="pyarrow"
+    ).materialize()
+    cells = _combine_partials(
+        hist_parts, ["clique_size"], ["m"], combine_limit
+    )
+    if cells is None:
+        rows = [
+            t
+            for t in ray.get(
+                hist_parts.groupby("clique_size").sum("m").to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        cells = pa.concat_tables(rows).rename_columns(
+            ["clique_size", "sum(m)"]
+        )
+    if not cells.num_rows:
+        return _DCH_EMPTY
+    return cells.rename_columns(["clique_size", "n_cliques"]).sort_by(
+        [("clique_size", "ascending")]
+    )

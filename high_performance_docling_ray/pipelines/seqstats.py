@@ -2241,3 +2241,53 @@ def user_burstiness(
         )
     )
     return to_table_or_sink(out, [("user_id", "ascending")], sink_dir)
+
+
+def value_concentration(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Contribution concentration: the share of total event ``value``
+    held by the top 1% and top 10% of users (NTILE(100) percentile
+    semantics over (total, user_id)) — the whale-detection readout
+    next to ``gini_coefficient``; skewed corpora mean a handful of
+    entities dominate a metric and sampling must stratify.
+
+    Pure composition: ``user_value_deciles(tiles=100)`` supplies the
+    per-percentile (n, Σ) rows through its own two tiers (combine
+    budget + the shared ``_ntile_cents`` distributed core); this fold
+    is 100 driver rows. NTILE tie/remainder semantics are therefore
+    identical to the oracle's by construction; an under-populated
+    percentile grid (< 100 users) leaves missing tiles and the
+    corresponding share NULL, mirroring SUM(...) FILTER over no rows.
+    """
+    cent = user_value_deciles(
+        sf_dir, tiles=100, combine_limit=combine_limit
+    )
+    tiles = cent.column("tile").to_numpy(zero_copy_only=False)
+    n = cent.column("n_users").to_numpy(zero_copy_only=False)
+    s = cent.column("sum_total").to_numpy(zero_copy_only=False)
+    total = float(s.sum()) if len(s) else 0.0
+    top1 = tiles == 100
+    top10 = tiles > 90
+    return pa.Table.from_pydict(
+        {
+            "n_users": pa.array([int(n.sum())], pa.int64()),
+            "top1_users": pa.array([int(n[top1].sum())], pa.int64()),
+            "top1_share": pa.array(
+                [
+                    round(float(s[top1].sum()) / total, 6)
+                    if top1.any() and total != 0.0
+                    else None
+                ],
+                pa.float64(),
+            ),
+            "top10_share": pa.array(
+                [
+                    round(float(s[top10].sum()) / total, 6)
+                    if top10.any() and total != 0.0
+                    else None
+                ],
+                pa.float64(),
+            ),
+        }
+    )

@@ -321,3 +321,66 @@ def test_feature_correlations_closed_form(tmp_path):
     assert (out.n_users == 2).all()
     grouped = feature_correlations(str(d), combine_limit=0).to_pandas()
     assert grouped.set_index(["feat_a", "feat_b"]).equals(out)
+
+
+def test_dup_clique_histogram_closed_form(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.dedup import (
+        dup_clique_histogram,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    texts = ["a", "a", "a", "b", "b", "c", None, None]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = dup_clique_histogram(str(d)).to_pandas().set_index("clique_size")
+    # cliques: {a:3, b:2, c:1, '':2} -> size 1 x1, size 2 x2, size 3 x1
+    assert out.loc[1, "n_cliques"] == 1
+    assert out.loc[2, "n_cliques"] == 2
+    assert out.loc[3, "n_cliques"] == 1
+    grouped = dup_clique_histogram(str(d), combine_limit=0).to_pandas()
+    assert grouped.set_index("clique_size").equals(out)
+
+
+def test_value_concentration_closed_form(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.seqstats import (
+        value_concentration,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    base = np.datetime64("2024-01-01", "us")
+    # 10 users, totals 1..10 -> fewer than 100 users: tile 100 is
+    # EMPTY (NTILE spreads 10 rows over tiles 1..100 -> tiles 1-10),
+    # so top1_share is NULL and top10_share is also NULL (no tile>90)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(list(range(1, 11)), pa.int64()),
+                "value": pa.array([float(i) for i in range(1, 11)]),
+                "ts": pa.array([base] * 10),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = value_concentration(str(d)).to_pandas()
+    assert out.n_users[0] == 10
+    assert out.top1_users[0] == 0
+    assert np.isnan(out.top1_share[0]) and np.isnan(out.top10_share[0])
+    assert value_concentration(str(d), combine_limit=0).to_pandas().equals(
+        out
+    )
