@@ -1235,6 +1235,24 @@ def _q_user_type_pivot_grouped(sf_dir: str):
     return user_type_pivot(sf_dir, combine_limit=0)
 
 
+def _q_vocab_growth(sf_dir: str):
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        vocab_growth,
+    )
+
+    return vocab_growth(sf_dir)
+
+
+def _q_vocab_growth_grouped(sf_dir: str):
+    """Forced any-cardinality tier: groupby(token).min + the second
+    groupby(decile) exchange."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        vocab_growth,
+    )
+
+    return vocab_growth(sf_dir, combine_limit=0)
+
+
 def _q_dup_clique_histogram(sf_dir: str):
     from high_performance_docling_ray.pipelines.dedup import (
         dup_clique_histogram,
@@ -1958,6 +1976,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "user_type_pivot_grouped": _q_user_type_pivot_grouped,
         "feature_correlations": _q_feature_correlations,
         "feature_correlations_grouped": _q_feature_correlations_grouped,
+        "vocab_growth": _q_vocab_growth,
+        "vocab_growth_grouped": _q_vocab_growth_grouped,
         "dup_clique_histogram": _q_dup_clique_histogram,
         "dup_clique_histogram_grouped": _q_dup_clique_histogram_grouped,
         "value_concentration": _q_value_concentration,
@@ -4458,6 +4478,28 @@ def oracle_sql() -> dict[str, str]:
                                 * (n * syy - sy * sy))
                         ELSE NULL END AS r2
             FROM a ORDER BY user_id
+        """,
+        # vocab growth: "seen by cutoff" == each token's MIN doc_id;
+        # cutoffs from MAX(doc_id) (footer column stats on the Ray side)
+        "vocab_growth": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            f AS (SELECT token, MIN(doc_id) AS first_doc FROM tok
+                  GROUP BY 1),
+            m AS (SELECT MAX(doc_id) AS mx FROM documents),
+            th AS (SELECT i, CAST(floor(i * mx / 10.0) AS BIGINT)
+                          AS cutoff
+                   FROM m CROSS JOIN
+                        (SELECT unnest(generate_series(1, 10)) AS i))
+            SELECT CAST(i AS BIGINT) AS decile, cutoff AS cutoff_doc,
+                   CAST((SELECT COUNT(*) FROM f
+                         WHERE first_doc <= cutoff) AS BIGINT)
+                       AS vocab_size
+            FROM th ORDER BY 1
         """,
         # clique-size histogram: GROUP BY text == the md5 key grouping
         # under the house collision-free assumption; NULL folds to ''
@@ -8745,6 +8787,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["dup_clique_histogram_grouped"] = oracles[
         "dup_clique_histogram"
     ]
+    oracles["vocab_growth_grouped"] = oracles["vocab_growth"]
     oracles["value_concentration_grouped"] = oracles["value_concentration"]
     oracles["psi_source_drift_grouped"] = oracles["psi_source_drift"]
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]

@@ -171,6 +171,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "feature_correlations",
         "dup_clique_histogram",
         "value_concentration",
+        "vocab_growth",
         "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",

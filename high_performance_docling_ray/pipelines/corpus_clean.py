@@ -1485,3 +1485,134 @@ def zipf_slope(sf_dir: str, k: int = 100) -> pa.Table:
             ),
         }
     )
+
+
+_VG_EMPTY = pa.Table.from_pydict(
+    {
+        "decile": pa.array([], pa.int64()),
+        "cutoff_doc": pa.array([], pa.int64()),
+        "vocab_size": pa.array([], pa.int64()),
+    }
+)
+
+
+def _doc_id_max(sf_dir: str) -> int | None:
+    """MAX(doc_id) from parquet FOOTER row-group statistics — no Ray
+    execution spent on a bound (the session-8 footer-probe edge,
+    extended from row counts to column stats). None when stats are
+    absent (caller falls back to an aggregate)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    idx = f.schema_arrow.get_field_index("doc_id")
+    mx = None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
+def vocab_growth(
+    sf_dir: str, deciles: int = 10, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Vocabulary growth curve (the Heaps'-law readout): distinct
+    tokens seen after processing the first 10%, 20%, … of the corpus
+    in ``doc_id`` order — the planning curve that says whether a
+    tokenizer/vocab budget saturates or keeps growing with more data.
+
+    "Seen by cutoff d" reduces to each token's FIRST doc: stage 1 is
+    (token, min(doc_id)) — per-block group-min partials under the
+    combine budget with the Ray ``groupby(token).min`` fallback,
+    bounded by DISTINCT tokens, never occurrences. Stage 2 folds
+    first-doc values into ≤ ``deciles`` counts per block (cutoffs =
+    floor(i·max_id/10) with max_id from parquet FOOTER column stats —
+    no Ray execution for a bound), second combine + fallback.
+    ``vocab_growth_grouped`` forces both exchanges."""
+    from .relational import _combine_partials, _read
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _tokenize(batch.column("text"))
+        if not len(doc_idx):
+            return pa.Table.from_pydict(
+                {"token": pa.array([], pa.string()),
+                 "first_doc": pa.array([], pa.int64())}
+            )
+        dids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)[doc_idx]
+        codes_arr = pc.dictionary_encode(flat)
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        mn = np.full(len(codes_arr.dictionary), np.iinfo(np.int64).max)
+        np.minimum.at(mn, codes, dids)
+        return pa.Table.from_pydict(
+            {
+                "token": codes_arr.dictionary,
+                "first_doc": pa.array(mn, pa.int64()),
+            }
+        )
+
+    mx = _doc_id_max(sf_dir)
+    partials = ds.map_batches(
+        first_partial, batch_format="pyarrow"
+    ).materialize()
+    if mx is None:
+        mx = partials.max("first_doc")
+        if mx is None:
+            return _VG_EMPTY
+        mx = int(mx)
+    cutoffs = np.floor(
+        np.arange(1, deciles + 1, dtype=np.float64) * float(mx) / deciles
+    ).astype(np.int64)
+
+    def cut_rows(fd: np.ndarray) -> pa.Table:
+        m = (fd[:, None] <= cutoffs[None, :]).sum(axis=0).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "decile": pa.array(
+                    np.arange(1, deciles + 1, dtype=np.int64), pa.int64()
+                ),
+                "m": pa.array(m, pa.int64()),
+            }
+        )
+
+    firsts = _combine_partials(
+        partials, ["token"], ["first_doc"], combine_limit, agg="min"
+    )
+    if firsts is not None:
+        cells = cut_rows(
+            firsts.column("min(first_doc)").to_numpy(zero_copy_only=False)
+        )
+    else:
+        grouped = partials.groupby("token").min("first_doc")
+        cut_parts = grouped.map_batches(
+            lambda b: cut_rows(
+                b.column("min(first_doc)").to_numpy(zero_copy_only=False)
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        cells = _combine_partials(
+            cut_parts, ["decile"], ["m"], combine_limit
+        )
+        if cells is None:
+            rows = [
+                t for t in ray.get(
+                    cut_parts.groupby("decile").sum("m").to_arrow_refs()
+                ) if t.num_rows
+            ]
+            cells = pa.concat_tables(rows).rename_columns(
+                ["decile", "sum(m)"]
+            )
+        cells = cells.rename_columns(["decile", "m"])
+    dec = cells.column("decile").to_numpy(zero_copy_only=False)
+    m = cells.column("m").to_numpy(zero_copy_only=False)
+    order = np.argsort(dec, kind="stable")
+    return pa.Table.from_pydict(
+        {
+            "decile": pa.array(dec[order].astype(np.int64), pa.int64()),
+            "cutoff_doc": pa.array(cutoffs[dec[order] - 1], pa.int64()),
+            "vocab_size": pa.array(m[order].astype(np.int64), pa.int64()),
+        }
+    )

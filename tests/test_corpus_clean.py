@@ -507,3 +507,39 @@ def test_zipf_slope_closed_form(tmp_path):
     )
     out1 = zipf_slope(str(d)).to_pandas()
     assert out1.n_tokens[0] == 1 and math.isnan(out1.slope[0])
+
+
+def test_vocab_growth_closed_form(tmp_path):
+    """4 docs ids 10,20,30,40: cutoffs floor(i*40/10) = 4,8,...,40.
+    'alpha' first at 10 (deciles 3+), 'beta' at 20 (5+), 'gamma' at
+    40 (decile 10 only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        vocab_growth,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 20, 30, 40], pa.int64()),
+                "text": pa.array(
+                    ["alpha", "alpha beta", "beta", "gamma alpha"],
+                    pa.string(),
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = vocab_growth(str(d)).to_pandas().set_index("decile")
+    assert list(out.cutoff_doc) == [4, 8, 12, 16, 20, 24, 28, 32, 36, 40]
+    assert out.loc[2, "vocab_size"] == 0
+    assert out.loc[3, "vocab_size"] == 1   # alpha seen by 12
+    assert out.loc[5, "vocab_size"] == 2   # beta by 20
+    assert out.loc[9, "vocab_size"] == 2
+    assert out.loc[10, "vocab_size"] == 3  # gamma at 40
+    grouped = vocab_growth(str(d), combine_limit=0).to_pandas()
+    assert grouped.set_index("decile").equals(out)
