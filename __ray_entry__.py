@@ -1235,6 +1235,23 @@ def _q_user_type_pivot_grouped(sf_dir: str):
     return user_type_pivot(sf_dir, combine_limit=0)
 
 
+def _q_neardup_medoids(sf_dir: str):
+    from high_performance_docling_ray.pipelines.components import (
+        neardup_medoids,
+    )
+
+    return neardup_medoids(sf_dir)
+
+
+def _q_neardup_medoids_distributed(sf_dir: str):
+    """Forced tier: min-label propagation + the same cogroup attach."""
+    from high_performance_docling_ray.pipelines.components import (
+        neardup_medoids,
+    )
+
+    return neardup_medoids(sf_dir, pairs_broadcast_budget=0)
+
+
 def _q_vocab_growth(sf_dir: str):
     from high_performance_docling_ray.pipelines.corpus_clean import (
         vocab_growth,
@@ -1978,6 +1995,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "feature_correlations_grouped": _q_feature_correlations_grouped,
         "vocab_growth": _q_vocab_growth,
         "vocab_growth_grouped": _q_vocab_growth_grouped,
+        "neardup_medoids": _q_neardup_medoids,
+        "neardup_medoids_distributed": _q_neardup_medoids_distributed,
         "dup_clique_histogram": _q_dup_clique_histogram,
         "dup_clique_histogram_grouped": _q_dup_clique_histogram_grouped,
         "value_concentration": _q_value_concentration,
@@ -4478,6 +4497,46 @@ def oracle_sql() -> dict[str, str]:
                                 * (n * syy - sy * sy))
                         ELSE NULL END AS r2
             FROM a ORDER BY user_id
+        """,
+        # medoid per embedding near-dup component: recursive reach over
+        # the cosine>=0.4 pair graph, then SUM(round(cos,6)) centrality
+        "neardup_medoids": """
+            WITH RECURSIVE n AS (SELECT vec_id,
+                                        CAST(embedding AS DOUBLE[]) AS e
+                                 FROM embeddings),
+            pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                      FROM n a JOIN n b ON a.vec_id < b.vec_id
+                      WHERE list_cosine_similarity(a.e, b.e) >= 0.4),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach(node, label) AS (SELECT vec_id, vec_id FROM n
+                                   UNION
+                                   SELECT e.dst, r.label FROM reach r
+                                   JOIN edges e ON e.src = r.node),
+            lab AS (SELECT node AS vec_id, MIN(label) AS component
+                    FROM reach GROUP BY node),
+            s AS (SELECT la.component, la.vec_id,
+                         SUM(round(list_cosine_similarity(ea.e, eb.e), 6))
+                             AS score
+                  FROM lab la JOIN lab lb
+                    ON la.component = lb.component
+                   AND la.vec_id <> lb.vec_id
+                  JOIN n ea ON ea.vec_id = la.vec_id
+                  JOIN n eb ON eb.vec_id = lb.vec_id
+                  GROUP BY 1, 2),
+            m AS (SELECT component, vec_id AS medoid_id,
+                         round(score, 6) AS score,
+                         row_number() OVER (PARTITION BY component
+                                            ORDER BY score DESC, vec_id)
+                             AS rn
+                  FROM s),
+            cnt AS (SELECT component, COUNT(*) AS n_members FROM lab
+                    GROUP BY 1)
+            SELECT m.component, m.medoid_id,
+                   CAST(cnt.n_members AS BIGINT) AS n_members, m.score
+            FROM m JOIN cnt USING (component)
+            WHERE rn = 1 AND cnt.n_members >= 2
+            ORDER BY 1
         """,
         # vocab growth: "seen by cutoff" == each token's MIN doc_id;
         # cutoffs from MAX(doc_id) (footer column stats on the Ray side)
@@ -8788,6 +8847,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clique_histogram"
     ]
     oracles["vocab_growth_grouped"] = oracles["vocab_growth"]
+    oracles["neardup_medoids_distributed"] = oracles["neardup_medoids"]
     oracles["value_concentration_grouped"] = oracles["value_concentration"]
     oracles["psi_source_drift_grouped"] = oracles["psi_source_drift"]
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]

@@ -172,6 +172,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dup_clique_histogram",
         "value_concentration",
         "vocab_growth",
+        "neardup_medoids",
         "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",

@@ -393,3 +393,123 @@ def dedup_keep_best(
         .groupby("bucket")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+# -- medoid selection per embedding near-dup component ------------------------
+
+_MED_EMPTY = pa.Table.from_pydict(
+    {
+        "component": pa.array([], pa.int64()),
+        "medoid_id": pa.array([], pa.int64()),
+        "n_members": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+    }
+)
+
+
+def neardup_medoids(
+    sf_dir: str,
+    pairs_broadcast_budget: int = 2_000_000,
+    hot_member_cap: int = 4096,
+) -> ray.data.Dataset:
+    """SemDeDup-style representative selection: for every EMBEDDING
+    near-dup component (connected components over the exact
+    cosine >= 0.4 pair graph), the MEDOID — the member with the
+    largest summed cosine to its co-members (ties to the smallest
+    vec_id) — plus the member count and that score. The keep-list a
+    semantic-dedup pass actually materializes (``dedup_keep_best``
+    picks by an EXTERNAL quality; the medoid is the
+    similarity-central member).
+
+    Composition of verified parts: ``embedding_neardup_pairs`` edges →
+    the shared ``components_from_pairs`` label core (union-find under
+    the pairs budget, min-label propagation past it — the forced
+    ``_distributed`` entry pins that tier) → ONE key-only cogroup to
+    attach labels to vectors → ``groupby(component)`` with a per-group
+    matmul (pairwise terms round to 6dp BEFORE summing, mirroring the
+    oracle's SUM(round(cos, 6))). Component sizes are the workload
+    bound: the per-group O(g²·d) matmul refuses past
+    ``hot_member_cap`` with remediation (a component that large means
+    the threshold is wrong for the corpus). Singletons drop (no
+    co-member, like the oracle's n >= 2)."""
+    import pyarrow.parquet as pq
+
+    from .similarity import (
+        _batch_matrix,
+        _normalize,
+        embedding_neardup_pairs,
+        read_embeddings,
+    )
+
+    kp = embedding_neardup_pairs(sf_dir)
+    if isinstance(kp, pa.Table):
+        kp = ray.data.from_arrow(kp)
+    pairs = kp.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"doc_a": b.column("vec_id_a"), "doc_b": b.column("vec_id_b")}
+        ),
+        batch_format="pyarrow",
+    )
+    ids = read_embeddings(sf_dir).map_batches(
+        lambda b: pa.Table.from_pydict({"doc_id": b.column("vec_id")}),
+        batch_format="pyarrow",
+    )
+    labels = components_from_pairs(
+        pairs, ids, pairs_broadcast_budget
+    )
+    if isinstance(labels, pa.Table):
+        labels = ray.data.from_arrow(labels)
+    lab = labels.map_batches(
+        lambda b: b.rename_columns(["vec_id", "component"]),
+        batch_format="pyarrow",
+    )
+    emb_type = pq.ParquetFile(
+        f"{sf_dir}/embeddings.parquet"
+    ).schema_arrow.field("embedding").type
+    joined = cogroup_attach(
+        read_embeddings(sf_dir).map_batches(
+            lambda b: b.select(["vec_id", "embedding"]),
+            batch_format="pyarrow",
+        ),
+        lab,
+        key="vec_id",
+        left_fields=[
+            pa.field("vec_id", pa.int64()),
+            pa.field("embedding", emb_type),
+        ],
+        payload_fields=[pa.field("component", pa.int64())],
+    )
+
+    def medoid_of(group: pa.Table) -> pa.Table:
+        g = group.num_rows
+        if g < 2:
+            return _MED_EMPTY
+        if g > hot_member_cap:
+            raise ValueError(
+                f"neardup_medoids: component of {g} members exceeds "
+                f"hot_member_cap ({hot_member_cap}); the threshold is "
+                "too loose for this corpus — raise it or the cap"
+            )
+        ids_arr, mat = _batch_matrix(group)
+        nm = _normalize(mat)
+        sims = np.round(nm @ nm.T, 6)
+        np.fill_diagonal(sims, 0.0)
+        scores = sims.sum(axis=1)
+        best = np.lexsort((ids_arr, -scores))[0]
+        comp = group.column("component")[0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "component": pa.array([int(comp)], pa.int64()),
+                "medoid_id": pa.array(
+                    [int(ids_arr[best])], pa.int64()
+                ),
+                "n_members": pa.array([g], pa.int64()),
+                "score": pa.array(
+                    [round(float(scores[best]), 6)], pa.float64()
+                ),
+            }
+        )
+
+    return joined.groupby("component").map_groups(
+        medoid_of, batch_format="pyarrow"
+    )

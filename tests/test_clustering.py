@@ -81,3 +81,70 @@ def test_dedup_keep_best_one_winner_per_component():
     a = t.sort_values("doc_id").reset_index(drop=True)
     b = t2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_neardup_medoids_closed_form(tmp_path):
+    """Three vectors nearly collinear + one far: the middle vector has
+    the highest summed cosine -> medoid; the far one is a singleton
+    and drops."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.components import (
+        neardup_medoids,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    vecs = [
+        [1.0, 0.0],
+        [0.9, 0.4358898943540674],   # unit-ish, cos to v0 = 0.9
+        [0.6, 0.8],                   # cos to v1 ~ 0.888, to v0 = 0.6
+        [-1.0, 0.0],                  # singleton (all cos <= 0)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0, 0, 0, 0], pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    out = neardup_medoids(str(d)).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row.component == 0 and row.n_members == 3
+    # middle vector 1 maximizes cos(1,0)+cos(1,2)
+    assert row.medoid_id == 1
+    dist = neardup_medoids(str(d), pairs_broadcast_budget=0).to_pandas()
+    assert dist.equals(out)
+
+
+def test_neardup_medoids_hot_cap(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from high_performance_docling_ray.pipelines.components import (
+        neardup_medoids,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(5)), pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0]] * 5, pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 5, pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    with pytest.raises(ValueError, match="hot_member_cap"):
+        neardup_medoids(str(d), hot_member_cap=3).to_pandas()
