@@ -1235,6 +1235,23 @@ def _q_user_type_pivot_grouped(sf_dir: str):
     return user_type_pivot(sf_dir, combine_limit=0)
 
 
+def _q_dataset_split(sf_dir: str):
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        dataset_split,
+    )
+
+    return dataset_split(sf_dir)
+
+
+def _q_dataset_split_grouped(sf_dir: str):
+    """Forced any-cardinality tier: Ray groupby count exchange."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        dataset_split,
+    )
+
+    return dataset_split(sf_dir, combine_limit=0)
+
+
 def _q_neardup_medoids(sf_dir: str):
     from high_performance_docling_ray.pipelines.components import (
         neardup_medoids,
@@ -1997,6 +2014,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_grouped": _q_vocab_growth_grouped,
         "neardup_medoids": _q_neardup_medoids,
         "neardup_medoids_distributed": _q_neardup_medoids_distributed,
+        "dataset_split": _q_dataset_split,
+        "dataset_split_grouped": _q_dataset_split_grouped,
         "dup_clique_histogram": _q_dup_clique_histogram,
         "dup_clique_histogram_grouped": _q_dup_clique_histogram_grouped,
         "value_concentration": _q_value_concentration,
@@ -4497,6 +4516,23 @@ def oracle_sql() -> dict[str, str]:
                                 * (n * syy - sy * sy))
                         ELSE NULL END AS r2
             FROM a ORDER BY user_id
+        """,
+        # deterministic 80/10/10 split manifest: md5_number_upper ==
+        # the kernels' hash64, so assignment is bit-exact
+        "dataset_split": """
+            WITH s AS (
+              SELECT CASE WHEN md5_number_upper('split:'
+                               || CAST(doc_id AS VARCHAR)) % 100 < 80
+                          THEN 'train'
+                          WHEN md5_number_upper('split:'
+                               || CAST(doc_id AS VARCHAR)) % 100 < 90
+                          THEN 'valid'
+                          ELSE 'test' END AS split,
+                     lang, n_chars
+              FROM documents)
+            SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # medoid per embedding near-dup component: recursive reach over
         # the cosine>=0.4 pair graph, then SUM(round(cos,6)) centrality
@@ -8848,6 +8884,7 @@ def oracle_sql() -> dict[str, str]:
     ]
     oracles["vocab_growth_grouped"] = oracles["vocab_growth"]
     oracles["neardup_medoids_distributed"] = oracles["neardup_medoids"]
+    oracles["dataset_split_grouped"] = oracles["dataset_split"]
     oracles["value_concentration_grouped"] = oracles["value_concentration"]
     oracles["psi_source_drift_grouped"] = oracles["psi_source_drift"]
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]

@@ -173,6 +173,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "value_concentration",
         "vocab_growth",
         "neardup_medoids",
+        "dataset_split",
         "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",

@@ -1616,3 +1616,68 @@ def vocab_growth(
             "vocab_size": pa.array(m[order].astype(np.int64), pa.int64()),
         }
     )
+
+
+def dataset_split(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Deterministic train/valid/test assignment manifest: every doc
+    hashes to a split via ``hash64('split:'+doc_id) % 100`` (80/10/10)
+    — the content-independent, machine-independent split rule an
+    export step needs so reruns and resumes land every doc in the
+    same split — and the op emits the per-(split, lang) doc and char
+    counts that become the dataset card. The hash is the house
+    md5-derived 64-bit key, so the oracle rebuilds the assignment
+    bit-exactly with ``md5_number_upper``.
+
+    Pure map + a categorical-bounded (split × lang) count exchange
+    under the combine budget; ``dataset_split_grouped`` forces the
+    Ray groupby fallback."""
+    from ..kernels.sketch import hash64
+    from .relational import _combine_partials, _read
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def split_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hv = hash64([f"split:{i}" for i in ids.tolist()]) % np.uint64(100)
+        split = np.where(
+            hv < 80, "train", np.where(hv < 90, "valid", "test")
+        )
+        t = pa.Table.from_pydict(
+            {
+                "split": pa.array(split.astype(object), pa.string()),
+                "lang": batch.column("lang"),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["split", "lang"])
+            .aggregate([("n", "sum"), ("chars", "sum")])
+            .rename_columns(["split", "lang", "n", "chars"])
+        )
+
+    partials = ds.map_batches(
+        split_partial, batch_format="pyarrow"
+    ).materialize()
+    cells = _combine_partials(
+        partials, ["split", "lang"], ["n", "chars"], combine_limit
+    )
+    if cells is None:
+        rows = [
+            t
+            for t in ray.get(
+                partials.groupby(["split", "lang"])
+                .sum(["n", "chars"])
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        cells = pa.concat_tables(rows).rename_columns(
+            ["split", "lang", "sum(n)", "sum(chars)"]
+        )
+    return cells.rename_columns(
+        ["split", "lang", "n_docs", "sum_chars"]
+    ).sort_by([("split", "ascending"), ("lang", "ascending")])

@@ -543,3 +543,35 @@ def test_vocab_growth_closed_form(tmp_path):
     assert out.loc[10, "vocab_size"] == 3  # gamma at 40
     grouped = vocab_growth(str(d), combine_limit=0).to_pandas()
     assert grouped.set_index("decile").equals(out)
+
+
+def test_dataset_split_deterministic(tmp_path):
+    """Assignment is a pure function of doc_id: rerunning and re-tiering
+    give identical manifests; splits partition the corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        dataset_split,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    n = 200
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "n_chars": pa.array([10] * n, pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = dataset_split(str(d)).to_pandas()
+    assert out.n_docs.sum() == n
+    assert set(out.split) == {"train", "valid", "test"}
+    tr = out[out.split == "train"].n_docs.sum()
+    assert 0.6 * n < tr < 0.95 * n  # hash split near 80%
+    assert dataset_split(str(d)).to_pandas().equals(out)
+    assert dataset_split(str(d), combine_limit=0).to_pandas().equals(out)
