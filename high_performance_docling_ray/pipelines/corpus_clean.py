@@ -1559,9 +1559,24 @@ def vocab_growth(
         first_partial, batch_format="pyarrow"
     ).materialize()
     if mx is None:
-        mx = partials.max("first_doc")
-        if mx is None:
-            return _VG_EMPTY
+        # stats-free file: the bound is MAX(doc_id) over ALL documents
+        # (token-less docs count — the oracle's m CTE reads the whole
+        # table), so aggregate the raw column, not the token firsts
+        mx = _read(sf_dir, "documents", ["doc_id"]).max("doc_id")
+        if mx is None:  # zero-row table: mirror the oracle's NULL
+            # cutoffs (10 rows, empty vocabulary)
+            return pa.Table.from_pydict(
+                {
+                    "decile": pa.array(
+                        np.arange(1, deciles + 1, dtype=np.int64),
+                        pa.int64(),
+                    ),
+                    "cutoff_doc": pa.array([None] * deciles, pa.int64()),
+                    "vocab_size": pa.array(
+                        np.zeros(deciles, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
         mx = int(mx)
     cutoffs = np.floor(
         np.arange(1, deciles + 1, dtype=np.float64) * float(mx) / deciles

@@ -834,11 +834,11 @@ def psi_source_drift(
     f = cells.column("sum(f)").to_numpy(zero_copy_only=False).astype(
         np.float64
     )
-    src = cells.column("source").combine_chunks()
-    s_codes = pc.dictionary_encode(src).indices.to_numpy(
-        zero_copy_only=False
+    src_dict = pc.dictionary_encode(
+        cells.column("source").combine_chunks()
     )
-    s_names = pc.dictionary_encode(src).dictionary.to_pylist()
+    s_codes = src_dict.indices.to_numpy(zero_copy_only=False)
+    s_names = src_dict.dictionary.to_pylist()
     buckets, b_codes = np.unique(
         cells.column("bucket").to_numpy(zero_copy_only=False),
         return_inverse=True,

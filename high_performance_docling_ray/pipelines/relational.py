@@ -2535,23 +2535,14 @@ _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 _PIVOT_COLS = [f"n_{t}" for t in _PIVOT_TYPES] + ["n_total"]
 
 
-def user_type_pivot(
-    sf_dir: str, combine_limit: int = 2_000_000,
-    sink_dir: str | None = None,
-) -> pa.Table | ray.data.Dataset | str:
-    """Per-user event counts PIVOTED wide — one row per user, one
-    column per event type plus the total (the SQL ``PIVOT`` /
-    conditional-aggregation shape the long-format family lacks; the
-    standard feature-vector layout ML feature stores export). The
-    pivot column set is schema, fixed in advance by definition — types
-    outside it still count toward ``n_total`` on both sides.
-
-    One pass, no wide shuffle in the fast path: per-batch (user,
-    6 counts) partials via unique+bincount (one row per distinct user
-    per block), merged under the standard combine budget; past it the
-    Ray groupby-sum exchange runs at any user cardinality
-    (``user_type_pivot_grouped`` forces it; sink variant streams the
-    per-user rows to parquet at deployment scale)."""
+def _pivot_rows(
+    sf_dir: str, combine_limit: int
+) -> pa.Table | ray.data.Dataset:
+    """Per-user pivot rows WITHOUT the driver collect: the merged
+    table when the combine budget holds, else the still-distributed
+    groupby-sum Dataset — so downstream folds (``feature_correlations``)
+    can reduce the over-budget tier without landing per-user rows on
+    the driver."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def pivot_partial(batch: pa.Table) -> pa.Table:
@@ -2583,9 +2574,8 @@ def user_type_pivot(
         partials, ["user_id"], _PIVOT_COLS, combine_limit
     )
     if merged is not None:
-        out = merged.rename_columns(["user_id"] + _PIVOT_COLS)
-        return out.sort_by([("user_id", "ascending")])
-    wide = (
+        return merged.rename_columns(["user_id"] + _PIVOT_COLS)
+    return (
         partials.groupby("user_id")
         .sum(_PIVOT_COLS)
         .map_batches(
@@ -2593,7 +2583,29 @@ def user_type_pivot(
             batch_format="pyarrow",
         )
     )
-    return to_table_or_sink(wide, [("user_id", "ascending")], sink_dir)
+
+
+def user_type_pivot(
+    sf_dir: str, combine_limit: int = 2_000_000,
+    sink_dir: str | None = None,
+) -> pa.Table | ray.data.Dataset | str:
+    """Per-user event counts PIVOTED wide — one row per user, one
+    column per event type plus the total (the SQL ``PIVOT`` /
+    conditional-aggregation shape the long-format family lacks; the
+    standard feature-vector layout ML feature stores export). The
+    pivot column set is schema, fixed in advance by definition — types
+    outside it still count toward ``n_total`` on both sides.
+
+    One pass, no wide shuffle in the fast path: per-batch (user,
+    6 counts) partials via unique+bincount (one row per distinct user
+    per block), merged under the standard combine budget; past it the
+    Ray groupby-sum exchange runs at any user cardinality
+    (``user_type_pivot_grouped`` forces it; sink variant streams the
+    per-user rows to parquet at deployment scale)."""
+    piv = _pivot_rows(sf_dir, combine_limit)
+    if isinstance(piv, pa.Table):
+        return piv.sort_by([("user_id", "ascending")])
+    return to_table_or_sink(piv, [("user_id", "ascending")], sink_dir)
 
 
 def feature_correlations(
@@ -2612,7 +2624,7 @@ def feature_correlations(
     both engines round identically at the single final divide. Zero
     variance ⇒ NULL, mirrored by the SQL CASE."""
     feats = _PIVOT_COLS  # n_click .. n_view, n_total
-    piv = user_type_pivot(sf_dir, combine_limit=combine_limit)
+    piv = _pivot_rows(sf_dir, combine_limit)
 
     def moments_of(tbl: pa.Table) -> np.ndarray:
         cols = np.stack(
@@ -2656,6 +2668,17 @@ def feature_correlations(
                 total += np.asarray(rowvals, np.int64)
     k = len(feats)
     n = float(total[0])
+    if n == 0:
+        # no users -> the oracle's pair join over an empty pivot is
+        # empty too
+        return pa.Table.from_pydict(
+            {
+                "feat_a": pa.array([], pa.string()),
+                "feat_b": pa.array([], pa.string()),
+                "n_users": pa.array([], pa.int64()),
+                "corr": pa.array([], pa.float64()),
+            }
+        )
     s = total[1: 1 + k].astype(np.float64)
     ss = total[1 + k:].reshape(k, k).astype(np.float64)
     ia, ib, corr = [], [], []

@@ -2062,12 +2062,12 @@ def theil_sen_trend(
         )
         order = np.lexsort((eids, ts, users))
         users, ts, vals = users[order], ts[order], vals[order]
+        from .fuzzy import _run_pairs
+
         run_start = np.concatenate(([True], users[1:] != users[:-1]))
         starts = np.nonzero(run_start)[0]
         m = np.diff(np.append(starts, n_rows))
-        # local position 0..m-1 within each run == pairs this row closes
-        local = np.arange(n_rows) - np.repeat(starts, m)
-        total_pairs = int(local.sum())
+        total_pairs = int((m * (m - 1) // 2).sum())
         if total_pairs > hot_pair_cap:
             raise ValueError(
                 "theil_sen_trend: pairwise-slope emission "
@@ -2076,10 +2076,9 @@ def theil_sen_trend(
             )
         if not total_pairs:
             return _TS_EMPTY
-        j_idx = np.repeat(np.arange(n_rows), local)
-        csum = np.cumsum(local) - local
-        ramp = np.arange(total_pairs) - np.repeat(csum, local)
-        i_idx = np.repeat(np.repeat(starts, m), local) + ramp
+        # shared repeat+ramp within-run pair enumeration (runs tile the
+        # sorted partition, so local indices ARE global indices)
+        i_idx, j_idx = _run_pairs(m)
         dus = ts[j_idx] - ts[i_idx]
         keep = dus > 0  # strictly increasing ts, like the SQL join
         if not keep.any():

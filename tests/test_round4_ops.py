@@ -384,3 +384,72 @@ def test_value_concentration_closed_form(tmp_path):
     assert value_concentration(str(d), combine_limit=0).to_pandas().equals(
         out
     )
+
+
+def test_vocab_growth_statless_fallback(tmp_path):
+    """No footer stats path: MAX(doc_id) must come from ALL documents
+    (a trailing token-less doc raises the bound), matching the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import high_performance_docling_ray.pipelines.corpus_clean as cc
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(1, 11)), pa.int64()),
+                "text": pa.array(["w"] * 9 + ["   "], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    want = cc.vocab_growth(str(d)).to_pandas()
+    assert list(want.cutoff_doc) == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    orig = cc._doc_id_max
+    cc._doc_id_max = lambda _sf: None
+    try:
+        got = cc.vocab_growth(str(d)).to_pandas()
+    finally:
+        cc._doc_id_max = orig
+    assert got.equals(want)
+
+
+def test_feature_correlations_empty_events(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.relational import (
+        feature_correlations,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = feature_correlations(str(d)).to_pandas()
+    assert len(out) == 0
+
+
+def test_feature_correlations_grouped_stays_distributed(tmp_path):
+    """The forced tier must fold moments from the DISTRIBUTED pivot
+    rows, never collecting per-user rows on the driver: _pivot_rows
+    with combine_limit=0 returns a Dataset, not a Table."""
+    import ray.data
+
+    from high_performance_docling_ray.pipelines.relational import (
+        _pivot_rows,
+    )
+
+    piv = _pivot_rows("/root/testdata/sf0.001", 0)
+    assert isinstance(piv, ray.data.Dataset)
