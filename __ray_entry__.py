@@ -1235,6 +1235,36 @@ def _q_user_type_pivot_grouped(sf_dir: str):
     return user_type_pivot(sf_dir, combine_limit=0)
 
 
+def _q_ngram_diversity(sf_dir: str):
+    from high_performance_docling_ray.pipelines.dedup import ngram_diversity
+
+    return ngram_diversity(sf_dir)
+
+
+def _q_ngram_diversity_grouped(sf_dir: str):
+    """Forced any-cardinality tier: both Ray groupby exchanges."""
+    from high_performance_docling_ray.pipelines.dedup import ngram_diversity
+
+    return ngram_diversity(sf_dir, combine_limit=0)
+
+
+def _q_event_throttle(sf_dir: str):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        event_throttle,
+    )
+
+    return event_throttle(sf_dir)
+
+
+def _q_event_throttle_grouped(sf_dir: str):
+    """Forced any-cardinality tier: hash(user) co-partition exchange."""
+    from high_performance_docling_ray.pipelines.seqstats import (
+        event_throttle,
+    )
+
+    return event_throttle(sf_dir, driver_budget=0)
+
+
 def _q_dataset_split(sf_dir: str):
     from high_performance_docling_ray.pipelines.corpus_clean import (
         dataset_split,
@@ -2016,6 +2046,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "neardup_medoids_distributed": _q_neardup_medoids_distributed,
         "dataset_split": _q_dataset_split,
         "dataset_split_grouped": _q_dataset_split_grouped,
+        "ngram_diversity": _q_ngram_diversity,
+        "ngram_diversity_grouped": _q_ngram_diversity_grouped,
+        "event_throttle": _q_event_throttle,
+        "event_throttle_grouped": _q_event_throttle_grouped,
         "dup_clique_histogram": _q_dup_clique_histogram,
         "dup_clique_histogram_grouped": _q_dup_clique_histogram_grouped,
         "value_concentration": _q_value_concentration,
@@ -4516,6 +4550,49 @@ def oracle_sql() -> dict[str, str]:
                                 * (n * syy - sy * sy))
                         ELSE NULL END AS r2
             FROM a ORDER BY user_id
+        """,
+        # per-source shingle diversity: the MinHash family's shingle
+        # CTE (per-doc distinct, lowercased, whole-doc below n tokens)
+        "ngram_diversity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)),
+                                                       '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2]))
+                END AS sh
+              FROM toks
+            ),
+            g AS (SELECT doc_id, unnest(sh) AS gram FROM sh
+                  WHERE len(sh) > 0),
+            j AS (SELECT d.source, g.gram FROM g
+                  JOIN documents d USING (doc_id))
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+                   round(COUNT(DISTINCT gram) * 1.0 / COUNT(*), 6)
+                       AS diversity
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        # stream throttle: LAG-gap debounce per (user, type); first
+        # event keeps (NULL LAG)
+        "event_throttle": """
+            WITH g AS (SELECT event_id, user_id, event_type, ts,
+                              epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                                  PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id)) AS dus
+                       FROM events)
+            SELECT event_id, user_id, event_type, ts FROM g
+            WHERE dus IS NULL OR dus >= 30 * 60 * 1000000
+            ORDER BY event_id
         """,
         # deterministic 80/10/10 split manifest: md5_number_upper ==
         # the kernels' hash64, so assignment is bit-exact
@@ -8885,6 +8962,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["vocab_growth_grouped"] = oracles["vocab_growth"]
     oracles["neardup_medoids_distributed"] = oracles["neardup_medoids"]
     oracles["dataset_split_grouped"] = oracles["dataset_split"]
+    oracles["ngram_diversity_grouped"] = oracles["ngram_diversity"]
+    oracles["event_throttle_grouped"] = oracles["event_throttle"]
     oracles["value_concentration_grouped"] = oracles["value_concentration"]
     oracles["psi_source_drift_grouped"] = oracles["psi_source_drift"]
     oracles["kcore_nodes_cogroup"] = oracles["kcore_nodes"]

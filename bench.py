@@ -174,6 +174,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "vocab_growth",
         "neardup_medoids",
         "dataset_split",
+        "ngram_diversity",
+        "event_throttle",
         "kcore_nodes",
         # round-3 LM-training filters
         "decontaminate",

@@ -1525,3 +1525,121 @@ def dup_clique_histogram(
     return cells.rename_columns(["clique_size", "n_cliques"]).sort_by(
         [("clique_size", "ascending")]
     )
+
+
+# -- n-gram diversity per source ----------------------------------------------
+
+_ND_EMPTY = pa.Table.from_pydict(
+    {
+        "source": pa.array([], pa.string()),
+        "n_grams": pa.array([], pa.int64()),
+        "n_distinct": pa.array([], pa.int64()),
+        "diversity": pa.array([], pa.float64()),
+    }
+)
+
+
+def ngram_diversity(
+    sf_dir: str, ngram: int = 3, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Per-source shingle diversity: total per-doc-distinct 3-gram
+    occurrences, the source-wide DISTINCT shingle count, and their
+    ratio — the template/boilerplate smell test per ingest feed (a
+    source whose docs all share shingles scores near 0; fully novel
+    text scores near 1). Complements ``source_divergence`` (which
+    compares distributions) with a within-source novelty number.
+
+    Same shingle semantics as the MinHash family (``ngram_set``:
+    lowercased, per-doc distinct, whole-doc shingle below n tokens) so
+    the oracle reuses the verified shingle CTE. Exchange = (source,
+    shingle-hash, n) partials bounded by DISTINCT (source, shingle)
+    pairs; per-source distinct counts are then row counts of the
+    grouped output (additive over disjoint key blocks, so the
+    over-budget tier folds per-block (source, rows, Σn) partials);
+    ``ngram_diversity_grouped`` forces both exchanges."""
+    from ..kernels.dedup import _hash64, ngram_set
+    from .relational import _combine_partials
+
+    ds = read_documents(sf_dir, ("doc_id", "text", "source"))
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        hv: list[int] = []
+        srcs: list[str] = []
+        texts = batch.column("text").to_pylist()
+        sources = batch.column("source").to_pylist()
+        for text, source in zip(texts, sources):
+            grams = ngram_set(text, ngram)
+            hv.extend(_hash64(s) for s in grams)
+            srcs.extend([source] * len(grams))
+        t = pa.Table.from_pydict(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "h": pa.array(np.array(hv, np.uint64).astype(np.int64)),
+                "n": pa.array(np.ones(len(hv), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["source", "h"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["source", "h", "n"])
+
+    partials = ds.map_batches(
+        cell_partial, batch_format="pyarrow"
+    ).materialize()
+    cells = _combine_partials(
+        partials, ["source", "h"], ["n"], combine_limit
+    )
+
+    def fold(src_col: pa.ChunkedArray, n: np.ndarray) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "source": src_col,
+                "d": pa.array(np.ones(len(n), dtype=np.int64)),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("n", "sum"), ("d", "sum")]
+        ).rename_columns(["source", "n", "d"])
+
+    if cells is not None:
+        per_src = fold(
+            cells.column("source"),
+            cells.column("sum(n)").to_numpy(zero_copy_only=False),
+        )
+    else:
+        grouped = partials.groupby(["source", "h"]).sum("n")
+        src_parts = grouped.map_batches(
+            lambda b: fold(
+                b.column("source"),
+                b.column("sum(n)").to_numpy(zero_copy_only=False),
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        per_src = _combine_partials(
+            src_parts, ["source"], ["n", "d"], combine_limit
+        )
+        if per_src is None:
+            rows = [
+                t for t in ray.get(
+                    src_parts.groupby("source").sum(["n", "d"])
+                    .to_arrow_refs()
+                ) if t.num_rows
+            ]
+            per_src = pa.concat_tables(rows).rename_columns(
+                ["source", "sum(n)", "sum(d)"]
+            )
+        per_src = per_src.rename_columns(["source", "n", "d"])
+    if not per_src.num_rows:
+        return _ND_EMPTY
+    n = per_src.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    d = per_src.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.Table.from_pydict(
+        {
+            "source": per_src.column("source"),
+            "n_grams": pa.array(n, pa.int64()),
+            "n_distinct": pa.array(d, pa.int64()),
+            "diversity": pa.array(
+                np.round(d * 1.0 / n, 6), pa.float64()
+            ),
+        }
+    ).sort_by([("source", "ascending")])

@@ -2290,3 +2290,94 @@ def value_concentration(
             ),
         }
     )
+
+
+# -- stream throttle / debounce -----------------------------------------------
+
+_TH_EMPTY = pa.Table.from_pydict(
+    {
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us")),
+    }
+)
+
+
+def event_throttle(
+    sf_dir: str, min_gap_minutes: int = 30,
+    driver_budget: int = 2_000_000,
+    sink_dir: str | None = None,
+) -> pa.Table | ray.data.Dataset | str:
+    """Stream throttle (debounce): keep an event iff it is the FIRST
+    of its (user, event_type) stream or arrived >= ``min_gap_minutes``
+    after the PREVIOUS event of that stream (LAG semantics — the
+    deterministic, partition-algebra-friendly variant; previous-KEPT
+    debouncing is a sequential recurrence and intentionally out of
+    contract) — the duplicate-fire suppressor every event-ingest
+    pipeline runs before sessionization.
+
+    Per-(user, type) runs sort by (ts, event_id); gaps are exact int64
+    µs diffs; the first row of each run keeps (NULL LAG). Driver fast
+    tier under the events FOOTER probe; ``event_throttle_grouped``
+    forces the hash(user) co-partition (type runs nest inside user
+    partitions, so the exchange key stays the module's shared user
+    stamp); sink variant streams kept rows at deployment scale."""
+    from .io import parquet_num_rows
+
+    num_parts = _num_parts()
+    ds = _read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]
+    )
+    gap_us = np.int64(min_gap_minutes) * 60_000_000
+
+    def throttle_part(group: pa.Table) -> pa.Table:
+        n_rows = group.num_rows
+        if not n_rows:
+            return _TH_EMPTY
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        eids = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = np.asarray(
+            group.column("event_type").to_numpy(zero_copy_only=False),
+            dtype=object,
+        )
+        ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        )
+        order = np.lexsort((eids, ts, types, users))
+        su, st, sty, se = users[order], ts[order], types[order], eids[order]
+        new_run = np.concatenate(
+            ([True], (su[1:] != su[:-1]) | (sty[1:] != sty[:-1]))
+        )
+        gap = np.empty(n_rows, np.int64)
+        gap[0] = 0
+        gap[1:] = st[1:] - st[:-1]
+        keep = new_run | (gap >= gap_us)
+        sel = np.sort(order[keep])  # original-order stability
+        return group.take(pa.array(sel)).select(
+            ["event_id", "user_id", "event_type", "ts"]
+        )
+
+    if (
+        sink_dir is None
+        and driver_budget
+        and parquet_num_rows(f"{sf_dir}/events.parquet") <= driver_budget
+    ):
+        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return _TH_EMPTY
+        whole = pa.concat_tables(parts).combine_chunks()
+        return throttle_part(whole).sort_by([("event_id", "ascending")])
+
+    out = (
+        ds.map_batches(
+            lambda b: _stamp_user_part(b, num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: throttle_part(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    return to_table_or_sink(out, [("event_id", "ascending")], sink_dir)

@@ -267,3 +267,38 @@ def test_jw_pairs_tiers_sf0001():
     )
     assert len(drv) > 0
     assert grp.equals(drv)
+
+
+def test_ngram_diversity_closed_form(tmp_path):
+    """Source 'a': two identical docs -> 6 gram occurrences over 3
+    distinct (diversity 0.5); source 'b': one doc -> 1.0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.pipelines.dedup import (
+        ngram_diversity,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["one two three four five",
+                     "one two three four five",
+                     "alpha beta gamma"],
+                    pa.string(),
+                ),
+                "source": pa.array(["a", "a", "b"], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = ngram_diversity(str(d)).to_pandas().set_index("source")
+    assert out.loc["a", "n_grams"] == 6 and out.loc["a", "n_distinct"] == 3
+    assert abs(out.loc["a", "diversity"] - 0.5) < 1e-9
+    assert out.loc["b", "n_grams"] == 1 and out.loc["b", "diversity"] == 1.0
+    grouped = ngram_diversity(str(d), combine_limit=0).to_pandas()
+    assert grouped.set_index("source").equals(out)

@@ -763,3 +763,28 @@ def test_burstiness_tiers_sf0001():
     base = user_burstiness(SF).to_pandas()
     assert len(base) > 0
     assert base.equals(user_burstiness(SF, driver_budget=0).to_pandas())
+
+
+def test_event_throttle_closed_form(tmp_path):
+    from high_performance_docling_ray.pipelines.seqstats import (
+        event_throttle,
+    )
+
+    minute = 60_000_000
+    # user 1 clicks at t=0, 10min, 40min -> keep first and third
+    # (gap 30min from PREVIOUS event, not previous kept); a view at
+    # 10min is its own stream and keeps
+    sf = _write_events(
+        tmp_path / "t",
+        eids=[1, 2, 3, 4],
+        ts_us=[0, 10 * minute, 40 * minute, 10 * minute],
+        users=[1, 1, 1, 1],
+        types=["click", "click", "click", "view"],
+    )
+    out = event_throttle(sf)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert sorted(out.event_id) == [1, 3, 4]
+    grouped = event_throttle(sf, driver_budget=0).to_pandas()
+    assert grouped.sort_values("event_id").reset_index(drop=True).equals(
+        out.sort_values("event_id").reset_index(drop=True)
+    )
