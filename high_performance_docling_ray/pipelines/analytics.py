@@ -38,6 +38,10 @@ from .relational import (
     _sorted_kv,
     _sorted_lookup,
     _sorted_member_mask,
+    collect_arrow,
+    limb_cols,
+    limb_split,
+    limb_values,
 )
 
 _DAY_US = 86_400_000_000
@@ -374,9 +378,13 @@ def _q7_distributed_partials(
              "l_year": t.column("l_year"),
              "rev_e4": t.column("rev_e4")}
         )
-        return out.group_by(["dir_id", "l_year"]).aggregate(
+        out = out.group_by(["dir_id", "l_year"]).aggregate(
             [("rev_e4", "sum")]
         ).rename_columns(["dir_id", "l_year", "rev_e4"])
+        # limb-split: ~2 x n_years groups absorb the whole matched
+        # volume — the cross-block merge wraps int64 long before
+        # 10^12 rows; limbs cannot (VERDICT r4 #2)
+        return limb_split(out, ["rev_e4"])
 
     return att2.map_batches(partial, batch_format="pyarrow")
 
@@ -440,7 +448,8 @@ def q7_nation_volume(
         _EMPTY = pa.Table.from_pydict(
             {"dir_id": pa.array([], pa.int64()),
              "l_year": pa.array([], pa.int64()),
-             "rev_e4": pa.array([], pa.int64())}
+             **{c: pa.array([], pa.int64())
+                for c in limb_cols(["rev_e4"])}}
         )
 
         def probe(batch: pa.Table) -> pa.Table:
@@ -463,9 +472,10 @@ def q7_nation_volume(
                  "l_year": pa.array(year, pa.int64()),
                  "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
             )
-            return t.group_by(["dir_id", "l_year"]).aggregate(
+            t = t.group_by(["dir_id", "l_year"]).aggregate(
                 [("rev_e4", "sum")]
             ).rename_columns(["dir_id", "l_year", "rev_e4"])
+            return limb_split(t, ["rev_e4"])
 
         li = _read(
             sf_dir, "lineitem",
@@ -475,11 +485,12 @@ def q7_nation_volume(
     # materialize once: the None fallback's groupby then reuses
     # these blocks instead of re-running the upstream DAG
     partials = partials.materialize()
-    tbl = _combine_partials(partials, ["dir_id", "l_year"], ["rev_e4"],
+    rcols = limb_cols(["rev_e4"])
+    tbl = _combine_partials(partials, ["dir_id", "l_year"], rcols,
                             combine_limit)
     if tbl is None:
-        tbl = pa.Table.from_pylist(
-            partials.groupby(["dir_id", "l_year"]).sum("rev_e4").take_all()
+        tbl = collect_arrow(
+            partials.groupby(["dir_id", "l_year"]).sum(rcols)
         )
     dir_id = tbl.column("dir_id").to_numpy().astype(np.int64)
     names = np.array([nation_a, nation_b], dtype=object)
@@ -489,7 +500,7 @@ def q7_nation_volume(
             "cust_nation": pa.array(names[1 - dir_id].tolist(), pa.string()),
             "l_year": tbl.column("l_year"),
             "revenue": pa.array(
-                tbl.column("sum(rev_e4)").to_numpy().astype(np.int64) / 10000.0,
+                [float(v) / 10000.0 for v in limb_values(tbl, "rev_e4")],
                 pa.float64(),
             ),
         }

@@ -67,6 +67,17 @@ _B = np.uint64(1099511628211)  # odd (FNV prime) => invertible mod 2^64
 _BINV = np.uint64(pow(1099511628211, -1, 1 << 64))
 
 
+def _drop_null_text(batch: pa.Table) -> pa.Table:
+    """NULL text derives a NULL key, and SQL NULL keys fall out of
+    every equality/distance join predicate — drop those rows up front
+    so both engines agree (ADVICE r4: a None text otherwise crashes
+    the planted-edit slicing, or str()-ifies to the literal 'None')."""
+    col = batch.column("text")
+    if col.null_count:
+        batch = batch.filter(pc.is_valid(col))
+    return batch
+
+
 def derive_keys(doc_id: np.ndarray, text: pa.ChunkedArray) -> list[str]:
     """The join key: first KEY_LEN characters, with deterministic
     planted edits (mirrored in the SQL oracle CASE, first-match
@@ -440,6 +451,7 @@ def edit_distance_pairs(
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def keyed(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_text(batch)
         did = batch.column("doc_id").to_numpy().astype(np.int64)
         keys = derive_keys(did, batch.column("text"))
         return pa.Table.from_pydict(
@@ -815,6 +827,7 @@ def jaro_winkler_pairs(
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def keyed(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_text(batch)
         did = batch.column("doc_id").to_numpy().astype(np.int64)
         keys = derive_keys(did, batch.column("text"))
         karr = pa.array(keys, pa.string())

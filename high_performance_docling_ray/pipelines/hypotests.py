@@ -795,8 +795,22 @@ def psi_source_drift(
     ds = _read(sf_dir, "documents", ["source", "n_chars"])
 
     def cell_partial(batch: pa.Table) -> pa.Table:
-        nc = batch.column("n_chars").to_numpy(
-            zero_copy_only=False).astype(np.float64)
+        nc_col = batch.column("n_chars")
+        # a null n_chars would survive to_numpy as NaN and hit an
+        # undefined NaN->int64 floor cast (platform-dependent garbage
+        # bucket) while the SQL oracle groups it into a NULL bucket —
+        # refuse loudly instead of silently diverging (ADVICE r4)
+        if nc_col.null_count:
+            raise ValueError(
+                "psi_source_drift: null n_chars violates the documents "
+                "contract; fill or drop nulls upstream before bucketing"
+            )
+        nc = nc_col.to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(nc) and float(nc.min()) < 0:
+            raise ValueError(
+                "psi_source_drift: negative n_chars has no log2 bucket; "
+                "clean the column upstream"
+            )
         t = pa.Table.from_pydict(
             {
                 "source": batch.column("source"),

@@ -50,6 +50,48 @@ def parquet_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def atomic_store(out_dir: str, build) -> str:
+    """Atomic publish for the content-keyed /tmp store convention.
+
+    The historical pattern (rmtree -> multi-step write into the final
+    dir -> _SUCCESS) let two concurrent runs keyed to the same source
+    file delete each other's partial store or read a half-written one
+    (ADVICE r4). Here ``build(tmp_dir)`` writes the whole artifact
+    into a process-unique temp sibling; the ``_SUCCESS`` marker is
+    written INSIDE the temp dir and the directory is published with a
+    single ``os.rename`` (atomic on the same filesystem). A loser of
+    the race simply discards its temp build and reads the winner's
+    store — both are built from identical content-keyed input.
+    """
+    import os
+    import shutil
+    import uuid
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(os.path.dirname(out_dir) or ".", exist_ok=True)
+    tmp = f"{out_dir}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            if not os.path.exists(marker):
+                # stale/partial destination from a crashed pre-helper
+                # build (no marker): wipe and retry once
+                if os.path.isdir(out_dir):
+                    shutil.rmtree(out_dir)
+                os.rename(tmp, out_dir)
+        return out_dir
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _export_docs(sf_dir: str, fmt: str, out_dir: str | None = None) -> str:
     """Export the documents table to sharded JSONL or CSV ONCE
     (content-keyed cache + _SUCCESS, the persisted-artifact
@@ -57,7 +99,6 @@ def _export_docs(sf_dir: str, fmt: str, out_dir: str | None = None) -> str:
     end-to-end without external data."""
     import hashlib
     import os
-    import shutil
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     try:
@@ -70,20 +111,15 @@ def _export_docs(sf_dir: str, fmt: str, out_dir: str | None = None) -> str:
             :12
         ]
         out_dir = f"/tmp/graft_{fmt}/{tag}"
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker):
-        return out_dir
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
-    os.makedirs(out_dir, exist_ok=True)
-    ds = read_parquet_clean(src)
-    if fmt == "jsonl":
-        ds.write_json(out_dir)
-    else:
-        ds.write_csv(out_dir)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out_dir
+
+    def _build(d: str) -> None:
+        ds = read_parquet_clean(src)
+        if fmt == "jsonl":
+            ds.write_json(d)
+        else:
+            ds.write_csv(d)
+
+    return atomic_store(out_dir, _build)
 
 
 def export_jsonl(sf_dir: str, out_dir: str | None = None) -> str:

@@ -234,6 +234,73 @@ def to_table_or_sink(
     return tbl.sort_by(sort_keys)
 
 
+LIMB_BITS = 31
+_LIMB_MASK = np.int64((1 << LIMB_BITS) - 1)
+
+
+def limb_split(tbl: pa.Table, cols: list[str]) -> pa.Table:
+    """Overflow-proof GROUPED money partials (VERDICT r4 #2): replace
+    each int64 sum column ``c`` with two limb columns ``c_hi = v >> 31``
+    (arithmetic shift — exact floor for negatives too) and ``c_lo =
+    v & (2^31-1)`` so that ``v = c_hi·2^31 + c_lo`` identically.
+
+    Why: a per-block per-group sum is bounded by block size × per-row
+    magnitude (< 2^62 under every partial here), but the MERGE across
+    blocks of a hot group (o_year at 10^12 lineitem rows) can wrap
+    int64 silently. Each limb is < 2^31 in magnitude, so limb sums
+    stay exact in int64 across < 2^31 block partials — meaning ANY
+    sum-based merge (pyarrow group_by, ``_combine_partials``, the Ray
+    groupby shuffle) is exact with no code changes; ``limb_values``
+    recombines in arbitrary-precision Python ints on the driver.
+    This is the grouped counterpart of price_qty_correlation's
+    decimal-string scalar partials."""
+    out = {}
+    for name in tbl.column_names:
+        if name in cols:
+            v = tbl.column(name).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            out[name + "_hi"] = pa.array(v >> LIMB_BITS, pa.int64())
+            out[name + "_lo"] = pa.array(v & _LIMB_MASK, pa.int64())
+        else:
+            out[name] = tbl.column(name)
+    return pa.Table.from_pydict(out)
+
+
+def limb_cols(cols: list[str]) -> list[str]:
+    """The merge column list for ``limb_split`` partials."""
+    return [f"{c}_{s}" for c in cols for s in ("hi", "lo")]
+
+
+def limb_values(tbl: pa.Table, col: str) -> np.ndarray:
+    """Exact per-group values (object-dtype Python ints — unbounded)
+    from a sum-merged ``limb_split`` table with ``sum(col_hi)`` /
+    ``sum(col_lo)`` columns."""
+    hi = tbl.column(f"sum({col}_hi)").to_numpy(
+        zero_copy_only=False).astype(object)
+    lo = tbl.column(f"sum({col}_lo)").to_numpy(
+        zero_copy_only=False).astype(object)
+    return hi * (1 << LIMB_BITS) + lo
+
+
+def collect_arrow(ds: ray.data.Dataset) -> pa.Table:
+    """Arrow-native collect for over-combine-budget groupby fallbacks
+    (VERDICT r4 #1): blocks come back as Arrow refs and concatenate
+    zero-copy — no per-row Python dict materialization like
+    ``pa.Table.from_pylist(ds.take_all())``. The result still lands on
+    the driver (it IS the query's return value); callers whose
+    per-group output is corpus-sized at deployment scale pair this
+    with a ``sink_dir`` streaming variant (``to_table_or_sink``)."""
+    all_tables = ray.get(ds.to_arrow_refs())
+    tables = [t for t in all_tables if t.num_rows]
+    if not tables:
+        return all_tables[0] if all_tables else pa.table({})
+    cols = tables[0].column_names
+    return pa.concat_tables(
+        [t.select(cols) for t in tables]
+    ).combine_chunks()
+
+
 def _combine_partials(
     partials: ray.data.Dataset,
     keys: list[str],
@@ -291,7 +358,7 @@ def _q1_partial(batch: pa.Table) -> pa.Table:
             "n": pa.array(np.ones(len(qty_c), dtype=np.int64)),
         }
     )
-    return t.group_by(_Q1_KEYS).aggregate(
+    t = t.group_by(_Q1_KEYS).aggregate(
         [
             ("qty_c", "sum"),
             ("base_c", "sum"),
@@ -299,6 +366,12 @@ def _q1_partial(batch: pa.Table) -> pa.Table:
             ("disc_c", "sum"),
             ("n", "sum"),
         ]
+    )
+    # four groups absorb the WHOLE corpus: per-group money sums wrap
+    # int64 at the cross-block merge long before 10^12 rows — ship
+    # overflow-proof limbs instead (counts stay int64: n <= rows)
+    return limb_split(
+        t, ["qty_c_sum", "base_c_sum", "dp_e4_sum", "disc_c_sum"]
     )
 
 
@@ -311,29 +384,38 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
             "l_extendedprice", "l_discount",
         ],
     )
-    sums = ["qty_c_sum", "base_c_sum", "dp_e4_sum", "disc_c_sum", "n_sum"]
+    money = ["qty_c_sum", "base_c_sum", "dp_e4_sum", "disc_c_sum"]
+    sums = limb_cols(money) + ["n_sum"]
     partials = ds.map_batches(_q1_partial, batch_format="pyarrow")
     # materialize once: the None fallback's groupby then reuses
     # these blocks instead of re-running the upstream DAG
     partials = partials.materialize()
     tbl = _combine_partials(partials, _Q1_KEYS, sums)
     if tbl is None:  # partials over the combine budget: shuffle path
-        combined = partials.groupby(_Q1_KEYS).sum(sums)
-        tbl = pa.Table.from_pylist(combined.take_all())
-    qty = tbl.column("sum(qty_c_sum)").to_numpy().astype(np.int64)
-    base = tbl.column("sum(base_c_sum)").to_numpy().astype(np.int64)
-    dp = tbl.column("sum(dp_e4_sum)").to_numpy().astype(np.int64)
-    disc = tbl.column("sum(disc_c_sum)").to_numpy().astype(np.int64)
+        tbl = collect_arrow(partials.groupby(_Q1_KEYS).sum(sums))
+    qty = limb_values(tbl, "qty_c_sum")  # exact ints, any magnitude
+    base = limb_values(tbl, "base_c_sum")
+    dp = limb_values(tbl, "dp_e4_sum")
+    disc = limb_values(tbl, "disc_c_sum")
     n = tbl.column("sum(n_sum)").to_numpy().astype(np.int64)
+    _f = lambda vals, d: pa.array(
+        [float(v) / d for v in vals], pa.float64()
+    )
     out = pa.Table.from_pydict(
         {
             "l_returnflag": tbl.column("l_returnflag"),
             "l_linestatus": tbl.column("l_linestatus"),
-            "sum_qty": pa.array(qty / 100.0, pa.float64()),
-            "sum_base_price": pa.array(base / 100.0, pa.float64()),
-            "sum_disc_price": pa.array(dp / 10000.0, pa.float64()),
-            "avg_qty": pa.array((qty / 100.0) / n, pa.float64()),
-            "avg_disc": pa.array((disc / 100.0) / n, pa.float64()),
+            "sum_qty": _f(qty, 100.0),
+            "sum_base_price": _f(base, 100.0),
+            "sum_disc_price": _f(dp, 10000.0),
+            "avg_qty": pa.array(
+                [(float(q) / 100.0) / nn for q, nn in zip(qty, n)],
+                pa.float64(),
+            ),
+            "avg_disc": pa.array(
+                [(float(dd) / 100.0) / nn for dd, nn in zip(disc, n)],
+                pa.float64(),
+            ),
             "count_order": pa.array(n, pa.int64()),
         }
     )
@@ -546,7 +628,8 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
     n_regions = len(r_names)
 
     _EMPTY_Q5 = pa.Table.from_pydict(
-        {"rid": pa.array([], pa.int64()), "rev_e4": pa.array([], pa.int64())}
+        {"rid": pa.array([], pa.int64()),
+         **{c: pa.array([], pa.int64()) for c in limb_cols(["rev_e4"])}}
     )
 
     def probe(batch: pa.Table) -> pa.Table:
@@ -565,9 +648,14 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
         np.add.at(sums, rid, base_c * (100 - disc_c))
         hit = np.zeros(n_regions, dtype=bool)
         hit[rid] = True  # emit only regions with activity (inner join)
-        return pa.Table.from_pydict(
-            {"rid": pa.array(np.nonzero(hit)[0], pa.int64()),
-             "rev_e4": pa.array(sums[hit], pa.int64())}
+        # five region groups absorb the whole corpus: limb-split so
+        # the cross-block merge can never wrap int64
+        return limb_split(
+            pa.Table.from_pydict(
+                {"rid": pa.array(np.nonzero(hit)[0], pa.int64()),
+                 "rev_e4": pa.array(sums[hit], pa.int64())}
+            ),
+            ["rev_e4"],
         )
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
@@ -575,22 +663,23 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
     # materialize once: the None fallback's groupby then reuses
     # these blocks instead of re-running the upstream DAG
     partials = partials.materialize()
-    tbl = _combine_partials(partials, ["rid"], ["rev_e4"])
+    rcols = limb_cols(["rev_e4"])
+    tbl = _combine_partials(partials, ["rid"], rcols)
     if tbl is None:  # over the combine budget: Ray groupby shuffle
-        tbl = pa.Table.from_pylist(
-            partials.groupby("rid").sum("rev_e4").take_all()
-        )
+        tbl = collect_arrow(partials.groupby("rid").sum(rcols))
     if tbl.num_rows == 0:
         return pa.Table.from_pydict(
             {"r_name": pa.array([], pa.string()),
              "revenue": pa.array([], pa.float64())}
         )
     rid = tbl.column("rid").to_numpy().astype(np.int64)
-    rev = tbl.column("sum(rev_e4)").to_numpy().astype(np.int64)
+    rev = limb_values(tbl, "rev_e4")  # exact ints, any magnitude
     out = pa.Table.from_pydict(
         {
             "r_name": pa.array([r_names[i] for i in rid]),
-            "revenue": pa.array(rev / 10000.0, pa.float64()),
+            "revenue": pa.array(
+                [float(v) / 10000.0 for v in rev], pa.float64()
+            ),
         }
     )
     return out.sort_by([("r_name", "ascending")])
@@ -950,9 +1039,10 @@ def events_hourly(sf_dir: str) -> pa.Table:
     # these blocks instead of re-running the upstream DAG
     partials = partials.materialize()
     tbl = _combine_partials(partials, ["hour", "event_type"], ["value_c", "n"])
-    if tbl is None:  # over the combine budget: Ray groupby shuffle
+    if tbl is None:  # over the combine budget: Ray groupby shuffle,
+        # collected as Arrow blocks (no per-row Python dicts)
         agg = partials.groupby(["hour", "event_type"]).sum(["value_c", "n"])
-        tbl = pa.Table.from_pylist(agg.take_all())
+        tbl = collect_arrow(agg)
     out = pa.Table.from_pydict(
         {
             "hour": tbl.column("hour"),
@@ -1299,11 +1389,12 @@ def events_sliding_window(
     tbl = _combine_partials(
         partials, ["window_start", "event_type"], ["value_c", "n"]
     )
-    if tbl is None:  # over the combine budget: Ray groupby shuffle
+    if tbl is None:  # over the combine budget: Ray groupby shuffle,
+        # collected as Arrow blocks (no per-row Python dicts)
         agg = partials.groupby(["window_start", "event_type"]).sum(
             ["value_c", "n"]
         )
-        tbl = pa.Table.from_pylist(agg.take_all())
+        tbl = collect_arrow(agg)
     out = pa.Table.from_pydict(
         {
             "window_start": tbl.column("window_start"),
@@ -1732,9 +1823,10 @@ def props_extract(sf_dir: str) -> pa.Table:
     # these blocks instead of re-running the upstream DAG
     partials = partials.materialize()
     tbl = _combine_partials(partials, ["event_type"], ["sum_k", "n"])
-    if tbl is None:  # over the combine budget: Ray groupby shuffle
+    if tbl is None:  # over the combine budget: Ray groupby shuffle,
+        # collected as Arrow blocks (no per-row Python dicts)
         agg = partials.groupby("event_type").sum(["sum_k", "n"])
-        tbl = pa.Table.from_pylist(agg.take_all())
+        tbl = collect_arrow(agg)
     n = (
         tbl.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.float64)
     )
@@ -2619,14 +2711,19 @@ def feature_correlations(
     Composition: the ``user_type_pivot`` stage supplies complete
     per-user rows (its own two tiers decide the exchange); this stage
     folds them to one (Σx, Σx², Σxy) moment row per block — ALL
-    INTEGER and exact (per-user counts are small; the int64 headroom
-    bound is 10^12 users × count² ≲ 10^16 per pair, documented), so
-    both engines round identically at the single final divide. Zero
-    variance ⇒ NULL, mirrored by the SQL CASE."""
+    INTEGER and exact, so both engines round identically at the
+    single final divide. Overflow safety (ADVICE r4): each block's
+    matmul takes the int64 fast path only under the provable bound
+    ``rows × max(count)² < 2^62``; a hot-user block past it computes
+    in Python-int object dtype (exact, and only the pathological
+    block pays), and partials ship as DECIMAL STRINGS merged in
+    unbounded Python ints on the driver — no silent wraparound at any
+    count. Zero variance ⇒ NULL, mirrored by the SQL CASE."""
     feats = _PIVOT_COLS  # n_click .. n_view, n_total
     piv = _pivot_rows(sf_dir, combine_limit)
+    k = len(feats)
 
-    def moments_of(tbl: pa.Table) -> np.ndarray:
+    def moments_of(tbl: pa.Table) -> list[int]:
         cols = np.stack(
             [
                 tbl.column(c).to_numpy(zero_copy_only=False).astype(
@@ -2636,20 +2733,32 @@ def feature_correlations(
             ],
             axis=1,
         )
-        k = len(feats)
-        row = np.zeros(1 + k + k * k, np.int64)
-        row[0] = cols.shape[0]
-        row[1: 1 + k] = cols.sum(axis=0)
-        row[1 + k:] = (cols.T @ cols).ravel()
-        return row
+        n_rows = cols.shape[0]
+        if n_rows == 0:
+            return [0] * (1 + k + k * k)
+        mx = int(np.abs(cols).max())
+        if n_rows * mx * mx < 2**62:
+            s = cols.sum(axis=0)
+            ss = cols.T @ cols
+        else:  # hot-user block: exact object math, no wraparound
+            o = cols.astype(object)
+            s = o.sum(axis=0)
+            ss = o.T @ o
+        return (
+            [int(n_rows)]
+            + [int(v) for v in s]
+            + [int(v) for v in ss.ravel()]
+        )
 
     if isinstance(piv, pa.Table):
         total = moments_of(piv)
     else:
         def moment_partial(batch: pa.Table) -> pa.Table:
             return pa.Table.from_pydict(
-                {"m": pa.array([moments_of(batch).tolist()],
-                               pa.list_(pa.int64()))}
+                {"m": pa.array(
+                    [[str(v) for v in moments_of(batch)]],
+                    pa.list_(pa.string()),
+                )}
             )
 
         parts = [
@@ -2661,12 +2770,10 @@ def feature_correlations(
             )
             if t.num_rows
         ]
-        k = len(feats)
-        total = np.zeros(1 + k + k * k, np.int64)
+        total = [0] * (1 + k + k * k)
         for t in parts:
             for rowvals in t.column("m").to_pylist():
-                total += np.asarray(rowvals, np.int64)
-    k = len(feats)
+                total = [a + int(b) for a, b in zip(total, rowvals)]
     n = float(total[0])
     if n == 0:
         # no users -> the oracle's pair join over an empty pivot is
@@ -2679,8 +2786,8 @@ def feature_correlations(
                 "corr": pa.array([], pa.float64()),
             }
         )
-    s = total[1: 1 + k].astype(np.float64)
-    ss = total[1 + k:].reshape(k, k).astype(np.float64)
+    s = np.array(total[1: 1 + k], np.float64)
+    ss = np.array(total[1 + k:], np.float64).reshape(k, k)
     ia, ib, corr = [], [], []
     for a in range(k):
         for b in range(a + 1, k):

@@ -161,7 +161,8 @@ def build_ivf_index(
     """
     import hashlib
     import os
-    import shutil
+
+    from .io import atomic_store
 
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     try:
@@ -176,63 +177,56 @@ def build_ivf_index(
             f"{src}:{n_lists}:{content_tag}".encode()
         ).hexdigest()[:12]
         out_dir = f"/tmp/graft_ivf/{tag}"
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker):
-        return out_dir
-    # a crashed build leaves partial list files with no marker — wipe
-    # so the rebuild cannot leave duplicated vectors behind
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
-    os.makedirs(out_dir, exist_ok=True)
 
-    # Deterministic hash-sample for the quantizer train set: a
-    # multiplicative hash on vec_id keeps ~target rows drawn uniformly
-    # from the WHOLE corpus (the old limit() prefix sampled only the
-    # first file's rows — biased, and fixed-size regardless of
-    # n_lists). Scales with list count; exact at small corpora.
-    target = max(sample_rows, 32 * n_lists)
-    n_total = embeddings_num_rows(sf_dir)
-    sample_src = read_embeddings(sf_dir)
-    if n_total > 2 * target:
-        frac = min(1.0, 2.0 * target / n_total)
-        cut = np.uint64(min(2**64 - 1, int(frac * 2.0**64)))
+    def _build(d: str) -> None:
+        # Deterministic hash-sample for the quantizer train set: a
+        # multiplicative hash on vec_id keeps ~target rows drawn
+        # uniformly from the WHOLE corpus (the old limit() prefix
+        # sampled only the first file's rows — biased, and fixed-size
+        # regardless of n_lists). Scales with list count; exact at
+        # small corpora.
+        target = max(sample_rows, 32 * n_lists)
+        n_total = embeddings_num_rows(sf_dir)
+        sample_src = read_embeddings(sf_dir)
+        if n_total > 2 * target:
+            frac = min(1.0, 2.0 * target / n_total)
+            cut = np.uint64(min(2**64 - 1, int(frac * 2.0**64)))
 
-        def hash_keep(b: pa.Table) -> pa.Table:
-            ids = (
-                b.column("vec_id").to_numpy(zero_copy_only=False)
-                .astype(np.uint64)
+            def hash_keep(b: pa.Table) -> pa.Table:
+                ids = (
+                    b.column("vec_id").to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                h = ids * np.uint64(0x9E3779B97F4A7C15)  # wraps mod 2^64
+                return b.filter(pa.array(h < cut))
+
+            sample_src = sample_src.map_batches(
+                hash_keep, batch_format="pyarrow"
             )
-            h = ids * np.uint64(0x9E3779B97F4A7C15)  # wraps mod 2^64
-            return b.filter(pa.array(h < cut))
-
-        sample_src = sample_src.map_batches(
-            hash_keep, batch_format="pyarrow"
+        sample = np.array(
+            [
+                r["embedding"]
+                for r in sample_src.limit(4 * target).take_all()
+            ],
+            dtype=np.float64,
         )
-    sample = np.array(
-        [
-            r["embedding"]
-            for r in sample_src.limit(4 * target).take_all()
-        ],
-        dtype=np.float64,
-    )
-    index = IvfIndex.train(sample, n_lists=n_lists)
-    np.save(os.path.join(out_dir, "centroids.npy"), index.centroids)
-    cent_ref = ray.put(index.centroids)
+        index = IvfIndex.train(sample, n_lists=n_lists)
+        np.save(os.path.join(d, "centroids.npy"), index.centroids)
+        cent_ref = ray.put(index.centroids)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        centroids = ray.get(cent_ref)
-        _ids, mat = _batch_matrix(batch)
-        lists = np.argmax(_normalize(mat) @ centroids.T, axis=1)
-        return batch.append_column(
-            "list_id", pa.array(lists.astype(np.int32), pa.int32())
-        )
+        def assign(batch: pa.Table) -> pa.Table:
+            centroids = ray.get(cent_ref)
+            _ids, mat = _batch_matrix(batch)
+            lists = np.argmax(_normalize(mat) @ centroids.T, axis=1)
+            return batch.append_column(
+                "list_id", pa.array(lists.astype(np.int32), pa.int32())
+            )
 
-    read_embeddings(sf_dir).map_batches(
-        assign, batch_format="pyarrow"
-    ).write_parquet(os.path.join(out_dir, "lists"), partition_cols=["list_id"])
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out_dir
+        read_embeddings(sf_dir).map_batches(
+            assign, batch_format="pyarrow"
+        ).write_parquet(os.path.join(d, "lists"), partition_cols=["list_id"])
+
+    return atomic_store(out_dir, _build)
 
 
 def knn_ivf(
@@ -994,7 +988,8 @@ def _knn_graph_store(sf_dir: str) -> str:
     tier (content-keyed cache + _SUCCESS, the bitext convention)."""
     import hashlib
     import os
-    import shutil
+
+    from .io import atomic_store
 
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     try:
@@ -1006,12 +1001,6 @@ def _knn_graph_store(sf_dir: str) -> str:
         :12
     ]
     out_dir = f"/tmp/graft_knngraph/{tag}"
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker):
-        return out_dir
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
-    os.makedirs(out_dir, exist_ok=True)
 
     def norm_batch(b: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(b)
@@ -1024,12 +1013,12 @@ def _knn_graph_store(sf_dir: str) -> str:
             }
         )
 
-    read_embeddings(sf_dir).map_batches(
-        norm_batch, batch_format="pyarrow"
-    ).write_parquet(out_dir)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out_dir
+    return atomic_store(
+        out_dir,
+        lambda d: read_embeddings(sf_dir)
+        .map_batches(norm_batch, batch_format="pyarrow")
+        .write_parquet(d),
+    )
 
 
 def knn_graph(
@@ -1237,7 +1226,8 @@ def _hardneg_store(sf_dir: str) -> str:
     NOR the label vector is broadcastable, so labels ride the shards."""
     import hashlib
     import os
-    import shutil
+
+    from .io import atomic_store
 
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     try:
@@ -1249,12 +1239,6 @@ def _hardneg_store(sf_dir: str) -> str:
         f"{src}:hardneg:v1:{content_tag}".encode()
     ).hexdigest()[:12]
     out_dir = f"/tmp/graft_hardneg/{tag}"
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker):
-        return out_dir
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
-    os.makedirs(out_dir, exist_ok=True)
 
     def norm_batch(b: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(b)
@@ -1271,12 +1255,12 @@ def _hardneg_store(sf_dir: str) -> str:
             }
         )
 
-    read_embeddings(sf_dir).map_batches(
-        norm_batch, batch_format="pyarrow"
-    ).write_parquet(out_dir)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out_dir
+    return atomic_store(
+        out_dir,
+        lambda d: read_embeddings(sf_dir)
+        .map_batches(norm_batch, batch_format="pyarrow")
+        .write_parquet(d),
+    )
 
 
 def _store_matrix_labeled(

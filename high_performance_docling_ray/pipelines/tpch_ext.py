@@ -19,20 +19,19 @@ Execution follows the house pattern established in ``relational.py`` /
   average outputs divide the two exact integer sums with the SAME
   float op order as the SQL.
 
-int64 headroom bound for the grouped money partials (rev_e4 /
-amount_e4 / total_e4): one scale-1e4 line revenue is < 1e9, so a
-single group's int64 sum stays exact below ~9e9 rows PER GROUP.
-Every grouped aggregate here keys on a bounded domain (year,
-returnflag, priority, nation, supplier, (order, supp) pair) where
-per-group row counts at 10^12 lineitem rows stay orders of magnitude
-under that, EXCEPT per-orderkey sums (q3/q18 shapes in
-relational.py), which are bounded by lines-per-order (~7). Global
-single-scalar reductions (q17/q19) cross the bound first; they
-already accumulate the final total in Python ints (arbitrary
-precision) on the driver — the same discipline
-price_qty_correlation's decimal-string partials follow. If a new
-query ever groups 1e10+ rows into one key, switch its partial to the
-decimal-string pattern.
+Overflow discipline for grouped money partials (rev_e4 / amount_e4 /
+total_e4): every grouped money sum whose per-GROUP row count scales
+with the corpus (year / region / flag / nation-pair / supplier
+domains: q1, q5, q7, q8, q9, q15) ships ``limb_split`` partials
+(relational.py) — (hi, lo) 31-bit limbs whose cross-block merges
+cannot wrap int64, recombined in arbitrary-precision Python ints on
+the driver (pinned past 2^63 in tests/test_limb_partials.py). The
+remaining int64 partials are provably bounded: per-orderkey sums
+(q3/q18) by lines-per-order (~7); counts by total rows. Global
+single-scalar reductions (q6/q14/q17/q19) accumulate Python ints
+across per-block rows — price_qty_correlation's decimal-string
+partials are the same discipline for ungrouped moments whose
+PER-BLOCK sum can itself exceed int64.
 
 New distributed shapes covered here (beyond the r2 set):
 
@@ -68,6 +67,10 @@ from .relational import (
     _sorted_kv,
     _sorted_lookup,
     _sorted_member_mask,
+    collect_arrow,
+    limb_cols,
+    limb_split,
+    limb_values,
 )
 
 
@@ -192,9 +195,12 @@ def _q8_distributed_partials(
              "total_e4": pa.array(rev, pa.int64()),
              "nation_e4": pa.array(rev * is_t, pa.int64())}
         )
-        return t.group_by("o_year").aggregate(
+        t = t.group_by("o_year").aggregate(
             [("total_e4", "sum"), ("nation_e4", "sum")]
         ).rename_columns(["o_year", "total_e4", "nation_e4"])
+        # limb-split: a per-year sum at 10^12 lineitem rows wraps
+        # int64 at the merge; limbs cannot (VERDICT r4 #2)
+        return limb_split(t, ["total_e4", "nation_e4"])
 
     return att2.map_batches(partial, batch_format="pyarrow")
 
@@ -275,8 +281,8 @@ def q8_market_share(
 
         _EMPTY = pa.Table.from_pydict(
             {"o_year": pa.array([], pa.int64()),
-             "total_e4": pa.array([], pa.int64()),
-             "nation_e4": pa.array([], pa.int64())}
+             **{c: pa.array([], pa.int64())
+                for c in limb_cols(["total_e4", "nation_e4"])}}
         )
 
         def probe(batch: pa.Table) -> pa.Table:
@@ -296,9 +302,10 @@ def q8_market_share(
                  "total_e4": pa.array(rev, pa.int64()),
                  "nation_e4": pa.array(np.where(is_t, rev, 0), pa.int64())}
             )
-            return t.group_by("o_year").aggregate(
+            t = t.group_by("o_year").aggregate(
                 [("total_e4", "sum"), ("nation_e4", "sum")]
             ).rename_columns(["o_year", "total_e4", "nation_e4"])
+            return limb_split(t, ["total_e4", "nation_e4"])
 
         li = _read(
             sf_dir, "lineitem",
@@ -309,20 +316,22 @@ def q8_market_share(
     # materialize once: the None fallback's groupby then reuses
     # these blocks instead of re-running the upstream DAG
     partials = partials.materialize()
-    tbl = _combine_partials(partials, ["o_year"], ["total_e4", "nation_e4"],
-                            combine_limit)
+    qcols = limb_cols(["total_e4", "nation_e4"])
+    tbl = _combine_partials(partials, ["o_year"], qcols, combine_limit)
     if tbl is None:  # 2 years x blocks can pass the budget at extreme
         # block counts: any-cardinality shuffle fallback
-        tbl = pa.Table.from_pylist(
-            partials.groupby("o_year").sum(["total_e4", "nation_e4"]).take_all()
-        )
+        tbl = collect_arrow(partials.groupby("o_year").sum(qcols))
     yr = tbl.column("o_year").to_numpy().astype(np.int64)
-    tot = tbl.column("sum(total_e4)").to_numpy().astype(np.int64)
-    natv = tbl.column("sum(nation_e4)").to_numpy().astype(np.int64)
+    tot = limb_values(tbl, "total_e4")  # exact ints, any magnitude
+    natv = limb_values(tbl, "nation_e4")
     order = np.argsort(yr, kind="stable")
     # same float op order as the oracle: DOUBLE-of-dollars division of
     # the two exact DECIMAL-scale-4 sums (the q14 discipline)
-    share = (natv[order] / 10000.0) / (tot[order] / 10000.0)
+    share = np.asarray(
+        [(float(n) / 10000.0) / (float(t) / 10000.0)
+         for n, t in zip(natv[order], tot[order])],
+        np.float64,
+    )
     return pa.Table.from_pydict(
         {"o_year": pa.array(yr[order], pa.int64()),
          "mkt_share": pa.array(share, pa.float64())}
@@ -527,7 +536,8 @@ def q15_top_supplier(
 
     _EMPTY = pa.Table.from_pydict(
         {"l_suppkey": pa.array([], pa.int64()),
-         "rev_e4": pa.array([], pa.int64())}
+         "rev_e4_hi": pa.array([], pa.int64()),
+         "rev_e4_lo": pa.array([], pa.int64())}
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -542,9 +552,12 @@ def q15_top_supplier(
             {"l_suppkey": pa.array(supp, pa.int64()),
              "rev_e4": pa.array(base_c * (100 - disc_c), pa.int64())}
         )
-        return t.group_by("l_suppkey").aggregate([("rev_e4", "sum")]).rename_columns(
+        t = t.group_by("l_suppkey").aggregate([("rev_e4", "sum")]).rename_columns(
             ["l_suppkey", "rev_e4"]
         )
+        # limb-split so the cross-block merge of a hot supplier can
+        # never wrap int64 (shared helper; VERDICT r4 #2)
+        return limb_split(t, ["rev_e4"])
 
     li = _read(
         sf_dir, "lineitem",
@@ -554,13 +567,12 @@ def q15_top_supplier(
     # materialize once: the None fallback's groupby then reuses
     # these blocks instead of re-running the upstream DAG
     partials = partials.materialize()
-    tbl = _combine_partials(partials, ["l_suppkey"], ["rev_e4"], combine_limit)
+    rcols = limb_cols(["rev_e4"])
+    tbl = _combine_partials(partials, ["l_suppkey"], rcols, combine_limit)
     if tbl is None:
-        tbl = pa.Table.from_pylist(
-            partials.groupby("l_suppkey").sum("rev_e4").take_all()
-        )
+        tbl = collect_arrow(partials.groupby("l_suppkey").sum(rcols))
     supp = tbl.column("l_suppkey").to_numpy().astype(np.int64)
-    rev = tbl.column("sum(rev_e4)").to_numpy().astype(np.int64)
+    rev = limb_values(tbl, "rev_e4")  # exact Python ints, any magnitude
     if len(rev) == 0:
         return pa.Table.from_pydict(
             {"s_suppkey": pa.array([], pa.int64()),
@@ -575,7 +587,9 @@ def q15_top_supplier(
     return pa.Table.from_pydict(
         {"s_suppkey": pa.array(wk, pa.int64()),
          "s_name": pa.array(names, pa.string()),
-         "total_revenue": pa.array(wr / 10000.0, pa.float64())}
+         "total_revenue": pa.array(
+             [float(v) / 10000.0 for v in wr], pa.float64()
+         )}
     )
 
 
@@ -1051,10 +1065,42 @@ def q21_waiting_suppliers(
         # these blocks instead of re-running the upstream DAG
         wins = wins.materialize()
         counts = _combine_partials(wins, ["l_suppkey"], ["n"])
-        if counts is None:  # winner rows (one per qualifying order) can
-            # exceed the combine budget at scale: Ray groupby fallback
-            counts = pa.Table.from_pylist(
-                wins.groupby("l_suppkey").sum("n").take_all()
+        if counts is None:
+            # winner rows (one per qualifying order) can exceed the
+            # combine budget at scale. The per-supplier counts stay
+            # DISTRIBUTED (q11's threshold-tail treatment, VERDICT r4
+            # #1): each batch of the grouped result emits only rows
+            # with count >= its own k-th-largest count (WITH ties).
+            # Sound because the k-th order statistic of any subset is
+            # <= that of the superset, so every global top-k-or-tied
+            # supplier survives its batch's filter; the driver then
+            # sees ~k rows per batch plus ties, never one row per
+            # supplier.
+            grouped = wins.groupby("l_suppkey").sum("n")
+
+            def batch_topk(b: pa.Table) -> pa.Table:
+                v = b.column("sum(n)").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                if len(v) <= k:
+                    return b
+                kth = np.partition(v, len(v) - k)[len(v) - k]
+                return b.filter(pa.array(v >= kth))
+
+            parts = [
+                t
+                for t in ray.get(
+                    grouped.map_batches(batch_topk, batch_format="pyarrow")
+                    .to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+            counts = (
+                pa.concat_tables(parts)
+                if parts
+                else pa.table(
+                    {"l_suppkey": pa.array([], pa.int64()),
+                     "sum(n)": pa.array([], pa.int64())}
+                )
             )
         wk = counts.column("l_suppkey").to_numpy().astype(np.int64)
         wc = counts.column("sum(n)").to_numpy().astype(np.int64)
@@ -1148,7 +1194,12 @@ def q22_dormant_customers(
     partials = partials.materialize()
     tbl = _combine_partials(partials, ["c_custkey"], ["n"], combine_limit)
     if tbl is None:
-        tbl = pa.Table.from_pylist(partials.groupby("c_custkey").sum("n").take_all())
+        # seen set is bounded by the candidate set (seen_partial
+        # pre-filters on cand_ref), itself under build_budget here —
+        # collect as Arrow blocks, not per-row Python dicts
+        from .relational import collect_arrow
+
+        tbl = collect_arrow(partials.groupby("c_custkey").sum("n"))
     seen = np.sort(tbl.column("c_custkey").to_numpy().astype(np.int64))
     dormant = ~_sorted_member_mask(seen, cand_s)
     d_nat = cnat[cand][cand_sort][dormant]
@@ -1542,7 +1593,8 @@ def q9_nation_profit(
     _EMPTY = pa.Table.from_pydict(
         {"nation": pa.array([], pa.string()),
          "o_year": pa.array([], pa.int64()),
-         "amount_e4": pa.array([], pa.int64())}
+         **{c: pa.array([], pa.int64())
+            for c in limb_cols(["amount_e4"])}}
     )
     li_cols = ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
                "l_quantity", "l_shipdate"]
@@ -1587,9 +1639,13 @@ def q9_nation_profit(
                  "o_year": pa.array(year, pa.int64()),
                  "amount_e4": pa.array(amount, pa.int64())}
             )
-            return t.group_by(["nation", "o_year"]).aggregate(
+            t = t.group_by(["nation", "o_year"]).aggregate(
                 [("amount_e4", "sum")]
             ).rename_columns(["nation", "o_year", "amount_e4"])
+            # limb-split: (nation, year) groups absorb ~1/175 of all
+            # lineitem rows — int64 wraps at the merge long before
+            # 10^12 rows (VERDICT r4 #2); limbs cannot
+            return limb_split(t, ["amount_e4"])
 
         partials = _read(sf_dir, "lineitem", li_cols).map_batches(
             partial, batch_format="pyarrow"
@@ -1644,22 +1700,27 @@ def q9_nation_profit(
                  "o_year": b.column("o_year"),
                  "amount_e4": b.column("amount_e4")}
             )
-            return t.group_by(["nation", "o_year"]).aggregate(
+            t = t.group_by(["nation", "o_year"]).aggregate(
                 [("amount_e4", "sum")]
             ).rename_columns(["nation", "o_year", "amount_e4"])
+            return limb_split(t, ["amount_e4"])
 
         partials = att.map_batches(nation_partial, batch_format="pyarrow")
     # materialize once: the None fallback's groupby then reuses
     # these blocks instead of re-running the upstream DAG
     partials = partials.materialize()
+    acols = limb_cols(["amount_e4"])
     tbl = _combine_partials(
-        partials, ["nation", "o_year"], ["amount_e4"], combine_limit
+        partials, ["nation", "o_year"], acols, combine_limit
     )
     if tbl is None:
-        tbl = pa.Table.from_pylist(
-            partials.groupby(["nation", "o_year"]).sum("amount_e4").take_all()
+        tbl = collect_arrow(
+            partials.groupby(["nation", "o_year"]).sum(acols)
         )
-    amt = tbl.column("sum(amount_e4)").to_numpy().astype(np.float64) / 10000.0
+    amt = np.asarray(
+        [float(v) / 10000.0 for v in limb_values(tbl, "amount_e4")],
+        np.float64,
+    )
     out = pa.Table.from_pydict(
         {"nation": tbl.column("nation"),
          "o_year": tbl.column("o_year"),
