@@ -111,14 +111,43 @@ def _q_embedding_neardup_ivf(sf_dir: str):
 
 
 def _q_embedding_neardup_lsh(sf_dir: str):
-    """Approximate sign-LSH variant of the same contract (recall < 1 by
-    design — rows-only check; recall asserted vs the exact pipeline in
-    tests)."""
+    """Sign-LSH near-dup gate (VERDICT r4 #7): instead of the raw
+    approximate pairs (recall < 1 by design — rows-only forever),
+    return a driver-visible row hash-compared against the oracle:
+    ``n_exact_pairs`` is genuinely computed on BOTH sides (engine
+    exact pipeline vs the SQL quadratic cosine join),
+    ``precision_one`` pins that every LSH pair is exact-verified
+    (subset by construction — the scale-relevant claim), and
+    ``recall_ge_quarter`` pins the sign-LSH recall floor (measured
+    0.37-0.45 across sf0.001/0.01/0.1 at threshold 0.4)."""
+    import pyarrow as _pa
+
     from high_performance_docling_ray.pipelines.similarity import (
         embedding_neardup_lsh,
+        embedding_neardup_pairs,
     )
 
-    return embedding_neardup_lsh(sf_dir, threshold=0.4)
+    import ray
+
+    def pairs_of(x) -> set:
+        if not isinstance(x, _pa.Table):
+            parts = [t for t in ray.get(x.to_arrow_refs()) if t.num_rows]
+            if not parts:
+                return set()
+            x = _pa.concat_tables(parts)
+        return set(zip(x.column("vec_id_a").to_pylist(),
+                       x.column("vec_id_b").to_pylist()))
+
+    exact = pairs_of(embedding_neardup_pairs(sf_dir, threshold=0.4))
+    lsh = pairs_of(embedding_neardup_lsh(sf_dir, threshold=0.4))
+    recall = len(lsh & exact) / max(len(exact), 1)
+    return _pa.Table.from_pydict(
+        {
+            "n_exact_pairs": _pa.array([len(exact)], _pa.int64()),
+            "precision_one": _pa.array([lsh <= exact], _pa.bool_()),
+            "recall_ge_quarter": _pa.array([recall >= 0.25], _pa.bool_()),
+        }
+    )
 
 
 def _query_vector(sf_dir: str):
@@ -139,9 +168,36 @@ def _q_knn_brute(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
-    from high_performance_docling_ray.pipelines.similarity import knn_ivf
+    """IVF ANN recall gate (VERDICT r4 #7): instead of the raw
+    approximate top-k (rows-only forever), return a driver-visible
+    numeric row — recall@10 of the nprobe<n_lists IVF scan against
+    the exact brute-force top-10, gated at >= 0.5. Both sides are
+    deterministic, so the boolean (and k / n_overlap context) is
+    hash-comparable against a constant-truth oracle: the driver row
+    goes RED the moment an IVF regression drops recall below the
+    pinned bound. The fullprobe entry still hash-verifies the exact
+    path end to end."""
+    import numpy as _np
+    import pyarrow as _pa
 
-    return knn_ivf(sf_dir, _query_vector(sf_dir), k=10)
+    from high_performance_docling_ray.pipelines.similarity import (
+        knn_brute,
+        knn_ivf,
+    )
+
+    q = _query_vector(sf_dir)
+    approx = knn_ivf(sf_dir, q, k=10)
+    exact = knn_brute(sf_dir, _np.asarray(q, _np.float64), k=10)
+    a_ids = set(approx.column("vec_id").to_pylist())
+    e_ids = set(exact.column("vec_id").to_pylist())
+    overlap = len(a_ids & e_ids)
+    recall = overlap / max(len(e_ids), 1)
+    return _pa.Table.from_pydict(
+        {
+            "k": _pa.array([10], _pa.int64()),
+            "recall_ge_half": _pa.array([recall >= 0.5], _pa.bool_()),
+        }
+    )
 
 
 def _q_knn_ivf_fullprobe(sf_dir: str):
@@ -1879,39 +1935,95 @@ _COGROUP_TIERS: dict[str, tuple[str, str, str]] = {
     "q22_dormant_customers_cogroup": ("tpch_ext", "q22_dormant_customers", "q22_dormant_customers"),
 }
 
-# The driver's correctness gate covers the FIRST 50 queries() entries;
-# lead with one flagship per operator family plus the forced
-# distributed-tier TPC-H entries so the gate records the
-# highest-signal evidence (VERDICT r3 next-round #6).
-_PRIORITY_50 = [
-    "extract_pages", "extract_docs_text",
-    "extract_pdf_docs", "extract_pdf_ocr", "extract_pdf_ocr_cogroup",
-    "extract_pdf_tables", "extract_pdf_enriched", "extract_confidence",
-    "extract_list_markers",
-    "exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
-    "ngram_jaccard_pairs", "ngram_containment_pairs", "segment_dedup",
-    "substring_dedup",
-    "edit_distance_pairs", "fuzzy_components", "incremental_dedup",
-    "embedding_neardup_pairs", "embedding_neardup_ivf",
-    "knn_brute_cosine", "sparse_cosine_pairs", "knn_graph",
-    "kmeans_clusters", "semdedup", "tfidf_topk", "rrf_fusion",
-    "decontaminate", "clean_corpus", "pack_sequences",
-    "quality_classifier", "bitext_mine", "pagerank", "triangle_count",
-    "weighted_sssp_cogroup", "neardup_components",
-    "kendall_user_metrics", "theil_sen_trend",
-    "psi_source_drift", "jaro_winkler_pairs",
-    "hard_negatives", "kcore_nodes_cogroup", "frequent_ngrams",
-    "q1_pricing_summary", "q3_top_orders",
-    "q3_top_orders_cogroup", "q18_big_orders_cogroup",
-    "q13_order_distribution_cogroup", "q21_waiting_suppliers_cogroup",
+# The driver's correctness gate covers the FIRST 50 queries() entries.
+# 25 PERMANENT flagships (one per operator family + the forced
+# distributed-tier entries) lead every round; the other 25 slots
+# ROTATE deterministically each round over the oracle-backed queries
+# the PREVIOUS round's gate did not cover, so across rounds every
+# family eventually produces a driver-side CORRECTNESS row
+# (VERDICT r4 next-round #3).
+_FLAGSHIP_25 = [
+    "extract_pdf_docs", "extract_pdf_ocr_cogroup",
+    "extract_pdf_tables", "extract_confidence",
+    "exact_dedup", "minhash_lsh_pairs", "segment_dedup",
+    "substring_dedup", "edit_distance_pairs", "incremental_dedup",
+    "embedding_neardup_pairs", "sparse_cosine_pairs", "knn_graph",
+    "kmeans_clusters", "tfidf_topk", "decontaminate", "clean_corpus",
+    "pack_sequences", "quality_classifier", "pagerank",
+    "kcore_nodes_cogroup", "theil_sen_trend", "psi_source_drift",
+    "q1_pricing_summary", "q21_waiting_suppliers_cogroup",
 ]
+
+
+def _gate_round() -> int:
+    """Current build round, derived from the recorded gate files —
+    deterministic within a round, advances when the driver writes the
+    next CORRECTNESS_r{N}.json."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ns = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
+def _prev_gate_names() -> set:
+    """Names the newest recorded gate already covered (skipped by the
+    rotation so each round's 25 rotated slots are NEW evidence)."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if not files:
+        return set()
+    try:
+        with open(files[-1]) as f:
+            return set(json.load(f))
+    except (OSError, ValueError):
+        return set()
+
+
+def _rotated_head(q: dict) -> list[str]:
+    flag = [k for k in _FLAGSHIP_25 if k in q]
+    oracles = oracle_sql()
+    # rotation pool: oracle-backed entries only (hash evidence, not
+    # rows-only), minus the permanent flagships
+    pool = sorted(k for k in q if k in oracles and k not in _FLAGSHIP_25)
+    if not pool:
+        return flag
+    prev = _prev_gate_names()
+    rnd = _gate_round()
+    off = ((rnd - 1) * 25) % len(pool)
+    rotated: list[str] = []
+    # first pass prefers names the previous gate did NOT cover
+    for i in range(len(pool)):
+        name = pool[(off + i) % len(pool)]
+        if name not in prev:
+            rotated.append(name)
+            if len(rotated) == 25:
+                break
+    # backfill (only when fewer than 25 uncovered names exist)
+    for i in range(len(pool)):
+        if len(rotated) >= 25:
+            break
+        name = pool[(off + i) % len(pool)]
+        if name not in rotated:
+            rotated.append(name)
+    return flag + rotated
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     q = _all_queries()
     for name, (module, fn, _oracle) in _COGROUP_TIERS.items():
         q[name] = _budget0(module, fn)
-    head = {k: q[k] for k in _PRIORITY_50 if k in q}
+    head = {k: q[k] for k in _rotated_head(q) if k in q}
     return {**head, **{k: v for k, v in q.items() if k not in head}}
 
 
@@ -2842,15 +2954,44 @@ def _q_embedding_covariance(sf_dir: str):
 
 
 def _q_pca_project(sf_dir: str):
-    """Rows-only by design: eigendecomposition is not SQL-expressible.
-    Pinned by test_decomposition.py (serial numpy equality, variance ==
-    eigenvalues, orthonormal basis, determinism); the covariance input
-    is the hash-verified embedding_covariance query."""
+    """PCA projection gate (VERDICT r4 #7): eigendecomposition is not
+    SQL-expressible, so instead of the raw projections (rows-only
+    forever) return a driver-visible row: ``n_vecs`` is genuinely
+    computed on both sides (every embedding must be projected —
+    engine row count vs SQL count(*)), ``orthonormal_ok`` pins
+    W^T W == I (1e-9), ``variance_desc_ok`` pins non-increasing
+    per-component eigenvalues. The full numeric pinning (serial numpy
+    equality, variance == eigenvalues, determinism) lives in
+    test_decomposition.py; the covariance INPUT is the hash-verified
+    embedding_covariance query."""
+    import numpy as _np
+    import pyarrow as _pa
+
     from high_performance_docling_ray.pipelines.decomposition import (
+        pca_basis,
         pca_project,
     )
 
-    return pca_project(sf_dir)
+    import ray
+
+    k = 8
+    proj = pca_project(sf_dir, k=k)
+    parts = [t for t in ray.get(proj.to_arrow_refs()) if t.num_rows]
+    n_vecs = sum(t.num_rows for t in parts)
+    _mean, basis, eigvals = pca_basis(sf_dir, k=k)
+    gram = basis.T @ basis
+    ortho = bool(
+        _np.allclose(gram, _np.eye(k), atol=1e-9, rtol=0.0)
+    )
+    var_desc = bool((_np.diff(_np.asarray(eigvals, _np.float64)) <= 1e-12).all())
+    return _pa.Table.from_pydict(
+        {
+            "n_vecs": _pa.array([n_vecs], _pa.int64()),
+            "k": _pa.array([k], _pa.int64()),
+            "orthonormal_ok": _pa.array([ortho], _pa.bool_()),
+            "variance_desc_ok": _pa.array([var_desc], _pa.bool_()),
+        }
+    )
 
 
 def _q_pq_codes(sf_dir: str):
@@ -5901,6 +6042,103 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY md5_number_upper('0:' || CAST(doc_id AS VARCHAR)),
                           doc_id) - 1 AS BIGINT) AS shuffle_rank
         FROM documents
+    """
+    # FFD bin packing IS SQL-expressible (VERDICT r4 #7): a recursive
+    # CTE walks each bucket in (n_tok DESC, doc_id) order carrying the
+    # per-bin remaining capacities as a LIST column; list_position of
+    # the first fitting bin mirrors the Python first-fit scan exactly
+    # (DuckDB list_position returns 0, not NULL, when absent); global
+    # bin ids add the same per-bucket cumsum offset.
+    oracles["pack_bins"] = r"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '')) AS n,
+                 doc_id // 256 AS bucket
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, n, bucket,
+                 row_number() OVER (PARTITION BY bucket
+                                    ORDER BY n DESC, doc_id) AS rn
+          FROM t WHERE n > 0
+        ),
+        pack AS (
+          SELECT bucket, rn, doc_id, n,
+                 CASE WHEN n >= 512 THEN [CAST(0 AS BIGINT)]
+                      ELSE [CAST(512 - n AS BIGINT)] END AS bins,
+                 CAST(0 AS BIGINT) AS bin_of,
+                 n > 512 AS overflow
+          FROM s WHERE rn = 1
+          UNION ALL
+          SELECT s.bucket, s.rn, s.doc_id, s.n,
+                 CASE
+                   WHEN s.n >= 512 THEN pack.bins || [CAST(0 AS BIGINT)]
+                   WHEN list_position(list_transform(pack.bins,
+                                                     x -> x >= s.n),
+                                      true) > 0
+                     THEN list_transform(pack.bins, (x, i) ->
+                            CASE WHEN i = list_position(
+                                   list_transform(pack.bins,
+                                                  y -> y >= s.n), true)
+                                 THEN x - s.n ELSE x END)
+                   ELSE pack.bins || [CAST(512 - s.n AS BIGINT)]
+                 END AS bins,
+                 CAST(CASE
+                   WHEN s.n >= 512 THEN len(pack.bins)
+                   WHEN list_position(list_transform(pack.bins,
+                                                     x -> x >= s.n),
+                                      true) > 0
+                     THEN list_position(list_transform(pack.bins,
+                                                       x -> x >= s.n),
+                                        true) - 1
+                   ELSE len(pack.bins)
+                 END AS BIGINT) AS bin_of,
+                 s.n > 512 AS overflow
+          FROM pack JOIN s ON s.bucket = pack.bucket
+                          AND s.rn = pack.rn + 1
+        ),
+        nb AS (
+          SELECT bucket, max(bin_of) + 1 AS n_bins FROM pack
+          GROUP BY bucket
+        ),
+        off AS (
+          SELECT bucket,
+                 CAST(SUM(n_bins) OVER (ORDER BY bucket
+                                        ROWS UNBOUNDED PRECEDING)
+                      - n_bins AS BIGINT) AS o
+          FROM nb
+        )
+        SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_tok,
+               CAST(p.bin_of + off.o AS BIGINT) AS bin_id, p.overflow
+        FROM pack p JOIN off ON off.bucket = p.bucket
+    """
+    # constant-truth recall gate: the engine side computes recall@10
+    # of the nprobe<n_lists IVF scan against exact brute force and
+    # returns the pinned-bound boolean — deterministic, so the hash
+    # compare goes RED the moment an IVF regression drops recall
+    oracles["knn_ivf_cosine"] = """
+        SELECT CAST(10 AS BIGINT) AS k, true AS recall_ge_half
+    """
+    # LSH gate: n_exact_pairs is genuinely computed on both sides (the
+    # quadratic cosine join); precision/recall booleans pin that LSH
+    # pairs are an exact-verified subset with the measured recall floor
+    oracles["embedding_neardup_lsh"] = """
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+               true AS precision_one, true AS recall_ge_quarter
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    """
+    # PCA gate: n_vecs is genuinely computed on both sides (every
+    # embedding must be projected); the booleans pin basis invariants
+    oracles["pca_project"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(8 AS BIGINT) AS k,
+               true AS orthonormal_ok, true AS variance_desc_ok
+        FROM embeddings
     """
     # the x CTE of pack_sequences IS the assignment table
     oracles["pack_assignments"] = r"""

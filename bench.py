@@ -360,15 +360,17 @@ def _quiesce(max_wait_s: int = 180, threshold: float = 4.0) -> None:
         time.sleep(10)
 
 
-def scaling() -> None:
+def scaling(lo: int = 8, hi: int = 32) -> None:
     """Run the NORTH-RULE DAG (size-class split + explode + per-doc
-    regroup, explode_giant=True) at num_cpus=8 and 32 in fresh
-    processes on the SAME pre-written corpus — the sandbox stand-in
-    for ray job submit at N and 4N nodes. The headline bench measures
-    the doc-at-once plan a monster-free corpus would actually use."""
+    regroup, explode_giant=True) at num_cpus=lo and hi (default 8 and
+    32; ``--scaling 4 16`` runs the second operating point of the
+    two-point curve, VERDICT r4 #6) in fresh processes on the SAME
+    pre-written corpus — the sandbox stand-in for ray job submit at N
+    and 4N nodes. The headline bench measures the doc-at-once plan a
+    monster-free corpus would actually use."""
     _prepare_corpus(SCALING_DOCS)  # write once, before both subprocesses
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         _quiesce()
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
@@ -402,15 +404,15 @@ def scaling() -> None:
             raise RuntimeError(f"scaling run at {cpus} cpus failed")
         res = json.loads(line[-1][len("RESULT "):])
         results[cpus] = res["docs"] / res["sec"]
-    eff = (results[32] / results[8]) / 4.0
+    eff = (results[hi] / results[lo]) / (hi / lo)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (8 -> 32 cpus)",
+                "metric": f"scaling efficiency ({lo} -> {hi} cpus)",
                 "value": round(eff, 3),
                 "unit": "efficiency",
-                "throughput_8": round(results[8], 3),
-                "throughput_32": round(results[32], 3),
+                f"throughput_{lo}": round(results[lo], 3),
+                f"throughput_{hi}": round(results[hi], 3),
                 "docs": SCALING_DOCS,
                 "required": 0.8,
             }
@@ -420,6 +422,11 @@ def scaling() -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling()
+        rest = [a for a in sys.argv[sys.argv.index("--scaling") + 1:]
+                if a.isdigit()]
+        if len(rest) >= 2:
+            scaling(int(rest[0]), int(rest[1]))
+        else:
+            scaling()
     else:
         main()

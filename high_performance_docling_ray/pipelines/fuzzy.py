@@ -734,7 +734,8 @@ def _jw_block_pass(
         raise ValueError(
             "jaro_winkler_pairs: distinct-key candidate pairs "
             f"({len(ui)}) exceed hot_pair_cap ({hot_pair_cap}); use a "
-            "longer block prefix (block_chars) or raise the cap"
+            "longer block prefix (block_chars), pass hot_sample=N for "
+            "the deterministic subsample tier, or raise the cap"
         )
     mat, lk = _byte_matrix(uniq)
     out: list[pa.Table] = []
@@ -796,12 +797,84 @@ def _jw_block_pass(
     return pa.concat_tables(out)
 
 
+def _jw_block_pass_sampled(
+    doc_ids: np.ndarray,
+    keys: np.ndarray,
+    threshold: float,
+    hot_pair_cap: int,
+    block_chars: int,
+    hot_sample: int,
+) -> pa.Table:
+    """Opt-in hot-block subsample tier (VERDICT r4 #5): blocks whose
+    DISTINCT-key count exceeds ``hot_sample`` are reduced to their
+    ``hot_sample`` keys with the smallest crc32 (deterministic,
+    partition-independent, seed-free) before the quadratic pair
+    enumeration; every emitted pair carries a ``sampled`` flag saying
+    whether its block was estimated from a subsample. Cold blocks run
+    the exact pass unchanged."""
+    import zlib
+
+    if not len(doc_ids):
+        return _JW_EMPTY.append_column("sampled", pa.array([], pa.bool_()))
+    order = np.lexsort((doc_ids, keys))
+    doc_ids, keys = doc_ids[order], keys[order]
+    new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+    kstarts = np.nonzero(new_key)[0]
+    g = np.diff(np.append(kstarts, len(keys)))
+    uniq = [str(s) for s in keys[kstarts]]
+    blk = pc.utf8_slice_codeunits(
+        pa.array(uniq, pa.string()), 0, block_chars
+    ).to_numpy(zero_copy_only=False)
+    new_blk = np.concatenate(([True], blk[1:] != blk[:-1]))
+    bidx = np.repeat(
+        np.arange(int(new_blk.sum())),
+        np.diff(np.append(np.nonzero(new_blk)[0], len(blk))),
+    )
+    bcounts = np.bincount(bidx)
+    hot = bcounts > hot_sample
+    # distinct-key keep mask: cold blocks keep all keys; hot blocks
+    # keep the hot_sample smallest-crc32 keys
+    crc = np.array([zlib.crc32(s.encode()) for s in uniq], np.int64)
+    horder = np.lexsort((crc, bidx))
+    local = np.arange(len(uniq)) - np.repeat(
+        np.cumsum(bcounts) - bcounts, bcounts
+    )
+    key_keep = np.empty(len(uniq), dtype=bool)
+    key_keep[horder] = local < hot_sample
+    key_hot = hot[bidx]
+    member_hot = np.repeat(key_hot, g)
+    member_keep = np.repeat(key_keep | ~key_hot, g)
+    out = []
+    cold = ~member_hot
+    if cold.any():
+        t = _jw_block_pass(
+            doc_ids[cold], keys[cold], threshold, hot_pair_cap,
+            block_chars,
+        )
+        out.append(t.append_column(
+            "sampled", pa.array(np.zeros(t.num_rows, bool), pa.bool_())
+        ))
+    hot_rows = member_hot & member_keep
+    if hot_rows.any():
+        t = _jw_block_pass(
+            doc_ids[hot_rows], keys[hot_rows], threshold, hot_pair_cap,
+            block_chars,
+        )
+        out.append(t.append_column(
+            "sampled", pa.array(np.ones(t.num_rows, bool), pa.bool_())
+        ))
+    if not out:
+        return _JW_EMPTY.append_column("sampled", pa.array([], pa.bool_()))
+    return pa.concat_tables(out)
+
+
 def jaro_winkler_pairs(
     sf_dir: str,
     threshold: float = 0.9,
     block_chars: int = 2,
     driver_budget: int = 2_000_000,
     hot_pair_cap: int = 20_000_000,
+    hot_sample: int | None = None,
 ) -> ray.data.Dataset | pa.Table:
     """Blocked Jaro–Winkler record-linkage self-join: every doc pair
     whose derived keys (the edit-distance family's ``derive_keys``)
@@ -842,7 +915,7 @@ def jaro_winkler_pairs(
     keys_ds = docs.map_batches(keyed, batch_format="pyarrow")
 
     def run_pass(group: pa.Table) -> pa.Table:
-        return _jw_block_pass(
+        args = (
             group.column("doc_id").to_numpy().astype(np.int64),
             np.asarray(
                 group.column("key").to_numpy(zero_copy_only=False),
@@ -850,6 +923,9 @@ def jaro_winkler_pairs(
             ),
             threshold, hot_pair_cap, block_chars,
         )
+        if hot_sample is not None:
+            return _jw_block_pass_sampled(*args, hot_sample)
+        return _jw_block_pass(*args)
 
     if (
         driver_budget
@@ -857,7 +933,13 @@ def jaro_winkler_pairs(
     ):
         parts = [t for t in ray.get(keys_ds.to_arrow_refs()) if t.num_rows]
         if not parts:
-            return _JW_EMPTY
+            return (
+                _JW_EMPTY
+                if hot_sample is None
+                else _JW_EMPTY.append_column(
+                    "sampled", pa.array([], pa.bool_())
+                )
+            )
         whole = pa.concat_tables(parts).combine_chunks()
         return run_pass(whole).sort_by(
             [("doc_a", "ascending"), ("doc_b", "ascending")]

@@ -2013,6 +2013,7 @@ def theil_sen_trend(
     sf_dir: str, driver_budget: int = 2_000_000,
     hot_pair_cap: int = 20_000_000,
     sink_dir: str | None = None,
+    hot_sample: int | None = None,
 ) -> pa.Table | str:
     """Per-user Theil–Sen slope of ``value`` over time — the MEDIAN of
     all pairwise slopes ``(v_j - v_i) / Δhours`` across event pairs
@@ -2042,16 +2043,36 @@ def theil_sen_trend(
     OOMing; for the benchmark event table m_u is O(100). Driver fast
     tier under the events FOOTER probe; ``theil_sen_trend_grouped``
     forces the co-partition exchange.
+
+    Opt-in hot-entity subsample tier (VERDICT r4 #5): with
+    ``hot_sample=N``, any user holding MORE than N events is first
+    reduced to its N events with the smallest multiplicative hash of
+    ``event_id`` — deterministic, partition-independent, and
+    order-free (no dependence on block layout) — BEFORE the cap
+    check, and the output gains a ``sampled`` bool column recording
+    which users were estimated from a subsample. The slope for a
+    sampled user is the Theil–Sen estimate over a uniform-like
+    pseudo-random N-subset (the estimator's breakdown robustness is
+    exactly why subsampling is statistically sound here). Default
+    ``hot_sample=None`` keeps the hard refusal and the
+    oracle-matched schema.
     """
     from .io import parquet_num_rows
 
     num_parts = _num_parts()
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    _empty = (
+        _TS_EMPTY
+        if hot_sample is None
+        else _TS_EMPTY.append_column(
+            "sampled", pa.array([], pa.bool_())
+        )
+    )
 
     def sen_part(group: pa.Table) -> pa.Table:
         n_rows = group.num_rows
         if not n_rows:
-            return _TS_EMPTY
+            return _empty
         users = group.column("user_id").to_numpy(zero_copy_only=False)
         eids = group.column("event_id").to_numpy(zero_copy_only=False)
         ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(
@@ -2062,27 +2083,57 @@ def theil_sen_trend(
         )
         order = np.lexsort((eids, ts, users))
         users, ts, vals = users[order], ts[order], vals[order]
+        eids_s = eids[order]
         from .fuzzy import _run_pairs
 
         run_start = np.concatenate(([True], users[1:] != users[:-1]))
         starts = np.nonzero(run_start)[0]
         m = np.diff(np.append(starts, n_rows))
+        hot_users = np.array([], dtype=users.dtype)
+        if hot_sample is not None and (m > hot_sample).any():
+            # deterministic per-user subsample: keep each hot user's
+            # `hot_sample` events with the smallest event_id hash
+            # (multiplicative hash — global, partition-independent)
+            hot_users = users[starts[m > hot_sample]]
+            h = eids_s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            horder = np.lexsort((h, users))
+            u_h = users[horder]
+            hs = np.nonzero(
+                np.concatenate(([True], u_h[1:] != u_h[:-1]))
+            )[0]
+            local = np.arange(n_rows) - np.repeat(
+                hs, np.diff(np.append(hs, n_rows))
+            )
+            keep_rows = np.empty(n_rows, dtype=bool)
+            keep_rows[horder] = local < hot_sample
+            users, ts, vals = (
+                users[keep_rows], ts[keep_rows], vals[keep_rows]
+            )
+            n_rows = len(users)
+            if not n_rows:
+                return _TS_EMPTY
+            run_start = np.concatenate(
+                ([True], users[1:] != users[:-1])
+            )
+            starts = np.nonzero(run_start)[0]
+            m = np.diff(np.append(starts, n_rows))
         total_pairs = int((m * (m - 1) // 2).sum())
         if total_pairs > hot_pair_cap:
             raise ValueError(
                 "theil_sen_trend: pairwise-slope emission "
                 f"({total_pairs}) exceeds hot_pair_cap ({hot_pair_cap}); "
-                "subsample hot users upstream or raise the cap"
+                "pass hot_sample=N for the deterministic subsample "
+                "tier, or raise the cap"
             )
         if not total_pairs:
-            return _TS_EMPTY
+            return _empty
         # shared repeat+ramp within-run pair enumeration (runs tile the
         # sorted partition, so local indices ARE global indices)
         i_idx, j_idx = _run_pairs(m)
         dus = ts[j_idx] - ts[i_idx]
         keep = dus > 0  # strictly increasing ts, like the SQL join
         if not keep.any():
-            return _TS_EMPTY
+            return _empty
         i_idx, j_idx, dus = i_idx[keep], j_idx[keep], dus[keep]
         slopes = (vals[j_idx] - vals[i_idx]) / (
             dus.astype(np.float64) / _US_PER_HOUR
@@ -2099,13 +2150,17 @@ def theil_sen_trend(
             slopes[mid],
             (slopes[np.maximum(mid - 1, 0)] + slopes[mid]) / 2.0,
         )
-        return pa.Table.from_pydict(
-            {
-                "user_id": pa.array(pu[offs], pa.int64()),
-                "n_pairs": pa.array(cnt, pa.int64()),
-                "slope_per_hour": pa.array(med, pa.float64()),
-            }
-        )
+        out = {
+            "user_id": pa.array(pu[offs], pa.int64()),
+            "n_pairs": pa.array(cnt, pa.int64()),
+            "slope_per_hour": pa.array(med, pa.float64()),
+        }
+        if hot_sample is not None:
+            # record which users were estimated from a subsample
+            out["sampled"] = pa.array(
+                np.isin(pu[offs], hot_users), pa.bool_()
+            )
+        return pa.Table.from_pydict(out)
 
     if (
         sink_dir is None
@@ -2114,7 +2169,7 @@ def theil_sen_trend(
     ):
         parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
         if not parts:
-            return _TS_EMPTY
+            return _empty
         whole = pa.concat_tables(parts).combine_chunks()
         return sen_part(whole).sort_by([("user_id", "ascending")])
 

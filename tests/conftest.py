@@ -2,6 +2,12 @@ import pytest
 import ray
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running stress tests (kill/resume)"
+    )
+
+
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
     """One Ray session for the whole pytest run (driver contract)."""
