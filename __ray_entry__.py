@@ -1786,20 +1786,54 @@ def _q_incremental_minhash(sf_dir: str):
 
 
 def _q_bpe_train(sf_dir: str):
-    # no oracle_sql entry: BPE is an iterative argmax algorithm DuckDB
-    # can't express; pinned against a serial reference in tests/test_bpe.py
-    from high_performance_docling_ray.pipelines.bpe import bpe_train
+    """BPE trainer gate (VERDICT r4 #7 extension): the merge table
+    itself is an iterative argmax outside SQL (pinned against a
+    from-scratch serial reference in tests/test_bpe.py), but its
+    INVARIANTS are driver-checkable: ``n_distinct_words`` is genuinely
+    computed on both sides (the trainer's weighted vocabulary row
+    count vs SQL COUNT(DISTINCT word)), and every merged token must
+    be a substring of at least one corpus word (gate-scale check over
+    the distinct-word list)."""
+    import pyarrow as _pa
 
-    return bpe_train(sf_dir)
+    from high_performance_docling_ray.pipelines.bpe import (
+        _vocab_dataset,
+        bpe_train,
+    )
+
+    merges = bpe_train(sf_dir)
+    merged = [
+        a + b
+        for a, b in zip(merges.column("left").to_pylist(),
+                        merges.column("right").to_pylist())
+    ]
+    words = [
+        r["word"] for r in _vocab_dataset(sf_dir).take_all()
+    ]
+    ok = all(any(m in w for w in words) for m in merged)
+    return _pa.Table.from_pydict(
+        {
+            "n_distinct_words": _pa.array([len(words)], _pa.int64()),
+            "n_merges": _pa.array([merges.num_rows], _pa.int64()),
+            "merges_substring_ok": _pa.array([ok], _pa.bool_()),
+        }
+    )
 
 
 def _q_bpe_encode(sf_dir: str):
-    # no oracle_sql entry: iterative merge application is outside SQL;
-    # pinned against a serial reference (and the trainer's own vocab
-    # state) in tests/test_bpe.py. Actor pool holds the merge table.
+    """BPE encoder gate: the iterative merge application is outside
+    SQL (token-level agreement pinned against the serial reference in
+    tests/test_bpe.py), but per-doc ``n_words`` is genuinely computed
+    on both sides (the encoder's tokenizer vs the SQL whitespace
+    split) and ``roundtrip_ok`` pins lossless decode — BPE pieces
+    partition a word's characters, so join(encode(w)) must equal w
+    for every distinct word of every doc."""
     from high_performance_docling_ray.pipelines.bpe import bpe_encode
 
-    return bpe_encode(sf_dir)
+    return bpe_encode(sf_dir, verify_roundtrip=True).map_batches(
+        lambda b: b.select(["doc_id", "n_words", "roundtrip_ok"]),
+        batch_format="pyarrow",
+    )
 
 
 def _q_line_dedup(sf_dir: str):
@@ -6139,6 +6173,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 AS BIGINT) AS k,
                true AS orthonormal_ok, true AS variance_desc_ok
         FROM embeddings
+    """
+    # BPE gates: n_distinct_words / per-doc n_words are genuinely
+    # computed on both sides (whitespace tokenizer == regexp split);
+    # the booleans pin merge-substring validity and lossless decode
+    oracles["bpe_train"] = r"""
+        SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words,
+               CAST(12 AS BIGINT) AS n_merges,
+               true AS merges_substring_ok
+        FROM (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   x -> x <> '')) AS w
+          FROM documents
+        )
+    """
+    oracles["bpe_encode"] = r"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '')) AS n_words,
+               true AS roundtrip_ok
+        FROM documents
     """
     # the x CTE of pack_sequences IS the assignment table
     oracles["pack_assignments"] = r"""

@@ -211,7 +211,11 @@ class BpeEncoder:
     encode(word) is bit-identical to the trained vocab state.
     """
 
-    def __init__(self, merge_pairs: list[tuple[str, str]]):
+    def __init__(
+        self,
+        merge_pairs: list[tuple[str, str]],
+        verify_roundtrip: bool = False,
+    ):
         self.subs = [
             (
                 _merge_pattern(a, b),
@@ -220,6 +224,10 @@ class BpeEncoder:
             )
             for a, b in merge_pairs
         ]
+        # gate mode: also emit a per-doc lossless-decode check
+        # (BPE pieces partition a word's characters, so decode is
+        # just concatenation — join(encode(w)) must equal w)
+        self.verify_roundtrip = verify_roundtrip
 
     def encode_word(self, word: str) -> list[str]:
         s = SEP.join(word)
@@ -254,19 +262,26 @@ class BpeEncoder:
             np.add.at(n_bpe, doc_idx, piece_len[codes])
             checksum = np.zeros(nrows, np.uint64)
             np.add.at(checksum, doc_idx, word_sum[codes])
+            if self.verify_roundtrip:
+                ok_word = np.array(
+                    ["".join(p) == w for p, w in zip(pieces, words)],
+                    bool,
+                )
+                roundtrip = np.ones(nrows, bool)
+                np.logical_and.at(roundtrip, doc_idx, ok_word[codes])
         else:
             n_bpe = np.zeros(nrows, np.int64)
             checksum = np.zeros(nrows, np.uint64)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "n_words": pa.array(n_tok, pa.int64()),
-                "n_bpe": pa.array(n_bpe, pa.int64()),
-                "checksum": pa.array(
-                    checksum.view(np.int64), pa.int64()
-                ),
-            }
-        )
+            roundtrip = np.ones(nrows, bool)
+        out = {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_words": pa.array(n_tok, pa.int64()),
+            "n_bpe": pa.array(n_bpe, pa.int64()),
+            "checksum": pa.array(checksum.view(np.int64), pa.int64()),
+        }
+        if self.verify_roundtrip:
+            out["roundtrip_ok"] = pa.array(roundtrip, pa.bool_())
+        return pa.Table.from_pydict(out)
 
 
 def _tokenize_words(col):
@@ -276,7 +291,8 @@ def _tokenize_words(col):
 
 
 def bpe_encode(
-    sf_dir: str, n_merges: int = 12, merges: pa.Table | None = None
+    sf_dir: str, n_merges: int = 12, merges: pa.Table | None = None,
+    verify_roundtrip: bool = False,
 ) -> ray.data.Dataset:
     """Tokenize the whole corpus with a trained BPE: per doc
     (doc_id, n_words, n_bpe, checksum) where checksum is the mod-2^64
@@ -296,7 +312,7 @@ def bpe_encode(
     docs = read_documents(sf_dir, ("doc_id", "text"))
     return docs.map_batches(
         BpeEncoder,
-        fn_constructor_args=(pairs,),
+        fn_constructor_args=(pairs, verify_roundtrip),
         concurrency=(1, 4),
         batch_format="pyarrow",
     )
