@@ -2127,7 +2127,10 @@ def q11_important_stock(
         # over the combine budget: the per-part values stay DISTRIBUTED
         # — the grand total reduces via block partials and only the
         # threshold-qualifying rows (the query's actual output) collect
-        grouped = partials.groupby("ps_partkey").sum("value_c")
+        # materialize once: the shuffle feeds BOTH the total
+        # reduction and the threshold filter below — without this the
+        # second consumer re-runs the whole groupby exchange
+        grouped = partials.groupby("ps_partkey").sum("value_c").materialize()
 
         def total_partial(b: pa.Table) -> pa.Table:
             v = b.column("sum(value_c)").to_numpy(zero_copy_only=False)
