@@ -2013,12 +2013,21 @@ def _prev_gate_names() -> set:
     import json
     import os
 
+    import re
+
     here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
-    if not files:
+    files = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    numbered = [
+        (int(m.group(1)), f)
+        for f in files
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    if not numbered:
         return set()
+    # numeric max, not lexicographic sort: unpadded round numbers
+    # (r10 vs r9) would otherwise pick the wrong "newest" gate
     try:
-        with open(files[-1]) as f:
+        with open(max(numbered)[1]) as f:
             return set(json.load(f))
     except (OSError, ValueError):
         return set()

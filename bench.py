@@ -422,9 +422,13 @@ def scaling(lo: int = 8, hi: int = 32) -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        rest = [a for a in sys.argv[sys.argv.index("--scaling") + 1:]
-                if a.isdigit()]
-        if len(rest) >= 2:
+        rest = sys.argv[sys.argv.index("--scaling") + 1:]
+        if rest and not (len(rest) == 2 and all(a.isdigit() for a in rest)):
+            raise SystemExit(
+                "--scaling takes zero args (8 32 default) or exactly "
+                f"two cpu counts, got: {rest}"
+            )
+        if rest:
             scaling(int(rest[0]), int(rest[1]))
         else:
             scaling()

@@ -832,6 +832,15 @@ def _jw_block_pass_sampled(
     )
     bcounts = np.bincount(bidx)
     hot = bcounts > hot_sample
+    if not hot.any():
+        # no hot block: skip the per-key crc/mask machinery entirely
+        # and run the exact pass with an all-False flag
+        t = _jw_block_pass(
+            doc_ids, keys, threshold, hot_pair_cap, block_chars
+        )
+        return t.append_column(
+            "sampled", pa.array(np.zeros(t.num_rows, bool), pa.bool_())
+        )
     # distinct-key keep mask: cold blocks keep all keys; hot blocks
     # keep the hot_sample smallest-crc32 keys
     crc = np.array([zlib.crc32(s.encode()) for s in uniq], np.int64)

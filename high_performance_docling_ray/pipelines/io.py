@@ -67,6 +67,10 @@ def atomic_store(out_dir: str, build) -> str:
     import shutil
     import uuid
 
+    # normalize: a trailing-slash out_dir would otherwise derive a tmp
+    # path NESTED inside the destination and the rename fallback would
+    # delete its own build
+    out_dir = os.path.normpath(out_dir)
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir

@@ -2059,6 +2059,8 @@ def theil_sen_trend(
     """
     from .io import parquet_num_rows
 
+    if hot_sample is not None and hot_sample < 1:
+        raise ValueError("theil_sen_trend: hot_sample must be >= 1")
     num_parts = _num_parts()
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     _empty = (
@@ -2111,7 +2113,7 @@ def theil_sen_trend(
             )
             n_rows = len(users)
             if not n_rows:
-                return _TS_EMPTY
+                return _empty
             run_start = np.concatenate(
                 ([True], users[1:] != users[:-1])
             )

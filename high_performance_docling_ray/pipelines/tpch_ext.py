@@ -327,11 +327,12 @@ def q8_market_share(
     order = np.argsort(yr, kind="stable")
     # same float op order as the oracle: DOUBLE-of-dollars division of
     # the two exact DECIMAL-scale-4 sums (the q14 discipline)
-    share = np.asarray(
-        [(float(n) / 10000.0) / (float(t) / 10000.0)
-         for n, t in zip(natv[order], tot[order])],
-        np.float64,
-    )
+    natv_f = np.array([float(v) for v in natv[order]], np.float64)
+    tot_f = np.array([float(v) for v in tot[order]], np.float64)
+    # numpy division (inf/nan on a zero-revenue year), matching the
+    # pre-limb behavior — Python-scalar division would raise instead
+    with np.errstate(divide="ignore", invalid="ignore"):
+        share = (natv_f / 10000.0) / (tot_f / 10000.0)
     return pa.Table.from_pydict(
         {"o_year": pa.array(yr[order], pa.int64()),
          "mkt_share": pa.array(share, pa.float64())}
@@ -1197,8 +1198,6 @@ def q22_dormant_customers(
         # seen set is bounded by the candidate set (seen_partial
         # pre-filters on cand_ref), itself under build_budget here —
         # collect as Arrow blocks, not per-row Python dicts
-        from .relational import collect_arrow
-
         tbl = collect_arrow(partials.groupby("c_custkey").sum("n"))
     seen = np.sort(tbl.column("c_custkey").to_numpy().astype(np.int64))
     dormant = ~_sorted_member_mask(seen, cand_s)
