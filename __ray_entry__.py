@@ -2390,6 +2390,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "funnel_analysis": _q_funnel_analysis,
         # cohort-day x day-offset distinct-user retention matrix
         "retention_cohorts": _q_retention_cohorts,
+        "retention_cohorts_distributed": _q_retention_distributed,
         # TPC-H tail (pipelines/tpch_ext.py): the last classic shapes
         # the schema can express (adaptations in each docstring)
         "q8_market_share": _q_q8_market_share,       # ratio per year
@@ -2508,6 +2509,18 @@ def _q_funnel_analysis(sf_dir: str):
     from high_performance_docling_ray.pipelines.analytics import funnel_analysis
 
     return funnel_analysis(sf_dir)
+
+
+def _q_retention_distributed(sf_dir: str):
+    """Forced any-cardinality retention tier (combine_limit=0): the
+    per-user cohort map attaches to events by cogroup and the distinct
+    triples dedup in the Ray groupby — no per-user state on the driver
+    or in a broadcast. Shares the base oracle."""
+    from high_performance_docling_ray.pipelines.analytics import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(sf_dir, combine_limit=0)
 
 
 def _q_retention_cohorts(sf_dir: str):
@@ -9244,6 +9257,7 @@ def oracle_sql() -> dict[str, str]:
             oracles[name] = oracles[oracle_name]
     oracles["bloom_semi_join_cogroup"] = oracles["bloom_semi_join"]
     oracles["bloom_semi_join_exactonly"] = oracles["bloom_semi_join"]
+    oracles["retention_cohorts_distributed"] = oracles["retention_cohorts"]
     oracles["events_moving_avg_grouped"] = oracles["events_moving_avg"]
     oracles["ntile_orders_grouped"] = oracles["ntile_orders"]
     oracles["mode_event_type_grouped"] = oracles["mode_event_type"]

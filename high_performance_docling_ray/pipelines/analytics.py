@@ -39,6 +39,7 @@ from .relational import (
     _sorted_lookup,
     _sorted_member_mask,
     collect_arrow,
+    collect_topk_candidates,
     limb_cols,
     limb_split,
     limb_values,
@@ -240,10 +241,10 @@ def q4_order_priority(
     # these blocks instead of re-running the upstream DAG
     partials = partials.materialize()
     tbl = _combine_partials(partials, ["o_orderkey"], ["n"], combine_limit)
-    if tbl is None:  # over budget: any-cardinality shuffle
-        tbl = pa.Table.from_pylist(
-            partials.groupby("o_orderkey").sum("n").take_all()
-        )
+    if tbl is None:  # over budget: any-cardinality shuffle (hit set is
+        # bounded by the already-budgeted |window orders| broadcast);
+        # Arrow-native collect, no per-row Python dicts
+        tbl = collect_arrow(partials.groupby("o_orderkey").sum("n"))
     hit_keys = (
         tbl.column("o_orderkey").to_numpy().astype(np.int64)
         if tbl.num_rows
@@ -632,8 +633,11 @@ def q10_returned_items(
     partials = partials.materialize()
     tbl = _combine_partials(partials, ["c_custkey"], ["rev_e4"], combine_limit)
     if tbl is None:
-        tbl = pa.Table.from_pylist(
-            partials.groupby("c_custkey").sum("rev_e4").take_all()
+        # over the combine budget: per-customer revenues stay
+        # DISTRIBUTED; the driver only collects per-batch
+        # top-k-with-ties candidates (q21's treatment, shared helper)
+        tbl = collect_topk_candidates(
+            partials.groupby("c_custkey").sum("rev_e4"), "sum(rev_e4)", k
         )
     idx = pc.sort_indices(
         tbl,
@@ -1131,6 +1135,115 @@ def funnel_analysis(
 
 # -- retention cohorts -----------------------------------------------------------
 
+def _distinct_triple_counts(
+    trips: ray.data.Dataset, combine_limit: int
+) -> pa.Table:
+    """DISTINCT-user counts per (cohort_day, day_offset) from
+    (cohort_day, day_offset, user_id, n) partial rows WITHOUT ever
+    collecting the triples: the Ray groupby dedups triples (one row
+    per distinct triple in its output), and because whole key groups
+    land in single blocks, per-block (cohort, offset, row-count)
+    partials are additive — the ngram_diversity row-count trick."""
+    grouped = trips.groupby(["cohort_day", "day_offset", "user_id"]).sum("n")
+
+    def block_counts(b: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "cohort_day": b.column("cohort_day"),
+                "day_offset": b.column("day_offset"),
+                "users": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["cohort_day", "day_offset"]).aggregate(
+            [("users", "sum")]
+        ).rename_columns(["cohort_day", "day_offset", "users"])
+
+    cparts = grouped.map_batches(block_counts, batch_format="pyarrow")
+    counted = _combine_partials(
+        cparts, ["cohort_day", "day_offset"], ["users"], combine_limit
+    )
+    if counted is None:  # (days x offsets) grid over budget: shuffle
+        counted = collect_arrow(
+            cparts.groupby(["cohort_day", "day_offset"]).sum("users")
+        )
+        counted = counted.rename_columns(
+            ["cohort_day", "day_offset", "users"]
+        )
+    else:
+        counted = counted.rename_columns(
+            ["cohort_day", "day_offset", "users"]
+        )
+    return counted
+
+
+def _retention_distributed(
+    ds: ray.data.Dataset,
+    first_partials: ray.data.Dataset,
+    combine_limit: int,
+) -> pa.Table:
+    """retention_cohorts' any-cardinality tier: per-user first days
+    stay a Dataset (Ray groupby-min over the block partials), attach
+    to the event stream by ONE ``cogroup_attach`` on user_id, and the
+    distinct (cohort, offset, user) triples reduce distributed — no
+    per-user state ever lands on the driver or broadcasts."""
+    from .joins import cogroup_attach
+
+    firsts_ds = first_partials.groupby("user_id").min("day").map_batches(
+        lambda b: b.rename_columns(["user_id", "day0"]),
+        batch_format="pyarrow",
+    )
+
+    def ev_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(
+                    b.column("user_id").to_numpy().astype(np.int64),
+                    pa.int64(),
+                ),
+                "day": pa.array(
+                    _ts_us(b.column("ts")) // _DAY_US, pa.int64()
+                ),
+            }
+        )
+
+    att = cogroup_attach(
+        ds.map_batches(ev_rows, batch_format="pyarrow"),
+        firsts_ds,
+        key="user_id",
+        left_fields=[pa.field("user_id", pa.int64()),
+                     pa.field("day", pa.int64())],
+        payload_fields=[pa.field("day0", pa.int64())],
+    )
+
+    def triple_rows(b: pa.Table) -> pa.Table:
+        # every event's user has a first day by construction; the
+        # cogroup cannot produce null payloads here
+        u = b.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        day = b.column("day").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        day0 = b.column("day0").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        trip = np.unique(
+            np.stack([day0, day - day0, u], axis=1), axis=0
+        )
+        return pa.Table.from_pydict(
+            {
+                "cohort_day": pa.array(trip[:, 0], pa.int64()),
+                "day_offset": pa.array(trip[:, 1], pa.int64()),
+                "user_id": pa.array(trip[:, 2], pa.int64()),
+                "n": pa.array(np.ones(len(trip), dtype=np.int64)),
+            }
+        )
+
+    trips = att.map_batches(triple_rows, batch_format="pyarrow")
+    counted = _distinct_triple_counts(trips, combine_limit)
+    return _retention_format(counted)
+
+
 def retention_cohorts(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
     """Classic cohort retention: users grouped by first-activity day;
     for each (cohort_day, day_offset) count DISTINCT active users.
@@ -1163,10 +1276,12 @@ def retention_cohorts(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
     partials = partials.materialize()
     firsts = _combine_partials(partials, ["user_id"], ["day"],
                                combine_limit, agg="min")
-    if firsts is None:  # any-cardinality fallback
-        firsts = pa.Table.from_pylist(
-            partials.groupby("user_id").min("day").take_all()
-        )
+    if firsts is None:
+        # any-cardinality tier: the per-user cohort map NEVER lands on
+        # the driver — first-days attach to events by cogroup, and the
+        # distinct-triple count reduces distributed (the documented
+        # deployment path, now real)
+        return _retention_distributed(ds, partials, combine_limit)
     uid = firsts.column("user_id").to_numpy().astype(np.int64)
     day0 = firsts.column("min(day)").to_numpy().astype(np.int64)
     order = np.argsort(uid, kind="stable")
@@ -1209,25 +1324,32 @@ def retention_cohorts(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
     tbl = _combine_partials(
         trips, ["cohort_day", "day_offset", "user_id"], ["n"], combine_limit
     )
-    if tbl is None:
-        tbl = pa.Table.from_pylist(
-            trips.groupby(["cohort_day", "day_offset", "user_id"])
-            .sum("n").take_all()
+    if tbl is not None:
+        counted = (
+            tbl.select(["cohort_day", "day_offset"])
+            .append_column(
+                "users", pa.array(np.ones(tbl.num_rows, dtype=np.int64))
+            )
+            .group_by(["cohort_day", "day_offset"])
+            .aggregate([("users", "sum")])
+            .rename_columns(["cohort_day", "day_offset", "users"])
         )
-    counted = (
-        tbl.select(["cohort_day", "day_offset"])
-        .append_column("users", pa.array(np.ones(tbl.num_rows, dtype=np.int64)))
-        .group_by(["cohort_day", "day_offset"])
-        .aggregate([("users", "sum")])
-        .rename_columns(["cohort_day", "day_offset", "users"])
-    )
+    else:
+        # distinct triples exceed the driver budget: dedup them in the
+        # Ray groupby and fold per-block (cohort, offset, rows) counts
+        # — the triple rows themselves never collect
+        counted = _distinct_triple_counts(trips, combine_limit)
+    return _retention_format(counted)
+
+
+def _retention_format(counted: pa.Table) -> pa.Table:
     ep = np.datetime64("1970-01-01", "us")
     cd = counted.column("cohort_day").to_numpy().astype(np.int64)
     out = pa.Table.from_pydict(
         {
             "cohort_day": pa.array(ep + cd * _DAY_US, pa.timestamp("us")),
             "day_offset": counted.column("day_offset"),
-            "users": counted.column("users"),
+            "users": pc.cast(counted.column("users"), pa.int64()),
         }
     )
     return out.sort_by(

@@ -283,6 +283,30 @@ def limb_values(tbl: pa.Table, col: str) -> np.ndarray:
     return hi * (1 << LIMB_BITS) + lo
 
 
+def collect_topk_candidates(
+    ds: ray.data.Dataset, col: str, k: int
+) -> pa.Table:
+    """Distributed top-k candidate collect (the q11 threshold-tail
+    treatment generalized): each batch of a grouped result emits only
+    rows with ``col`` >= its own k-th-largest value (WITH ties) —
+    sound because the k-th order statistic of any subset never exceeds
+    the superset's, so every global top-k-or-tied row survives its
+    batch's filter. The driver then sees ~k rows per batch plus ties,
+    never one row per entity; the caller applies the exact final
+    selection (order-by + limit + tiebreak) on the candidates."""
+
+    def batch_topk(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) <= k:
+            return b
+        kth = np.partition(v, len(v) - k)[len(v) - k]
+        return b.filter(pa.array(v >= kth))
+
+    return collect_arrow(
+        ds.map_batches(batch_topk, batch_format="pyarrow")
+    )
+
+
 def collect_arrow(ds: ray.data.Dataset) -> pa.Table:
     """Arrow-native collect for over-combine-budget groupby fallbacks
     (VERDICT r4 #1): blocks come back as Arrow refs and concatenate

@@ -68,6 +68,7 @@ from .relational import (
     _sorted_lookup,
     _sorted_member_mask,
     collect_arrow,
+    collect_topk_candidates,
     limb_cols,
     limb_split,
     limb_values,
@@ -1077,32 +1078,14 @@ def q21_waiting_suppliers(
             # supplier survives its batch's filter; the driver then
             # sees ~k rows per batch plus ties, never one row per
             # supplier.
-            grouped = wins.groupby("l_suppkey").sum("n")
-
-            def batch_topk(b: pa.Table) -> pa.Table:
-                v = b.column("sum(n)").to_numpy(
-                    zero_copy_only=False).astype(np.int64)
-                if len(v) <= k:
-                    return b
-                kth = np.partition(v, len(v) - k)[len(v) - k]
-                return b.filter(pa.array(v >= kth))
-
-            parts = [
-                t
-                for t in ray.get(
-                    grouped.map_batches(batch_topk, batch_format="pyarrow")
-                    .to_arrow_refs()
-                )
-                if t.num_rows
-            ]
-            counts = (
-                pa.concat_tables(parts)
-                if parts
-                else pa.table(
+            counts = collect_topk_candidates(
+                wins.groupby("l_suppkey").sum("n"), "sum(n)", k
+            )
+            if not counts.num_rows:
+                counts = pa.table(
                     {"l_suppkey": pa.array([], pa.int64()),
                      "sum(n)": pa.array([], pa.int64())}
                 )
-            )
         wk = counts.column("l_suppkey").to_numpy().astype(np.int64)
         wc = counts.column("sum(n)").to_numpy().astype(np.int64)
 

@@ -59,6 +59,9 @@ def test_cogroup_tier_equals_broadcast(ray_session, module, fn):
         ("tpch_ext", "q13_customer_distribution"),
         ("tpch_ext", "q16_supplier_part_counts"),
         ("tpch_ext", "q21_waiting_suppliers"),
+        # round-5: distributed top-k-with-ties / cogroup cohort tiers
+        ("analytics", "q10_returned_items"),
+        ("analytics", "retention_cohorts"),
     ],
 )
 def test_over_combine_budget_tail(ray_session, module, fn):
