@@ -1135,6 +1135,22 @@ def funnel_analysis(
 
 # -- retention cohorts -----------------------------------------------------------
 
+def _emit_triples(
+    cohort: np.ndarray, off: np.ndarray, users: np.ndarray
+) -> pa.Table:
+    """Block-distinct (cohort_day, day_offset, user_id, n=1) rows —
+    the shared emission of both retention tiers."""
+    trip = np.unique(np.stack([cohort, off, users], axis=1), axis=0)
+    return pa.Table.from_pydict(
+        {
+            "cohort_day": pa.array(trip[:, 0], pa.int64()),
+            "day_offset": pa.array(trip[:, 1], pa.int64()),
+            "user_id": pa.array(trip[:, 2], pa.int64()),
+            "n": pa.array(np.ones(len(trip), dtype=np.int64)),
+        }
+    )
+
+
 def _distinct_triple_counts(
     trips: ray.data.Dataset, combine_limit: int
 ) -> pa.Table:
@@ -1166,14 +1182,7 @@ def _distinct_triple_counts(
         counted = collect_arrow(
             cparts.groupby(["cohort_day", "day_offset"]).sum("users")
         )
-        counted = counted.rename_columns(
-            ["cohort_day", "day_offset", "users"]
-        )
-    else:
-        counted = counted.rename_columns(
-            ["cohort_day", "day_offset", "users"]
-        )
-    return counted
+    return counted.rename_columns(["cohort_day", "day_offset", "users"])
 
 
 def _retention_distributed(
@@ -1227,17 +1236,7 @@ def _retention_distributed(
         day0 = b.column("day0").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
-        trip = np.unique(
-            np.stack([day0, day - day0, u], axis=1), axis=0
-        )
-        return pa.Table.from_pydict(
-            {
-                "cohort_day": pa.array(trip[:, 0], pa.int64()),
-                "day_offset": pa.array(trip[:, 1], pa.int64()),
-                "user_id": pa.array(trip[:, 2], pa.int64()),
-                "n": pa.array(np.ones(len(trip), dtype=np.int64)),
-            }
-        )
+        return _emit_triples(day0, day - day0, u)
 
     trips = att.map_batches(triple_rows, batch_format="pyarrow")
     counted = _distinct_triple_counts(trips, combine_limit)
@@ -1305,17 +1304,7 @@ def retention_cohorts(sf_dir: str, combine_limit: int = 2_000_000) -> pa.Table:
         ok = users_s[pos] == u
         cohort = days0_s[pos]
         off = day - cohort
-        trip = np.unique(
-            np.stack([cohort[ok], off[ok], u[ok]], axis=1), axis=0
-        )
-        return pa.Table.from_pydict(
-            {
-                "cohort_day": pa.array(trip[:, 0], pa.int64()),
-                "day_offset": pa.array(trip[:, 1], pa.int64()),
-                "user_id": pa.array(trip[:, 2], pa.int64()),
-                "n": pa.array(np.ones(len(trip), dtype=np.int64)),
-            }
-        )
+        return _emit_triples(cohort[ok], off[ok], u[ok])
 
     trips = ds.map_batches(triple_partial, batch_format="pyarrow")
     # materialize once: the None fallback's groupby then reuses

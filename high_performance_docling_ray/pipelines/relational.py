@@ -345,15 +345,20 @@ def _combine_partials(
     # materialize() first: lazy to_arrow_refs re-executes a limit-1
     # pass for the schema fetch (the full plan — including any sort —
     # would run twice)
-    refs = partials.materialize().to_arrow_refs()
-    parts = [t for t in ray.get(refs) if t.num_rows > 0]
+    mat = partials.materialize()
+    # budget decision from BLOCK METADATA (count on a materialized
+    # dataset is metadata-only): the over-budget case must return None
+    # WITHOUT ray.get-ing the partial blocks — fetching first would
+    # ship the whole partial set through the driver heap, the exact
+    # bottleneck the fallback tier exists to avoid (review r5)
+    if mat.count() > combine_limit:
+        return None
+    parts = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows > 0]
     if not parts:
         return pa.Table.from_pydict(
             {**{k: [] for k in keys}, **{f"{agg}({c})": [] for c in sum_cols}}
         )
     tbl = pa.concat_tables(parts)
-    if tbl.num_rows > combine_limit:
-        return None
     out = tbl.group_by(keys).aggregate([(c, agg) for c in sum_cols])
     # pyarrow names aggregates "<col>_<agg>" with keys first; rename to
     # Ray's "<agg>(col)" so both paths share one downstream shape

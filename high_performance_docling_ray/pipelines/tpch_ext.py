@@ -1066,7 +1066,8 @@ def q21_waiting_suppliers(
         # materialize once: the None fallback's groupby then reuses
         # these blocks instead of re-running the upstream DAG
         wins = wins.materialize()
-        counts = _combine_partials(wins, ["l_suppkey"], ["n"])
+        counts = _combine_partials(wins, ["l_suppkey"], ["n"],
+                                   combine_limit)
         if counts is None:
             # winner rows (one per qualifying order) can exceed the
             # combine budget at scale. The per-supplier counts stay
