@@ -1321,6 +1321,24 @@ def _q_event_throttle_grouped(sf_dir: str):
     return event_throttle(sf_dir, driver_budget=0)
 
 
+def _q_dataset_split_by_source(sf_dir: str):
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        dataset_split_by_source,
+    )
+
+    return dataset_split_by_source(sf_dir)
+
+
+def _q_dataset_split_by_source_grouped(sf_dir: str):
+    """Forced any-cardinality tier: (split, source) dedup in the Ray
+    groupby + additive per-block row-count folds."""
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        dataset_split_by_source,
+    )
+
+    return dataset_split_by_source(sf_dir, combine_limit=0)
+
+
 def _q_dataset_split(sf_dir: str):
     from high_performance_docling_ray.pipelines.corpus_clean import (
         dataset_split,
@@ -2201,6 +2219,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "neardup_medoids_distributed": _q_neardup_medoids_distributed,
         "dataset_split": _q_dataset_split,
         "dataset_split_grouped": _q_dataset_split_grouped,
+        "dataset_split_by_source": _q_dataset_split_by_source,
+        "dataset_split_by_source_grouped": _q_dataset_split_by_source_grouped,
         "ngram_diversity": _q_ngram_diversity,
         "ngram_diversity_grouped": _q_ngram_diversity_grouped,
         "event_throttle": _q_event_throttle,
@@ -9278,6 +9298,25 @@ def oracle_sql() -> dict[str, str]:
     oracles["vocab_growth_grouped"] = oracles["vocab_growth"]
     oracles["neardup_medoids_distributed"] = oracles["neardup_medoids"]
     oracles["dataset_split_grouped"] = oracles["dataset_split"]
+    # leakage-safe grouped split: a SOURCE hashes whole to one split
+    oracles["dataset_split_by_source"] = """
+        WITH s AS (
+          SELECT CASE WHEN md5_number_upper('gsplit:' || source)
+                           % 100 < 80 THEN 'train'
+                      WHEN md5_number_upper('gsplit:' || source)
+                           % 100 < 90 THEN 'valid'
+                      ELSE 'test' END AS split,
+                 source, n_chars
+          FROM documents)
+        SELECT split,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM s GROUP BY 1 ORDER BY 1
+    """
+    oracles["dataset_split_by_source_grouped"] = oracles[
+        "dataset_split_by_source"
+    ]
     oracles["ngram_diversity_grouped"] = oracles["ngram_diversity"]
     oracles["event_throttle_grouped"] = oracles["event_throttle"]
     oracles["value_concentration_grouped"] = oracles["value_concentration"]

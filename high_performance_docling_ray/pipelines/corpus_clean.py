@@ -1633,6 +1633,119 @@ def vocab_growth(
     )
 
 
+def dataset_split_by_source(
+    sf_dir: str, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """LEAKAGE-SAFE grouped split manifest: every SOURCE hashes whole
+    to train/valid/test via ``hash64('gsplit:'+source) % 100``
+    (80/10/10), so near-duplicate / boilerplate-sibling documents —
+    which overwhelmingly live within one source — can never straddle
+    the train/eval boundary (the FineWeb/Dolma anti-contamination
+    split rule; the per-doc ``dataset_split`` cannot give this
+    guarantee). Output per split: distinct sources, docs, chars.
+
+    Scale shape: per-block (split, source, n, chars) partials are
+    bounded by DISTINCT sources per block; the per-split distinct-
+    source count is the ROW COUNT of the (split, source) grouped
+    result — additive over disjoint key blocks (the ngram_diversity
+    trick) — so the over-budget tier folds per-block
+    (split, rows, Σn, Σchars) partials and nothing source-sized ever
+    lands on the driver. ``dataset_split_by_source_grouped`` forces
+    the Ray exchange."""
+    from ..kernels.sketch import hash64_strings
+    from .relational import _combine_partials, _read, collect_arrow
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def split_partial(batch: pa.Table) -> pa.Table:
+        src_col = batch.column("source")
+        if isinstance(src_col, pa.ChunkedArray):
+            src_col = src_col.combine_chunks()
+        pref = pc.binary_join_element_wise(
+            pa.array(["gsplit:"] * len(src_col), pa.string()), src_col, ""
+        )
+        hv = hash64_strings(pref) % np.uint64(100)
+        split = np.where(
+            hv < 80, "train", np.where(hv < 90, "valid", "test")
+        )
+        t = pa.Table.from_pydict(
+            {
+                "split": pa.array(split.astype(object), pa.string()),
+                "source": src_col,
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["split", "source"])
+            .aggregate([("n", "sum"), ("chars", "sum")])
+            .rename_columns(["split", "source", "n", "chars"])
+        )
+
+    partials = ds.map_batches(
+        split_partial, batch_format="pyarrow"
+    ).materialize()
+    cells = _combine_partials(
+        partials, ["split", "source"], ["n", "chars"], combine_limit
+    )
+    if cells is not None:
+        sp = cells.column("split")
+        agg = (
+            pa.Table.from_pydict(
+                {
+                    "split": sp,
+                    "s": pa.array(
+                        np.ones(cells.num_rows, dtype=np.int64)
+                    ),
+                    "n": cells.column("sum(n)"),
+                    "chars": cells.column("sum(chars)"),
+                }
+            )
+            .group_by("split")
+            .aggregate([("s", "sum"), ("n", "sum"), ("chars", "sum")])
+            .rename_columns(["split", "n_sources", "n_docs", "sum_chars"])
+        )
+    else:
+        # sources over the driver budget: dedup (split, source) in the
+        # Ray groupby; whole key groups land in single blocks, so
+        # per-block (split, rows, Σn, Σchars) partials are additive
+        grouped = partials.groupby(["split", "source"]).sum(["n", "chars"])
+
+        def fold(b: pa.Table) -> pa.Table:
+            t = pa.Table.from_pydict(
+                {
+                    "split": b.column("split"),
+                    "s": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                    "n": b.column("sum(n)"),
+                    "chars": b.column("sum(chars)"),
+                }
+            )
+            return t.group_by("split").aggregate(
+                [("s", "sum"), ("n", "sum"), ("chars", "sum")]
+            ).rename_columns(["split", "s", "n", "chars"])
+
+        folded = grouped.map_batches(fold, batch_format="pyarrow")
+        agg2 = _combine_partials(
+            folded, ["split"], ["s", "n", "chars"], combine_limit
+        )
+        if agg2 is None:  # 3 splits x blocks: Ray groupby close
+            agg2 = collect_arrow(
+                folded.groupby("split").sum(["s", "n", "chars"])
+            )
+        agg = agg2.rename_columns(
+            ["split", "n_sources", "n_docs", "sum_chars"]
+        )
+    out = pa.Table.from_pydict(
+        {
+            "split": agg.column("split"),
+            "n_sources": pc.cast(agg.column("n_sources"), pa.int64()),
+            "n_docs": pc.cast(agg.column("n_docs"), pa.int64()),
+            "sum_chars": pc.cast(agg.column("sum_chars"), pa.int64()),
+        }
+    )
+    return out.sort_by([("split", "ascending")])
+
+
 def dataset_split(
     sf_dir: str, combine_limit: int = 2_000_000
 ) -> pa.Table:

@@ -575,3 +575,39 @@ def test_dataset_split_deterministic(tmp_path):
     assert 0.6 * n < tr < 0.95 * n  # hash split near 80%
     assert dataset_split(str(d)).to_pandas().equals(out)
     assert dataset_split(str(d), combine_limit=0).to_pandas().equals(out)
+
+
+def test_dataset_split_by_source_leakage_safe(ray_session):
+    """Grouped split: every SOURCE lands whole in exactly one split
+    (the anti-leakage guarantee the per-doc split cannot give), totals
+    conserve, and the forced exchange tier is identical."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.kernels.sketch import hash64
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        dataset_split_by_source,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = dataset_split_by_source(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["source", "n_chars"])
+    src = docs.column("source").to_pylist()
+    uniq = sorted(set(src))
+    hv = hash64([f"gsplit:{s}" for s in uniq]) % np.uint64(100)
+    expect_split = {
+        s: ("train" if h < 80 else "valid" if h < 90 else "test")
+        for s, h in zip(uniq, hv)
+    }
+    # conservation + distinct-source partition
+    assert int(sum(out.column("n_docs").to_pylist())) == docs.num_rows
+    assert int(sum(out.column("n_sources").to_pylist())) == len(uniq)
+    from collections import Counter
+
+    per_split_sources = Counter(expect_split.values())
+    got = dict(zip(out.column("split").to_pylist(),
+                   out.column("n_sources").to_pylist()))
+    assert got == {k: v for k, v in per_split_sources.items()}
+    # forced exchange tier identical
+    forced = dataset_split_by_source(sf, combine_limit=0)
+    assert out.equals(forced)
