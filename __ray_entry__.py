@@ -1321,6 +1321,24 @@ def _q_event_throttle_grouped(sf_dir: str):
     return event_throttle(sf_dir, driver_budget=0)
 
 
+def _q_split_contamination(sf_dir: str):
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        split_contamination,
+    )
+
+    return split_contamination(sf_dir)
+
+
+def _q_split_contamination_grouped(sf_dir: str):
+    """Forced any-cardinality tier: shingle flags OR-reduce in the Ray
+    groupby(h).max exchange; conjunction counts fold per block."""
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        split_contamination,
+    )
+
+    return split_contamination(sf_dir, combine_limit=0)
+
+
 def _q_dataset_split_by_source(sf_dir: str):
     from high_performance_docling_ray.pipelines.corpus_clean import (
         dataset_split_by_source,
@@ -2220,6 +2238,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _q_dataset_split,
         "dataset_split_grouped": _q_dataset_split_grouped,
         "dataset_split_by_source": _q_dataset_split_by_source,
+        "split_contamination": _q_split_contamination,
+        "split_contamination_grouped": _q_split_contamination_grouped,
         "dataset_split_by_source_grouped": _q_dataset_split_by_source_grouped,
         "ngram_diversity": _q_ngram_diversity,
         "ngram_diversity_grouped": _q_ngram_diversity_grouped,
@@ -9317,6 +9337,53 @@ def oracle_sql() -> dict[str, str]:
     oracles["dataset_split_by_source_grouped"] = oracles[
         "dataset_split_by_source"
     ]
+    # train->holdout shingle leakage under both split rules: distinct
+    # 8-gram shingles present on BOTH sides of the boundary
+    oracles["split_contamination"] = r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(trim(lower(text)),
+                                                   '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, source,
+            CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                 ELSE list_distinct(list_transform(
+                        range(1, len(toks) - 6),
+                        i -> array_to_string(toks[i : i + 7], ' ')))
+            END AS sh
+          FROM t
+        ),
+        r AS (
+          SELECT md5_number_upper(u.s) AS h,
+                 md5_number_upper('split:' || CAST(doc_id AS VARCHAR))
+                   % 100 < 80 AS doc_train,
+                 md5_number_upper('gsplit:' || source) % 100 < 80
+                   AS src_train
+          FROM sh, unnest(sh.sh) AS u(s)
+        ),
+        agg AS (
+          SELECT h,
+                 max(CASE WHEN doc_train THEN 1 ELSE 0 END) AS dtr,
+                 max(CASE WHEN NOT doc_train THEN 1 ELSE 0 END) AS dte,
+                 max(CASE WHEN src_train THEN 1 ELSE 0 END) AS st,
+                 max(CASE WHEN NOT src_train THEN 1 ELSE 0 END) AS se
+          FROM r GROUP BY h
+        )
+        SELECT 'doc' AS rule,
+               CAST(count(*) FILTER (dtr = 1 AND dte = 1) AS BIGINT)
+                 AS shared_shingles
+        FROM agg
+        UNION ALL
+        SELECT 'source',
+               CAST(count(*) FILTER (st = 1 AND se = 1) AS BIGINT)
+        FROM agg
+        ORDER BY rule
+    """
+    oracles["split_contamination_grouped"] = oracles["split_contamination"]
     oracles["ngram_diversity_grouped"] = oracles["ngram_diversity"]
     oracles["event_throttle_grouped"] = oracles["event_throttle"]
     oracles["value_concentration_grouped"] = oracles["value_concentration"]

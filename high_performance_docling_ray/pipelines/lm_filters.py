@@ -102,6 +102,136 @@ def _plant_leaks(batch: pa.Table, holdout_mod: int) -> pa.Table:
     )
 
 
+def split_contamination(
+    sf_dir: str, n: int = 8, combine_limit: int = 2_000_000
+) -> pa.Table:
+    """Quantify train->holdout shingle leakage under BOTH split rules:
+    the number of distinct ``n``-gram shingles that appear in a TRAIN
+    document AND in a holdout (valid/test) document, once for the
+    per-doc split (``dataset_split``'s hash rule) and once for the
+    leakage-safe per-source split (``dataset_split_by_source``) — the
+    measurement that justifies grouped splitting (boilerplate shared
+    within a source inflates the per-doc number, and the grouped rule
+    moves those shingles wholly to one side).
+
+    Scale shape: per-block flag partials OR-reduce by shingle hash
+    (4 int8 max columns; bounded by DISTINCT shingles per block),
+    merged under the combine budget with the Ray groupby(h).max
+    fallback; the two conjunction counts fold from per-block row
+    counts of the grouped output (additive over disjoint hash
+    groups), so nothing shingle-sized lands on the driver in the
+    over-budget tier. ``split_contamination_grouped`` forces it."""
+    from ..kernels.sketch import hash64
+    from .relational import _combine_partials, _read, collect_arrow
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    _EMPTY = pa.Table.from_pydict(
+        {"h": pa.array([], pa.uint64()),
+         **{c: pa.array([], pa.int8())
+            for c in ("dtr", "dte", "str_", "ste")}}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hv, dv = _shingle_hash_rows(batch, n)
+        if not len(hv):
+            return _EMPTY
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        srcs = batch.column("source")
+        doc_hv = hash64([f"split:{i}" for i in ids.tolist()]) % np.uint64(100)
+        pref = pc.binary_join_element_wise(
+            pa.array(["gsplit:"] * batch.num_rows, pa.string()),
+            srcs.combine_chunks()
+            if isinstance(srcs, pa.ChunkedArray) else srcs,
+            "",
+        )
+        src_hv = hash64_strings(pref) % np.uint64(100)
+        doc_train = doc_hv < 80
+        src_train = src_hv < 80
+        order = np.argsort(ids, kind="stable")
+        pos = np.searchsorted(ids[order], dv)
+        ridx = order[pos]
+        t = pa.Table.from_pydict(
+            {
+                "h": pa.array(hv, pa.uint64()),
+                "dtr": pa.array(
+                    doc_train[ridx].astype(np.int8), pa.int8()),
+                "dte": pa.array(
+                    (~doc_train[ridx]).astype(np.int8), pa.int8()),
+                "str_": pa.array(
+                    src_train[ridx].astype(np.int8), pa.int8()),
+                "ste": pa.array(
+                    (~src_train[ridx]).astype(np.int8), pa.int8()),
+            }
+        )
+        return t.group_by("h").aggregate(
+            [(c, "max") for c in ("dtr", "dte", "str_", "ste")]
+        ).rename_columns(["h", "dtr", "dte", "str_", "ste"])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).materialize()
+    flags = ("dtr", "dte", "str_", "ste")
+    merged = _combine_partials(
+        partials, ["h"], list(flags), combine_limit, agg="max"
+    )
+
+    if merged is not None:
+        doc_shared = int(
+            (
+                (merged.column("max(dtr)").to_numpy(
+                    zero_copy_only=False) == 1)
+                & (merged.column("max(dte)").to_numpy(
+                    zero_copy_only=False) == 1)
+            ).sum()
+        )
+        src_shared = int(
+            (
+                (merged.column("max(str_)").to_numpy(
+                    zero_copy_only=False) == 1)
+                & (merged.column("max(ste)").to_numpy(
+                    zero_copy_only=False) == 1)
+            ).sum()
+        )
+    else:
+        grouped = partials.groupby("h").max(list(flags))
+
+        def fold(b: pa.Table) -> pa.Table:
+            dtr = b.column("max(dtr)").to_numpy(zero_copy_only=False)
+            dte = b.column("max(dte)").to_numpy(zero_copy_only=False)
+            st = b.column("max(str_)").to_numpy(zero_copy_only=False)
+            se = b.column("max(ste)").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "doc_shared": pa.array(
+                        [int(((dtr == 1) & (dte == 1)).sum())],
+                        pa.int64()),
+                    "src_shared": pa.array(
+                        [int(((st == 1) & (se == 1)).sum())],
+                        pa.int64()),
+                }
+            )
+
+        folded = collect_arrow(
+            grouped.map_batches(fold, batch_format="pyarrow")
+        )
+        doc_shared = int(
+            folded.column("doc_shared").to_numpy().sum()
+        ) if folded.num_rows else 0
+        src_shared = int(
+            folded.column("src_shared").to_numpy().sum()
+        ) if folded.num_rows else 0
+    return pa.Table.from_pydict(
+        {
+            "rule": pa.array(["doc", "source"], pa.string()),
+            "shared_shingles": pa.array(
+                [doc_shared, src_shared], pa.int64()
+            ),
+        }
+    )
+
+
 def decontaminate(
     sf_dir: str,
     n: int = 8,

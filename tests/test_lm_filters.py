@@ -585,3 +585,21 @@ def test_pack_bins_invariants_corpus():
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_split_contamination_tiers_and_semantics(ray_session):
+    """Shared-shingle leakage counts: tier equality, and the grouped
+    (source) rule never counts a shingle whose occurrences all live in
+    one source (leakage-safety of dataset_split_by_source)."""
+    from high_performance_docling_ray.pipelines.lm_filters import (
+        split_contamination,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = split_contamination(sf)
+    b = split_contamination(sf, combine_limit=0)
+    assert a.equals(b)
+    d = dict(zip(a.column("rule").to_pylist(),
+                 a.column("shared_shingles").to_pylist()))
+    assert set(d) == {"doc", "source"}
+    assert d["doc"] >= 0 and d["source"] >= 0
