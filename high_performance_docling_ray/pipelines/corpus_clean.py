@@ -1633,6 +1633,38 @@ def vocab_growth(
     )
 
 
+def split_of_sources(col) -> np.ndarray:
+    """The 80/10/10 grouped-split rule, SHARED by
+    ``dataset_split_by_source`` and ``split_contamination`` so the
+    measurement op provably measures the split op's exact rule:
+    ``hash64('gsplit:'+source) % 100`` -> train/valid/test. Null
+    sources violate the documents contract and would silently
+    stringify to the literal 'None' (dropping the salt) while the SQL
+    oracle CASEs them to 'test' — refuse loudly instead (the
+    psi_source_drift convention)."""
+    from ..kernels.sketch import hash64_strings
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            "split_of_sources: null source violates the documents "
+            "contract; fill or drop nulls upstream"
+        )
+    pref = pc.binary_join_element_wise(pa.scalar("gsplit:"), col, "")
+    hv = hash64_strings(pref) % np.uint64(100)
+    return np.where(hv < 80, "train", np.where(hv < 90, "valid", "test"))
+
+
+def split_of_doc_ids(ids: np.ndarray) -> np.ndarray:
+    """The per-doc 80/10/10 rule (``dataset_split``'s hash), shared
+    for the same provable-identity reason."""
+    from ..kernels.sketch import hash64
+
+    hv = hash64([f"split:{i}" for i in ids.tolist()]) % np.uint64(100)
+    return np.where(hv < 80, "train", np.where(hv < 90, "valid", "test"))
+
+
 def dataset_split_by_source(
     sf_dir: str, combine_limit: int = 2_000_000
 ) -> pa.Table:
@@ -1652,7 +1684,6 @@ def dataset_split_by_source(
     (split, rows, Σn, Σchars) partials and nothing source-sized ever
     lands on the driver. ``dataset_split_by_source_grouped`` forces
     the Ray exchange."""
-    from ..kernels.sketch import hash64_strings
     from .relational import _combine_partials, _read, collect_arrow
 
     ds = _read(sf_dir, "documents", ["source", "n_chars"])
@@ -1661,13 +1692,7 @@ def dataset_split_by_source(
         src_col = batch.column("source")
         if isinstance(src_col, pa.ChunkedArray):
             src_col = src_col.combine_chunks()
-        pref = pc.binary_join_element_wise(
-            pa.array(["gsplit:"] * len(src_col), pa.string()), src_col, ""
-        )
-        hv = hash64_strings(pref) % np.uint64(100)
-        split = np.where(
-            hv < 80, "train", np.where(hv < 90, "valid", "test")
-        )
+        split = split_of_sources(src_col)
         t = pa.Table.from_pydict(
             {
                 "split": pa.array(split.astype(object), pa.string()),
@@ -1761,7 +1786,6 @@ def dataset_split(
     Pure map + a categorical-bounded (split × lang) count exchange
     under the combine budget; ``dataset_split_grouped`` forces the
     Ray groupby fallback."""
-    from ..kernels.sketch import hash64
     from .relational import _combine_partials, _read
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
@@ -1769,10 +1793,7 @@ def dataset_split(
     def split_partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        hv = hash64([f"split:{i}" for i in ids.tolist()]) % np.uint64(100)
-        split = np.where(
-            hv < 80, "train", np.where(hv < 90, "valid", "test")
-        )
+        split = split_of_doc_ids(ids)
         t = pa.Table.from_pydict(
             {
                 "split": pa.array(split.astype(object), pa.string()),

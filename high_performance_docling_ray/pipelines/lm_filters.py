@@ -136,19 +136,14 @@ def split_contamination(
         hv, dv = _shingle_hash_rows(batch, n)
         if not len(hv):
             return _EMPTY
+        from .corpus_clean import split_of_doc_ids, split_of_sources
+
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        srcs = batch.column("source")
-        doc_hv = hash64([f"split:{i}" for i in ids.tolist()]) % np.uint64(100)
-        pref = pc.binary_join_element_wise(
-            pa.array(["gsplit:"] * batch.num_rows, pa.string()),
-            srcs.combine_chunks()
-            if isinstance(srcs, pa.ChunkedArray) else srcs,
-            "",
-        )
-        src_hv = hash64_strings(pref) % np.uint64(100)
-        doc_train = doc_hv < 80
-        src_train = src_hv < 80
+        # the SHARED split rules: this op provably measures exactly
+        # what dataset_split / dataset_split_by_source apply
+        doc_train = split_of_doc_ids(ids) == "train"
+        src_train = split_of_sources(batch.column("source")) == "train"
         order = np.argsort(ids, kind="stable")
         pos = np.searchsorted(ids[order], dv)
         ridx = order[pos]

@@ -588,9 +588,17 @@ def test_pack_bins_invariants_corpus():
 
 
 def test_split_contamination_tiers_and_semantics(ray_session):
-    """Shared-shingle leakage counts: tier equality, and the grouped
-    (source) rule never counts a shingle whose occurrences all live in
-    one source (leakage-safety of dataset_split_by_source)."""
+    """Shared-shingle leakage counts: tier equality AND both rule
+    counts equal a from-scratch serial recomputation over the corpus
+    (so a swapped flag, a stale hash rule, or doc/source conflation
+    cannot pass)."""
+    import pyarrow.parquet as pq
+
+    from high_performance_docling_ray.kernels.text_stats import ngram_set
+    from high_performance_docling_ray.pipelines.corpus_clean import (
+        split_of_doc_ids,
+        split_of_sources,
+    )
     from high_performance_docling_ray.pipelines.lm_filters import (
         split_contamination,
     )
@@ -601,5 +609,29 @@ def test_split_contamination_tiers_and_semantics(ray_session):
     assert a.equals(b)
     d = dict(zip(a.column("rule").to_pylist(),
                  a.column("shared_shingles").to_pylist()))
-    assert set(d) == {"doc", "source"}
-    assert d["doc"] >= 0 and d["source"] >= 0
+
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    import numpy as np
+
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    doc_tr = split_of_doc_ids(ids) == "train"
+    src_tr = split_of_sources(docs.column("source")) == "train"
+    sides: dict[str, list[set]] = {
+        "doc_tr": set(), "doc_te": set(), "src_tr": set(), "src_te": set()
+    }
+    for i, text in enumerate(docs.column("text").to_pylist()):
+        sh = ngram_set(text or "", 8)
+        if doc_tr[i]:
+            sides["doc_tr"] |= sh
+        else:
+            sides["doc_te"] |= sh
+        if src_tr[i]:
+            sides["src_tr"] |= sh
+        else:
+            sides["src_te"] |= sh
+    assert d["doc"] == len(sides["doc_tr"] & sides["doc_te"])
+    assert d["source"] == len(sides["src_tr"] & sides["src_te"])
